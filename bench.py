@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced to execute fully with a count-style action that cannot
+be optimized to metadata-only (foreach noop would skip result exchange;
+write to noop-equivalent via count on the final plan is what the driver's
+collect() would pay minus serialization to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hash_db_spark.queries import all_queries
+from hash_db_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline queries: one per operator family; widened as families land.
+HEADLINE: list[str] = [
+    "kv_query_begins",
+    "kv_both_between",
+    "kv_set",
+]
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="hash_db_spark-bench")
+    registry = all_queries()
+    names = [n for n in HEADLINE if n in registry] or list(registry)
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = registry[name].fn
+        # Warm: build the plan once (catalog reads, param collects).
+        df = fn(spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,36 @@
+"""Central registry of driver-checkable queries.
+
+Each operator module contributes ``QUERIES: dict[str, Query]`` where
+``Query.fn`` is ``(spark, sf_dir) -> DataFrame`` and ``Query.oracle`` is the
+equivalent DuckDB SQL (or None for non-SQL-expressible ops — the driver then
+records a weaker rows-only check).
+
+Column-name discipline: the driver sorts columns by name before value-hashing,
+so every computed column is aliased identically in the Spark plan and in the
+oracle SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+
+
+def all_queries() -> dict[str, Query]:
+    from hash_db_spark.queries import kv_queries
+
+    registry: dict[str, Query] = {}
+    for mod in (kv_queries,):
+        overlap = registry.keys() & mod.QUERIES.keys()
+        if overlap:
+            raise ValueError(f"duplicate query names: {overlap}")
+        registry.update(mod.QUERIES)
+    return registry
