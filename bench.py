@@ -29,6 +29,11 @@ HEADLINE: list[str] = [
     "kv_query_begins",
     "kv_both_between",
     "kv_set",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_local_revenue",
+    "window_rank",
+    "multi_join",
 ]
 
 

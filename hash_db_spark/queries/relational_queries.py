@@ -1,0 +1,455 @@
+"""Driver-checkable queries for the relational operators (SURVEY §2.2).
+
+Each query demonstrates one R-operator (or a "free win" Spark adds over the
+reference — SURVEY §2.2 notes ORDER BY/LIMIT/DISTINCT/windows/set-ops/
+subqueries are absent there) on the TPC-H-ish fixtures, with a DuckDB oracle.
+
+Float discipline: computed float aggregates are ROUND()ed identically on
+both sides; pass-through doubles (read straight from parquet) are bit-exact
+and left unrounded. Ordering never carries semantics for the hash compare
+(driver sorts rows), but LIMIT/top-k queries use total tie-breaks so the
+selected row *set* is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+from hash_db_spark.catalog import load_table
+from hash_db_spark.operators import relational as R
+from hash_db_spark.queries import Query
+
+
+def _t(spark, sf_dir, name) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- R1/R2/R3: scan + projection + typed equality filter ---------------------
+
+def q_select_where_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return R.project(
+        R.filter_eq(cust, "c_mktsegment", "BUILDING"),
+        ["c_custkey", "c_name", "c_acctbal"],
+    )
+
+
+# --- R4: conjunctive WHERE ---------------------------------------------------
+
+def q_filter_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return R.filter_all(
+        orders,
+        F.col("o_orderstatus") == "F",
+        F.col("o_orderpriority") == "1-URGENT",
+        F.col("o_totalprice") > 100000.0,
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+# --- R6: single equi hash join ----------------------------------------------
+
+def q_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return R.hash_join(
+        orders, cust, on=orders.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "c_name", "o_totalprice", "c_mktsegment")
+
+
+# --- R7: left-deep multi-join chain (example.py's items⋈people⋈products) ----
+
+def q_multi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    out = R.multi_join(
+        li.filter(F.col("l_quantity") >= 45),
+        (orders, F.col("l_orderkey") == F.col("o_orderkey")),
+        (cust, F.col("o_custkey") == F.col("c_custkey")),
+    )
+    return out.select("l_orderkey", "l_linenumber", "c_name", "o_orderstatus")
+
+
+# --- R10: group-by + count ---------------------------------------------------
+
+def q_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.group_count(_t(spark, sf_dir, "customer"), "c_mktsegment")
+
+
+# --- R11: dynamic-schema INSERT with auto-id --------------------------------
+
+def q_insert_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert two suppliers, one carrying a novel column (s_phone) — the
+    reference's emergent-schema semantics (README.md:175): old rows read
+    NULL for the new field. Verify by scanning the widened table."""
+    sup = _t(spark, sf_dir, "supplier").withColumnRenamed("s_suppkey", "id")
+    new_rows = spark.createDataFrame(
+        [
+            ("NewCo A", 5, 100.0, "555-0100"),
+            ("NewCo B", 7, 200.0, "555-0200"),
+        ],
+        ["s_name", "s_nationkey", "s_acctbal", "s_phone"],
+    ).select(
+        F.col("s_name"),
+        F.col("s_nationkey").cast("int"),
+        F.col("s_acctbal"),
+        F.col("s_phone"),
+    )
+    return R.insert_rows(sup, new_rows, id_col="id")
+
+
+INSERT_ORACLE = """
+SELECT s_suppkey AS id, s_name, s_nationkey, s_acctbal, NULL AS s_phone
+FROM supplier
+UNION ALL
+SELECT (SELECT max(s_suppkey) FROM supplier) + 1, 'NewCo A', 5, 100.0, '555-0100'
+UNION ALL
+SELECT (SELECT max(s_suppkey) FROM supplier) + 2, 'NewCo B', 7, 200.0, '555-0200'
+"""
+
+
+# --- R12: UPDATE … WHERE as recompute ---------------------------------------
+
+def q_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """example.py:126-149's update-then-reselect scenario: flip negative
+    account balances' segment to 'COLLECTIONS', then re-select."""
+    cust = _t(spark, sf_dir, "customer")
+    updated = R.update_where(
+        cust,
+        F.col("c_acctbal") < 0,
+        {"c_mktsegment": F.lit("COLLECTIONS")},
+    )
+    return updated.select("c_custkey", "c_mktsegment", "c_acctbal")
+
+
+# --- TPC-H-style analytics (scan+filter+agg pipelines) ----------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the headline scan+agg. One shuffle (by the two
+    low-cardinality flags), partial aggregation map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: filter both sides, join, agg, deterministic top-10
+    (revenue desc, orderkey asc tie-break). Runs as broadcast-join +
+    TakeOrderedAndProject — no global sort."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    rev = (
+        joined.groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return R.top_k(rev, [F.col("revenue").desc(), F.col("o_orderkey").asc()], 10)
+
+
+Q3_ORACLE = """
+SELECT o_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_local_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join. Dimensions (region/nation/
+    supplier/customer) broadcast; only orders⋈lineitem shuffles."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(cust),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+Q5_ORACLE = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+# --- Free wins over the reference SQL (SURVEY §2.2 list) --------------------
+
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority"
+    ).distinct()
+
+
+def q_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.top_k(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        15,
+    )
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer by price (window row_number, total order)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return R.rank_per_group(
+        orders,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        2,
+    )
+
+
+WINDOW_RANK_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice, rn FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey ASC
+         ) AS rn
+  FROM orders
+) WHERE rn <= 2
+"""
+
+
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 5)
+    )
+
+
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops (absent in the reference): nations that have customers or
+    suppliers, deduplicated."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nationkey")
+    )
+    return c.union(s).distinct()
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery as left-semi join (subqueries absent in the reference)."""
+    orders = _t(spark, sf_dir, "orders")
+    building = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return orders.join(
+        F.broadcast(building),
+        orders.o_custkey == building.c_custkey,
+        "left_semi",
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as left-anti join: customers with no recorded events."""
+    cust = _t(spark, sf_dir, "customer")
+    ev = _t(spark, sf_dir, "events").select(F.col("user_id").alias("uid"))
+    return cust.join(
+        ev, cust.c_custkey == ev.uid, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function library sampler (string/date/math — absent in the
+    reference, SURVEY §2.2): all deterministic & exact."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.col("o_orderpriority")).alias("prio_upper"),
+        F.substring(F.col("o_orderstatus"), 1, 1).alias("status_c"),
+        F.year(F.col("o_orderdate")).alias("o_year"),
+        F.month(F.col("o_orderdate")).alias("o_month"),
+        F.length(F.col("o_orderpriority")).alias("prio_len"),
+        (F.col("o_orderkey") % 7).alias("key_mod7"),
+        F.abs(F.col("o_orderkey") - 100).alias("key_dist"),
+        F.concat_ws("-", F.col("o_orderstatus"), F.col("o_orderpriority")).alias(
+            "status_prio"
+        ),
+    )
+
+
+SCALAR_FN_ORACLE = """
+SELECT o_orderkey,
+       upper(o_orderpriority) AS prio_upper,
+       substring(o_orderstatus, 1, 1) AS status_c,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(month(o_orderdate) AS INT) AS o_month,
+       CAST(length(o_orderpriority) AS INT) AS prio_len,
+       o_orderkey % 7 AS key_mod7,
+       abs(o_orderkey - 100) AS key_dist,
+       concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio
+FROM orders WHERE o_orderkey <= 500
+"""
+
+
+def q_agg_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate library sampler per order status: min/max/sum/avg/count
+    distinct (only count(*) exists in the reference, server.py:916-917)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+AGG_FN_ORACLE = """
+SELECT o_orderstatus,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price,
+       round(sum(o_totalprice), 2) AS sum_price,
+       round(avg(o_totalprice), 4) AS avg_price,
+       count(DISTINCT o_custkey) AS n_custs,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+QUERIES = {
+    "select_where_eq": Query(
+        q_select_where_eq,
+        "SELECT c_custkey, c_name, c_acctbal FROM customer "
+        "WHERE c_mktsegment = 'BUILDING'",
+    ),
+    "filter_and": Query(
+        q_filter_and,
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT' "
+        "AND o_totalprice > 100000.0",
+    ),
+    "inner_join": Query(
+        q_inner_join,
+        "SELECT o_orderkey, c_name, o_totalprice, c_mktsegment "
+        "FROM orders JOIN customer ON o_custkey = c_custkey",
+    ),
+    "multi_join": Query(
+        q_multi_join,
+        "SELECT l_orderkey, l_linenumber, c_name, o_orderstatus "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey WHERE l_quantity >= 45",
+    ),
+    "group_count": Query(
+        q_group_count,
+        "SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY c_mktsegment",
+    ),
+    "insert_rows": Query(q_insert_rows, INSERT_ORACLE),
+    "update_where": Query(
+        q_update_where,
+        "SELECT c_custkey, "
+        "CASE WHEN c_acctbal < 0 THEN 'COLLECTIONS' ELSE c_mktsegment END "
+        "AS c_mktsegment, c_acctbal FROM customer",
+    ),
+    "q1_pricing_summary": Query(q1_pricing_summary, Q1_ORACLE),
+    "q3_top_orders": Query(q3_top_orders, Q3_ORACLE),
+    "q5_local_revenue": Query(q5_local_revenue, Q5_ORACLE),
+    "distinct": Query(
+        q_distinct,
+        "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    ),
+    "order_limit": Query(
+        q_order_limit,
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15",
+    ),
+    "window_rank": Query(q_window_rank, WINDOW_RANK_ORACLE),
+    "having": Query(
+        q_having,
+        "SELECT c_nationkey, count(*) AS cnt FROM customer "
+        "GROUP BY c_nationkey HAVING count(*) > 5",
+    ),
+    "union_distinct": Query(
+        q_union,
+        "SELECT nationkey FROM ("
+        "SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer "
+        "UNION SELECT CAST(s_nationkey AS INT) FROM supplier)",
+    ),
+    "semi_join": Query(
+        q_semi_join,
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "WHERE o_custkey IN "
+        "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')",
+    ),
+    "anti_join": Query(
+        q_anti_join,
+        "SELECT c_custkey, c_name FROM customer "
+        "WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)",
+    ),
+    "scalar_functions": Query(q_scalar_functions, SCALAR_FN_ORACLE),
+    "agg_functions": Query(q_agg_functions, AGG_FN_ORACLE),
+}

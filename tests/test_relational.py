@@ -1,0 +1,81 @@
+"""Unit tests for relational operator semantics (SURVEY §2.2), modeled on
+the reference's example.py scenarios (people/items/products inserts, joins,
+update-then-reselect — /root/reference/example.py:86-238)."""
+
+from __future__ import annotations
+
+import pytest
+import pyspark.sql.functions as F
+
+from hash_db_spark.operators import relational as R
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    return spark.createDataFrame(
+        [(1, "Sam", 29), (2, "Dinar", 31), (3, "Lee", 29)],
+        ["id", "people_name", "age"],
+    )
+
+
+@pytest.fixture(scope="module")
+def items(spark):
+    return spark.createDataFrame(
+        [(1, "fishing rod", 1), (2, "spanner", 3), (3, "boat", 1)],
+        ["id", "search", "people"],
+    )
+
+
+def test_filter_eq_typed(spark, people):
+    # Typed equality: age=29 matches 29 only — not the reference's
+    # accidental prefix match of 290+ (SURVEY §2.1 caveats).
+    got = R.filter_eq(people, "age", 29).select("people_name").collect()
+    assert sorted(r.people_name for r in got) == ["Lee", "Sam"]
+
+
+def test_project_skips_missing(spark):
+    # Reference rule: rows lacking a selected field are skipped
+    # (/root/reference/client.py:655-661).
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", "x")], ["id", "f1", "f2"]
+    )
+    assert R.project(df, ["id", "f2"]).count() == 1
+    assert R.project(df, ["id", "f2"], skip_missing=False).count() == 2
+
+
+def test_hash_join_duplicate_keys_multiply(spark, people, items):
+    # Duplicate join keys produce one output row per pair
+    # (reference build-dict holds lists, client.py:396-410).
+    joined = R.hash_join(items, people, on=items.people == people.id)
+    assert joined.count() == 3
+    sam_items = joined.filter(F.col("people_name") == "Sam")
+    assert sorted(r.search for r in sam_items.collect()) == ["boat", "fishing rod"]
+
+
+def test_insert_rows_dynamic_schema(spark, people):
+    new = spark.createDataFrame(
+        [("Noor", 40, "new-field")], ["people_name", "age", "nickname"]
+    )
+    out = R.insert_rows(people, new)
+    assert out.count() == 4
+    noor = out.filter(F.col("people_name") == "Noor").collect()[0]
+    assert noor.id == 4  # max(id)+1 auto-increment
+    assert noor.nickname == "new-field"
+    # Old rows read NULL for the novel column (emergent schema).
+    assert out.filter(F.col("nickname").isNull()).count() == 3
+
+
+def test_update_where(spark, people):
+    out = R.update_where(
+        people, F.col("people_name") == "Sam", {"age": F.lit(30)}
+    )
+    rows = {r.people_name: r.age for r in out.collect()}
+    assert rows == {"Sam": 30, "Dinar": 31, "Lee": 29}
+
+
+def test_rank_per_group_deterministic(spark, items):
+    ranked = R.rank_per_group(
+        items, ["people"], [F.col("search").asc(), F.col("id").asc()], 1
+    )
+    got = {r.people: r.search for r in ranked.collect()}
+    assert got == {1: "boat", 3: "spanner"}
