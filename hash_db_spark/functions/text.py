@@ -1,0 +1,211 @@
+"""Text-analysis functions for training-data pipelines (SURVEY §7 Phase 6).
+
+No reference counterpart — these are the north-star LLM-pipeline operators
+(BASELINE.json:6): token counting, quality scoring, language ID, document
+fingerprinting. All are pure Column expressions (JVM-side, whole-stage
+codegen) — no Python UDFs in the hot path — and every one has an exact
+DuckDB-SQL rendering so the driver's oracle can hash-match results.
+
+Scale notes: each function is a narrow projection over one string column —
+at 100 TB these run map-side with zero shuffle; fingerprints/token stats
+should be written once as derived columns rather than recomputed per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+import pyspark.sql.functions as F
+
+# Marker stopwords per language for the n-gram/stopword lang-id heuristic.
+# Deterministic and tiny by design: hit-count argmax with a fixed
+# priority order for ties.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "fr": ["le", "la", "de", "et", "un"],
+    "es": ["el", "los", "de", "y", "una"],
+    "de": ["der", "die", "das", "und", "ein"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+LANG_PRIORITY = ["en", "fr", "es", "de", "zh"]
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens, comma-stripped (matches the FTS indexer,
+    /root/reference/server.py:733)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.regexp_replace(c, ",", ""), " ")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def distinct_token_count(col: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def avg_token_length(col: Column | str) -> Column:
+    """Mean token length, 4-decimal rounded for cross-engine stability."""
+    t = tokens(col)
+    total = F.aggregate(
+        F.transform(t, lambda x: F.length(x)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(total.cast("double") / F.size(t), 4)
+
+
+def lexical_diversity(col: Column | str) -> Column:
+    """distinct/total token ratio — a standard near-gibberish signal."""
+    return F.round(
+        distinct_token_count(col).cast("double") / token_count(col), 4
+    )
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are stopwords; natural text sits in a
+    mid band, keyword spam near 0, boilerplate near 1."""
+    sw = stopwords if stopwords is not None else LANG_MARKERS["en"]
+    t = tokens(col)
+    sw_arr = F.array(*[F.lit(s) for s in sw])
+    hits = F.size(F.filter(t, lambda x: F.array_contains(sw_arr, x)))
+    return F.round(hits.cast("double") / F.size(t), 4)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite 0..1 quality score: length band * diversity * (1 - excess
+    stopword penalty). Deterministic, documented, SQL-renderable."""
+    n = token_count(col)
+    length_band = (
+        F.when(n < 5, 0.2).when(n > 500, 0.5).otherwise(1.0)
+    )
+    return F.round(
+        length_band * lexical_diversity(col) * (1.0 - stopword_ratio(col) / 2),
+        4,
+    )
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-hit argmax over LANG_MARKERS with fixed tie priority."""
+    t = tokens(col)
+    hit_cols = []
+    for lang in LANG_PRIORITY:
+        arr = F.array(*[F.lit(s) for s in LANG_MARKERS[lang]])
+        hit_cols.append(
+            (lang, F.size(F.filter(t, lambda x: F.array_contains(arr, x))))
+        )
+    # argmax with priority-order tie-break: strictly-greater comparison in
+    # priority order keeps the earliest language on ties.
+    best_lang = F.lit(LANG_PRIORITY[0])
+    best_hits = hit_cols[0][1]
+    for lang, hits in hit_cols[1:]:
+        cond = hits > best_hits
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(cond, hits).otherwise(best_hits)
+    return F.when(best_hits > 0, best_lang).otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Exact-dup fingerprint: md5 of lowercased, comma-stripped,
+    space-collapsed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(
+        F.regexp_replace(F.lower(c), ",", ""), " +", " "
+    )
+    return F.md5(normalized)
+
+
+def bag_fingerprint(col: Column | str) -> Column:
+    """Order-insensitive fingerprint: md5 over the sorted distinct token
+    set — catches shuffled/reordered near-exact duplicates."""
+    t = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    t = F.filter(t, lambda x: x != "")  # runs of spaces yield empty tokens
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(t)), " "))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB-SQL renderings (oracle side). Each mirrors the Column logic above
+# token-for-token so results hash-match.
+# ---------------------------------------------------------------------------
+
+def _sql_tokens(col: str) -> str:
+    return f"string_split(replace({col}, ',', ''), ' ')"
+
+
+def sql_token_count(col: str) -> str:
+    return f"len({_sql_tokens(col)})"
+
+
+def sql_distinct_token_count(col: str) -> str:
+    return f"len(list_distinct({_sql_tokens(col)}))"
+
+
+def sql_avg_token_length(col: str) -> str:
+    return (
+        f"round(CAST(list_sum(list_transform({_sql_tokens(col)}, x -> len(x))) AS DOUBLE)"
+        f" / len({_sql_tokens(col)}), 4)"
+    )
+
+
+def sql_lexical_diversity(col: str) -> str:
+    return (
+        f"round(CAST({sql_distinct_token_count(col)} AS DOUBLE)"
+        f" / {sql_token_count(col)}, 4)"
+    )
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def sql_stopword_ratio(col: str, stopwords: list[str] | None = None) -> str:
+    sw = stopwords if stopwords is not None else LANG_MARKERS["en"]
+    return (
+        f"round(CAST(len(list_filter({_sql_tokens(col)}, "
+        f"x -> list_contains({_sql_list(sw)}, x))) AS DOUBLE)"
+        f" / len({_sql_tokens(col)}), 4)"
+    )
+
+
+def sql_quality_score(col: str) -> str:
+    n = sql_token_count(col)
+    return (
+        f"round((CASE WHEN {n} < 5 THEN 0.2 WHEN {n} > 500 THEN 0.5 ELSE 1.0 END)"
+        f" * {sql_lexical_diversity(col)}"
+        f" * (1.0 - {sql_stopword_ratio(col)} / 2), 4)"
+    )
+
+
+def sql_lang_id(col: str) -> str:
+    hits = {
+        lang: (
+            f"len(list_filter({_sql_tokens(col)}, "
+            f"x -> list_contains({_sql_list(LANG_MARKERS[lang])}, x)))"
+        )
+        for lang in LANG_PRIORITY
+    }
+    # Same strictly-greater fold as lang_id(): build nested CASE.
+    expr_lang = f"'{LANG_PRIORITY[0]}'"
+    expr_hits = hits[LANG_PRIORITY[0]]
+    for lang in LANG_PRIORITY[1:]:
+        h = hits[lang]
+        expr_lang = f"(CASE WHEN {h} > {expr_hits} THEN '{lang}' ELSE {expr_lang} END)"
+        expr_hits = f"(CASE WHEN {h} > {expr_hits} THEN {h} ELSE {expr_hits} END)"
+    return f"(CASE WHEN {expr_hits} > 0 THEN {expr_lang} ELSE 'und' END)"
+
+
+def sql_fingerprint(col: str) -> str:
+    return f"md5(regexp_replace(replace(lower({col}), ',', ''), ' +', ' ', 'g'))"
+
+
+def sql_bag_fingerprint(col: str) -> str:
+    return (
+        f"md5(list_aggregate(list_sort(list_distinct(list_filter("
+        f"string_split(replace(lower({col}), ',', ''), ' '), x -> x != ''))), "
+        f"'string_agg', ' '))"
+    )

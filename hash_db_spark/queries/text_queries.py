@@ -1,0 +1,150 @@
+"""Driver-checkable queries: FTS operator (R5) + text-analysis pipeline
+operators (SURVEY §7 Phase 6) over the documents fixture."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from hash_db_spark.catalog import load_table
+from hash_db_spark.operators.fts import compile_fts_oracle, fts_filter
+from hash_db_spark.functions import text as T
+from hash_db_spark.queries import Query
+
+
+def _docs(spark, sf_dir) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --- R5: FTS ~ operator ------------------------------------------------------
+
+FTS_AND = "spark & join"
+FTS_OR = "merge | stream"
+# Reference fold semantics: ((spark AND join) OR window) AND batch — the
+# mode switches apply to subsequent terms, left-to-right, no precedence.
+FTS_MIXED = "spark & join | window & batch"
+
+
+def q_fts_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fts_filter(_docs(spark, sf_dir), "text", FTS_AND).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_fts_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fts_filter(_docs(spark, sf_dir), "text", FTS_OR).select(
+        "doc_id", "lang"
+    )
+
+
+def q_fts_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fts_filter(_docs(spark, sf_dir), "text", FTS_MIXED).select("doc_id")
+
+
+def q_fts_with_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """example.py:296-306 scenario shape: FTS + equality predicate ANDed."""
+    docs = _docs(spark, sf_dir)
+    return fts_filter(docs, "text", FTS_OR).filter(
+        F.col("lang") == "en"
+    ).select("doc_id", "lang", "n_chars")
+
+
+def _fts_oracle(query: str, cols: str, extra: str = "") -> str:
+    return (
+        f"SELECT {cols} FROM documents "
+        f"WHERE {compile_fts_oracle('text', query)}{extra}"
+    )
+
+
+# --- Text analysis -----------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (map-side only; no shuffle)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.distinct_token_count("text").alias("n_distinct"),
+        T.char_count("text").alias("n_chars_live"),
+        T.avg_token_length("text").alias("avg_tok_len"),
+        T.lexical_diversity("text").alias("diversity"),
+    )
+
+
+TEXT_STATS_ORACLE = f"""
+SELECT doc_id,
+       CAST({T.sql_token_count('text')} AS INT) AS n_tokens,
+       CAST({T.sql_distinct_token_count('text')} AS INT) AS n_distinct,
+       CAST(len(text) AS INT) AS n_chars_live,
+       {T.sql_avg_token_length('text')} AS avg_tok_len,
+       {T.sql_lexical_diversity('text')} AS diversity
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        T.stopword_ratio("text").alias("stop_ratio"),
+        T.quality_score("text").alias("quality"),
+    )
+
+
+TEXT_QUALITY_ORACLE = f"""
+SELECT doc_id,
+       {T.sql_stopword_ratio('text')} AS stop_ratio,
+       {T.sql_quality_score('text')} AS quality
+FROM documents
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-argmax language ID + agreement flag against the labeled
+    lang column (synthetic text shares one vocab, so the value of this
+    query is determinism of the rule, not linguistic accuracy)."""
+    docs = _docs(spark, sf_dir)
+    guess = T.lang_id("text").alias("lang_guess")
+    return docs.select(
+        "doc_id",
+        "lang",
+        guess,
+        (T.lang_id("text") == F.col("lang")).alias("agrees"),
+    )
+
+
+TEXT_LANGID_ORACLE = f"""
+SELECT doc_id, lang,
+       {T.sql_lang_id('text')} AS lang_guess,
+       ({T.sql_lang_id('text')} = lang) AS agrees
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        T.fingerprint("text").alias("fp"),
+        T.bag_fingerprint("text").alias("bag_fp"),
+    )
+
+
+TEXT_FP_ORACLE = f"""
+SELECT doc_id,
+       {T.sql_fingerprint('text')} AS fp,
+       {T.sql_bag_fingerprint('text')} AS bag_fp
+FROM documents
+"""
+
+
+QUERIES = {
+    "fts_and": Query(q_fts_and, _fts_oracle(FTS_AND, "doc_id, lang, source")),
+    "fts_or": Query(q_fts_or, _fts_oracle(FTS_OR, "doc_id, lang")),
+    "fts_mixed": Query(q_fts_mixed, _fts_oracle(FTS_MIXED, "doc_id")),
+    "fts_with_where": Query(
+        q_fts_with_where,
+        _fts_oracle(FTS_OR, "doc_id, lang, n_chars", " AND lang = 'en'"),
+    ),
+    "text_stats": Query(q_text_stats, TEXT_STATS_ORACLE),
+    "text_quality": Query(q_text_quality, TEXT_QUALITY_ORACLE),
+    "text_langid": Query(q_text_langid, TEXT_LANGID_ORACLE),
+    "text_fingerprint": Query(q_text_fingerprint, TEXT_FP_ORACLE),
+}

@@ -1,0 +1,108 @@
+"""Unit tests: FTS fold semantics (R5, modeled on the reference's
+items.search scenario /root/reference/example.py:296-306) and the
+text-analysis function library."""
+
+from __future__ import annotations
+
+import pytest
+import pyspark.sql.functions as F
+
+from hash_db_spark.operators.fts import compile_fts, fts_filter
+from hash_db_spark.functions import text as T
+
+ROWS = [
+    (1, "blah sentence"),
+    (2, "nonsense words here"),
+    (3, "blah nonsense"),
+    (4, "totally unrelated"),
+    (5, "comma,stripped tokens"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(ROWS, ["id", "search"])
+
+
+def ids(df):
+    return sorted(r.id for r in df.collect())
+
+
+def test_fts_single_token(docs):
+    assert ids(fts_filter(docs, "search", "blah")) == [1, 3]
+
+
+def test_fts_and(docs):
+    assert ids(fts_filter(docs, "search", "blah & nonsense")) == [3]
+
+
+def test_fts_or(docs):
+    # example.py's 'blah | nonsense | notthere' shape.
+    assert ids(fts_filter(docs, "search", "blah | nonsense | notthere")) == [1, 2, 3]
+
+
+def test_fts_mode_switch_applies_to_subsequent_terms(docs):
+    # 'blah | nonsense & here' folds ((blah OR nonsense) AND here) → only 2.
+    assert ids(fts_filter(docs, "search", "blah | nonsense & here")) == [2]
+
+
+def test_fts_comma_stripped_at_index_time(docs):
+    # Reference strips commas when building postings (server.py:733):
+    # 'comma,stripped' indexes as token 'commastripped'.
+    assert ids(fts_filter(docs, "search", "commastripped")) == [5]
+    assert ids(fts_filter(docs, "search", "comma")) == []
+
+
+def test_fts_empty_query_raises(docs):
+    with pytest.raises(ValueError):
+        compile_fts("search", "")
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame([(1, "a bb a ccc")], ["id", "t"])
+    row = df.select(
+        T.token_count("t").alias("n"),
+        T.distinct_token_count("t").alias("d"),
+        T.avg_token_length("t").alias("avg"),
+        T.lexical_diversity("t").alias("div"),
+    ).collect()[0]
+    assert row.n == 4
+    assert row.d == 3
+    assert row.avg == pytest.approx(7 / 4)
+    assert row.div == pytest.approx(0.75)
+
+
+def test_lang_id_markers_and_tie_priority(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the hat"),   # en
+            (2, "le chat et la mer"),      # fr
+            (3, "xyz qqq zzz"),            # no markers → und
+            (4, "the le"),                 # 1-1 tie → priority order (en)
+        ],
+        ["id", "t"],
+    )
+    got = {r.id: r.g for r in df.select("id", T.lang_id("t").alias("g")).collect()}
+    assert got == {1: "en", 2: "fr", 3: "und", 4: "en"}
+
+
+def test_fingerprints(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Hello,  World"),
+            (2, "hello world"),   # same after normalization
+            (3, "world hello"),   # same bag, different order
+        ],
+        ["id", "t"],
+    )
+    rows = {
+        r.id: (r.fp, r.bag)
+        for r in df.select(
+            "id",
+            T.fingerprint("t").alias("fp"),
+            T.bag_fingerprint("t").alias("bag"),
+        ).collect()
+    }
+    assert rows[1][0] == rows[2][0]   # exact fingerprint normalizes case/commas/spaces
+    assert rows[1][0] != rows[3][0]   # order matters for exact fp
+    assert rows[1][1] == rows[3][1]   # bag fingerprint is order-insensitive
