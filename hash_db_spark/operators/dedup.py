@@ -1,0 +1,485 @@
+"""Deduplication operators for training-data pipelines (SURVEY §7 Phase 6).
+
+No reference counterpart (BASELINE.json north-star capability). Five
+strategies, all shuffle-architected for 100 TB:
+
+- exact:        md5-fingerprint groupBy — one shuffle on a 32-char key.
+- n-gram Jaccard: shingle-explode + shingle-equijoin candidate generation —
+                the join key is the shingle, so only docs *sharing* a
+                shingle ever meet; no cross join.
+- MinHash+LSH:  md5-family signatures, banded; candidates meet on
+                (band_idx, band_key) equijoin then verify with true Jaccard.
+                The classic Broder scheme — at 100 TB this is the only
+                near-dup strategy whose shuffle is O(docs × bands).
+- SimHash:      32-bit token-hash sign aggregate; candidate pairs meet on
+                any equal signature byte (4 buckets/doc), verified by
+                hamming distance.
+- embedding:    cosine-threshold pairs (brute force here; LSH/IVF variants
+                in operators/similarity.py are the scale path).
+
+Hash discipline: every hash is derived from md5 hex (first 8 nibbles →
+int64 via base-16 conv), which DuckDB reproduces exactly as
+``('0x' || substr(md5(x),1,8))::BIGINT`` — so every operator here is
+oracle-checkable. Spark's built-in xxhash64/hash are NOT used because the
+oracle cannot reproduce them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+from hash_db_spark.functions.text import fingerprint, sql_fingerprint
+
+# ---------------------------------------------------------------------------
+# shared hash helpers (Spark Column + DuckDB SQL renderings)
+# ---------------------------------------------------------------------------
+
+
+def md5_hash64(c: Column) -> Column:
+    """First 32 bits of md5 as a non-negative int64 — cross-engine stable."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def sql_md5_hash64(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
+
+
+def clean_tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(F.regexp_replace(c, ",", ""), " "), lambda x: x != ""
+    )
+
+
+def sql_clean_tokens(col: str) -> str:
+    return f"list_filter(string_split(replace({col}, ',', ''), ' '), x -> x != '')"
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles ('a b c' strings). Empty when the
+    document has fewer than n tokens (guarded: Spark's sequence(1, 0)
+    would count *down*)."""
+    toks = clean_tokens(col)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def sql_shingles(col: str, n: int = 3) -> str:
+    toks = sql_clean_tokens(col)
+    parts = " || ' ' || ".join(f"t.toks[i+{k}]" for k in range(n))
+    return (
+        f"(SELECT list_distinct(list_transform("
+        f"generate_series(1, len(t.toks)-{n - 1}), i -> {parts}))"
+        f" FROM (SELECT {toks} AS toks) t)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(df: DataFrame, col: str, id_col: str) -> DataFrame:
+    """Groups of byte-identical (normalized) values: fingerprint, group
+    size, and the kept (minimum) id. One shuffle on the fingerprint."""
+    return (
+        df.select(F.col(id_col), fingerprint(col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+def exact_dedup_keep_first(df: DataFrame, col: str, id_col: str) -> DataFrame:
+    """The ids that survive exact dedup (min id per fingerprint)."""
+    return (
+        df.select(F.col(id_col), fingerprint(col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"))
+        .select("keep_id", "fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. n-gram Jaccard near-dup
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, col: str, id_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Near-dup pairs by true Jaccard over distinct n-gram shingles.
+
+    Candidate generation is a shingle equijoin (docs meet only on shared
+    shingles), intersection size is a count over the join, union size via
+    inclusion-exclusion — no cross join anywhere. Returns (id_a, id_b, jac)
+    with id_a < id_b, jac rounded to 6dp.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(col, n)).alias("sh")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jac",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jac") >= threshold)
+        .select("id_a", "id_b", "jac")
+    )
+
+
+def sql_ngram_jaccard_pairs(
+    table: str, col: str, id_col: str, n: int = 3, threshold: float = 0.5
+) -> str:
+    return f"""
+WITH sh0 AS (
+  SELECT {id_col} AS id, {sql_shingles(col, n)} AS sh FROM {table}
+),
+sh AS (SELECT id, unnest(sh) AS s FROM sh0),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jac
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+NUM_HASHES = 16
+BAND_ROWS = 2  # 8 bands of 2 rows → catches jaccard ≳ 0.5 with high prob.
+
+
+def minhash_signature(col: Column | str, num_hashes: int = NUM_HASHES) -> Column:
+    """Array of ``num_hashes`` min-hash components over 3-gram shingles.
+    Hash family: md5(shingle || '#i'). Empty-shingle docs get all-NULL
+    components (array_min of empty), filtered by callers."""
+    sh = shingles(col)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, i=i: md5_hash64(F.concat(s, F.lit(f"#{i}"))))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = NUM_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """Candidate pairs via banded LSH, verified with true shingle Jaccard.
+
+    Shuffle profile: explode to docs×bands rows, equijoin on
+    (band_idx, band_key) — only same-bucket docs meet. Verification joins
+    candidates back to shingle sets (array_intersect on the two shingle
+    arrays — candidate count is small, so arrays-in-row beats re-exploding).
+    Returns (id_a, id_b, jac) with jac >= threshold.
+    """
+    num_bands = num_hashes // band_rows
+    base = df.select(
+        F.col(id_col).alias("id"),
+        shingles(col).alias("sh"),
+        minhash_signature(col, num_hashes).alias("sig"),
+    ).filter(F.size("sh") > 0)
+
+    bands = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col("sig")[j * band_rows + r].cast("string")
+                                    for r in range(band_rows)
+                                ],
+                            )
+                        ).alias("key"),
+                    )
+                    for j in range(num_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jac", F.round(inter.cast("double") / union, 6))
+        .filter(F.col("jac") >= threshold)
+        .select("id_a", "id_b", "jac")
+    )
+
+
+def sql_minhash_lsh_pairs(
+    table: str,
+    col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = NUM_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> str:
+    num_bands = num_hashes // band_rows
+    hash_exprs = [sql_md5_hash64(f"s || '#{i}'") for i in range(num_hashes)]
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(sh, s -> {h})) AS h{i}"
+        for i, h in enumerate(hash_exprs)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, {j} AS band, md5("
+        + " || '|' || ".join(
+            f"CAST(h{j * band_rows + r} AS VARCHAR)" for r in range(band_rows)
+        )
+        + ") AS key FROM sig"
+        for j in range(num_bands)
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {sql_shingles(col)} AS sh FROM {table}
+),
+nonempty AS (SELECT * FROM base WHERE len(sh) > 0),
+sig AS (SELECT id, sh, {sig_exprs} FROM nonempty),
+bands AS ({band_selects}),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.id < b.id
+)
+SELECT id_a, id_b,
+       round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jac
+FROM cands
+JOIN nonempty sa ON sa.id = id_a
+JOIN nonempty sb ON sb.id = id_b
+WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6)
+      >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, col: str, id_col: str) -> DataFrame:
+    """32-bit SimHash per document (classic Charikar construction with
+    term-frequency weights): every token *occurrence* votes +1/-1 per bit
+    of its hash, sign of the vote total → bit. TF weighting matters: on
+    shared-vocab corpora a distinct-token simhash collapses (most docs
+    hash identically). Returns (id, simhash:int64). One shuffle."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(clean_tokens(col)).alias("tok"),
+    ).withColumn("h", md5_hash64(F.col("tok")))
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select("id", sim.cast("long").alias("simhash"))
+
+
+def sql_simhash(table: str, col: str, id_col: str) -> str:
+    vote_exprs = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sim_expr = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS id,
+         unnest({sql_clean_tokens(col)}) AS tok
+  FROM {table}
+),
+hashed AS (SELECT id, {sql_md5_hash64('tok')} AS h FROM toks),
+votes AS (SELECT id, {vote_exprs} FROM hashed GROUP BY id)
+SELECT id, CAST({sim_expr} AS BIGINT) AS simhash FROM votes
+"""
+
+
+def simhash_near_pairs(
+    df: DataFrame, col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance.
+
+    Candidate generation pigeonholes on the 4 signature bytes: any pair
+    within hamming <= 3 can disturb at most 3 of the 4 bytes, so it
+    *must* share at least one — the byte-bucket equijoin is an exact
+    candidate filter for max_hamming <= 3 (docs meet only in shared
+    buckets; no cross join), then bit_count(xor) verifies. For larger
+    thresholds, widen to overlapping bands. Returns (id_a, id_b, hamming).
+    """
+    sh = simhash(df, col, id_col)
+    bands = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.shiftright(F.col("simhash"), k * 8)
+                        .bitwiseAND(255)
+                        .alias("byte"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.byte").alias("byte"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def sql_simhash_near_pairs(
+    table: str, col: str, id_col: str, max_hamming: int = 3
+) -> str:
+    sim = sql_simhash(table, col, id_col)
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, simhash, {k} AS band, (simhash >> {k * 8}) & 255 AS byte FROM sims"
+        for k in range(4)
+    )
+    return f"""
+WITH sims AS ({sim}),
+bands AS ({band_selects})
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.byte = b.byte AND a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairs with cosine similarity >= threshold, brute force O(n²).
+
+    Correctness baseline for the LSH/IVF scale paths in
+    operators/similarity.py — at 100 TB never run this shape; bucket
+    first. Dot products in double, array order, so DuckDB's
+    list_cosine_similarity (same accumulation order) agrees to 6dp.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    base = emb.select(
+        F.col(id_col).alias("id"), v.alias("v"), norm.alias("nrm")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def sql_embedding_near_dup_pairs(
+    table: str = "embeddings",
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    return f"""
+SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+       round(list_cosine_similarity(a.{vec_col}::DOUBLE[], b.{vec_col}::DOUBLE[]), 6) AS cos
+FROM {table} a JOIN {table} b ON a.{id_col} < b.{id_col}
+WHERE round(list_cosine_similarity(a.{vec_col}::DOUBLE[], b.{vec_col}::DOUBLE[]), 6) >= {threshold}
+"""

@@ -26,13 +26,14 @@ class Query:
 
 def all_queries() -> dict[str, Query]:
     from hash_db_spark.queries import (
+        dedup_queries,
         kv_queries,
         relational_queries,
         text_queries,
     )
 
     registry: dict[str, Query] = {}
-    for mod in (kv_queries, relational_queries, text_queries):
+    for mod in (kv_queries, relational_queries, text_queries, dedup_queries):
         overlap = registry.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

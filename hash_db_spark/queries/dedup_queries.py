@@ -1,0 +1,117 @@
+"""Driver-checkable queries: deduplication operators (SURVEY §7 Phase 6).
+
+documents has no exact duplicates by construction, so the exact-dup *group*
+demo runs over events.props (JSON payloads repeat heavily); keep-first
+exact dedup and all near-dup strategies run over documents, where the
+fixture plants ~25 high-Jaccard pairs (3-gram shingles, jac >= 0.8)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hash_db_spark.catalog import load_table
+from hash_db_spark.operators import dedup as D
+from hash_db_spark.functions.text import sql_fingerprint
+from hash_db_spark.queries import Query
+
+JACCARD_T = 0.5
+COSINE_T = 0.4
+# ≤3 on 32 bits with 4 byte-bands: the pigeonhole candidate filter is
+# exact (3 flipped bits can disturb at most 3 of the 4 bands).
+MAX_HAMMING = 3
+
+
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dup_groups(
+        load_table(spark, sf_dir, "events"), "props", "event_id"
+    )
+
+
+EXACT_GROUPS_ORACLE = f"""
+SELECT {sql_fingerprint('props')} AS fp,
+       count(*) AS cnt,
+       min(event_id) AS keep_id
+FROM events
+GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_keep_first(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+EXACT_KEEP_ORACLE = f"""
+SELECT min(doc_id) AS keep_id, {sql_fingerprint('text')} AS fp
+FROM documents GROUP BY 2
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        n=3,
+        threshold=JACCARD_T,
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        threshold=JACCARD_T,
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        max_hamming=MAX_HAMMING,
+    )
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=COSINE_T
+    )
+
+
+QUERIES = {
+    "dedup_exact_groups": Query(q_dedup_exact_groups, EXACT_GROUPS_ORACLE),
+    "dedup_exact_keep": Query(q_dedup_exact_keep, EXACT_KEEP_ORACLE),
+    "dedup_ngram_jaccard": Query(
+        q_dedup_ngram_jaccard,
+        D.sql_ngram_jaccard_pairs(
+            "documents", "text", "doc_id", n=3, threshold=JACCARD_T
+        ),
+    ),
+    "dedup_minhash_lsh": Query(
+        q_dedup_minhash_lsh,
+        D.sql_minhash_lsh_pairs(
+            "documents", "text", "doc_id", threshold=JACCARD_T
+        ),
+    ),
+    "dedup_simhash": Query(
+        q_dedup_simhash, D.sql_simhash("documents", "text", "doc_id")
+    ),
+    "dedup_simhash_pairs": Query(
+        q_dedup_simhash_pairs,
+        D.sql_simhash_near_pairs(
+            "documents", "text", "doc_id", max_hamming=MAX_HAMMING
+        ),
+    ),
+    "dedup_embedding": Query(
+        q_dedup_embedding,
+        D.sql_embedding_near_dup_pairs(threshold=COSINE_T),
+    ),
+}

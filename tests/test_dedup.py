@@ -1,0 +1,93 @@
+"""Unit tests for dedup operators on small controlled corpora."""
+
+from __future__ import annotations
+
+import pytest
+import pyspark.sql.functions as F
+
+from hash_db_spark.operators import dedup as D
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+    (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+    (4, "completely different words appear in this one"),
+    (5, "pack my box with five dozen liquor jugs today"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"]).cache()
+
+
+def test_exact_dup_groups(docs):
+    groups = D.exact_dup_groups(docs, "text", "doc_id").collect()
+    assert len(groups) == 1
+    assert groups[0].cnt == 2
+    assert groups[0].keep_id == 1
+
+
+def test_exact_dedup_keep_first(docs):
+    kept = sorted(r.keep_id for r in D.exact_dedup_keep_first(docs, "text", "doc_id").collect())
+    assert kept == [1, 2, 4, 5]  # doc 3 deduped into doc 1
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "only two")], ["id", "t"])
+    assert df.select(D.shingles("t", 3).alias("s")).collect()[0].s == []
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.4).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    # 1-3 exact (jac 1.0), 1-2 and 2-3 near (6/8 shingles shared).
+    assert got == {(1, 2), (1, 3), (2, 3)}
+    jac = {(r.id_a, r.id_b): r.jac for r in pairs}
+    assert jac[(1, 3)] == 1.0
+    assert 0.5 < jac[(1, 2)] < 1.0
+
+
+def test_minhash_lsh_finds_planted_pairs(docs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.4).collect()
+    }
+    # LSH must find the exact dup; the 0.75-jaccard pair is found w.h.p.
+    # with 8 bands of 2 (p ≈ 1-(1-0.75²)⁸ ≈ 0.9997) — deterministic here
+    # since the hash family is fixed.
+    assert (1, 3) in pairs
+    assert pairs <= {(1, 2), (1, 3), (2, 3)}
+
+
+def test_simhash_identical_docs_equal_hash(docs):
+    sims = {r.id: r.simhash for r in D.simhash(docs, "text", "doc_id").collect()}
+    assert sims[1] == sims[3]
+    assert sims[1] != sims[4]
+    assert all(0 <= v < 2**32 for v in sims.values())
+
+
+def test_simhash_near_pairs_exact_dup_zero_distance(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.simhash_near_pairs(docs, "text", "doc_id", max_hamming=3).collect()
+    }
+    assert pairs[(1, 3)] == 0
+
+
+def test_embedding_near_dup(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),    # cos ≈ 0.994 with 1
+            (3, [0.0, 1.0, 0.0]),    # orthogonal to 1
+            (4, [-1.0, 0.0, 0.0]),   # opposite of 1
+        ],
+        ["vec_id", "embedding"],
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.cos
+        for r in D.embedding_near_dup_pairs(emb, threshold=0.9).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] == pytest.approx(0.9939, abs=1e-3)
