@@ -1,0 +1,355 @@
+"""Similarity search over embedding columns (SURVEY §7 Phase 6).
+
+No reference counterpart (north-star capability, BASELINE.json:6). Three
+strategies over ``embeddings(vec_id, embedding: array<float>, label)``:
+
+- brute-force top-k: the correctness baseline. Queries broadcast against
+  the corpus; cosine in double precision JVM-side (zip_with + aggregate —
+  no Python in the loop); per-query top-k via window row_number.
+  O(queries × corpus) — only for small query sets.
+- random-hyperplane LSH: B sign-bits against fixed ±1 hyperplanes, banded;
+  candidates meet on (band, band-value) equijoin, exact re-rank inside
+  buckets. The hyperplane matrix is generated from md5 in *Python* at
+  plan-build time and embedded as literals — data-independent,
+  reproducible, and renderable into the DuckDB oracle, so the approximate
+  path is oracle-checked bit-for-bit.
+- IVF (inverted-file): deterministic centroid subset (vec_id % stride),
+  vectors assigned to nearest centroid, queries probe the ``nprobe``
+  nearest cells and re-rank exactly. At 100 TB the centroid table is a
+  broadcast dimension and each query touches nprobe/ncells of the data;
+  centroids would come from offline k-means — the deterministic pick here
+  keeps the oracle exact while exercising identical plumbing.
+
+Determinism discipline: every ranking orders by (round(cos, 6) DESC,
+vec_id ASC) so cross-engine float noise below 1e-6 cannot reorder results.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+import pyspark.sql.functions as F
+
+LSH_BITS = 16
+LSH_BAND_BITS = 4  # 4 bands of 4 bits
+IVF_STRIDE = 50  # centroids = vec_id % IVF_STRIDE == 0
+IVF_NPROBE = 2
+
+
+def _dvec(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two double arrays, accumulation in array order
+    (matches DuckDB's list_cosine_similarity exactly)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def hyperplanes(bits: int = LSH_BITS, dim: int = 64) -> list[list[float]]:
+    """Deterministic ±1 hyperplane matrix seeded by md5(bit-dim)."""
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{b}-{d}".encode()).hexdigest()[:8], 16) % 2
+            else -1.0
+            for d in range(dim)
+        ]
+        for b in range(bits)
+    ]
+
+
+# --- brute force -------------------------------------------------------------
+
+
+def topk_bruteforce(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each query id (excluding self).
+    Returns (qid, vec_id, cos, rank)."""
+    corpus = emb.select(F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("v"))
+    queries = corpus.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def sql_topk_bruteforce(
+    query_ids: list[int],
+    k: int = 5,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH scored AS (
+  SELECT q.{id_col} AS qid, c.{id_col} AS vec_id,
+         round(list_cosine_similarity(q.{vec_col}::DOUBLE[], c.{vec_col}::DOUBLE[]), 6) AS cos
+  FROM {table} q JOIN {table} c ON c.{id_col} <> q.{id_col}
+  WHERE q.{id_col} IN ({ids})
+)
+SELECT qid, vec_id, cos, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+# --- random-hyperplane LSH ---------------------------------------------------
+
+
+def _signature_bits(vcol: Column, planes: list[list[float]]) -> list[Column]:
+    bits = []
+    for plane in planes:
+        p = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vcol, p, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return bits
+
+
+def topk_lsh(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    bits: int = LSH_BITS,
+    band_bits: int = LSH_BAND_BITS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share >=1 LSH band with the query,
+    re-ranked by exact cosine. Returns (qid, vec_id, cos, rank) — may
+    return fewer than k rows per query (that's the approximation).
+
+    Scale shape: corpus side is bucketed by (band, value) — a query
+    touches num_bands buckets, not the corpus. The 16x64 plane matrix is
+    a literal; signature computation is one map-side pass.
+    """
+    planes = hyperplanes(bits)
+    num_bands = bits // band_bits
+    sig = F.concat(*_signature_bits(_dvec(vec_col), planes))
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("v"), sig.alias("sig")
+    )
+    bands = base.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.substring(F.col("sig"), j * band_bits + 1, band_bits).alias(
+                            "val"
+                        ),
+                    )
+                    for j in range(num_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "v", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
+
+    qb = (
+        bands.filter(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            "band",
+            "val",
+        )
+    )
+    cands = (
+        F.broadcast(qb)
+        .join(bands, on=["band", "val"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "qv", "vec_id", "v")
+        .distinct()
+    )
+    scored = cands.select(
+        "qid", "vec_id", F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def sql_topk_lsh(
+    query_ids: list[int],
+    k: int = 5,
+    bits: int = LSH_BITS,
+    band_bits: int = LSH_BAND_BITS,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    planes = hyperplanes(bits)
+    num_bands = bits // band_bits
+    bit_exprs = []
+    for plane in planes:
+        lit = "[" + ", ".join(f"{x:.1f}" for x in plane) + "]"
+        bit_exprs.append(
+            f"(CASE WHEN list_dot_product({vec_col}::DOUBLE[], {lit}) >= 0 "
+            f"THEN '1' ELSE '0' END)"
+        )
+    sig = " || ".join(bit_exprs)
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, v, {j} AS band, substr(sig, {j * band_bits + 1}, {band_bits}) AS val FROM base"
+        for j in range(num_bands)
+    )
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v, {sig} AS sig FROM {table}
+),
+bands AS ({band_selects}),
+cands AS (
+  SELECT DISTINCT q.vec_id AS qid, q.v AS qv, c.vec_id AS vec_id, c.v AS v
+  FROM bands q JOIN bands c ON q.band = c.band AND q.val = c.val
+  WHERE q.vec_id IN ({ids}) AND c.vec_id <> q.vec_id
+),
+scored AS (
+  SELECT qid, vec_id, round(list_cosine_similarity(qv, v), 6) AS cos FROM cands
+)
+SELECT qid, vec_id, cos, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+# --- IVF ---------------------------------------------------------------------
+
+
+def topk_ivf(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    stride: int = IVF_STRIDE,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k: assign corpus to nearest centroid cell, probe the
+    ``nprobe`` nearest cells per query, exact re-rank inside them.
+    Returns (qid, vec_id, cos, rank)."""
+    corpus = emb.select(F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("v"))
+    cents = corpus.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+
+    def nearest_cells(points: DataFrame, pid: str, pv: str, n: int, out: str) -> DataFrame:
+        scored = F.broadcast(cents).crossJoin(points).select(
+            F.col(pid),
+            F.col("cid"),
+            F.round(cosine(F.col(pv), F.col("cv")), 6).alias("ccos"),
+        )
+        w = Window.partitionBy(pid).orderBy(F.col("ccos").desc(), F.col("cid").asc())
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= n)
+            .select(pid, F.col("cid").alias(out))
+        )
+
+    assignment = nearest_cells(corpus, "vec_id", "v", 1, "cell")
+    corpus_cells = corpus.join(assignment, "vec_id")
+
+    queries = corpus.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    probes = nearest_cells(queries, "qid", "qv", nprobe, "cell")
+
+    cands = (
+        F.broadcast(queries.join(probes, "qid"))
+        .join(corpus_cells, "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "qv", "vec_id", "v")
+        .distinct()
+    )
+    scored = cands.select(
+        "qid", "vec_id", F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def sql_topk_ivf(
+    query_ids: list[int],
+    k: int = 5,
+    stride: int = IVF_STRIDE,
+    nprobe: int = IVF_NPROBE,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH corpus AS (
+  SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v FROM {table}
+),
+cents AS (SELECT vec_id AS cid, v AS cv FROM corpus WHERE vec_id % {stride} = 0),
+assign0 AS (
+  SELECT vec_id, cid,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, cid ASC
+         ) AS crank
+  FROM corpus, cents
+),
+assignment AS (SELECT vec_id, cid AS cell FROM assign0 WHERE crank = 1),
+queries AS (SELECT vec_id AS qid, v AS qv FROM corpus WHERE vec_id IN ({ids})),
+probes0 AS (
+  SELECT qid, cid,
+         row_number() OVER (
+           PARTITION BY qid
+           ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC, cid ASC
+         ) AS crank
+  FROM queries, cents
+),
+probes AS (SELECT qid, cid AS cell FROM probes0 WHERE crank <= {nprobe}),
+cands AS (
+  SELECT DISTINCT q.qid, q.qv, c.vec_id, c.v
+  FROM queries q
+  JOIN probes p ON p.qid = q.qid
+  JOIN assignment a ON a.cell = p.cell
+  JOIN corpus c ON c.vec_id = a.vec_id
+  WHERE c.vec_id <> q.qid
+),
+scored AS (
+  SELECT qid, vec_id, round(list_cosine_similarity(qv, v), 6) AS cos FROM cands
+)
+SELECT qid, vec_id, cos, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""

@@ -29,11 +29,18 @@ def all_queries() -> dict[str, Query]:
         dedup_queries,
         kv_queries,
         relational_queries,
+        similarity_queries,
         text_queries,
     )
 
     registry: dict[str, Query] = {}
-    for mod in (kv_queries, relational_queries, text_queries, dedup_queries):
+    for mod in (
+        kv_queries,
+        relational_queries,
+        text_queries,
+        dedup_queries,
+        similarity_queries,
+    ):
         overlap = registry.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -1,0 +1,36 @@
+"""Driver-checkable queries: similarity search (SURVEY §7 Phase 6) over
+the embeddings fixture. Query set = vec_ids 0..7, k=5."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hash_db_spark.catalog import load_table
+from hash_db_spark.operators import similarity as S
+from hash_db_spark.queries import Query
+
+QUERY_IDS = list(range(8))
+K = 5
+
+
+def q_sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.topk_bruteforce(
+        load_table(spark, sf_dir, "embeddings"), QUERY_IDS, k=K
+    )
+
+
+def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.topk_lsh(load_table(spark, sf_dir, "embeddings"), QUERY_IDS, k=K)
+
+
+def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.topk_ivf(load_table(spark, sf_dir, "embeddings"), QUERY_IDS, k=K)
+
+
+QUERIES = {
+    "sim_topk_brute": Query(
+        q_sim_topk_brute, S.sql_topk_bruteforce(QUERY_IDS, k=K)
+    ),
+    "sim_topk_lsh": Query(q_sim_topk_lsh, S.sql_topk_lsh(QUERY_IDS, k=K)),
+    "sim_topk_ivf": Query(q_sim_topk_ivf, S.sql_topk_ivf(QUERY_IDS, k=K)),
+}

@@ -1,0 +1,66 @@
+"""Unit tests: similarity search on small structured data where nearest
+neighbors are unambiguous (fixture embeddings are random noise — recall
+there is a property of the data, not the operator)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from hash_db_spark.operators import similarity as S
+
+
+def _vec(angle: float, dim: int = 64) -> list[float]:
+    v = [0.0] * dim
+    v[0] = math.cos(angle)
+    v[1] = math.sin(angle)
+    return v
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    # Two tight clusters around angle 0 and angle pi/2.
+    rows = [
+        (0, _vec(0.00)),
+        (1, _vec(0.02)),
+        (2, _vec(0.04)),
+        (3, _vec(1.55)),
+        (4, _vec(1.57)),
+        (5, _vec(1.59)),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).cache()
+
+
+def test_brute_force_exact_neighbors(emb):
+    got = S.topk_bruteforce(emb, [0], k=2).collect()
+    assert [r.vec_id for r in sorted(got, key=lambda r: r.rank)] == [1, 2]
+    assert all(r.qid == 0 for r in got)
+    assert got[0].cos > 0.999
+
+
+def test_brute_force_excludes_self(emb):
+    got = S.topk_bruteforce(emb, [0], k=10).collect()
+    assert 0 not in {r.vec_id for r in got}
+    assert len(got) == 5
+
+
+def test_lsh_finds_cluster_neighbors(emb):
+    got = S.topk_lsh(emb, [0], k=2).collect()
+    ids = {r.vec_id for r in got}
+    # Same-cluster vectors share all sign bits with the query; the LSH
+    # buckets must surface them.
+    assert {1, 2} <= ids or len(ids) == 2 and ids <= {1, 2}
+
+
+def test_ivf_probe_finds_cluster(emb):
+    # stride=3 → centroids {0, 3}: exactly one per cluster.
+    got = S.topk_ivf(emb, [1], k=2, stride=3, nprobe=1).collect()
+    assert {r.vec_id for r in got} == {0, 2}
+
+
+def test_hyperplanes_deterministic():
+    a = S.hyperplanes(4, 8)
+    b = S.hyperplanes(4, 8)
+    assert a == b
+    assert all(x in (1.0, -1.0) for row in a for x in row)
