@@ -1,0 +1,187 @@
+"""Cypher → DataFrame compiler (SURVEY §2.4 G2-G7).
+
+The reference executes MATCH with per-node numpy adjacency-matrix matmuls
+and candidate-chain intersection on ONE data node
+(/root/reference/client.py:894-1186, placement server.py:1146-1156). Here a
+pattern compiles to a join DAG over two DataFrames:
+
+    nodes(id, label, name)      edges(src, dst, rel)
+
+- each pattern variable becomes one join of ``nodes`` (filtered by label /
+  attributes) — G4;
+- each relationship becomes one join of ``edges`` on (src, dst) according
+  to arrow direction — G5 (1-hop matmul ≡ edge equijoin);
+- a variable appearing in several triples is *bound*: all constraints join
+  on the same column, which is exactly the reference's candidate-set
+  intersection (client.py:978-1082) — G6;
+- RETURN projects the bound node-id columns — G7.
+
+Node identity is (label, name) — the reference finds nodes by attributes
+alone (client.py:876-891), which silently merges same-named nodes across
+labels (example.py's Post 'Samuel' collides with Person 'Samuel'); we keep
+labels distinct and document the divergence.
+
+Scale: node/edge tables partition like any DataFrame; label+attribute
+filters push into the scan, AQE broadcasts small frontiers. No single-node
+graph placement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from hash_db_spark.cypher.parser import CypherParser, Edge, Node
+
+
+class CypherCompiler:
+    def __init__(self, nodes: DataFrame, edges: DataFrame) -> None:
+        self.nodes = nodes
+        self.edges = edges
+
+    # -- MATCH --------------------------------------------------------------
+
+    def match(self, parser: CypherParser) -> DataFrame:
+        """Compile chains to a join DAG; returns one column per returned
+        variable (node id)."""
+        # Merge per-variable constraints across all occurrences.
+        constraints: dict[str, Node] = {}
+        anon_count = 0
+        chains = []
+        for chain in parser.chains:
+            normalized = []
+            for item in chain:
+                if isinstance(item, Node):
+                    var = item.variable
+                    if var is None:
+                        var = f"__anon{anon_count}"
+                        anon_count += 1
+                    c = constraints.setdefault(var, Node(variable=var))
+                    if item.label:
+                        if c.label and c.label != item.label:
+                            raise ValueError(
+                                f"variable {var} bound to labels "
+                                f"{c.label} and {item.label}"
+                            )
+                        c.label = item.label
+                    c.attributes.update(item.attributes)
+                    normalized.append(("node", var))
+                else:
+                    normalized.append(("edge", item))
+            chains.append(normalized)
+
+        def candidates(var: str) -> DataFrame:
+            c = constraints[var]
+            df = self.nodes
+            if c.label:
+                df = df.filter(F.col("label") == c.label)
+            for k, v in c.attributes.items():
+                df = df.filter(F.col(k) == v)
+            return df.select(F.col("id").alias(var))
+
+        result: DataFrame | None = None
+        bound: set[str] = set()
+        edge_idx = 0
+        for chain in chains:
+            for i in range(0, len(chain) - 2, 2):
+                (_, v1), (_, edge), (_, v2) = chain[i], chain[i + 1], chain[i + 2]
+                src_var, dst_var = (v1, v2) if edge.direction == "right" else (v2, v1)
+                e = self.edges.filter(F.col("rel") == edge.name).select(
+                    F.col("src").alias(f"__src{edge_idx}"),
+                    F.col("dst").alias(f"__dst{edge_idx}"),
+                )
+                if result is None:
+                    result = candidates(src_var).join(
+                        e, F.col(src_var) == F.col(f"__src{edge_idx}")
+                    )
+                    bound.add(src_var)
+                else:
+                    if src_var in bound:
+                        result = result.join(
+                            e, F.col(src_var) == F.col(f"__src{edge_idx}")
+                        )
+                    else:
+                        result = result.crossJoin(
+                            candidates(src_var)
+                        ).join(e, F.col(src_var) == F.col(f"__src{edge_idx}"))
+                        bound.add(src_var)
+                if dst_var in bound:
+                    result = result.filter(
+                        F.col(dst_var) == F.col(f"__dst{edge_idx}")
+                    )
+                else:
+                    result = result.join(
+                        candidates(dst_var),
+                        F.col(dst_var) == F.col(f"__dst{edge_idx}"),
+                    )
+                    bound.add(dst_var)
+                result = result.drop(f"__src{edge_idx}", f"__dst{edge_idx}")
+                edge_idx += 1
+
+        if result is None:  # single-node pattern, no edges
+            only = next(iter(constraints))
+            result = candidates(only)
+            bound.add(only)
+
+        out_vars = parser.return_clause or sorted(bound)
+        missing = [v for v in out_vars if v not in bound]
+        if missing:
+            raise ValueError(f"return of unbound variables: {missing}")
+        return result.select(*out_vars).distinct()
+
+    # -- MERGE --------------------------------------------------------------
+
+    def merge(self, parser: CypherParser) -> tuple[DataFrame, DataFrame]:
+        """Upsert pattern nodes and edges; returns (nodes', edges').
+
+        Node upsert is find-by-(label, name)-else-create
+        (reference: find by attributes else create, client.py:876-891);
+        edge upsert is idempotent append (G2/G3). Implemented as anti-join
+        + union — on Delta-backed storage this is a MERGE INTO.
+
+        The result is eagerly localCheckpoint()ed: each merge's plan
+        references the previous nodes frame twice (union + anti-join), so
+        chained merges would otherwise grow the logical plan 2^n and OOM
+        the driver during analysis. A materialized upsert per batch is
+        also what the Delta path does.
+        """
+        spark = self.nodes.sparkSession
+        new_nodes, new_edges = [], []
+        for chain in parser.chains:
+            seq: list[Node | Edge] = list(chain)
+            for item in seq:
+                if isinstance(item, Node):
+                    name = item.attributes.get("name")
+                    if name is None:
+                        raise ValueError("merge nodes need a name attribute")
+                    label = item.label or "Node"
+                    new_nodes.append((f"{label.lower()}:{name}", label, name))
+            for i in range(0, len(seq) - 2, 2):
+                n1, edge, n2 = seq[i], seq[i + 1], seq[i + 2]
+                assert isinstance(edge, Edge)
+                id1 = f"{(n1.label or 'Node').lower()}:{n1.attributes['name']}"
+                id2 = f"{(n2.label or 'Node').lower()}:{n2.attributes['name']}"
+                src, dst = (id1, id2) if edge.direction == "right" else (id2, id1)
+                new_edges.append((src, dst, edge.name))
+
+        nodes_delta = spark.createDataFrame(new_nodes, ["id", "label", "name"])
+        edges_delta = spark.createDataFrame(new_edges, ["src", "dst", "rel"])
+        nodes_out = self.nodes.unionByName(
+            nodes_delta.join(self.nodes.select("id"), "id", "left_anti"),
+            allowMissingColumns=True,
+        )
+        edges_out = self.edges.unionByName(
+            edges_delta.join(self.edges, ["src", "dst", "rel"], "left_anti")
+        )
+        return (
+            nodes_out.localCheckpoint(eager=True),
+            edges_out.localCheckpoint(eager=True),
+        )
+
+    # -- entry --------------------------------------------------------------
+
+    def run(self, statement: str):
+        p = CypherParser().parse(statement)
+        if p.kind == "match":
+            return self.match(p)
+        return self.merge(p)

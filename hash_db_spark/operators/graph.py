@@ -1,0 +1,104 @@
+"""Property-graph facade over the fixture tables (SURVEY §1.5, §2.4).
+
+The reference stores a whole graph on one node as dense numpy adjacency
+matrices (/root/reference/client.py:757-819) — O(n²) memory, resized per
+node add. Here the property graph is two plain DataFrames:
+
+    nodes(id, label, name)   edges(src, dst, rel)
+
+derived deterministically from the TPC-H-ish fixtures so Cypher queries
+are oracle-checkable:
+
+    Region   region:<r_name>        Nation -[:IN]->   Region
+    Nation   nation:<n_name>        Customer -[:FROM]-> Nation
+    Customer customer:<c_custkey>   Supplier -[:FROM]-> Nation
+    Supplier supplier:<s_suppkey>
+
+Both tables partition/broadcast like any DataFrame — no single-node
+placement (reference routes each graph to one node by key,
+server.py:1146-1156).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from hash_db_spark.catalog import load_table
+
+
+def graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").select(
+        F.concat(F.lit("region:"), F.col("r_name")).alias("id"),
+        F.lit("Region").alias("label"),
+        F.col("r_name").alias("name"),
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.concat(F.lit("nation:"), F.col("n_name")).alias("id"),
+        F.lit("Nation").alias("label"),
+        F.col("n_name").alias("name"),
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.concat(F.lit("customer:"), F.col("c_custkey").cast("string")).alias("id"),
+        F.lit("Customer").alias("label"),
+        F.col("c_name").alias("name"),
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("supplier:"), F.col("s_suppkey").cast("string")).alias("id"),
+        F.lit("Supplier").alias("label"),
+        F.col("s_name").alias("name"),
+    )
+    return region.unionByName(nation).unionByName(customer).unionByName(supplier)
+
+
+def graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    n_in_r = nation.join(
+        region, nation.n_regionkey == region.r_regionkey
+    ).select(
+        F.concat(F.lit("nation:"), F.col("n_name")).alias("src"),
+        F.concat(F.lit("region:"), F.col("r_name")).alias("dst"),
+        F.lit("IN").alias("rel"),
+    )
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(nation),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select(
+        F.concat(F.lit("customer:"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("nation:"), F.col("n_name")).alias("dst"),
+        F.lit("FROM").alias("rel"),
+    )
+    sup = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select(
+        F.concat(F.lit("supplier:"), F.col("s_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("nation:"), F.col("n_name")).alias("dst"),
+        F.lit("FROM").alias("rel"),
+    )
+    return n_in_r.unionByName(cust).unionByName(sup)
+
+
+# DuckDB CTEs mirroring the two views, prefixed into graph oracle SQL.
+GRAPH_ORACLE_CTES = """
+gnodes AS (
+  SELECT 'region:' || r_name AS id, 'Region' AS label, r_name AS name FROM region
+  UNION ALL
+  SELECT 'nation:' || n_name, 'Nation', n_name FROM nation
+  UNION ALL
+  SELECT 'customer:' || CAST(c_custkey AS VARCHAR), 'Customer', c_name FROM customer
+  UNION ALL
+  SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR), 'Supplier', s_name FROM supplier
+),
+gedges AS (
+  SELECT 'nation:' || n_name AS src, 'region:' || r_name AS dst, 'IN' AS rel
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  UNION ALL
+  SELECT 'customer:' || CAST(c_custkey AS VARCHAR), 'nation:' || n_name, 'FROM'
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL
+  SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR), 'nation:' || n_name, 'FROM'
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+)
+""".strip()

@@ -27,6 +27,8 @@ class Query:
 def all_queries() -> dict[str, Query]:
     from hash_db_spark.queries import (
         dedup_queries,
+        document_queries,
+        graph_queries,
         kv_queries,
         relational_queries,
         similarity_queries,
@@ -40,6 +42,8 @@ def all_queries() -> dict[str, Query]:
         text_queries,
         dedup_queries,
         similarity_queries,
+        document_queries,
+        graph_queries,
     ):
         overlap = registry.keys() & mod.QUERIES.keys()
         if overlap:

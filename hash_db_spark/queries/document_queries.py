@@ -1,0 +1,119 @@
+"""Driver-checkable queries: document/JSON operators (SURVEY §2.3).
+
+The nested-doc scenario (A3 people_docs in FIXTURES.md) is synthesized
+in-query from customer⋈orders — build nested array<struct> with a
+deterministic sort, then run the reference's ``~hobbies[]~name``-style
+path queries over it. The oracle computes the same flattened result
+relationally, which is exactly the point: shred/explode must round-trip
+to plain relational semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql.types import IntegerType
+
+from hash_db_spark.catalog import load_table
+from hash_db_spark.operators import documents as D
+from hash_db_spark.queries import Query
+
+
+def q_doc_json_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow JSON path over events.props (no shred)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        D.json_get("props", "k").cast("int").alias("k"),
+    ).filter(F.col("k") >= 90)
+
+
+def q_doc_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over an extracted JSON field."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", D.json_get("props", "k").cast("int").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_doc_shred_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1+D2: shred (from_json) then rehydrate-extract — fields must
+    survive the round trip exactly."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    shredded = D.shred(ev.select("event_id", "props"), "props", "k INT")
+    return shredded.select(
+        "event_id", F.col("props").getField("k").alias("k")
+    )
+
+
+def _people_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3-shaped nested collection: one doc per customer, hobbies =
+    sorted distinct order-priorities (array<struct<name:string>>)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    hobbies = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.array_sort(F.collect_set(F.col("o_orderpriority"))).alias("ps")
+        )
+        .select(
+            "o_custkey",
+            F.transform(
+                F.col("ps"), lambda p: F.struct(p.alias("name"))
+            ).alias("hobbies"),
+        )
+    )
+    return cust.join(
+        hobbies, cust.c_custkey == hobbies.o_custkey
+    ).select("c_custkey", F.col("c_name").alias("name"), "hobbies")
+
+
+def q_doc_path_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """select * from people where people.~hobbies[]~name = '1-URGENT'
+    (example.py:324-335 shape)."""
+    docs = _people_docs(spark, sf_dir)
+    return D.filter_path(
+        docs, "hobbies[]~name", "1-URGENT", "c_custkey", "name",
+        leaf_alias="hobby",
+    )
+
+
+def q_doc_path_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """select people.~hobbies[]~name from people (example.py:341-344)."""
+    docs = _people_docs(spark, sf_dir)
+    return D.select_path(docs, "hobbies[]~name", "hobby", "c_custkey")
+
+
+QUERIES = {
+    "doc_json_get": Query(
+        q_doc_json_get,
+        "SELECT event_id, CAST(props->>'$.k' AS INT) AS k FROM events "
+        "WHERE CAST(props->>'$.k' AS INT) >= 90",
+    ),
+    "doc_json_agg": Query(
+        q_doc_json_agg,
+        "SELECT event_type, round(avg(CAST(props->>'$.k' AS INT)), 4) AS avg_k, "
+        "max(CAST(props->>'$.k' AS INT)) AS max_k FROM events GROUP BY event_type",
+    ),
+    "doc_shred_roundtrip": Query(
+        q_doc_shred_roundtrip,
+        "SELECT event_id, CAST(props->>'$.k' AS INT) AS k FROM events "
+        "WHERE event_id < 100",
+    ),
+    "doc_path_where": Query(
+        q_doc_path_where,
+        "SELECT DISTINCT c_custkey, c_name AS name, o_orderpriority AS hobby "
+        "FROM customer JOIN orders ON o_custkey = c_custkey "
+        "WHERE o_orderpriority = '1-URGENT'",
+    ),
+    "doc_path_select": Query(
+        q_doc_path_select,
+        "SELECT DISTINCT c_custkey, o_orderpriority AS hobby "
+        "FROM customer JOIN orders ON o_custkey = c_custkey",
+    ),
+}

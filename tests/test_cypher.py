@@ -1,0 +1,191 @@
+"""Cypher parser + compiler tests.
+
+Parser tests mirror the reference's expectations
+(/root/reference/cypher_test.py); compiler tests run the example.py social
+graph (19 MERGEs, /root/reference/example.py:241-261) and its 4-triple
+MATCH (example.py:273), asserting the semantically-derivable answer."""
+
+from __future__ import annotations
+
+import pytest
+
+from hash_db_spark.cypher import CypherCompiler, CypherParser
+
+MATCH_Q = (
+    "match (actor)-[:ACTED_IN]->(wallstreet:Movie {title: 'Wall Street'}) "
+    "return actor"
+)
+
+EXPECTED_GRAPH = [
+    {"kind": "match", "variable": "actor"},
+    {"kind": "relationship", "name": "ACTED_IN"},
+    {
+        "kind": "match",
+        "variable": "wallstreet",
+        "label": "Movie",
+        "attributes": {"title": "Wall Street"},
+    },
+]
+
+
+def test_parse_match_reference_shape():
+    p = CypherParser().parse(MATCH_Q)
+    assert p.statement == MATCH_Q
+    assert p.graph == EXPECTED_GRAPH
+    assert p.return_clause == ["actor"]
+
+
+def test_parse_match_case_insensitive():
+    p = CypherParser().parse(MATCH_Q.upper().replace("ACTED_IN", "ACTED_IN"))
+    assert p.kind == "match"
+
+
+def test_parse_quoted_attr_keys():
+    # example.py writes {'name': 'Samuel'} with quoted keys.
+    p = CypherParser().parse(
+        "merge (person:Person {'name': 'Samuel'})-[:FRIEND]->"
+        "(t:Person {'name': 'Tasya'})"
+    )
+    assert p.kind == "merge"
+    assert p.chains[0][0].attributes == {"name": "Samuel"}
+    assert p.chains[0][1].name == "FRIEND"
+    assert p.chains[0][1].direction == "right"
+
+
+def test_parse_left_arrow_and_multi_pattern():
+    p = CypherParser().parse(
+        "match (a:X)<-[:R]-(b:Y), (b)-[:S]->(c:Z) return a, c"
+    )
+    assert p.chains[0][1].direction == "left"
+    assert len(p.chains) == 2
+    assert p.return_clause == ["a", "c"]
+
+
+def test_parse_errors():
+    with pytest.raises(ValueError):
+        CypherParser().parse("select * from t")
+    with pytest.raises(ValueError):
+        CypherParser().parse("match (a:X")
+
+
+# --- compiler on the example.py social graph -------------------------------
+
+MERGES = [
+    ("Samuel", "FRIEND", "Tasya"),
+    ("Tasya", "FRIEND", "Samuel"),
+    ("Samuel", "FRIEND", "Simon"),
+    ("Simon", "FRIEND", "Samuel"),
+    ("Samuel", "FRIEND", "John"),
+    ("Simon", "FRIEND", "Sally"),
+    ("Sally", "FRIEND", "Simon"),
+    ("Tasya", "FRIEND", "Margaret"),
+    ("Margaret", "FRIEND", "Tasya"),
+]
+LIKES_POSTED = [
+    ("Person", "Samuel", "LIKES", "Post", "Ideas"),
+    ("Person", "Tasya", "POSTED", "Post", "Ideas"),
+    ("Person", "Tasya", "POSTED", "Post", "Lamentations"),
+    ("Person", "Tasya", "POSTED", "Post", "Love"),
+    ("Person", "Tasya", "POSTED", "Post", "Thoughts"),
+    ("Person", "Samuel", "LIKES", "Post", "Thoughts"),
+    ("Person", "Tasya", "LIKES", "Food", "Pocky"),
+    ("Post", "Ideas", "REFERS", "Person", "Margaret"),
+    ("Post", "Thoughts", "REFERS", "Person", "John"),
+    ("Post", "Samuel", "LIKES", "Post", "Love"),
+]
+
+
+@pytest.fixture(scope="module")
+def social(spark):
+    nodes = spark.createDataFrame([], "id string, label string, name string")
+    edges = spark.createDataFrame([], "src string, dst string, rel string")
+    comp = CypherCompiler(nodes, edges)
+    for a, rel, b in MERGES:
+        nodes, edges = CypherCompiler(nodes, edges).run(
+            f"merge (p:Person {{'name': '{a}'}})-[:{rel}]->"
+            f"(q:Person {{'name': '{b}'}})"
+        )
+    for la, a, rel, lb, b in LIKES_POSTED:
+        nodes, edges = CypherCompiler(nodes, edges).run(
+            f"merge (p:{la} {{'name': '{a}'}})-[:{rel}]->"
+            f"(q:{lb} {{'name': '{b}'}})"
+        )
+    return CypherCompiler(nodes.cache(), edges.cache())
+
+
+def test_merge_idempotent(social):
+    n0 = social.nodes.count()
+    e0 = social.edges.count()
+    nodes2, edges2 = social.run(
+        "merge (p:Person {'name': 'Samuel'})-[:FRIEND]->(q:Person {'name': 'Tasya'})"
+    )
+    assert nodes2.count() == n0
+    assert edges2.count() == e0
+
+
+def test_single_node_scan(social):
+    got = {r.p for r in social.run("match (p:Post) return p").collect()}
+    # Note: label-qualified identity keeps Post 'Samuel' distinct from
+    # Person 'Samuel' (the reference merges them — attribute-only lookup,
+    # client.py:876-891 — which we deliberately do not replicate).
+    assert got == {
+        "post:Ideas", "post:Lamentations", "post:Love", "post:Thoughts",
+        "post:Samuel",
+    }
+
+
+def test_one_hop(social):
+    got = {
+        (r.p, r.q)
+        for r in social.run(
+            "match (p:Person {'name': 'Samuel'})-[:FRIEND]->(q:Person) return p, q"
+        ).collect()
+    }
+    assert got == {
+        ("person:Samuel", "person:Tasya"),
+        ("person:Samuel", "person:Simon"),
+        ("person:Samuel", "person:John"),
+    }
+
+
+def test_example_four_triple_match(social):
+    # example.py:273 — friends where start likes a post the friend posted,
+    # and that post refers to a person.
+    got = {
+        (r.start, r.end, r.post, r.person)
+        for r in social.run(
+            "match (start:Person)-[:FRIEND]->(end:Person), "
+            "(start)-[:LIKES]->(post:Post), "
+            "(end)-[:POSTED]->(post:Post), "
+            "(post:Post)-[:REFERS]->(person:Person) "
+            "return start, end, post, person"
+        ).collect()
+    }
+    assert got == {
+        ("person:Samuel", "person:Tasya", "post:Ideas", "person:Margaret"),
+        ("person:Samuel", "person:Tasya", "post:Thoughts", "person:John"),
+    }
+
+
+def test_document_path_compiler(spark):
+    from hash_db_spark.operators import documents as D
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Sam Squire", 32,
+             [{"name": "God"}, {"name": "databases"}, {"name": "computers"}]),
+            (2, "Other", 20, [{"name": "sports"}]),
+        ],
+        "doc_id long, name string, age long, "
+        "hobbies array<struct<name: string>>",
+    )
+    # example.py:324-335 — where people.~hobbies[]~name = 'God'
+    got = D.filter_path(docs, "hobbies[]~name", "God", "doc_id", "name",
+                        leaf_alias="hobby").collect()
+    assert len(got) == 1 and got[0].doc_id == 1 and got[0].hobby == "God"
+    # example.py:341-344 — select people.~hobbies[]~name
+    hobbies = {
+        r.hobby
+        for r in D.select_path(docs, "hobbies[]~name", "hobby").collect()
+    }
+    assert hobbies == {"God", "databases", "computers", "sports"}
