@@ -1,0 +1,152 @@
+"""Temporal operators: as-of join, range join, sessionization, windowed
+aggregation (batch forms; streaming counterparts in streaming/windows.py).
+
+The reference's only temporal capability is lexicographic timestamp range
+scans (/root/reference/hash-db.py:100-101). These operators are the Spark
+"free wins plus": standard time-series analytics the SQL surface exposes.
+
+Scale notes:
+- the as-of join is the union+window merge (no per-row subquery, no
+  nested-loop): both sides shuffle ONCE on the key, then a single
+  sort-within-partition forward-fills the latest right row. This is the
+  only as-of formulation that survives 100 TB — a theta-join
+  (r.t <= l.t) would be a broadcast nested loop.
+- the range join is an equijoin on key with the time predicate applied
+  inside the join — never a pure interval cross join.
+- sessionization is two windows over one (user, ts) sort — one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+import pyspark.sql.functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    right_payload: list[str],
+) -> DataFrame:
+    """For each left row, attach the payload of the latest right row with
+    ``right_time <= left_time`` and the same key (DuckDB ``ASOF JOIN``
+    semantics, inclusive). Left rows with no prior right row keep NULLs.
+
+    Implementation: tag and union both sides, sort by (key, time, side)
+    with right rows first on ties, then ``last(payload, ignorenulls)``
+    over an unbounded-preceding window forward-fills. One shuffle.
+    """
+    lt = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(0).alias("__is_right"),
+        "*",
+    )
+    rt = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(1).alias("__is_right"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
+    )
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__is_right").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_payload
+        ],
+    )
+    return filled.filter(F.col("__is_right") == 0).drop(
+        "__k", "__t", "__is_right", *[f"__r_{c}" for c in right_payload]
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    lower: str,
+    upper: str,
+) -> DataFrame:
+    """Pairs with equal key and ``left_time - lower <= right_time <=
+    left_time + upper`` (interval literals like '1 hour'). The key
+    equijoin carries the shuffle; the time band is a join-side filter."""
+    lo = F.expr(f"INTERVAL {lower}")
+    hi = F.expr(f"INTERVAL {upper}")
+    lcol, rcol = F.col(f"l.{left_time}"), F.col(f"r.{right_time}")
+    return (
+        left.alias("l")
+        .join(
+            right.alias("r"),
+            (F.col(f"l.{key}") == F.col(f"r.{key}"))
+            & (rcol >= lcol - lo)
+            & (rcol <= lcol + hi),
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    key: str,
+    time: str,
+    gap: str,
+    order_tiebreak: str,
+) -> DataFrame:
+    """Gap-based sessions: a new session starts when the time since the
+    previous event of the same key exceeds ``gap``. Returns per-session
+    (key, session_id, n_events, session_start, session_end); session_id
+    numbers sessions per key from 1 in time order."""
+    w = Window.partitionBy(key).orderBy(
+        F.col(time).asc(), F.col(order_tiebreak).asc()
+    )
+    gap_i = F.expr(f"INTERVAL {gap}")
+    flagged = events.withColumn(
+        "__new",
+        F.when(
+            F.lag(time).over(w).isNull()
+            | (F.col(time) > F.lag(time).over(w) + gap_i),
+            1,
+        ).otherwise(0),
+    )
+    cum = Window.partitionBy(key).orderBy(
+        F.col(time).asc(), F.col(order_tiebreak).asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessioned = flagged.withColumn("session_id", F.sum("__new").over(cum))
+    return (
+        sessioned.groupBy(key, "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(time).alias("session_start"),
+            F.max(time).alias("session_end"),
+        )
+    )
+
+
+def tumbling_agg(
+    events: DataFrame,
+    time: str,
+    duration: str,
+    group_cols: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """Tumbling event-time windows via the built-in window() function —
+    identical semantics to the Structured Streaming version
+    (streaming/windows.py), which is the point: batch and stream share
+    one definition. Emits win_start/win_end columns."""
+    out = events.groupBy(
+        F.window(F.col(time), duration).alias("win"), *group_cols
+    ).agg(*aggs)
+    return out.select(
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
+        *[c for c in out.columns if c != "win"],
+    )

@@ -32,6 +32,7 @@ def all_queries() -> dict[str, Query]:
         kv_queries,
         relational_queries,
         similarity_queries,
+        temporal_queries,
         text_queries,
     )
 
@@ -44,6 +45,7 @@ def all_queries() -> dict[str, Query]:
         similarity_queries,
         document_queries,
         graph_queries,
+        temporal_queries,
     ):
         overlap = registry.keys() & mod.QUERIES.keys()
         if overlap:

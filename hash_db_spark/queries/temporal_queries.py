@@ -1,0 +1,190 @@
+"""Driver-checkable queries: temporal operators + Structured Streaming.
+
+The streaming entries (stream_*) actually run a Structured Streaming
+pipeline (file source → trigger(availableNow) → memory sink) and are
+hash-compared against *batch* DuckDB oracles — stream/batch parity is the
+correctness statement. Batch temporal entries check the as-of/range/
+session/window operators directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from hash_db_spark.catalog import load_table
+from hash_db_spark.operators import temporal as T
+from hash_db_spark.streaming import windows as W
+from hash_db_spark.queries import Query
+
+
+def _events(spark, sf_dir) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# --- as-of join --------------------------------------------------------------
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase, the user's latest click at-or-before it."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    joined = T.asof_join(
+        purchases, clicks, key="user_id", left_time="ts", right_time="ts",
+        right_payload=["click_id"],
+    )
+    return joined.select("event_id", "user_id", "ts", "asof_click_id")
+
+
+ASOF_ORACLE = """
+SELECT p.event_id, p.user_id, p.ts, c.event_id AS asof_click_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+
+# --- range join --------------------------------------------------------------
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click/purchase pairs of the same user within 1 hour before the
+    purchase (inclusive bounds)."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    return T.range_join(
+        purchases, clicks, key="user_id", left_time="pts", right_time="cts",
+        lower="1 hour", upper="0 seconds",
+    ).select("purchase_id", "click_id", F.col("l.user_id").alias("user_id"))
+
+
+RANGE_ORACLE = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+"""
+
+
+# --- sessionization ----------------------------------------------------------
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.sessionize(
+        _events(spark, sf_dir),
+        key="user_id", time="ts", gap="1 hour", order_tiebreak="event_id",
+    )
+
+
+SESSIONIZE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts > lag(ts) OVER w + INTERVAL 1 HOUR
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+# --- windowed aggregation (batch) -------------------------------------------
+
+def q_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.tumbling_counts(_events(spark, sf_dir), "1 day")
+
+
+TUMBLING_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS win_end,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+def q_sliding_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.sliding_counts(_events(spark, sf_dir), "2 days", "1 day")
+
+
+SLIDING_ORACLE = """
+WITH starts AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws, event_type FROM events
+  UNION ALL
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) - INTERVAL 1 DAY, event_type
+  FROM events
+)
+SELECT ws AS win_start, ws + INTERVAL 2 DAY AS win_end,
+       event_type, count(*) AS n
+FROM starts GROUP BY 1, 2, 3
+"""
+
+
+# --- Structured Streaming entries (stream vs batch oracle) ------------------
+
+def q_stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = W.read_events_stream(spark, sf_dir)
+    return W.run_stream_to_memory(W.tumbling_counts(stream, "1 day"))
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates on (user_id, event_type); projecting the
+    key columns makes the surviving row-choice irrelevant."""
+    stream = W.read_events_stream(spark, sf_dir)
+    deduped = W.stream_dedup(stream, ["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    return W.run_stream_to_memory(deduped, output_mode="append")
+
+
+def q_stream_mv_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized view: stream⋈static-dim join + agg (the
+    scalable 'create join', reference server.py:806-894)."""
+    stream = W.read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    mv = W.materialized_view_stream(
+        stream, cust, F.col("user_id") == F.col("c_custkey"), ["c_mktsegment"]
+    )
+    return W.run_stream_to_memory(mv)
+
+
+STREAM_MV_ORACLE = """
+SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+QUERIES = {
+    "asof_join": Query(q_asof_join, ASOF_ORACLE),
+    "range_join": Query(q_range_join, RANGE_ORACLE),
+    "sessionize": Query(q_sessionize, SESSIONIZE_ORACLE),
+    "tumbling_daily": Query(q_tumbling_daily, TUMBLING_ORACLE),
+    "sliding_2d": Query(q_sliding_2d, SLIDING_ORACLE),
+    "stream_tumbling_daily": Query(q_stream_tumbling_daily, TUMBLING_ORACLE),
+    "stream_dedup": Query(
+        q_stream_dedup,
+        "SELECT DISTINCT user_id, event_type FROM events",
+    ),
+    "stream_mv_join": Query(q_stream_mv_join, STREAM_MV_ORACLE),
+}

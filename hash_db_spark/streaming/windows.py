@@ -1,0 +1,143 @@
+"""Structured Streaming operators over the events stream (SURVEY §2.6).
+
+The reference has no streaming at all (closest: lexicographic timestamp
+range scans, /root/reference/hash-db.py:100-101); this module is the
+capability extension SURVEY §7 Phase 5 plans: event-time windows with
+watermarks, streaming dedup, session windows, and incremental materialized
+views (the scalable version of the reference's insert-time materialized
+join, /root/reference/server.py:806-894).
+
+Every transformation takes/returns DataFrames, so the SAME definition runs
+batch or streaming — queries()-registry entries execute these streaming
+pipelines with trigger(availableNow=True) into a memory sink and the
+driver hash-compares them against a *batch* DuckDB oracle: stream/batch
+parity is the correctness statement.
+
+Scale notes: watermarks bound state; windowed counts keep one row of state
+per (window, key); dropDuplicates state is bounded by the watermark delay.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """events.parquet as a file-source stream (the fixture's TIMESTAMP
+    NANOS arrives as long under nanosAsLong — converted exactly like
+    catalog.load_table)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # The file stream source monitors a *directory*; narrow it to the one
+    # fixture file with pathGlobFilter.
+    reader = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(sf_dir)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def with_watermark(events: DataFrame, delay: str = "1 hour") -> DataFrame:
+    return events.withWatermark("ts", delay)
+
+
+def tumbling_counts(events: DataFrame, duration: str = "1 day") -> DataFrame:
+    """Per-window, per-type counts + value sum (works batch or stream)."""
+    return (
+        events.groupBy(F.window("ts", duration).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, duration: str = "2 days", slide: str = "1 day"
+) -> DataFrame:
+    """Sliding windows: each event lands in duration/slide windows."""
+    return (
+        events.groupBy(F.window("ts", duration, slide).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, keys: list[str]) -> DataFrame:
+    """Streaming exact dedup on key columns; with a watermark the state
+    store stays bounded (dropDuplicates keeps one entry per key within
+    the watermark horizon)."""
+    return events.dropDuplicates(keys)
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Dynamic-gap session windows per user (session_window is
+    streaming-native; batch equivalent is operators/temporal.sessionize)."""
+    return (
+        events.groupBy(
+            F.session_window(F.col("ts"), gap).alias("win"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming DataFrame with trigger(availableNow) into a
+    memory sink; block until done; return the sink as a DataFrame. This
+    is how the driver's batch-oracle checks validate streaming results."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def materialized_view_stream(
+    events: DataFrame, dim: DataFrame, on, agg_cols: list
+) -> DataFrame:
+    """Incremental materialized join+agg view — the scalable version of the
+    reference's eager insert-time materialized join ('create join',
+    /root/reference/server.py:806-894, README.md:29-60): instead of
+    re-running the join per insert, the stream joins each micro-batch
+    against the dimension and maintains the aggregate incrementally."""
+    return events.join(F.broadcast(dim), on).groupBy(*agg_cols).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )

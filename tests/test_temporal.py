@@ -1,0 +1,143 @@
+"""Unit tests: as-of join, range join, sessionization, and streaming
+windows on small controlled event data."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+import pyspark.sql.functions as F
+
+from hash_db_spark.operators import temporal as T
+from hash_db_spark.streaming import windows as W
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, "A", ts("2024-01-01T10:00:05")),
+            (2, "A", ts("2024-01-01T10:01:00")),
+            (3, "B", ts("2024-01-01T10:00:30")),
+            (4, "C", ts("2024-01-01T10:00:00")),  # no quotes for C
+        ],
+        ["trade_id", "sym", "ts"],
+    )
+    quotes = spark.createDataFrame(
+        [
+            (101, "A", ts("2024-01-01T10:00:00")),
+            (102, "A", ts("2024-01-01T10:00:05")),  # exactly at trade 1
+            (103, "A", ts("2024-01-01T10:00:59")),
+            (104, "B", ts("2024-01-01T10:00:00")),
+            (105, "B", ts("2024-01-01T10:00:31")),  # after trade 3
+        ],
+        ["quote_id", "sym", "ts"],
+    )
+    return trades, quotes
+
+
+def test_asof_join_semantics(trades_quotes):
+    trades, quotes = trades_quotes
+    got = {
+        r.trade_id: r.asof_quote_id
+        for r in T.asof_join(
+            trades, quotes, key="sym", left_time="ts", right_time="ts",
+            right_payload=["quote_id"],
+        ).collect()
+    }
+    assert got == {
+        1: 102,   # inclusive: quote at the same instant wins
+        2: 103,   # latest at-or-before
+        3: 104,   # 105 is in the future
+        4: None,  # no quotes for C → NULL, row kept
+    }
+
+
+def test_range_join_band(trades_quotes):
+    trades, quotes = trades_quotes
+    tr = trades.select("trade_id", "sym", F.col("ts").alias("tts"))
+    qt = quotes.select("quote_id", "sym", F.col("ts").alias("qts"))
+    got = {
+        (r.trade_id, r.quote_id)
+        for r in T.range_join(
+            tr, qt, key="sym", left_time="tts", right_time="qts",
+            lower="30 seconds", upper="0 seconds",
+        ).collect()
+    }
+    # quote 105 (10:00:31) is after trade 3 (10:00:30) → excluded by upper=0.
+    assert got == {(1, 101), (1, 102), (2, 103), (3, 104)}
+
+
+def test_sessionize_gap(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, 7, ts("2024-01-01T10:00:00")),
+            (2, 7, ts("2024-01-01T10:20:00")),   # same session (gap 30m)
+            (3, 7, ts("2024-01-01T11:30:00")),   # new session
+            (4, 8, ts("2024-01-01T10:00:00")),   # other user
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    got = {
+        (r.user_id, r.session_id): (r.n_events, r.session_start, r.session_end)
+        for r in T.sessionize(
+            ev, key="user_id", time="ts", gap="30 minutes",
+            order_tiebreak="event_id",
+        ).collect()
+    }
+    assert got[(7, 1)] == (2, ts("2024-01-01T10:00:00"), ts("2024-01-01T10:20:00"))
+    assert got[(7, 2)][0] == 1
+    assert got[(8, 1)][0] == 1
+
+
+def test_stream_session_window_matches_gap_semantics(spark, sf_dir):
+    """session_window (streaming-native) agrees with batch sessionize:
+    win_start = session_start, win_end = session_end + gap."""
+    from hash_db_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    stream_style = W.session_windows(ev, "30 minutes")  # batch exec of same expr
+    batch = T.sessionize(
+        ev, key="user_id", time="ts", gap="30 minutes", order_tiebreak="event_id"
+    )
+    a = {
+        (r.user_id, r.win_start, r.win_end, r.n_events)
+        for r in stream_style.collect()
+    }
+    b = {
+        (
+            r.user_id,
+            r.session_start,
+            # session_window's end = last event + gap
+            r.session_end + __import__("datetime").timedelta(minutes=30),
+            r.n_events,
+        )
+        for r in batch.collect()
+    }
+    assert a == b
+
+
+def test_stream_watermark_append_mode(spark, sf_dir):
+    """Windowed agg with watermark in append mode emits only finalized
+    windows — all but those within the watermark horizon of max ts."""
+    stream = W.read_events_stream(spark, sf_dir)
+    agg = W.tumbling_counts(W.with_watermark(stream, "1 hour"), "1 day")
+    out = W.run_stream_to_memory(agg, output_mode="append")
+    batch = W.tumbling_counts(
+        __import__("hash_db_spark.catalog", fromlist=["load_table"]).load_table(
+            spark, sf_dir, "events"
+        ),
+        "1 day",
+    )
+    n_out, n_batch = out.count(), batch.count()
+    # Final watermark = max_ts - 1h, so at most the last day's windows are
+    # withheld; everything emitted must be a subset of the batch result.
+    assert 0 < n_out <= n_batch
+    joined = out.join(
+        batch, ["win_start", "win_end", "event_type", "n", "sum_value"]
+    )
+    assert joined.count() == n_out
