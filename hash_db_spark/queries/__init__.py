@@ -27,9 +27,11 @@ class Query:
 def all_queries() -> dict[str, Query]:
     from hash_db_spark.queries import (
         dedup_queries,
+        dialect_queries,
         document_queries,
         graph_queries,
         kv_queries,
+        multimodal_queries,
         relational_queries,
         similarity_queries,
         temporal_queries,
@@ -46,6 +48,8 @@ def all_queries() -> dict[str, Query]:
         document_queries,
         graph_queries,
         temporal_queries,
+        dialect_queries,
+        multimodal_queries,
     ):
         overlap = registry.keys() & mod.QUERIES.keys()
         if overlap:

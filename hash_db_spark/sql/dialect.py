@@ -1,0 +1,283 @@
+"""Reference-dialect SQL engine (SURVEY §3.1).
+
+The reference parses its SQL with a hand-written char tokenizer +
+recursive descent into parser fields, then if/elif-dispatches executors
+over trie keyspaces (/root/reference/server.py:350-555,672-1074). Here the
+same dialect parses into a tiny spec and *compiles to DataFrame
+operations*, so Catalyst plans every statement.
+
+Supported surface (everything example.py exercises):
+
+    select <cols|*> from <t>
+        [inner join <t2> on <a.x> = <b.y>]...
+        [where <t.f> = <v> [and ...]]  [<t.f> ~ '<tok> & <tok> | <tok>']
+        [group by <t.f>]                          (count(*) aggregate)
+    insert into <t> (<f>, ...) values (<v>, ...)  (dynamic schema, auto-id)
+    update <t> set <t.f> = <v>[, ...] where ...
+    create join inner join <t2> on <a.x> = <b.y> ...   (materialized join)
+
+Semantic choices vs the reference (SURVEY §2 caveats): typed equality
+(int literals compare numerically, not string-prefix); UPDATE recomputes
+immutable frames (Delta MERGE in production); ``create join`` registers an
+incrementally-computable view instead of re-joining on every insert
+(README.md:31 calls the reference's eager write-time join "not very
+efficient" — the streaming materialization in streaming/windows.py is the
+scalable equivalent).
+
+Tables live in a mutable name→DataFrame catalog; INSERT/UPDATE replace
+catalog entries.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from hash_db_spark.operators.fts import compile_fts
+from hash_db_spark.operators.relational import insert_rows, update_where
+
+_STR = r"'([^']*)'"
+_REF = r"([A-Za-z_][\w]*)\.([\w~\[\]]+)"
+
+
+def _lit(token: str):
+    """Reference literal typing: [0-9.]+ coerces to int
+    (/root/reference/server.py:477-478), else string."""
+    token = token.strip()
+    if m := re.fullmatch(_STR, token):
+        return m.group(1)
+    if re.fullmatch(r"[0-9]+", token):
+        return int(token)
+    if re.fullmatch(r"[0-9.]+", token):
+        return float(token)
+    return token
+
+
+class SqlEngine:
+    def __init__(self, spark: SparkSession, tables: dict[str, DataFrame]):
+        self.spark = spark
+        self.tables: dict[str, DataFrame] = dict(tables)
+        # table -> list of (right_table, left_ref, right_ref) join specs
+        # registered by `create join` (reference server.py:674-696).
+        self.joins: dict[str, list[tuple[str, str, str]]] = {}
+
+    # ------------------------------------------------------------------ api
+
+    def sql(self, text: str) -> DataFrame | None:
+        text = " ".join(text.split())
+        low = text.lower()
+        if low.startswith("create join"):
+            return self._create_join(text)
+        if low.startswith("insert into"):
+            return self._insert(text)
+        if low.startswith("update "):
+            return self._update(text)
+        if low.startswith("select "):
+            return self._select(text)
+        raise ValueError(f"unsupported statement: {text[:60]!r}")
+
+    def materialized_view(self, table: str) -> DataFrame:
+        """The queryable result of a registered `create join`: the driving
+        table joined through every spec. Computed lazily — Catalyst plans
+        it per query; a production deployment materializes it with
+        streaming/windows.materialized_view_stream."""
+        df = self.tables[table]
+        for right, lref, rref in self.joins.get(table, []):
+            df = self._merge_join(
+                df, lref.split(".", 1)[1], self.tables[right], rref.split(".", 1)[1]
+            )
+        return df
+
+    # -------------------------------------------------------------- helpers
+
+    def _resolve(self, scope: dict[str, DataFrame], ref: str, allow_any=False) -> Column:
+        """table.field → Column in scope (bare field names; the join
+        output merges columns like the reference's dict-merge row model,
+        client.py:418)."""
+        t, f = ref.split(".", 1)
+        if t not in scope and not allow_any:
+            raise ValueError(f"unknown table in reference {ref!r}")
+        return F.col(f)
+
+    def _merge_join(
+        self, left: DataFrame, lfield: str, right: DataFrame, rfield: str
+    ) -> DataFrame:
+        """Inner equijoin with the reference's row-merge semantics: on
+        column-name collision (notably the auto `id`) the right side wins
+        ({**build_row, **probe_row}, /root/reference/client.py:418)."""
+        dup = [c for c in left.columns if c in right.columns]
+        lkey = F.col(lfield)
+        if lfield in dup:
+            left = left.withColumn("__lkey", lkey)
+            lkey = F.col("__lkey")
+        left = left.drop(*dup)
+        return left.join(right, lkey == F.col(rfield)).drop("__lkey")
+
+    # ----------------------------------------------------------- statements
+
+    def _create_join(self, text: str):
+        specs = re.findall(
+            rf"inner join (\w+) on {_REF} = {_REF}", text, re.IGNORECASE
+        )
+        if not specs:
+            raise ValueError(f"create join: no specs in {text!r}")
+        # The driving table is the one that appears in specs but is never
+        # the joined (right) table — e.g. items in the README example.
+        rights = {s[0] for s in specs}
+        mentioned = {s[1] for s in specs} | {s[3] for s in specs}
+        driving_cands = mentioned - rights
+        if not driving_cands:
+            raise ValueError("create join: cannot infer driving table")
+        driving = driving_cands.pop()
+        registered = []
+        for right, lt, lf, rt, rf in specs:
+            # Normalize so left ref belongs to the driving side.
+            if lt == right:
+                lt, lf, rt, rf = rt, rf, lt, lf
+            registered.append((right, f"{lt}.{lf}", f"{right}.{rf}"))
+        self.joins[driving] = registered
+        return None
+
+    def _insert(self, text: str):
+        m = re.match(
+            r"insert into (\w+) \(([^)]*)\) values \((.*)\)", text, re.IGNORECASE
+        )
+        if not m:
+            raise ValueError(f"bad insert: {text!r}")
+        table, fields_s, values_s = m.groups()
+        fields = [f.strip() for f in fields_s.split(",")]
+        values = self._split_values(values_s)
+        if len(fields) != len(values):
+            raise ValueError(f"insert arity mismatch: {fields} vs {values}")
+        row = dict(zip(fields, values))
+        new = self.spark.createDataFrame([row])
+        base = self.tables.get(table)
+        if base is None:
+            # First insert creates the table (no DDL in the dialect —
+            # emergent schema, README.md:175).
+            out = new.withColumn("id", F.lit(1).cast("long"))
+        else:
+            out = insert_rows(base, new, id_col="id")
+        self.tables[table] = out.localCheckpoint(eager=True)
+        return None
+
+    def _split_values(self, s: str) -> list:
+        out, i, n = [], 0, len(s)
+        while i < n:
+            while i < n and s[i] in " ,":
+                i += 1
+            if i >= n:
+                break
+            if s[i] == "'":
+                j = s.index("'", i + 1)
+                out.append(s[i + 1 : j])
+                i = j + 1
+            else:
+                j = i
+                while j < n and s[j] != ",":
+                    j += 1
+                out.append(_lit(s[i:j]))
+                i = j
+        return out
+
+    def _parse_wheres(self, clause: str):
+        """-> (equality list [(ref, value)], fts list [(ref, query)])."""
+        eqs, fts = [], []
+        for part in re.split(r"\band\b", clause, flags=re.IGNORECASE):
+            part = part.strip()
+            if not part:
+                continue
+            if m := re.fullmatch(rf"{_REF} ~ {_STR}", part):
+                fts.append((f"{m.group(1)}.{m.group(2)}", m.group(3)))
+            elif m := re.fullmatch(rf"{_REF} = (.+)", part):
+                eqs.append((f"{m.group(1)}.{m.group(2)}", _lit(m.group(3))))
+            else:
+                raise ValueError(f"bad where predicate: {part!r}")
+        return eqs, fts
+
+    def _update(self, text: str):
+        m = re.match(
+            r"update (\w+) set (.+?)(?: where (.+))?$", text, re.IGNORECASE
+        )
+        if not m:
+            raise ValueError(f"bad update: {text!r}")
+        table, sets_s, where_s = m.groups()
+        assignments: dict[str, Column] = {}
+        for part in sets_s.split(","):
+            sm = re.fullmatch(rf"\s*{_REF} = (.+?)\s*", part)
+            if not sm:
+                raise ValueError(f"bad set clause: {part!r}")
+            assignments[sm.group(2)] = F.lit(_lit(sm.group(3)))
+        df = self.tables[table]
+        cond = F.lit(True)
+        if where_s:
+            eqs, fts = self._parse_wheres(where_s)
+            for ref, val in eqs:
+                cond = cond & (self._resolve({table: df}, ref) == F.lit(val))
+            for ref, q in fts:
+                _, fld = ref.split(".", 1)
+                cond = cond & compile_fts(fld, q)
+        self.tables[table] = update_where(df, cond, assignments).localCheckpoint(
+            eager=True
+        )
+        return None
+
+    def _select(self, text: str):
+        m = re.match(
+            r"select (.+?) from (\w+)"
+            r"((?: inner join \w+ on \S+ = \S+)*)"
+            r"(?: where (.+?))?"
+            r"(?: group by (\S+))?$",
+            text,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"bad select: {text!r}")
+        cols_s, table, joins_s, where_s, group_s = m.groups()
+
+        scope = {table: self.tables[table]}
+        df = self.tables[table]
+        for right, lt, lf, rt, rf in re.findall(
+            rf"inner join (\w+) on {_REF} = {_REF}", joins_s or "", re.IGNORECASE
+        ):
+            lref, rref = (f"{lt}.{lf}", f"{rt}.{rf}")
+            if lt == right:
+                lref, rref = rref, lref
+            df = self._merge_join(
+                df,
+                lref.split(".", 1)[1],
+                self.tables[right],
+                rref.split(".", 1)[1],
+            )
+            scope[right] = self.tables[right]
+
+        if where_s:
+            eqs, fts = self._parse_wheres(where_s)
+            for ref, val in eqs:
+                df = df.filter(self._resolve(scope, ref) == F.lit(val))
+            for ref, q in fts:
+                _, fld = ref.split(".", 1)
+                df = df.filter(compile_fts(fld, q))
+
+        if group_s:
+            key = group_s.split(".", 1)[1] if "." in group_s else group_s
+            agg_wanted = "count(*)" in cols_s.lower()
+            out = df.groupBy(key)
+            if agg_wanted:
+                return out.agg(F.count(F.lit(1)).alias("cnt"))
+            return out.agg()
+
+        if cols_s.strip() == "*":
+            return df
+        out_cols = []
+        for c in cols_s.split(","):
+            c = c.strip()
+            if "." in c:
+                out_cols.append(c.split(".", 1)[1])
+            else:
+                out_cols.append(c)
+        # Projection skips rows missing a selected field
+        # (client.py:655-661) — under our schema: dropna on selection.
+        return df.select(*out_cols).dropna(how="any")

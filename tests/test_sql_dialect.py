@@ -1,0 +1,119 @@
+"""End-to-end replay of the reference's example.py SQL scenario
+(/root/reference/example.py:86-238,286-306) through the dialect engine:
+inserts with emergent schema + auto-id, equality select, update-then-
+reselect, the 2-chain inner join, FTS and/or, create join."""
+
+from __future__ import annotations
+
+import pytest
+
+from hash_db_spark.sql import SqlEngine
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    eng = SqlEngine(spark, {})
+    for name, age in [("Sam", 29), ("Dinar", 31), ("Lee", 29)]:
+        eng.sql(
+            f"insert into people (people_name, age) values ('{name}', {age})"
+        )
+    for search, people in [
+        ("fishing rod", 1),
+        ("spanner blah sentence", 3),
+        ("boat", 1),
+        ("blah nonsense", 2),
+    ]:
+        eng.sql(f"insert into items (search, people) values ('{search}', {people})")
+    for pname, price in [("Spanner", 3), ("Spanner", 5), ("boat", 100)]:
+        eng.sql(f"insert into products (name, price) values ('{pname}', {price})")
+    return eng
+
+
+def test_insert_auto_id_and_emergent_schema(engine):
+    people = engine.tables["people"]
+    rows = {r.people_name: r.id for r in people.collect()}
+    assert rows == {"Sam": 1, "Dinar": 2, "Lee": 3}
+
+
+def test_select_where_eq(engine):
+    # example.py:118-124 — select * from people where people.age = 29
+    got = engine.sql("select * from people where people.age = 29")
+    assert sorted(r.people_name for r in got.collect()) == ["Lee", "Sam"]
+
+
+def test_update_then_reselect(engine):
+    # example.py:126-149 — update Sam to 31, re-select both ages.
+    engine.sql("update people set people.age = 31 where people.people_name = 'Sam'")
+    assert sorted(
+        r.people_name
+        for r in engine.sql(
+            "select * from people where people.age = 31"
+        ).collect()
+    ) == ["Dinar", "Sam"]
+    assert [
+        r.people_name
+        for r in engine.sql("select * from people where people.age = 29").collect()
+    ] == ["Lee"]
+    # restore for later tests
+    engine.sql("update people set people.age = 29 where people.people_name = 'Sam'")
+
+
+def test_two_chain_join(engine):
+    # example.py:226-238 — select products.price, people.people_name,
+    # items.search from items inner join people ... inner join products ...
+    got = engine.sql(
+        "select people.people_name, items.search from items "
+        "inner join people on items.people = people.id"
+    )
+    rows = {(r.people_name, r.search) for r in got.collect()}
+    assert ("Sam", "fishing rod") in rows
+    assert ("Lee", "spanner blah sentence") in rows
+    assert len(rows) == 4
+
+
+def test_fts_and_or(engine):
+    # example.py:296-306 — items.search ~ 'blah | nonsense | notthere'
+    # and items.people = 3
+    got = engine.sql(
+        "select items.search from items "
+        "where items.search ~ 'blah | nonsense | notthere' "
+        "and items.people = 3"
+    )
+    assert [r.search for r in got.collect()] == ["spanner blah sentence"]
+
+
+def test_group_by_count(engine):
+    got = {
+        r.age: r.cnt
+        for r in engine.sql(
+            "select people.age, count(*) from people group by people.age"
+        ).collect()
+    }
+    assert got == {29: 2, 31: 1}
+
+
+def test_create_join_and_materialized_view(engine):
+    # README.md:29-60 — register the join; view is queryable.
+    engine.sql(
+        "create join inner join people on people.id = items.people"
+    )
+    assert "items" in engine.joins
+    mv = engine.materialized_view("items")
+    rows = {(r.search, r.people_name) for r in mv.collect()}
+    assert ("boat", "Sam") in rows
+    assert len(rows) == 4
+
+
+def test_typed_equality_not_prefix(engine):
+    # SURVEY §2.1 caveat: the reference's S-index prefix scan matches
+    # age=29 against 290+; typed equality must not.
+    engine.sql("insert into people (people_name, age) values ('Old', 290)")
+    got = engine.sql("select * from people where people.age = 29")
+    assert sorted(r.people_name for r in got.collect()) == ["Lee", "Sam"]
+
+
+def test_bad_statements_raise(engine):
+    with pytest.raises(ValueError):
+        engine.sql("drop table people")
+    with pytest.raises(ValueError):
+        engine.sql("select * from people where people.age >< 3")
