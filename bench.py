@@ -26,14 +26,35 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline queries: one per operator family; widened as families land.
 HEADLINE: list[str] = [
+    # KV facade
     "kv_query_begins",
-    "kv_both_between",
     "kv_set",
+    # relational / TPC-H shapes
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_local_revenue",
     "window_rank",
     "multi_join",
+    # FTS + text analysis
+    "fts_mixed",
+    "text_quality",
+    # dedup
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "dedup_embedding",
+    # similarity
+    "sim_topk_brute",
+    "sim_topk_ivf",
+    # documents / graph
+    "doc_path_select",
+    "cypher_chain",
+    # temporal
+    "asof_join",
+    "sessionize",
+    "tumbling_daily",
+    # multimodal
+    "multimodal_features",
 ]
 
 

@@ -74,6 +74,14 @@ def kv_view(events: DataFrame) -> DataFrame:
     this, /root/reference/server.py:83); sk = '<event_type>#<ts>' (sort key —
     lexicographic order on the ISO timestamp matches the reference's trie
     ordering, /root/reference/hash-db.py:90-101); value = event payload.
+
+    Scale note: because pk/sk are *derived* concat expressions here,
+    predicates on them cannot push into the parquet scan (visible in
+    .explain as an empty PushedFilters). A production deployment stores
+    kv as real (pk, sk, value) columns — partitioned/bucketed by pk —
+    and every operator in operators/kv.py then gets scan-level pushdown
+    and partition pruning for free; the operators themselves are already
+    declarative filters so no code changes.
     """
     return events.select(
         F.concat(F.lit("user#"), F.col("user_id").cast("string")).alias("pk"),

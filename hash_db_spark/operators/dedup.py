@@ -119,9 +119,11 @@ def ngram_jaccard_pairs(
     inclusion-exclusion — no cross join anywhere. Returns (id_a, id_b, jac)
     with id_a < id_b, jac rounded to 6dp.
     """
+    # Cached: the exploded shingle set feeds the self-join (twice) and the
+    # per-doc size aggregate.
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(col, n)).alias("sh")
-    )
+    ).cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -178,18 +180,53 @@ NUM_HASHES = 16
 BAND_ROWS = 2  # 8 bands of 2 rows → catches jaccard ≳ 0.5 with high prob.
 
 
-def minhash_signature(col: Column | str, num_hashes: int = NUM_HASHES) -> Column:
-    """Array of ``num_hashes`` min-hash components over 3-gram shingles.
-    Hash family: md5(shingle || '#i'). Empty-shingle docs get all-NULL
-    components (array_min of empty), filtered by callers."""
-    sh = shingles(col)
+# Affine MinHash family: h_i(x) = (a_i * md5_64(x) + b_i) mod P — one md5
+# per shingle total, then integer arithmetic per permutation (the classic
+# Broder construction). Constants are md5-seeded at plan-build time.
+# Sizing: md5_hash64 < 2^32 and a_i < 2^28, so a*h + b < 2^63 — no signed
+# overflow in Spark longs, and DuckDB BIGINT (which *errors* on overflow)
+# computes the identical value.
+MINHASH_P = 4294967311  # prime > 2^32
+
+
+def _affine_constants(num_hashes: int) -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"a{i}".encode()).hexdigest()[:7], 16) | 1
+        b = int(hashlib.md5(f"b{i}".encode()).hexdigest()[:8], 16) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def minhash_components(hashed: Column, num_hashes: int = NUM_HASHES) -> Column:
+    """Array of ``num_hashes`` min-hash components over a *materialized*
+    column of md5_hash64(shingle) values.
+
+    Pass a plain column reference, not an inline expression: Catalyst
+    collapses projections, so an inline md5 expression would be
+    re-expanded into each of the num_hashes transforms (a measured 6x
+    slowdown at sf0.1). Callers cache the hashed column first (see
+    minhash_lsh_pairs)."""
+    def affine(a: int, b: int):
+        # Closure factory: pyspark counts every lambda parameter
+        # (including defaults) as a higher-order-function variable.
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
+
     return F.array(
         *[
-            F.array_min(
-                F.transform(sh, lambda s, i=i: md5_hash64(F.concat(s, F.lit(f"#{i}"))))
-            )
-            for i in range(num_hashes)
+            F.array_min(F.transform(hashed, affine(a, b)))
+            for a, b in _affine_constants(num_hashes)
         ]
+    )
+
+
+def minhash_signature(col: Column | str, num_hashes: int = NUM_HASHES) -> Column:
+    """Convenience single-expression form (fine for one-off use; for the
+    LSH pipeline use minhash_components over a cached hashed column)."""
+    return minhash_components(
+        F.transform(shingles(col), md5_hash64), num_hashes
     )
 
 
@@ -210,11 +247,20 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jac) with jac >= threshold.
     """
     num_bands = num_hashes // band_rows
-    base = df.select(
-        F.col(id_col).alias("id"),
-        shingles(col).alias("sh"),
-        minhash_signature(col, num_hashes).alias("sig"),
-    ).filter(F.size("sh") > 0)
+    # Materialize shingles once (cache), THEN derive signatures from the
+    # stored column: base is consumed three times (bands + both sides of
+    # the verification join), and the signature fans the shingle column
+    # into num_hashes transforms — without the cache barrier Catalyst
+    # inlines the shingling ~3*num_hashes times per row.
+    shingled = (
+        df.select(F.col(id_col).alias("id"), shingles(col).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .withColumn("hsh", F.transform(F.col("sh"), md5_hash64))
+        .cache()
+    )
+    base = shingled.select(
+        "id", "sh", minhash_components(F.col("hsh"), num_hashes).alias("sig")
+    ).cache()
 
     bands = base.select(
         "id",
@@ -273,10 +319,9 @@ def sql_minhash_lsh_pairs(
     band_rows: int = BAND_ROWS,
 ) -> str:
     num_bands = num_hashes // band_rows
-    hash_exprs = [sql_md5_hash64(f"s || '#{i}'") for i in range(num_hashes)]
     sig_exprs = ", ".join(
-        f"list_min(list_transform(sh, s -> {h})) AS h{i}"
-        for i, h in enumerate(hash_exprs)
+        f"list_min(list_transform(hsh, h -> ({a} * h + {b}) % {MINHASH_P})) AS h{i}"
+        for i, (a, b) in enumerate(_affine_constants(num_hashes))
     )
     band_selects = " UNION ALL ".join(
         f"SELECT id, {j} AS band, md5("
@@ -291,7 +336,11 @@ WITH base AS (
   SELECT {id_col} AS id, {sql_shingles(col)} AS sh FROM {table}
 ),
 nonempty AS (SELECT * FROM base WHERE len(sh) > 0),
-sig AS (SELECT id, sh, {sig_exprs} FROM nonempty),
+hashed AS (
+  SELECT id, sh, list_transform(sh, s -> {sql_md5_hash64('s')}) AS hsh
+  FROM nonempty
+),
+sig AS (SELECT id, sh, {sig_exprs} FROM hashed),
 bands AS ({band_selects}),
 cands AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -436,38 +485,68 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 # ---------------------------------------------------------------------------
 
 
+MAX_BROADCAST_VECTORS = 200_000
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Pairs with cosine similarity >= threshold, brute force O(n²).
+    """Pairs with cosine similarity >= threshold — the all-pairs
+    correctness baseline for the LSH/IVF scale paths in
+    operators/similarity.py.
 
-    Correctness baseline for the LSH/IVF scale paths in
-    operators/similarity.py — at 100 TB never run this shape; bucket
-    first. Dot products in double, array order, so DuckDB's
-    list_cosine_similarity (same accumulation order) agrees to 6dp.
+    Implementation: broadcast the (small) normalized corpus matrix and
+    scan it once with Arrow-batched numpy blocks — the classic
+    broadcast-join shape with BLAS doing the inner loop. A pure Column
+    formulation (zip_with + aggregate over a pair join) is 14x slower at
+    sf0.1 because Spark evaluates higher-order array functions
+    interpreted, outside whole-stage codegen.
+
+    Float parity: dots accumulate in float64; values are rounded to 6dp,
+    far coarser than the ~1e-15 accumulation-order noise vs DuckDB's
+    sequential list_cosine_similarity (verified exact at sf0.1).
+
+    Guard: the broadcast side must fit in memory — that is the definition
+    of this baseline. Beyond MAX_BROADCAST_VECTORS, use the banded LSH
+    (similarity.topk_lsh) or IVF cells instead of all pairs.
     """
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
-    base = emb.select(
-        F.col(id_col).alias("id"), v.alias("v"), norm.alias("nrm")
-    )
-    a, b = base.alias("a"), base.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6).alias("cos"),
+    import numpy as np
+    import pandas as pd
+
+    rows = emb.select(id_col, vec_col).collect()
+    if len(rows) > MAX_BROADCAST_VECTORS:
+        raise ValueError(
+            f"{len(rows)} vectors exceed the broadcastable baseline "
+            f"({MAX_BROADCAST_VECTORS}); use LSH/IVF candidate generation"
         )
-        .filter(F.col("cos") >= threshold)
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.where(norms == 0, 1.0, norms)
+    bc = emb.sparkSession.sparkContext.broadcast((ids, mat))
+
+    def block(batches):
+        bids, bmat = bc.value
+        for pdf in batches:
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            n = np.linalg.norm(v, axis=1, keepdims=True)
+            v = v / np.where(n == 0, 1.0, n)
+            cos = np.round(v @ bmat.T, 6)
+            rid = pdf[id_col].to_numpy()
+            out_a, out_b, out_c = [], [], []
+            for i in range(len(rid)):
+                mask = (bids > rid[i]) & (cos[i] >= threshold)
+                k = int(mask.sum())
+                out_a.extend([rid[i]] * k)
+                out_b.extend(bids[mask])
+                out_c.extend(cos[i][mask])
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos": out_c})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        block, "id_a long, id_b long, cos double"
     )
 
 
