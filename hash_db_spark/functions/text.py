@@ -110,6 +110,52 @@ def lang_id(col: Column | str) -> Column:
     return F.when(best_hits > 0, best_lang).otherwise(F.lit("und"))
 
 
+# BPE-ish subword pattern: word pieces of up to 4 chars (a crude stand-in
+# for byte-pair merges: common short chunks) plus punctuation marks. ASCII
+# \w semantics agree between Java regex (Spark) and RE2 (DuckDB).
+BPE_PATTERN = r"\w{1,4}|[^\w\s]"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Subword token count under the BPE-ish regex — the 'how many
+    LLM-ish tokens is this document' estimator (whitespace tokens
+    underestimate; char counts overestimate)."""
+    c = F.col(col) if isinstance(col, str) else col
+    # Spark SQL string literals process backslash escapes (DuckDB's don't)
+    # — double them for the Spark side only.
+    pat = BPE_PATTERN.replace("\\", "\\\\")
+    return F.size(F.expr(f"regexp_extract_all({_colname(c)}, '{pat}', 0)"))
+
+
+def _colname(c: Column) -> str:
+    # Column expression → SQL fragment for F.expr composition.
+    return c._jc.toString()
+
+
+def char_ngram_count(col: Column | str, n: int = 3) -> Column:
+    """Distinct character n-grams of the lowercased text — the unit used
+    by character-level language ID and near-dup shingling. substring()
+    with a Column start position requires the SQL-expression form."""
+    name = _colname(F.col(col) if isinstance(col, str) else col)
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(lower({name})) - {n - 1}, 0)), "
+        f"i -> substring(lower({name}), i, {n}))"
+    )
+    return F.size(F.array_distinct(grams))
+
+
+def sql_bpe_token_count(col: str) -> str:
+    return f"len(regexp_extract_all({col}, '{BPE_PATTERN}'))"
+
+
+def sql_char_ngram_count(col: str, n: int = 3) -> str:
+    return (
+        f"len(list_distinct(list_transform("
+        f"generate_series(1, greatest(len(lower({col})) - {n - 1}, 0)), "
+        f"i -> substr(lower({col}), i, {n}))))"
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """Exact-dup fingerprint: md5 of lowercased, comma-stripped,
     space-collapsed text."""

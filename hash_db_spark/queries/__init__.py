@@ -26,6 +26,7 @@ class Query:
 
 def all_queries() -> dict[str, Query]:
     from hash_db_spark.queries import (
+        ansi_queries,
         dedup_queries,
         dialect_queries,
         document_queries,
@@ -34,6 +35,7 @@ def all_queries() -> dict[str, Query]:
         multimodal_queries,
         relational_queries,
         similarity_queries,
+        skew_queries,
         temporal_queries,
         text_queries,
     )
@@ -50,6 +52,8 @@ def all_queries() -> dict[str, Query]:
         temporal_queries,
         dialect_queries,
         multimodal_queries,
+        ansi_queries,
+        skew_queries,
     ):
         overlap = registry.keys() & mod.QUERIES.keys()
         if overlap:

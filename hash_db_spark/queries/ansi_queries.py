@@ -1,0 +1,139 @@
+"""Driver-checkable queries: the ANSI-SQL surface, as passthrough.
+
+Each entry is ONE SQL string in the Spark∩DuckDB common dialect, executed
+by ``spark.sql`` over the registered fixture views AND verbatim by the
+DuckDB oracle. This demonstrates the engine's full standard-SQL surface
+(SURVEY §2.2 'free wins': outer joins, set ops, subqueries, CTEs, rollup,
+window functions, date/string functions) with zero translation layer —
+`spark.sql(text)` → Catalyst is the whole execution story.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hash_db_spark.catalog import register_views
+from hash_db_spark.queries import Query
+
+
+def _passthrough(sql: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    return run
+
+
+PASSTHROUGH: dict[str, str] = {
+    # TPC-H Q6 shape: pure filter + single agg.
+    "ansi_q6_filtered_agg": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    # LEFT JOIN preserving unmatched rows (NULL right side).
+    "ansi_left_join": """
+        SELECT c_custkey, o_orderkey
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        WHERE c_custkey <= 50
+    """,
+    # FULL OUTER JOIN across unrelated key spaces.
+    "ansi_full_outer_join": """
+        SELECT c.c_custkey, e.user_id, e.event_id
+        FROM (SELECT c_custkey FROM customer WHERE c_custkey <= 20) c
+        FULL JOIN (SELECT user_id, event_id FROM events WHERE event_id <= 30) e
+          ON c.c_custkey = e.user_id
+    """,
+    # Correlated EXISTS subquery.
+    "ansi_exists_subquery": """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_suppkey = s_suppkey AND l_quantity >= 49
+        )
+    """,
+    # CTE + window function (lead/lag).
+    "ansi_cte_window": """
+        WITH daily AS (
+          SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+                 round(sum(o_totalprice), 2) AS total
+          FROM orders
+          WHERE o_orderdate < TIMESTAMP '1995-03-01'
+          GROUP BY 1
+        )
+        SELECT d, total,
+               lag(total) OVER (ORDER BY d) AS prev_total,
+               round(sum(total) OVER (ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                 AS running_total
+        FROM daily
+    """,
+    # ROLLUP with grouping-set NULL rows.
+    "ansi_rollup": """
+        SELECT r_name, n_name, round(sum(s_acctbal), 2) AS total_bal,
+               count(*) AS n_sup
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    # INTERSECT / EXCEPT set operators.
+    "ansi_intersect": """
+        SELECT c_custkey AS k FROM customer
+        INTERSECT
+        SELECT user_id FROM events
+    """,
+    # customers ≤300 with no events (event user_ids top out around 150).
+    "ansi_except": """
+        SELECT c_custkey AS k FROM customer WHERE c_custkey <= 300
+        EXCEPT
+        SELECT user_id FROM events
+    """,
+    # Scalar subquery + CASE buckets.
+    "ansi_case_buckets": """
+        SELECT o_orderpriority,
+               CASE WHEN o_totalprice >= 200000 THEN 'high'
+                    WHEN o_totalprice >= 100000 THEN 'mid'
+                    ELSE 'low' END AS bucket,
+               count(*) AS n
+        FROM orders
+        GROUP BY 1, 2
+    """,
+    # Date/string function sampler.
+    "ansi_date_string_funcs": """
+        SELECT o_orderkey,
+               CAST(extract(year FROM o_orderdate) AS INT) AS y,
+               CAST(extract(month FROM o_orderdate) AS INT) AS m,
+               CAST(extract(day FROM o_orderdate) AS INT) AS d,
+               substr(o_orderpriority, 1, 1) AS prio_digit,
+               upper(o_orderstatus) || '-' || o_orderpriority AS tag,
+               CAST(length(o_orderpriority) AS INT) AS plen
+        FROM orders WHERE o_orderkey <= 300
+    """,
+    # NTILE + dense_rank windows.
+    "ansi_ntile": """
+        SELECT c_custkey,
+               CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey ASC)
+                    AS INT) AS quartile,
+               CAST(dense_rank() OVER (ORDER BY c_nationkey ASC) AS INT)
+                    AS nation_rank
+        FROM customer WHERE c_custkey <= 200
+    """,
+    # HAVING over a join + IN-list predicate.
+    "ansi_having_in": """
+        SELECT n_name, count(*) AS n_cust
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        GROUP BY n_name
+        HAVING count(*) >= 10
+    """,
+}
+
+
+QUERIES = {
+    name: Query(_passthrough(sql), sql) for name, sql in PASSTHROUGH.items()
+}

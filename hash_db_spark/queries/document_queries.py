@@ -89,6 +89,59 @@ def q_doc_path_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.select_path(docs, "hobbies[]~name", "hobby", "c_custkey")
 
 
+def q_doc_path_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level nested path ~orders[]~items[]~qty: customer → orders
+    array → lineitems array, flattened by chained explodes (each [] is
+    one explode — exactly the reference's one-SQL-row-per-leaf shredding,
+    server.py:320-328)."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    items = (
+        li.filter(F.col("l_quantity") >= 45)
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("line"),
+                        F.col("l_quantity").alias("qty"),
+                    )
+                )
+            ).alias("items")
+        )
+    )
+    nested_orders = (
+        orders.join(items, orders.o_orderkey == items.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("o_orderkey").alias("okey"), F.col("items"))
+                )
+            ).alias("orders")
+        )
+    )
+    docs = cust.join(
+        nested_orders, cust.c_custkey == nested_orders.o_custkey
+    ).select("c_custkey", "orders")
+    out, leaf = D.compile_path(docs, "orders[]~items[]~qty", "qty")
+    okey = F.col("__path0").getField("okey")
+    line = F.col("__path1").getField("line")
+    return out.select(
+        "c_custkey", okey.alias("okey"), line.alias("line"), leaf
+    )
+
+
+DOC_TWO_LEVEL_ORACLE = """
+SELECT c_custkey, o_orderkey AS okey, l_linenumber AS line, l_quantity AS qty
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_custkey <= 100 AND l_quantity >= 45
+"""
+
+
 QUERIES = {
     "doc_json_get": Query(
         q_doc_json_get,
@@ -116,4 +169,5 @@ QUERIES = {
         "SELECT DISTINCT c_custkey, o_orderpriority AS hobby "
         "FROM customer JOIN orders ON o_custkey = c_custkey",
     ),
+    "doc_path_two_level": Query(q_doc_path_two_level, DOC_TWO_LEVEL_ORACLE),
 }

@@ -119,6 +119,23 @@ FROM documents
 """
 
 
+def q_text_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword token estimate + distinct char trigrams per doc."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        T.bpe_token_count("text").alias("n_subword"),
+        T.char_ngram_count("text", 3).alias("n_char3"),
+    )
+
+
+TEXT_SUBWORD_ORACLE = f"""
+SELECT doc_id,
+       CAST({T.sql_bpe_token_count('text')} AS INT) AS n_subword,
+       CAST({T.sql_char_ngram_count('text', 3)} AS INT) AS n_char3
+FROM documents
+"""
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id",
@@ -147,4 +164,5 @@ QUERIES = {
     "text_quality": Query(q_text_quality, TEXT_QUALITY_ORACLE),
     "text_langid": Query(q_text_langid, TEXT_LANGID_ORACLE),
     "text_fingerprint": Query(q_text_fingerprint, TEXT_FP_ORACLE),
+    "text_subword_tokens": Query(q_text_subword_tokens, TEXT_SUBWORD_ORACLE),
 }
