@@ -41,9 +41,11 @@ class CypherCompiler:
 
     # -- MATCH --------------------------------------------------------------
 
-    def match(self, parser: CypherParser) -> DataFrame:
+    def match(self, parser: CypherParser, with_names: bool = False) -> DataFrame:
         """Compile chains to a join DAG; returns one column per returned
-        variable (node id)."""
+        variable (node id). With ``with_names`` each returned variable
+        also projects a ``<var>_name`` column (the reference returns whole
+        node objects, client.py:1198-1219 — name is the identity attr)."""
         # Merge per-variable constraints across all occurrences.
         constraints: dict[str, Node] = {}
         anon_count = 0
@@ -127,7 +129,14 @@ class CypherCompiler:
         missing = [v for v in out_vars if v not in bound]
         if missing:
             raise ValueError(f"return of unbound variables: {missing}")
-        return result.select(*out_vars).distinct()
+        out = result.select(*out_vars).distinct()
+        if with_names:
+            for v in out_vars:
+                names = self.nodes.select(
+                    F.col("id").alias(v), F.col("name").alias(f"{v}_name")
+                )
+                out = out.join(names, v)
+        return out
 
     # -- MERGE --------------------------------------------------------------
 

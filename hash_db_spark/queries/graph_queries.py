@@ -69,6 +69,18 @@ def q_cypher_merge_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp2.run("match (a:Person)-[:FRIEND]->(b:Person) return a, b")
 
 
+def q_cypher_return_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 with node-object projection: returned vars carry their name
+    attribute (the reference emits whole node dicts)."""
+    from hash_db_spark.cypher import CypherParser
+
+    comp = _compiler(spark, sf_dir)
+    p = CypherParser().parse(
+        "match (n:Nation)-[:IN]->(r:Region {name: 'EUROPE'}) return n, r"
+    )
+    return comp.match(p, with_names=True)
+
+
 def _g(sql: str) -> str:
     return f"WITH {GRAPH_ORACLE_CTES} {sql}"
 
@@ -124,5 +136,17 @@ QUERIES = {
     "cypher_merge_match": Query(
         q_cypher_merge_match,
         "SELECT 'person:Samuel' AS a, 'person:Tasya' AS b",
+    ),
+    "cypher_return_names": Query(
+        q_cypher_return_names,
+        _g(
+            "SELECT DISTINCT e.src AS n, a.name AS n_name, "
+            "e.dst AS r, b.name AS r_name "
+            "FROM gedges e "
+            "JOIN gnodes a ON a.id = e.src AND a.label = 'Nation' "
+            "JOIN gnodes b ON b.id = e.dst AND b.label = 'Region' "
+            "  AND b.name = 'EUROPE' "
+            "WHERE e.rel = 'IN'"
+        ),
     ),
 }

@@ -1,0 +1,138 @@
+"""Property-based tests (hypothesis): each operator family checked
+against an independent pure-Python model on randomized inputs. Slow
+Spark round-trips are bounded with small example counts; determinism
+(derandomize) keeps CI stable."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st, HealthCheck
+
+import pyspark.sql.functions as F
+
+from hash_db_spark.operators import kv as K
+from hash_db_spark.operators.fts import fts_filter
+from hash_db_spark.operators import dedup as D
+
+SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+words = st.sampled_from(
+    ["spark", "join", "merge", "table", "row", "scan", "fast", "slow", "key"]
+)
+texts = st.lists(words, min_size=1, max_size=12).map(" ".join)
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.text(alphabet="abcd#0123", min_size=1, max_size=6),
+            st.integers(0, 99).map(str),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    pk=st.sampled_from(["a", "b", "c"]),
+    lo=st.text(alphabet="abcd#0123", min_size=1, max_size=3),
+    hi=st.text(alphabet="abcd#0123", min_size=1, max_size=3),
+)
+def test_kv_between_matches_model(spark, rows, pk, lo, hi):
+    # dedupe (pk, sk) last-wins like a KV store
+    dedup = {}
+    for p, s, v in rows:
+        dedup[(p, s)] = v
+    data = [(p, s, v) for (p, s), v in dedup.items()]
+    kv = spark.createDataFrame(data, ["pk", "sk", "value"])
+    got = [
+        (r.pk, r.sk, r.value)
+        for r in K.query_between(kv, pk, lo, hi).collect()
+    ]
+    model = sorted(
+        (p, s, v) for p, s, v in data if p == pk and lo <= s <= hi
+    )
+    assert sorted(got) == model
+    # emission order is (pk, sk) ascending (K8)
+    assert got == sorted(got)
+
+
+def _fts_model(text: str, query: str) -> bool:
+    tokens = text.replace(",", "").split(" ")
+    pred, mode = None, "and"
+    for tok in query.split(" "):
+        if not tok:
+            continue
+        if tok in ("&", "|"):
+            mode = "and" if tok == "&" else "or"
+            continue
+        term = tok in tokens
+        if pred is None:
+            pred = term
+        elif mode == "and":
+            pred = pred and term
+        else:
+            pred = pred or term
+    return bool(pred)
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(texts, min_size=1, max_size=10),
+    q_words=st.lists(words, min_size=1, max_size=4),
+    ops=st.lists(st.sampled_from(["&", "|"]), min_size=0, max_size=3),
+)
+def test_fts_matches_model(spark, docs, q_words, ops):
+    parts = [q_words[0]]
+    for i, w in enumerate(q_words[1:]):
+        parts.append(ops[i % len(ops)] if ops else "&")
+        parts.append(w)
+    query = " ".join(parts)
+    df = spark.createDataFrame(list(enumerate(docs)), ["id", "t"])
+    got = {r.id for r in fts_filter(df, "t", query).collect()}
+    want = {i for i, t in enumerate(docs) if _fts_model(t, query)}
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(docs=st.lists(texts, min_size=2, max_size=8))
+def test_jaccard_pairs_match_model(spark, docs):
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.jac
+        for r in D.ngram_jaccard_pairs(
+            df, "text", "doc_id", n=2, threshold=0.0
+        ).collect()
+    }
+
+    def sh(t):
+        toks = [x for x in t.replace(",", "").split(" ") if x]
+        return {
+            " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+        }
+
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = sh(docs[i]), sh(docs[j])
+            inter = len(a & b)
+            if not a or not b or inter == 0:
+                assert (i, j) not in got
+            else:
+                assert round(inter / len(a | b), 6) == got[(i, j)]
+
+
+@settings(**SETTINGS)
+@given(docs=st.lists(texts, min_size=1, max_size=8))
+def test_simhash_permutation_invariant_for_identical_bags(spark, docs):
+    # Identical documents always get identical simhash; and simhash is a
+    # function of the token multiset (order-invariant).
+    rows = [(i, d) for i, d in enumerate(docs)]
+    rows += [(100 + i, " ".join(reversed(d.split(" ")))) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sims = {r.id: r.simhash for r in D.simhash(df, "text", "doc_id")
+            .withColumnRenamed("id", "id").collect()}
+    for i in range(len(docs)):
+        assert sims[i] == sims[100 + i]
