@@ -528,13 +528,17 @@ def embedding_near_dup_pairs(
     mat = mat / np.where(norms == 0, 1.0, norms)
     bc = emb.sparkSession.sparkContext.broadcast((ids, mat))
 
+    from hash_db_spark.functions.rounding import round_half_away
+
     def block(batches):
         bids, bmat = bc.value
         for pdf in batches:
             v = np.array(list(pdf[vec_col]), dtype=np.float64)
             n = np.linalg.norm(v, axis=1, keepdims=True)
             v = v / np.where(n == 0, 1.0, n)
-            cos = np.round(v @ bmat.T, 6)
+            # round_half_away, not np.round: SQL oracles round half away
+            # from zero, numpy rounds half to even.
+            cos = round_half_away(v @ bmat.T, 6)
             rid = pdf[id_col].to_numpy()
             out_a, out_b, out_c = [], [], []
             for i in range(len(rid)):

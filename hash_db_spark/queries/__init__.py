@@ -38,6 +38,7 @@ def all_queries() -> dict[str, Query]:
         skew_queries,
         temporal_queries,
         text_queries,
+        udf_queries,
     )
 
     registry: dict[str, Query] = {}
@@ -54,6 +55,7 @@ def all_queries() -> dict[str, Query]:
         multimodal_queries,
         ansi_queries,
         skew_queries,
+        udf_queries,
     ):
         overlap = registry.keys() & mod.QUERIES.keys()
         if overlap:

@@ -381,7 +381,28 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — Spark percentile() and
+    DuckDB quantile_cont share the definition). Spark also offers
+    percentile_approx for sketch-based scale; exact is used here because
+    approx algorithms differ cross-engine and cannot hash-match."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+    )
+
+
+PERCENTILES_ORACLE = """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
+    "percentiles": Query(q_percentiles, PERCENTILES_ORACLE),
     "select_where_eq": Query(
         q_select_where_eq,
         "SELECT c_custkey, c_name, c_acctbal FROM customer "
