@@ -34,6 +34,7 @@ def all_queries() -> dict[str, Query]:
         kv_queries,
         multimodal_queries,
         relational_queries,
+        sampling_queries,
         similarity_queries,
         skew_queries,
         temporal_queries,
@@ -56,6 +57,7 @@ def all_queries() -> dict[str, Query]:
         ansi_queries,
         skew_queries,
         udf_queries,
+        sampling_queries,
     ):
         overlap = registry.keys() & mod.QUERIES.keys()
         if overlap:

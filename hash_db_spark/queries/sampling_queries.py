@@ -1,0 +1,135 @@
+"""Driver-checkable queries: deterministic sampling/splits + reshaping
+(pivot, grouping sets, time-series gap filling)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from hash_db_spark.catalog import load_table, register_views
+from hash_db_spark.operators import sampling as SM
+from hash_db_spark.queries import Query
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return SM.hash_sample(docs, "doc_id", 0.25).select("doc_id", "lang")
+
+
+def q_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    split = SM.train_val_test(docs, "doc_id", val=0.1, test=0.05)
+    return split.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = SM.stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "fr": 1.0, "de": 1.0, "es": 1.0, "zh": 1.0}
+    )
+    return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+STRATIFIED_ORACLE = f"""
+SELECT lang, count(*) AS n FROM documents
+WHERE {SM.sql_bucket('doc_id')} <
+  (CASE WHEN lang = 'en' THEN {int(0.5 * SM.BUCKETS)} ELSE {SM.BUCKETS} END)
+GROUP BY lang
+"""
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order counts: rows = orderpriority, columns = status."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — totals by segment, by nation, and grand."""
+    register_views(spark, sf_dir)
+    return spark.sql(GROUPING_SETS_SQL)
+
+
+GROUPING_SETS_SQL = """
+SELECT c_mktsegment, c_nationkey, round(sum(c_acctbal), 2) AS bal, count(*) AS n
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+"""
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: dense daily spine via sequence+explode
+    (DuckDB: generate_series), left join daily counts, zero-fill."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    daily = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return spine.join(daily, "day", "left").select(
+        "day", F.coalesce("n", F.lit(0)).alias("n")
+    )
+
+
+GAP_FILL_ORACLE = """
+WITH bounds AS (
+  SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS lo,
+         CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS hi
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+),
+daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+)
+SELECT s.day, COALESCE(d.n, 0) AS n
+FROM spine s LEFT JOIN daily d ON d.day = s.day
+"""
+
+
+QUERIES = {
+    "hash_sample": Query(
+        q_hash_sample,
+        f"SELECT doc_id, lang FROM documents "
+        f"WHERE {SM.sql_bucket('doc_id')} < {int(0.25 * SM.BUCKETS)}",
+    ),
+    "train_val_test": Query(
+        q_train_val_test,
+        f"SELECT {SM.sql_train_val_test('doc_id', 0.1, 0.05)} AS split, "
+        f"count(*) AS n FROM documents GROUP BY 1",
+    ),
+    "stratified_sample": Query(q_stratified_sample, STRATIFIED_ORACLE),
+    "pivot_counts": Query(q_pivot, PIVOT_ORACLE),
+    "grouping_sets": Query(q_grouping_sets, GROUPING_SETS_SQL),
+    "gap_fill": Query(q_gap_fill, GAP_FILL_ORACLE),
+}
