@@ -256,7 +256,20 @@ class SqlEngine:
         if where_s:
             eqs, fts = self._parse_wheres(where_s)
             for ref, val in eqs:
-                df = df.filter(self._resolve(scope, ref) == F.lit(val))
+                _, fld = ref.split(".", 1)
+                if fld.startswith("~"):
+                    # Document path predicate: t.~hobbies[]~name = v
+                    # (example.py:324-335) — explode the path, filter the
+                    # leaf, keep one row per matching element.
+                    from hash_db_spark.operators.documents import filter_path
+
+                    leaf = fld.split("~")[-1]
+                    keep = [c for c in df.columns]
+                    df = filter_path(
+                        df, fld.lstrip("~"), val, *keep, leaf_alias=f"__m_{leaf}"
+                    ).drop(f"__m_{leaf}")
+                else:
+                    df = df.filter(self._resolve(scope, ref) == F.lit(val))
             for ref, q in fts:
                 _, fld = ref.split(".", 1)
                 df = df.filter(compile_fts(fld, q))
@@ -275,9 +288,17 @@ class SqlEngine:
         for c in cols_s.split(","):
             c = c.strip()
             if "." in c:
-                out_cols.append(c.split(".", 1)[1])
-            else:
-                out_cols.append(c)
+                c = c.split(".", 1)[1]
+            if c.startswith("~"):
+                # Document path projection: select people.~hobbies[]~name
+                # (example.py:341-344) — one output row per leaf.
+                from hash_db_spark.operators.documents import compile_path
+
+                leaf = c.split("~")[-1]
+                df, col = compile_path(df, c.lstrip("~"), leaf)
+                df = df.withColumn(leaf, col)
+                c = leaf
+            out_cols.append(c)
         # Projection skips rows missing a selected field
         # (client.py:655-661) — under our schema: dropna on selection.
         return df.select(*out_cols).dropna(how="any")

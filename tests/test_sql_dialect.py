@@ -112,6 +112,32 @@ def test_typed_equality_not_prefix(engine):
     assert sorted(r.people_name for r in got.collect()) == ["Lee", "Sam"]
 
 
+def test_document_path_sql(engine, spark):
+    # example.py:308-344 — the people JSON doc queried via ~hobbies[]~name,
+    # using the reference's own SQL syntax through the dialect engine.
+    engine.tables["people_docs"] = spark.createDataFrame(
+        [
+            (1, "Sam Squire", 32,
+             [{"name": "God"}, {"name": "databases"}, {"name": "computers"}]),
+            (2, "Other", 20, [{"name": "sports"}]),
+        ],
+        "doc_id long, name string, age long, "
+        "hobbies array<struct<name: string>>",
+    )
+    got = engine.sql(
+        "select * from people_docs where people_docs.~hobbies[]~name = 'God'"
+    ).collect()
+    assert len(got) == 1 and got[0].doc_id == 1
+
+    hobbies = engine.sql(
+        "select people_docs.doc_id, people_docs.~hobbies[]~name from people_docs"
+    )
+    rows = {(r.doc_id, r.name) for r in hobbies.collect()}
+    assert rows == {
+        (1, "God"), (1, "databases"), (1, "computers"), (2, "sports"),
+    }
+
+
 def test_bad_statements_raise(engine):
     with pytest.raises(ValueError):
         engine.sql("drop table people")
