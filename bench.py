@@ -55,6 +55,11 @@ HEADLINE: list[str] = [
     "tumbling_daily",
     # multimodal
     "multimodal_features",
+    # sampling / reshaping / UDF surface
+    "hash_sample",
+    "gap_fill",
+    "udf_pandas_scalar",
+    "profile_columns",
 ]
 
 

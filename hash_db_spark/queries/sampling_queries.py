@@ -117,7 +117,22 @@ FROM spine s LEFT JOIN daily d ON d.day = s.day
 """
 
 
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the documents table in one aggregation."""
+    from hash_db_spark.functions.profiling import profile_columns
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_columns(docs, ["lang", "source", "n_chars"])
+
+
+def _profile_oracle() -> str:
+    from hash_db_spark.functions.profiling import sql_profile_columns
+
+    return sql_profile_columns("documents", ["lang", "source", "n_chars"])
+
+
 QUERIES = {
+    "profile_columns": Query(q_profile_columns, _profile_oracle()),
     "hash_sample": Query(
         q_hash_sample,
         f"SELECT doc_id, lang FROM documents "
