@@ -130,6 +130,40 @@ def run_stream_to_memory(
     return stream_df.sparkSession.table(name)
 
 
+def stateful_user_counter(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    a per-user cumulative event counter + running value sum whose state
+    persists across micro-batches (the escape hatch for operators the
+    built-in windows can't express — SURVEY §7's custom-operator tier).
+
+    State is one (count, total) pair per user — bounded by user
+    cardinality; at scale add a timeout to expire idle keys."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        cnt, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((cnt, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [cnt],
+                "sum_value": [round(total, 2)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="cnt long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def materialized_view_stream(
     events: DataFrame, dim: DataFrame, on, agg_cols: list
 ) -> DataFrame:

@@ -38,6 +38,44 @@ def test_stored_kv_gets_pushdown(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, q.collect())) == sorted(map(tuple, derived.collect()))
 
 
+def test_stateful_operator_accumulates_across_microbatches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: per-user state must carry across 4
+    micro-batches; the latest emitted row per user equals the batch
+    groupBy aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "ev_state")
+    ev.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = W.run_stream_to_memory(
+        W.stateful_user_counter(stream), output_mode="update"
+    )
+    # update-mode memory sink appends one row per (user, batch) — the
+    # final state per user is the row with the max count.
+    latest = (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("sum_value").alias("sum_value"),
+        )
+    )
+    batch = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    got = {(r.user_id, r.n_events) for r in latest.collect()}
+    want = {(r.user_id, r.n_events) for r in batch.collect()}
+    assert got == want
+    # sums agree within rounding noise of per-batch accumulation order
+    sums_got = {r.user_id: r.sum_value for r in latest.collect()}
+    for r in batch.collect():
+        assert abs(sums_got[r.user_id] - r.sum_value) < 0.05, r
+
+
 def test_streaming_multiple_microbatches_matches_batch(spark, sf_dir, tmp_path):
     """Split events into 4 files, stream with maxFilesPerTrigger=1 →
     4 micro-batches of incremental state updates; the final windowed
