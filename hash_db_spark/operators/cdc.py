@@ -1,0 +1,47 @@
+"""Changelog application: UPDATE/DELETE on immutable storage
+(SURVEY §7 "what's hard" — the reference mutates trie entries in place,
+/root/reference/client.py:483-546; Parquet is immutable, so mutation
+becomes a *changelog* merged at read time and compacted periodically —
+exactly the Delta/Iceberg MERGE model, implemented engine-level).
+
+A change row is (key, version, op, <columns>) with op ∈ {upsert, delete}.
+``latest_view`` computes current state: union base (version 0) with the
+log, keep the highest-version row per key, drop deletes. One shuffle on
+the key; at scale the log is tiny next to the base and AQE broadcasts it
+into the window stage. ``compact`` materializes the view back to a plain
+table (log truncation point).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+OP_UPSERT = "upsert"
+OP_DELETE = "delete"
+
+
+def latest_view(
+    base: DataFrame, changes: DataFrame, key: str, version: str = "version"
+) -> DataFrame:
+    """Current state = base ⊎ changes, last version per key wins,
+    deletes removed. ``changes`` carries (key, version, op, data cols);
+    base rows are implicit (version 0, op upsert)."""
+    base_tagged = base.withColumn(version, F.lit(0).cast("long")).withColumn(
+        "op", F.lit(OP_UPSERT)
+    )
+    unioned = base_tagged.unionByName(changes, allowMissingColumns=True)
+    w = Window.partitionBy(key).orderBy(F.col(version).desc())
+    return (
+        unioned.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("op") == OP_UPSERT))
+        .drop("__rn", "op", version)
+    )
+
+
+def compact(
+    base: DataFrame, changes: DataFrame, key: str, version: str = "version"
+) -> DataFrame:
+    """Materialize the latest view (what a maintenance job writes back,
+    truncating the log)."""
+    return latest_view(base, changes, key, version)

@@ -401,8 +401,39 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q_cdc_latest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog merge: update one supplier's balance twice (later version
+    wins), delete another, insert a new one — read the current state."""
+    from hash_db_spark.operators import cdc
+
+    sup = _t(spark, sf_dir, "supplier")
+    changes = spark.createDataFrame(
+        [
+            (1, 1, "upsert", "Supplier#1-v1", 0, 111.0),
+            (1, 2, "upsert", "Supplier#1-v2", 0, 222.0),  # later wins
+            (2, 1, "delete", None, None, None),
+            (9001, 1, "upsert", "NewSupplier", 3, 50.0),
+        ],
+        "s_suppkey long, version long, op string, "
+        "s_name string, s_nationkey int, s_acctbal double",
+    )
+    return cdc.latest_view(sup, changes, "s_suppkey")
+
+
+CDC_ORACLE = """
+SELECT s_suppkey, 'Supplier#1-v2' AS s_name, 0 AS s_nationkey, 222.0 AS s_acctbal
+FROM supplier WHERE s_suppkey = 1
+UNION ALL
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+WHERE s_suppkey NOT IN (1, 2)
+UNION ALL
+SELECT 9001, 'NewSupplier', 3, 50.0
+"""
+
+
 QUERIES = {
     "percentiles": Query(q_percentiles, PERCENTILES_ORACLE),
+    "cdc_latest_view": Query(q_cdc_latest_view, CDC_ORACLE),
     "select_where_eq": Query(
         q_select_where_eq,
         "SELECT c_custkey, c_name, c_acctbal FROM customer "

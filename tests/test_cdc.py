@@ -1,0 +1,53 @@
+"""Changelog-application semantics: last version wins, deletes remove,
+re-insert after delete resurrects, base is implicit version 0."""
+
+from __future__ import annotations
+
+import pytest
+
+from hash_db_spark.operators import cdc
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    return spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], ["id", "name"]
+    )
+
+
+def rows(df):
+    return {(r.id, r.name) for r in df.collect()}
+
+
+def test_update_delete_insert(spark, base):
+    changes = spark.createDataFrame(
+        [
+            (1, 1, "upsert", "alpha-v2"),
+            (2, 1, "delete", None),
+            (4, 1, "upsert", "delta"),
+        ],
+        "id long, version long, op string, name string",
+    )
+    got = rows(cdc.latest_view(base, changes, "id"))
+    assert got == {(1, "alpha-v2"), (3, "gamma"), (4, "delta")}
+
+
+def test_last_version_wins_and_resurrection(spark, base):
+    changes = spark.createDataFrame(
+        [
+            (1, 1, "delete", None),
+            (1, 2, "upsert", "alpha-back"),   # resurrect after delete
+            (3, 5, "upsert", "gamma-v5"),
+            (3, 4, "upsert", "gamma-v4"),     # stale, ignored
+        ],
+        "id long, version long, op string, name string",
+    )
+    got = rows(cdc.latest_view(base, changes, "id"))
+    assert got == {(1, "alpha-back"), (2, "beta"), (3, "gamma-v5")}
+
+
+def test_empty_changelog_is_identity(spark, base):
+    changes = spark.createDataFrame(
+        [], "id long, version long, op string, name string"
+    )
+    assert rows(cdc.latest_view(base, changes, "id")) == rows(base)
