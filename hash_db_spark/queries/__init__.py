@@ -27,6 +27,7 @@ class Query:
 def all_queries() -> dict[str, Query]:
     from hash_db_spark.queries import (
         ansi_queries,
+        array_queries,
         dedup_queries,
         dialect_queries,
         document_queries,
@@ -58,6 +59,7 @@ def all_queries() -> dict[str, Query]:
         skew_queries,
         udf_queries,
         sampling_queries,
+        array_queries,
     ):
         overlap = registry.keys() & mod.QUERIES.keys()
         if overlap:

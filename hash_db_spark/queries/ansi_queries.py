@@ -123,6 +123,51 @@ PASSTHROUGH: dict[str, str] = {
                     AS nation_rank
         FROM customer WHERE c_custkey <= 200
     """,
+    # TPC-H Q4 shape: EXISTS-correlated priority count.
+    "ansi_q4_order_priority": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_quantity > 48
+          )
+        GROUP BY o_orderpriority
+    """,
+    # TPC-H Q12 shape: CASE-split counts after a join.
+    "ansi_q12_priority_split": """
+        SELECT l_returnflag,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_returnflag
+    """,
+    # TPC-H Q14 shape: conditional revenue share (single-row ratio).
+    "ansi_q14_promo_share": """
+        SELECT round(
+                 100.0 * sum(CASE WHEN p_type = 'PROMO'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+    # Self-join: same-customer order pairs placed within 10 days.
+    "ansi_self_join_pairs": """
+        SELECT a.o_custkey AS custkey, a.o_orderkey AS k1, b.o_orderkey AS k2
+        FROM orders a JOIN orders b
+          ON a.o_custkey = b.o_custkey
+         AND b.o_orderkey > a.o_orderkey
+         AND b.o_orderdate >= a.o_orderdate
+         AND b.o_orderdate < a.o_orderdate + INTERVAL 10 DAY
+        WHERE a.o_custkey <= 100
+    """,
     # HAVING over a join + IN-list predicate.
     "ansi_having_in": """
         SELECT n_name, count(*) AS n_cust
