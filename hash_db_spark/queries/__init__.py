@@ -43,23 +43,27 @@ def all_queries() -> dict[str, Query]:
         udf_queries,
     )
 
+    # Module order matters: the driver verifies registry entries in order and
+    # caps the run (CORRECTNESS_r01 stopped at exactly the first 50 entries).
+    # Rotate so families the driver has not yet verified run FIRST; families
+    # already green in a previous round's CORRECTNESS file run last.
     registry: dict[str, Query] = {}
     for mod in (
+        document_queries,
+        graph_queries,
+        dialect_queries,
+        temporal_queries,
+        multimodal_queries,
+        udf_queries,
+        sampling_queries,
+        array_queries,
+        skew_queries,
+        ansi_queries,
         kv_queries,
         relational_queries,
         text_queries,
         dedup_queries,
         similarity_queries,
-        document_queries,
-        graph_queries,
-        temporal_queries,
-        dialect_queries,
-        multimodal_queries,
-        ansi_queries,
-        skew_queries,
-        udf_queries,
-        sampling_queries,
-        array_queries,
     ):
         overlap = registry.keys() & mod.QUERIES.keys()
         if overlap:
