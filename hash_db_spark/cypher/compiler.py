@@ -5,10 +5,13 @@ and candidate-chain intersection on ONE data node
 (/root/reference/client.py:894-1186, placement server.py:1146-1156). Here a
 pattern compiles to a join DAG over two DataFrames:
 
-    nodes(id, label, name)      edges(src, dst, rel)
+    nodes(id, label, name, attrs map<string,string>)
+    edges(src, dst, rel)
 
 - each pattern variable becomes one join of ``nodes`` (filtered by label /
-  attributes) — G4;
+  attributes; non-name attributes probe the free-form ``attrs`` map the
+  way the reference consults its inverted attribute index,
+  client.py:772-778, 876-891) — G4;
 - each relationship becomes one join of ``edges`` on (src, dst) according
   to arrow direction — G5 (1-hop matmul ≡ edge equijoin);
 - a variable appearing in several triples is *bound*: all constraints join
@@ -41,11 +44,18 @@ class CypherCompiler:
 
     # -- MATCH --------------------------------------------------------------
 
-    def match(self, parser: CypherParser, with_names: bool = False) -> DataFrame:
+    def match(
+        self,
+        parser: CypherParser,
+        with_names: bool = False,
+        with_attrs: bool = False,
+    ) -> DataFrame:
         """Compile chains to a join DAG; returns one column per returned
         variable (node id). With ``with_names`` each returned variable
-        also projects a ``<var>_name`` column (the reference returns whole
-        node objects, client.py:1198-1219 — name is the identity attr)."""
+        also projects a ``<var>_name`` column; with ``with_attrs`` it also
+        projects ``<var>_attrs``, the node's full attribute dict rendered
+        canonically as 'k=v;k=v' with keys sorted (the reference returns
+        whole node objects incl. the attribute dict, client.py:1198-1219)."""
         # Merge per-variable constraints across all occurrences.
         constraints: dict[str, Node] = {}
         anon_count = 0
@@ -78,7 +88,13 @@ class CypherCompiler:
             if c.label:
                 df = df.filter(F.col("label") == c.label)
             for k, v in c.attributes.items():
-                df = df.filter(F.col(k) == v)
+                if k == "name":
+                    df = df.filter(F.col("name") == v)
+                else:
+                    # Free-form attribute: map probe (missing key -> NULL
+                    # -> row filtered), the reference's attribute-index
+                    # lookup (client.py:876-891).
+                    df = df.filter(F.element_at(F.col("attrs"), k) == v)
             return df.select(F.col("id").alias(var))
 
         result: DataFrame | None = None
@@ -130,12 +146,34 @@ class CypherCompiler:
         if missing:
             raise ValueError(f"return of unbound variables: {missing}")
         out = result.select(*out_vars).distinct()
-        if with_names:
-            for v in out_vars:
-                names = self.nodes.select(
-                    F.col("id").alias(v), F.col("name").alias(f"{v}_name")
+        if with_names or with_attrs:
+            proj = [F.col("id")]
+            if with_names:
+                proj.append(F.col("name"))
+            if with_attrs:
+                # Canonical sorted 'k=v;k=v' rendering — deterministic
+                # across engines (map iteration order is not).
+                proj.append(
+                    F.concat_ws(
+                        ";",
+                        F.array_sort(
+                            F.transform(
+                                F.map_entries(F.col("attrs")),
+                                lambda e: F.concat(
+                                    e["key"], F.lit("="), e["value"]
+                                ),
+                            )
+                        ),
+                    ).alias("attrs_str")
                 )
-                out = out.join(names, v)
+            node_proj = self.nodes.select(*proj)
+            for v in out_vars:
+                cols = [F.col("id").alias(v)]
+                if with_names:
+                    cols.append(F.col("name").alias(f"{v}_name"))
+                if with_attrs:
+                    cols.append(F.col("attrs_str").alias(f"{v}_attrs"))
+                out = out.join(node_proj.select(*cols), v)
         return out
 
     # -- MERGE --------------------------------------------------------------
@@ -155,7 +193,13 @@ class CypherCompiler:
         also what the Delta path does.
         """
         spark = self.nodes.sparkSession
-        new_nodes, new_edges = [], []
+        # Driver-side first-wins dedupe: a pattern mentioning the same
+        # (label, name) node in several chains (or repeating an edge) must
+        # contribute ONE delta row — the anti-join only filters against
+        # pre-existing frames, and first-occurrence-wins matches the
+        # reference's find-else-create (the second mention finds the first).
+        new_nodes: dict[str, tuple] = {}
+        new_edges: dict[tuple, tuple] = {}
         for chain in parser.chains:
             seq: list[Node | Edge] = list(chain)
             for item in seq:
@@ -164,17 +208,26 @@ class CypherCompiler:
                     if name is None:
                         raise ValueError("merge nodes need a name attribute")
                     label = item.label or "Node"
-                    new_nodes.append((f"{label.lower()}:{name}", label, name))
+                    attrs = {
+                        k: v for k, v in item.attributes.items() if k != "name"
+                    }
+                    nid = f"{label.lower()}:{name}"
+                    new_nodes.setdefault(nid, (nid, label, name, attrs))
             for i in range(0, len(seq) - 2, 2):
                 n1, edge, n2 = seq[i], seq[i + 1], seq[i + 2]
                 assert isinstance(edge, Edge)
                 id1 = f"{(n1.label or 'Node').lower()}:{n1.attributes['name']}"
                 id2 = f"{(n2.label or 'Node').lower()}:{n2.attributes['name']}"
                 src, dst = (id1, id2) if edge.direction == "right" else (id2, id1)
-                new_edges.append((src, dst, edge.name))
+                new_edges.setdefault((src, dst, edge.name), (src, dst, edge.name))
 
-        nodes_delta = spark.createDataFrame(new_nodes, ["id", "label", "name"])
-        edges_delta = spark.createDataFrame(new_edges, ["src", "dst", "rel"])
+        nodes_delta = spark.createDataFrame(
+            list(new_nodes.values()),
+            "id string, label string, name string, attrs map<string,string>",
+        )
+        edges_delta = spark.createDataFrame(
+            list(new_edges.values()), "src string, dst string, rel string"
+        )
         nodes_out = self.nodes.unionByName(
             nodes_delta.join(self.nodes.select("id"), "id", "left_anti"),
             allowMissingColumns=True,
@@ -186,6 +239,24 @@ class CypherCompiler:
             nodes_out.localCheckpoint(eager=True),
             edges_out.localCheckpoint(eager=True),
         )
+
+    def merge_many(self, statements: list[str]) -> tuple[DataFrame, DataFrame]:
+        """Apply a sequence of MERGE statements as ONE batched upsert.
+
+        Sequential MERGEs are monotone insert-if-absent (find-else-create,
+        first occurrence's attributes win), so folding all statement deltas
+        driver-side in order and applying a single anti-join + union +
+        checkpoint is result-identical to running them one by one — and one
+        shuffle instead of N (the bulk-ingest shape for scale).
+        """
+        merged = CypherParser()
+        merged.kind = "merge"
+        for stmt in statements:
+            p = CypherParser().parse(stmt)
+            if p.kind != "merge":
+                raise ValueError(f"merge_many got non-merge: {stmt!r}")
+            merged.chains.extend(p.chains)
+        return self.merge(merged)
 
     # -- entry --------------------------------------------------------------
 

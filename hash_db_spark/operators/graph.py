@@ -14,6 +14,19 @@ are oracle-checkable:
     Customer customer:<c_custkey>   Supplier -[:FROM]-> Nation
     Supplier supplier:<s_suppkey>
 
+Nodes carry a free-form ``attrs map<string,string>`` mirroring the
+reference's per-node attribute dict + inverted attribute index
+(client.py:772-778, find_nodes_from_attributes client.py:876-891):
+
+    Nation    {region: <r_name>}
+    Customer  {nation: <n_name>, segment: <c_mktsegment>}
+    Supplier  {nation: <n_name>}
+    Region    {}  (empty map)
+
+At scale the map column filters with ``element_at`` — a per-row map probe,
+no join — and a dedicated attribute index is just a bucketed projection of
+``explode(attrs)`` if ever needed.
+
 Both tables partition/broadcast like any DataFrame — no single-node
 placement (reference routes each graph to one node by key,
 server.py:1146-1156).
@@ -28,25 +41,42 @@ from hash_db_spark.catalog import load_table
 
 
 def graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation_region = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(load_table(spark, sf_dir, "region")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
     region = load_table(spark, sf_dir, "region").select(
         F.concat(F.lit("region:"), F.col("r_name")).alias("id"),
         F.lit("Region").alias("label"),
         F.col("r_name").alias("name"),
+        F.create_map().cast("map<string,string>").alias("attrs"),
     )
-    nation = load_table(spark, sf_dir, "nation").select(
+    nation = nation_region.select(
         F.concat(F.lit("nation:"), F.col("n_name")).alias("id"),
         F.lit("Nation").alias("label"),
         F.col("n_name").alias("name"),
+        F.create_map(F.lit("region"), F.col("r_name")).alias("attrs"),
     )
-    customer = load_table(spark, sf_dir, "customer").select(
+    customer = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(load_table(spark, sf_dir, "nation")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select(
         F.concat(F.lit("customer:"), F.col("c_custkey").cast("string")).alias("id"),
         F.lit("Customer").alias("label"),
         F.col("c_name").alias("name"),
+        F.create_map(
+            F.lit("nation"), F.col("n_name"),
+            F.lit("segment"), F.col("c_mktsegment"),
+        ).alias("attrs"),
     )
-    supplier = load_table(spark, sf_dir, "supplier").select(
+    supplier = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(load_table(spark, sf_dir, "nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select(
         F.concat(F.lit("supplier:"), F.col("s_suppkey").cast("string")).alias("id"),
         F.lit("Supplier").alias("label"),
         F.col("s_name").alias("name"),
+        F.create_map(F.lit("nation"), F.col("n_name")).alias("attrs"),
     )
     return region.unionByName(nation).unionByName(customer).unionByName(supplier)
 
@@ -81,15 +111,28 @@ def graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # DuckDB CTEs mirroring the two views, prefixed into graph oracle SQL.
+# Attribute parity: per-label attr columns for filtering, plus attrs_str —
+# the canonical 'k=v;k=v' (keys sorted) rendering the compiler projects
+# for whole-node RETURN (compiler.match with_attrs).
 GRAPH_ORACLE_CTES = """
 gnodes AS (
-  SELECT 'region:' || r_name AS id, 'Region' AS label, r_name AS name FROM region
+  SELECT 'region:' || r_name AS id, 'Region' AS label, r_name AS name,
+         CAST(NULL AS VARCHAR) AS a_nation, CAST(NULL AS VARCHAR) AS a_segment,
+         CAST(NULL AS VARCHAR) AS a_region, '' AS attrs_str
+  FROM region
   UNION ALL
-  SELECT 'nation:' || n_name, 'Nation', n_name FROM nation
+  SELECT 'nation:' || n_name, 'Nation', n_name,
+         NULL, NULL, r_name, 'region=' || r_name
+  FROM nation JOIN region ON n_regionkey = r_regionkey
   UNION ALL
-  SELECT 'customer:' || CAST(c_custkey AS VARCHAR), 'Customer', c_name FROM customer
+  SELECT 'customer:' || CAST(c_custkey AS VARCHAR), 'Customer', c_name,
+         n_name, c_mktsegment, NULL,
+         'nation=' || n_name || ';segment=' || c_mktsegment
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
   UNION ALL
-  SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR), 'Supplier', s_name FROM supplier
+  SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR), 'Supplier', s_name,
+         n_name, NULL, NULL, 'nation=' || n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
 ),
 gedges AS (
   SELECT 'nation:' || n_name AS src, 'region:' || r_name AS dst, 'IN' AS rel

@@ -81,6 +81,98 @@ def q_cypher_return_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.match(p, with_names=True)
 
 
+def q_cypher_attr_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 generic attributes: match on non-name attrs via the node attrs
+    map (reference finds nodes through its inverted attribute index,
+    client.py:876-891)."""
+    return _compiler(spark, sf_dir).run(
+        "match (c:Customer {segment: 'BUILDING'})-[:FROM]->"
+        "(n:Nation {region: 'ASIA'}) return c, n"
+    )
+
+
+def q_cypher_return_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 whole-node objects: id + name + full attribute dict per returned
+    var (reference returns node dicts incl. attributes,
+    client.py:1198-1219); attrs render canonically as sorted 'k=v;k=v'."""
+    from hash_db_spark.cypher import CypherParser
+
+    comp = _compiler(spark, sf_dir)
+    p = CypherParser().parse(
+        "match (s:Supplier)-[:FROM]->(n:Nation {region: 'EUROPE'}) "
+        "return s, n"
+    )
+    return comp.match(p, with_names=True, with_attrs=True)
+
+
+def _empty_graph(spark: SparkSession) -> CypherCompiler:
+    nodes = spark.createDataFrame(
+        [], "id string, label string, name string, attrs map<string,string>"
+    )
+    edges = spark.createDataFrame([], "src string, dst string, rel string")
+    return CypherCompiler(nodes, edges)
+
+
+def q_cypher_merge_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 with attribute storage: MERGE persists non-name attributes on the
+    node; MATCH finds the node by that attribute alone and returns the
+    whole node object."""
+    from hash_db_spark.cypher import CypherParser
+
+    comp = _empty_graph(spark)
+    nodes2, edges2 = comp.run(
+        "merge (p:Person {name: 'Sally', age: '30'})-[:KNOWS]->"
+        "(q:Person {name: 'Bob', age: '40'})"
+    )
+    p = CypherParser().parse("match (p:Person {age: '30'}) return p")
+    return CypherCompiler(nodes2, edges2).match(p, with_names=True, with_attrs=True)
+
+
+# example.py:241-261 social graph, verbatim statement order.
+SOCIAL_MERGES = [
+    "merge (person:Person {'name': 'Samuel'})-[:FRIEND]->(tasya:Person {'name': 'Tasya'})",
+    "merge (person:Person {'name': 'Tasya'})-[:FRIEND]->(obj:Person {'name': 'Samuel'})",
+    "merge (person:Person {'name': 'Samuel'})-[:FRIEND]->(obj:Person {'name': 'Simon'})",
+    "merge (person:Person {'name': 'Simon'})-[:FRIEND]->(obj:Person {'name': 'Samuel'})",
+    "merge (person:Person {'name': 'Samuel'})-[:FRIEND]->(obj:Person {'name': 'John'})",
+    "merge (person:Person {'name': 'Simon'})-[:FRIEND]->(obj:Person {'name': 'Sally'})",
+    "merge (person:Person {'name': 'Sally'})-[:FRIEND]->(obj:Person {'name': 'Simon'})",
+    "merge (person:Person {'name': 'Tasya'})-[:FRIEND]->(obj:Person {'name': 'Margaret'})",
+    "merge (person:Person {'name': 'Margaret'})-[:FRIEND]->(obj:Person {'name': 'Tasya'})",
+    "merge (person:Person {'name': 'Samuel'})-[:LIKES]->(obj:Post {'name': 'Ideas'})",
+    "merge (person:Person {'name': 'Tasya'})-[:POSTED]->(obj:Post {'name': 'Ideas'})",
+    "merge (person:Person {'name': 'Tasya'})-[:POSTED]->(obj:Post {'name': 'Lamentations'})",
+    "merge (person:Person {'name': 'Tasya'})-[:POSTED]->(obj:Post {'name': 'Love'})",
+    "merge (person:Person {'name': 'Tasya'})-[:POSTED]->(obj:Post {'name': 'Thoughts'})",
+    "merge (person:Person {'name': 'Samuel'})-[:LIKES]->(obj:Post {'name': 'Thoughts'})",
+    "merge (person:Person {'name': 'Tasya'})-[:LIKES]->(obj:Food {'name': 'Pocky'})",
+    "merge (person:Post {'name': 'Ideas'})-[:REFERS]->(obj:Person {'name': 'Margaret'})",
+    "merge (person:Post {'name': 'Thoughts'})-[:REFERS]->(obj:Person {'name': 'John'})",
+    "merge (person:Post {'name': 'Samuel'})-[:LIKES]->(obj:Post {'name': 'Love'})",
+]
+
+SOCIAL_MATCH = (
+    "match (start:Person)-[:FRIEND]->(end:Person), "
+    "(start)-[:LIKES]->(post:Post), "
+    "(end)-[:POSTED]->(post:Post), "
+    "(post:Post)-[:REFERS]->(person:Person) "
+    "return start, end, post, person"
+)
+
+
+def q_cypher_social_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """example.py:241-281 end-to-end: the 19 MERGE statements applied in
+    order to an empty graph, then the 4-triple MATCH. Labels keep Post
+    'Samuel' distinct from Person 'Samuel' (documented divergence — the
+    reference's attribute-only lookup merges them)."""
+    comp = _empty_graph(spark)
+    # One batched upsert — result-identical to sequential statements (merge
+    # is monotone insert-if-absent; tests/test_cypher.py proves the
+    # sequential path) and one shuffle instead of 19.
+    nodes, edges = comp.merge_many(SOCIAL_MERGES)
+    return CypherCompiler(nodes, edges).run(SOCIAL_MATCH)
+
+
 def _g(sql: str) -> str:
     return f"WITH {GRAPH_ORACLE_CTES} {sql}"
 
@@ -148,5 +240,69 @@ QUERIES = {
             "  AND b.name = 'EUROPE' "
             "WHERE e.rel = 'IN'"
         ),
+    ),
+    "cypher_attr_match": Query(
+        q_cypher_attr_match,
+        _g(
+            "SELECT DISTINCT e.src AS c, e.dst AS n FROM gedges e "
+            "JOIN gnodes a ON a.id = e.src AND a.label = 'Customer' "
+            "  AND a.a_segment = 'BUILDING' "
+            "JOIN gnodes b ON b.id = e.dst AND b.label = 'Nation' "
+            "  AND b.a_region = 'ASIA' "
+            "WHERE e.rel = 'FROM'"
+        ),
+    ),
+    "cypher_return_attrs": Query(
+        q_cypher_return_attrs,
+        _g(
+            "SELECT DISTINCT e.src AS s, a.name AS s_name, "
+            "a.attrs_str AS s_attrs, e.dst AS n, b.name AS n_name, "
+            "b.attrs_str AS n_attrs "
+            "FROM gedges e "
+            "JOIN gnodes a ON a.id = e.src AND a.label = 'Supplier' "
+            "JOIN gnodes b ON b.id = e.dst AND b.label = 'Nation' "
+            "  AND b.a_region = 'EUROPE' "
+            "WHERE e.rel = 'FROM'"
+        ),
+    ),
+    "cypher_merge_attrs": Query(
+        q_cypher_merge_attrs,
+        "SELECT 'person:Sally' AS p, 'Sally' AS p_name, 'age=30' AS p_attrs",
+    ),
+    "cypher_social_graph": Query(
+        q_cypher_social_graph,
+        # The 19 merges produce exactly these directed edges; the oracle
+        # replays the 4-triple join over them (label = id prefix).
+        """
+        WITH e(src, dst, rel) AS (VALUES
+          ('person:Samuel','person:Tasya','FRIEND'),
+          ('person:Tasya','person:Samuel','FRIEND'),
+          ('person:Samuel','person:Simon','FRIEND'),
+          ('person:Simon','person:Samuel','FRIEND'),
+          ('person:Samuel','person:John','FRIEND'),
+          ('person:Simon','person:Sally','FRIEND'),
+          ('person:Sally','person:Simon','FRIEND'),
+          ('person:Tasya','person:Margaret','FRIEND'),
+          ('person:Margaret','person:Tasya','FRIEND'),
+          ('person:Samuel','post:Ideas','LIKES'),
+          ('person:Tasya','post:Ideas','POSTED'),
+          ('person:Tasya','post:Lamentations','POSTED'),
+          ('person:Tasya','post:Love','POSTED'),
+          ('person:Tasya','post:Thoughts','POSTED'),
+          ('person:Samuel','post:Thoughts','LIKES'),
+          ('person:Tasya','food:Pocky','LIKES'),
+          ('post:Ideas','person:Margaret','REFERS'),
+          ('post:Thoughts','person:John','REFERS'),
+          ('post:Samuel','post:Love','LIKES'))
+        SELECT DISTINCT f.src AS start, f.dst AS "end",
+               l.dst AS post, r.dst AS person
+        FROM e f
+        JOIN e l ON l.src = f.src AND l.rel = 'LIKES'
+        JOIN e p2 ON p2.src = f.dst AND p2.dst = l.dst AND p2.rel = 'POSTED'
+        JOIN e r ON r.src = l.dst AND r.rel = 'REFERS'
+        WHERE f.rel = 'FRIEND'
+          AND f.src LIKE 'person:%' AND f.dst LIKE 'person:%'
+          AND l.dst LIKE 'post:%' AND r.dst LIKE 'person:%'
+        """,
     ),
 }

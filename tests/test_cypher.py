@@ -189,3 +189,107 @@ def test_document_path_compiler(spark):
         for r in D.select_path(docs, "hobbies[]~name", "hobby").collect()
     }
     assert hobbies == {"God", "databases", "computers", "sports"}
+
+
+# --- generic node attributes (reference client.py:772-778, 876-891) --------
+
+
+@pytest.fixture(scope="module")
+def attr_graph(spark):
+    from hash_db_spark.cypher import CypherCompiler
+
+    nodes = spark.createDataFrame(
+        [], "id string, label string, name string, attrs map<string,string>"
+    )
+    edges = spark.createDataFrame([], "src string, dst string, rel string")
+    nodes, edges = CypherCompiler(nodes, edges).merge_many([
+        "merge (p:Person {name: 'Sally', age: '30', city: 'Leeds'})"
+        "-[:KNOWS]->(q:Person {name: 'Bob', age: '40'})",
+        "merge (p:Person {name: 'Ann', age: '30'})-[:KNOWS]->"
+        "(q:Person {name: 'Sally'})",
+    ])
+    return CypherCompiler(nodes, edges)
+
+
+def test_match_by_attribute_only(attr_graph):
+    got = {r.p for r in attr_graph.run(
+        "match (p:Person {age: '30'}) return p").collect()}
+    assert got == {"person:Sally", "person:Ann"}
+
+
+def test_match_attribute_conjunction(attr_graph):
+    got = {r.p for r in attr_graph.run(
+        "match (p:Person {age: '30', city: 'Leeds'}) return p").collect()}
+    assert got == {"person:Sally"}
+
+
+def test_missing_attribute_matches_nothing(attr_graph):
+    assert attr_graph.run(
+        "match (p:Person {height: 'tall'}) return p").count() == 0
+
+
+def test_return_full_node_objects(attr_graph):
+    from hash_db_spark.cypher import CypherParser
+
+    p = CypherParser().parse("match (p:Person {age: '40'}) return p")
+    rows = attr_graph.match(p, with_names=True, with_attrs=True).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.p, r.p_name, r.p_attrs) == ("person:Bob", "Bob", "age=40")
+
+
+def test_merge_attrs_first_occurrence_wins(attr_graph):
+    # Sally appears twice (with attrs, then bare) — one node, attrs kept.
+    from hash_db_spark.cypher import CypherParser
+
+    p = CypherParser().parse("match (p:Person {city: 'Leeds'}) return p")
+    rows = attr_graph.match(p, with_attrs=True).collect()
+    assert len(rows) == 1
+    assert rows[0].p_attrs == "age=30;city=Leeds"
+
+
+def test_merge_single_statement_dedupes(spark):
+    # Same node mentioned in two chains of ONE statement -> one row, and
+    # a repeated edge -> one row (regression for delta-dedupe).
+    from hash_db_spark.cypher import CypherCompiler
+
+    nodes = spark.createDataFrame(
+        [], "id string, label string, name string, attrs map<string,string>"
+    )
+    edges = spark.createDataFrame([], "src string, dst string, rel string")
+    nodes, edges = CypherCompiler(nodes, edges).run(
+        "merge (a:Person {name: 'X'})-[:KNOWS]->(b:Person {name: 'Y'}), "
+        "(a2:Person {name: 'X'})-[:KNOWS]->(b2:Person {name: 'Y'})"
+    )
+    assert nodes.count() == 2
+    assert edges.count() == 1
+
+
+def test_merge_many_equals_sequential(spark):
+    from hash_db_spark.cypher import CypherCompiler
+
+    stmts = [
+        f"merge (p:Person {{'name': '{a}'}})-[:{rel}]->"
+        f"(q:Person {{'name': '{b}'}})"
+        for a, rel, b in MERGES
+    ]
+    empty_n = spark.createDataFrame(
+        [], "id string, label string, name string, attrs map<string,string>"
+    )
+    empty_e = spark.createDataFrame([], "src string, dst string, rel string")
+
+    n_seq, e_seq = empty_n, empty_e
+    for s in stmts:
+        n_seq, e_seq = CypherCompiler(n_seq, e_seq).run(s)
+    n_bat, e_bat = CypherCompiler(empty_n, empty_e).merge_many(stmts)
+
+    def canon_nodes(df):
+        return {
+            (r.id, r.label, r.name, tuple(sorted((r.attrs or {}).items())))
+            for r in df.collect()
+        }
+
+    assert canon_nodes(n_seq) == canon_nodes(n_bat)
+    assert {tuple(r) for r in e_seq.collect()} == {
+        tuple(r) for r in e_bat.collect()
+    }
