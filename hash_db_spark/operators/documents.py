@@ -32,6 +32,28 @@ def rehydrate(df: DataFrame, struct_col: str, out_col: str = "json") -> DataFram
     return df.withColumn(out_col, F.to_json(F.col(struct_col)))
 
 
+def infer_schema(df: DataFrame, json_col: str, sample: int = 1024):
+    """D1 without a caller-supplied schema: infer the nested schema from
+    the data itself. The reference builds a type registry by walking every
+    document's keys/values (server.py:196-229); the Spark-native
+    equivalent is distributed JSON schema inference — ``read.json`` parses
+    each sampled document and merges the per-document schemas (union of
+    keys, widened types), exactly the registry the reference accumulates.
+
+    The sample is bounded (default 1024 docs) so inference stays O(sample)
+    at any corpus size; pass a larger sample for long-tail keys."""
+    strings = (
+        df.select(json_col).where(F.col(json_col).isNotNull()).limit(sample)
+    )
+    return df.sparkSession.read.json(strings.rdd.map(lambda r: r[0])).schema
+
+
+def shred_infer(df: DataFrame, json_col: str, sample: int = 1024) -> DataFrame:
+    """D1 with schema inference: shred a JSON-string column using the
+    schema inferred from a sample of the column itself."""
+    return shred(df, json_col, infer_schema(df, json_col, sample))
+
+
 def json_get(col: Column | str, path: str) -> Column:
     """Point JSON-path extraction from a JSON string column (no shred
     needed for shallow reads)."""

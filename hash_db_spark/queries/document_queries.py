@@ -133,6 +133,57 @@ def q_doc_path_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_shred_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 with schema inference: heterogeneous JSON docs (the 'vip' field
+    only exists on some documents — to_json drops nulls) are shredded with
+    NO caller-supplied schema; inference merges per-document shapes the
+    way the reference's type registry does (server.py:196-229)."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    orders = load_table(spark, sf_dir, "orders")
+    hobbies = (
+        orders.groupBy("o_custkey")
+        .agg(F.array_sort(F.collect_set(F.col("o_orderpriority"))).alias("ps"))
+        .select(
+            "o_custkey",
+            F.transform(F.col("ps"), lambda p: F.struct(p.alias("name"))).alias(
+                "hobbies"
+            ),
+        )
+    )
+    docs = cust.join(hobbies, cust.c_custkey == hobbies.o_custkey).select(
+        "c_custkey",
+        F.to_json(
+            F.struct(
+                F.col("c_name").alias("name"),
+                F.col("c_acctbal").alias("acctbal"),
+                F.when(F.col("c_acctbal") > 5000, F.lit("Y")).alias("vip"),
+                F.col("hobbies"),
+            )
+        ).alias("doc"),
+    )
+    shredded = D.shred_infer(docs, "doc")
+    return shredded.select(
+        "c_custkey",
+        F.col("doc").getField("name").alias("name"),
+        F.col("doc").getField("acctbal").alias("acctbal"),
+        F.col("doc").getField("vip").alias("vip"),
+        F.size(F.col("doc").getField("hobbies")).cast("bigint").alias("n_hobbies"),
+    )
+
+
+DOC_SHRED_INFER_ORACLE = """
+SELECT c_custkey, c_name AS name, c_acctbal AS acctbal,
+       CASE WHEN c_acctbal > 5000 THEN 'Y' END AS vip,
+       n_hobbies
+FROM customer
+JOIN (
+  SELECT o_custkey, count(DISTINCT o_orderpriority) AS n_hobbies
+  FROM orders GROUP BY o_custkey
+) h ON o_custkey = c_custkey
+WHERE c_custkey <= 300
+"""
+
+
 DOC_TWO_LEVEL_ORACLE = """
 SELECT c_custkey, o_orderkey AS okey, l_linenumber AS line, l_quantity AS qty
 FROM customer
@@ -170,4 +221,5 @@ QUERIES = {
         "FROM customer JOIN orders ON o_custkey = c_custkey",
     ),
     "doc_path_two_level": Query(q_doc_path_two_level, DOC_TWO_LEVEL_ORACLE),
+    "doc_shred_infer": Query(q_doc_shred_infer, DOC_SHRED_INFER_ORACLE),
 }

@@ -293,3 +293,30 @@ def test_merge_many_equals_sequential(spark):
     assert {tuple(r) for r in e_seq.collect()} == {
         tuple(r) for r in e_bat.collect()
     }
+
+
+def test_shred_infer_merges_heterogeneous_schemas(spark):
+    from hash_db_spark.operators import documents as D
+
+    df = spark.createDataFrame(
+        [
+            ('{"a": 1, "b": "x"}',),
+            ('{"a": 2, "c": [1, 2]}',),
+            ('{"a": 3, "b": "y", "d": {"e": 4.5}}',),
+        ],
+        "doc string",
+    )
+    out = D.shred_infer(df, "doc")
+    fields = dict(
+        (f.name, f.dataType.simpleString())
+        for f in out.schema["doc"].dataType.fields
+    )
+    # Union of keys across documents, types widened per-field.
+    assert fields == {
+        "a": "bigint", "b": "string", "c": "array<bigint>",
+        "d": "struct<e:double>",
+    }
+    rows = {r.doc.a: r.doc for r in out.collect()}
+    assert rows[1].b == "x" and rows[1].c is None
+    assert rows[2].c == [1, 2] and rows[2].b is None
+    assert rows[3].d.e == 4.5
