@@ -260,43 +260,93 @@ def topk_ivf(
 ) -> DataFrame:
     """IVF top-k: assign corpus to nearest centroid cell, probe the
     ``nprobe`` nearest cells per query, exact re-rank inside them.
-    Returns (qid, vec_id, cos, rank)."""
+    Returns (qid, vec_id, cos, rank).
+
+    Plan shape — ONE Arrow/BLAS pass over the corpus:
+
+    1. centroids + query vectors are tiny dimensions: collected once,
+       probe cells computed driver-side in numpy;
+    2. a single ``mapInPandas`` block assigns each corpus vector to its
+       cell (rows x centroids matmul) AND scores it against exactly the
+       queries probing that cell (rows x queries matmul + boolean
+       membership mask) — map-side only, no join, no shuffle, output
+       proportional to the candidate set;
+    3. the only shuffle is the final per-query top-k window over
+       candidates (~nprobe/ncells of the corpus per query).
+
+    The previous Column formulation cross-joined broadcast centroids
+    against every row and scored with zip_with/aggregate, which Spark
+    evaluates interpreted — measured slower than brute force at sf0.1.
+
+    Oracle parity: cosine rounded half-away to 6dp before every
+    comparison; centroid ties resolve to the lowest cid (argmax over a
+    cid-sorted matrix = first max), probe ties via lexsort on (cid asc,
+    cos desc) — exactly the SQL oracle's row_number ordering.
+    """
+    import numpy as np
+
+    from hash_db_spark.functions.rounding import round_half_away
+
     corpus = emb.select(F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("v"))
-    cents = corpus.filter(F.col("vec_id") % stride == 0).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+
+    def _norm_rows(m: np.ndarray) -> np.ndarray:
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        return m / np.where(n == 0, 1.0, n)
+
+    # Centroids: a tiny broadcast dimension (an offline k-means artifact at
+    # scale; deterministic subset here keeps the oracle exact).
+    cent_rows = sorted(
+        corpus.filter(F.col("vec_id") % stride == 0).collect(),
+        key=lambda r: r[0],
+    )
+    cids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    cmat = _norm_rows(np.array([r[1] for r in cent_rows], dtype=np.float64))
+
+    # Query vectors: tiny (len(query_ids) rows, isin pushed to the scan).
+    q_rows = sorted(
+        corpus.filter(F.col("vec_id").isin(query_ids)).collect(),
+        key=lambda r: r[0],
+    )
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qmat = _norm_rows(np.array([r[1] for r in q_rows], dtype=np.float64))
+
+    # Probe cells per query, driver-side; probe_mask[cell_idx][query_idx].
+    qcos = round_half_away(qmat @ cmat.T, 6)
+    probe_mask = np.zeros((len(cids), len(qids)), dtype=bool)
+    for qi in range(len(qids)):
+        for ci in np.lexsort((cids, -qcos[qi]))[:nprobe]:
+            probe_mask[ci, qi] = True
+
+    bc = emb.sparkSession.sparkContext.broadcast(
+        (cids, cmat, qids, qmat, probe_mask)
     )
 
-    def nearest_cells(points: DataFrame, pid: str, pv: str, n: int, out: str) -> DataFrame:
-        scored = F.broadcast(cents).crossJoin(points).select(
-            F.col(pid),
-            F.col("cid"),
-            F.round(cosine(F.col(pv), F.col("cv")), 6).alias("ccos"),
-        )
-        w = Window.partitionBy(pid).orderBy(F.col("ccos").desc(), F.col("cid").asc())
-        return (
-            scored.withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") <= n)
-            .select(pid, F.col("cid").alias(out))
-        )
+    def block(batches):
+        import pandas as pd
 
-    assignment = nearest_cells(corpus, "vec_id", "v", 1, "cell")
-    corpus_cells = corpus.join(assignment, "vec_id")
+        bcids, bcmat, bqids, bqmat, bmask = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = _norm_rows(np.array(list(pdf["v"]), dtype=np.float64))
+            # round_half_away, not np.round: SQL oracles round half away
+            # from zero, numpy rounds half to even.
+            cell_idx = round_half_away(v @ bcmat.T, 6).argmax(axis=1)
+            qcos_rows = round_half_away(v @ bqmat.T, 6)
+            vids = pdf["vec_id"].to_numpy()
+            # (row, query) candidate pairs: query probes the row's cell
+            # and is not the row itself.
+            mask = bmask[cell_idx] & (vids[:, None] != bqids[None, :])
+            ri, qi = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "qid": bqids[qi],
+                    "vec_id": vids[ri],
+                    "cos": qcos_rows[ri, qi],
+                }
+            )
 
-    queries = corpus.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
-    )
-    probes = nearest_cells(queries, "qid", "qv", nprobe, "cell")
-
-    cands = (
-        F.broadcast(queries.join(probes, "qid"))
-        .join(corpus_cells, "cell")
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "qv", "vec_id", "v")
-        .distinct()
-    )
-    scored = cands.select(
-        "qid", "vec_id", F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos")
-    )
+    scored = corpus.mapInPandas(block, "qid long, vec_id long, cos double")
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
