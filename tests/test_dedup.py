@@ -91,3 +91,36 @@ def test_embedding_near_dup(spark):
     }
     assert set(pairs) == {(1, 2)}
     assert pairs[(1, 2)] == pytest.approx(0.9939, abs=1e-3)
+
+
+def test_ngram_hot_shingle_cap(spark):
+    from hash_db_spark.operators import dedup as D
+
+    # One trigram ('alpha beta gamma') appears in EVERY doc — at corpus
+    # scale this is the quadratic skew bomb (k docs -> k^2 candidate
+    # rows). With the doc-frequency cap the filler docs never meet (their
+    # only shared shingle is hot, and their true jaccard is ~0 anyway),
+    # while the genuine dup pair is still found through its non-hot
+    # shingles and scores its TRUE jaccard from the full shingle arrays.
+    common = "alpha beta gamma"
+    rows = [
+        (i, f"{common} unique{i} token{i} word{i} extra{i}")
+        for i in range(30)
+    ]
+    rows.append((100, f"{common} delta epsilon zeta eta"))
+    rows.append((101, f"{common} delta epsilon zeta eta"))
+    df = spark.createDataFrame(rows, "doc_id long, body string")
+
+    out = D.ngram_jaccard_pairs(
+        df, "body", "doc_id", threshold=0.5, max_doc_freq=5
+    )
+    got = {(r.id_a, r.id_b, r.jac) for r in out.collect()}
+    assert got == {(100, 101, 1.0)}
+
+    # Uncapped produces the identical result here (the cap only prunes
+    # candidates that verification would reject) — result-identical, just
+    # without the k^2 hot-shingle join blowup.
+    uncapped = D.ngram_jaccard_pairs(
+        df, "body", "doc_id", threshold=0.5, max_doc_freq=10**9
+    )
+    assert {(r.id_a, r.id_b, r.jac) for r in uncapped.collect()} == got
