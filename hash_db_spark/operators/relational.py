@@ -91,11 +91,47 @@ def insert_rows(table: DataFrame, new_rows: DataFrame, id_col: str = "id") -> Da
       allowMissingColumns — absent fields become NULL on old rows);
     - ids are max(id) + a deterministic dense rank over the new batch's
       natural order, not a single counter bottleneck.
+
+    Id assignment is distributed: the batch is range-partitioned on its
+    natural order, each partition ranks locally (Window PARTITIONED BY the
+    physical partition — no single-task global Window), and per-partition
+    offsets are added from a tiny O(num_partitions) driver-side count.
+    Equal global ids to a global row_number whenever the order is total;
+    ties within equal keys land in the same range partition, so id *sets*
+    are deterministic either way. The max(id) lookup is a single-row
+    aggregate (not a scale concern); on Delta-backed storage this whole
+    function is an append with an id-service column.
     """
     start = (table.agg(F.coalesce(F.max(id_col), F.lit(0)).alias("m")).collect()[0]["m"])
-    order_cols = [c for c in new_rows.columns if c != id_col]
-    w = Window.orderBy(*[F.col(c) for c in order_cols])
-    withid = new_rows.withColumn(id_col, F.lit(start) + F.row_number().over(w))
+    order_cols = [F.col(c) for c in new_rows.columns if c != id_col]
+    # Materialize the ranged batch once: range boundaries come from a
+    # sampling pass, and the offset-count job plus the final plan must see
+    # the SAME partitioning (also truncates lineage, as a real ingest
+    # commit would).
+    ranged = (
+        new_rows.repartitionByRange(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    off_expr = F.coalesce(
+        *[F.when(F.col("__pid") == pid, F.lit(off)) for pid, off in offsets.items()],
+        F.lit(0),
+    ) if offsets else F.lit(0)
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    withid = (
+        ranged.withColumn(
+            id_col, F.lit(start) + off_expr + F.row_number().over(w)
+        )
+        .drop("__pid")
+    )
     return table.unionByName(withid, allowMissingColumns=True)
 
 

@@ -64,3 +64,31 @@ def test_kv_store_layout(spark, sf_dir, tmp_path):
         ).collect())
     )
     assert sorted(map(tuple, q.collect())) == want
+
+
+def test_insert_rows_no_global_window(spark):
+    """Bulk insert must not funnel the batch through one task: the id
+    Window is partitioned by the physical range partition, so the plan
+    may not contain an un-partitioned (SinglePartition) Window exchange."""
+    from hash_db_spark.operators import relational as R
+    from hash_db_spark.plans.inspect import formatted_plan
+
+    table = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") * 2).alias("val")
+    )
+    batch = spark.range(0, 10000).select(
+        (F.col("id") * 7 % 9999).alias("val")
+    ).repartition(8)
+    out = R.insert_rows(table, batch, id_col="id")
+    plan = formatted_plan(out)
+    assert "Window" in plan
+    # A global Window compiles to Exchange SinglePartition feeding the
+    # Window operator — that exchange must be gone.
+    assert "Exchange SinglePartition" not in plan
+
+    # ids remain contiguous and deterministic: max(id)+1 .. max(id)+n.
+    ids = sorted(r.id for r in out.collect())
+    assert ids[:3] == [0, 1, 2]
+    new_ids = ids[100:]
+    assert new_ids[0] == 100 and new_ids[-1] == 99 + 10000
+    assert len(set(new_ids)) == 10000
