@@ -75,7 +75,12 @@ def main() -> None:
         # Warm: build the plan once (catalog reads, param collects).
         df = fn(spark, SF_DIR)
         t0 = time.perf_counter()
-        df.count()
+        # noop sink, NOT count(): count lets Catalyst prune every
+        # projection not needed for counting (pandas UDFs, computed text
+        # columns), under-measuring the actual query work. The noop
+        # writer materializes every output column without driver
+        # serialization.
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)

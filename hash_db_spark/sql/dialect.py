@@ -51,7 +51,10 @@ def _lit(token: str):
     if re.fullmatch(r"[0-9]+", token):
         return int(token)
     if re.fullmatch(r"[0-9.]+", token):
-        return float(token)
+        try:
+            return float(token)
+        except ValueError as exc:  # e.g. '1.2.3'
+            raise ValueError(f"dialect: malformed numeric literal {token!r}") from exc
     return token
 
 
@@ -277,10 +280,12 @@ class SqlEngine:
         if group_s:
             key = group_s.split(".", 1)[1] if "." in group_s else group_s
             agg_wanted = "count(*)" in cols_s.lower()
-            out = df.groupBy(key)
             if agg_wanted:
-                return out.agg(F.count(F.lit(1)).alias("cnt"))
-            return out.agg()
+                return df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+            # GROUP BY with no aggregate in the select list = distinct
+            # keys (GroupedData.agg() with zero expressions is a runtime
+            # error in pyspark).
+            return df.select(key).distinct()
 
         if cols_s.strip() == "*":
             return df

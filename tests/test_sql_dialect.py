@@ -143,3 +143,17 @@ def test_bad_statements_raise(engine):
         engine.sql("drop table people")
     with pytest.raises(ValueError):
         engine.sql("select * from people where people.age >< 3")
+
+
+def test_group_by_without_aggregate_is_distinct_keys(engine):
+    got = engine.sql("select people.age from people group by people.age")
+    assert got.columns == ["age"]
+    expect = {
+        r.age for r in engine.tables["people"].select("age").distinct().collect()
+    }
+    assert {r.age for r in got.collect()} == expect and expect
+
+
+def test_malformed_numeric_literal_raises(engine):
+    with pytest.raises(ValueError, match="malformed numeric"):
+        engine.sql("select * from people where people.age = 1.2.3")
