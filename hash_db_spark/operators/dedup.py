@@ -81,6 +81,68 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def shingle_frame(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    n: int = 3,
+    with_hash: bool = False,
+) -> DataFrame:
+    """(id, sh[, hsh]) in ONE Arrow pass: tokenize, n-gram, distinct —
+    plus optionally hsh = md5-derived int64 per shingle (bit-identical to
+    the ``md5_hash64`` Column and ``sql_md5_hash64``).
+
+    Why not the ``shingles()`` Column expression: Spark evaluates
+    higher-order array functions interpreted, and the lambda's captured
+    token-split chain is re-evaluated per gram — measured ~28ms/doc for
+    50-token docs at sf0.1 (4-5x the whole pipeline budget). The Python
+    loop does the same work at ~20µs/doc; tokenization is character-
+    identical to ``clean_tokens``/``sql_clean_tokens`` (commas removed,
+    split on single spaces, empty tokens dropped), so DuckDB oracles
+    written against ``sql_shingles`` stay exact."""
+    import hashlib
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"id {id_type}, sh array<string>"
+    if with_hash:
+        schema += ", hsh array<bigint>"
+
+    def block(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, shs, hshs = [], [], []
+            for i, t in zip(pdf[id_col], pdf[col]):
+                toks = [x for x in (t or "").replace(",", "").split(" ") if x]
+                grams = (
+                    list(
+                        dict.fromkeys(
+                            " ".join(toks[j : j + n])
+                            for j in range(len(toks) - n + 1)
+                        )
+                    )
+                    if len(toks) >= n
+                    else []
+                )
+                ids.append(i)
+                shs.append(grams)
+                if with_hash:
+                    hshs.append(
+                        [
+                            int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+                            for g in grams
+                        ]
+                    )
+            out = {"id": ids, "sh": shs}
+            if with_hash:
+                out["hsh"] = hshs
+            yield pd.DataFrame(out)
+
+    return (
+        spread_for_cpu(df).select(id_col, col).mapInPandas(block, schema)
+    )
+
+
 def sql_shingles(col: str, n: int = 3) -> str:
     toks = sql_clean_tokens(col)
     parts = " || ' ' || ".join(f"t.toks[i+{k}]" for k in range(n))
@@ -155,8 +217,7 @@ def ngram_jaccard_pairs(
     """
     # Cached: the shingle arrays feed the postings (twice) and sizes.
     sh_arr = (
-        spread_for_cpu(df)
-        .select(F.col(id_col).alias("id"), shingles(col, n).alias("sh"))
+        shingle_frame(df, col, id_col, n)
         .filter(F.size("sh") > 0)
         .cache()
     )
@@ -334,10 +395,8 @@ def minhash_lsh_pairs(
     # into num_hashes transforms — without the cache barrier Catalyst
     # inlines the shingling ~3*num_hashes times per row.
     shingled = (
-        spread_for_cpu(df)
-        .select(F.col(id_col).alias("id"), shingles(col).alias("sh"))
+        shingle_frame(df, col, id_col, with_hash=True)
         .filter(F.size("sh") > 0)
-        .withColumn("hsh", F.transform(F.col("sh"), md5_hash64))
         .cache()
     )
     base = shingled.select(
