@@ -714,3 +714,86 @@ SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
 FROM {table} a JOIN {table} b ON a.{id_col} < b.{id_col}
 WHERE round(list_cosine_similarity(a.{vec_col}::DOUBLE[], b.{vec_col}::DOUBLE[]), 6) >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# 6. duplicate-cluster assignment (connected components over dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Assign every document appearing in a dup pair to a cluster labelled
+    by the smallest reachable id — the step a dedup pipeline needs after
+    pair generation (keep one representative per CLUSTER, not per pair:
+    pairs are not transitive-closed, A~B and B~C without A~C).
+
+    Min-label propagation: each round every node takes the min of its own
+    label and its neighbors' labels; converges in O(component diameter)
+    rounds — dup clusters are shallow (near-identical docs all pair with
+    each other), so a handful of rounds suffices even at corpus scale.
+    For adversarially long path-shaped components switch to the
+    large-star/small-star algorithm (O(log n) rounds); the per-round
+    plan here (one equijoin + one min-aggregate) is the same building
+    block. Each round is localCheckpoint()ed: the loop references the
+    previous labels twice, so an unmaterialized plan doubles per round.
+
+    Returns (id, cluster). Deterministic: labels are ids, min is
+    order-insensitive.
+    """
+    fwd = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (
+        fwd.unionByName(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select("a")
+        .distinct()
+        .select(F.col("a").alias("id"), F.col("a").alias("lab"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.withColumnRenamed("id", "b"), "b"
+        ).select(F.col("a").alias("id"), "lab")
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("lab").alias("cluster"))
+
+
+def sql_connected_components(pairs_sql: str) -> str:
+    """DuckDB oracle: transitive closure by recursive label reach over the
+    same pair set, then min reachable label per node."""
+    return f"""
+WITH RECURSIVE pairs AS (SELECT * FROM ({pairs_sql})),
+e AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS id FROM e),
+reach AS (
+  SELECT id, id AS lab FROM nodes
+  UNION
+  SELECT e.b AS id, reach.lab FROM reach JOIN e ON e.a = reach.id
+)
+SELECT id, min(lab) AS cluster FROM reach GROUP BY id
+"""

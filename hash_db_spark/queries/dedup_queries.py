@@ -80,6 +80,19 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignment over the MinHash dup pairs: connected
+    components, smallest reachable doc_id as the cluster label — the
+    keep-one-per-cluster step after pair generation."""
+    pairs = D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        threshold=JACCARD_T,
+    )
+    return D.connected_components(pairs)
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=COSINE_T
@@ -99,6 +112,14 @@ QUERIES = {
         q_dedup_minhash_lsh,
         D.sql_minhash_lsh_pairs(
             "documents", "text", "doc_id", threshold=JACCARD_T
+        ),
+    ),
+    "dedup_components": Query(
+        q_dedup_components,
+        D.sql_connected_components(
+            D.sql_minhash_lsh_pairs(
+                "documents", "text", "doc_id", threshold=JACCARD_T
+            )
         ),
     ),
     "dedup_simhash": Query(

@@ -124,3 +124,27 @@ def test_ngram_hot_shingle_cap(spark):
         df, "body", "doc_id", threshold=0.5, max_doc_freq=10**9
     )
     assert {(r.id_a, r.id_b, r.jac) for r in uncapped.collect()} == got
+
+
+def test_connected_components_shapes(spark):
+    from hash_db_spark.operators import dedup as D
+
+    # chain 1-2-3-4, star 10-(11,12,13), pair 20-21, plus A~B, B~C
+    # without A~C (the non-transitive case clustering exists for).
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),
+            (10, 11), (10, 12), (10, 13),
+            (20, 21),
+        ],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r.id, r.cluster)
+        for r in D.connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10), (13, 10),
+        (20, 20), (21, 20),
+    }
