@@ -38,11 +38,15 @@ HEADLINE: list[str] = [
     # FTS + text analysis
     "fts_mixed",
     "text_quality",
+    "text_repetition",
+    "contamination_check",
+    "top_ngrams_per_lang",
     # dedup
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "dedup_embedding",
+    "dedup_components",
     # similarity
     "sim_topk_brute",
     "sim_topk_ivf",

@@ -9,6 +9,7 @@ import pyspark.sql.functions as F
 from hash_db_spark.catalog import load_table
 from hash_db_spark.operators.fts import compile_fts_oracle, fts_filter
 from hash_db_spark.functions import text as T
+from hash_db_spark.operators.dedup import sql_shingles
 from hash_db_spark.queries import Query
 
 
@@ -152,6 +153,127 @@ FROM documents
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/repetition score: share of repeated word trigrams
+    (1 - distinct/total). High values flag template-generated or looping
+    text — a standard pretraining quality filter. One Arrow pass
+    (tokenize + gram-count in Python; the Column HOF form re-evaluates
+    the token chain per gram — see dedup.shingle_frame); rounding via
+    round_half_away for oracle parity."""
+    from hash_db_spark.functions.rounding import round_half_away
+    from hash_db_spark.operators.dedup import spread_for_cpu
+
+    docs = _docs(spark, sf_dir)
+
+    def block(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for t in pdf["text"]:
+                toks = [x for x in (t or "").replace(",", "").split(" ") if x]
+                total = len(toks) - 2
+                if total > 0:
+                    distinct = len({
+                        " ".join(toks[j : j + 3]) for j in range(total)
+                    })
+                    out.append(
+                        float(round_half_away((total - distinct) / total, 6))
+                    )
+                else:
+                    out.append(0.0)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "rep_ratio": out})
+
+    return spread_for_cpu(docs).select("doc_id", "text").mapInPandas(
+        block, "doc_id long, rep_ratio double"
+    )
+
+
+TEXT_REPETITION_ORACLE = f"""
+SELECT doc_id,
+       CASE WHEN {T.sql_token_count('text')} - 2 > 0
+            THEN round(
+              CAST({T.sql_token_count('text')} - 2
+                   - len({sql_shingles('text', 3)}) AS DOUBLE)
+              / ({T.sql_token_count('text')} - 2), 6)
+            ELSE 0.0 END AS rep_ratio
+FROM documents
+"""
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: docs sharing any word trigram with a
+    held-out 'benchmark' set (doc_id < 10 here), with the overlap count.
+    The benchmark gram set broadcasts; the corpus is touched once — the
+    decontamination shape for a 100 TB crawl vs a fixed eval suite."""
+    from hash_db_spark.operators.dedup import shingle_frame
+
+    docs = _docs(spark, sf_dir)
+    posts = shingle_frame(docs, "text", "doc_id").select(
+        "id", F.explode("sh").alias("s")
+    )
+    bench = posts.filter(F.col("id") < 10).select("s").distinct()
+    return (
+        posts.filter(F.col("id") >= 10)
+        .join(F.broadcast(bench), "s")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .select(F.col("id").alias("doc_id"), "n_overlap")
+    )
+
+
+CONTAMINATION_ORACLE = f"""
+WITH sh0 AS (
+  SELECT doc_id AS id, {sql_shingles('text', 3)} AS sh
+  FROM documents
+),
+posts AS (SELECT id, unnest(sh) AS s FROM sh0),
+bench AS (SELECT DISTINCT s FROM posts WHERE id < 10)
+SELECT id AS doc_id, count(*) AS n_overlap
+FROM posts WHERE id >= 10 AND s IN (SELECT s FROM bench)
+GROUP BY id
+"""
+
+
+def q_top_ngrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus analytics: 5 most frequent word trigrams per language
+    (count desc, gram asc tie-break) — vocabulary/boilerplate discovery
+    over the whole corpus; partial aggregation then one top-k window."""
+    from pyspark.sql import Window
+
+    from hash_db_spark.operators.dedup import shingle_frame
+
+    docs = _docs(spark, sf_dir)
+    posts = shingle_frame(docs, "text", "doc_id").select(
+        "id", F.explode("sh").alias("s")
+    )
+    counts = (
+        posts.join(docs.select(F.col("doc_id").alias("id"), "lang"), "id")
+        .groupBy("lang", "s")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("s").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", F.col("s").alias("gram"), "cnt", "rn")
+    )
+
+
+TOP_NGRAMS_ORACLE = f"""
+WITH sh0 AS (
+  SELECT doc_id AS id, lang, {sql_shingles('text', 3)} AS sh
+  FROM documents
+),
+posts AS (SELECT id, lang, unnest(sh) AS s FROM sh0),
+counts AS (SELECT lang, s, count(*) AS cnt FROM posts GROUP BY lang, s)
+SELECT lang, s AS gram, cnt, CAST(rn AS INT) AS rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, s ASC) AS rn
+  FROM counts
+) WHERE rn <= 5
+"""
+
+
 QUERIES = {
     "fts_and": Query(q_fts_and, _fts_oracle(FTS_AND, "doc_id, lang, source")),
     "fts_or": Query(q_fts_or, _fts_oracle(FTS_OR, "doc_id, lang")),
@@ -165,4 +287,7 @@ QUERIES = {
     "text_langid": Query(q_text_langid, TEXT_LANGID_ORACLE),
     "text_fingerprint": Query(q_text_fingerprint, TEXT_FP_ORACLE),
     "text_subword_tokens": Query(q_text_subword_tokens, TEXT_SUBWORD_ORACLE),
+    "text_repetition": Query(q_text_repetition, TEXT_REPETITION_ORACLE),
+    "contamination_check": Query(q_contamination_check, CONTAMINATION_ORACLE),
+    "top_ngrams_per_lang": Query(q_top_ngrams_per_lang, TOP_NGRAMS_ORACLE),
 }
