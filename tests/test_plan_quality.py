@@ -92,3 +92,33 @@ def test_insert_rows_no_global_window(spark):
     new_ids = ids[100:]
     assert new_ids[0] == 100 and new_ids[-1] == 99 + 10000
     assert len(set(new_ids)) == 10000
+
+
+def test_contamination_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark gram set must broadcast (corpus side is never
+    shuffled on the gram key at scale)."""
+    s = summarize(REG["contamination_check"].fn(spark, sf_dir))
+    assert s.broadcast_joins >= 1
+
+
+def test_ivf_single_pass_no_joins(spark, sf_dir):
+    """IVF top-k compiles to one Arrow pass over the corpus + a top-k
+    window: no join operators, at most the final window exchange."""
+    from hash_db_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(REG["sim_topk_ivf"].fn(spark, sf_dir))
+    assert "MapInPandas" in plan
+    for op in ("BroadcastHashJoin", "SortMergeJoin", "BroadcastNestedLoopJoin"):
+        assert op not in plan, f"unexpected {op} in IVF plan"
+
+
+def test_minhash_band_keys_are_integers(spark, sf_dir):
+    """Band-key fusion regression: the candidate equijoin key must stay a
+    bigint expression (no md5/concat in the band plan)."""
+    from hash_db_spark.operators.dedup import minhash_lsh_pairs
+    from hash_db_spark.catalog import load_table
+    from hash_db_spark.plans.inspect import formatted_plan
+
+    df = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(minhash_lsh_pairs(df, "text", "doc_id"))
+    assert "md5" not in plan.lower().replace("md5_hash", "")
