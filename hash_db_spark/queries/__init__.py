@@ -47,6 +47,14 @@ def all_queries() -> dict[str, Query]:
     # caps the run (CORRECTNESS_r01 stopped at exactly the first 50 entries).
     # Rotate so families the driver has not yet verified run FIRST; families
     # already green in a previous round's CORRECTNESS file run last.
+    # PRIORITY hoists individual never-verified entries (new this round)
+    # ahead of everything, regardless of their home module.
+    priority = [
+        "dedup_components",
+        "contamination_check",
+        "top_ngrams_per_lang",
+        "text_repetition",
+    ]
     registry: dict[str, Query] = {}
     for mod in (
         document_queries,
@@ -69,4 +77,6 @@ def all_queries() -> dict[str, Query]:
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         registry.update(mod.QUERIES)
-    return registry
+    ordered = {n: registry[n] for n in priority if n in registry}
+    ordered.update(registry)  # existing keys keep their (earlier) position
+    return ordered
