@@ -111,3 +111,103 @@ SELECT {id_col} AS media_id,
        CAST(('0x' || substr({fp}, 5, 4))::BIGINT % 1080 AS INT) AS pseudo_height
 FROM {table}
 """
+
+
+RESIZE_SCHEMA = "media_id long, out_w int, out_h int, n_bytes_out int, payload_hex string"
+
+
+def pseudo_resize(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Resize plumbing with the codec stubbed: the 'resized image' is the
+    payload truncated to out_w*out_h bytes (a real implementation decodes,
+    resamples, re-encodes inside the same Arrow block — the schema, batch
+    shape and output contract stay identical). Payload bytes are projected
+    as hex so the result is hash-comparable across engines."""
+    budget = out_w * out_h
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = [bytes(p)[:budget] for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "n_bytes_out": [len(o) for o in outs],
+                    "payload_hex": [o.hex() for o in outs],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, RESIZE_SCHEMA)
+
+
+def sql_pseudo_resize(
+    table: str, id_col: str, payload_text_col: str, out_w: int, out_h: int
+) -> str:
+    # DuckDB 1.0 has no substring(BLOB): slice the VARCHAR then encode.
+    # Byte-identical because the fixture text is pure ASCII (asserted:
+    # octet_length(encode(text)) == len(text) for every doc at every sf).
+    budget = out_w * out_h
+    blob = f"encode({payload_text_col})"
+    return f"""
+SELECT {id_col} AS media_id,
+       {out_w} AS out_w, {out_h} AS out_h,
+       CAST(least(octet_length({blob}), {budget}) AS INT) AS n_bytes_out,
+       lower(hex(encode(substring({payload_text_col}, 1, {budget})))) AS payload_hex
+FROM {table}
+"""
+
+
+def frame_sample(
+    media: DataFrame, frame_bytes: int, every_k: int
+) -> DataFrame:
+    """Video frame sampling plumbing: treat the payload as a sequence of
+    fixed-size frames and emit every k-th frame's bytes (hex). Pure
+    column expressions — sequence + transform for the sampled offsets,
+    posexplode, substring on binary — no Python in the loop; a real
+    container format swaps the offset arithmetic for an index parse in
+    an Arrow block, same output contract. Returns
+    (media_id, frame_no, frame_hex)."""
+    n_frames = F.floor(F.length("payload") / frame_bytes).cast("int")
+    # Guard zero-frame payloads: sequence(0, -1, +k) is an error in Spark;
+    # emit an empty array so explode drops the row (= DuckDB's empty range).
+    idx = F.when(
+        n_frames > 0,
+        F.sequence(F.lit(0), n_frames - 1, F.lit(every_k)),
+    ).otherwise(F.array().cast("array<int>"))
+    out = media.select(
+        "media_id",
+        "payload",
+        F.explode(idx).alias("frame_no"),
+    )
+    return out.select(
+        "media_id",
+        "frame_no",
+        F.lower(
+            F.hex(
+                F.expr(f"substring(payload, frame_no * {frame_bytes} + 1, {frame_bytes})")
+            )
+        ).alias("frame_hex"),
+    )
+
+
+def sql_frame_sample(
+    table: str, id_col: str, payload_text_col: str, frame_bytes: int, every_k: int
+) -> str:
+    # VARCHAR slicing (see sql_pseudo_resize: fixture text is pure ASCII,
+    # DuckDB 1.0 has no substring(BLOB)).
+    blob = f"encode({payload_text_col})"
+    return f"""
+WITH m AS (
+  SELECT {id_col} AS media_id, {payload_text_col} AS payload_txt,
+         CAST(floor(octet_length({blob}) / {frame_bytes}) AS INT) AS n_frames
+  FROM {table}
+),
+frames AS (
+  SELECT media_id, payload_txt,
+         unnest(range(0, greatest(n_frames, 0), {every_k})) AS frame_no
+  FROM m
+)
+SELECT media_id, CAST(frame_no AS INT) AS frame_no,
+       lower(hex(encode(substring(payload_txt, frame_no * {frame_bytes} + 1, {frame_bytes})))) AS frame_hex
+FROM frames
+"""

@@ -29,10 +29,46 @@ def q_multimodal_meta_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (codec stubbed): truncate-to-budget inside the
+    same Arrow block a real decoder/resampler would run in; payload
+    projected as hex for cross-engine hashing. Subset keeps the gate
+    cheap (full payload bytes cross into the result)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    media = M.media_table(docs, "doc_id", "text")
+    return M.pseudo_resize(media, 16, 16)
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: payload as fixed 64-byte frames,
+    every 3rd frame emitted — posexplode + binary substring, no Python."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    media = M.media_table(docs, "doc_id", "text")
+    return M.frame_sample(media, frame_bytes=64, every_k=3)
+
+
 QUERIES = {
     "multimodal_features": Query(
         q_multimodal_features,
         M.sql_extract_features("documents", "doc_id", "text"),
+    ),
+    "multimodal_resize": Query(
+        q_multimodal_resize,
+        M.sql_pseudo_resize(
+            "(SELECT * FROM documents WHERE doc_id < 200)",
+            "doc_id", "text", 16, 16,
+        ),
+    ),
+    "multimodal_frame_sample": Query(
+        q_multimodal_frame_sample,
+        M.sql_frame_sample(
+            "(SELECT * FROM documents WHERE doc_id < 200)",
+            "doc_id", "text", 64, 3,
+        ),
     ),
     "multimodal_meta_filter": Query(
         q_multimodal_meta_filter,
