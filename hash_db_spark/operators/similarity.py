@@ -403,3 +403,116 @@ SELECT qid, vec_id, cos, CAST(rank AS INT) AS rank FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+# --- LSH-banded near-dup pairs (the 100 TB path for embedding dedup) ---------
+
+
+def lsh_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    bits: int = LSH_BITS,
+    band_bits: int = LSH_BAND_BITS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs without broadcasting the corpus: candidates meet on
+    a (band, value) equijoin over the hyperplane signature — O(docs x
+    bands) shuffle, like the MinHash text path — then exact cosine
+    verifies each candidate pair. This replaces
+    dedup.embedding_near_dup_pairs (broadcast-bounded baseline) beyond
+    MAX_BROADCAST_VECTORS: recall is the banded-LSH guarantee instead of
+    exhaustive, which is the standard trade at corpus scale.
+
+    Returns (id_a, id_b, cos) with id_a < id_b, cos >= threshold, 6dp.
+    """
+    planes = hyperplanes(bits)
+    num_bands = bits // band_bits
+    sig = F.concat(*_signature_bits(_dvec(vec_col), planes))
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("v"), sig.alias("sig")
+    ).cache()
+    bands = base.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.substring(
+                            F.col("sig"), j * band_bits + 1, band_bits
+                        ).alias("val"),
+                    )
+                    for j in range(num_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    va = base.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def sql_lsh_near_dup_pairs(
+    threshold: float = 0.4,
+    bits: int = LSH_BITS,
+    band_bits: int = LSH_BAND_BITS,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    planes = hyperplanes(bits)
+    num_bands = bits // band_bits
+    bit_exprs = []
+    for plane in planes:
+        lit = "[" + ", ".join(f"{x:.1f}" for x in plane) + "]"
+        bit_exprs.append(
+            f"(CASE WHEN list_dot_product({vec_col}::DOUBLE[], {lit}) >= 0 "
+            f"THEN '1' ELSE '0' END)"
+        )
+    sig = " || ".join(bit_exprs)
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, v, {j} AS band, substr(sig, {j * band_bits + 1}, {band_bits}) AS val FROM base"
+        for j in range(num_bands)
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v, {sig} AS sig FROM {table}
+),
+bands AS ({band_selects}),
+cands AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.val = b.val AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT id_a, id_b,
+         round(list_cosine_similarity(va.v, vb.v), 6) AS cos
+  FROM cands
+  JOIN base va ON va.vec_id = id_a
+  JOIN base vb ON vb.vec_id = id_b
+)
+SELECT id_a, id_b, cos FROM scored WHERE cos >= {threshold}
+"""

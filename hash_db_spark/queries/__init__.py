@@ -54,6 +54,7 @@ def all_queries() -> dict[str, Query]:
         "contamination_check",
         "top_ngrams_per_lang",
         "text_repetition",
+        "dedup_embedding_lsh",
     ]
     registry: dict[str, Query] = {}
     for mod in (

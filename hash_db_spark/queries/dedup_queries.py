@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from hash_db_spark.catalog import load_table
 from hash_db_spark.operators import dedup as D
+from hash_db_spark.operators import similarity as S
 from hash_db_spark.functions.text import sql_fingerprint
 from hash_db_spark.queries import Query
 
@@ -99,6 +100,14 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for embedding near-dup: banded hyperplane LSH
+    candidates (no corpus broadcast), exact-cosine verify."""
+    return S.lsh_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=COSINE_T
+    )
+
+
 QUERIES = {
     "dedup_exact_groups": Query(q_dedup_exact_groups, EXACT_GROUPS_ORACLE),
     "dedup_exact_keep": Query(q_dedup_exact_keep, EXACT_KEEP_ORACLE),
@@ -113,6 +122,10 @@ QUERIES = {
         D.sql_minhash_lsh_pairs(
             "documents", "text", "doc_id", threshold=JACCARD_T
         ),
+    ),
+    "dedup_embedding_lsh": Query(
+        q_dedup_embedding_lsh,
+        S.sql_lsh_near_dup_pairs(threshold=COSINE_T),
     ),
     "dedup_components": Query(
         q_dedup_components,
