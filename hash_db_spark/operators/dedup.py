@@ -367,21 +367,29 @@ def minhash_signature(col: Column | str, num_hashes: int = NUM_HASHES) -> Column
     )
 
 
-def minhash_lsh_pairs(
+def minhash_index(
     df: DataFrame,
     col: str,
     id_col: str,
-    threshold: float = 0.5,
     num_hashes: int = NUM_HASHES,
     band_rows: int = BAND_ROWS,
-) -> DataFrame:
-    """Candidate pairs via banded LSH, verified with true shingle Jaccard.
+) -> tuple[DataFrame, DataFrame]:
+    """The reusable LSH index: returns (base, bands) where base =
+    (id, sh, sig) — shingle arrays + MinHash signature, cached — and
+    bands = (id, band, key) with fused integer band keys.
 
-    Shuffle profile: explode to docs×bands rows, equijoin on
-    (band_idx, band_key) — only same-bucket docs meet. Verification joins
-    candidates back to shingle sets (array_intersect on the two shingle
-    arrays — candidate count is small, so arrays-in-row beats re-exploding).
-    Returns (id_a, id_b, jac) with jac >= threshold.
+    Band key: key_j = sig[2j] * K + sig[2j+1] — one multiply-add instead
+    of a per-band md5 over string concat, and an 8-byte shuffle key.
+    Bounds: sig < P (~2^32), K ~2^30, so key < 2^62.1 — safe in Spark
+    longs AND in DuckDB BIGINT (which errors on overflow). Collisions
+    merely add candidates, and the oracle computes the identical key, so
+    candidate sets stay exactly equal.
+
+    Materialization: shingles are cached FIRST, then signatures derive
+    from the stored column — base is consumed multiple times and the
+    signature fans the shingle column into num_hashes transforms;
+    without the cache barrier Catalyst re-inlines the shingling
+    ~3*num_hashes times per row.
     """
     if band_rows > 2:
         raise ValueError(
@@ -389,11 +397,6 @@ def minhash_lsh_pairs(
             "overflows int64); widen MINHASH band fusion to md5 keys first"
         )
     num_bands = num_hashes // band_rows
-    # Materialize shingles once (cache), THEN derive signatures from the
-    # stored column: base is consumed three times (bands + both sides of
-    # the verification join), and the signature fans the shingle column
-    # into num_hashes transforms — without the cache barrier Catalyst
-    # inlines the shingling ~3*num_hashes times per row.
     shingled = (
         shingle_frame(df, col, id_col, with_hash=True)
         .filter(F.size("sh") > 0)
@@ -402,14 +405,6 @@ def minhash_lsh_pairs(
     base = shingled.select(
         "id", "sh", minhash_components(F.col("hsh"), num_hashes).alias("sig")
     ).cache()
-
-    # Fused integer band key: key_j = sig[2j] * K + sig[2j+1] — one
-    # multiply-add instead of a per-band md5 over string concat, and an
-    # 8-byte shuffle key instead of a 32-char hex string. Bounds: sig < P
-    # (~2^32), K ~2^30, so key < 2^62.1 — safe in Spark longs AND in
-    # DuckDB BIGINT (which errors on overflow). Collisions (different
-    # component pairs, same key) merely add candidates, and the oracle
-    # computes the identical key, so candidate sets stay exactly equal.
     bands = base.select(
         "id",
         F.explode(
@@ -431,7 +426,26 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    return base, bands
 
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = NUM_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """Candidate pairs via banded LSH, verified with true shingle Jaccard.
+
+    Shuffle profile: explode to docs×bands rows, equijoin on
+    (band_idx, band_key) — only same-bucket docs meet. Verification joins
+    candidates back to shingle sets (array_intersect on the two shingle
+    arrays — candidate count is small, so arrays-in-row beats re-exploding).
+    Returns (id_a, id_b, jac) with jac >= threshold.
+    """
+    base, bands = minhash_index(df, col, id_col, num_hashes, band_rows)
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(
@@ -455,6 +469,130 @@ def minhash_lsh_pairs(
         .filter(F.col("jac") >= threshold)
         .select("id_a", "id_b", "jac")
     )
+
+
+def minhash_pairs_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = NUM_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """Incremental dedup: match a NEW batch against an already-indexed
+    corpus without recomputing corpus x corpus pairs — the production
+    ingest shape (index once, probe per batch). The new batch's bands
+    broadcast (a batch is small by definition); the corpus index is only
+    scanned, never shuffled. Returns (new_id, old_id, jac >= threshold).
+
+    With a persisted index (sources.writers.write_band_index /
+    write_shingle_store) the corpus side reads straight from storage and
+    this whole operator touches no corpus text at all.
+    """
+    new_base, new_bands = minhash_index(
+        new_df, col, id_col, num_hashes, band_rows
+    )
+    corp_base, corp_bands = minhash_index(
+        corpus_df, col, id_col, num_hashes, band_rows
+    )
+    return minhash_pairs_against_index(
+        new_base, new_bands, corp_base, corp_bands, threshold
+    )
+
+
+def minhash_pairs_against_index(
+    new_base: DataFrame,
+    new_bands: DataFrame,
+    corpus_shingles: DataFrame,
+    corpus_bands: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Probe a (possibly persisted — sources.writers.read_minhash_index)
+    corpus LSH index with a new batch's index frames. Batch bands
+    broadcast; the corpus index is scanned, never shuffled."""
+    cands = (
+        F.broadcast(
+            new_bands.select(
+                F.col("id").alias("new_id"), "band", "key"
+            )
+        )
+        .join(
+            corpus_bands.select(F.col("id").alias("old_id"), "band", "key"),
+            ["band", "key"],
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    sh_new = new_base.select(F.col("id").alias("new_id"), F.col("sh").alias("sh_n"))
+    sh_old = corpus_shingles.select(
+        F.col("id").alias("old_id"), F.col("sh").alias("sh_o")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_n"), F.col("sh_o")))
+    union = F.size("sh_n") + F.size("sh_o") - inter
+    return (
+        cands.join(sh_new, "new_id")
+        .join(sh_old, "old_id")
+        .withColumn("jac", F.round(inter.cast("double") / union, 6))
+        .filter(F.col("jac") >= threshold)
+        .select("new_id", "old_id", "jac")
+    )
+
+
+def sql_minhash_pairs_against(
+    table: str,
+    col: str,
+    id_col: str,
+    new_pred: str,
+    corpus_pred: str,
+    threshold: float = 0.5,
+    num_hashes: int = NUM_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> str:
+    num_bands = num_hashes // band_rows
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(hsh, h -> ({a} * h + {b}) % {MINHASH_P})) AS h{i}"
+        for i, (a, b) in enumerate(_affine_constants(num_hashes))
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, {j} AS band, "
+        + " + ".join(
+            f"h{j * band_rows + r} * {BAND_KEY_MULT ** (band_rows - 1 - r)}"
+            for r in range(band_rows)
+        )
+        + " AS key FROM sig"
+        for j in range(num_bands)
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {sql_shingles(col)} AS sh,
+         ({new_pred}) AS is_new
+  FROM {table}
+  WHERE ({new_pred}) OR ({corpus_pred})
+),
+nonempty AS (SELECT * FROM base WHERE len(sh) > 0),
+hashed AS (
+  SELECT id, sh, is_new, list_transform(sh, s -> {sql_md5_hash64('s')}) AS hsh
+  FROM nonempty
+),
+sig AS (SELECT id, sh, is_new, {sig_exprs} FROM hashed),
+bands AS ({band_selects}),
+flagged AS (SELECT b.*, s.is_new FROM bands b JOIN sig s USING (id)),
+cands AS (
+  SELECT DISTINCT n.id AS new_id, o.id AS old_id
+  FROM flagged n JOIN flagged o
+    ON n.band = o.band AND n.key = o.key AND n.is_new AND NOT o.is_new
+)
+SELECT new_id, old_id,
+       round(CAST(len(list_intersect(sn.sh, so.sh)) AS DOUBLE)
+             / (len(sn.sh) + len(so.sh) - len(list_intersect(sn.sh, so.sh))), 6) AS jac
+FROM cands
+JOIN nonempty sn ON sn.id = new_id
+JOIN nonempty so ON so.id = old_id
+WHERE round(CAST(len(list_intersect(sn.sh, so.sh)) AS DOUBLE)
+            / (len(sn.sh) + len(so.sh) - len(list_intersect(sn.sh, so.sh))), 6)
+      >= {threshold}
+"""
 
 
 def sql_minhash_lsh_pairs(

@@ -55,6 +55,7 @@ def all_queries() -> dict[str, Query]:
         "top_ngrams_per_lang",
         "text_repetition",
         "dedup_embedding_lsh",
+        "dedup_incremental",
     ]
     registry: dict[str, Query] = {}
     for mod in (

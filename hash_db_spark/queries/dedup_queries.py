@@ -94,6 +94,22 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs)
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: every 10th doc is the 'new batch',
+    matched against the indexed remainder — batch bands broadcast, the
+    corpus index is scanned once and never shuffled."""
+    docs = load_table(spark, sf_dir, "documents")
+    import pyspark.sql.functions as F
+
+    return D.minhash_pairs_against(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        docs.filter(F.col("doc_id") % 10 != 0),
+        "text",
+        "doc_id",
+        threshold=JACCARD_T,
+    )
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=COSINE_T
@@ -121,6 +137,15 @@ QUERIES = {
         q_dedup_minhash_lsh,
         D.sql_minhash_lsh_pairs(
             "documents", "text", "doc_id", threshold=JACCARD_T
+        ),
+    ),
+    "dedup_incremental": Query(
+        q_dedup_incremental,
+        D.sql_minhash_pairs_against(
+            "documents", "text", "doc_id",
+            new_pred="doc_id % 10 = 0",
+            corpus_pred="doc_id % 10 <> 0",
+            threshold=JACCARD_T,
         ),
     ),
     "dedup_embedding_lsh": Query(

@@ -63,3 +63,42 @@ def read_kv_store(spark: SparkSession, path: str) -> DataFrame:
     the scan as pushed filters + bucket pruning via the derivable
     pk_bucket predicate."""
     return spark.read.parquet(path).drop("pk_bucket")
+
+
+def write_minhash_index(
+    base: DataFrame, bands: DataFrame, path: str, key_buckets: int = 64
+) -> None:
+    """Persist a MinHash LSH index (dedup.minhash_index output) so
+    incremental dedup never touches corpus text again:
+
+    - bands/(id, band, key) partitioned by a key hash bucket — a probing
+      batch's (band, key) lookups prune to matching buckets;
+    - shingles/(id, sh) sorted by id within files — the verification
+      join's id lookups page-skip.
+    """
+    out = bands.withColumn(
+        "key_bucket", (F.abs(F.col("key")) % key_buckets).cast("int")
+    )
+    (
+        out.repartition("key_bucket")
+        .write.partitionBy("key_bucket")
+        .mode("overwrite")
+        .parquet(f"{path}/bands")
+    )
+    (
+        base.select("id", "sh")
+        .repartition(F.col("id"))
+        .sortWithinPartitions("id")
+        .write.mode("overwrite")
+        .parquet(f"{path}/shingles")
+    )
+
+
+def read_minhash_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """(shingles, bands) frames of a persisted MinHash index."""
+    return (
+        spark.read.parquet(f"{path}/shingles"),
+        spark.read.parquet(f"{path}/bands").drop("key_bucket"),
+    )

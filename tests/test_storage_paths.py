@@ -95,3 +95,38 @@ def test_streaming_multiple_microbatches_matches_batch(spark, sf_dir, tmp_path):
     got = {tuple(r) for r in result.collect()}
     want = {tuple(r) for r in batch.collect()}
     assert got == want
+
+
+def test_minhash_index_persist_and_probe(spark, sf_dir, tmp_path):
+    """Incremental dedup against a PERSISTED index must equal the direct
+    two-sided computation — the index-once, probe-per-batch ingest path."""
+    import pyspark.sql.functions as F
+
+    from hash_db_spark.catalog import load_table
+    from hash_db_spark.operators import dedup as D
+    from hash_db_spark.sources import writers
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+
+    base, bands = D.minhash_index(corpus, "text", "doc_id")
+    writers.write_minhash_index(base, bands, str(tmp_path / "mhidx"))
+    stored_sh, stored_bands = writers.read_minhash_index(
+        spark, str(tmp_path / "mhidx")
+    )
+
+    nb, nbands = D.minhash_index(batch, "text", "doc_id")
+    from_store = {
+        tuple(r)
+        for r in D.minhash_pairs_against_index(
+            nb, nbands, stored_sh, stored_bands, threshold=0.5
+        ).collect()
+    }
+    direct = {
+        tuple(r)
+        for r in D.minhash_pairs_against(
+            batch, corpus, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert from_store == direct and from_store
