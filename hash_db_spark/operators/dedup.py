@@ -864,6 +864,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Assign every document appearing in a dup pair to a cluster labelled
     by the smallest reachable id — the step a dedup pipeline needs after
@@ -882,6 +883,13 @@ def connected_components(
 
     Returns (id, cluster). Deterministic: labels are ids, min is
     order-insensitive.
+
+    Hybrid execution: below ``driver_threshold`` edges the component
+    graph is collected and solved with union-find on the driver
+    (microseconds; each distributed round costs whole jobs of overhead)
+    — near-dup graphs are tiny relative to their corpus because pairs
+    ARE the rare events. The distributed loop is the ≥threshold path and
+    stays covered by tests (driver_threshold=0).
     """
     fwd = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = (
@@ -889,6 +897,30 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if edges.count() <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        rows = edges.collect()
+        for r in rows:
+            parent.setdefault(r.a, r.a)
+            parent.setdefault(r.b, r.b)
+            ra, rb = find(r.a), find(r.b)
+            if ra != rb:
+                # union by min so the root IS the smallest member
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = [(x, find(x)) for x in parent]
+        spark = pairs.sparkSession
+        id_type = dict(pairs.dtypes)[id_a]
+        return spark.createDataFrame(
+            out, f"id {id_type}, cluster {id_type}"
+        )
     labels = (
         edges.select("a")
         .distinct()

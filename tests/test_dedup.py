@@ -139,12 +139,19 @@ def test_connected_components_shapes(spark):
         ],
         "id_a long, id_b long",
     )
-    got = {
-        (r.id, r.cluster)
-        for r in D.connected_components(pairs).collect()
-    }
-    assert got == {
+    expect = {
         (1, 1), (2, 1), (3, 1), (4, 1),
         (10, 10), (11, 10), (12, 10), (13, 10),
         (20, 20), (21, 20),
     }
+    # driver union-find fast path (default) AND the distributed
+    # min-label-propagation loop (forced with driver_threshold=0).
+    got_driver = {
+        (r.id, r.cluster) for r in D.connected_components(pairs).collect()
+    }
+    got_dist = {
+        (r.id, r.cluster)
+        for r in D.connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert got_driver == expect
+    assert got_dist == expect
