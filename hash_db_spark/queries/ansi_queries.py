@@ -176,6 +176,34 @@ PASSTHROUGH: dict[str, str] = {
         GROUP BY n_name
         HAVING count(*) >= 10
     """,
+    # lead/lag with deterministic ordering + defaults.
+    "ansi_lead_lag": """
+        SELECT o_custkey, o_orderkey,
+               lag(o_orderkey, 1, -1)  OVER w AS prev_key,
+               lead(o_orderkey, 1, -1) OVER w AS next_key
+        FROM orders
+        WHERE o_custkey <= 50
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    # Explicit ROWS frame: trailing-3 moving sum per customer.
+    "ansi_window_frames": """
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+               ), 2) AS trailing3
+        FROM orders
+        WHERE o_custkey <= 50
+    """,
+    # Correlated scalar subquery in the projection.
+    "ansi_scalar_subquery": """
+        SELECT c_custkey,
+               (SELECT count(*) FROM orders WHERE o_custkey = c_custkey)
+                 AS n_orders
+        FROM customer
+        WHERE c_custkey <= 200
+    """,
 }
 
 

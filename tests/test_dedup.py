@@ -155,3 +155,16 @@ def test_connected_components_shapes(spark):
     }
     assert got_driver == expect
     assert got_dist == expect
+
+
+def test_dedup_empty_inputs(spark):
+    """Operators must tolerate empty corpora (ingest start-of-time)."""
+    from hash_db_spark.operators import dedup as D
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert D.ngram_jaccard_pairs(empty_docs, "text", "doc_id").count() == 0
+    assert D.minhash_lsh_pairs(empty_docs, "text", "doc_id").count() == 0
+
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert D.connected_components(empty_pairs).count() == 0
+    assert D.connected_components(empty_pairs, driver_threshold=0).count() == 0
