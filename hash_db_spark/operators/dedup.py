@@ -214,6 +214,14 @@ def ngram_jaccard_pairs(
     sets, which are bounded by |hot| per doc — so the reported jaccard is
     the TRUE jaccard whenever the pair shares at least one non-hot
     shingle. Returns (id_a, id_b, jac) with id_a < id_b, jac at 6dp.
+
+    Measured negative result (kept for the record): PPJoin-style prefix
+    filtering (df-ascending order, |s|-ceil(t|s|)+1 prefixes) was tried
+    and REVERTED — on this fixture's 31-token vocabulary every shingle
+    is common, so prefixes still collide while the extra freq-join +
+    per-doc window shuffles cost 1.6x (9.4s vs 5.8s at sf0.1). On a
+    Zipfian real corpus prefixes hold near-unique shingles and the
+    technique wins; re-evaluate against real data before 100 TB.
     """
     # Cached: the shingle arrays feed the postings (twice) and sizes.
     sh_arr = (
