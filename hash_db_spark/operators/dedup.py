@@ -87,10 +87,13 @@ def shingle_frame(
     id_col: str,
     n: int = 3,
     with_hash: bool = False,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, sh[, hsh]) in ONE Arrow pass: tokenize, n-gram, distinct —
-    plus optionally hsh = md5-derived int64 per shingle (bit-identical to
-    the ``md5_hash64`` Column and ``sql_md5_hash64``).
+    """(id, sh[, hsh][, *keep]) in ONE Arrow pass: tokenize, n-gram,
+    distinct — plus optionally hsh = md5-derived int64 per shingle
+    (bit-identical to the ``md5_hash64`` Column and ``sql_md5_hash64``).
+    ``keep`` columns pass through untouched (lets callers thread a batch
+    flag through the pass instead of paying a join to re-attach it).
 
     Why not the ``shingles()`` Column expression: Spark evaluates
     higher-order array functions interpreted, and the lambda's captured
@@ -106,6 +109,8 @@ def shingle_frame(
     schema = f"id {id_type}, sh array<string>"
     if with_hash:
         schema += ", hsh array<bigint>"
+    for k in keep:
+        schema += f", {k} {df.schema[k].dataType.simpleString()}"
 
     def block(batches):
         import pandas as pd
@@ -136,10 +141,14 @@ def shingle_frame(
             out = {"id": ids, "sh": shs}
             if with_hash:
                 out["hsh"] = hshs
+            for k in keep:
+                out[k] = pdf[k]
             yield pd.DataFrame(out)
 
     return (
-        spread_for_cpu(df).select(id_col, col).mapInPandas(block, schema)
+        spread_for_cpu(df)
+        .select(id_col, col, *keep)
+        .mapInPandas(block, schema)
     )
 
 
@@ -381,6 +390,7 @@ def minhash_index(
     id_col: str,
     num_hashes: int = NUM_HASHES,
     band_rows: int = BAND_ROWS,
+    keep: tuple[str, ...] = (),
 ) -> tuple[DataFrame, DataFrame]:
     """The reusable LSH index: returns (base, bands) where base =
     (id, sh, sig) — shingle arrays + MinHash signature, cached — and
@@ -406,15 +416,19 @@ def minhash_index(
         )
     num_bands = num_hashes // band_rows
     shingled = (
-        shingle_frame(df, col, id_col, with_hash=True)
+        shingle_frame(df, col, id_col, with_hash=True, keep=keep)
         .filter(F.size("sh") > 0)
         .cache()
     )
     base = shingled.select(
-        "id", "sh", minhash_components(F.col("hsh"), num_hashes).alias("sig")
+        "id",
+        "sh",
+        minhash_components(F.col("hsh"), num_hashes).alias("sig"),
+        *keep,
     ).cache()
     bands = base.select(
         "id",
+        *keep,
         F.explode(
             F.array(
                 *[
@@ -433,7 +447,12 @@ def minhash_index(
                 ]
             )
         ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select(
+        "id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+        *keep,
+    )
     return base, bands
 
 
@@ -497,15 +516,27 @@ def minhash_pairs_against(
     With a persisted index (sources.writers.write_band_index /
     write_shingle_store) the corpus side reads straight from storage and
     this whole operator touches no corpus text at all.
+
+    When both inputs are fresh (no persisted index), the index is built
+    in ONE pass over the tagged union — shingling is the CPU-dominant
+    step and tagging costs a literal column, so two separate
+    shingle+signature pipelines would double the expensive work.
     """
-    new_base, new_bands = minhash_index(
-        new_df, col, id_col, num_hashes, band_rows
+    tag = "__is_new"
+    tagged = new_df.select(
+        F.col(id_col), F.col(col), F.lit(True).alias(tag)
+    ).unionByName(
+        corpus_df.select(F.col(id_col), F.col(col), F.lit(False).alias(tag))
     )
-    corp_base, corp_bands = minhash_index(
-        corpus_df, col, id_col, num_hashes, band_rows
+    base, bands = minhash_index(
+        tagged, col, id_col, num_hashes, band_rows, keep=(tag,)
     )
     return minhash_pairs_against_index(
-        new_base, new_bands, corp_base, corp_bands, threshold
+        base.filter(F.col(tag)).drop(tag),
+        bands.filter(F.col(tag)).drop(tag),
+        base.filter(~F.col(tag)).drop(tag),
+        bands.filter(~F.col(tag)).drop(tag),
+        threshold,
     )
 
 
@@ -899,7 +930,12 @@ def connected_components(
     ARE the rare events. The distributed loop is the ≥threshold path and
     stays covered by tests (driver_threshold=0).
     """
-    fwd = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # Materialize the pair pipeline ONCE before mirroring: the union
+    # references fwd twice, and an unmaterialized near-dup pipeline
+    # (bands, candidate join, verify) would execute end-to-end twice.
+    fwd = pairs.select(
+        F.col(id_a).alias("a"), F.col(id_b).alias("b")
+    ).localCheckpoint(eager=True)
     edges = (
         fwd.unionByName(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()

@@ -123,17 +123,51 @@ SELECT qid, vec_id, cos, CAST(rank AS INT) AS rank FROM (
 # --- random-hyperplane LSH ---------------------------------------------------
 
 
-def _signature_bits(vcol: Column, planes: list[list[float]]) -> list[Column]:
-    bits = []
-    for plane in planes:
-        p = F.array(*[F.lit(x) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(vcol, p, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return bits
+def lsh_signature_base(
+    emb: DataFrame,
+    bits: int = LSH_BITS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, v: array<double>, sig: string) — the hyperplane signature
+    for every vector, computed as ONE Arrow/BLAS matmul per batch
+    (rows x planes), not ``bits`` interpreted zip_with/aggregate dots per
+    row (Spark evaluates higher-order array functions outside codegen —
+    the same measured 14x penalty as the embedding brute path).
+
+    Sign parity: BLAS accumulates the dot pairwise while DuckDB's
+    list_dot_product is sequential, so the two can differ by ~1e-15; a
+    signature bit flips only when |dot| is inside that noise band —
+    negligible for real-valued embeddings, and a flipped bit only
+    perturbs candidate recall (verification is exact either way).
+    """
+    import numpy as np
+
+    planes = np.array(hyperplanes(bits), dtype=np.float64)  # bits x dim
+    id_type = emb.schema[id_col].dataType.simpleString()
+
+    def block(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            signs = v @ planes[:, : v.shape[1]].T >= 0
+            sigs = [
+                "".join("1" if b else "0" for b in row) for row in signs
+            ]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col],
+                    "v": [r.tolist() for r in v],
+                    "sig": sigs,
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        block, f"vec_id {id_type}, v array<double>, sig string"
+    )
 
 
 def topk_lsh(
@@ -150,15 +184,11 @@ def topk_lsh(
     return fewer than k rows per query (that's the approximation).
 
     Scale shape: corpus side is bucketed by (band, value) — a query
-    touches num_bands buckets, not the corpus. The 16x64 plane matrix is
-    a literal; signature computation is one map-side pass.
+    touches num_bands buckets, not the corpus. Signature computation is
+    one map-side Arrow/BLAS pass (lsh_signature_base).
     """
-    planes = hyperplanes(bits)
     num_bands = bits // band_bits
-    sig = F.concat(*_signature_bits(_dvec(vec_col), planes))
-    base = emb.select(
-        F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("v"), sig.alias("sig")
-    )
+    base = lsh_signature_base(emb, bits, id_col, vec_col)
     bands = base.select(
         "vec_id",
         "v",
@@ -426,12 +456,8 @@ def lsh_near_dup_pairs(
 
     Returns (id_a, id_b, cos) with id_a < id_b, cos >= threshold, 6dp.
     """
-    planes = hyperplanes(bits)
     num_bands = bits // band_bits
-    sig = F.concat(*_signature_bits(_dvec(vec_col), planes))
-    base = emb.select(
-        F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("v"), sig.alias("sig")
-    ).cache()
+    base = lsh_signature_base(emb, bits, id_col, vec_col).cache()
     bands = base.select(
         "vec_id",
         F.explode(
