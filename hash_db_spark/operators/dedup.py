@@ -232,26 +232,57 @@ def ngram_jaccard_pairs(
     Zipfian real corpus prefixes hold near-unique shingles and the
     technique wins; re-evaluate against real data before 100 TB.
     """
-    # Cached: the shingle arrays feed the postings (twice) and sizes.
+    # Cached: the shingle arrays feed the postings (twice on the hot path).
+    # Doc size rides along with every posting (4 bytes) so the verify step
+    # reads it from the self-join output instead of re-joining a per-doc
+    # sizes frame twice.
     sh_arr = (
         shingle_frame(df, col, id_col, n)
         .filter(F.size("sh") > 0)
         .cache()
     )
-    posts = sh_arr.select("id", F.explode("sh").alias("s"))
+    posts = sh_arr.select(
+        "id", F.size("sh").alias("sz"), F.explode("sh").alias("s")
+    )
     hot = (
         posts.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > max_doc_freq)
         .select("s")
+        .cache()
     )
-    capped = posts.join(F.broadcast(hot), "s", "left_anti")
+    # Runtime branch (AQE-style): the hot list is bounded small relative to
+    # postings (|hot| <= postings/max_doc_freq) but counting it is one cheap
+    # job, and on corpora with NO hot shingles the entire correction
+    # machinery — broadcast anti-join, per-doc hot sets, two left joins —
+    # drops out of the plan. Both branches are result-identical; the oracle
+    # SQL covers the general shape.
+    has_hot = hot.count() > 0
+    capped = (
+        posts.join(F.broadcast(hot), "s", "left_anti") if has_hot else posts
+    )
     a, b = capped.alias("a"), capped.alias("b")
     pair_inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter_c"))
+        .agg(
+            F.count(F.lit(1)).alias("inter_c"),
+            # sz is functionally dependent on id — min() just picks it.
+            F.min("a.sz").alias("sz_a"),
+            F.min("b.sz").alias("sz_b"),
+        )
     )
+    if not has_hot:
+        inter = F.col("inter_c")
+        pair = pair_inter.withColumn(
+            "jac",
+            F.round(
+                inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter), 6
+            ),
+        )
+        return pair.filter(F.col("jac") >= threshold).select(
+            "id_a", "id_b", "jac"
+        )
     # Per-doc hot-shingle sets: skinny (<= |hot| entries per doc), join by
     # id — NOT broadcast (a stop-word shingle is hot in most docs, so this
     # frame can approach corpus cardinality at scale).
@@ -260,7 +291,6 @@ def ngram_jaccard_pairs(
         .groupBy("id")
         .agg(F.collect_set("s").alias("hs"))
     )
-    sizes = sh_arr.select("id", F.size("sh").alias("sz"))
     empty = F.array().cast("array<string>")
     inter = F.col("inter_c") + F.size(
         F.array_intersect(
@@ -268,8 +298,7 @@ def ngram_jaccard_pairs(
         )
     )
     pair = (
-        pair_inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        pair_inter
         .join(hot_sets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")), "id_a", "left")
         .join(hot_sets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")), "id_b", "left")
         .withColumn(
