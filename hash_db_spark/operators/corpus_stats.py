@@ -1,0 +1,62 @@
+"""Corpus-level statistics for quality scoring.
+
+No reference counterpart (north-star LLM-pipeline capability): a
+unigram-frequency quality proxy — documents made of corpus-common tokens
+score high, documents of rare/garbled tokens score low. This is the
+cheap stand-in for a perplexity filter: two shuffles total, no model.
+
+Scale shape: pass 1 aggregates token frequencies (map-side partial agg,
+one shuffle on the token); pass 2 re-joins tokens to frequencies —
+vocabulary is sublinear in corpus size (Heaps' law), so AQE picks a
+broadcast join for any realistic vocab; a corpus whose vocab outgrows
+broadcast degrades to a shuffle join on the token, which salting covers
+(operators/skew.py) since token frequency is Zipfian by nature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from hash_db_spark.operators.dedup import clean_tokens, sql_clean_tokens
+
+
+def token_frequencies(df: DataFrame, col: str) -> DataFrame:
+    """(tok, freq) over the whole corpus — one shuffle."""
+    return (
+        df.select(F.explode(clean_tokens(col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def doc_logfreq_score(df: DataFrame, col: str, id_col: str) -> DataFrame:
+    """(id, n_tokens, logfreq_score): mean log10 corpus frequency of the
+    document's tokens (occurrence-weighted), rounded to 6dp. Higher =
+    built from more corpus-common tokens."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(clean_tokens(col)).alias("tok")
+    )
+    freq = token_frequencies(df, col)
+    return (
+        toks.join(freq, "tok")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log10("freq")), 6).alias("logfreq_score"),
+        )
+    )
+
+
+def sql_doc_logfreq_score(table: str, col: str, id_col: str) -> str:
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS id, unnest({sql_clean_tokens(col)}) AS tok FROM {table}
+),
+freq AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok)
+SELECT id,
+       count(*) AS n_tokens,
+       round(avg(log10(freq)), 6) AS logfreq_score
+FROM toks JOIN freq USING (tok)
+GROUP BY id
+"""

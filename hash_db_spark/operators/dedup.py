@@ -354,6 +354,57 @@ WHERE round(CAST(i AS DOUBLE) / (sz_a + sz_b - i), 6) >= {threshold}
 """
 
 
+def repeated_ngram_spans(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Long token spans (n-grams, n >= ~8) that recur across documents —
+    the signal behind exact-substring dedup (memorized boilerplate,
+    licenses, quoted passages repeat verbatim across crawled pages, and
+    repeated long spans are what a model memorizes).
+
+    Returns (gram, n_docs, doc_ids) for spans in >= min_docs documents,
+    doc_ids sorted ascending (deterministic cross-engine).
+
+    Plan shape: one Arrow shingling pass + one shuffle on the gram.
+    shingle_frame emits DISTINCT grams per doc, so n_docs is a plain
+    count. collect_set is bounded by the span's document frequency; for
+    a downstream "cut every doc containing a hot span" rule, drop the
+    doc_ids column and the aggregate is a pure count (map-side partial).
+    """
+    posts = shingle_frame(df, col, id_col, n).select(
+        "id", F.explode("sh").alias("gram")
+    )
+    return (
+        posts.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_set("id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def sql_repeated_ngram_spans(
+    table: str,
+    col: str,
+    id_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+) -> str:
+    return f"""
+WITH sh AS (
+  SELECT {id_col} AS id, {sql_shingles(col, n)} AS grams FROM {table}
+),
+posts AS (SELECT id, unnest(grams) AS gram FROM sh)
+SELECT gram, count(*) AS n_docs, list_sort(list(id)) AS doc_ids
+FROM posts GROUP BY gram HAVING count(*) >= {min_docs}
+"""
+
+
 # ---------------------------------------------------------------------------
 # 3. MinHash + banded LSH
 # ---------------------------------------------------------------------------

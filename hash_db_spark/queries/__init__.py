@@ -34,6 +34,7 @@ def all_queries() -> dict[str, Query]:
         graph_queries,
         kv_queries,
         multimodal_queries,
+        pipeline_queries,
         relational_queries,
         sampling_queries,
         similarity_queries,
@@ -69,6 +70,7 @@ def all_queries() -> dict[str, Query]:
         array_queries,
         skew_queries,
         ansi_queries,
+        pipeline_queries,
         kv_queries,
         relational_queries,
         text_queries,

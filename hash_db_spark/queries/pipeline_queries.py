@@ -1,0 +1,118 @@
+"""Driver-checkable queries: training-pipeline preparation operators —
+PII scrubbing, token-window chunking, corpus-frequency quality scoring,
+repeated-span detection, and custom stateful streaming.
+
+The synthetic documents fixture is plain lowercase words, so the scrub
+queries run over events.props (JSON strings with digits — nonzero
+redactions); the email/ipv4/phone patterns are exercised on inline
+fixtures in tests/test_pipeline_ops.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hash_db_spark.catalog import load_table
+from hash_db_spark.functions import scrub
+from hash_db_spark.operators import chunking, corpus_stats
+from hash_db_spark.operators import dedup as D
+from hash_db_spark.queries import Query
+
+CHUNK_SIZE = 16
+CHUNK_OVERLAP = 4
+SPAN_N = 8
+
+
+def q_scrub_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        scrub.redact("props", ("email", "ipv4", "number")).alias("redacted"),
+    )
+
+
+SCRUB_REDACT_ORACLE = f"""
+SELECT event_id,
+       {scrub.sql_redact('props', ('email', 'ipv4', 'number'))} AS redacted
+FROM events
+"""
+
+
+def q_scrub_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        scrub.pattern_count("props", "number").alias("n_number"),
+        scrub.pattern_count("props", "email").alias("n_email"),
+    ).filter(F.col("n_number") > 0)
+
+
+SCRUB_COUNTS_ORACLE = f"""
+SELECT event_id,
+       {scrub.sql_pattern_count('props', 'number')} AS n_number,
+       {scrub.sql_pattern_count('props', 'email')} AS n_email
+FROM events
+WHERE {scrub.sql_pattern_count('props', 'number')} > 0
+"""
+
+
+def q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunking.token_chunks(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        size=CHUNK_SIZE,
+        overlap=CHUNK_OVERLAP,
+    )
+
+
+def q_doc_logfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_stats.doc_logfreq_score(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+def q_dedup_span_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.repeated_ngram_spans(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", n=SPAN_N
+    )
+
+
+def q_stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState per-user running counter, executed with
+    availableNow into a memory sink; the single-batch final state equals
+    the batch aggregate, which is the oracle."""
+    from hash_db_spark.streaming import windows as W
+
+    stream = W.read_events_stream(spark, sf_dir)
+    return W.run_stream_to_memory(
+        W.stateful_user_counter(stream), output_mode="update"
+    )
+
+
+STATEFUL_ORACLE = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "scrub_redact": Query(q_scrub_redact, SCRUB_REDACT_ORACLE),
+    "scrub_pattern_counts": Query(q_scrub_pattern_counts, SCRUB_COUNTS_ORACLE),
+    "chunk_tokens": Query(
+        q_chunk_tokens,
+        chunking.sql_token_chunks(
+            "documents", "text", "doc_id", CHUNK_SIZE, CHUNK_OVERLAP
+        ),
+    ),
+    "doc_logfreq": Query(
+        q_doc_logfreq,
+        corpus_stats.sql_doc_logfreq_score("documents", "text", "doc_id"),
+    ),
+    "dedup_span_grams": Query(
+        q_dedup_span_grams,
+        D.sql_repeated_ngram_spans("documents", "text", "doc_id", n=SPAN_N),
+    ),
+    "stream_stateful_counter": Query(q_stream_stateful_counter, STATEFUL_ORACLE),
+}

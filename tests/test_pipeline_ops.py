@@ -1,0 +1,139 @@
+"""Unit tests for the training-pipeline preparation operators: PII
+scrubbing (inline fixtures — the synthetic corpus has no PII shapes),
+token chunking, corpus log-frequency scoring, and repeated-span
+detection. Oracle parity for the registry queries is covered by
+tests/test_oracle_parity.py; these tests pin the operator semantics on
+hand-checkable inputs."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from hash_db_spark.functions import scrub
+from hash_db_spark.operators import chunking, corpus_stats
+from hash_db_spark.operators.dedup import repeated_ngram_spans
+
+
+@pytest.fixture(scope="module")
+def pii_df(spark):
+    rows = [
+        (1, "contact bob.smith+x@example.co.uk or 10.0.0.1 now"),
+        (2, "call 555-123-4567 re invoice 42"),
+        (3, "clean text with no sensitive content"),
+        (4, "a@b.io and 192.168.001.255 and 555 123 4567 and 7"),
+    ]
+    return spark.createDataFrame(rows, "id long, t string")
+
+
+def test_redact_masks_all_kinds(pii_df):
+    got = {
+        r.id: r.red
+        for r in pii_df.select(
+            "id", scrub.redact("t", ("email", "ipv4", "phone", "number")).alias("red")
+        ).collect()
+    }
+    assert got[1] == "contact <EMAIL> or <IP> now"
+    assert got[2] == "call <PHONE> re invoice <NUM>"
+    assert got[3] == "clean text with no sensitive content"
+    assert got[4] == "<EMAIL> and <IP> and <PHONE> and <NUM>"
+
+
+def test_redact_single_char_email(spark):
+    df = spark.createDataFrame([(1, "a@b.io")], "id long, t string")
+    assert (
+        df.select(scrub.redact("t", ("email",)).alias("r")).first().r
+        == "<EMAIL>"
+    )
+
+
+def test_number_runs_last_and_specific_first(pii_df):
+    # With only 'number', the digits inside emails/IPs are eaten.
+    red = (
+        pii_df.filter("id = 1")
+        .select(scrub.redact("t", ("number",)).alias("r"))
+        .first()
+        .r
+    )
+    assert "<NUM>.<NUM>.<NUM>.<NUM>" in red
+
+
+def test_pattern_counts(pii_df):
+    got = {
+        r.id: (r.ne, r.ni, r.np, r.nn)
+        for r in pii_df.select(
+            "id",
+            scrub.pattern_count("t", "email").alias("ne"),
+            scrub.pattern_count("t", "ipv4").alias("ni"),
+            scrub.pattern_count("t", "phone").alias("np"),
+            scrub.pattern_count("t", "number").alias("nn"),
+        ).collect()
+    }
+    assert got[1] == (1, 1, 0, 4)  # 10.0.0.1 contributes 4 number runs
+    assert got[2] == (0, 0, 1, 4)
+    assert got[3] == (0, 0, 0, 0)
+
+
+def test_redact_unknown_kind_raises():
+    with pytest.raises(ValueError, match="unknown scrub kinds"):
+        scrub.redact(F.lit("x"), ("ssn",))
+
+
+@pytest.fixture(scope="module")
+def chunk_df(spark):
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(20))),  # 20 tokens
+        (2, "a b c"),  # shorter than one chunk
+        (3, ""),  # no tokens -> no chunks
+    ]
+    return spark.createDataFrame(rows, "id long, t string")
+
+
+def test_token_chunks_windows(chunk_df):
+    out = chunking.token_chunks(chunk_df, "t", "id", size=16, overlap=4)
+    rows = {(r.id, r.chunk_idx): r for r in out.collect()}
+    # doc 1: starts at token 1 and 13 (stride 12)
+    assert rows[(1, 0)].n_tokens == 16
+    assert rows[(1, 0)].chunk_text.startswith("t0 t1 ")
+    assert rows[(1, 1)].n_tokens == 8  # tokens 13..20
+    assert rows[(1, 1)].chunk_text == "t12 t13 t14 t15 t16 t17 t18 t19"
+    # overlap: last 4 of chunk 0 are first 4 of chunk 1
+    assert rows[(1, 0)].chunk_text.split()[-4:] == rows[(1, 1)].chunk_text.split()[:4]
+    assert rows[(2, 0)].chunk_text == "a b c"
+    assert not any(k[0] == 3 for k in rows)
+
+
+def test_token_chunks_rejects_bad_overlap(chunk_df):
+    with pytest.raises(ValueError):
+        chunking.token_chunks(chunk_df, "t", "id", size=8, overlap=8)
+
+
+def test_doc_logfreq_score(spark):
+    # corpus: 'x' occurs 4 times, 'y' twice, 'z' once
+    df = spark.createDataFrame(
+        [(1, "x x y"), (2, "x x y z")], "id long, t string"
+    )
+    got = {
+        r.id: (r.n_tokens, r.logfreq_score)
+        for r in corpus_stats.doc_logfreq_score(df, "t", "id").collect()
+    }
+    lx, ly, lz = math.log10(4), math.log10(2), math.log10(1)
+    assert got[1] == (3, round((2 * lx + ly) / 3, 6))
+    assert got[2] == (4, round((2 * lx + ly + lz) / 4, 6))
+
+
+def test_repeated_ngram_spans(spark):
+    span = "one two three four five six seven eight"
+    rows = [
+        (1, f"start {span} end"),
+        (2, f"{span} trailing words here"),
+        (3, "completely different text with no shared span at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = repeated_ngram_spans(df, "t", "id", n=8, min_docs=2).collect()
+    grams = {r.gram: (r.n_docs, r.doc_ids) for r in out}
+    assert grams[span] == (2, [1, 2])
+    # no 8-gram of doc 3 repeats
+    assert all("different" not in g for g in grams)
