@@ -46,10 +46,18 @@ HEADLINE: list[str] = [
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "dedup_embedding",
+    "dedup_embedding_lsh",
     "dedup_components",
+    "dedup_incremental",
+    "dedup_span_grams",
     # similarity
     "sim_topk_brute",
     "sim_topk_ivf",
+    "sim_topk_lsh",
+    # pipeline prep
+    "scrub_redact",
+    "chunk_tokens",
+    "doc_logfreq",
     # documents / graph
     "doc_path_select",
     "cypher_chain",
@@ -72,6 +80,16 @@ def main() -> None:
     spark = get_spark(app_name="hash_db_spark-bench")
     registry = all_queries()
     names = [n for n in HEADLINE if n in registry] or list(registry)
+
+    # Untimed warmup: scheduler, whole-stage codegen, and the Python/Arrow
+    # worker pool all lazy-init on first use — one-time JVM cost (~2-5s)
+    # that otherwise lands on whichever query happens to run first and is
+    # not query work. (Measured: kv_query_begins 5.7s cold vs 0.7s warm
+    # on an otherwise identical plan.)
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    spark.range(1 << 10).repartition(8).mapInPandas(
+        lambda batches: batches, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -487,18 +487,43 @@ def lsh_near_dup_pairs(
         )
         .distinct()
     )
+    # Verify with ONE Arrow/BLAS pass over the joined candidate rows
+    # (row-wise einsum), not an interpreted zip_with/aggregate cosine per
+    # pair: at a low threshold the banding prunes weakly (near-orthogonal
+    # vectors still share a short band ~(1/2)^band_bits of the time), so
+    # the candidate set is large and the per-pair scorer dominates.
+    import numpy as np
+
+    from hash_db_spark.functions.rounding import round_half_away
+
     va = base.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     vb = base.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    return (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
-        )
-        .filter(F.col("cos") >= threshold)
-    )
+    joined = cands.join(va, "id_a").join(vb, "id_b")
+    id_t = dict(joined.dtypes)["id_a"]
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.array(list(pdf["va"]), dtype=np.float64)
+            B = np.array(list(pdf["vb"]), dtype=np.float64)
+            dots = np.einsum("ij,ij->i", A, B)
+            denom = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            cos = round_half_away(
+                dots / np.where(denom == 0, 1.0, denom), 6
+            )
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                    "cos": cos[keep],
+                }
+            )
+
+    return joined.mapInPandas(score, f"id_a {id_t}, id_b {id_t}, cos double")
 
 
 def sql_lsh_near_dup_pairs(
