@@ -40,6 +40,60 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     return stacked.select("p.column", "p.n_rows", "p.n_nulls", "p.n_distinct")
 
 
+def profile_quantiles(
+    df: DataFrame,
+    cols: list[str],
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """(column, p, q): exact interpolated percentiles for numeric columns,
+    ONE aggregation pass for all columns x probs (no per-column scans).
+
+    ``percentile`` here is the exact interpolated definition (what DuckDB
+    calls quantile_cont), which buffers each column's values — fine for
+    gate-scale checks; at 100 TB swap ``approx_percentile`` (t-digest
+    sketch, bounded memory, mergeable map-side) and accept the sketch —
+    the oracle gate is what needs exactness. Rounded to 6dp: the two
+    engines interpolate with differently-ordered arithmetic."""
+    aggs = []
+    for c in cols:
+        for p in probs:
+            aggs.append(
+                F.round(F.expr(f"percentile({c}, {p!r})"), 6).alias(
+                    f"__q_{c}_{int(p * 100)}"
+                )
+            )
+    row = df.agg(*aggs)
+    stacked = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.lit(float(p)).alias("p"),
+                        F.col(f"__q_{c}_{int(p * 100)}").alias("q"),
+                    )
+                    for c in cols
+                    for p in probs
+                ]
+            )
+        ).alias("r")
+    )
+    return stacked.select("r.column", "r.p", "r.q")
+
+
+def sql_profile_quantiles(
+    table: str,
+    cols: list[str],
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+) -> str:
+    return " UNION ALL ".join(
+        f"SELECT '{c}' AS column, CAST({p!r} AS DOUBLE) AS p, "
+        f"round(quantile_cont({c}, {p!r}), 6) AS q FROM {table}"
+        for c in cols
+        for p in probs
+    )
+
+
 def sql_profile_columns(table: str, cols: list[str]) -> str:
     selects = " UNION ALL ".join(
         f"SELECT '{c}' AS column, count(*) AS n_rows, "

@@ -131,8 +131,28 @@ def _profile_oracle() -> str:
     return sql_profile_columns("documents", ["lang", "source", "n_chars"])
 
 
+QUANTILE_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def q_profile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of the lineitem measures, one
+    aggregation pass for all column x prob combinations."""
+    from hash_db_spark.functions.profiling import profile_quantiles
+
+    return profile_quantiles(
+        load_table(spark, sf_dir, "lineitem"), QUANTILE_COLS
+    )
+
+
+def _quantile_oracle() -> str:
+    from hash_db_spark.functions.profiling import sql_profile_quantiles
+
+    return sql_profile_quantiles("lineitem", QUANTILE_COLS)
+
+
 QUERIES = {
     "profile_columns": Query(q_profile_columns, _profile_oracle()),
+    "profile_quantiles": Query(q_profile_quantiles, _quantile_oracle()),
     "hash_sample": Query(
         q_hash_sample,
         f"SELECT doc_id, lang FROM documents "

@@ -122,3 +122,55 @@ def test_minhash_band_keys_are_integers(spark, sf_dir):
     df = load_table(spark, sf_dir, "documents")
     plan = formatted_plan(minhash_lsh_pairs(df, "text", "doc_id"))
     assert "md5" not in plan.lower().replace("md5_hash", "")
+
+
+def test_chunk_tokens_map_side_only(spark, sf_dir):
+    """Chunking is pure per-row work: no shuffle, no join, no UDF."""
+    s = summarize(REG["chunk_tokens"].fn(spark, sf_dir))
+    assert s.shuffle_exchanges == 0
+    assert s.broadcast_joins == 0 and s.sortmerge_joins == 0
+
+
+def test_scrub_redact_map_side_and_pruned(spark, sf_dir):
+    """Redaction is map-side; the scan reads only the two needed columns."""
+    from hash_db_spark.plans.inspect import formatted_plan
+
+    df = REG["scrub_redact"].fn(spark, sf_dir)
+    s = summarize(df)
+    assert s.shuffle_exchanges == 0
+    plan = formatted_plan(df)
+    schema_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "props" in schema_line and "user_id" not in schema_line
+
+
+def test_span_grams_single_shuffle(spark, sf_dir):
+    """Repeated-span detection: one Arrow pass + one shuffle on the gram."""
+    from hash_db_spark.plans.inspect import formatted_plan
+
+    df = REG["dedup_span_grams"].fn(spark, sf_dir)
+    s = summarize(df)
+    assert s.shuffle_exchanges <= 2  # gram groupBy (+ spread_for_cpu roundrobin)
+    assert "MapInPandas" in formatted_plan(df)
+
+
+def test_embedding_lsh_verify_is_arrow(spark, sf_dir):
+    """The candidate verify stage must be the Arrow einsum pass, not an
+    interpreted per-pair HOF cosine."""
+    from hash_db_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(REG["dedup_embedding_lsh"].fn(spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "aggregate(" not in plan  # no interpreted HOF fold in the plan
+
+
+def test_profile_quantiles_single_aggregation(spark, sf_dir):
+    """All column x prob percentiles compute in ONE aggregation (a single
+    pair of partial/final agg exchanges), not one scan per column."""
+    from hash_db_spark.plans.inspect import formatted_plan
+
+    df = REG["profile_quantiles"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    # one scan node (appears once in the tree, once in the detail block)
+    assert plan.count("Scan parquet") == 2
+    # map-side partial percentiles feeding one global merge
+    assert "partial_percentile" in plan
