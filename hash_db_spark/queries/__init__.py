@@ -39,6 +39,7 @@ def all_queries() -> dict[str, Query]:
         sampling_queries,
         similarity_queries,
         skew_queries,
+        sources_queries,
         temporal_queries,
         text_queries,
         udf_queries,
@@ -71,6 +72,7 @@ def all_queries() -> dict[str, Query]:
         skew_queries,
         ansi_queries,
         pipeline_queries,
+        sources_queries,
         kv_queries,
         relational_queries,
         text_queries,

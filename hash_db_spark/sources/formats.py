@@ -1,0 +1,73 @@
+"""Interchange-format sources/sinks: CSV, JSON-lines, ORC.
+
+The reference ingests via HTTP POST of string values
+(/root/reference/client.py set/insert paths) — its only "format" is the
+wire body. A Spark-native engine instead speaks the lake formats
+directly; these helpers pin the semantics the tests rely on:
+
+- CSV: header + explicit schema on read (never inferSchema in
+  production — one extra full scan and type drift), ISO-8601 timestamps.
+- JSON-lines: schema-on-read with an explicit schema; used both as an
+  interchange sink and as the landing format for document shredding
+  (operators/documents.py).
+- ORC: columnar alternative to parquet, same vectorized reader path.
+
+Each writer round-trips losslessly for the type set the fixtures use
+(long/int/double/string/timestamp) — proven per-format by
+tests/test_sources_formats.py and by registry round-trip queries whose
+oracle is simply the source table (write → read back → must equal).
+
+Scale note: these are thin wrappers over Spark's distributed readers —
+splits, pushdown (ORC), and partition discovery come from the source
+implementation. CSV/JSON are row formats: no column pruning or predicate
+pushdown, so they are landing/interchange formats only; convert to
+parquet/ORC before analytics (the round-trip queries are the conversion
+path, not the query path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    (
+        df.write.option("header", True)
+        .option("timestampFormat", TS_FMT)
+        .mode("overwrite")
+        .csv(path)
+    )
+
+
+def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    # multiLine: quoted fields may embed newlines (the writer quotes
+    # them); without it each physical line parses as a row and the file
+    # silently misaligns. Cost: multiLine files split per-file instead of
+    # per-block — acceptable for a landing format.
+    return (
+        spark.read.option("header", True)
+        .option("timestampFormat", TS_FMT)
+        .option("multiLine", True)
+        .schema(schema)
+        .csv(path)
+    )
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    df.write.option("timestampFormat", TS_FMT).mode("overwrite").json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
+    return (
+        spark.read.option("timestampFormat", TS_FMT).schema(schema).json(path)
+    )
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
