@@ -145,3 +145,67 @@ gedges AS (
   FROM supplier JOIN nation ON s_nationkey = n_nationkey
 )
 """.strip()
+
+
+def n_hop_reach(
+    edges: DataFrame,
+    start_id: str,
+    max_hops: int = 3,
+    reverse: bool = False,
+    rels: list[str] | None = None,
+) -> DataFrame:
+    """BFS shortest-hop distance from one node: (id, hops) for every node
+    reachable in 1..max_hops edge steps (``reverse`` follows edges
+    dst→src). A capability the reference's Cypher lacks (its `*` token is
+    the SQL wildcard, /root/reference/cypher.py:41-43 vs server.py:435-438
+    — no variable-length paths).
+
+    Frontier BFS: each hop is ONE equijoin of the current frontier
+    against the edge list plus an anti-join against the visited set, so
+    a hop's cost is proportional to the frontier's out-degree sum, never
+    the graph size. Early-exits when the frontier empties. Each round is
+    localCheckpoint()ed — the loop would otherwise double the lineage per
+    hop. At cluster scale, bucket the edge frame by the join side
+    (sources.writers.write_bucketed) and every hop joins shuffle-free.
+    """
+    spark = edges.sparkSession
+    a, b = ("dst", "src") if reverse else ("src", "dst")
+    e = edges.select(F.col(a).alias("a"), F.col(b).alias("b"), "rel")
+    if rels is not None:
+        e = e.filter(F.col("rel").isin(rels))
+    e = e.select("a", "b").distinct().localCheckpoint(eager=True)
+
+    frontier = spark.createDataFrame([(start_id, 0)], "id string, hops int")
+    visited = frontier.localCheckpoint(eager=True)
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.id == e.a)
+            .select(F.col("b").alias("id"), F.lit(h).alias("hops"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.filter(F.col("hops") > 0)
+
+
+def sql_n_hop_reach(
+    start_id: str, max_hops: int = 3, reverse: bool = False
+) -> str:
+    """Recursive-CTE oracle over gedges (min path length = BFS depth).
+    Append after GRAPH_ORACLE_CTES under WITH RECURSIVE."""
+    frm, to = ("dst", "src") if reverse else ("src", "dst")
+    return f"""
+reach AS (
+  SELECT '{start_id}' AS id, 0 AS hops
+  UNION ALL
+  SELECT e.{to} AS id, reach.hops + 1
+  FROM reach JOIN gedges e ON e.{frm} = reach.id
+  WHERE reach.hops < {max_hops}
+)
+SELECT id, CAST(min(hops) AS INT) AS hops
+FROM reach WHERE hops > 0 GROUP BY id
+"""

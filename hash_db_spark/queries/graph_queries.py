@@ -177,11 +177,32 @@ def _g(sql: str) -> str:
     return f"WITH {GRAPH_ORACLE_CTES} {sql}"
 
 
+def q_graph_n_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length reachability (free win — the reference Cypher has
+    no ``*1..k`` paths): everything within 2 reverse hops of ASIA —
+    its nations (hop 1) and their customers/suppliers (hop 2)."""
+    from hash_db_spark.operators.graph import n_hop_reach
+
+    return n_hop_reach(
+        graph_edges(spark, sf_dir), "region:ASIA", max_hops=2, reverse=True
+    )
+
+
+def _n_hop_oracle() -> str:
+    from hash_db_spark.operators.graph import sql_n_hop_reach
+
+    return (
+        f"WITH RECURSIVE {GRAPH_ORACLE_CTES}, "
+        f"{sql_n_hop_reach('region:ASIA', max_hops=2, reverse=True)}"
+    )
+
+
 QUERIES = {
     "graph_node_scan": Query(
         q_graph_node_scan,
         _g("SELECT id AS n FROM gnodes WHERE label='Nation' AND name='NATION_7'"),
     ),
+    "graph_n_hop": Query(q_graph_n_hop, _n_hop_oracle()),
     "cypher_1hop": Query(
         q_cypher_1hop,
         _g(

@@ -97,6 +97,43 @@ FROM events GROUP BY user_id
 """
 
 
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-native session windows (session_window is the
+    streaming-capable gap-session operator; the batch equivalent is
+    operators/temporal.sessionize, verified separately)."""
+    from hash_db_spark.streaming import windows as W
+
+    stream = W.read_events_stream(spark, sf_dir)
+    return W.run_stream_to_memory(
+        W.session_windows(stream, gap="30 minutes"), output_mode="complete"
+    )
+
+
+# Gap-session islands: a session ends when the next event is more than
+# the gap away; win_end = last event + gap (session_window semantics).
+STREAM_SESSIONS_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT min(ts) AS win_start,
+       max(ts) + INTERVAL 30 MINUTE AS win_end,
+       user_id,
+       count(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+"""
+
+
 QUERIES = {
     "scrub_redact": Query(q_scrub_redact, SCRUB_REDACT_ORACLE),
     "scrub_pattern_counts": Query(q_scrub_pattern_counts, SCRUB_COUNTS_ORACLE),
@@ -115,4 +152,5 @@ QUERIES = {
         D.sql_repeated_ngram_spans("documents", "text", "doc_id", n=SPAN_N),
     ),
     "stream_stateful_counter": Query(q_stream_stateful_counter, STATEFUL_ORACLE),
+    "stream_sessions": Query(q_stream_sessions, STREAM_SESSIONS_ORACLE),
 }

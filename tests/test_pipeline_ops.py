@@ -137,3 +137,37 @@ def test_repeated_ngram_spans(spark):
     assert grams[span] == (2, [1, 2])
     # no 8-gram of doc 3 repeats
     assert all("different" not in g for g in grams)
+
+
+def test_n_hop_reach_shortest_and_cycles(spark):
+    from hash_db_spark.operators.graph import n_hop_reach
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", "E"),
+            ("b", "c", "E"),
+            ("c", "a", "E"),  # cycle back to start
+            ("b", "d", "E"),
+            ("d", "e", "X"),  # different rel
+            ("a", "c", "E"),  # shortcut: c reachable at hop 1 and hop 2
+        ],
+        "src string, dst string, rel string",
+    )
+    got = {
+        r.id: r.hops
+        for r in n_hop_reach(edges, "a", max_hops=4).collect()
+    }
+    # shortest hop wins; the cycle never revisits 'a'; e via X at hop 3
+    assert got == {"b": 1, "c": 1, "d": 2, "e": 3}
+
+    only_e = {
+        r.id: r.hops
+        for r in n_hop_reach(edges, "a", max_hops=4, rels=["E"]).collect()
+    }
+    assert only_e == {"b": 1, "c": 1, "d": 2}
+
+    rev = {
+        r.id: r.hops
+        for r in n_hop_reach(edges, "c", max_hops=2, reverse=True).collect()
+    }
+    assert rev == {"b": 1, "a": 1}
