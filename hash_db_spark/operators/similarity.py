@@ -567,3 +567,112 @@ scored AS (
 )
 SELECT id_a, id_b, cos FROM scored WHERE cos >= {threshold}
 """
+
+
+# --- int8 quantization (the 100 TB storage/IO lever) -------------------------
+
+
+def topk_quantized(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by cosine over symmetric int8-quantized vectors — the
+    compressed-corpus ANN path: at 100 TB the fp32 corpus is quantized
+    once (4x less storage and scan IO), queries run against the int8
+    matrix, and only the final top-k re-ranks against fp32 if needed.
+
+    Quantization: q_i = floor(x_i / s + 0.5) with s = max|x| / 127 —
+    floor(+0.5) instead of round() because both engines compute the
+    identical double expression (Spark round() and DuckDB round() differ
+    on repr-boundary doubles; floor does not). The per-vector scale
+    CANCELS in cosine, so the score is the plain integer-dot cosine of
+    the quantized vectors; integer arithmetic in float64 is exact, making
+    this operator bit-identical cross-engine (no 6dp cushion needed —
+    still rounded to 6dp for a stable tiebreak).
+
+    Plan: one Arrow/BLAS pass over the corpus (quantize + dot against the
+    broadcast quantized queries), then the per-query top-k window.
+    Returns (qid, vec_id, qcos, rank).
+    """
+    import numpy as np
+
+    from hash_db_spark.functions.rounding import round_half_away
+
+    corpus = emb.select(F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("v"))
+
+    def _quant(m: np.ndarray) -> np.ndarray:
+        s = np.abs(m).max(axis=1, keepdims=True) / 127.0
+        return np.floor(m / np.where(s == 0, 1.0, s) + 0.5)
+
+    q_rows = sorted(
+        corpus.filter(F.col("vec_id").isin(query_ids)).collect(),
+        key=lambda r: r[0],
+    )
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qmat = _quant(np.array([r[1] for r in q_rows], dtype=np.float64))
+    qnorm = np.linalg.norm(qmat, axis=1)
+    bc = emb.sparkSession.sparkContext.broadcast((qids, qmat, qnorm))
+
+    def block(batches):
+        import pandas as pd
+
+        bqids, bqmat, bqnorm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c = _quant(np.array(list(pdf["v"]), dtype=np.float64))
+            cnorm = np.linalg.norm(c, axis=1)
+            denom = np.where(cnorm == 0, 1.0, cnorm)[:, None] * bqnorm[None, :]
+            cos = round_half_away(c @ bqmat.T / denom, 6)
+            vids = pdf["vec_id"].to_numpy()
+            mask = vids[:, None] != bqids[None, :]
+            ri, qi = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"qid": bqids[qi], "vec_id": vids[ri], "qcos": cos[ri, qi]}
+            )
+
+    scored = corpus.mapInPandas(block, "qid long, vec_id long, qcos double")
+    w = Window.partitionBy("qid").orderBy(F.col("qcos").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def sql_topk_quantized(
+    query_ids: list[int],
+    k: int = 5,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v FROM {table}
+),
+scaled AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+  FROM base
+),
+quant AS (
+  SELECT vec_id, list_transform(v, x -> floor(x / s + 0.5)) AS qv
+  FROM scaled
+),
+scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         round(
+           list_dot_product(q.qv, c.qv)
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(c.qv, c.qv))), 6) AS qcos
+  FROM quant q JOIN quant c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id IN ({ids})
+)
+SELECT qid, vec_id, qcos, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""

@@ -204,6 +204,56 @@ PASSTHROUGH: dict[str, str] = {
         FROM customer
         WHERE c_custkey <= 200
     """,
+    # TPC-H Q10 shape: returned-item revenue, top-20 customers (stable
+    # tiebreak on the key so LIMIT is deterministic cross-engine).
+    "ansi_q10_returned_items": """
+        SELECT c_custkey, c_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    # TPC-H Q18 shape: large-volume orders via HAVING over a join.
+    "ansi_q18_large_orders": """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               round(sum(l_quantity), 2) AS total_qty
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        HAVING sum(l_quantity) > 150
+    """,
+    # TPC-H Q19 shape: disjunction of conjunctive predicates across the
+    # join (exercises OR-pushdown / CNF conversion).
+    "ansi_q19_disjunctive_preds": """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 40)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+               AND l_quantity BETWEEN 20 AND 50)
+    """,
+    # TPC-H Q7 shape: bidirectional nation-pair trade volume by year.
+    "ansi_q7_nation_volume": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    """,
 }
 
 

@@ -27,10 +27,19 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.topk_ivf(load_table(spark, sf_dir, "embeddings"), QUERY_IDS, k=K)
 
 
+def q_sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.topk_quantized(
+        load_table(spark, sf_dir, "embeddings"), QUERY_IDS, k=K
+    )
+
+
 QUERIES = {
     "sim_topk_brute": Query(
         q_sim_topk_brute, S.sql_topk_bruteforce(QUERY_IDS, k=K)
     ),
     "sim_topk_lsh": Query(q_sim_topk_lsh, S.sql_topk_lsh(QUERY_IDS, k=K)),
     "sim_topk_ivf": Query(q_sim_topk_ivf, S.sql_topk_ivf(QUERY_IDS, k=K)),
+    "sim_topk_quantized": Query(
+        q_sim_topk_quantized, S.sql_topk_quantized(QUERY_IDS, k=K)
+    ),
 }

@@ -64,3 +64,25 @@ def test_hyperplanes_deterministic():
     b = S.hyperplanes(4, 8)
     assert a == b
     assert all(x in (1.0, -1.0) for row in a for x in row)
+
+
+def test_quantized_topk_recall_vs_exact(spark, sf_dir):
+    """int8 quantization on 64-dim vectors perturbs cosines by ~1e-2 at
+    most; top-5 neighbor sets should overlap the exact sets almost
+    completely (>= 4 of 5 per query on the fixture)."""
+    from hash_db_spark.catalog import load_table
+    from hash_db_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(4))
+    exact = S.topk_bruteforce(emb, qids, k=5)
+    quant = S.topk_quantized(emb, qids, k=5)
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r.qid, set()).add(r.vec_id)
+    qt = {}
+    for r in quant.collect():
+        qt.setdefault(r.qid, set()).add(r.vec_id)
+    assert set(ex) == set(qt)
+    for q in ex:
+        assert len(ex[q] & qt[q]) >= 4, (q, ex[q], qt[q])
