@@ -14,7 +14,7 @@ cardinality is rows x ceil(tokens/stride), known up front.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 import pyspark.sql.functions as F
 
 from hash_db_spark.operators.dedup import clean_tokens, sql_clean_tokens
@@ -75,4 +75,59 @@ SELECT id,
        list_aggregate(list_slice(t, s, s + {size} - 1), 'string_agg', ' ')
          AS chunk_text
 FROM starts
+"""
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    budget: int = 64,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Pack token chunks into training sequences of ~``budget`` tokens by
+    cumulative offset: a chunk joins the sequence its starting offset
+    falls in (seq_id = floor(offset/budget)), so sequences average the
+    budget; the chunk straddling a boundary belongs to the sequence it
+    starts in (pad/truncate downstream — standard pre-tokenized packing).
+
+    Deterministic: packing order is (id, chunk_idx) within a shard.
+    Scale shape: ONE window per shard — partition by ``shard_col``
+    (lang/source); a None shard means one global sequence stream, which
+    serializes the window into a single task and is only for tests.
+    Returns (shard, seq_id, n_chunks, seq_tokens)."""
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    shard = F.col(shard_col) if shard_col else F.lit("all")
+    offs = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("off")
+    seq = F.floor(F.col("off") / budget).alias("seq_id")
+    return (
+        chunks.select(shard.alias("shard"), "id", "chunk_idx", "n_tokens")
+        .select("shard", "id", "chunk_idx", "n_tokens", offs)
+        .select("shard", seq, "n_tokens")
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("seq_tokens"),
+        )
+    )
+
+
+def sql_pack_chunks(
+    chunks_sql: str, budget: int = 64, shard_col: str | None = None
+) -> str:
+    shard = shard_col if shard_col else "'all'"
+    part = f"PARTITION BY {shard_col}" if shard_col else ""
+    return f"""
+WITH chunks AS ({chunks_sql}),
+offs AS (
+  SELECT {shard} AS shard, n_tokens,
+         sum(n_tokens) OVER ({part} ORDER BY id, chunk_idx
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS off
+  FROM chunks
+)
+SELECT shard, CAST(floor(off / {budget}) AS BIGINT) AS seq_id,
+       count(*) AS n_chunks, sum(n_tokens) AS seq_tokens
+FROM offs GROUP BY shard, CAST(floor(off / {budget}) AS BIGINT)
 """

@@ -15,7 +15,7 @@ broadcast degrades to a shuffle join on the token, which salting covers
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 import pyspark.sql.functions as F
 
 from hash_db_spark.operators.dedup import clean_tokens, sql_clean_tokens
@@ -59,4 +59,40 @@ SELECT id,
        round(avg(log10(freq)), 6) AS logfreq_score
 FROM toks JOIN freq USING (tok)
 GROUP BY id
+"""
+
+
+def vocab_top_share(df: DataFrame, col: str, topn: int = 10) -> DataFrame:
+    """(tok, freq, share): the ``topn`` most frequent tokens and the
+    fraction of all token occurrences they cover — the
+    head-of-the-Zipf-curve report a corpus card leads with. share =
+    freq/total is a ratio of exact integers (bit-identical cross-engine;
+    rounded 6dp only for display stability). Deterministic tiebreak on
+    the token string."""
+    freq = token_frequencies(df, col)
+    total = F.sum("freq").over(Window.partitionBy())
+    ranked = freq.select(
+        "tok",
+        "freq",
+        F.round(F.col("freq") / total, 6).alias("share"),
+        F.row_number()
+        .over(Window.orderBy(F.col("freq").desc(), F.col("tok").asc()))
+        .alias("rn"),
+    )
+    return ranked.filter(F.col("rn") <= topn).select("tok", "freq", "share")
+
+
+def sql_vocab_top_share(table: str, col: str, topn: int = 10) -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest({sql_clean_tokens(col)}) AS tok FROM {table}
+),
+freq AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
+ranked AS (
+  SELECT tok, freq,
+         round(CAST(freq AS DOUBLE) / sum(freq) OVER (), 6) AS share,
+         row_number() OVER (ORDER BY freq DESC, tok ASC) AS rn
+  FROM freq
+)
+SELECT tok, freq, share FROM ranked WHERE rn <= {topn}
 """

@@ -1091,3 +1091,40 @@ reach AS (
 )
 SELECT id, min(lab) AS cluster FROM reach GROUP BY id
 """
+
+
+def apply_dedup_keep(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """The END of the dedup pipeline: given near-dup pairs, keep one
+    representative per duplicate CLUSTER (the smallest id) and every
+    unpaired document. Pairs are not transitive-closed, so clustering via
+    connected_components first is what makes A~B, B~C collapse to one
+    survivor instead of two.
+
+    Plan: components (tiny — only docs appearing in pairs), then one
+    broadcast-able anti-join of the drop-list against the corpus: the
+    full table is scanned once and never shuffled."""
+    clusters = connected_components(pairs, id_a, id_b)
+    drop = clusters.filter(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(F.broadcast(drop), id_col, "left_anti")
+
+
+def sql_apply_dedup_keep(
+    table: str, id_col: str, pairs_sql: str, select: str
+) -> str:
+    """Oracle: same drop-list via the recursive-closure components."""
+    comp = sql_connected_components(pairs_sql)
+    return f"""
+{select}
+FROM {table}
+WHERE {id_col} NOT IN (
+  SELECT id FROM ({comp}) WHERE id <> cluster
+)
+"""

@@ -134,8 +134,91 @@ FROM sessions GROUP BY user_id, sid
 """
 
 
+def q_dedup_apply_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup application: MinHash pairs → clusters → keep one
+    representative per cluster; report surviving doc counts per lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
+    kept = D.apply_dedup_keep(docs, pairs, "doc_id")
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+def _apply_keep_oracle() -> str:
+    return D.sql_apply_dedup_keep(
+        "documents",
+        "doc_id",
+        D.sql_minhash_lsh_pairs("documents", "text", "doc_id", threshold=0.5),
+        "SELECT lang, count(*) AS n_kept",
+    ) + " GROUP BY lang"
+
+
+def q_vocab_top_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_stats.vocab_top_share(
+        load_table(spark, sf_dir, "documents"), "text", topn=10
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk documents, then pack chunks into ~64-token training
+    sequences per lang shard (offset packing, deterministic order)."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunking.token_chunks(
+        docs, "text", "doc_id", size=CHUNK_SIZE, overlap=CHUNK_OVERLAP
+    )
+    with_lang = chunks.join(
+        docs.select(F.col("doc_id").alias("id"), "lang"), "id"
+    )
+    return chunking.pack_chunks(with_lang, budget=64, shard_col="lang")
+
+
+def _pack_oracle() -> str:
+    chunks = chunking.sql_token_chunks(
+        "documents", "text", "doc_id", CHUNK_SIZE, CHUNK_OVERLAP
+    )
+    with_lang = (
+        f"SELECT c.*, d.lang FROM ({chunks}) c "
+        f"JOIN documents d ON d.doc_id = c.id"
+    )
+    return chunking.sql_pack_chunks(with_lang, budget=64, shard_col="lang")
+
+
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed ingest gate — the filter stack a corpus actually ships
+    through: quality score, language allowlist, token-length band;
+    reports pass counts by source."""
+    from hash_db_spark.functions.text import quality_score, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    passed = docs.filter(
+        (quality_score("text") >= 0.5)
+        & F.col("lang").isin("en", "de", "fr")
+        & token_count("text").between(10, 200)
+    )
+    return passed.groupBy("source").agg(F.count(F.lit(1)).alias("n_pass"))
+
+
+def _quality_gate_oracle() -> str:
+    from hash_db_spark.functions.text import sql_quality_score, sql_token_count
+
+    return f"""
+SELECT source, count(*) AS n_pass
+FROM documents
+WHERE {sql_quality_score('text')} >= 0.5
+  AND lang IN ('en', 'de', 'fr')
+  AND {sql_token_count('text')} BETWEEN 10 AND 200
+GROUP BY source
+"""
+
+
 QUERIES = {
     "scrub_redact": Query(q_scrub_redact, SCRUB_REDACT_ORACLE),
+    "dedup_apply_keep": Query(q_dedup_apply_keep, _apply_keep_oracle()),
+    "vocab_top_share": Query(
+        q_vocab_top_share,
+        corpus_stats.sql_vocab_top_share("documents", "text", topn=10),
+    ),
+    "pack_sequences": Query(q_pack_sequences, _pack_oracle()),
+    "quality_gate": Query(q_quality_gate, _quality_gate_oracle()),
     "scrub_pattern_counts": Query(q_scrub_pattern_counts, SCRUB_COUNTS_ORACLE),
     "chunk_tokens": Query(
         q_chunk_tokens,

@@ -171,3 +171,49 @@ def test_n_hop_reach_shortest_and_cycles(spark):
         for r in n_hop_reach(edges, "c", max_hops=2, reverse=True).collect()
     }
     assert rev == {"b": 1, "a": 1}
+
+
+def test_pack_chunks_offset_packing(spark):
+    rows = [
+        ("a", 1, 0, 10),
+        ("a", 1, 1, 10),
+        ("a", 2, 0, 10),
+        ("a", 2, 1, 3),
+        ("b", 3, 0, 25),
+    ]
+    chunks = spark.createDataFrame(
+        rows, "lang string, id long, chunk_idx int, n_tokens int"
+    )
+    got = {
+        (r.shard, r.seq_id): (r.n_chunks, r.seq_tokens)
+        for r in __import__("hash_db_spark.operators.chunking", fromlist=["x"])
+        .pack_chunks(chunks, budget=20, shard_col="lang")
+        .collect()
+    }
+    # shard a offsets: 0,10,20,30 -> seqs 0,0,1,1 ; shard b: offset 0 -> seq 0
+    assert got == {("a", 0): (2, 20), ("a", 1): (2, 13), ("b", 0): (1, 25)}
+
+
+def test_apply_dedup_keep_transitive(spark):
+    from hash_db_spark.operators.dedup import apply_dedup_keep
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(1, 7)], "doc_id long, text string"
+    )
+    # chain 1~2, 2~3 (one cluster -> keep 1) and 5~6 (keep 5); 4 unpaired
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.9), (5, 6, 0.8)],
+        "id_a long, id_b long, jac double",
+    )
+    kept = sorted(r.doc_id for r in apply_dedup_keep(docs, pairs, "doc_id").collect())
+    assert kept == [1, 4, 5]
+
+
+def test_vocab_top_share_exact(spark):
+    from hash_db_spark.operators.corpus_stats import vocab_top_share
+
+    df = spark.createDataFrame(
+        [(1, "x x x y"), (2, "x y z")], "id long, t string"
+    )
+    got = [(r.tok, r.freq, r.share) for r in vocab_top_share(df, "t", topn=2).collect()]
+    assert got == [("x", 4, round(4 / 7, 6)), ("y", 2, round(2 / 7, 6))]
