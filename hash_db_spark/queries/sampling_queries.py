@@ -63,6 +63,48 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverse reshaping (melt): lineitem measures to long form —
+    map-side only, no shuffle (each row fans out to 3)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    )
+
+
+UNPIVOT_ORACLE = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+FROM lineitem WHERE l_orderkey < 100
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+FROM lineitem WHERE l_orderkey < 100
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+FROM lineitem WHERE l_orderkey < 100
+"""
+
+
+def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact percentiles (median + p90 price per return flag)
+    — partial percentile state merges map-side like any aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"),
+    )
+
+
+GROUPED_QUANTILES_ORACLE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS — totals by segment, by nation, and grand."""
     register_views(spark, sf_dir)
@@ -165,6 +207,8 @@ QUERIES = {
     ),
     "stratified_sample": Query(q_stratified_sample, STRATIFIED_ORACLE),
     "pivot_counts": Query(q_pivot, PIVOT_ORACLE),
+    "unpivot_measures": Query(q_unpivot_measures, UNPIVOT_ORACLE),
+    "grouped_quantiles": Query(q_grouped_quantiles, GROUPED_QUANTILES_ORACLE),
     "grouping_sets": Query(q_grouping_sets, GROUPING_SETS_SQL),
     "gap_fill": Query(q_gap_fill, GAP_FILL_ORACLE),
 }

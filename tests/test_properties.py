@@ -136,3 +136,31 @@ def test_simhash_permutation_invariant_for_identical_bags(spark, docs):
             .withColumnRenamed("id", "id").collect()}
     for i in range(len(docs)):
         assert sims[i] == sims[100 + i]
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(texts, min_size=1, max_size=5),
+    size=st.integers(min_value=2, max_value=8),
+)
+def test_chunking_reconstructs_tokens(spark, docs, size):
+    """With overlap=0 the chunk texts concatenate back to the exact token
+    stream of each document; every chunk except the last is full."""
+    from hash_db_spark.operators.chunking import token_chunks
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "id long, t string"
+    )
+    out = token_chunks(df, "t", "id", size=size, overlap=0).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.id, []).append(r)
+    for i, t in enumerate(docs):
+        toks = t.split()
+        rows = sorted(by_doc.get(i, []), key=lambda r: r.chunk_idx)
+        rebuilt = " ".join(r.chunk_text for r in rows).split()
+        assert rebuilt == toks
+        for r in rows[:-1]:
+            assert r.n_tokens == size
+        if rows:
+            assert 1 <= rows[-1].n_tokens <= size
