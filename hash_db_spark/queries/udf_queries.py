@@ -92,7 +92,49 @@ def q_udf_sql_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function, SURVEY §2.7 completion): one input
+    row → many output rows with per-row state, used LATERALly per
+    document. Emits (pos, tok, is_stop) per token — the row-generating
+    flavor the scalar/agg/map UDFs can't express."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, tok string, is_stop boolean")
+    class Tokenize:
+        def eval(self, text: str):
+            stops = {"a", "the", "and", "or"}
+            toks = [
+                x for x in (text or "").replace(",", "").split(" ") if x
+            ]
+            for i, t in enumerate(toks):
+                yield i, t, t in stops
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.tok, t.is_stop "
+        "FROM documents d, LATERAL tokenize_udtf(d.text) t "
+        "WHERE d.doc_id < 50"
+    )
+
+
+UDTF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(replace(text, ',', ''), ' '),
+                            x -> x != '')) AS tok,
+         generate_subscripts(list_filter(string_split(replace(text, ',', ''), ' '),
+                                         x -> x != ''), 1) AS ord
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id, CAST(ord - 1 AS INT) AS pos, tok,
+       tok IN ('a', 'the', 'and', 'or') AS is_stop
+FROM toks
+"""
+
+
 QUERIES = {
+    "udf_python_udtf": Query(q_udf_python_udtf, UDTF_ORACLE),
     "udf_pandas_scalar": Query(
         q_udf_pandas_scalar,
         "SELECT event_id, round(1.0 / (1.0 + exp(-value / 50.0)), 6) AS t "
