@@ -150,3 +150,50 @@ def tumbling_agg(
         F.col("win.end").alias("win_end"),
         *[c for c in out.columns if c != "win"],
     )
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    p_time: str,
+    intervals: DataFrame,
+    i_start: str,
+    i_end: str,
+    bin_width: str = "1 day",
+) -> DataFrame:
+    """Keyless point-in-interval join WITHOUT a nested-loop theta join:
+    both sides map to a time grid — a point to its one bin, an interval
+    to every bin it touches — candidates meet on the bin equijoin, and
+    the exact containment predicate filters. A point meets an interval
+    in exactly one bin (its own), so no dedupe step is needed.
+
+    Shuffle is O(points + intervals x avg_bins_per_interval); without
+    binning Spark can only BroadcastNestedLoopJoin a keyless range
+    predicate, which dies when neither side broadcasts. Choose
+    ``bin_width`` near the typical interval length: wider bins -> fewer
+    replicated interval rows but more false candidates per bin.
+
+    Returns points x matching-interval columns (inner join).
+    """
+    bw = F.expr(f"INTERVAL {bin_width}")
+    # bin index = epoch seconds div bin seconds (computed via date math so
+    # it works for any interval literal)
+    binsec = F.unix_timestamp(
+        F.to_timestamp(F.lit("1970-01-01 00:00:00")) + bw
+    ) - F.unix_timestamp(F.to_timestamp(F.lit("1970-01-01 00:00:00")))
+    p = points.withColumn(
+        "__bin", (F.unix_timestamp(F.col(p_time)) / binsec).cast("long")
+    )
+    iv = intervals.withColumn(
+        "__bins",
+        F.sequence(
+            (F.unix_timestamp(F.col(i_start)) / binsec).cast("long"),
+            (F.unix_timestamp(F.col(i_end)) / binsec).cast("long"),
+        ),
+    ).withColumn("__bin", F.explode("__bins")).drop("__bins")
+    return (
+        p.join(iv, "__bin")
+        .filter(
+            (F.col(p_time) >= F.col(i_start)) & (F.col(p_time) <= F.col(i_end))
+        )
+        .drop("__bin")
+    )

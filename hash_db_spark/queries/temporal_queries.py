@@ -175,9 +175,43 @@ GROUP BY c_mktsegment
 """
 
 
+def q_interval_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless point-in-interval join, binned: purchases that happened
+    inside each day's error envelope (first..last error of that day).
+    The bin-grid equijoin replaces the BroadcastNestedLoopJoin a keyless
+    range predicate would otherwise force."""
+    ev = load_table(spark, sf_dir, "events")
+    windows = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("day", "ts").alias("win_day"))
+        .agg(F.min("ts").alias("w_start"), F.max("ts").alias("w_end"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    joined = T.point_in_interval_join(
+        purchases, "ts", windows, "w_start", "w_end", bin_width="1 day"
+    )
+    return joined.select("event_id", "user_id", "win_day")
+
+
+INTERVAL_BIN_ORACLE = """
+WITH windows AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_day,
+         min(ts) AS w_start, max(ts) AS w_end
+  FROM events WHERE event_type = 'error' GROUP BY 1
+)
+SELECT e.event_id, e.user_id, w.win_day
+FROM events e JOIN windows w
+  ON e.ts >= w.w_start AND e.ts <= w.w_end
+WHERE e.event_type = 'purchase'
+"""
+
+
 QUERIES = {
     "asof_join": Query(q_asof_join, ASOF_ORACLE),
     "range_join": Query(q_range_join, RANGE_ORACLE),
+    "interval_bin_join": Query(q_interval_bin_join, INTERVAL_BIN_ORACLE),
     "sessionize": Query(q_sessionize, SESSIONIZE_ORACLE),
     "tumbling_daily": Query(q_tumbling_daily, TUMBLING_ORACLE),
     "sliding_2d": Query(q_sliding_2d, SLIDING_ORACLE),

@@ -174,3 +174,14 @@ def test_profile_quantiles_single_aggregation(spark, sf_dir):
     assert plan.count("Scan parquet") == 2
     # map-side partial percentiles feeding one global merge
     assert "partial_percentile" in plan
+
+
+def test_interval_bin_join_no_nested_loop(spark, sf_dir):
+    """The binned point-in-interval join must compile to an equijoin on
+    the grid bin — never the BroadcastNestedLoopJoin a keyless range
+    predicate would otherwise force."""
+    from hash_db_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(REG["interval_bin_join"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -141,3 +141,37 @@ def test_stream_watermark_append_mode(spark, sf_dir):
         batch, ["win_start", "win_end", "event_type", "n", "sum_value"]
     )
     assert joined.count() == n_out
+
+
+def test_point_in_interval_join_multi_bin(spark):
+    """Intervals spanning several grid bins still match each contained
+    point exactly once; boundary points (== start or == end) match."""
+    import datetime as dt
+
+    from hash_db_spark.operators.temporal import point_in_interval_join
+
+    d = dt.datetime
+    points = spark.createDataFrame(
+        [
+            (1, d(2024, 1, 1, 12)),   # inside iv A (spans 3 days)
+            (2, d(2024, 1, 3, 23)),   # inside iv A near end
+            (3, d(2024, 1, 10, 0)),   # == start of iv B
+            (4, d(2024, 1, 11, 0)),   # == end of iv B
+            (5, d(2024, 1, 20, 0)),   # matches nothing
+        ],
+        "pid long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("A", d(2024, 1, 1, 6), d(2024, 1, 3, 23, 30)),
+            ("B", d(2024, 1, 10, 0), d(2024, 1, 11, 0)),
+        ],
+        "name string, s timestamp, e timestamp",
+    )
+    got = sorted(
+        (r.pid, r.name)
+        for r in point_in_interval_join(
+            points, "ts", intervals, "s", "e", bin_width="1 day"
+        ).collect()
+    )
+    assert got == [(1, "A"), (2, "A"), (3, "B"), (4, "B")]
