@@ -239,6 +239,26 @@ PASSTHROUGH: dict[str, str] = {
            OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
                AND l_quantity BETWEEN 20 AND 50)
     """,
+    # Distribution window functions over groups.
+    "ansi_percent_rank": """
+        SELECT c_custkey, c_mktsegment,
+               round(percent_rank() OVER w, 6) AS pr,
+               round(cume_dist() OVER w, 6) AS cd
+        FROM customer
+        WHERE c_custkey <= 300
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC,
+                     c_custkey ASC)
+    """,
+    # Fixed-bound histogram via explicit bucket arithmetic (DuckDB has no
+    # width_bucket; floor math is engine-identical and exact).
+    "ansi_value_histogram": """
+        SELECT event_type,
+               CAST(least(greatest(floor(value / 10.0), 0), 9) AS INT)
+                 AS bucket,
+               count(*) AS n
+        FROM events
+        GROUP BY event_type, bucket
+    """,
     # TPC-H Q7 shape: bidirectional nation-pair trade volume by year.
     "ansi_q7_nation_volume": """
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

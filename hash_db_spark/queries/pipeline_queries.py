@@ -210,8 +210,51 @@ GROUP BY source
 """
 
 
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by edit distance: a small probe list (supplier
+    names deterministically corrupted — 5th char deleted) matched against
+    the supplier table at levenshtein <= 2.
+
+    Scale shape: the probe side of a fuzzy lookup is small by nature, so
+    it broadcasts and the corpus is scanned once. A LARGE-large fuzzy
+    join needs q-gram blocking (shared-gram equijoin prefilter) first —
+    same candidate-then-verify shape as dedup.ngram_jaccard_pairs."""
+    sup = load_table(spark, sf_dir, "supplier")
+    probes = sup.filter(F.col("s_suppkey") % 97 == 0).select(
+        F.col("s_suppkey").alias("probe_key"),
+        F.concat(
+            F.substring("s_name", 1, 4), F.expr("substring(s_name, 6)")
+        ).alias("probe_name"),
+    )
+    return (
+        F.broadcast(probes)
+        .join(
+            sup,
+            F.levenshtein(F.col("probe_name"), F.col("s_name")) <= 2,
+        )
+        .select(
+            "probe_key",
+            "s_suppkey",
+            F.levenshtein(F.col("probe_name"), F.col("s_name")).alias("dist"),
+        )
+    )
+
+
+FUZZY_ORACLE = """
+WITH probes AS (
+  SELECT s_suppkey AS probe_key,
+         substr(s_name, 1, 4) || substr(s_name, 6) AS probe_name
+  FROM supplier WHERE s_suppkey % 97 = 0
+)
+SELECT probe_key, s_suppkey,
+       levenshtein(probe_name, s_name) AS dist
+FROM probes JOIN supplier ON levenshtein(probe_name, s_name) <= 2
+"""
+
+
 QUERIES = {
     "scrub_redact": Query(q_scrub_redact, SCRUB_REDACT_ORACLE),
+    "fuzzy_name_match": Query(q_fuzzy_name_match, FUZZY_ORACLE),
     "dedup_apply_keep": Query(q_dedup_apply_keep, _apply_keep_oracle()),
     "vocab_top_share": Query(
         q_vocab_top_share,
