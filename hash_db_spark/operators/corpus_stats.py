@@ -70,16 +70,17 @@ def vocab_top_share(df: DataFrame, col: str, topn: int = 10) -> DataFrame:
     rounded 6dp only for display stability). Deterministic tiebreak on
     the token string."""
     freq = token_frequencies(df, col)
-    total = F.sum("freq").over(Window.partitionBy())
-    ranked = freq.select(
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # top-N, merged on the driver) and the total is a scalar broadcast —
+    # a global rank window here would funnel the whole vocabulary
+    # through one task.
+    total = freq.agg(F.sum("freq").alias("__total"))
+    top = freq.orderBy(F.col("freq").desc(), F.col("tok").asc()).limit(topn)
+    return top.crossJoin(F.broadcast(total)).select(
         "tok",
         "freq",
-        F.round(F.col("freq") / total, 6).alias("share"),
-        F.row_number()
-        .over(Window.orderBy(F.col("freq").desc(), F.col("tok").asc()))
-        .alias("rn"),
+        F.round(F.col("freq") / F.col("__total"), 6).alias("share"),
     )
-    return ranked.filter(F.col("rn") <= topn).select("tok", "freq", "share")
 
 
 def sql_vocab_top_share(table: str, col: str, topn: int = 10) -> str:

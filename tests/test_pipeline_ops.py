@@ -217,3 +217,15 @@ def test_vocab_top_share_exact(spark):
     )
     got = [(r.tok, r.freq, r.share) for r in vocab_top_share(df, "t", topn=2).collect()]
     assert got == [("x", 4, round(4 / 7, 6)), ("y", 2, round(2 / 7, 6))]
+
+
+def test_apply_dedup_keep_no_pairs(spark):
+    """No near-dup pairs → every document survives."""
+    from hash_db_spark.operators.dedup import apply_dedup_keep
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(3)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([], "id_a long, id_b long, jac double")
+    kept = sorted(r.doc_id for r in apply_dedup_keep(docs, pairs, "doc_id").collect())
+    assert kept == [0, 1, 2]
