@@ -209,3 +209,96 @@ reach AS (
 SELECT id, CAST(min(hops) AS INT) AS hops
 FROM reach WHERE hops > 0 GROUP BY id
 """
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank (simplified power iteration, no dangling redistribution —
+    the form both engines can replay exactly): pr_{t+1}(v) = (1-d)/N +
+    d * Σ_{u→v} pr_t(u)/outdeg(u). Pattern follows the dataflow
+    formulation popularized by GraphX (OSDI 2014): ranks live in a
+    DataFrame, one equijoin + one aggregation per iteration,
+    localCheckpoint per round to keep lineage flat.
+
+    Returns (id, rank) rounded to 6dp — rank is rounded ONCE at the end,
+    so cross-engine float noise (~1e-14 after a few iterations) stays far
+    under the rounding grid. Fixed iteration count (not convergence
+    detection) keeps the oracle an unrolled CTE chain.
+    """
+    n = nodes.count()
+    outdeg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    # Degree-annotated edge list, materialized ONCE outside the loop —
+    # each iteration then costs one equijoin + one aggregation.
+    edeg = (
+        edges.select(F.col("src").alias("id"), "dst")
+        .join(outdeg, "id")
+        .localCheckpoint(eager=True)
+    )
+    base = F.lit((1.0 - damping) / n)
+    # The node-id frame is referenced every iteration (left join for
+    # no-inflow nodes) — materialize it once, not per round.
+    ids = nodes.select("id").localCheckpoint(eager=True)
+    ranks = ids.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(edeg, "id")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            ids
+            .join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    base
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+def sql_pagerank(iterations: int = 5, damping: float = 0.85) -> str:
+    """Unrolled iteration chain over gnodes/gedges (append after
+    GRAPH_ORACLE_CTES): recursive CTEs cannot aggregate per step, so each
+    power iteration is its own CTE — exact same arithmetic as the Spark
+    loop."""
+    d = damping
+    parts = [
+        "outdeg AS (SELECT src AS id, count(*) AS deg FROM gedges GROUP BY src)",
+        "n_cte AS (SELECT count(*) AS n FROM gnodes)",
+        "r0 AS (SELECT id, 1.0 / (SELECT n FROM n_cte) AS rank FROM gnodes)",
+    ]
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""r{i} AS (
+  SELECT g.id,
+         (1.0 - {d}) / (SELECT n FROM n_cte)
+         + {d} * COALESCE(s.inflow, 0.0) AS rank
+  FROM gnodes g LEFT JOIN (
+    SELECT e.dst AS id, sum(r.rank / o.deg) AS inflow
+    FROM {prev} r
+    JOIN outdeg o ON o.id = r.id
+    JOIN gedges e ON e.src = r.id
+    GROUP BY e.dst
+  ) s ON s.id = g.id
+)"""
+        )
+        prev = f"r{i}"
+    ctes = ",\n".join(parts)
+    return f"{ctes}\nSELECT id, round(rank, 6) AS rank FROM {prev}"

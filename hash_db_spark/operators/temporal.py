@@ -197,3 +197,63 @@ def point_in_interval_join(
         )
         .drop("__bin")
     )
+
+
+def similar_activity_users(
+    events: DataFrame,
+    probe_user: int,
+    k: int = 10,
+    time: str = "ts",
+    user: str = "user_id",
+) -> DataFrame:
+    """Time-series similarity search: which users' daily activity series
+    correlate most with a probe user's (Pearson corr over the days both
+    were active). The distributed-top-k-similarity-search shape: the
+    probe's series is a tiny broadcast; the corpus series stream joins it
+    on the day key, one aggregation computes corr per user, and the
+    result is per-partition top-k (TakeOrdered), never a global sort.
+
+    Returns (user_id, days, r) — days = common active days, r = corr at
+    6dp — ordered by (r desc, user asc), self excluded; users with
+    undefined correlation (constant series) are filtered on both engines.
+    """
+    daily = events.groupBy(
+        F.col(user).alias("uid"), F.date_trunc("day", F.col(time)).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    probe = daily.filter(F.col("uid") == probe_user).select(
+        "day", F.col("n").alias("pn")
+    )
+    return (
+        daily.filter(F.col("uid") != probe_user)
+        .join(F.broadcast(probe), "day")
+        .groupBy(F.col("uid").alias(user))
+        .agg(
+            F.count(F.lit(1)).alias("days"),
+            F.round(F.corr("n", "pn"), 6).alias("r"),
+        )
+        .filter(F.col("r").isNotNull())
+        .orderBy(F.col("r").desc(), F.col(user).asc())
+        .limit(k)
+    )
+
+
+def sql_similar_activity_users(
+    probe_user: int, k: int = 10, table: str = "events"
+) -> str:
+    return f"""
+WITH daily AS (
+  SELECT user_id AS uid, date_trunc('day', ts) AS day, count(*) AS n
+  FROM {table} GROUP BY 1, 2
+),
+probe AS (SELECT day, n AS pn FROM daily WHERE uid = {probe_user}),
+scored AS (
+  SELECT d.uid AS user_id, count(*) AS days, round(corr(d.n, p.pn), 6) AS r
+  FROM daily d JOIN probe p USING (day)
+  WHERE d.uid <> {probe_user}
+  GROUP BY d.uid
+)
+SELECT user_id, days, r FROM scored
+WHERE r IS NOT NULL
+ORDER BY r DESC, user_id ASC
+LIMIT {k}
+"""

@@ -197,12 +197,29 @@ def _n_hop_oracle() -> str:
     )
 
 
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank over the fixture property graph (free win —
+    dataflow power iteration in DataFrames, GraphX-style)."""
+    from hash_db_spark.operators.graph import pagerank
+
+    return pagerank(
+        graph_nodes(spark, sf_dir), graph_edges(spark, sf_dir), iterations=3
+    )
+
+
+def _pagerank_oracle() -> str:
+    from hash_db_spark.operators.graph import sql_pagerank
+
+    return f"WITH {GRAPH_ORACLE_CTES}, {sql_pagerank(iterations=3)}"
+
+
 QUERIES = {
     "graph_node_scan": Query(
         q_graph_node_scan,
         _g("SELECT id AS n FROM gnodes WHERE label='Nation' AND name='NATION_7'"),
     ),
     "graph_n_hop": Query(q_graph_n_hop, _n_hop_oracle()),
+    "graph_pagerank": Query(q_graph_pagerank, _pagerank_oracle()),
     "cypher_1hop": Query(
         q_cypher_1hop,
         _g(

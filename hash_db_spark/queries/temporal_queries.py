@@ -208,10 +208,21 @@ WHERE e.event_type = 'purchase'
 """
 
 
+def q_ts_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed time-series similarity search: top-10 users whose
+    daily activity series correlates with user 42's."""
+    return T.similar_activity_users(
+        load_table(spark, sf_dir, "events"), probe_user=42, k=10
+    )
+
+
 QUERIES = {
     "asof_join": Query(q_asof_join, ASOF_ORACLE),
     "range_join": Query(q_range_join, RANGE_ORACLE),
     "interval_bin_join": Query(q_interval_bin_join, INTERVAL_BIN_ORACLE),
+    "ts_similar_users": Query(
+        q_ts_similar_users, T.sql_similar_activity_users(probe_user=42, k=10)
+    ),
     "sessionize": Query(q_sessionize, SESSIONIZE_ORACLE),
     "tumbling_daily": Query(q_tumbling_daily, TUMBLING_ORACLE),
     "sliding_2d": Query(q_sliding_2d, SLIDING_ORACLE),
