@@ -274,6 +274,165 @@ PASSTHROUGH: dict[str, str] = {
             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
         GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
     """,
+    # TPC-H Q2 shape: min-cost supplier per part via correlated scalar
+    # subquery (no partsupp table in the fixture; lineitem price stands in).
+    "ansi_q2_min_cost_supplier": """
+        SELECT p_partkey, p_name, s_suppkey, s_name,
+               round(l_extendedprice, 2) AS min_price
+        FROM part
+        JOIN lineitem ON l_partkey = p_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        WHERE p_size = 15 AND p_brand = 'Brand#3'
+          AND l_extendedprice = (
+            SELECT min(l2.l_extendedprice) FROM lineitem l2
+            WHERE l2.l_partkey = p_partkey)
+    """,
+    # TPC-H Q8 shape: one nation's market share within a region by year
+    # (conditional aggregation ratio).
+    "ansi_q8_market_share": """
+        SELECT o_year,
+               round(sum(CASE WHEN nat = 'NATION_3' THEN volume ELSE 0 END)
+                     / sum(volume), 6) AS mkt_share
+        FROM (
+          SELECT year(o_orderdate) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS volume,
+                 n2.n_name AS nat
+          FROM lineitem
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation n2 ON n2.n_nationkey = s_nationkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON n1.n_nationkey = c_nationkey
+          JOIN region ON r_regionkey = n1.n_regionkey
+          WHERE r_name = 'ASIA'
+        ) t
+        GROUP BY o_year
+    """,
+    # TPC-H Q9 shape: profit by supplier nation and year for a part family.
+    "ansi_q9_product_profit": """
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               round(sum(l_extendedprice * (1 - l_discount)
+                         - 0.4 * l_quantity * p_retailprice), 2) AS profit
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN part ON p_partkey = l_partkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY n_name, year(o_orderdate)
+    """,
+    # TPC-H Q11 shape: HAVING against a global scalar-subquery threshold.
+    "ansi_q11_important_stock": """
+        SELECT l_partkey, round(sum(l_extendedprice), 2) AS part_value
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_7'
+        GROUP BY l_partkey
+        HAVING sum(l_extendedprice) > (
+          SELECT sum(l_extendedprice) * 0.0015
+          FROM lineitem
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation ON n_nationkey = s_nationkey
+          WHERE n_name = 'NATION_7')
+    """,
+    # TPC-H Q13 shape: order-count distribution including zero-order
+    # customers; LEFT JOIN with a compound ON predicate.
+    "ansi_q13_custdist": """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer
+          LEFT JOIN orders ON o_custkey = c_custkey
+                          AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey
+        ) c_orders
+        GROUP BY c_count
+    """,
+    # TPC-H Q15 shape: CTE revenue view + max() scalar subquery.
+    "ansi_q15_top_supplier": """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    # TPC-H Q16 shape: count(DISTINCT) per part attrs with NOT IN subquery.
+    "ansi_q16_supplier_cnt": """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#5'
+          AND p_size IN (1, 4, 9, 14, 19, 23)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+    """,
+    # TPC-H Q17 shape: correlated per-part average quantity threshold.
+    "ansi_q17_small_qty_revenue": """
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#4'
+          AND l_quantity < (
+            SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = p_partkey)
+    """,
+    # TPC-H Q20 shape: IN over a grouped-HAVING subquery.
+    "ansi_q20_excess_suppliers": """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE p_name LIKE 'small%'
+          GROUP BY l_suppkey
+          HAVING sum(l_quantity) > 120)
+    """,
+    # TPC-H Q21 shape: EXISTS + NOT EXISTS against sibling lines of the
+    # same order (adapted: latest-shipping supplier of multi-supplier 'F'
+    # orders that shipped >75 days after the order date).
+    "ansi_q21_waiting_supplier": """
+        SELECT s_name, count(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 75 DAY
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s_name
+    """,
+    # TPC-H Q22 shape: NOT EXISTS anti-join + global avg scalar subquery,
+    # grouped by a derived code column.
+    "ansi_q22_idle_customers": """
+        SELECT code, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+        FROM (
+          SELECT substring(c_name, length(c_name), 1) AS code,
+                 c_acctbal, c_custkey
+          FROM customer
+          WHERE c_acctbal > (
+            SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        ) hot
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        GROUP BY code
+    """,
 }
 
 
