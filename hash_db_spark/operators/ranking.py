@@ -1,0 +1,169 @@
+"""Relevance ranking over the FTS token model: BM25 and TF-IDF.
+
+The reference's FTS (`/root/reference/server.py:729-739`,
+`client.py:683-709`) is boolean-only — a document either matches the
+token query or it doesn't, and results come back unranked. Any real
+search surface layers a relevance score on the same posting-list
+statistics, so this module adds the two standard ones (Okapi BM25 and
+TF-IDF) as first-class operators over the same whitespace token model
+(`dedup.clean_tokens`, identical to the reference's indexer
+tokenization).
+
+Scale shape (BM25): the term-frequency pass filters to the query's
+terms BEFORE its groupBy, so the only shuffle over corpus-sized data
+carries just the matching (doc, term) postings — at 100 TB that is the
+posting list of the query, not the corpus. Document length is a
+map-side projection; N / avgdl are scalar aggregates broadcast via
+crossJoin; per-term document frequencies are a tiny frame the optimizer
+broadcasts. Final top-k compiles to TakeOrderedAndProject (per-partition
+heap, merged on the driver), not a global sort.
+
+TF-IDF's per-document top-terms uses a row_number window PARTITIONED BY
+document id — per-doc partitions, so no single-task funnel at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+from hash_db_spark.operators.dedup import clean_tokens, sql_clean_tokens
+
+
+def bm25_rank(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    topn: int = 15,
+) -> DataFrame:
+    """(id, score): top ``topn`` documents for the bag-of-terms query by
+    Okapi BM25 (idf = ln((N-df+0.5)/(df+0.5) + 1), the Lucene form).
+    Deterministic: 6dp rounding, id tiebreak."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(clean_tokens(col)).alias("tok")
+    )
+    dl = df.select(
+        F.col(id_col).alias("id"), F.size(clean_tokens(col)).alias("dl")
+    )
+    scalars = dl.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("dl").alias("__avgdl")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(terms))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("tok").agg(F.countDistinct("id").alias("df"))
+    idf = F.log(
+        (F.col("__n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    norm = F.col("tf") * (k1 + 1) / (
+        F.col("tf")
+        + k1 * (1 - b + b * F.col("dl") / F.col("__avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dft), "tok")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(scalars))
+        .groupBy("id")
+        .agg(F.round(F.sum(idf * norm), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(topn)
+    )
+
+
+def sql_bm25_rank(
+    table: str,
+    col: str,
+    id_col: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    topn: int = 15,
+) -> str:
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS id, unnest({sql_clean_tokens(col)}) AS tok FROM {table}
+),
+dl AS (
+  SELECT {id_col} AS id, len({sql_clean_tokens(col)}) AS dl FROM {table}
+),
+scalars AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT id, tok, count(*) AS tf FROM toks
+  WHERE tok IN ({term_list}) GROUP BY id, tok
+),
+dft AS (SELECT tok, count(DISTINCT id) AS df FROM tf GROUP BY tok),
+scored AS (
+  SELECT tf.id,
+         round(sum(
+           ln((n - df + 0.5) / (df + 0.5) + 1.0)
+           * tf * ({k1} + 1) / (tf + {k1} * (1 - {b} + {b} * dl / avgdl))
+         ), 6) AS score
+  FROM tf JOIN dft USING (tok) JOIN dl ON dl.id = tf.id CROSS JOIN scalars
+  GROUP BY tf.id
+)
+SELECT id, score FROM scored ORDER BY score DESC, id ASC LIMIT {topn}
+"""
+
+
+def tfidf_top_terms(
+    df: DataFrame, col: str, id_col: str, topn: int = 3, min_df: int = 1
+) -> DataFrame:
+    """(id, tok, tfidf): each document's ``topn`` highest tf-idf terms
+    (tf = in-doc count, idf = ln(N/df)). The per-doc row_number window
+    partitions on the document id, so ranking is embarrassingly
+    parallel."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(clean_tokens(col)).alias("tok")
+    )
+    n_docs = df.select(
+        F.count(F.lit(1)).alias("__n")
+    )
+    tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("tok").agg(F.countDistinct("id").alias("df"))
+    w = Window.partitionBy("id").orderBy(
+        F.col("tfidf").desc(), F.col("tok").asc()
+    )
+    return (
+        tf.join(dft.filter(F.col("df") >= min_df), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("__n") / F.col("df")), 6),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topn)
+        .select("id", "tok", "tfidf")
+    )
+
+
+def sql_tfidf_top_terms(
+    table: str, col: str, id_col: str, topn: int = 3, min_df: int = 1
+) -> str:
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS id, unnest({sql_clean_tokens(col)}) AS tok FROM {table}
+),
+tf AS (SELECT id, tok, count(*) AS tf FROM toks GROUP BY id, tok),
+dft AS (SELECT tok, count(DISTINCT id) AS df FROM tf GROUP BY tok),
+scored AS (
+  SELECT id, tok,
+         round(tf * ln(CAST((SELECT count(*) FROM {table}) AS DOUBLE) / df),
+               6) AS tfidf
+  FROM tf JOIN dft USING (tok)
+  WHERE df >= {min_df}
+),
+ranked AS (
+  SELECT id, tok, tfidf,
+         row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, tok ASC)
+           AS rn
+  FROM scored
+)
+SELECT id, tok, tfidf FROM ranked WHERE rn <= {topn}
+"""

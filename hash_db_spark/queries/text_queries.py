@@ -274,7 +274,38 @@ SELECT lang, s AS gram, cnt, CAST(rn AS INT) AS rn FROM (
 """
 
 
+# --- relevance ranking over the FTS token model ------------------------------
+
+BM25_TERMS = ["hash", "join", "spark"]
+
+
+def q_fts_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hash_db_spark.operators import ranking as R
+
+    return R.bm25_rank(_docs(spark, sf_dir), "text", "doc_id", BM25_TERMS)
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hash_db_spark.operators import ranking as R
+
+    return R.tfidf_top_terms(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def _ranking_oracles():
+    from hash_db_spark.operators import ranking as R
+
+    return (
+        R.sql_bm25_rank("documents", "text", "doc_id", BM25_TERMS),
+        R.sql_tfidf_top_terms("documents", "text", "doc_id"),
+    )
+
+
+_BM25_ORACLE, _TFIDF_ORACLE = _ranking_oracles()
+
+
 QUERIES = {
+    "fts_bm25_rank": Query(q_fts_bm25_rank, _BM25_ORACLE),
+    "tfidf_top_terms": Query(q_tfidf_top_terms, _TFIDF_ORACLE),
     "fts_and": Query(q_fts_and, _fts_oracle(FTS_AND, "doc_id, lang, source")),
     "fts_or": Query(q_fts_or, _fts_oracle(FTS_OR, "doc_id, lang")),
     "fts_mixed": Query(q_fts_mixed, _fts_oracle(FTS_MIXED, "doc_id")),

