@@ -38,6 +38,7 @@ def all_queries() -> dict[str, Query]:
         relational_queries,
         sampling_queries,
         similarity_queries,
+        sketch_queries,
         skew_queries,
         sources_queries,
         temporal_queries,
@@ -68,6 +69,7 @@ def all_queries() -> dict[str, Query]:
         multimodal_queries,
         udf_queries,
         sampling_queries,
+        sketch_queries,
         array_queries,
         skew_queries,
         ansi_queries,
