@@ -84,3 +84,69 @@ def stratified_sample(
         )
     thresh = thresh.otherwise(0)
     return df.filter(b < thresh)
+
+
+def mix_to_weights(
+    df: DataFrame, key: str, strata: str, weights: dict[str, float]
+) -> DataFrame:
+    """Downsample each stratum so the output matches target mixture
+    ``weights`` (training-data mixing: "50% web / 30% books / 20% code").
+
+    The output is the LARGEST dataset achieving the target proportions
+    without upsampling: n_out = min over strata of count_s / w_s, and each
+    stratum keeps rate_s = w_s * n_out / count_s of its rows (the binding
+    stratum keeps everything). Row fate is content-addressed (md5 bucket
+    of ``key``), so the sample is stable under repartitioning, appends to
+    OTHER strata, and engine choice.
+
+    Scale shape: one tiny per-stratum count aggregate (map-side partial),
+    broadcast back; the keep/drop decision is a pure map-side function of
+    (key, stratum rate). No corpus-sized shuffle. No counterpart in the
+    reference (free win).
+    """
+    w = None
+    for cls, wt in weights.items():
+        cond = F.col(strata) == cls
+        w = F.when(cond, F.lit(wt)) if w is None else w.when(cond, F.lit(wt))
+    w = w.otherwise(F.lit(None))
+    counts = df.groupBy(strata).agg(F.count(F.lit(1)).alias("__cnt"))
+    counts = counts.withColumn("__w", w).filter(F.col("__w").isNotNull())
+    n_out = counts.agg(
+        F.min(F.col("__cnt") / F.col("__w")).alias("__n_out")
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(n_out))
+        .withColumn(
+            "__rate", F.col("__w") * F.col("__n_out") / F.col("__cnt")
+        )
+        .select(strata, "__rate")
+    )
+    return (
+        df.join(F.broadcast(rates), strata)
+        .filter(
+            _bucket(F.col(key)) < F.floor(F.col("__rate") * F.lit(float(BUCKETS)))
+        )
+        .drop("__rate")
+    )
+
+
+def sql_mix_to_weights(
+    table: str, key: str, strata: str, weights: dict[str, float], cols: str
+) -> str:
+    """DuckDB oracle mirroring mix_to_weights' arithmetic exactly."""
+    case = "CASE " + " ".join(
+        f"WHEN {strata} = '{cls}' THEN {wt!r}" for cls, wt in weights.items()
+    ) + " ELSE NULL END"
+    return f"""
+WITH c AS (
+  SELECT {strata}, ({case}) AS w, count(*) AS cnt
+  FROM {table} GROUP BY {strata}
+),
+cw AS (SELECT * FROM c WHERE w IS NOT NULL),
+sc AS (SELECT min(cnt / w) AS n_out FROM cw),
+r AS (
+  SELECT {strata}, w * n_out / cnt AS rate FROM cw CROSS JOIN sc
+)
+SELECT {cols} FROM {table} t JOIN r USING ({strata})
+WHERE {sql_bucket(f"t.{key}")} < floor(rate * 10000.0)
+"""

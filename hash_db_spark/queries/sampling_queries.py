@@ -30,6 +30,22 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
 
 
+MIX_WEIGHTS = {f"src{i}": (2.0 if i < 4 else 0.5) / 16.0 for i in range(20)}
+
+
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-targeted downsampling: heavy weight on src0-3, light on
+    the rest — output proportions hit the target without upsampling."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = SM.mix_to_weights(docs, "doc_id", "source", MIX_WEIGHTS)
+    return out.select("doc_id", "source")
+
+
+MIX_ORACLE = SM.sql_mix_to_weights(
+    "documents", "doc_id", "source", MIX_WEIGHTS, "t.doc_id, t.source"
+)
+
+
 STRATIFIED_ORACLE = f"""
 SELECT lang, count(*) AS n FROM documents
 WHERE {SM.sql_bucket('doc_id')} <
@@ -206,6 +222,7 @@ QUERIES = {
         f"count(*) AS n FROM documents GROUP BY 1",
     ),
     "stratified_sample": Query(q_stratified_sample, STRATIFIED_ORACLE),
+    "mix_weights": Query(q_mix_weights, MIX_ORACLE),
     "pivot_counts": Query(q_pivot, PIVOT_ORACLE),
     "unpivot_measures": Query(q_unpivot_measures, UNPIVOT_ORACLE),
     "grouped_quantiles": Query(q_grouped_quantiles, GROUPED_QUANTILES_ORACLE),

@@ -1,0 +1,71 @@
+"""Mixture-targeted sampling: proportions, stability, and plan shape."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from hash_db_spark.catalog import load_table
+from hash_db_spark.operators import sampling as SM
+
+
+WEIGHTS = {f"src{i}": (2.0 if i < 4 else 0.5) / 16.0 for i in range(20)}
+
+
+def test_mix_hits_target_proportions(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = SM.mix_to_weights(docs, "doc_id", "source", WEIGHTS)
+    got = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(got.values())
+    # md5 buckets are uniform but the strata are tiny at sf0.001; allow
+    # wide slack — the oracle-parity entry checks exactness, this checks
+    # the *shape* of the mixture (heavy strata ~4x the light ones).
+    heavy = sum(got.get(f"src{i}", 0) for i in range(4)) / 4
+    light = sum(got.get(f"src{i}", 0) for i in range(4, 20)) / 16
+    assert heavy > 2 * light, got
+    assert total > 0
+
+
+def test_mix_binding_stratum_keeps_all(spark, sf_dir):
+    """The binding stratum's rate is exactly 1.0 — it keeps every row
+    (largest-feasible-output guarantee, no upsampling)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = {r["source"]: r["n"] for r in docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    out = SM.mix_to_weights(docs, "doc_id", "source", WEIGHTS)
+    got = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    binding = min(counts, key=lambda s: counts[s] / WEIGHTS[s])
+    assert got[binding] == counts[binding]
+
+
+def test_mix_membership_stable_under_other_strata_growth(spark, sf_dir):
+    """Adding rows to a NON-binding stratum must not change which rows of
+    the binding stratum survive (content-addressed fate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = SM.mix_to_weights(docs, "doc_id", "source", WEIGHTS)
+    binding_ids = {
+        r["doc_id"] for r in base.filter(F.col("source") == "src0").collect()
+    }
+    grown = docs.union(
+        docs.filter(F.col("source") == "src5").withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000
+        )
+    )
+    regrown = SM.mix_to_weights(grown, "doc_id", "source", WEIGHTS)
+    binding_ids2 = {
+        r["doc_id"] for r in regrown.filter(F.col("source") == "src0").collect()
+    }
+    assert binding_ids == binding_ids2
+
+
+def test_mix_plan_is_broadcast_mapside(spark, sf_dir):
+    """The rate table must broadcast: the corpus-sized side is never
+    shuffled (the only exchanges aggregate the tiny per-stratum counts)."""
+    from hash_db_spark.plans.inspect import formatted_plan, summarize
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = SM.mix_to_weights(docs, "doc_id", "source", WEIGHTS)
+    s = summarize(out)
+    assert s.broadcast_joins >= 1
+    assert "SortMergeJoin" not in formatted_plan(out)
