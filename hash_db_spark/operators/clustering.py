@@ -1,0 +1,181 @@
+"""Deterministic spherical k-means over embedding columns.
+
+Document clustering is the remaining classic of the LLM-pipeline family
+(semantic bucketing for mixing/curation; centroid tables feed the IVF
+index in ``similarity.py``). The reference engine has no counterpart
+(free win). This is Lloyd's algorithm with a FIXED iteration count and
+fully deterministic arithmetic, so the DuckDB oracle reproduces the
+exact assignment:
+
+- seeds: the ``k`` vectors with the lowest ``(md5(id), id)`` — the same
+  content-addressed seeding the sampling/sketch modules use; seed order
+  defines cluster indices 1..k.
+- assignment: argmax cosine against the centroid matrix, cosine rounded
+  half-away to 6dp, ties to the lowest cluster index (numpy argmax's
+  first-max == SQL ``row_number ORDER BY cos DESC, cidx ASC``) — the
+  parity discipline proven by ``similarity.py``.
+- centroid update: per-dimension mean accumulated as EXACT integers
+  (components quantized by floor(x*2^20+0.5), summed as BIGINT — float
+  summation order differs between engines; integer summation doesn't),
+  then one deterministic double division. Same trick as the HLL
+  harmonic sum (``functions/sketches.py``).
+
+Scale shape: each assignment pass is ONE Arrow/BLAS ``mapInPandas``
+block over the corpus (rows x k matmul, map-side, no join, no shuffle
+— the same shape the IVF rewrite uses). The centroid update shuffles
+only (k x dims) partially-aggregated sums; the posexplode feeding it is
+map-side. Driver holds k x dims doubles between iterations. At a 1000-
+executor scale the corpus is scanned ``iters+1`` times and nothing
+corpus-sized ever moves between executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from hash_db_spark.operators.similarity import _dvec
+
+SCALE = 1_048_576  # 2^20 component quantization for exact centroid sums
+
+
+def _norm_rows(m):
+    import numpy as np
+
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(n == 0, 1.0, n)
+
+
+def _assign_pass(corpus: DataFrame, cmat, with_vec: bool) -> DataFrame:
+    """One corpus pass: nearest-centroid id per vector (Arrow/BLAS).
+
+    cmat rows must be ordered by cluster index 1..k; argmax's first-max
+    matches the oracle's (cos DESC, cidx ASC) row_number tie-break.
+    """
+    import numpy as np
+
+    from hash_db_spark.functions.rounding import round_half_away
+
+    bc = corpus.sparkSession.sparkContext.broadcast(_norm_rows(cmat))
+    schema = (
+        "vec_id long, cluster int, v array<double>"
+        if with_vec
+        else "vec_id long, cluster int"
+    )
+
+    def block(batches):
+        import pandas as pd
+
+        cm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = _norm_rows(np.array(list(pdf["v"]), dtype=np.float64))
+            cl = round_half_away(v @ cm.T, 6).argmax(axis=1) + 1
+            out = {"vec_id": pdf["vec_id"].to_numpy(), "cluster": cl}
+            if with_vec:
+                out["v"] = pdf["v"]
+            yield pd.DataFrame(out)
+
+    return corpus.mapInPandas(block, schema)
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> DataFrame:
+    """(vec_id, cluster): spherical k-means, 2 assignment passes around
+    1 exact centroid update (fixed-iteration Lloyd)."""
+    import numpy as np
+
+    corpus = emb.select(
+        F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("v")
+    )
+    seeds = (
+        corpus.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .collect()
+    )  # tiny: k rows
+    smat = np.array([r["v"] for r in seeds], dtype=np.float64)
+
+    a0 = _assign_pass(corpus, smat, with_vec=True)
+    sums = (
+        a0.select("cluster", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(
+            F.sum(F.floor(F.col("val") * SCALE + F.lit(0.5))).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )  # tiny: k x dims rows, partial-aggregated map-side
+    dims = max(r["pos"] for r in sums) + 1
+    by_cl: dict[int, np.ndarray] = {}
+    for r in sums:
+        by_cl.setdefault(r["cluster"], np.zeros(dims))[r["pos"]] = float(
+            r["s"]
+        ) / (float(SCALE) * r["n"])
+    cmat = np.array([by_cl[c] for c in sorted(by_cl)], dtype=np.float64)
+    # empty clusters vanish; remaining indices stay in seed-rank order,
+    # matching the oracle's dense re-rank over surviving clusters
+    return _assign_pass(corpus, cmat, with_vec=False)
+
+
+def sql_kmeans_assign(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> str:
+    """DuckDB oracle: identical seeds, rounding, tie-breaks, and exact
+    integer centroid arithmetic."""
+    return f"""
+WITH corpus AS (
+  SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v FROM {table}
+),
+seeds AS (
+  SELECT v AS sv,
+         row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         ) AS cidx
+  FROM corpus
+  QUALIFY cidx <= {k}
+),
+assign0 AS (
+  SELECT vec_id, v, cidx,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY round(list_cosine_similarity(v, sv), 6) DESC, cidx ASC
+         ) AS rn
+  FROM corpus, seeds
+),
+a0 AS (SELECT vec_id, v, cidx AS cl FROM assign0 WHERE rn = 1),
+comps AS (
+  SELECT cl, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM a0
+),
+dimsums AS (
+  SELECT cl, pos,
+         sum(CAST(floor(val * {SCALE}.0 + 0.5) AS BIGINT)) AS s,
+         count(*) AS n
+  FROM comps GROUP BY cl, pos
+),
+cents0 AS (
+  SELECT cl, list(CAST(s AS DOUBLE) / ({SCALE}.0 * n) ORDER BY pos) AS cv
+  FROM dimsums GROUP BY cl
+),
+cents AS (
+  SELECT cv, row_number() OVER (ORDER BY cl) AS cidx FROM cents0
+),
+assign1 AS (
+  SELECT c.vec_id, x.cidx,
+         row_number() OVER (
+           PARTITION BY c.vec_id
+           ORDER BY round(list_cosine_similarity(c.v, x.cv), 6) DESC,
+                    x.cidx ASC
+         ) AS rn
+  FROM corpus c, cents x
+)
+SELECT vec_id, CAST(cidx AS INT) AS cluster FROM assign1 WHERE rn = 1
+"""

@@ -33,7 +33,20 @@ def q_sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hash_db_spark.operators import clustering as C
+
+    return C.kmeans_assign(load_table(spark, sf_dir, "embeddings"))
+
+
+def _kmeans_oracle() -> str:
+    from hash_db_spark.operators import clustering as C
+
+    return C.sql_kmeans_assign()
+
+
 QUERIES = {
+    "kmeans_clusters": Query(q_kmeans_clusters, _kmeans_oracle()),
     "sim_topk_brute": Query(
         q_sim_topk_brute, S.sql_topk_bruteforce(QUERY_IDS, k=K)
     ),
