@@ -6,9 +6,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
+from hash_db_spark.catalog import load_table
 from hash_db_spark.cypher import CypherCompiler
 from hash_db_spark.operators.graph import (
     GRAPH_ORACLE_CTES,
+    SQL_TRIANGLE_COUNT,
     graph_edges,
     graph_nodes,
 )
@@ -197,6 +199,21 @@ def _n_hop_oracle() -> str:
     )
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count of the embedding near-dup graph (sparse by
+    construction) via degree-oriented compact-forward enumeration (free
+    win — bounds wedge candidates by O(m^1.5) under hub skew)."""
+    from hash_db_spark.operators.dedup import embedding_near_dup_pairs
+    from hash_db_spark.operators.graph import triangle_count
+
+    pairs = embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"))
+    return triangle_count(
+        pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+    )
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative PageRank over the fixture property graph (free win —
     dataflow power iteration in DataFrames, GraphX-style)."""
@@ -220,6 +237,7 @@ QUERIES = {
     ),
     "graph_n_hop": Query(q_graph_n_hop, _n_hop_oracle()),
     "graph_pagerank": Query(q_graph_pagerank, _pagerank_oracle()),
+    "graph_triangles": Query(q_graph_triangles, SQL_TRIANGLE_COUNT),
     "cypher_1hop": Query(
         q_cypher_1hop,
         _g(
