@@ -257,3 +257,146 @@ WHERE r IS NOT NULL
 ORDER BY r DESC, user_id ASC
 LIMIT {k}
 """
+
+
+# --- funnel analysis --------------------------------------------------------
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    time_col: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Ordered-funnel conversion: one row with, for each step i, the
+    number of users whose events contain step 1..i in strict time order
+    (columns s1_users, s2_users, ...).
+
+    ONE shuffle total: events group to their user, the per-user event
+    list is sorted and folded left-to-right with a built-in higher-order
+    ``aggregate`` (state = the first qualifying timestamp per stage), and
+    the stage flags collapse in a map-side-combinable global count. The
+    per-user fold touches each event once — no per-stage self-join, which
+    at 100 TB would be len(steps) corpus shuffles instead of one. The HOF
+    runs interpreted, but over per-user arrays, not the corpus width.
+    """
+    evs = df.select(
+        F.col(user_col).alias("u"),
+        F.struct(
+            F.col(time_col).alias("ts"),
+            F.col(tiebreak).alias("tb"),
+            F.col(type_col).alias("tp"),
+        ).alias("e"),
+    )
+    k = len(steps)
+    init = F.struct(
+        *[F.lit(None).cast("timestamp").alias(f"t{i}") for i in range(1, k + 1)]
+    )
+
+    def fold(acc, e):
+        fields = []
+        for i in range(1, k + 1):
+            t = acc[f"t{i}"]
+            cond = t.isNull() & (e["tp"] == steps[i - 1])
+            if i > 1:
+                prev = acc[f"t{i-1}"]
+                cond = cond & prev.isNotNull() & (e["ts"] > prev)
+            fields.append(F.when(cond, e["ts"]).otherwise(t).alias(f"t{i}"))
+        return F.struct(*fields)
+
+    per_user = evs.groupBy("u").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list("e")), init, fold
+        ).alias("f")
+    )
+    return per_user.agg(
+        *[
+            F.count(F.col(f"f.t{i}")).alias(f"s{i}_users")
+            for i in range(1, k + 1)
+        ]
+    )
+
+
+def sql_funnel(
+    steps: list[str],
+    table: str = "events",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    time_col: str = "ts",
+) -> str:
+    """Oracle via chained min-qualifying-timestamp CTEs — a different
+    formulation (per-stage joins) that must agree with the fold."""
+    ctes = [
+        f"""s1 AS (
+  SELECT {user_col} AS u, min({time_col}) AS t
+  FROM {table} WHERE {type_col} = '{steps[0]}' GROUP BY 1
+)"""
+    ]
+    for i in range(2, len(steps) + 1):
+        ctes.append(
+            f"""s{i} AS (
+  SELECT e.{user_col} AS u, min(e.{time_col}) AS t
+  FROM {table} e JOIN s{i-1} p ON e.{user_col} = p.u
+  WHERE e.{type_col} = '{steps[i-1]}' AND e.{time_col} > p.t
+  GROUP BY 1
+)"""
+        )
+    counts = ", ".join(
+        f"(SELECT count(*) FROM s{i}) AS s{i}_users"
+        for i in range(1, len(steps) + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT {counts}"
+
+
+# --- cohort retention -------------------------------------------------------
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+) -> DataFrame:
+    """(cohort_day, day_offset, users): distinct active users per first-
+    seen-day cohort and day offset — the standard retention triangle.
+
+    Two shuffles: the first-seen aggregate (map-side partial min) and
+    the (cohort, offset) distinct-count; the cohort frame joins back on
+    the same user key, so with bucketed storage the join is co-located.
+    """
+    firsts = df.groupBy(F.col(user_col).alias("u")).agg(
+        F.date_trunc("day", F.min(time_col)).alias("cohort_day")
+    )
+    return (
+        df.select(
+            F.col(user_col).alias("u"),
+            F.date_trunc("day", F.col(time_col)).alias("day"),
+        )
+        .join(firsts, "u")
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
+        .agg(F.countDistinct("u").alias("users"))
+    )
+
+
+def sql_cohort_retention(
+    table: str = "events",
+    user_col: str = "user_id",
+    time_col: str = "ts",
+) -> str:
+    return f"""
+WITH firsts AS (
+  SELECT {user_col} AS u,
+         date_trunc('day', min({time_col})) AS cohort_day
+  FROM {table} GROUP BY 1
+),
+activity AS (
+  SELECT {user_col} AS u, date_trunc('day', {time_col}) AS day FROM {table}
+)
+SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day,
+       CAST(date_diff('day', CAST(f.cohort_day AS DATE), CAST(a.day AS DATE))
+            AS INT) AS day_offset,
+       count(DISTINCT a.u) AS users
+FROM activity a JOIN firsts f USING (u)
+GROUP BY 1, 2
+"""

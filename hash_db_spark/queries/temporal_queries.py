@@ -216,7 +216,20 @@ def q_ts_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.funnel(_events(spark, sf_dir), FUNNEL_STEPS)
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.cohort_retention(_events(spark, sf_dir))
+
+
 QUERIES = {
+    "funnel_stages": Query(q_funnel_stages, T.sql_funnel(FUNNEL_STEPS)),
+    "cohort_retention": Query(q_cohort_retention, T.sql_cohort_retention()),
     "asof_join": Query(q_asof_join, ASOF_ORACLE),
     "range_join": Query(q_range_join, RANGE_ORACLE),
     "interval_bin_join": Query(q_interval_bin_join, INTERVAL_BIN_ORACLE),

@@ -222,3 +222,23 @@ def test_tfidf_window_partitioned_by_doc(spark, sf_dir):
     plan = formatted_plan(df)
     assert "row_number" in plan
     assert "partitionBy=[id" in plan.replace(" ", "") or "PartitionBy: [id" in plan or "hashpartitioning(id" in plan
+
+
+def test_funnel_single_corpus_shuffle(spark, sf_dir):
+    """The fold formulation must shuffle the corpus ONCE (to its user)
+    — never one join per funnel stage."""
+    from hash_db_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(REG["funnel_stages"].fn(spark, sf_dir))
+    # one scan node (appears once in the tree, once in the detail block)
+    assert plan.count("Scan parquet") == 2
+    assert "Join" not in plan
+
+
+def test_cohort_retention_partial_aggs(spark, sf_dir):
+    """Both aggregates must partial-combine map-side; the firsts frame
+    joins back on the same key."""
+    from hash_db_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(REG["cohort_retention"].fn(spark, sf_dir))
+    assert "partial_min" in plan
