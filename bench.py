@@ -37,6 +37,7 @@ HEADLINE: list[str] = [
     "multi_join",
     # FTS + text analysis
     "fts_mixed",
+    "fts_bm25_rank",
     "text_quality",
     "text_repetition",
     "contamination_check",
@@ -50,10 +51,11 @@ HEADLINE: list[str] = [
     "dedup_components",
     "dedup_incremental",
     "dedup_span_grams",
-    # similarity
+    # similarity / clustering
     "sim_topk_brute",
     "sim_topk_ivf",
     "sim_topk_lsh",
+    "kmeans_clusters",
     # pipeline prep
     "scrub_redact",
     "chunk_tokens",
@@ -61,10 +63,14 @@ HEADLINE: list[str] = [
     # documents / graph
     "doc_path_select",
     "cypher_chain",
-    # temporal
+    # temporal / event analytics
     "asof_join",
     "sessionize",
     "tumbling_daily",
+    "funnel_stages",
+    "cohort_retention",
+    # sketches
+    "hll_distinct_users",
     # multimodal
     "multimodal_features",
     # sampling / reshaping / UDF surface
