@@ -56,6 +56,20 @@ def bm25_rank(
         .groupBy("id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    return _score_bm25(tf, dl, scalars, k1, b, topn)
+
+
+def _score_bm25(
+    tf: DataFrame,
+    dl: DataFrame,
+    scalars: DataFrame,
+    k1: float,
+    b: float,
+    topn: int,
+) -> DataFrame:
+    """Okapi scoring over posting rows (id, tok, tf): shared by the
+    scan-time path (bm25_rank) and the index-probe path
+    (bm25_from_index) — both must produce identical scores."""
     dft = tf.groupBy("tok").agg(F.countDistinct("id").alias("df"))
     idf = F.log(
         (F.col("__n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
@@ -74,6 +88,31 @@ def bm25_rank(
         .orderBy(F.col("score").desc(), F.col("id").asc())
         .limit(topn)
     )
+
+
+def bm25_from_index(
+    postings: DataFrame,
+    doclens: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    topn: int = 15,
+    token_buckets: int = 64,
+) -> DataFrame:
+    """BM25 served from the persisted inverted index
+    (``sources.writers.write_fts_index``): the scan touches only the
+    query terms' hash-bucket partitions (PartitionFilters) instead of
+    exploding corpus text — the online-query half of the FTS scale
+    story. Scores are identical to ``bm25_rank`` over the same corpus.
+    """
+    from hash_db_spark.sources.writers import fts_index_probe
+
+    tf = fts_index_probe(postings, terms, token_buckets)
+    dl = doclens.select("id", "dl")
+    scalars = dl.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("dl").alias("__avgdl")
+    )
+    return _score_bm25(tf, dl, scalars, k1, b, topn)
 
 
 def sql_bm25_rank(

@@ -102,3 +102,88 @@ def read_minhash_index(
         spark.read.parquet(f"{path}/shingles"),
         spark.read.parquet(f"{path}/bands").drop("key_bucket"),
     )
+
+
+def write_fts_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_buckets: int = 64,
+) -> None:
+    """Persist an inverted FTS index so term queries never rescan corpus
+    text (reference: in-memory index_string_for_fts + intersection,
+    /root/reference/server.py:729-739 — rebuilt per process; here it is a
+    durable layout):
+
+    - postings/(tok, id, tf) partitioned by a token hash bucket and
+      sorted by tok within files — a query's terms prune to their
+      buckets (PartitionFilters) and page-skip to their tok runs;
+    - doclens/(id, dl) — per-document token counts, the BM25 length
+      normalization side (tiny relative to text).
+
+    Build cost is one explode + one (tok, id) aggregate — the same work
+    any single FTS query would do, paid once.
+    """
+    from hash_db_spark.operators.dedup import clean_tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(clean_tokens(text_col)).alias("tok")
+    )
+    postings = (
+        toks.groupBy("tok", "id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("tok_bucket", _tok_bucket("tok", token_buckets))
+    )
+    (
+        postings.repartition("tok_bucket")
+        .sortWithinPartitions("tok")
+        .write.partitionBy("tok_bucket")
+        .mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
+    (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.size(clean_tokens(text_col)).alias("dl"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/doclens")
+    )
+
+
+def _tok_bucket(col: str, token_buckets: int):
+    return (
+        F.conv(F.substring(F.md5(F.col(col)), 1, 8), 16, 10).cast("long")
+        % token_buckets
+    ).cast("int")
+
+
+def read_fts_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, doclens) of a persisted FTS index. Keep postings'
+    tok_bucket column: probe filters use it for partition pruning."""
+    return (
+        spark.read.parquet(f"{path}/postings"),
+        spark.read.parquet(f"{path}/doclens"),
+    )
+
+
+def fts_index_probe(
+    postings: DataFrame, terms: list[str], token_buckets: int = 64
+) -> DataFrame:
+    """Posting rows for ``terms``: the bucket predicate is computed
+    driver-side (same md5 both engines) so the scan prunes to the terms'
+    partitions before the pushed tok filter."""
+    import hashlib
+
+    buckets = sorted(
+        {
+            int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % token_buckets
+            for t in terms
+        }
+    )
+    return postings.filter(
+        F.col("tok_bucket").isin(buckets) & F.col("tok").isin(terms)
+    ).drop("tok_bucket")

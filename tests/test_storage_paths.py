@@ -130,3 +130,30 @@ def test_minhash_index_persist_and_probe(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert from_store == direct and from_store
+
+
+def test_fts_index_bm25_matches_scan_path(spark, sf_dir, tmp_path):
+    """BM25 served from the persisted inverted index must score exactly
+    like the scan-time path, and the probe scan must prune to the query
+    terms' hash-bucket partitions."""
+    from hash_db_spark.operators import ranking as R
+    from hash_db_spark.sources import writers
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["hash", "join", "spark"]
+    path = str(tmp_path / "ftsidx")
+    writers.write_fts_index(docs, path, token_buckets=16)
+    postings, doclens = writers.read_fts_index(spark, path)
+
+    got = R.bm25_from_index(postings, doclens, terms, token_buckets=16)
+    want = R.bm25_rank(docs, "text", "doc_id", terms)
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+
+    probe = writers.fts_index_probe(postings, terms, token_buckets=16)
+    plan = _plan(probe)
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "tok_bucket" in pf_line  # bucket predicate prunes directories
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "In(tok" in pushed  # term filter reaches the parquet reader
