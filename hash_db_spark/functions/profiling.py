@@ -97,7 +97,10 @@ def sql_profile_quantiles(
 def sql_profile_columns(table: str, cols: list[str]) -> str:
     selects = " UNION ALL ".join(
         f"SELECT '{c}' AS column, count(*) AS n_rows, "
-        f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls, "
+        # CAST: DuckDB integer sum() is HUGEINT, which pandas renders as
+        # float64 — the cross-engine hash then sees 1.0 vs 1.
+        f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS n_nulls, "
         f"count(DISTINCT {c}) AS n_distinct FROM {table}"
         for c in cols
     )

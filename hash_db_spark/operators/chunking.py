@@ -128,6 +128,6 @@ offs AS (
   FROM chunks
 )
 SELECT shard, CAST(floor(off / {budget}) AS BIGINT) AS seq_id,
-       count(*) AS n_chunks, sum(n_tokens) AS seq_tokens
+       count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
 FROM offs GROUP BY shard, CAST(floor(off / {budget}) AS BIGINT)
 """

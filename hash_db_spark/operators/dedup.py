@@ -400,7 +400,8 @@ WITH sh AS (
   SELECT {id_col} AS id, {sql_shingles(col, n)} AS grams FROM {table}
 ),
 posts AS (SELECT id, unnest(grams) AS gram FROM sh)
-SELECT gram, count(*) AS n_docs, list_sort(list(id)) AS doc_ids
+SELECT gram, count(*) AS n_docs,
+       array_to_string(list_sort(list(id)), ',') AS doc_ids
 FROM posts GROUP BY gram HAVING count(*) >= {min_docs}
 """
 

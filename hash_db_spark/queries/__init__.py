@@ -47,75 +47,76 @@ def all_queries() -> dict[str, Query]:
     )
 
     # Module order matters: the driver verifies registry entries in order and
-    # caps the run at the first 50 (CORRECTNESS_r01 has exactly 50 keys).
-    # PRIORITY is therefore a hand-picked 50: breadth-first across every
-    # family the driver has never verified (r01 covered kv/relational/text/
-    # dedup/similarity only), so each SURVEY §2 row and each pipeline
-    # capability gets at least one hard-gate-green representative this
-    # round; unlisted entries follow in module order and rotate forward in
-    # later rounds.
+    # caps the run at the first 50. Round-3 PRIORITY: the 3 entries that
+    # failed the r02 gate (fixed: HUGEINT→float64 sums, list-cell row sort)
+    # go first for re-verification, then 47 entries the driver has never
+    # checked (r01 ∪ r02 covered 99/178). The ~30 remaining ansi_* TPC-H
+    # shapes rotate forward next round — their family already has green
+    # representatives.
     priority = [
-        # documents (D1-D3, R14)
-        "doc_json_get",
-        "doc_shred_roundtrip",
-        "doc_shred_infer",
-        "doc_path_where",
-        "doc_path_select",
-        # graph / Cypher (G2-G7 + free wins)
-        "graph_node_scan",
-        "graph_n_hop",
-        "graph_triangles",
-        "cypher_1hop",
-        "cypher_chain",
-        "cypher_merge_match",
-        "cypher_return_names",
-        "cypher_attr_match",
-        "cypher_return_attrs",
-        "cypher_social_graph",
-        # SQL dialect front end (R3/R5/R6/R9/R10/R11/R12)
-        "dialect_select_where",
-        "dialect_join",
-        "dialect_fts",
-        "dialect_insert",
-        "dialect_update",
-        "dialect_create_join",
-        # temporal
-        "asof_join",
-        "range_join",
-        "sessionize",
-        "tumbling_daily",
-        # Structured Streaming (incl. R9 materialized view)
-        "stream_tumbling_daily",
-        "stream_dedup",
-        "stream_mv_join",
-        # multimodal
-        "multimodal_features",
-        "multimodal_meta_filter",
-        # UDF surface
-        "udf_pandas_scalar",
-        "udf_grouped_map",
-        "udf_python_udtf",
-        # profiling / sampling / reshaping
-        "profile_columns",
-        "hash_sample",
-        "train_val_test",
-        "mix_weights",
-        "pivot_counts",
-        "gap_fill",
-        # sketches
-        "hll_distinct_users",
-        "hll_merge_rollup",
-        # arrays / skew / ANSI / interchange / CDC representatives
+        # re-verify (fixed this round)
         "array_ops",
-        "salted_join",
-        "ansi_full_outer_join",
-        "csv_roundtrip",
-        "cdc_latest_view",
-        # ranking / clustering / event analytics
-        "fts_bm25_rank",
-        "kmeans_clusters",
-        "funnel_stages",
-        "cohort_retention",
+        "sessionize",
+        "profile_columns",
+        # pipeline prep (scrub/chunk/pack/quality/span/fuzzy)
+        "pack_sequences",
+        "dedup_span_grams",
+        "scrub_redact",
+        "scrub_pattern_counts",
+        "chunk_tokens",
+        "doc_logfreq",
+        "vocab_top_share",
+        "quality_gate",
+        "dedup_apply_keep",
+        "fuzzy_name_match",
+        # custom stateful streaming
+        "stream_stateful_counter",
+        "stream_sessions",
+        # documents / graph / dialect stragglers
+        "doc_json_agg",
+        "doc_path_two_level",
+        "graph_pagerank",
+        "cypher_shared_var",
+        "cypher_left_arrow",
+        "cypher_merge_attrs",
+        "dialect_group_count",
+        # temporal / window stragglers
+        "interval_bin_join",
+        "ts_similar_users",
+        "sliding_2d",
+        # multimodal stragglers
+        "multimodal_resize",
+        "multimodal_frame_sample",
+        # UDF stragglers
+        "udf_grouped_agg",
+        "udf_sql_registered",
+        # profiling / sampling / reshaping stragglers
+        "profile_quantiles",
+        "stratified_sample",
+        "unpivot_measures",
+        "grouped_quantiles",
+        "grouping_sets",
+        # arrays / skew stragglers
+        "array_agg_sorted",
+        "salted_group_count",
+        "salted_sum",
+        # interchange formats
+        "jsonl_roundtrip",
+        "orc_roundtrip",
+        # text / dedup / similarity stragglers
+        "tfidf_top_terms",
+        "text_repetition",
+        "contamination_check",
+        "top_ngrams_per_lang",
+        "dedup_incremental",
+        "dedup_embedding_lsh",
+        "dedup_components",
+        "sim_topk_quantized",
+        # ANSI representatives (q12 carried a HUGEINT fix; q2 is the
+        # hardest correlated-subquery shape)
+        "ansi_q12_priority_split",
+        "ansi_q2_min_cost_supplier",
+        "ansi_exists_subquery",
     ]
     registry: dict[str, Query] = {}
     for mod in (

@@ -59,7 +59,11 @@ PASSTHROUGH: dict[str, str] = {
     # CTE + window function (lead/lag).
     "ansi_cte_window": """
         WITH daily AS (
-          SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+          -- TIMESTAMP not DATE: Spark DATE reaches pandas as a date
+          -- object while DuckDB DATE arrives as datetime64 — the
+          -- driver's canonical forms then differ ('1995-01-01' vs
+          -- '1995-01-01T00:00:00').
+          SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS d,
                  round(sum(o_totalprice), 2) AS total
           FROM orders
           WHERE o_orderdate < TIMESTAMP '1995-03-01'
@@ -138,10 +142,11 @@ PASSTHROUGH: dict[str, str] = {
     # TPC-H Q12 shape: CASE-split counts after a join.
     "ansi_q12_priority_split": """
         SELECT l_returnflag,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS low_line_count
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT',
+                        '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           AND l_shipdate < TIMESTAMP '1998-01-01'

@@ -16,20 +16,22 @@ def q_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     its supplier names (collect_list is unordered — array_sort makes the
     value hashable cross-engine)."""
     sup = load_table(spark, sf_dir, "supplier")
+    # array_join: the driver's pandas-side row sort can't order list
+    # cells (unhashable), so the output surface is the joined string.
     return (
         sup.groupBy("s_nationkey")
-        .agg(F.array_sort(F.collect_list("s_name")).alias("names"))
+        .agg(F.array_sort(F.collect_list("s_name")).alias("names_a"))
         .select(
             F.col("s_nationkey").cast("int").alias("nationkey"),
-            "names",
-            F.size("names").alias("n"),
+            F.array_join("names_a", "|").alias("names"),
+            F.size("names_a").alias("n"),
         )
     )
 
 
 ARRAY_AGG_ORACLE = """
 SELECT CAST(s_nationkey AS INT) AS nationkey,
-       list_sort(list(s_name)) AS names,
+       array_to_string(list_sort(list(s_name)), '|') AS names,
        CAST(len(list(s_name)) AS INT) AS n
 FROM supplier GROUP BY s_nationkey
 """
@@ -43,12 +45,16 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_list("l_linenumber")).alias("lines"))
     )
+    # head2 is emitted as a joined string: the driver compare sorts rows
+    # in pandas, and a list-typed cell is unhashable there.
     return arr.select(
         "l_orderkey",
         F.size("lines").alias("n_lines"),
         F.element_at("lines", 1).alias("first_line"),
         F.array_contains("lines", 3).alias("has_line3"),
-        F.slice("lines", 1, 2).alias("head2"),
+        F.array_join(F.slice("lines", 1, 2).cast("array<string>"), ",").alias(
+            "head2"
+        ),
     )
 
 
@@ -57,7 +63,7 @@ SELECT l_orderkey,
        CAST(len(lines) AS INT) AS n_lines,
        lines[1] AS first_line,
        list_contains(lines, 3) AS has_line3,
-       lines[1:2] AS head2
+       array_to_string(lines[1:2], ',') AS head2
 FROM (
   SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines
   FROM lineitem WHERE l_orderkey <= 2000 GROUP BY l_orderkey

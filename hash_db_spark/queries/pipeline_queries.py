@@ -74,8 +74,17 @@ def q_doc_logfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_span_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.repeated_ngram_spans(
+    # doc_ids is surfaced as a joined string: the driver compare sorts
+    # rows in pandas and list-typed cells are unhashable there.
+    spans = D.repeated_ngram_spans(
         load_table(spark, sf_dir, "documents"), "text", "doc_id", n=SPAN_N
+    )
+    return spans.select(
+        "gram",
+        "n_docs",
+        F.array_join(F.col("doc_ids").cast("array<string>"), ",").alias(
+            "doc_ids"
+        ),
     )
 
 

@@ -95,8 +95,9 @@ WITH flagged AS (
 ),
 sessions AS (
   SELECT user_id, ts,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                          ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC,
+                               event_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,

@@ -45,6 +45,11 @@ def read_events_stream(
     df = reader.parquet(sf_dir)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Plain timestamp[us] parquet arrives as TIMESTAMP_NTZ under Spark 4's
+    # inferTimestampNTZ; event-time watermarks demand LTZ. The session
+    # timezone is pinned to UTC, so this cast is wall-clock-preserving.
+    if dict(df.dtypes).get("ts") == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

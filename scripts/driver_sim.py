@@ -20,26 +20,31 @@ import time
 import duckdb
 
 
-def canon_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.9g}"
-    if hasattr(v, "isoformat"):
-        return v.isoformat()
-    if isinstance(v, list):
-        return tuple(canon_cell(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, canon_cell(x)) for k, x in v.items()))
-    if isinstance(v, (bytes, bytearray)):
-        return bytes(v).hex()
-    return v
+def canon_pdf(pdf):
+    """Mimic the REAL driver compare: pandas frame, columns sorted by
+    name, rows sorted with DataFrame.sort_values (which RAISES on
+    list/dict cells — a query whose output has an array column fails at
+    the gate even when values agree), floats rounded to 6dp, then a cell
+    grid. Dtype matters: DuckDB HUGEINT arrives as float64, so an
+    integer answer summed in DuckDB hashes as 1.0 vs Spark's 1."""
+    import pandas as pd  # noqa: F401 - dtype fidelity is the point
 
-
-def canon(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    out = [tuple(canon_cell(r[i]) for i in order) for r in rows]
-    return sorted(out, key=repr)
+    pdf = pdf[sorted(pdf.columns)]
+    pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    cells = []
+    for row in pdf.itertuples(index=False):
+        out = []
+        for v in row:
+            if isinstance(v, float):
+                out.append("NaN" if math.isnan(v) else f"{round(v, 6)!r}")
+            elif hasattr(v, "isoformat"):
+                out.append(v.isoformat())
+            elif isinstance(v, (bytes, bytearray)):
+                out.append(bytes(v).hex())
+            else:
+                out.append(repr(v))
+        cells.append(tuple(out))
+    return cells
 
 
 def main() -> int:
@@ -84,28 +89,28 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = q.fn(spark, args.sf)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
             if q.oracle is None:
-                status = f"rows-only rows={len(srows)}"
+                status = f"rows-only rows={len(spdf)}"
             else:
-                res = con.execute(q.oracle)
-                dcols = [d[0] for d in res.description]
-                drows = res.fetchall()
-                if sorted(scols) != sorted(dcols):
-                    raise AssertionError(f"cols spark={scols} duck={dcols}")
-                if len(srows) != len(drows):
+                dpdf = con.execute(q.oracle).df()
+                if sorted(spdf.columns) != sorted(dpdf.columns):
                     raise AssertionError(
-                        f"rows spark={len(srows)} duck={len(drows)}"
+                        f"cols spark={list(spdf.columns)} "
+                        f"duck={list(dpdf.columns)}"
                     )
-                cs, cd = canon(srows, scols), canon(drows, dcols)
+                if len(spdf) != len(dpdf):
+                    raise AssertionError(
+                        f"rows spark={len(spdf)} duck={len(dpdf)}"
+                    )
+                cs, cd = canon_pdf(spdf), canon_pdf(dpdf)
                 bad = [j for j, (a, b) in enumerate(zip(cs, cd)) if a != b]
                 if bad:
                     raise AssertionError(
                         f"{len(bad)} mismatched rows; first spark="
                         f"{cs[bad[0]]} duck={cd[bad[0]]}"
                     )
-                status = f"match rows={len(srows)}"
+                status = f"match rows={len(spdf)}"
         except Exception as exc:  # noqa: BLE001 - report and continue
             status = f"FAIL {type(exc).__name__}: {exc}"
             failures.append(name)
