@@ -60,17 +60,25 @@ HEADLINE: list[str] = [
     "scrub_redact",
     "chunk_tokens",
     "doc_logfreq",
+    "doc_bigram_logprob",
     # documents / graph
     "doc_path_select",
     "cypher_chain",
     # temporal / event analytics
     "asof_join",
+    "asof_tolerance",
     "sessionize",
     "tumbling_daily",
     "funnel_stages",
     "cohort_retention",
+    # CDC
+    "cdc_scd2_history",
     # sketches
     "hll_distinct_users",
+    "cms_merge_heavy_hitters",
+    # layout
+    "zorder_values",
+    "hive_partition_prune",
     # multimodal
     "multimodal_features",
     # sampling / reshaping / UDF surface

@@ -124,6 +124,112 @@ def sql_register_rows(table: str, key_expr: str, group_cols: str) -> str:
 """
 
 
+# ------------------------------------------------------------ count-min
+#
+# Same engine-portability discipline as the HLL above: Spark's own
+# CountMinSketch aggregate lives behind a JVM-internal hash, so its cells
+# can't be reproduced (or asserted) anywhere else. This one is md5-derived
+# and bit-identical in DuckDB SQL.
+#
+# Shape at 100 TB: the sketch is D*W cells (4*512 longs here) regardless
+# of key cardinality — a frequency table over billions of keys becomes a
+# fixed 16 KB grid after map-side partial sums; shards merge by cell-wise
+# addition (sum is associative), so per-partition/per-day sketches roll up
+# without touching raw keys again. Estimates only over-count (min over D
+# independent rows), never under-count — the right direction for
+# heavy-hitter screening (no false negatives above the threshold).
+
+CMS_D = 4  # hash rows
+CMS_W = 512  # cells per row
+
+
+def _cms_coord(i: int, key: Column, w: int) -> Column:
+    """Row-i cell coordinate: first 32 md5 bits of 'i:key', mod w."""
+    hx = F.md5(F.concat(F.lit(f"{i}:"), key.cast("string")))
+    return (F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % w).alias(
+        "col"
+    )
+
+
+def cms_cells(
+    df: DataFrame, key: str, *group_cols: str, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """(group..., row, col, c): the count-min grid — one increment per
+    input row in one cell per hash row. This IS the sketch; shards merge
+    by summing c cell-wise."""
+    coords = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"), _cms_coord(i, F.col(key), w)
+                )
+                for i in range(d)
+            ]
+        )
+    ).alias("cell")
+    return (
+        df.select(*group_cols, coords)
+        .select(*group_cols, "cell.row", "cell.col")
+        .groupBy(*group_cols, "row", "col")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(
+    cells: DataFrame, probes: DataFrame, key: str, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """(key, est): point-frequency estimate for each probe key = min over
+    the D rows of that key's cell. ``probes`` is small by nature (the
+    keys you're asking about), so its exploded coordinates broadcast into
+    the cell join; the grid itself is tiny after aggregation."""
+    coords = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"), _cms_coord(i, F.col(key), w)
+                )
+                for i in range(d)
+            ]
+        )
+    ).alias("cell")
+    probe_cells = probes.select(key, coords).select(
+        key, "cell.row", "cell.col"
+    )
+    return (
+        probe_cells.join(cells, ["row", "col"], "left")
+        .groupBy(key)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
+    )
+
+
+def sql_cms_cells(
+    table: str, key_expr: str, group_cols: str, d: int = CMS_D, w: int = CMS_W
+) -> str:
+    gc = f"{group_cols}, " if group_cols else ""
+    rows = " UNION ALL ".join(
+        f"SELECT {gc}{i} AS row, "
+        f"(('0x' || substr(md5('{i}:' || CAST({key_expr} AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {w}) AS col FROM {table}"
+        for i in range(d)
+    )
+    return (
+        f"SELECT {gc}row, col, count(*) AS c FROM ({rows}) "
+        f"GROUP BY {gc}row, col"
+    )
+
+
+def sql_cms_probe_cells(
+    probes_sql: str, key_col: str, d: int = CMS_D, w: int = CMS_W
+) -> str:
+    """Exploded (key, row, col) coordinates for a probe-key relation."""
+    return " UNION ALL ".join(
+        f"SELECT {key_col}, {i} AS row, "
+        f"(('0x' || substr(md5('{i}:' || CAST({key_col} AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {w}) AS col FROM ({probes_sql})"
+        for i in range(d)
+    )
+
+
 def sql_estimate(group_cols: str) -> str:
     """SELECT body over a CTE named ``regs`` (from sql_register_rows)."""
     gc = f"{group_cols}, " if group_cols else ""

@@ -39,6 +39,30 @@ def latest_view(
     )
 
 
+def scd2_history(
+    base: DataFrame, changes: DataFrame, key: str, version: str = "version"
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 view of the changelog: every
+    upsert becomes a validity interval (valid_from, valid_to, is_current)
+    — valid_to is the next version that touched the key (NULL = still
+    open); a delete closes the prior interval without contributing a row.
+
+    Same scale shape as ``latest_view``: one shuffle on the key; the
+    window only orders the (tiny) per-key version chain."""
+    base_tagged = base.withColumn(version, F.lit(0).cast("long")).withColumn(
+        "op", F.lit(OP_UPSERT)
+    )
+    unioned = base_tagged.unionByName(changes, allowMissingColumns=True)
+    w = Window.partitionBy(key).orderBy(F.col(version).asc())
+    hist = unioned.withColumn("valid_to", F.lead(version).over(w))
+    return (
+        hist.filter(F.col("op") == OP_UPSERT)
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .withColumnRenamed(version, "valid_from")
+        .drop("op")
+    )
+
+
 def compact(
     base: DataFrame, changes: DataFrame, key: str, version: str = "version"
 ) -> DataFrame:

@@ -97,3 +97,65 @@ ranked AS (
 )
 SELECT tok, freq, share FROM ranked WHERE rn <= {topn}
 """
+
+
+def doc_bigram_logprob(df: DataFrame, col: str, id_col: str) -> DataFrame:
+    """(id, n_bigrams, bigram_logprob): mean log10 MLE bigram probability
+    of the document under corpus-wide counts — a step up from the unigram
+    logfreq proxy toward a real LM-perplexity filter (still model-free).
+    P(w | v) = c(v,w) / c(v,·) over the corpus's adjacent-token pairs;
+    documents shorter than 2 tokens contribute no bigrams and drop out.
+
+    Scale shape: one shuffle on the doc id for the adjacency window, one
+    shuffle each for the bigram and prefix count aggregations, then two
+    joins keyed on (Zipfian) token prefixes — AQE broadcast for normal
+    vocabularies, salted shuffle (operators/skew.py) beyond that. All
+    arithmetic is exact-integer ratios until the final log10.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(clean_tokens(col)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    big = (
+        toks.withColumn("prev", F.lag("tok").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("id", "prev", "tok")
+    )
+    bf = big.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("bfreq"))
+    pf = big.groupBy("prev").agg(F.count(F.lit(1)).alias("pfreq"))
+    return (
+        big.join(bf, ["prev", "tok"])
+        .join(pf, "prev")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.log10(F.col("bfreq") / F.col("pfreq"))), 6
+            ).alias("bigram_logprob"),
+        )
+    )
+
+
+def sql_doc_bigram_logprob(table: str, col: str, id_col: str) -> str:
+    return f"""
+WITH lst AS (
+  SELECT {id_col} AS id, {sql_clean_tokens(col)} AS l FROM {table}
+),
+toks AS (
+  SELECT id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM lst
+),
+big AS (
+  SELECT id, prev, tok FROM (
+    SELECT id, tok, lag(tok) OVER (PARTITION BY id ORDER BY pos) AS prev
+    FROM toks
+  ) WHERE prev IS NOT NULL
+),
+bf AS (SELECT prev, tok, count(*) AS bfreq FROM big GROUP BY prev, tok),
+pf AS (SELECT prev, count(*) AS pfreq FROM big GROUP BY prev)
+SELECT id, count(*) AS n_bigrams,
+       round(avg(log10(CAST(bfreq AS DOUBLE) / pfreq)), 6)
+         AS bigram_logprob
+FROM big JOIN bf USING (prev, tok) JOIN pf USING (prev)
+GROUP BY id
+"""

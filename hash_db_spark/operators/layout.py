@@ -1,0 +1,76 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering.
+
+The reference's only layout lever is its per-key consistent-hash
+placement (/root/reference/consistent_hashing.py) — one dimension, no
+range locality. Parquet + Spark get range locality per file from sorting,
+but a single sort key only clusters ONE column's min/max stats. Z-order
+interleaves the bits of two keys so that files in a z-sorted layout are
+tight rectangles in BOTH dimensions — min/max row-group stats then prune
+range predicates on either column (the Delta/Iceberg OPTIMIZE ZORDER
+capability, engine-level).
+
+Why it matters at 100 TB: a time+tenant z-layout serves both "one tenant,
+all time" and "all tenants, one day" scans from a fraction of files; a
+plain sort serves only one of them. The z-value is pure integer bit math
+(the classic mask-spread construction) — computed identically in DuckDB
+SQL, so the registry entry is hash-comparable like everything else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+# Mask-spread steps for 16-bit inputs: after the pipeline, bit i of the
+# input sits at bit 2i of the output.
+_SPREAD = [
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+]
+
+
+def _spread16(c: Column) -> Column:
+    x = c.cast("long").bitwiseAND(F.lit(0xFFFF))
+    for sh, mask in _SPREAD:
+        x = x.bitwiseOR(F.shiftleft(x, sh)).bitwiseAND(F.lit(mask))
+    return x
+
+
+def z_value(a: Column | str, b: Column | str) -> Column:
+    """Morton interleave of the low 16 bits of two non-negative ints:
+    ``a``'s bits land at even positions, ``b``'s at odd."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return _spread16(ca).bitwiseOR(F.shiftleft(_spread16(cb), 1))
+
+
+def sql_spread16(expr: str) -> str:
+    x = f"(({expr}) & 65535)"
+    for sh, mask in _SPREAD:
+        x = f"(({x} | ({x} << {sh})) & {mask})"
+    return x
+
+
+def sql_z_value(a: str, b: str) -> str:
+    return f"({sql_spread16(a)} | ({sql_spread16(b)} << 1))"
+
+
+def write_zordered(
+    df: DataFrame, path: str, col_a: str, col_b: str
+) -> None:
+    """Write parquet clustered by z(col_a, col_b): range-partition on the
+    z-value so each output file owns a contiguous z-range (a small
+    rectangle in (a, b) space), then sort within partitions so row
+    groups subdivide it. Predicates on EITHER column now prune via
+    min/max stats. The helper column is dropped before writing."""
+    z = z_value(col_a, col_b).alias("__z")
+    (
+        df.select("*", z)
+        .repartitionByRange("__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -29,14 +29,23 @@ def asof_join(
     left_time: str,
     right_time: str,
     right_payload: list[str],
+    direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
-    """For each left row, attach the payload of the latest right row with
-    ``right_time <= left_time`` and the same key (DuckDB ``ASOF JOIN``
-    semantics, inclusive). Left rows with no prior right row keep NULLs.
+    """For each left row, attach the payload of the nearest right row on
+    the same key — ``backward``: latest with ``right_time <= left_time``
+    (DuckDB ``ASOF JOIN`` semantics, inclusive); ``forward``: earliest
+    with ``right_time >= left_time``. ``tolerance`` (e.g. "15 minutes")
+    bounds the match distance — beyond it the payload stays NULL (the
+    pandas ``merge_asof(tolerance=...)`` contract). Unmatched left rows
+    keep NULLs.
 
     Implementation: tag and union both sides, sort by (key, time, side)
-    with right rows first on ties, then ``last(payload, ignorenulls)``
-    over an unbounded-preceding window forward-fills. One shuffle.
+    with right rows first on ties — time ascending for backward,
+    descending for forward — then ``last(payload, ignorenulls)`` over an
+    unbounded-preceding window forward-fills; the matched right
+    timestamp rides along so the tolerance check is a post-hoc column
+    predicate. Still ONE shuffle regardless of options.
     """
     lt = left.select(
         F.col(key).alias("__k"),
@@ -48,23 +57,41 @@ def asof_join(
         F.col(key).alias("__k"),
         F.col(right_time).alias("__t"),
         F.lit(1).alias("__is_right"),
+        F.col(right_time).alias("__r___mt"),
         *[F.col(c).alias(f"__r_{c}") for c in right_payload],
     )
     unioned = lt.unionByName(rt, allowMissingColumns=True)
+    t_order = (
+        F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
+    )
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__t").asc(), F.col("__is_right").desc())
+        .orderBy(t_order, F.col("__is_right").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    fill_cols = ["__mt", *[f"asof_{c}" for c in right_payload]]
     filled = unioned.select(
         "*",
+        F.last("__r___mt", ignorenulls=True).over(w).alias("__mt"),
         *[
             F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
             for c in right_payload
         ],
     )
+    if tolerance is not None:
+        tol = F.expr(f"INTERVAL {tolerance}")
+        in_tol = (
+            F.col("__mt") >= F.col("__t") - tol
+            if direction == "backward"
+            else F.col("__mt") <= F.col("__t") + tol
+        )
+        for c in fill_cols:
+            filled = filled.withColumn(
+                c, F.when(in_tol, F.col(c))
+            )
     return filled.filter(F.col("__is_right") == 0).drop(
-        "__k", "__t", "__is_right", *[f"__r_{c}" for c in right_payload]
+        "__k", "__t", "__is_right", "__mt", "__r___mt",
+        *[f"__r_{c}" for c in right_payload],
     )
 
 

@@ -73,6 +73,12 @@ def q_doc_logfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_stats.doc_bigram_logprob(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
 def q_dedup_span_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc_ids is surfaced as a joined string: the driver compare sorts
     # rows in pandas and list-typed cells are unhashable there.
@@ -281,6 +287,10 @@ QUERIES = {
     "doc_logfreq": Query(
         q_doc_logfreq,
         corpus_stats.sql_doc_logfreq_score("documents", "text", "doc_id"),
+    ),
+    "doc_bigram_logprob": Query(
+        q_doc_bigram_logprob,
+        corpus_stats.sql_doc_bigram_logprob("documents", "text", "doc_id"),
     ),
     "dedup_span_grams": Query(
         q_dedup_span_grams,

@@ -431,9 +431,49 @@ SELECT 9001, 'NewSupplier', 3, 50.0
 """
 
 
+def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals for the same changelog as cdc_latest_view:
+    supplier 1 has three states (base → v1 → v2-current), supplier 2's
+    base interval is closed by the delete with no successor, 9001 is a
+    fresh insert. History restricted to the touched keys."""
+    from hash_db_spark.operators import cdc
+
+    sup = _t(spark, sf_dir, "supplier")
+    changes = spark.createDataFrame(
+        [
+            (1, 1, "upsert", "Supplier#1-v1", 0, 111.0),
+            (1, 2, "upsert", "Supplier#1-v2", 0, 222.0),
+            (2, 1, "delete", None, None, None),
+            (9001, 1, "upsert", "NewSupplier", 3, 50.0),
+        ],
+        "s_suppkey long, version long, op string, "
+        "s_name string, s_nationkey int, s_acctbal double",
+    )
+    hist = cdc.scd2_history(sup, changes, "s_suppkey")
+    return hist.filter(F.col("s_suppkey").isin(1, 2, 9001)).select(
+        "s_suppkey", "valid_from", "valid_to", "is_current",
+        "s_name", "s_acctbal",
+    )
+
+
+SCD2_ORACLE = """
+SELECT s_suppkey, CAST(0 AS BIGINT) AS valid_from,
+       CAST(1 AS BIGINT) AS valid_to, FALSE AS is_current,
+       s_name, s_acctbal
+FROM supplier WHERE s_suppkey IN (1, 2)
+UNION ALL
+SELECT 1, 1, 2, FALSE, 'Supplier#1-v1', 111.0
+UNION ALL
+SELECT 1, 2, NULL, TRUE, 'Supplier#1-v2', 222.0
+UNION ALL
+SELECT 9001, 1, NULL, TRUE, 'NewSupplier', 50.0
+"""
+
+
 QUERIES = {
     "percentiles": Query(q_percentiles, PERCENTILES_ORACLE),
     "cdc_latest_view": Query(q_cdc_latest_view, CDC_ORACLE),
+    "cdc_scd2_history": Query(q_cdc_scd2_history, SCD2_ORACLE),
     "select_where_eq": Query(
         q_select_where_eq,
         "SELECT c_custkey, c_name, c_acctbal FROM customer "

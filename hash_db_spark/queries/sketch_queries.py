@@ -63,7 +63,76 @@ CROSS JOIN (
 """
 
 
+def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point estimates for a probe set of users, beside the
+    exact count — est >= exact always (min over rows only over-counts)."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = S.cms_cells(ev, "user_id")
+    probes = ev.filter(F.col("user_id") <= 40).select("user_id").distinct()
+    est = S.cms_estimate(cells, probes, "user_id")
+    exact = (
+        ev.filter(F.col("user_id") <= 40)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    return est.join(exact, "user_id")
+
+
+CMS_USERS_ORACLE = f"""
+WITH cells AS ({S.sql_cms_cells("events", "user_id", "")}),
+probes AS (SELECT DISTINCT user_id FROM events WHERE user_id <= 40),
+pc AS ({S.sql_cms_probe_cells("SELECT user_id FROM probes", "user_id")})
+SELECT pc.user_id, min(coalesce(cells.c, 0)) AS est, x.exact_n
+FROM pc
+LEFT JOIN cells ON pc.row = cells.row AND pc.col = cells.col
+JOIN (
+  SELECT user_id, count(*) AS exact_n FROM events
+  WHERE user_id <= 40 GROUP BY user_id
+) x ON x.user_id = pc.user_id
+GROUP BY pc.user_id, x.exact_n
+"""
+
+
+def q_cms_merge_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters from MERGED per-event-type sketch shards: cell-wise
+    sums reconstruct the global grid exactly, then every distinct user is
+    screened against a frequency threshold. No false negatives: CMS only
+    over-counts, so every truly-heavy key survives the screen; the exact
+    join afterward is what discards the (rare) false positives."""
+    ev = load_table(spark, sf_dir, "events")
+    shards = S.cms_cells(ev, "user_id", "event_type")
+    merged = shards.groupBy("row", "col").agg(F.sum("c").alias("c"))
+    probes = ev.select("user_id").distinct()
+    est = S.cms_estimate(merged, probes, "user_id").filter(F.col("est") >= 25)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    return est.join(exact, "user_id")
+
+
+CMS_MERGE_ORACLE = f"""
+WITH shards AS ({S.sql_cms_cells("events", "user_id", "event_type")}),
+cells AS (
+  SELECT row, col, CAST(sum(c) AS BIGINT) AS c FROM shards GROUP BY row, col
+),
+probes AS (SELECT DISTINCT user_id FROM events),
+pc AS ({S.sql_cms_probe_cells("SELECT user_id FROM probes", "user_id")}),
+est AS (
+  SELECT pc.user_id, min(coalesce(cells.c, 0)) AS est
+  FROM pc LEFT JOIN cells ON pc.row = cells.row AND pc.col = cells.col
+  GROUP BY pc.user_id
+)
+SELECT est.user_id, est.est, x.exact_n
+FROM est
+JOIN (SELECT user_id, count(*) AS exact_n FROM events GROUP BY user_id) x
+  ON x.user_id = est.user_id
+WHERE est.est >= 25
+"""
+
+
 QUERIES = {
     "hll_distinct_users": Query(q_hll_distinct_users, HLL_USERS_ORACLE),
     "hll_merge_rollup": Query(q_hll_merge_rollup, HLL_ROLLUP_ORACLE),
+    "cms_user_counts": Query(q_cms_user_counts, CMS_USERS_ORACLE),
+    "cms_merge_heavy_hitters": Query(
+        q_cms_merge_heavy_hitters, CMS_MERGE_ORACLE
+    ),
 }

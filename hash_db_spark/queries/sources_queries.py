@@ -48,8 +48,63 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return formats.read_orc(spark, path)
 
 
+def q_hive_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-partitioned layout + pruned read: documents written
+    partitionBy(lang), then a lang-filtered aggregate. The filter binds
+    at PLANNING time (PartitionFilters) — at 100 TB the scan opens only
+    the lang=en directory, never listing the rest; the plan gate
+    (tests/test_plan_quality.py) asserts the pruning is really there."""
+    import pyspark.sql.functions as F
+
+    from hash_db_spark.sources import writers
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _tmp("documents_by_lang")
+    writers.write_partitioned(docs, path, "lang")
+    back = spark.read.parquet(path).filter(F.col("lang") == "en")
+    return back.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+HIVE_PRUNE_ORACLE = """
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE lang = 'en' GROUP BY source, lang
+"""
+
+
+def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-values over (p_size, p_partkey): the clustering key
+    write_zordered lays files out by. Bit-exact in both engines (pure
+    integer mask-spread interleave)."""
+    import pyspark.sql.functions as F
+
+    from hash_db_spark.operators import layout
+
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 400)
+    return part.select(
+        "p_partkey",
+        "p_size",
+        layout.z_value("p_size", "p_partkey").alias("zval"),
+    )
+
+
+def _zorder_oracle() -> str:
+    from hash_db_spark.operators import layout
+
+    return f"""
+SELECT p_partkey, p_size,
+       {layout.sql_z_value('p_size', 'p_partkey')} AS zval
+FROM part WHERE p_partkey <= 400
+"""
+
+
 QUERIES = {
     "csv_roundtrip": Query(q_csv_roundtrip, "SELECT * FROM supplier"),
     "jsonl_roundtrip": Query(q_jsonl_roundtrip, "SELECT * FROM orders"),
     "orc_roundtrip": Query(q_orc_roundtrip, "SELECT * FROM orders"),
+    "hive_partition_prune": Query(q_hive_partition_prune, HIVE_PRUNE_ORACLE),
+    "zorder_values": Query(q_zorder_values, _zorder_oracle()),
 }

@@ -48,6 +48,66 @@ ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'cli
 """
 
 
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of with a 15-minute tolerance: clicks further back
+    than the tolerance do NOT match (payload stays NULL) — the
+    merge_asof(tolerance=...) contract. Payload = the matched click ts
+    itself, which is tie-proof (equal timestamps collapse to one value)."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    joined = T.asof_join(
+        purchases, clicks, key="user_id", left_time="ts", right_time="cts",
+        right_payload=["cts"], tolerance="15 minutes",
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", F.col("asof_cts").alias("matched_ts")
+    )
+
+
+ASOF_TOL_ORACLE = """
+SELECT p.event_id, p.user_id, p.ts,
+       (SELECT max(c.ts) FROM events c
+         WHERE c.user_id = p.user_id AND c.event_type = 'click'
+           AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 15 MINUTE)
+       AS matched_ts
+FROM events p WHERE p.event_type = 'purchase'
+"""
+
+
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: for each purchase, the user's EARLIEST click at or
+    after it (time-to-next-action analysis)."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    joined = T.asof_join(
+        purchases, clicks, key="user_id", left_time="ts", right_time="cts",
+        right_payload=["cts"], direction="forward",
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", F.col("asof_cts").alias("next_click_ts")
+    )
+
+
+ASOF_FWD_ORACLE = """
+SELECT p.event_id, p.user_id, p.ts,
+       (SELECT min(c.ts) FROM events c
+         WHERE c.user_id = p.user_id AND c.event_type = 'click'
+           AND c.ts >= p.ts)
+       AS next_click_ts
+FROM events p WHERE p.event_type = 'purchase'
+"""
+
+
 # --- range join --------------------------------------------------------------
 
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -176,6 +236,24 @@ GROUP BY c_mktsegment
 """
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (purchase ⋈ same-user
+    clicks within the preceding hour) — state bounded by the watermark
+    horizon; equals the batch range join under availableNow."""
+    stream = W.read_events_stream(spark, sf_dir)
+    joined = W.stream_interval_join(stream, lookback="1 hour")
+    return W.run_stream_to_memory(joined, output_mode="append")
+
+
+STREAM_STREAM_ORACLE = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+"""
+
+
 def q_interval_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyless point-in-interval join, binned: purchases that happened
     inside each day's error envelope (first..last error of that day).
@@ -232,6 +310,8 @@ QUERIES = {
     "funnel_stages": Query(q_funnel_stages, T.sql_funnel(FUNNEL_STEPS)),
     "cohort_retention": Query(q_cohort_retention, T.sql_cohort_retention()),
     "asof_join": Query(q_asof_join, ASOF_ORACLE),
+    "asof_tolerance": Query(q_asof_tolerance, ASOF_TOL_ORACLE),
+    "asof_forward": Query(q_asof_forward, ASOF_FWD_ORACLE),
     "range_join": Query(q_range_join, RANGE_ORACLE),
     "interval_bin_join": Query(q_interval_bin_join, INTERVAL_BIN_ORACLE),
     "ts_similar_users": Query(
@@ -246,4 +326,5 @@ QUERIES = {
         "SELECT DISTINCT user_id, event_type FROM events",
     ),
     "stream_mv_join": Query(q_stream_mv_join, STREAM_MV_ORACLE),
+    "stream_stream_join": Query(q_stream_stream_join, STREAM_STREAM_ORACLE),
 }

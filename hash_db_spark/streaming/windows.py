@@ -115,6 +115,49 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def stream_interval_join(
+    events: DataFrame, lookback: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase event joins the same
+    user's click events from the preceding ``lookback`` window. Both
+    sides are watermarked — that is what lets Spark BOUND the join state:
+    a buffered click can be dropped once the purchase-side watermark
+    passes its ts + lookback, so state is O(events within the horizon),
+    not O(stream). Without the time bound + watermarks Spark rejects the
+    append-mode stream-stream join outright.
+
+    Batch parity: under availableNow the single micro-batch sees all
+    rows, so the result equals the batch range join (the oracle)."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("pts"),
+        )
+        .withWatermark("pts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("cts"),
+        )
+        .withWatermark("cts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            f"p_user = c_user AND cts >= pts - INTERVAL {lookback} "
+            "AND cts <= pts"
+        ),
+    )
+    return joined.select(
+        "purchase_id", "click_id", F.col("p_user").alias("user_id")
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, output_mode: str = "complete"
 ) -> DataFrame:

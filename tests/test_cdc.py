@@ -51,3 +51,42 @@ def test_empty_changelog_is_identity(spark, base):
         [], "id long, version long, op string, name string"
     )
     assert rows(cdc.latest_view(base, changes, "id")) == rows(base)
+
+
+def test_scd2_intervals(spark, base):
+    changes = spark.createDataFrame(
+        [
+            (1, 1, "upsert", "alpha-v2"),
+            (1, 3, "upsert", "alpha-v3"),
+            (2, 2, "delete", None),
+            (4, 1, "upsert", "delta"),
+        ],
+        "id long, version long, op string, name string",
+    )
+    hist = {
+        (r.id, r.valid_from, r.valid_to, r.is_current, r.name)
+        for r in cdc.scd2_history(base, changes, "id").collect()
+    }
+    assert hist == {
+        (1, 0, 1, False, "alpha"),
+        (1, 1, 3, False, "alpha-v2"),
+        (1, 3, None, True, "alpha-v3"),
+        (2, 0, 2, False, "beta"),     # closed by the delete, no successor
+        (3, 0, None, True, "gamma"),  # untouched → single open interval
+        (4, 1, None, True, "delta"),
+    }
+
+
+def test_scd2_current_rows_equal_latest_view(spark, base):
+    changes = spark.createDataFrame(
+        [
+            (1, 1, "upsert", "alpha-v2"),
+            (2, 1, "delete", None),
+            (4, 1, "upsert", "delta"),
+        ],
+        "id long, version long, op string, name string",
+    )
+    cur = cdc.scd2_history(base, changes, "id").filter("is_current").select(
+        "id", "name"
+    )
+    assert rows(cur) == rows(cdc.latest_view(base, changes, "id"))

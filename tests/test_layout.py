@@ -1,0 +1,60 @@
+"""Z-order layout: Morton interleave correctness + the clustering
+property the layout exists for (tight per-file rectangles in BOTH
+dimensions)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from hash_db_spark.operators import layout
+
+
+def _py_z(a: int, b: int) -> int:
+    z = 0
+    for i in range(16):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_z_value_matches_reference_bits(spark):
+    pts = [(a, b) for a in (0, 1, 2, 3, 255, 65535) for b in (0, 1, 7, 1024)]
+    df = spark.createDataFrame(pts, ["a", "b"])
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select("a", "b", layout.z_value("a", "b").alias("z")).collect()
+    }
+    for a, b in pts:
+        assert got[(a, b)] == _py_z(a, b), (a, b)
+
+
+def test_z_locality_beats_single_sort(spark, tmp_path):
+    """In a z-sorted layout, split the data into contiguous blocks (what
+    files/row-groups become): every block must span a bounded sub-range
+    of BOTH dimensions — the two-dimensional locality a single-column
+    sort cannot give the second column."""
+    n = 32
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)], ["x", "y"]
+    )
+    rows = (
+        grid.select("x", "y", layout.z_value("x", "y").alias("z"))
+        .orderBy("z")
+        .collect()
+    )
+    block = 64  # 1024 points / 64 = 16 blocks == aligned z-squares
+    for i in range(0, len(rows), block):
+        xs = [r.x for r in rows[i : i + block]]
+        ys = [r.y for r in rows[i : i + block]]
+        # An aligned 64-point z-block is an 8x8 rectangle exactly.
+        assert max(xs) - min(xs) <= 7, (i, min(xs), max(xs))
+        assert max(ys) - min(ys) <= 7, (i, min(ys), max(ys))
+
+
+def test_write_zordered_roundtrip(spark, sf_dir, tmp_path):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    path = str(tmp_path / "part_z")
+    layout.write_zordered(part, path, "p_size", "p_partkey")
+    back = spark.read.parquet(path)
+    assert back.count() == part.count()
+    assert set(back.columns) == set(part.columns)

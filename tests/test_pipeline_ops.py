@@ -229,3 +229,22 @@ def test_apply_dedup_keep_no_pairs(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long, jac double")
     kept = sorted(r.doc_id for r in apply_dedup_keep(docs, pairs, "doc_id").collect())
     assert kept == [0, 1, 2]
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """'a b' x2 and 'a c': P(b|a)=2/3, P(c|a)=1/3 — exact MLE ratios."""
+    import math
+
+    from hash_db_spark.operators.corpus_stats import doc_bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo")], ["id", "t"]
+    )
+    got = {
+        r.id: (r.n_bigrams, r.bigram_logprob)
+        for r in doc_bigram_logprob(df, "t", "id").collect()
+    }
+    assert 4 not in got  # <2 tokens → no bigrams → dropped
+    assert got[1] == (1, round(math.log10(2 / 3), 6))
+    assert got[2] == got[1]
+    assert got[3] == (1, round(math.log10(1 / 3), 6))

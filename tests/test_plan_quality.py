@@ -242,3 +242,24 @@ def test_cohort_retention_partial_aggs(spark, sf_dir):
 
     plan = formatted_plan(REG["cohort_retention"].fn(spark, sf_dir))
     assert "partial_min" in plan
+
+
+def test_hive_partition_prune_binds_at_planning(spark, sf_dir):
+    """The lang filter must become a PartitionFilter on the pruned scan
+    — directory skipping, not a post-scan filter over all partitions."""
+    from hash_db_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(REG["hive_partition_prune"].fn(spark, sf_dir))
+    flat = plan.replace(" ", "")
+    assert "PartitionFilters:[" in flat
+    assert "lang" in flat.split("PartitionFilters:[", 1)[1][:120]
+
+
+def test_cms_estimate_probe_side_broadcasts(spark, sf_dir):
+    """The probe→grid join must broadcast the tiny side; the corpus grid
+    is built with map-side partial counts."""
+    from hash_db_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(REG["cms_user_counts"].fn(spark, sf_dir))
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan

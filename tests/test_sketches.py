@@ -37,3 +37,39 @@ def test_hll_register_shuffle_is_partial(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     plan = formatted_plan(S.hll_distinct(ev, "user_id", "event_type"))
     assert "partial_max" in plan
+
+
+# ------------------------------------------------------------- count-min
+
+
+def test_cms_never_undercounts(spark, sf_dir):
+    """min-over-rows only over-counts: est >= exact for every probe."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = S.cms_cells(ev, "user_id")
+    probes = ev.select("user_id").distinct()
+    est = S.cms_estimate(cells, probes, "user_id")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    bad = est.join(exact, "user_id").filter(F.col("est") < F.col("n"))
+    assert bad.count() == 0
+
+
+def test_cms_shard_merge_equals_global(spark, sf_dir):
+    """Cell-wise summed per-type shards == the single global grid."""
+    ev = load_table(spark, sf_dir, "events")
+    direct = {
+        (r.row, r.col): r.c for r in S.cms_cells(ev, "user_id").collect()
+    }
+    shards = S.cms_cells(ev, "user_id", "event_type")
+    merged = {
+        (r.row, r.col): r.c
+        for r in shards.groupBy("row", "col")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    }
+    assert direct == merged
+
+
+def test_cms_grid_is_bounded(spark, sf_dir):
+    """The sketch never exceeds D*W cells no matter the key cardinality."""
+    ev = load_table(spark, sf_dir, "events")
+    assert S.cms_cells(ev, "event_id").count() <= S.CMS_D * S.CMS_W

@@ -175,3 +175,68 @@ def test_point_in_interval_join_multi_bin(spark):
         ).collect()
     )
     assert got == [(1, "A"), (2, "A"), (3, "B"), (4, "B")]
+
+
+def test_asof_tolerance_and_forward(spark):
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, 0) + dt.timedelta(  # noqa: E731
+        minutes=m
+    )
+    left = spark.createDataFrame(
+        [(1, t(0)), (2, t(30))], ["lid", "lts"]
+    )
+    right = spark.createDataFrame(
+        # 9:50 for lid=1 (within 15m); nothing within 15m before 10:30
+        [(100, t(-10)), (200, t(45))], ["rid", "rts"]
+    )
+    from hash_db_spark.operators.temporal import asof_join
+
+    back = {
+        r.lid: r.asof_rid
+        for r in asof_join(
+            left.withColumn("k", F.lit(1)), right.withColumn("k", F.lit(1)),
+            key="k", left_time="lts", right_time="rts",
+            right_payload=["rid"], tolerance="15 minutes",
+        ).collect()
+    }
+    assert back == {1: 100, 2: None}  # 10:30's latest right (9:50) too old
+
+    fwd = {
+        r.lid: r.asof_rid
+        for r in asof_join(
+            left.withColumn("k", F.lit(1)), right.withColumn("k", F.lit(1)),
+            key="k", left_time="lts", right_time="rts",
+            right_payload=["rid"], direction="forward",
+        ).collect()
+    }
+    assert fwd == {1: 200, 2: 200}  # earliest right at-or-after each left
+
+
+def test_stream_interval_join_matches_batch(spark, sf_dir):
+    """Watermarked stream-stream interval join == the batch range join."""
+    stream = W.read_events_stream(spark, sf_dir)
+    got = W.run_stream_to_memory(
+        W.stream_interval_join(stream, lookback="1 hour"),
+        output_mode="append",
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    c = ev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    batch = p.join(
+        c,
+        F.expr("pu = cu AND cts >= pts - INTERVAL 1 HOUR AND cts <= pts"),
+    ).select("purchase_id", "click_id")
+    a = {(r.purchase_id, r.click_id) for r in got.collect()}
+    b = {(r.purchase_id, r.click_id) for r in batch.collect()}
+    assert a == b and len(a) > 0
