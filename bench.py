@@ -86,6 +86,7 @@ HEADLINE: list[str] = [
     "gap_fill",
     "udf_pandas_scalar",
     "profile_columns",
+    "histo_quantiles",
 ]
 
 

@@ -105,3 +105,93 @@ def sql_profile_columns(table: str, cols: list[str]) -> str:
         for c in cols
     )
     return selects
+
+
+# ----------------------------------------------------- histogram sketch
+
+
+def binned_histogram(
+    df: DataFrame, col: str, lo: float, hi: float, bins: int = 256
+) -> DataFrame:
+    """(bin, cnt): fixed-grid histogram of ``col`` over [lo, hi) — the
+    MERGEABLE quantile sketch next to the exact ``profile_quantiles``:
+    at 100 TB the exact percentile buffers every value, while this is a
+    map-side count per bin (``bins`` rows cross the wire per shard) and
+    shards merge by adding counts. Out-of-range values clamp to the edge
+    bins. The bin rule is one shared arithmetic expression, so DuckDB
+    computes the identical grid."""
+    width = (hi - lo) / bins
+    b = F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("long")
+    b = F.least(F.lit(bins - 1), F.greatest(F.lit(0), b))
+    return (
+        df.select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    probs: tuple[float, ...],
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> DataFrame:
+    """(p, q_est): quantile estimates from the histogram — the upper
+    edge of the first bin whose cumulative count reaches p * total.
+    Error is bounded by one bin width; integer cumulative counts make
+    the pick deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / bins
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bin", "cnt", F.sum("cnt").over(w).alias("cum")
+    )
+    total = hist.agg(F.sum("cnt").alias("total"))
+    probe = hist.sparkSession.createDataFrame(
+        [(float(p),) for p in probs], "p double"
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(probe))
+        .filter(F.col("cum") >= F.col("p") * F.col("total"))
+        .groupBy("p")
+        .agg(F.min("bin").alias("qbin"))
+    )
+    q = F.round(F.lit(lo) + (F.col("qbin") + 1) * F.lit(width), 6)
+    return hit.select("p", q.alias("q_est"))
+
+
+def sql_histogram_quantiles(
+    table: str,
+    col: str,
+    probs: tuple[float, ...],
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> str:
+    width = (hi - lo) / bins
+    probes = " UNION ALL ".join(
+        f"SELECT CAST({p!r} AS DOUBLE) AS p" for p in probs
+    )
+    return f"""
+WITH hist AS (
+  SELECT least({bins - 1}, greatest(0,
+           CAST(floor(({col} - {lo!r}) / {width!r}) AS BIGINT))) AS bin,
+         count(*) AS cnt
+  FROM {table} GROUP BY 1
+),
+cum AS (
+  SELECT bin, sum(cnt) OVER (ORDER BY bin
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM hist),
+probes AS ({probes})
+SELECT p, round(CAST({lo!r} AS DOUBLE)
+              + (min(bin) + 1) * CAST({width!r} AS DOUBLE), 6) AS q_est
+FROM cum CROSS JOIN tot CROSS JOIN probes
+WHERE cum >= p * total
+GROUP BY p
+"""

@@ -254,3 +254,92 @@ SELECT {sel}
         * 100.0 + 0.5) / 100.0 AS approx_distinct
 FROM est
 """
+
+
+# ---------------------------------------------------------------- bloom
+#
+# Same md5 discipline once more: Spark's own BloomFilter aggregate
+# (stat.BloomFilter / bloom_filter_agg) hashes JVM-side and can't be
+# reproduced cross-engine. This one is a set of bit positions derived
+# from md5, so DuckDB computes the identical filter.
+#
+# Scale: the filter is AT MOST m distinct bit rows however large the
+# member set is — the decontamination screen against a benchmark suite
+# broadcasts ~m ints, not the suite; membership never false-negatives,
+# so screening is safe (false positives are discarded by the exact
+# verify that follows candidates).
+
+BLOOM_K = 3  # hash functions
+BLOOM_M = 8192  # bits
+
+
+def bloom_bits(
+    df: DataFrame, key: str, k: int = BLOOM_K, m: int = BLOOM_M
+) -> DataFrame:
+    """(bit): the distinct set-bit positions of the filter over ``key``
+    — this IS the Bloom filter; shards merge by set union (distinct)."""
+    coords = F.explode(
+        F.array(*[_cms_coord(i, F.col(key), m) for i in range(k)])
+    ).alias("bit")
+    return df.select(coords).distinct()
+
+
+def bloom_candidates(
+    bits: DataFrame,
+    probes: DataFrame,
+    key: str,
+    k: int = BLOOM_K,
+    m: int = BLOOM_M,
+) -> DataFrame:
+    """Probe keys whose k positions are ALL set (Bloom 'maybe-member').
+    Never drops a true member; false-positive rate ~(1-e^(-kn/m))^k."""
+    coords = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"), _cms_coord(i, F.col(key), m)
+                )
+                for i in range(k)
+            ]
+        )
+    ).alias("c")
+    pc = probes.select(key, coords).select(key, "c.i", F.col("c.col").alias("bit"))
+    return (
+        pc.join(F.broadcast(bits), "bit")
+        .groupBy(key)
+        .agg(F.countDistinct("i").alias("__k_hit"))
+        .filter(F.col("__k_hit") == k)
+        .select(key)
+    )
+
+
+def sql_bloom_bits(
+    members_sql: str, key_col: str, k: int = BLOOM_K, m: int = BLOOM_M
+) -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT (('0x' || substr(md5('{i}:' || CAST({key_col} AS VARCHAR)),"
+        f" 1, 8))::BIGINT % {m}) AS bit FROM ({members_sql})"
+        for i in range(k)
+    )
+    return f"SELECT DISTINCT bit FROM ({rows})"
+
+
+def sql_bloom_candidates(
+    bits_cte: str,
+    probes_sql: str,
+    key_col: str,
+    k: int = BLOOM_K,
+    m: int = BLOOM_M,
+) -> str:
+    """Candidates whose k positions are all present in CTE ``bits_cte``."""
+    pc = " UNION ALL ".join(
+        f"SELECT {key_col}, {i} AS i, "
+        f"(('0x' || substr(md5('{i}:' || CAST({key_col} AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {m}) AS bit FROM ({probes_sql})"
+        for i in range(k)
+    )
+    return f"""
+SELECT {key_col} FROM ({pc}) pc
+JOIN {bits_cte} b ON pc.bit = b.bit
+GROUP BY {key_col} HAVING count(DISTINCT i) = {k}
+"""

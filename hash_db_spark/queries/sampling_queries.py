@@ -208,9 +208,35 @@ def _quantile_oracle() -> str:
     return sql_profile_quantiles("lineitem", QUANTILE_COLS)
 
 
+HISTO_PROBS = (0.25, 0.5, 0.9, 0.99)
+HISTO_LO, HISTO_HI = 0.0, 600000.0
+
+
+def q_histo_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable binned-histogram quantile estimates of o_totalprice —
+    the bounded-memory scale path beside exact profile_quantiles."""
+    from hash_db_spark.functions.profiling import (
+        binned_histogram,
+        histogram_quantiles,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    hist = binned_histogram(orders, "o_totalprice", HISTO_LO, HISTO_HI)
+    return histogram_quantiles(hist, HISTO_PROBS, HISTO_LO, HISTO_HI)
+
+
+def _histo_oracle() -> str:
+    from hash_db_spark.functions.profiling import sql_histogram_quantiles
+
+    return sql_histogram_quantiles(
+        "orders", "o_totalprice", HISTO_PROBS, HISTO_LO, HISTO_HI
+    )
+
+
 QUERIES = {
     "profile_columns": Query(q_profile_columns, _profile_oracle()),
     "profile_quantiles": Query(q_profile_quantiles, _quantile_oracle()),
+    "histo_quantiles": Query(q_histo_quantiles, _histo_oracle()),
     "hash_sample": Query(
         q_hash_sample,
         f"SELECT doc_id, lang FROM documents "

@@ -235,6 +235,68 @@ GROUP BY id
 """
 
 
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-screened benchmark decontamination: the benchmark trigram
+    set compresses to <= 8192 set-bit rows (fixed size however large the
+    suite grows — the broadcast the exact-set contamination_check can't
+    bound), corpus grams pass the never-false-negative screen, then the
+    surviving candidates are verified exactly. Output = per-doc count of
+    bloom-candidate grams beside the true-overlap count; candidates >=
+    true always."""
+    from hash_db_spark.functions import sketches as SK
+    from hash_db_spark.operators.dedup import shingle_frame
+
+    docs = _docs(spark, sf_dir)
+    posts = shingle_frame(docs, "text", "doc_id").select(
+        "id", F.explode("sh").alias("s")
+    )
+    bench = posts.filter(F.col("id") < 10).select("s").distinct()
+    corpus = posts.filter(F.col("id") >= 10)
+    bits = SK.bloom_bits(bench, "s")
+    cand_grams = SK.bloom_candidates(bits, corpus.select("s").distinct(), "s")
+    cands = corpus.join(F.broadcast(cand_grams), "s")
+    true_hits = corpus.join(F.broadcast(bench), "s").groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    return (
+        cands.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_bloom"))
+        .join(true_hits, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_bloom",
+            F.coalesce("n_true", F.lit(0)).alias("n_true"),
+        )
+    )
+
+
+def _bloom_decontaminate_oracle() -> str:
+    from hash_db_spark.functions import sketches as SK
+
+    return f"""
+WITH sh0 AS (
+  SELECT doc_id AS id, {sql_shingles('text', 3)} AS sh FROM documents
+),
+posts AS (SELECT id, unnest(sh) AS s FROM sh0),
+bench AS (SELECT DISTINCT s FROM posts WHERE id < 10),
+corpus AS (SELECT id, s FROM posts WHERE id >= 10),
+bits AS ({SK.sql_bloom_bits("SELECT s FROM bench", "s")}),
+cand_grams AS (
+  {SK.sql_bloom_candidates("bits", "SELECT DISTINCT s FROM corpus", "s")}
+),
+bloom_hits AS (
+  SELECT id, count(*) AS n_bloom FROM corpus
+  WHERE s IN (SELECT s FROM cand_grams) GROUP BY id
+),
+true_hits AS (
+  SELECT id, count(*) AS n_true FROM corpus
+  WHERE s IN (SELECT s FROM bench) GROUP BY id
+)
+SELECT b.id AS doc_id, b.n_bloom, coalesce(t.n_true, 0) AS n_true
+FROM bloom_hits b LEFT JOIN true_hits t ON b.id = t.id
+"""
+
+
 def q_top_ngrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus analytics: 5 most frequent word trigrams per language
     (count desc, gram asc tie-break) — vocabulary/boilerplate discovery
@@ -320,5 +382,8 @@ QUERIES = {
     "text_subword_tokens": Query(q_text_subword_tokens, TEXT_SUBWORD_ORACLE),
     "text_repetition": Query(q_text_repetition, TEXT_REPETITION_ORACLE),
     "contamination_check": Query(q_contamination_check, CONTAMINATION_ORACLE),
+    "bloom_decontaminate": Query(
+        q_bloom_decontaminate, _bloom_decontaminate_oracle()
+    ),
     "top_ngrams_per_lang": Query(q_top_ngrams_per_lang, TOP_NGRAMS_ORACLE),
 }

@@ -73,3 +73,65 @@ def test_cms_grid_is_bounded(spark, sf_dir):
     """The sketch never exceeds D*W cells no matter the key cardinality."""
     ev = load_table(spark, sf_dir, "events")
     assert S.cms_cells(ev, "event_id").count() <= S.CMS_D * S.CMS_W
+
+
+# ----------------------------------------------------------------- bloom
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every true member must survive the screen (candidate ⊇ members)."""
+    members = spark.createDataFrame(
+        [(f"key{i}",) for i in range(200)], ["s"]
+    )
+    others = spark.createDataFrame(
+        [(f"other{i}",) for i in range(500)], ["s"]
+    )
+    bits = S.bloom_bits(members, "s")
+    assert bits.count() <= S.BLOOM_M
+    cand = {
+        r.s for r in S.bloom_candidates(bits, members.union(others), "s").collect()
+    }
+    assert {f"key{i}" for i in range(200)} <= cand
+    # With n=200, m=8192, k=3 the fp rate is ~0.02% — essentially no
+    # non-member should pass at this fill factor.
+    assert len(cand - {f"key{i}" for i in range(200)}) <= 5
+
+
+def test_histogram_quantile_error_bounded(spark, sf_dir):
+    """Histogram estimates must sit within one bin width of the exact
+    quantile."""
+    from hash_db_spark.functions.profiling import (
+        binned_histogram,
+        histogram_quantiles,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lo, hi, bins = 0.0, 600000.0, 256
+    hist = binned_histogram(orders, "o_totalprice", lo, hi, bins)
+    est = {
+        r.p: r.q_est
+        for r in histogram_quantiles(hist, (0.25, 0.5, 0.9), lo, hi, bins).collect()
+    }
+    exact = orders.approxQuantile("o_totalprice", [0.25, 0.5, 0.9], 0.0)
+    width = (hi - lo) / bins
+    for p, ex in zip((0.25, 0.5, 0.9), exact):
+        assert abs(est[p] - ex) <= width, (p, est[p], ex)
+
+
+def test_histogram_shard_merge(spark, sf_dir):
+    """Per-shard histograms summed bin-wise == the global histogram."""
+    from hash_db_spark.functions.profiling import binned_histogram
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lo, hi = 0.0, 600000.0
+    direct = {
+        r.bin: r.cnt for r in binned_histogram(orders, "o_totalprice", lo, hi).collect()
+    }
+    merged = {}
+    for st in [r.o_orderstatus for r in orders.select("o_orderstatus").distinct().collect()]:
+        shard = binned_histogram(
+            orders.filter(F.col("o_orderstatus") == st), "o_totalprice", lo, hi
+        )
+        for r in shard.collect():
+            merged[r.bin] = merged.get(r.bin, 0) + r.cnt
+    assert direct == merged
