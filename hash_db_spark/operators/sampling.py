@@ -150,3 +150,58 @@ r AS (
 SELECT {cols} FROM {table} t JOIN r USING ({strata})
 WHERE {sql_bucket(f"t.{key}")} < floor(rate * 10000.0)
 """
+
+
+def per_group_cap(
+    df: DataFrame, key: str, group: str, cap: int
+) -> DataFrame:
+    """At most ``cap`` rows per group, chosen by md5 order of the key —
+    the per-domain/per-source document cap every crawled-corpus recipe
+    applies (one domain must not dominate the mixture). Deterministic
+    and stable under appends: a kept row is only ever displaced by a new
+    row hashing strictly earlier, never by reordering.
+
+    One shuffle on the group; the rank window orders each group by
+    (md5(key), key) — the key tiebreak makes the cut exact even on hash
+    collisions. At extreme skew (one group >> executor memory) pre-trim
+    with a per-partition local top-``cap`` before the global window —
+    same result, bounded sort."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(key).cast("string"))
+    w = Window.partitionBy(group).orderBy(h.asc(), F.col(key).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )
+
+
+def sql_per_group_cap(
+    table: str, key_expr: str, group: str, cap: int, select: str = "*"
+) -> str:
+    h = f"md5(CAST({key_expr} AS VARCHAR))"
+    return f"""
+SELECT {select} FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY {group} ORDER BY {h} ASC, {key_expr} ASC) AS __rk
+  FROM {table}
+) WHERE __rk <= {cap}
+"""
+
+
+def weighted_sample(df: DataFrame, key: str, weight: Column) -> DataFrame:
+    """Keep each row with probability ``weight`` (a [0,1] column),
+    deterministically: accept when the key's md5 bucket fraction falls
+    below the row's weight. Content-addressed like hash_sample, so the
+    kept set is reproducible and append-stable; map-side only."""
+    frac = _bucket(F.col(key)) / F.lit(float(BUCKETS))
+    return df.filter(frac < weight)
+
+
+def sql_weighted_sample(table: str, key_expr: str, weight_expr: str) -> str:
+    return (
+        f"SELECT * FROM {table} "
+        f"WHERE CAST({sql_bucket(key_expr)} AS DOUBLE) / {float(BUCKETS)!r}"
+        f" < ({weight_expr})"
+    )
