@@ -195,8 +195,12 @@ def cms_estimate(
     probe_cells = probes.select(key, coords).select(
         key, "cell.row", "cell.col"
     )
+    # Merge shards to one count per (row, col) first: min() over per-shard
+    # counts would under-estimate, violating the CMS never-undercount
+    # guarantee. A no-op on already-merged input (one row per cell).
+    merged = cells.groupBy("row", "col").agg(F.sum("c").alias("c"))
     return (
-        probe_cells.join(cells, ["row", "col"], "left")
+        probe_cells.join(merged, ["row", "col"], "left")
         .groupBy(key)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
     )

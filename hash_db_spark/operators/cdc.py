@@ -27,15 +27,24 @@ def latest_view(
     """Current state = base ⊎ changes, last version per key wins,
     deletes removed. ``changes`` carries (key, version, op, data cols);
     base rows are implicit (version 0, op upsert)."""
-    base_tagged = base.withColumn(version, F.lit(0).cast("long")).withColumn(
-        "op", F.lit(OP_UPSERT)
+    base_tagged = (
+        base.withColumn(version, F.lit(0).cast("long"))
+        .withColumn("op", F.lit(OP_UPSERT))
+        .withColumn("__src", F.lit(0))
     )
-    unioned = base_tagged.unionByName(changes, allowMissingColumns=True)
-    w = Window.partitionBy(key).orderBy(F.col(version).desc())
+    changes_tagged = changes.withColumn("__src", F.lit(1))
+    unioned = base_tagged.unionByName(changes_tagged, allowMissingColumns=True)
+    # Tie-break on __src so a (nonconforming) version-0 change row still
+    # deterministically beats the base row it shadows. Change versions are
+    # expected to be >= 1 and distinct per key; the flag makes the base-vs-
+    # change case deterministic regardless.
+    w = Window.partitionBy(key).orderBy(
+        F.col(version).desc(), F.col("__src").desc()
+    )
     return (
         unioned.withColumn("__rn", F.row_number().over(w))
         .filter((F.col("__rn") == 1) & (F.col("op") == OP_UPSERT))
-        .drop("__rn", "op", version)
+        .drop("__rn", "op", version, "__src")
     )
 
 
@@ -48,18 +57,27 @@ def scd2_history(
     open); a delete closes the prior interval without contributing a row.
 
     Same scale shape as ``latest_view``: one shuffle on the key; the
-    window only orders the (tiny) per-key version chain."""
-    base_tagged = base.withColumn(version, F.lit(0).cast("long")).withColumn(
-        "op", F.lit(OP_UPSERT)
+    window only orders the (tiny) per-key version chain.
+
+    Contract: change versions are >= 1 and distinct per key (base rows
+    take version 0). A base-vs-change tie on version is still ordered
+    deterministically (base first) via the ``__src`` flag."""
+    base_tagged = (
+        base.withColumn(version, F.lit(0).cast("long"))
+        .withColumn("op", F.lit(OP_UPSERT))
+        .withColumn("__src", F.lit(0))
     )
-    unioned = base_tagged.unionByName(changes, allowMissingColumns=True)
-    w = Window.partitionBy(key).orderBy(F.col(version).asc())
+    changes_tagged = changes.withColumn("__src", F.lit(1))
+    unioned = base_tagged.unionByName(changes_tagged, allowMissingColumns=True)
+    w = Window.partitionBy(key).orderBy(
+        F.col(version).asc(), F.col("__src").asc()
+    )
     hist = unioned.withColumn("valid_to", F.lead(version).over(w))
     return (
         hist.filter(F.col("op") == OP_UPSERT)
         .withColumn("is_current", F.col("valid_to").isNull())
         .withColumnRenamed(version, "valid_from")
-        .drop("op")
+        .drop("op", "__src")
     )
 
 

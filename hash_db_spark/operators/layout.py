@@ -47,7 +47,10 @@ def z_value(a: Column | str, b: Column | str) -> Column:
 
 
 def sql_spread16(expr: str) -> str:
-    x = f"(({expr}) & 65535)"
+    # CAST to BIGINT first so every shift happens in 64-bit — on a DuckDB
+    # INTEGER column, `x << 8` overflows for x >= 32768, breaking the
+    # bit-identical contract with Spark's `.cast("long")` above.
+    x = f"((CAST(({expr}) AS BIGINT)) & 65535)"
     for sh, mask in _SPREAD:
         x = f"(({x} | ({x} << {sh})) & {mask})"
     return x

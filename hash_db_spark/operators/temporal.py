@@ -80,15 +80,20 @@ def asof_join(
     )
     if tolerance is not None:
         tol = F.expr(f"INTERVAL {tolerance}")
-        in_tol = (
+        # Evaluate the predicate against a preserved copy of the matched
+        # timestamp so each column's null-out is independent of the order
+        # fill_cols is processed in (nulling __mt first must not be what
+        # makes the payload columns go NULL).
+        filled = filled.withColumn("__in_tol",
             F.col("__mt") >= F.col("__t") - tol
             if direction == "backward"
-            else F.col("__mt") <= F.col("__t") + tol
+            else F.col("__mt") <= F.col("__t") + tol,
         )
         for c in fill_cols:
             filled = filled.withColumn(
-                c, F.when(in_tol, F.col(c))
+                c, F.when(F.col("__in_tol"), F.col(c))
             )
+        filled = filled.drop("__in_tol")
     return filled.filter(F.col("__is_right") == 0).drop(
         "__k", "__t", "__is_right", "__mt", "__r___mt",
         *[f"__r_{c}" for c in right_payload],

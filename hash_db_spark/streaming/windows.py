@@ -25,6 +25,27 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
+_INTERVAL_UNIT_SECONDS = {
+    "second": 1,
+    "seconds": 1,
+    "minute": 60,
+    "minutes": 60,
+    "hour": 3600,
+    "hours": 3600,
+    "day": 86400,
+    "days": 86400,
+}
+
+
+def _interval_seconds(interval: str) -> int | None:
+    """Parse simple '<n> <unit>' interval strings; None if unparseable
+    (compound intervals fall back to no guard rather than a false one)."""
+    parts = interval.strip().lower().split()
+    if len(parts) != 2 or not parts[0].isdigit():
+        return None
+    unit = _INTERVAL_UNIT_SECONDS.get(parts[1])
+    return None if unit is None else int(parts[0]) * unit
+
 
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
@@ -128,6 +149,16 @@ def stream_interval_join(
 
     Batch parity: under availableNow the single micro-batch sees all
     rows, so the result equals the batch range join (the oracle)."""
+    # The click-side watermark must cover the full lookback horizon, or
+    # click state is evicted before late purchases can still legally match
+    # it — silently dropping valid join rows.
+    lb_s = _interval_seconds(lookback)
+    wm_s = _interval_seconds(watermark)
+    if lb_s is not None and wm_s is not None and wm_s < lb_s:
+        raise ValueError(
+            f"watermark ({watermark}) must be >= lookback ({lookback}): "
+            "click state would be evicted before matching purchases arrive"
+        )
     purchases = (
         events.filter(F.col("event_type") == "purchase")
         .select(

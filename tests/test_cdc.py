@@ -90,3 +90,21 @@ def test_scd2_current_rows_equal_latest_view(spark, base):
         "id", "name"
     )
     assert rows(cur) == rows(cdc.latest_view(base, changes, "id"))
+
+
+def test_version_tie_break_change_beats_base(spark, base):
+    """A (nonconforming) version-0 change row still deterministically
+    shadows the base row it targets — the __src tie-break, not union
+    order, decides."""
+    changes = spark.createDataFrame(
+        [(1, 0, "upsert", "alpha-shadow")],
+        "id long, version long, op string, name string",
+    )
+    got = rows(cdc.latest_view(base, changes, "id"))
+    assert (1, "alpha-shadow") in got
+    hist = {
+        (r.id, r.valid_from, r.name, r.is_current)
+        for r in cdc.scd2_history(base, changes, "id").filter("id = 1").collect()
+    }
+    # base interval closed by the tying change; change row is current
+    assert hist == {(1, 0, "alpha", False), (1, 0, "alpha-shadow", True)}

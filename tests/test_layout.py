@@ -58,3 +58,25 @@ def test_write_zordered_roundtrip(spark, sf_dir, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == part.count()
     assert set(back.columns) == set(part.columns)
+
+
+def test_sql_spread16_wide_values_match_spark(spark):
+    """DuckDB evaluates sql_z_value in 64-bit even on INTEGER inputs —
+    the BIGINT cast prevents the <<8 overflow DuckDB raises for
+    x >= 32768 (ADVICE r3)."""
+    import duckdb
+
+    pts = [(5, 40000), (40000, 5), (65535, 65535), (32768, 32768)]
+    df = spark.createDataFrame(pts, ["a", "b"])
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select("a", "b", layout.z_value("a", "b").alias("z")).collect()
+    }
+    con = duckdb.connect()
+    expr = layout.sql_z_value("a", "b")
+    for a, b in pts:
+        (z,) = con.execute(
+            f"SELECT {expr} FROM (SELECT CAST({a} AS INTEGER) a, "
+            f"CAST({b} AS INTEGER) b)"
+        ).fetchone()
+        assert z == got[(a, b)], (a, b)

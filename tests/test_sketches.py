@@ -135,3 +135,21 @@ def test_histogram_shard_merge(spark, sf_dir):
         for r in shard.collect():
             merged[r.bin] = merged.get(r.bin, 0) + r.cnt
     assert direct == merged
+
+
+def test_cms_estimate_merges_sharded_cells(spark, sf_dir):
+    """Passing per-shard cells (group_cols) straight into cms_estimate
+    must NOT under-count: estimates are taken over merged (row, col)
+    sums, so they match the un-sharded sketch exactly (ADVICE r3)."""
+    ev = load_table(spark, sf_dir, "events")
+    probes = ev.select("user_id").distinct().limit(50)
+    direct = {
+        r.user_id: r.est
+        for r in S.cms_estimate(S.cms_cells(ev, "user_id"), probes, "user_id").collect()
+    }
+    sharded = S.cms_cells(ev, "user_id", "event_type").drop("event_type")
+    via_shards = {
+        r.user_id: r.est
+        for r in S.cms_estimate(sharded, probes, "user_id").collect()
+    }
+    assert direct == via_shards

@@ -240,3 +240,11 @@ def test_stream_interval_join_matches_batch(spark, sf_dir):
     a = {(r.purchase_id, r.click_id) for r in got.collect()}
     b = {(r.purchase_id, r.click_id) for r in batch.collect()}
     assert a == b and len(a) > 0
+
+
+def test_stream_interval_join_watermark_guard(spark, sf_dir):
+    """lookback > watermark would evict click state before matching
+    purchases arrive — rejected up front (ADVICE r3)."""
+    stream = W.read_events_stream(spark, sf_dir)
+    with pytest.raises(ValueError, match="watermark"):
+        W.stream_interval_join(stream, lookback="3 hours", watermark="2 hours")
