@@ -279,6 +279,13 @@ SELECT qid, vec_id, cos, CAST(rank AS INT) AS rank FROM (
 # --- IVF ---------------------------------------------------------------------
 
 
+# The collected centroid table is a broadcast dimension and must stay one:
+# 64k centroids x 128 float64 dims ~ 64 MB on the driver. Past this, the
+# centroid set is itself a distributed artifact — compute it with
+# clustering.kmeans_assign-style passes and raise nlist instead.
+MAX_IVF_CENTROIDS = 65_536
+
+
 def topk_ivf(
     emb: DataFrame,
     query_ids: list[int],
@@ -287,6 +294,7 @@ def topk_ivf(
     nprobe: int = IVF_NPROBE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF top-k: assign corpus to nearest centroid cell, probe the
     ``nprobe`` nearest cells per query, exact re-rank inside them.
@@ -323,12 +331,25 @@ def topk_ivf(
         n = np.linalg.norm(m, axis=1, keepdims=True)
         return m / np.where(n == 0, 1.0, n)
 
-    # Centroids: a tiny broadcast dimension (an offline k-means artifact at
-    # scale; deterministic subset here keeps the oracle exact).
-    cent_rows = sorted(
-        corpus.filter(F.col("vec_id") % stride == 0).collect(),
-        key=lambda r: r[0],
+    # Centroids: a tiny broadcast dimension. Callers at scale pass a
+    # precomputed frame (an offline k-means artifact, e.g. mean vectors per
+    # clustering.kmeans_assign cluster); the default strided corpus subset
+    # keeps the oracle exact but grows with the corpus, so BOTH paths are
+    # capped — limit(cap + 1) bounds the collect itself, unlike a
+    # collect-then-count guard.
+    cent_source = (
+        centroids.select(F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("v"))
+        if centroids is not None
+        else corpus.filter(F.col("vec_id") % stride == 0)
     )
+    cent_rows = cent_source.limit(MAX_IVF_CENTROIDS + 1).collect()
+    if len(cent_rows) > MAX_IVF_CENTROIDS:
+        raise ValueError(
+            f"centroid set exceeds the broadcastable bound "
+            f"({MAX_IVF_CENTROIDS}); supply a precomputed `centroids` frame "
+            "(offline k-means) or raise `stride`"
+        )
+    cent_rows = sorted(cent_rows, key=lambda r: r[0])
     cids = np.array([r[0] for r in cent_rows], dtype=np.int64)
     cmat = _norm_rows(np.array([r[1] for r in cent_rows], dtype=np.float64))
 

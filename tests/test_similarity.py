@@ -86,3 +86,26 @@ def test_quantized_topk_recall_vs_exact(spark, sf_dir):
     assert set(ex) == set(qt)
     for q in ex:
         assert len(ex[q] & qt[q]) >= 4, (q, ex[q], qt[q])
+
+
+def test_ivf_centroid_guard_raises_past_cap(emb, monkeypatch):
+    """The centroid collect is bounded: past MAX_IVF_CENTROIDS it raises
+    instead of pulling corpus/stride rows to the driver (VERDICT r3 #2)."""
+    monkeypatch.setattr(S, "MAX_IVF_CENTROIDS", 1)
+    with pytest.raises(ValueError, match="centroid set exceeds"):
+        S.topk_ivf(emb, [1], k=2, stride=1, nprobe=1)
+
+
+def test_ivf_supplied_centroids_match_default(emb):
+    """A precomputed centroids frame (the offline-k-means path at scale)
+    reproduces the default strided-subset run exactly."""
+    cents = emb.filter("vec_id % 3 = 0")  # same rows stride=3 selects
+    default = {
+        (r.qid, r.vec_id, r.rank)
+        for r in S.topk_ivf(emb, [1], k=2, stride=3, nprobe=1).collect()
+    }
+    supplied = {
+        (r.qid, r.vec_id, r.rank)
+        for r in S.topk_ivf(emb, [1], k=2, nprobe=1, centroids=cents).collect()
+    }
+    assert default == supplied and len(default) == 2
