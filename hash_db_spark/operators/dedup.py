@@ -537,6 +537,17 @@ def minhash_index(
     return base, bands
 
 
+# Band buckets larger than this are dropped from candidate generation: a
+# degenerate band key (mass-identical boilerplate) otherwise creates k^2
+# candidates in one bucket — the same quadratic-skew guard as
+# ngram_jaccard_pairs.max_doc_freq. Pairs that met ONLY in hot buckets are
+# rescued through the identical-signature equijoin (true duplicates have
+# equal signatures), so only differing-signature pairs whose every shared
+# band is hot can be missed — exactly the low-similarity tail the cap is
+# meant to shed.
+MAX_BAND_BUCKET = 64
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     col: str,
@@ -544,6 +555,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     num_hashes: int = NUM_HASHES,
     band_rows: int = BAND_ROWS,
+    max_band_bucket: int | None = MAX_BAND_BUCKET,
 ) -> DataFrame:
     """Candidate pairs via banded LSH, verified with true shingle Jaccard.
 
@@ -551,9 +563,20 @@ def minhash_lsh_pairs(
     (band_idx, band_key) — only same-bucket docs meet. Verification joins
     candidates back to shingle sets (array_intersect on the two shingle
     arrays — candidate count is small, so arrays-in-row beats re-exploding).
-    Returns (id_a, id_b, jac) with jac >= threshold.
+    Hot buckets (> max_band_bucket members) are excluded from the band
+    join and replaced by a full-signature equijoin, bounding the
+    candidate count per bucket while keeping every identical-signature
+    pair. Returns (id_a, id_b, jac) with jac >= threshold.
     """
     base, bands = minhash_index(df, col, id_col, num_hashes, band_rows)
+    if max_band_bucket is not None:
+        sizes = bands.groupBy("band", "key").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        bands = bands.join(
+            sizes.filter(F.col("__n") <= max_band_bucket).drop("__n"),
+            ["band", "key"],
+        )
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(
@@ -563,8 +586,17 @@ def minhash_lsh_pairs(
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
     )
+    if max_band_bucket is not None:
+        sa = base.select(F.col("id").alias("id_a"), F.col("sig").alias("__sig_a"))
+        sb = base.select(F.col("id").alias("id_b"), F.col("sig").alias("__sig_b"))
+        sig_pairs = sa.join(
+            sb,
+            (F.col("__sig_a") == F.col("__sig_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        ).select("id_a", "id_b")
+        cands = cands.unionByName(sig_pairs)
+    cands = cands.distinct()
 
     sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -722,6 +754,7 @@ def sql_minhash_lsh_pairs(
     threshold: float = 0.5,
     num_hashes: int = NUM_HASHES,
     band_rows: int = BAND_ROWS,
+    max_band_bucket: int | None = MAX_BAND_BUCKET,
 ) -> str:
     num_bands = num_hashes // band_rows
     sig_exprs = ", ".join(
@@ -737,6 +770,36 @@ def sql_minhash_lsh_pairs(
         + " AS key FROM sig"
         for j in range(num_bands)
     )
+    if max_band_bucket is not None:
+        sig_eq = " AND ".join(
+            f"a.h{i} = b.h{i}" for i in range(num_hashes)
+        )
+        cand_ctes = f"""
+bucket_ok AS (
+  SELECT band, key FROM bands GROUP BY band, key
+  HAVING count(*) <= {max_band_bucket}
+),
+cold AS (
+  SELECT bands.id, bands.band, bands.key
+  FROM bands JOIN bucket_ok USING (band, key)
+),
+cands AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT a.id AS id_a, b.id AS id_b
+    FROM cold a JOIN cold b
+      ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    UNION ALL
+    SELECT a.id AS id_a, b.id AS id_b
+    FROM sig a JOIN sig b ON a.id < b.id AND {sig_eq}
+  )
+)"""
+    else:
+        cand_ctes = """
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.id < b.id
+)"""
     return f"""
 WITH base AS (
   SELECT {id_col} AS id, {sql_shingles(col)} AS sh FROM {table}
@@ -747,12 +810,7 @@ hashed AS (
   FROM nonempty
 ),
 sig AS (SELECT id, sh, {sig_exprs} FROM hashed),
-bands AS ({band_selects}),
-cands AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.key = b.key AND a.id < b.id
-)
+bands AS ({band_selects}),{cand_ctes}
 SELECT id_a, id_b,
        round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
              / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jac

@@ -168,3 +168,39 @@ def test_dedup_empty_inputs(spark):
     empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert D.connected_components(empty_pairs).count() == 0
     assert D.connected_components(empty_pairs, driver_threshold=0).count() == 0
+
+
+def test_minhash_hot_band_cap_keeps_identical_pairs(spark):
+    """Adversarial boilerplate: 12 identical docs make every band bucket
+    size-12. With max_band_bucket=2 the band join sees NONE of them, yet
+    all 66 identical pairs come back through the signature-equality
+    rescue — bounded candidates, no lost duplicates (VERDICT r3 #4)."""
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, boiler) for i in range(12)]
+    rows += [(100, "completely different text about spark shuffles and joins here")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r.id_a, r.id_b): r.jac
+        for r in D.minhash_lsh_pairs(
+            docs, "text", "doc_id", threshold=0.5, max_band_bucket=2
+        ).collect()
+    }
+    expect = {(a, b) for a in range(12) for b in range(a + 1, 12)}
+    assert set(pairs) == expect
+    assert all(j == 1.0 for j in pairs.values())
+
+
+def test_minhash_cap_default_matches_uncapped(docs):
+    """On a non-degenerate corpus the default cap never triggers: capped
+    and uncapped runs return identical pairs."""
+    capped = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.4).collect()
+    }
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(
+            docs, "text", "doc_id", threshold=0.4, max_band_bucket=None
+        ).collect()
+    }
+    assert capped == uncapped
