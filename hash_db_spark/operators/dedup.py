@@ -26,7 +26,7 @@ oracle cannot reproduce them.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
 
 from hash_db_spark.functions.text import fingerprint, sql_fingerprint
@@ -472,6 +472,7 @@ def minhash_index(
     num_hashes: int = NUM_HASHES,
     band_rows: int = BAND_ROWS,
     keep: tuple[str, ...] = (),
+    with_sigh: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """The reusable LSH index: returns (base, bands) where base =
     (id, sh, sig) — shingle arrays + MinHash signature, cached — and
@@ -507,6 +508,9 @@ def minhash_index(
         minhash_components(F.col("hsh"), num_hashes).alias("sig"),
         *keep,
     ).cache()
+    # with_sigh: band-0 rows carry the fused signature string (NULL on
+    # other bands — one copy per doc, not per band) for the hot-bucket
+    # rescue join in minhash_lsh_pairs.
     bands = base.select(
         "id",
         *keep,
@@ -523,6 +527,17 @@ def minhash_index(
                             ),
                             F.lit(0),
                         ).alias("key"),
+                        *(
+                            [
+                                (
+                                    _sigh_expr()
+                                    if j == 0
+                                    else F.lit(None).cast("string")
+                                ).alias("sigh")
+                            ]
+                            if with_sigh
+                            else []
+                        ),
                     )
                     for j in range(num_bands)
                 ]
@@ -532,6 +547,7 @@ def minhash_index(
         "id",
         F.col("bk.band").alias("band"),
         F.col("bk.key").alias("key"),
+        *(["bk.sigh"] if with_sigh else []),
         *keep,
     )
     return base, bands
@@ -541,11 +557,19 @@ def minhash_index(
 # degenerate band key (mass-identical boilerplate) otherwise creates k^2
 # candidates in one bucket — the same quadratic-skew guard as
 # ngram_jaccard_pairs.max_doc_freq. Pairs that met ONLY in hot buckets are
-# rescued through the identical-signature equijoin (true duplicates have
-# equal signatures), so only differing-signature pairs whose every shared
-# band is hot can be missed — exactly the low-similarity tail the cap is
-# meant to shed.
+# rescued through a signature-equality join inside hot band-0 buckets
+# (identical signatures collide in EVERY band, so any identical pair whose
+# band-0 bucket is cold already surfaced there); only differing-signature
+# pairs whose every shared band is hot can be missed — exactly the
+# low-similarity tail the cap is meant to shed.
 MAX_BAND_BUCKET = 64
+
+
+def _sigh_expr() -> "Column":
+    """Fused signature string: bijective with the signature array (fixed
+    element count, ',' separator), rendered identically by Spark's
+    long->string cast and DuckDB's BIGINT->VARCHAR coercion."""
+    return F.concat_ws(",", F.col("sig").cast("array<string>"))
 
 
 def minhash_lsh_pairs(
@@ -564,39 +588,50 @@ def minhash_lsh_pairs(
     candidates back to shingle sets (array_intersect on the two shingle
     arrays — candidate count is small, so arrays-in-row beats re-exploding).
     Hot buckets (> max_band_bucket members) are excluded from the band
-    join and replaced by a full-signature equijoin, bounding the
-    candidate count per bucket while keeping every identical-signature
-    pair. Returns (id_a, id_b, jac) with jac >= threshold.
+    join; identical-signature pairs inside them are recovered by a
+    signature-equality join restricted to hot band-0 buckets. Bucket
+    sizes come from a window over the SAME (band, key) partitioning the
+    self-join shuffles on, so the cap adds no extra shuffle of the bands
+    relation. Returns (id_a, id_b, jac) with jac >= threshold.
     """
-    base, bands = minhash_index(df, col, id_col, num_hashes, band_rows)
+    base, bands = minhash_index(
+        df, col, id_col, num_hashes, band_rows,
+        with_sigh=max_band_bucket is not None,
+    )
     if max_band_bucket is not None:
-        sizes = bands.groupBy("band", "key").agg(
-            F.count(F.lit(1)).alias("__n")
-        )
-        bands = bands.join(
-            sizes.filter(F.col("__n") <= max_band_bucket).drop("__n"),
-            ["band", "key"],
-        )
-    a, b = bands.alias("a"), bands.alias("b")
-    cands = (
-        a.join(
+        wn = Window.partitionBy("band", "key")
+        sized = bands.withColumn("__n", F.count(F.lit(1)).over(wn))
+        cold = sized.filter(F.col("__n") <= max_band_bucket)
+        a, b = cold.alias("a"), cold.alias("b")
+        band_pairs = a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.id") < F.col("b.id")),
+        ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        hot0 = sized.filter(
+            (F.col("__n") > max_band_bucket) & (F.col("band") == 0)
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-    )
-    if max_band_bucket is not None:
-        sa = base.select(F.col("id").alias("id_a"), F.col("sig").alias("__sig_a"))
-        sb = base.select(F.col("id").alias("id_b"), F.col("sig").alias("__sig_b"))
-        sig_pairs = sa.join(
-            sb,
-            (F.col("__sig_a") == F.col("__sig_b"))
-            & (F.col("id_a") < F.col("id_b")),
-        ).select("id_a", "id_b")
-        cands = cands.unionByName(sig_pairs)
-    cands = cands.distinct()
+        ha, hb = hot0.alias("a"), hot0.alias("b")
+        rescue = ha.join(
+            hb,
+            (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.sigh") == F.col("b.sigh"))
+            & (F.col("a.id") < F.col("b.id")),
+        ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        cands = band_pairs.unionByName(rescue).distinct()
+    else:
+        a, b = bands.alias("a"), bands.alias("b")
+        cands = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
 
     sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -761,36 +796,40 @@ def sql_minhash_lsh_pairs(
         f"list_min(list_transform(hsh, h -> ({a} * h + {b}) % {MINHASH_P})) AS h{i}"
         for i, (a, b) in enumerate(_affine_constants(num_hashes))
     )
-    band_selects = " UNION ALL ".join(
-        f"SELECT id, {j} AS band, "
-        + " + ".join(
+    sigh_sql = "concat_ws(',', " + ", ".join(
+        f"h{i}" for i in range(num_hashes)
+    ) + ")"
+
+    def band_select(j: int) -> str:
+        key = " + ".join(
             f"h{j * band_rows + r} * {BAND_KEY_MULT ** (band_rows - 1 - r)}"
             for r in range(band_rows)
         )
-        + " AS key FROM sig"
-        for j in range(num_bands)
-    )
+        sigh = ""
+        if max_band_bucket is not None:
+            sigh = (
+                f", {sigh_sql} AS sigh" if j == 0
+                else ", CAST(NULL AS VARCHAR) AS sigh"
+            )
+        return f"SELECT id, {j} AS band, {key} AS key{sigh} FROM sig"
+
+    band_selects = " UNION ALL ".join(band_select(j) for j in range(num_bands))
     if max_band_bucket is not None:
-        sig_eq = " AND ".join(
-            f"a.h{i} = b.h{i}" for i in range(num_hashes)
-        )
         cand_ctes = f"""
-bucket_ok AS (
-  SELECT band, key FROM bands GROUP BY band, key
-  HAVING count(*) <= {max_band_bucket}
-),
-cold AS (
-  SELECT bands.id, bands.band, bands.key
-  FROM bands JOIN bucket_ok USING (band, key)
+bandsn AS (
+  SELECT *, count(*) OVER (PARTITION BY band, key) AS n FROM bands
 ),
 cands AS (
   SELECT DISTINCT id_a, id_b FROM (
     SELECT a.id AS id_a, b.id AS id_b
-    FROM cold a JOIN cold b
+    FROM bandsn a JOIN bandsn b
       ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    WHERE a.n <= {max_band_bucket}
     UNION ALL
     SELECT a.id AS id_a, b.id AS id_b
-    FROM sig a JOIN sig b ON a.id < b.id AND {sig_eq}
+    FROM bandsn a JOIN bandsn b
+      ON a.key = b.key AND a.sigh = b.sigh AND a.id < b.id
+    WHERE a.band = 0 AND b.band = 0 AND a.n > {max_band_bucket}
   )
 )"""
     else:
