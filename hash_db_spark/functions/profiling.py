@@ -140,13 +140,18 @@ def histogram_quantiles(
     """(p, q_est): quantile estimates from the histogram — the upper
     edge of the first bin whose cumulative count reaches p * total.
     Error is bounded by one bin width; integer cumulative counts make
-    the pick deterministic cross-engine."""
-    from pyspark.sql import Window
+    the pick deterministic cross-engine.
 
+    The cumulative count is a broadcast inequality self-join + groupBy
+    (O(bins^2) pairs over <= 256 bins), not a global Window — the input
+    is bounded, but an unpartitioned WindowExec would still funnel it
+    through one task and warn on every run."""
     width = (hi - lo) / bins
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.select(
-        "bin", "cnt", F.sum("cnt").over(w).alias("cum")
+    h2 = hist.select(F.col("bin").alias("bin2"), F.col("cnt").alias("cnt2"))
+    cum = (
+        hist.join(F.broadcast(h2), F.col("bin2") <= F.col("bin"))
+        .groupBy("bin", "cnt")
+        .agg(F.sum("cnt2").alias("cum"))
     )
     total = hist.agg(F.sum("cnt").alias("total"))
     probe = hist.sparkSession.createDataFrame(

@@ -118,7 +118,13 @@ PASSTHROUGH: dict[str, str] = {
                CAST(length(o_orderpriority) AS INT) AS plen
         FROM orders WHERE o_orderkey <= 300
     """,
-    # NTILE + dense_rank windows.
+    # NTILE + dense_rank windows. Both are GLOBAL (unpartitioned) windows
+    # by the operator's own semantics — a total ordering of the whole
+    # input is what ntile/dense_rank mean here, so Spark necessarily
+    # funnels the rows through one task. The c_custkey <= 200 predicate
+    # bounds that single-task sort; at scale the pattern is to pre-bucket
+    # (range-partition + per-bucket rank + offset, as insert_rows does)
+    # or to accept the documented single-partition cost for small inputs.
     "ansi_ntile": """
         SELECT c_custkey,
                CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey ASC)
