@@ -97,6 +97,38 @@ class CypherCompiler:
                     df = df.filter(F.element_at(F.col("attrs"), k) == v)
             return df.select(F.col("id").alias(var))
 
+        def edge_relation(edge: Edge) -> DataFrame:
+            """(src, dst) pairs the edge pattern relates. A plain edge is
+            the rel-filtered edge list; a variable-length edge
+            (-[:R*lo..hi]->) is the union of its h-fold self-compositions
+            for h in [lo, hi] — pair-EXISTS semantics (one row per
+            reachable pair, not per path), which is indistinguishable
+            from path-multiplicity semantics here because MATCH output is
+            DISTINCT over the bound variables. Bounded hops = bounded
+            joins; each composition level is deduplicated so a dense
+            clique can't multiply intermediate rows. The n-hop BFS with
+            distances lives in operators/graph.n_hop_reach."""
+            e = self.edges.filter(F.col("rel") == edge.name).select("src", "dst")
+            if edge.min_hops == 1 and edge.max_hops == 1:
+                return e
+            e = e.distinct()
+            reach: DataFrame | None = None
+            cur = e
+            for h in range(1, edge.max_hops + 1):
+                if h >= edge.min_hops:
+                    reach = cur if reach is None else reach.unionByName(cur)
+                if h < edge.max_hops:
+                    cur = (
+                        cur.alias("l")
+                        .join(e.alias("r"), F.col("l.dst") == F.col("r.src"))
+                        .select(
+                            F.col("l.src").alias("src"),
+                            F.col("r.dst").alias("dst"),
+                        )
+                        .distinct()
+                    )
+            return reach.distinct()
+
         result: DataFrame | None = None
         bound: set[str] = set()
         edge_idx = 0
@@ -104,7 +136,7 @@ class CypherCompiler:
             for i in range(0, len(chain) - 2, 2):
                 (_, v1), (_, edge), (_, v2) = chain[i], chain[i + 1], chain[i + 2]
                 src_var, dst_var = (v1, v2) if edge.direction == "right" else (v2, v1)
-                e = self.edges.filter(F.col("rel") == edge.name).select(
+                e = edge_relation(edge).select(
                     F.col("src").alias(f"__src{edge_idx}"),
                     F.col("dst").alias(f"__dst{edge_idx}"),
                 )

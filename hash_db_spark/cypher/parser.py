@@ -24,8 +24,10 @@ from dataclasses import dataclass, field
 _TOKEN_RE = re.compile(
     r"""
     \s*(
-        -\[:(?P<rel_r>\w+)\]->      # -[:REL]->
-      | <-\[:(?P<rel_l>\w+)\]-      # <-[:REL]-
+        -\[:(?P<rel_r>\w+)(?:\*(?P<min_r>\d+)\.\.(?P<max_r>\d+))?\]->
+        # -[:REL]-> or -[:REL*1..3]->
+      | <-\[:(?P<rel_l>\w+)(?:\*(?P<min_l>\d+)\.\.(?P<max_l>\d+))?\]-
+        # <-[:REL]- or <-[:REL*1..3]-
       | (?P<punct>[(){},:])
       | '(?P<squoted>[^']*)'
       | "(?P<dquoted>[^"]*)"
@@ -51,6 +53,12 @@ class Node:
 class Edge:
     name: str
     direction: str  # 'right' for -[:R]->, 'left' for <-[:R]-
+    # Variable-length paths (-[:R*1..3]->): hop-count bounds, both
+    # inclusive. (1, 1) is a plain single edge. An extension over the
+    # reference grammar, whose '*' token is only the SQL wildcard
+    # (/root/reference/cypher.py:41-43).
+    min_hops: int = 1
+    max_hops: int = 1
 
     @property
     def kind(self) -> str:
@@ -78,9 +86,13 @@ class CypherParser:
                     raise ValueError(f"cypher: cannot tokenize at {text[pos:]!r}")
                 break
             if m.group("rel_r"):
-                tokens.append(("edge_r", m.group("rel_r")))
+                tokens.append(
+                    ("edge_r", (m.group("rel_r"), m.group("min_r"), m.group("max_r")))
+                )
             elif m.group("rel_l"):
-                tokens.append(("edge_l", m.group("rel_l")))
+                tokens.append(
+                    ("edge_l", (m.group("rel_l"), m.group("min_l"), m.group("max_l")))
+                )
             elif m.group("punct"):
                 tokens.append(("punct", m.group("punct")))
             elif m.group("squoted") is not None:
@@ -122,9 +134,20 @@ class CypherParser:
     def _parse_chain(self) -> list[Node | Edge]:
         chain: list[Node | Edge] = [self._parse_node()]
         while self._peek() and self._peek()[0] in ("edge_r", "edge_l"):
-            kind, rel = self._next()
+            kind, (rel, lo, hi) = self._next()
+            min_hops = int(lo) if lo is not None else 1
+            max_hops = int(hi) if hi is not None else 1
+            if min_hops < 1 or max_hops < min_hops:
+                raise ValueError(
+                    f"cypher: bad hop range *{min_hops}..{max_hops}"
+                )
             chain.append(
-                Edge(name=rel, direction="right" if kind == "edge_r" else "left")
+                Edge(
+                    name=rel,
+                    direction="right" if kind == "edge_r" else "left",
+                    min_hops=min_hops,
+                    max_hops=max_hops,
+                )
             )
             chain.append(self._parse_node())
         return chain

@@ -162,6 +162,19 @@ SOCIAL_MATCH = (
 )
 
 
+def q_cypher_var_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length path syntax (*1..k) compiled to bounded-hop
+    edge-composition joins: friends-and-friends-of-friends of Samuel over
+    the example.py social graph (a grammar extension — the reference's
+    '*' token is only the SQL wildcard, /root/reference/cypher.py:41-43)."""
+    comp = _empty_graph(spark)
+    nodes, edges = comp.merge_many(SOCIAL_MERGES)
+    return CypherCompiler(nodes, edges).run(
+        "match (a:Person {name: 'Samuel'})-[:FRIEND*1..2]->(b:Person) "
+        "return a, b"
+    )
+
+
 def q_cypher_social_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """example.py:241-281 end-to-end: the 19 MERGE statements applied in
     order to an empty graph, then the 4-triple MATCH. Labels keep Post
@@ -324,6 +337,31 @@ QUERIES = {
     "cypher_merge_attrs": Query(
         q_cypher_merge_attrs,
         "SELECT 'person:Sally' AS p, 'Sally' AS p_name, 'age=30' AS p_attrs",
+    ),
+    "cypher_var_length": Query(
+        q_cypher_var_length,
+        # FRIEND edges of the social graph; b = dst reachable from Samuel
+        # in 1 or 2 FRIEND hops (pair-exists semantics, DISTINCT output).
+        """
+        WITH e(src, dst, rel) AS (VALUES
+          ('person:Samuel','person:Tasya','FRIEND'),
+          ('person:Tasya','person:Samuel','FRIEND'),
+          ('person:Samuel','person:Simon','FRIEND'),
+          ('person:Simon','person:Samuel','FRIEND'),
+          ('person:Samuel','person:John','FRIEND'),
+          ('person:Simon','person:Sally','FRIEND'),
+          ('person:Sally','person:Simon','FRIEND'),
+          ('person:Tasya','person:Margaret','FRIEND'),
+          ('person:Margaret','person:Tasya','FRIEND')),
+        f AS (SELECT src, dst FROM e WHERE rel = 'FRIEND')
+        SELECT DISTINCT a, b FROM (
+          SELECT src AS a, dst AS b FROM f
+          UNION ALL
+          SELECT x.src, y.dst FROM f x JOIN f y ON y.src = x.dst
+        )
+        WHERE a = 'person:Samuel'
+          AND b LIKE 'person:%'
+        """,
     ),
     "cypher_social_graph": Query(
         q_cypher_social_graph,

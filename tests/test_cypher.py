@@ -320,3 +320,44 @@ def test_shred_infer_merges_heterogeneous_schemas(spark):
     assert rows[1].b == "x" and rows[1].c is None
     assert rows[2].c == [1, 2] and rows[2].b is None
     assert rows[3].d.e == 4.5
+
+
+def test_parse_var_length_edge():
+    from hash_db_spark.cypher.parser import CypherParser, Edge
+
+    p = CypherParser().parse(
+        "match (a:Person)-[:FRIEND*1..3]->(b:Person) return a, b"
+    )
+    edge = p.chains[0][1]
+    assert isinstance(edge, Edge)
+    assert (edge.name, edge.min_hops, edge.max_hops) == ("FRIEND", 1, 3)
+    assert edge.direction == "right"
+    # left arrow + plain edges unchanged
+    p2 = CypherParser().parse("match (a)<-[:KNOWS*2..2]-(b) return a")
+    e2 = p2.chains[0][1]
+    assert (e2.direction, e2.min_hops, e2.max_hops) == ("left", 2, 2)
+    p3 = CypherParser().parse("match (a)-[:KNOWS]->(b) return a")
+    e3 = p3.chains[0][1]
+    assert (e3.min_hops, e3.max_hops) == (1, 1)
+
+
+def test_parse_var_length_bad_range():
+    from hash_db_spark.cypher.parser import CypherParser
+
+    with pytest.raises(ValueError, match="hop range"):
+        CypherParser().parse("match (a)-[:KNOWS*3..1]->(b) return a")
+    with pytest.raises(ValueError, match="hop range"):
+        CypherParser().parse("match (a)-[:KNOWS*0..2]->(b) return a")
+
+
+def test_var_length_match_social(spark):
+    """*1..2 over the social FRIEND graph: direct friends plus
+    friends-of-friends (incl. the cycle back to Samuel)."""
+    from hash_db_spark.queries.graph_queries import q_cypher_var_length
+
+    got = {(r.a, r.b) for r in q_cypher_var_length(spark, "").collect()}
+    expect_b = {
+        "person:Tasya", "person:Simon", "person:John",   # 1 hop
+        "person:Samuel", "person:Margaret", "person:Sally",  # 2 hops
+    }
+    assert got == {("person:Samuel", b) for b in expect_b}
