@@ -87,6 +87,13 @@ HEADLINE: list[str] = [
     "udf_pandas_scalar",
     "profile_columns",
     "histo_quantiles",
+    # pipeline composition: the end-to-end dedup chain (pairs ->
+    # components -> keep-one) and the gate/pack stages a training-data
+    # pipeline strings together — perf-tracked as compositions, not just
+    # as the unit operators above.
+    "dedup_apply_keep",
+    "quality_gate",
+    "pack_sequences",
 ]
 
 

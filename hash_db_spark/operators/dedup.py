@@ -600,7 +600,10 @@ def minhash_lsh_pairs(
     )
     if max_band_bucket is not None:
         wn = Window.partitionBy("band", "key")
-        sized = bands.withColumn("__n", F.count(F.lit(1)).over(wn))
+        # cache: the sized bands feed four join sides (cold x2, hot x2);
+        # uncached, each recomputes the explode + window from base
+        # (measured +0.9s at sf0.1 cold). docs x num_bands skinny rows.
+        sized = bands.withColumn("__n", F.count(F.lit(1)).over(wn)).cache()
         cold = sized.filter(F.col("__n") <= max_band_bucket)
         a, b = cold.alias("a"), cold.alias("b")
         band_pairs = a.join(
