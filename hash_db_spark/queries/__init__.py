@@ -47,76 +47,70 @@ def all_queries() -> dict[str, Query]:
     )
 
     # Module order matters: the driver verifies registry entries in order and
-    # caps the run at the first 50. Round-3 PRIORITY: the 3 entries that
-    # failed the r02 gate (fixed: HUGEINT→float64 sums, list-cell row sort)
-    # go first for re-verification, then 47 entries the driver has never
-    # checked (r01 ∪ r02 covered 99/178). The ~30 remaining ansi_* TPC-H
-    # shapes rotate forward next round — their family already has green
-    # representatives.
+    # caps the run at the first 50. Round-4 PRIORITY: the 43 entries the
+    # driver has never checked (r01 ∪ r02 ∪ r03 covered 146/189 — the
+    # remaining ansi_* shapes, as-of variants, stream-stream join, CMS/
+    # histogram/bloom sketches, bigram LM, hive pruning, z-order, SCD2)
+    # go first so the r01-r04 union covers every registry name, then the
+    # entries whose code changed this round for re-verification.
     priority = [
-        # re-verify (fixed this round)
-        "array_ops",
-        "sessionize",
-        "profile_columns",
-        # pipeline prep (scrub/chunk/pack/quality/span/fuzzy)
-        "pack_sequences",
-        "dedup_span_grams",
-        "scrub_redact",
-        "scrub_pattern_counts",
-        "chunk_tokens",
-        "doc_logfreq",
-        "vocab_top_share",
-        "quality_gate",
-        "dedup_apply_keep",
-        "fuzzy_name_match",
-        # custom stateful streaming
-        "stream_stateful_counter",
-        "stream_sessions",
-        # documents / graph / dialect stragglers
-        "doc_json_agg",
-        "doc_path_two_level",
-        "graph_pagerank",
-        "cypher_shared_var",
-        "cypher_left_arrow",
-        "cypher_merge_attrs",
-        "dialect_group_count",
-        # temporal / window stragglers
-        "interval_bin_join",
-        "ts_similar_users",
-        "sliding_2d",
-        # multimodal stragglers
-        "multimodal_resize",
-        "multimodal_frame_sample",
-        # UDF stragglers
-        "udf_grouped_agg",
-        "udf_sql_registered",
-        # profiling / sampling / reshaping stragglers
-        "profile_quantiles",
-        "stratified_sample",
-        "unpivot_measures",
-        "grouped_quantiles",
-        "grouping_sets",
-        # arrays / skew stragglers
-        "array_agg_sorted",
-        "salted_group_count",
-        "salted_sum",
-        # interchange formats
-        "jsonl_roundtrip",
-        "orc_roundtrip",
-        # text / dedup / similarity stragglers
-        "tfidf_top_terms",
-        "text_repetition",
-        "contamination_check",
-        "top_ngrams_per_lang",
-        "dedup_incremental",
-        "dedup_embedding_lsh",
-        "dedup_components",
-        "sim_topk_quantized",
-        # ANSI representatives (q12 carried a HUGEINT fix; q2 is the
-        # hardest correlated-subquery shape)
-        "ansi_q12_priority_split",
-        "ansi_q2_min_cost_supplier",
-        "ansi_exists_subquery",
+        # --- never driver-checked (43) -------------------------------
+        # as-of variants / stream-stream join
+        "asof_tolerance",
+        "asof_forward",
+        "stream_stream_join",
+        # sketches
+        "histo_quantiles",
+        "cms_user_counts",
+        "cms_merge_heavy_hitters",
+        "bloom_decontaminate",
+        # bigram LM / layout / storage
+        "doc_bigram_logprob",
+        "hive_partition_prune",
+        "zorder_values",
+        "cdc_scd2_history",
+        # ANSI family (every remaining shape)
+        "ansi_q6_filtered_agg",
+        "ansi_left_join",
+        "ansi_cte_window",
+        "ansi_rollup",
+        "ansi_intersect",
+        "ansi_except",
+        "ansi_case_buckets",
+        "ansi_date_string_funcs",
+        "ansi_ntile",
+        "ansi_q4_order_priority",
+        "ansi_q14_promo_share",
+        "ansi_self_join_pairs",
+        "ansi_having_in",
+        "ansi_lead_lag",
+        "ansi_window_frames",
+        "ansi_scalar_subquery",
+        "ansi_q10_returned_items",
+        "ansi_q18_large_orders",
+        "ansi_q19_disjunctive_preds",
+        "ansi_percent_rank",
+        "ansi_value_histogram",
+        "ansi_q7_nation_volume",
+        "ansi_q8_market_share",
+        "ansi_q9_product_profit",
+        "ansi_q11_important_stock",
+        "ansi_q13_custdist",
+        "ansi_q15_top_supplier",
+        "ansi_q16_supplier_cnt",
+        "ansi_q17_small_qty_revenue",
+        "ansi_q20_excess_suppliers",
+        "ansi_q21_waiting_supplier",
+        "ansi_q22_idle_customers",
+        # --- new this round ------------------------------------------
+        "cypher_var_length",
+        # --- re-verify: code changed this round ----------------------
+        "dedup_minhash_lsh",   # hot-band cap (+ mirrored oracle)
+        "dedup_components",    # consumes minhash pairs
+        "dedup_incremental",   # shared minhash index path
+        "sim_topk_ivf",        # bounded centroid collect
+        "dedup_embedding",     # r3 bench-regression watch
+        "profile_quantiles",   # profiling module touched
     ]
     registry: dict[str, Query] = {}
     for mod in (
