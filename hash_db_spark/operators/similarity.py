@@ -459,6 +459,16 @@ SELECT qid, vec_id, cos, CAST(rank AS INT) AS rank FROM (
 # --- LSH-banded near-dup pairs (the 100 TB path for embedding dedup) ---------
 
 
+# Same quadratic-skew guard as dedup.MAX_BAND_BUCKET: a duplicate-heavy
+# corpus (the NORMAL case for a dedup input) puts whole duplicate groups
+# into the same bucket of every band — k^2 candidates x num_bands without
+# a cap. Measured on a 10x replica-heavy corpus: 127s -> output-bound with
+# the cap. Identical-signature pairs are rescued inside hot band-0
+# buckets; identical signatures collide in every band, so a pair whose
+# band-0 bucket is cold already surfaced in the band join.
+MAX_LSH_BAND_BUCKET = 64
+
+
 def lsh_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.4,
@@ -466,6 +476,7 @@ def lsh_near_dup_pairs(
     band_bits: int = LSH_BAND_BITS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_band_bucket: int | None = MAX_LSH_BAND_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs without broadcasting the corpus: candidates meet on
     a (band, value) equijoin over the hyperplane signature — O(docs x
@@ -489,25 +500,63 @@ def lsh_near_dup_pairs(
                         F.substring(
                             F.col("sig"), j * band_bits + 1, band_bits
                         ).alias("val"),
+                        # full signature rides on band-0 rows only (one
+                        # copy per vector) for the hot-bucket rescue
+                        (
+                            F.col("sig") if j == 0
+                            else F.lit(None).cast("string")
+                        ).alias("fsig"),
                     )
                     for j in range(num_bands)
                 ]
             )
         ).alias("bk"),
-    ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cands = (
-        a.join(
+    ).select(
+        "vec_id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.val").alias("val"),
+        F.col("bk.fsig").alias("fsig"),
+    )
+    if max_band_bucket is not None:
+        wn = Window.partitionBy("band", "val")
+        sized = bands.withColumn("__n", F.count(F.lit(1)).over(wn)).cache()
+        cold = sized.filter(F.col("__n") <= max_band_bucket)
+        a, b = cold.alias("a"), cold.alias("b")
+        band_pairs = a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.val") == F.col("b.val"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
+        ).select(
             F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
         )
-        .distinct()
-    )
+        hot0 = sized.filter(
+            (F.col("__n") > max_band_bucket) & (F.col("band") == 0)
+        )
+        ha, hb = hot0.alias("a"), hot0.alias("b")
+        rescue = ha.join(
+            hb,
+            (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.fsig") == F.col("b.fsig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        ).select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        cands = band_pairs.unionByName(rescue).distinct()
+    else:
+        a, b = bands.alias("a"), bands.alias("b")
+        cands = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.val") == F.col("b.val"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+            )
+            .distinct()
+        )
     # Verify with ONE Arrow/BLAS pass over the joined candidate rows
     # (row-wise einsum), not an interpreted zip_with/aggregate cosine per
     # pair: at a low threshold the banding prunes weakly (near-orthogonal
@@ -554,6 +603,7 @@ def sql_lsh_near_dup_pairs(
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_band_bucket: int | None = MAX_LSH_BAND_BUCKET,
 ) -> str:
     planes = hyperplanes(bits)
     num_bands = bits // band_bits
@@ -566,19 +616,41 @@ def sql_lsh_near_dup_pairs(
         )
     sig = " || ".join(bit_exprs)
     band_selects = " UNION ALL ".join(
-        f"SELECT vec_id, v, {j} AS band, substr(sig, {j * band_bits + 1}, {band_bits}) AS val FROM base"
+        f"SELECT vec_id, v, {j} AS band, "
+        f"substr(sig, {j * band_bits + 1}, {band_bits}) AS val, "
+        f"CASE WHEN {j} = 0 THEN sig END AS fsig FROM base"
         for j in range(num_bands)
     )
-    return f"""
-WITH base AS (
-  SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v, {sig} AS sig FROM {table}
+    if max_band_bucket is not None:
+        cand_cte = f"""
+bandsn AS (
+  SELECT *, count(*) OVER (PARTITION BY band, val) AS n FROM bands
 ),
-bands AS ({band_selects}),
+cands AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM bandsn a JOIN bandsn b
+      ON a.band = b.band AND a.val = b.val AND a.vec_id < b.vec_id
+    WHERE a.n <= {max_band_bucket}
+    UNION ALL
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM bandsn a JOIN bandsn b
+      ON a.val = b.val AND a.fsig = b.fsig AND a.vec_id < b.vec_id
+    WHERE a.band = 0 AND b.band = 0 AND a.n > {max_band_bucket}
+  )
+),"""
+    else:
+        cand_cte = """
 cands AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.val = b.val AND a.vec_id < b.vec_id
+),"""
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v, {sig} AS sig FROM {table}
 ),
+bands AS ({band_selects}),{cand_cte}
 scored AS (
   SELECT id_a, id_b,
          round(list_cosine_similarity(va.v, vb.v), 6) AS cos

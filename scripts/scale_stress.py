@@ -1,0 +1,116 @@
+"""One-off scale validation of the bucketed/banded scale paths.
+
+Synthesizes a REPLICAS-fold corpus from the sf0.1 fixtures (documents get a
+per-replica token suffix so near-dup structure scales instead of exploding
+into cross-replica duplicates; embeddings get a deterministic per-replica
+jitter) and times the three operators whose 100 TB designs the audit wants
+validated empirically:
+
+    dedup_minhash_lsh   banded MinHash candidate join (+ hot-band cap)
+    dedup_embedding_lsh hyperplane-banded near-dup (no corpus broadcast)
+    sim_topk_ivf        IVF cells, bounded centroid collect
+
+Near-linear wall-time growth vs the sf0.1 baseline is the pass criterion
+(results recorded in COVERAGE.md). Writes only under /tmp.
+
+Usage: python scripts/scale_stress.py [--replicas 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.1"
+OUT = "/tmp/scale_stress"
+
+
+def build(spark, replicas: int) -> None:
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_docs = docs.count()
+    n_emb = emb.count()
+    reps = spark.range(replicas).select(F.col("id").alias("rep"))
+    big_docs = (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * n_docs).alias("doc_id"),
+            # replica marker token: keeps each replica's internal near-dup
+            # structure while making cross-replica texts differ
+            F.concat(
+                F.col("text"), F.lit(" replica"), F.col("rep").cast("string")
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    big_docs.write.mode("overwrite").parquet(f"{OUT}/documents.parquet")
+    big_emb = (
+        emb.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("rep") * n_emb).alias("vec_id"),
+            # deterministic per-(vector, replica) jitter on one component
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: x
+                + F.when(
+                    i == F.col("rep") % 64,
+                    (F.col("rep") % 7).cast("double") * 0.001,
+                ).otherwise(0.0),
+            ).alias("embedding"),
+        )
+    )
+    big_emb.write.mode("overwrite").parquet(f"{OUT}/embeddings.parquet")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=10)
+    args = ap.parse_args()
+
+    from hash_db_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-stress")
+    build(spark, args.replicas)
+
+    from hash_db_spark.catalog import load_table
+    from hash_db_spark.operators import dedup as D
+    from hash_db_spark.operators import similarity as S
+
+    def timed(name, make):
+        # warm plan, then one timed full materialization (bench protocol)
+        df = make()
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        print(f"{name:24s} {dt:7.2f}s", flush=True)
+        return dt
+
+    for scale, sf_dir in (("1x", SF_DIR), (f"{args.replicas}x", OUT)):
+        print(f"--- scale {scale} ---", flush=True)
+        docs = load_table(spark, sf_dir, "documents")
+        emb = load_table(spark, sf_dir, "embeddings")
+        timed(
+            f"dedup_minhash_lsh/{scale}",
+            lambda: D.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5),
+        )
+        timed(
+            f"dedup_embedding_lsh/{scale}",
+            lambda: S.lsh_near_dup_pairs(emb, threshold=0.9),
+        )
+        timed(
+            f"sim_topk_ivf/{scale}",
+            lambda: S.topk_ivf(emb, [1, 2, 3, 4, 5], k=5),
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

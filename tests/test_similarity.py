@@ -109,3 +109,22 @@ def test_ivf_supplied_centroids_match_default(emb):
         for r in S.topk_ivf(emb, [1], k=2, nprobe=1, centroids=cents).collect()
     }
     assert default == supplied and len(default) == 2
+
+
+def test_lsh_near_dup_hot_bucket_cap_keeps_identical(spark):
+    """Duplicate-heavy corpus (the normal dedup input): 12 identical
+    vectors fill every band bucket past cap=2, yet all 66 pairs return
+    via the full-signature rescue — bounded candidates, no lost dups."""
+    base = [0.3, -0.7, 0.2] + [0.05] * 61
+    rows = [(i, base) for i in range(12)]
+    rows.append((100, [-x for x in base]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {
+        (r.id_a, r.id_b): r.cos
+        for r in S.lsh_near_dup_pairs(
+            emb, threshold=0.9, max_band_bucket=2
+        ).collect()
+    }
+    expect = {(a, b) for a in range(12) for b in range(a + 1, 12)}
+    assert set(pairs) == expect
+    assert all(c == 1.0 for c in pairs.values())
