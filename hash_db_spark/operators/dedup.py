@@ -406,6 +406,145 @@ FROM posts GROUP BY gram HAVING count(*) >= {min_docs}
 """
 
 
+def token_gram_posts(
+    df: DataFrame, col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, pos, tok, gram): one row per token (pos 1-based), with gram =
+    the n-token span STARTING at pos when it fits, NULL on the tail.
+    One Arrow pass — same rationale as shingle_frame (the higher-order
+    Column formulation re-evaluates the token chain per gram)."""
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def block(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, poss, toks_out, grams = [], [], [], []
+            for i, txt in zip(pdf["__id"], pdf["__txt"]):
+                # parity with clean_tokens: drop commas, split on single
+                # spaces, filter empties
+                toks = [
+                    t for t in str(txt).replace(",", "").split(" ") if t
+                ]
+                last_start = len(toks) - n
+                for p, tok in enumerate(toks):
+                    ids.append(i)
+                    poss.append(p + 1)
+                    toks_out.append(tok)
+                    grams.append(
+                        " ".join(toks[p : p + n]) if p <= last_start else None
+                    )
+            yield pd.DataFrame(
+                {"id": ids, "pos": poss, "tok": toks_out, "gram": grams}
+            )
+
+    return df.select(
+        F.col(id_col).alias("__id"), F.col(col).alias("__txt")
+    ).mapInPandas(block, f"id {id_type}, pos int, tok string, gram string")
+
+
+def strip_hot_spans(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring scrub: rewrite every document with all tokens
+    covered by a cross-document repeated n-gram span removed — the
+    transformation side of ``repeated_ngram_spans`` (strip the memorized
+    boilerplate instead of only reporting it).
+
+    Returns (id, text_clean); a fully-covered document becomes ''.
+
+    Plan shape: one Arrow tokenize pass -> hot-gram aggregate (map-side
+    partial count over distinct (gram, id)) -> position-range explode of
+    the hits (x n, bounded by hit count) -> anti-join on (id, pos) ->
+    per-doc ordered re-assembly (one shuffle on id). Everything is
+    linear in tokens + n * hot-span instances; no quadratic pair step.
+    """
+    posts = token_gram_posts(df, col, id_col, n).cache()
+    hot = (
+        posts.filter(F.col("gram").isNotNull())
+        .select("gram", "id")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("gram")
+    )
+    covered = (
+        posts.join(hot, "gram")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = posts.select("id", "pos", "tok").join(
+        covered, ["id", "pos"], "left_anti"
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_clean")
+    )
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    return ids.join(rebuilt, "id", "left").select(
+        "id", F.coalesce("text_clean", F.lit("")).alias("text_clean")
+    )
+
+
+def sql_strip_hot_spans(
+    table: str,
+    col: str,
+    id_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+) -> str:
+    gram_parts = " || ' ' || ".join(f"toks[pos+{k}]" for k in range(n))
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS id, {sql_clean_tokens(col)} AS toks FROM {table}
+),
+posts AS (
+  SELECT id, toks,
+         unnest(generate_series(1, len(toks))) AS pos
+  FROM t
+),
+posts2 AS (
+  SELECT id, pos, toks[pos] AS tok,
+         CASE WHEN pos <= len(toks) - {n - 1} THEN {gram_parts} END AS gram
+  FROM posts
+),
+hot AS (
+  SELECT gram FROM posts2 WHERE gram IS NOT NULL
+  GROUP BY gram HAVING count(DISTINCT id) >= {min_docs}
+),
+covered AS (
+  SELECT DISTINCT p.id,
+         p.pos + unnest(generate_series(0, {n - 1})) AS pos
+  FROM posts2 p JOIN hot USING (gram)
+),
+kept AS (
+  SELECT p.id, p.pos, p.tok
+  FROM posts2 p ANTI JOIN covered c ON p.id = c.id AND p.pos = c.pos
+),
+agg AS (
+  SELECT id, string_agg(tok, ' ' ORDER BY pos) AS text_clean FROM kept
+  GROUP BY id
+)
+SELECT t.id, coalesce(agg.text_clean, '') AS text_clean
+FROM t LEFT JOIN agg ON t.id = agg.id
+"""
+
+
 # ---------------------------------------------------------------------------
 # 3. MinHash + banded LSH
 # ---------------------------------------------------------------------------

@@ -104,13 +104,13 @@ def all_queries() -> dict[str, Query]:
         "ansi_q22_idle_customers",
         # --- new this round ------------------------------------------
         "cypher_var_length",
+        "dedup_strip_spans",
         # --- re-verify: code changed this round ----------------------
         "dedup_minhash_lsh",   # hot-band cap (+ mirrored oracle)
         "dedup_components",    # consumes minhash pairs
         "dedup_incremental",   # shared minhash index path
         "sim_topk_ivf",        # bounded centroid collect
         "dedup_embedding",     # r3 bench-regression watch
-        "profile_quantiles",   # profiling module touched
     ]
     registry: dict[str, Query] = {}
     for mod in (

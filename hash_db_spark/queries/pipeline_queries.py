@@ -79,6 +79,15 @@ def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring scrub (the transformation side of
+    dedup_span_grams): documents rewritten with every cross-document
+    repeated 8-gram span removed."""
+    return D.strip_hot_spans(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", n=SPAN_N
+    )
+
+
 def q_dedup_span_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc_ids is surfaced as a joined string: the driver compare sorts
     # rows in pandas and list-typed cells are unhashable there.
@@ -295,6 +304,10 @@ QUERIES = {
     "dedup_span_grams": Query(
         q_dedup_span_grams,
         D.sql_repeated_ngram_spans("documents", "text", "doc_id", n=SPAN_N),
+    ),
+    "dedup_strip_spans": Query(
+        q_dedup_strip_spans,
+        D.sql_strip_hot_spans("documents", "text", "doc_id", n=SPAN_N),
     ),
     "stream_stateful_counter": Query(q_stream_stateful_counter, STATEFUL_ORACLE),
     "stream_sessions": Query(q_stream_sessions, STREAM_SESSIONS_ORACLE),

@@ -204,3 +204,41 @@ def test_minhash_cap_default_matches_uncapped(docs):
         ).collect()
     }
     assert capped == uncapped
+
+
+def test_strip_hot_spans_removes_repeated_span(spark):
+    """The 4-token span repeated across docs 1 and 2 is scrubbed from
+    both; unique text survives; a fully-boilerplate doc becomes ''."""
+    rows = [
+        (1, "alpha beta gamma delta unique one two"),
+        (2, "start alpha beta gamma delta finish"),
+        (3, "totally different text with no overlap at all"),
+        (4, "alpha beta gamma delta"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.id: r.text_clean
+        for r in D.strip_hot_spans(docs, "text", "doc_id", n=4).collect()
+    }
+    assert got[1] == "unique one two"
+    assert got[2] == "start finish"
+    assert got[3] == "totally different text with no overlap at all"
+    assert got[4] == ""
+
+
+def test_strip_hot_spans_overlapping_coverage(spark):
+    """Overlapping hot spans union their covered positions (doc 1 has
+    the repeated 3-gram at two overlapping starts)."""
+    rows = [
+        (1, "x a b c a b c y"),
+        (2, "a b c"),
+        (3, "c b a"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.id: r.text_clean
+        for r in D.strip_hot_spans(docs, "text", "doc_id", n=3).collect()
+    }
+    assert got[1] == "x y"
+    assert got[2] == ""
+    assert got[3] == "c b a"
