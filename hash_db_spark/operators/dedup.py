@@ -438,9 +438,11 @@ def token_gram_posts(
                 {"id": ids, "pos": poss, "tok": toks_out, "gram": grams}
             )
 
-    return df.select(
-        F.col(id_col).alias("__id"), F.col(col).alias("__txt")
-    ).mapInPandas(block, f"id {id_type}, pos int, tok string, gram string")
+    return (
+        spread_for_cpu(df)
+        .select(F.col(id_col).alias("__id"), F.col(col).alias("__txt"))
+        .mapInPandas(block, f"id {id_type}, pos int, tok string, gram string")
+    )
 
 
 def strip_hot_spans(
