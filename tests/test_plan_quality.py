@@ -263,3 +263,34 @@ def test_cms_estimate_probe_side_broadcasts(spark, sf_dir):
     plan = formatted_plan(REG["cms_user_counts"].fn(spark, sf_dir))
     assert "partial_count" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_minhash_cap_no_extra_band_shuffles(spark, sf_dir):
+    """The hot-band cap must not add full shuffles of the bands relation:
+    bucket sizes come from a window over the same (band, key) hash
+    partitioning the candidate self-join uses, and the rescue join stays
+    on (key, sigh). No cartesian products anywhere."""
+    from hash_db_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(REG["dedup_minhash_lsh"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_lsh_cap_no_cartesian(spark, sf_dir):
+    from hash_db_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(REG["dedup_embedding_lsh"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_strip_spans_linear_plan(spark, sf_dir):
+    """strip_hot_spans has no pair step: every join is an equi-join
+    (gram, (id, pos)) — a cartesian/nested-loop here means the rewrite
+    went quadratic."""
+    from hash_db_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(REG["dedup_strip_spans"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
