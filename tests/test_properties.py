@@ -164,3 +164,36 @@ def test_chunking_reconstructs_tokens(spark, docs, size):
             assert r.n_tokens == size
         if rows:
             assert 1 <= rows[-1].n_tokens <= size
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(texts, min_size=2, max_size=8),
+    n=st.integers(2, 4),
+)
+def test_strip_hot_spans_matches_model(spark, docs, n):
+    """strip_hot_spans == a direct python model: tokens covered by any
+    n-gram occurring in >= 2 distinct docs are removed; order preserved."""
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.id: r.text_clean
+        for r in D.strip_hot_spans(df, "text", "doc_id", n=n).collect()
+    }
+
+    toks = {i: t.replace(",", "").split() for i, t in rows}
+    gram_docs: dict[tuple, set] = {}
+    for i, ts in toks.items():
+        for p in range(len(ts) - n + 1):
+            gram_docs.setdefault(tuple(ts[p : p + n]), set()).add(i)
+    hot = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+    model = {}
+    for i, ts in toks.items():
+        covered = set()
+        for p in range(len(ts) - n + 1):
+            if tuple(ts[p : p + n]) in hot:
+                covered.update(range(p, p + n))
+        model[i] = " ".join(
+            t for p, t in enumerate(ts) if p not in covered
+        )
+    assert got == model
