@@ -102,6 +102,24 @@ def main() -> int:
             lambda: D.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5),
         )
         timed(
+            f"dedup_ngram_jaccard/{scale}",
+            lambda: D.ngram_jaccard_pairs(docs, "text", "doc_id"),
+        )
+        timed(
+            f"dedup_simhash_pairs/{scale}",
+            lambda: D.simhash_near_pairs(docs, "text", "doc_id", max_hamming=3),
+        )
+        timed(
+            f"dedup_components/{scale}",
+            lambda: D.connected_components(
+                S.lsh_near_dup_pairs(emb, threshold=0.9)
+            ),
+        )
+        timed(
+            f"dedup_strip_spans/{scale}",
+            lambda: D.strip_hot_spans(docs, "text", "doc_id", n=8),
+        )
+        timed(
             f"dedup_embedding_lsh/{scale}",
             lambda: S.lsh_near_dup_pairs(emb, threshold=0.9),
         )
