@@ -422,10 +422,11 @@ def token_gram_posts(
             ids, poss, toks_out, grams = [], [], [], []
             for i, txt in zip(pdf["__id"], pdf["__txt"]):
                 # parity with clean_tokens: drop commas, split on single
-                # spaces, filter empties
-                toks = [
-                    t for t in str(txt).replace(",", "").split(" ") if t
-                ]
+                # spaces, filter empties; NULL text (None/NaN here) must
+                # tokenize to [] like the SQL side, not to ['None']
+                if not isinstance(txt, str):
+                    txt = ""
+                toks = [t for t in txt.replace(",", "").split(" ") if t]
                 last_start = len(toks) - n
                 for p, tok in enumerate(toks):
                     ids.append(i)
@@ -694,15 +695,21 @@ def minhash_index(
     return base, bands
 
 
-# Band buckets larger than this are dropped from candidate generation: a
-# degenerate band key (mass-identical boilerplate) otherwise creates k^2
-# candidates in one bucket — the same quadratic-skew guard as
-# ngram_jaccard_pairs.max_doc_freq. Pairs that met ONLY in hot buckets are
-# rescued through a signature-equality join inside hot band-0 buckets
-# (identical signatures collide in EVERY band, so any identical pair whose
-# band-0 bucket is cold already surfaced there); only differing-signature
-# pairs whose every shared band is hot can be missed — exactly the
-# low-similarity tail the cap is meant to shed.
+# Band buckets larger than this are dropped from all-pairs candidate
+# generation: a degenerate band key (mass-identical boilerplate) otherwise
+# creates k^2 candidates in one bucket — the same quadratic-skew guard as
+# ngram_jaccard_pairs.max_doc_freq. Two linear-cost rescues cover what the
+# cap would otherwise lose:
+#   1. signature-equality join inside hot band-0 buckets — every
+#      identical-signature pair survives exactly (identical signatures
+#      collide in EVERY band, so a pair whose band-0 bucket is cold
+#      already surfaced in the band join);
+#   2. neighbor chaining: within every hot bucket, consecutive members
+#      (by id) become candidates — k-1 pairs per bucket — so a cluster of
+#      near-identical-but-distinct docs stays CONNECTED and downstream
+#      connected_components / keep-one-per-cluster still collapse it,
+#      even though the capped operator no longer enumerates the cluster's
+#      full k^2 pair list (the documented approximation in capped mode).
 MAX_BAND_BUCKET = 64
 
 
@@ -743,7 +750,9 @@ def minhash_lsh_pairs(
         wn = Window.partitionBy("band", "key")
         # cache: the sized bands feed four join sides (cold x2, hot x2);
         # uncached, each recomputes the explode + window from base
-        # (measured +0.9s at sf0.1 cold). docs x num_bands skinny rows.
+        # (measured +0.9s at sf0.1 cold). docs x num_bands skinny rows;
+        # like the index caches above, lifecycle is the session's (LRU
+        # eviction under storage pressure, no explicit unpersist).
         sized = bands.withColumn("__n", F.count(F.lit(1)).over(wn)).cache()
         cold = sized.filter(F.col("__n") <= max_band_bucket)
         a, b = cold.alias("a"), cold.alias("b")
@@ -753,9 +762,8 @@ def minhash_lsh_pairs(
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.id") < F.col("b.id")),
         ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        hot0 = sized.filter(
-            (F.col("__n") > max_band_bucket) & (F.col("band") == 0)
-        )
+        hot = sized.filter(F.col("__n") > max_band_bucket)
+        hot0 = hot.filter(F.col("band") == 0)
         ha, hb = hot0.alias("a"), hot0.alias("b")
         rescue = ha.join(
             hb,
@@ -763,7 +771,15 @@ def minhash_lsh_pairs(
             & (F.col("a.sigh") == F.col("b.sigh"))
             & (F.col("a.id") < F.col("b.id")),
         ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        cands = band_pairs.unionByName(rescue).distinct()
+        # neighbor chain: k-1 linear candidates per hot bucket keep
+        # near-identical (non-equal-signature) clusters connected
+        wchain = Window.partitionBy("band", "key").orderBy("id")
+        chain = (
+            hot.withColumn("__prev", F.lag("id").over(wchain))
+            .filter(F.col("__prev").isNotNull())
+            .select(F.col("__prev").alias("id_a"), F.col("id").alias("id_b"))
+        )
+        cands = band_pairs.unionByName(rescue).unionByName(chain).distinct()
     else:
         a, b = bands.alias("a"), bands.alias("b")
         cands = (
@@ -961,7 +977,9 @@ def sql_minhash_lsh_pairs(
     if max_band_bucket is not None:
         cand_ctes = f"""
 bandsn AS (
-  SELECT *, count(*) OVER (PARTITION BY band, key) AS n FROM bands
+  SELECT *, count(*) OVER (PARTITION BY band, key) AS n,
+         lag(id) OVER (PARTITION BY band, key ORDER BY id) AS prev_id
+  FROM bands
 ),
 cands AS (
   SELECT DISTINCT id_a, id_b FROM (
@@ -974,6 +992,9 @@ cands AS (
     FROM bandsn a JOIN bandsn b
       ON a.key = b.key AND a.sigh = b.sigh AND a.id < b.id
     WHERE a.band = 0 AND b.band = 0 AND a.n > {max_band_bucket}
+    UNION ALL
+    SELECT prev_id AS id_a, id AS id_b FROM bandsn
+    WHERE prev_id IS NOT NULL AND n > {max_band_bucket}
   )
 )"""
     else:

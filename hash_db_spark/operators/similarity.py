@@ -463,9 +463,13 @@ SELECT qid, vec_id, cos, CAST(rank AS INT) AS rank FROM (
 # corpus (the NORMAL case for a dedup input) puts whole duplicate groups
 # into the same bucket of every band — k^2 candidates x num_bands without
 # a cap. Measured on a 10x replica-heavy corpus: 127s -> output-bound with
-# the cap. Identical-signature pairs are rescued inside hot band-0
-# buckets; identical signatures collide in every band, so a pair whose
-# band-0 bucket is cold already surfaced in the band join.
+# the cap. Two linear rescues bound what the cap could lose: identical
+# signatures rejoin inside hot band-0 buckets (they collide in every
+# band, so a cold band-0 bucket already surfaced them), and consecutive
+# members of every hot bucket are chained so near-identical clusters with
+# differing signatures stay connected for downstream clustering (capped
+# mode trades the full k^2 pair list of a hot cluster for its spanning
+# chain — the documented approximation).
 MAX_LSH_BAND_BUCKET = 64
 
 
@@ -530,9 +534,8 @@ def lsh_near_dup_pairs(
         ).select(
             F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
         )
-        hot0 = sized.filter(
-            (F.col("__n") > max_band_bucket) & (F.col("band") == 0)
-        )
+        hot = sized.filter(F.col("__n") > max_band_bucket)
+        hot0 = hot.filter(F.col("band") == 0)
         ha, hb = hot0.alias("a"), hot0.alias("b")
         rescue = ha.join(
             hb,
@@ -542,7 +545,15 @@ def lsh_near_dup_pairs(
         ).select(
             F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
         )
-        cands = band_pairs.unionByName(rescue).distinct()
+        wchain = Window.partitionBy("band", "val").orderBy("vec_id")
+        chain = (
+            hot.withColumn("__prev", F.lag("vec_id").over(wchain))
+            .filter(F.col("__prev").isNotNull())
+            .select(
+                F.col("__prev").alias("id_a"), F.col("vec_id").alias("id_b")
+            )
+        )
+        cands = band_pairs.unionByName(rescue).unionByName(chain).distinct()
     else:
         a, b = bands.alias("a"), bands.alias("b")
         cands = (
@@ -624,7 +635,9 @@ def sql_lsh_near_dup_pairs(
     if max_band_bucket is not None:
         cand_cte = f"""
 bandsn AS (
-  SELECT *, count(*) OVER (PARTITION BY band, val) AS n FROM bands
+  SELECT *, count(*) OVER (PARTITION BY band, val) AS n,
+         lag(vec_id) OVER (PARTITION BY band, val ORDER BY vec_id) AS prev_id
+  FROM bands
 ),
 cands AS (
   SELECT DISTINCT id_a, id_b FROM (
@@ -637,6 +650,9 @@ cands AS (
     FROM bandsn a JOIN bandsn b
       ON a.val = b.val AND a.fsig = b.fsig AND a.vec_id < b.vec_id
     WHERE a.band = 0 AND b.band = 0 AND a.n > {max_band_bucket}
+    UNION ALL
+    SELECT prev_id AS id_a, vec_id AS id_b FROM bandsn
+    WHERE prev_id IS NOT NULL AND n > {max_band_bucket}
   )
 ),"""
     else:

@@ -110,7 +110,7 @@ def all_queries() -> dict[str, Query]:
         "dedup_components",    # consumes minhash pairs
         "dedup_incremental",   # shared minhash index path
         "sim_topk_ivf",        # bounded centroid collect
-        "dedup_embedding",     # r3 bench-regression watch
+        "dedup_embedding_lsh",  # hot-bucket cap (+ rewritten oracle)
     ]
     registry: dict[str, Query] = {}
     for mod in (

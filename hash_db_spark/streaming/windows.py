@@ -25,28 +25,6 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
-_INTERVAL_UNIT_SECONDS = {
-    "second": 1,
-    "seconds": 1,
-    "minute": 60,
-    "minutes": 60,
-    "hour": 3600,
-    "hours": 3600,
-    "day": 86400,
-    "days": 86400,
-}
-
-
-def _interval_seconds(interval: str) -> int | None:
-    """Parse simple '<n> <unit>' interval strings; None if unparseable
-    (compound intervals fall back to no guard rather than a false one)."""
-    parts = interval.strip().lower().split()
-    if len(parts) != 2 or not parts[0].isdigit():
-        return None
-    unit = _INTERVAL_UNIT_SECONDS.get(parts[1])
-    return None if unit is None else int(parts[0]) * unit
-
-
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -148,17 +126,18 @@ def stream_interval_join(
     append-mode stream-stream join outright.
 
     Batch parity: under availableNow the single micro-batch sees all
-    rows, so the result equals the batch range join (the oracle)."""
-    # The click-side watermark must cover the full lookback horizon, or
-    # click state is evicted before late purchases can still legally match
-    # it — silently dropping valid join rows.
-    lb_s = _interval_seconds(lookback)
-    wm_s = _interval_seconds(watermark)
-    if lb_s is not None and wm_s is not None and wm_s < lb_s:
-        raise ValueError(
-            f"watermark ({watermark}) must be >= lookback ({lookback}): "
-            "click state would be evicted before matching purchases arrive"
-        )
+    rows, so the result equals the batch range join (the oracle).
+
+    State retention vs lateness: these are independent knobs, and
+    ``lookback > watermark`` is a VALID configuration. Spark derives the
+    buffered-state horizon from the join condition itself — click state
+    is evicted only once the query watermark passes ``cts + lookback``,
+    so the full lookback window is always retained no matter how small
+    the ``watermark`` delay is. The delay only bounds how LATE an input
+    row may arrive (event time older than watermark -> dropped at
+    ingestion), which is the standard lateness trade, not a join-window
+    truncation.
+    """
     purchases = (
         events.filter(F.col("event_type") == "purchase")
         .select(

@@ -242,3 +242,26 @@ def test_strip_hot_spans_overlapping_coverage(spark):
     assert got[1] == "x y"
     assert got[2] == ""
     assert got[3] == "c b a"
+
+
+def test_minhash_cap_near_identical_cluster_stays_connected(spark):
+    """The recall cliff the cap could cause: a cluster of near-identical
+    but NOT byte-identical docs (templated boilerplate, one varying
+    token) overflows every band bucket at cap=2. The neighbor-chain
+    rescue must keep the cluster CONNECTED so downstream clustering
+    still collapses it — even though capped mode no longer enumerates
+    the full k^2 pair list."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest tonight"
+    )
+    rows = [(i, f"{base} variant{i}") for i in range(12)]
+    rows.append((100, "entirely unrelated words about query planners here"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = D.minhash_lsh_pairs(
+        docs, "text", "doc_id", threshold=0.5, max_band_bucket=2
+    )
+    comp = D.connected_components(pairs)
+    clusters = {r.id: r.cluster for r in comp.collect()}
+    assert set(clusters) == set(range(12))  # all 12, never the outlier
+    assert len(set(clusters.values())) == 1  # ONE connected cluster

@@ -128,3 +128,23 @@ def test_lsh_near_dup_hot_bucket_cap_keeps_identical(spark):
     expect = {(a, b) for a in range(12) for b in range(a + 1, 12)}
     assert set(pairs) == expect
     assert all(c == 1.0 for c in pairs.values())
+
+
+def test_lsh_cap_near_identical_cluster_stays_connected(spark):
+    """Near-identical (jittered, non-equal) vectors overflowing the cap
+    must stay connected through the hot-bucket neighbor chain (or the
+    signature rescue when the jitter doesn't flip any hyperplane sign)."""
+    from hash_db_spark.operators import dedup as D
+
+    base = [0.3, -0.7, 0.2] + [0.05] * 61
+    rows = [
+        (i, [x + (i * 1e-4 if d == i % 64 else 0.0) for d, x in enumerate(base)])
+        for i in range(12)
+    ]
+    rows.append((100, [-x for x in base]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = S.lsh_near_dup_pairs(emb, threshold=0.99, max_band_bucket=2)
+    comp = D.connected_components(pairs)
+    clusters = {r.id: r.cluster for r in comp.collect()}
+    assert set(clusters) == set(range(12))
+    assert len(set(clusters.values())) == 1

@@ -242,9 +242,33 @@ def test_stream_interval_join_matches_batch(spark, sf_dir):
     assert a == b and len(a) > 0
 
 
-def test_stream_interval_join_watermark_guard(spark, sf_dir):
-    """lookback > watermark would evict click state before matching
-    purchases arrive — rejected up front (ADVICE r3)."""
+def test_stream_interval_join_lookback_exceeds_watermark(spark, sf_dir):
+    """lookback > watermark is a VALID config: the join-state horizon
+    derives from the time-range condition (state kept until the query
+    watermark passes cts + lookback), so no in-window rows are lost —
+    the stream result still equals the batch range join."""
     stream = W.read_events_stream(spark, sf_dir)
-    with pytest.raises(ValueError, match="watermark"):
-        W.stream_interval_join(stream, lookback="3 hours", watermark="2 hours")
+    got = W.run_stream_to_memory(
+        W.stream_interval_join(stream, lookback="3 hours", watermark="2 hours"),
+        output_mode="append",
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    c = ev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    batch = p.join(
+        c,
+        F.expr("pu = cu AND cts >= pts - INTERVAL 3 HOUR AND cts <= pts"),
+    ).select("purchase_id", "click_id")
+    a = {(r.purchase_id, r.click_id) for r in got.collect()}
+    b = {(r.purchase_id, r.click_id) for r in batch.collect()}
+    assert a == b and len(a) > 0
