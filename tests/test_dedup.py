@@ -265,3 +265,15 @@ def test_minhash_cap_near_identical_cluster_stays_connected(spark):
     clusters = {r.id: r.cluster for r in comp.collect()}
     assert set(clusters) == set(range(12))  # all 12, never the outlier
     assert len(set(clusters.values())) == 1  # ONE connected cluster
+
+
+def test_strip_hot_spans_null_text(spark):
+    """NULL text tokenizes to no tokens (not the literal 'None') and
+    comes back as '' — matching the SQL oracle's NULL handling."""
+    rows = [(1, None), (2, "alpha beta gamma delta"), (3, "alpha beta gamma delta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.id: r.text_clean
+        for r in D.strip_hot_spans(docs, "text", "doc_id", n=4).collect()
+    }
+    assert got == {1: "", 2: "", 3: ""}
