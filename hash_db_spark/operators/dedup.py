@@ -1080,7 +1080,11 @@ SELECT id, CAST({sim_expr} AS BIGINT) AS simhash FROM votes
 
 
 def simhash_near_pairs(
-    df: DataFrame, col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_band_bucket: int | None = MAX_BAND_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance.
 
@@ -1090,6 +1094,17 @@ def simhash_near_pairs(
     candidate filter for max_hamming <= 3 (docs meet only in shared
     buckets; no cross join), then bit_count(xor) verifies. For larger
     thresholds, widen to overlapping bands. Returns (id_a, id_b, hamming).
+
+    Skew guard (same family as minhash_lsh_pairs / lsh_near_dup_pairs):
+    byte buckets larger than ``max_band_bucket`` leave the all-pairs join
+    and are covered by two linear rescues — identical-simhash pairs
+    rejoin inside hot band-0 buckets (hamming-0 recall is exact), and
+    consecutive members of every hot bucket chain so near-identical
+    clusters stay connected. In capped mode the pigeonhole filter is no
+    longer exhaustive inside hot buckets (differing-hash pairs whose
+    every shared byte is hot reduce to the chain) — pass
+    ``max_band_bucket=None`` for the exact enumeration when the corpus
+    is known skew-free.
     """
     sh = simhash(df, col, id_col)
     bands = sh.select(
@@ -1109,19 +1124,68 @@ def simhash_near_pairs(
             )
         ).alias("bk"),
     ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.byte").alias("byte"))
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
+    if max_band_bucket is not None:
+        wn = Window.partitionBy("band", "byte")
+        sized = bands.withColumn("__n", F.count(F.lit(1)).over(wn)).cache()
+        cold = sized.filter(F.col("__n") <= max_band_bucket)
+        a, b = cold.alias("a"), cold.alias("b")
+        band_pairs = a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.byte") == F.col("b.byte"))
             & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
+        ).select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        hot = sized.filter(F.col("__n") > max_band_bucket)
+        hot0 = hot.filter(F.col("band") == 0)
+        ha, hb = hot0.alias("a"), hot0.alias("b")
+        rescue = ha.join(
+            hb,
+            (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.simhash") == F.col("b.simhash"))
+            & (F.col("a.id") < F.col("b.id")),
+        ).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        wchain = Window.partitionBy("band", "byte").orderBy("id")
+        chain = (
+            hot.withColumn("__prev", F.lag("id").over(wchain))
+            .withColumn("__prev_sim", F.lag("simhash").over(wchain))
+            .filter(F.col("__prev").isNotNull())
+            .select(
+                F.col("__prev").alias("id_a"),
+                F.col("id").alias("id_b"),
+                F.col("__prev_sim").alias("sim_a"),
+                F.col("simhash").alias("sim_b"),
+            )
+        )
+        cands = band_pairs.unionByName(rescue).unionByName(chain)
+    else:
+        a, b = bands.alias("a"), bands.alias("b")
+        cands = a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.id") < F.col("b.id")),
+        ).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+    return (
+        cands.select(
+            "id_a",
+            "id_b",
             F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                F.col("sim_a").bitwiseXOR(F.col("sim_b"))
             ).alias("hamming"),
         )
         .distinct()
@@ -1130,21 +1194,52 @@ def simhash_near_pairs(
 
 
 def sql_simhash_near_pairs(
-    table: str, col: str, id_col: str, max_hamming: int = 3
+    table: str,
+    col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_band_bucket: int | None = MAX_BAND_BUCKET,
 ) -> str:
     sim = sql_simhash(table, col, id_col)
     band_selects = " UNION ALL ".join(
         f"SELECT id, simhash, {k} AS band, (simhash >> {k * 8}) & 255 AS byte FROM sims"
         for k in range(4)
     )
+    if max_band_bucket is not None:
+        cand_sql = f"""
+bandsn AS (
+  SELECT *, count(*) OVER (PARTITION BY band, byte) AS n,
+         lag(id) OVER (PARTITION BY band, byte ORDER BY id) AS prev_id,
+         lag(simhash) OVER (PARTITION BY band, byte ORDER BY id) AS prev_sim
+  FROM bands
+),
+cands AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.simhash AS sim_a, b.simhash AS sim_b
+  FROM bandsn a JOIN bandsn b
+    ON a.band = b.band AND a.byte = b.byte AND a.id < b.id
+  WHERE a.n <= {max_band_bucket}
+  UNION ALL
+  SELECT a.id, b.id, a.simhash, b.simhash
+  FROM bandsn a JOIN bandsn b
+    ON a.byte = b.byte AND a.simhash = b.simhash AND a.id < b.id
+  WHERE a.band = 0 AND b.band = 0 AND a.n > {max_band_bucket}
+  UNION ALL
+  SELECT prev_id, id, prev_sim, simhash FROM bandsn
+  WHERE prev_id IS NOT NULL AND n > {max_band_bucket}
+)"""
+    else:
+        cand_sql = """
+cands AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.simhash AS sim_a, b.simhash AS sim_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.byte = b.byte AND a.id < b.id
+)"""
     return f"""
 WITH sims AS ({sim}),
-bands AS ({band_selects})
-SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.byte = b.byte AND a.id < b.id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+bands AS ({band_selects}),{cand_sql}
+SELECT DISTINCT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
+FROM cands
+WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
 """
 
 

@@ -108,7 +108,7 @@ def all_queries() -> dict[str, Query]:
         # --- re-verify: code changed this round ----------------------
         "dedup_minhash_lsh",   # hot-band cap (+ mirrored oracle)
         "dedup_components",    # consumes minhash pairs
-        "dedup_incremental",   # shared minhash index path
+        "dedup_simhash_pairs",  # hot-bucket cap (+ rewritten oracle)
         "sim_topk_ivf",        # bounded centroid collect
         "dedup_embedding_lsh",  # hot-bucket cap (+ rewritten oracle)
     ]

@@ -277,3 +277,35 @@ def test_strip_hot_spans_null_text(spark):
         for r in D.strip_hot_spans(docs, "text", "doc_id", n=4).collect()
     }
     assert got == {1: "", 2: "", 3: ""}
+
+
+def test_simhash_cap_identical_cluster(spark):
+    """12 identical docs overflow every byte bucket at cap=2; all 66
+    hamming-0 pairs come back via the identical-simhash rescue."""
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, boiler) for i in range(12)]
+    rows.append((100, "completely different text about spark shuffles here"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.simhash_near_pairs(
+            docs, "text", "doc_id", max_hamming=3, max_band_bucket=2
+        ).collect()
+    }
+    expect = {(a, b) for a in range(12) for b in range(a + 1, 12)}
+    assert set(pairs) == expect
+    assert all(h == 0 for h in pairs.values())
+
+
+def test_simhash_cap_default_matches_uncapped(docs):
+    capped = {
+        (r.id_a, r.id_b)
+        for r in D.simhash_near_pairs(docs, "text", "doc_id", max_hamming=3).collect()
+    }
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in D.simhash_near_pairs(
+            docs, "text", "doc_id", max_hamming=3, max_band_bucket=None
+        ).collect()
+    }
+    assert capped == uncapped
