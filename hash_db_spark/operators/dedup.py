@@ -854,23 +854,55 @@ def minhash_pairs_against_index(
     corpus_shingles: DataFrame,
     corpus_bands: DataFrame,
     threshold: float = 0.5,
+    max_band_bucket: int | None = MAX_BAND_BUCKET,
 ) -> DataFrame:
     """Probe a (possibly persisted — sources.writers.read_minhash_index)
     corpus LSH index with a new batch's index frames. Batch bands
-    broadcast; the corpus index is scanned, never shuffled."""
-    cands = (
-        F.broadcast(
-            new_bands.select(
-                F.col("id").alias("new_id"), "band", "key"
-            )
-        )
-        .join(
-            corpus_bands.select(F.col("id").alias("old_id"), "band", "key"),
-            ["band", "key"],
-        )
-        .select("new_id", "old_id")
-        .distinct()
+    broadcast; the corpus index is scanned, never shuffled.
+
+    Skew guard: a hot corpus bucket (boilerplate cluster) would fan every
+    probing new doc out to bucket-size candidates. Buckets past
+    ``max_band_bucket`` instead contribute ONE candidate per probing new
+    doc — the bucket's min-id representative — which is all incremental
+    ingest needs (flag the new doc as a dup of the cluster; the verify
+    step still computes the true jaccard against that representative).
+    Capped mode thus returns at least one matching old_id per genuine
+    near-dup, not necessarily every one."""
+    probe = F.broadcast(
+        new_bands.select(F.col("id").alias("new_id"), "band", "key")
     )
+    corpus = corpus_bands.select(F.col("id").alias("old_id"), "band", "key")
+    if max_band_bucket is not None:
+        wn = Window.partitionBy("band", "key")
+        sized = corpus.select(
+            "old_id",
+            "band",
+            "key",
+            F.count(F.lit(1)).over(wn).alias("__n"),
+            F.min("old_id").over(wn).alias("__rep"),
+        )
+        cold = sized.filter(F.col("__n") <= max_band_bucket).select(
+            "old_id", "band", "key"
+        )
+        reps = (
+            sized.filter(F.col("__n") > max_band_bucket)
+            .select("band", "key", F.col("__rep").alias("old_id"))
+            .distinct()
+        )
+        cands = (
+            probe.join(cold, ["band", "key"])
+            .select("new_id", "old_id")
+            .unionByName(
+                probe.join(reps, ["band", "key"]).select("new_id", "old_id")
+            )
+            .distinct()
+        )
+    else:
+        cands = (
+            probe.join(corpus, ["band", "key"])
+            .select("new_id", "old_id")
+            .distinct()
+        )
     sh_new = new_base.select(F.col("id").alias("new_id"), F.col("sh").alias("sh_n"))
     sh_old = corpus_shingles.select(
         F.col("id").alias("old_id"), F.col("sh").alias("sh_o")
@@ -886,6 +918,37 @@ def minhash_pairs_against_index(
     )
 
 
+def _sql_against_cands(max_band_bucket: int | None) -> str:
+    """cands CTE for sql_minhash_pairs_against: cold corpus buckets probe
+    all-members; hot buckets probe their min-id representative only —
+    mirroring minhash_pairs_against_index's capped candidate set."""
+    if max_band_bucket is None:
+        return """
+cands AS (
+  SELECT DISTINCT n.id AS new_id, o.id AS old_id
+  FROM flagged n JOIN flagged o
+    ON n.band = o.band AND n.key = o.key AND n.is_new AND NOT o.is_new
+)"""
+    return f"""
+corpusn AS (
+  SELECT id, band, key,
+         count(*) OVER (PARTITION BY band, key) AS n,
+         min(id) OVER (PARTITION BY band, key) AS rep
+  FROM flagged WHERE NOT is_new
+),
+cands AS (
+  SELECT DISTINCT new_id, old_id FROM (
+    SELECT n.id AS new_id, o.id AS old_id
+    FROM flagged n JOIN corpusn o ON n.band = o.band AND n.key = o.key
+    WHERE n.is_new AND o.n <= {max_band_bucket}
+    UNION ALL
+    SELECT n.id AS new_id, o.rep AS old_id
+    FROM flagged n JOIN corpusn o ON n.band = o.band AND n.key = o.key
+    WHERE n.is_new AND o.n > {max_band_bucket}
+  )
+)"""
+
+
 def sql_minhash_pairs_against(
     table: str,
     col: str,
@@ -895,6 +958,7 @@ def sql_minhash_pairs_against(
     threshold: float = 0.5,
     num_hashes: int = NUM_HASHES,
     band_rows: int = BAND_ROWS,
+    max_band_bucket: int | None = MAX_BAND_BUCKET,
 ) -> str:
     num_bands = num_hashes // band_rows
     sig_exprs = ", ".join(
@@ -924,12 +988,7 @@ hashed AS (
 ),
 sig AS (SELECT id, sh, is_new, {sig_exprs} FROM hashed),
 bands AS ({band_selects}),
-flagged AS (SELECT b.*, s.is_new FROM bands b JOIN sig s USING (id)),
-cands AS (
-  SELECT DISTINCT n.id AS new_id, o.id AS old_id
-  FROM flagged n JOIN flagged o
-    ON n.band = o.band AND n.key = o.key AND n.is_new AND NOT o.is_new
-)
+flagged AS (SELECT b.*, s.is_new FROM bands b JOIN sig s USING (id)),{_sql_against_cands(max_band_bucket)}
 SELECT new_id, old_id,
        round(CAST(len(list_intersect(sn.sh, so.sh)) AS DOUBLE)
              / (len(sn.sh) + len(so.sh) - len(list_intersect(sn.sh, so.sh))), 6) AS jac

@@ -309,3 +309,44 @@ def test_simhash_cap_default_matches_uncapped(docs):
         ).collect()
     }
     assert capped == uncapped
+
+
+def test_incremental_probe_hot_bucket_representative(spark):
+    """A hot corpus bucket (boilerplate cluster) contributes exactly one
+    representative candidate per probing new doc instead of bucket-size
+    fan-out; the new boilerplate doc is still flagged (against the min-id
+    representative), the unique doc matches nothing."""
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(10, 22)]
+        + [(99, "some perfectly ordinary unrelated corpus document here")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(1, boiler), (2, "fresh unseen words nothing like the others at all")],
+        ["doc_id", "text"],
+    )
+    got = D.minhash_pairs_against(
+        new, corpus, "text", "doc_id", threshold=0.5
+    )
+    # monkeypatch-free: route through the index probe with a tiny cap
+    base, bands = D.minhash_index(
+        new.select("doc_id", "text").unionByName(corpus),
+        "text",
+        "doc_id",
+        keep=(),
+    )
+    new_ids = {1, 2}
+    nb = base.filter(F.col("id").isin(new_ids))
+    nbands = bands.filter(F.col("id").isin(new_ids))
+    cb = base.filter(~F.col("id").isin(new_ids))
+    cbands = bands.filter(~F.col("id").isin(new_ids))
+    capped = {
+        (r.new_id, r.old_id): r.jac
+        for r in D.minhash_pairs_against_index(
+            nb, nbands, cb, cbands, threshold=0.5, max_band_bucket=2
+        ).collect()
+    }
+    assert capped == {(1, 10): 1.0}  # one representative (min id), jac 1
+    # uncapped default on this small corpus still finds the new dup
+    assert any(r.new_id == 1 for r in got.collect())
