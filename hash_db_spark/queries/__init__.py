@@ -109,7 +109,7 @@ def all_queries() -> dict[str, Query]:
         "dedup_minhash_lsh",   # hot-band cap (+ mirrored oracle)
         "dedup_components",    # consumes minhash pairs
         "dedup_simhash_pairs",  # hot-bucket cap (+ rewritten oracle)
-        "sim_topk_ivf",        # bounded centroid collect
+        "dedup_incremental",   # hot-bucket probe guard (+ rewritten oracle)
         "dedup_embedding_lsh",  # hot-bucket cap (+ rewritten oracle)
     ]
     registry: dict[str, Query] = {}
