@@ -216,6 +216,16 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.run_stream_to_memory(deduped, output_mode="append")
 
 
+def q_stream_dedup_within_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.6's dropDuplicatesWithinWatermark: state bounded by the
+    watermark horizon instead of all-time key cardinality."""
+    stream = W.read_events_stream(spark, sf_dir)
+    deduped = W.stream_dedup_within_watermark(
+        stream, ["user_id", "event_type"]
+    ).select("user_id", "event_type")
+    return W.run_stream_to_memory(deduped, output_mode="append")
+
+
 def q_stream_mv_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized view: stream⋈static-dim join + agg (the
     scalable 'create join', reference server.py:806-894)."""
@@ -323,6 +333,10 @@ QUERIES = {
     "stream_tumbling_daily": Query(q_stream_tumbling_daily, TUMBLING_ORACLE),
     "stream_dedup": Query(
         q_stream_dedup,
+        "SELECT DISTINCT user_id, event_type FROM events",
+    ),
+    "stream_dedup_within_wm": Query(
+        q_stream_dedup_within_wm,
         "SELECT DISTINCT user_id, event_type FROM events",
     ),
     "stream_mv_join": Query(q_stream_mv_join, STREAM_MV_ORACLE),

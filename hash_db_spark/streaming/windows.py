@@ -97,6 +97,24 @@ def stream_dedup(events: DataFrame, keys: list[str]) -> DataFrame:
     return events.dropDuplicates(keys)
 
 
+def stream_dedup_within_watermark(
+    events: DataFrame, keys: list[str], delay: str = "1 day"
+) -> DataFrame:
+    """Exact dedup with GUARANTEED-bounded state:
+    dropDuplicatesWithinWatermark evicts a key's entry once the watermark
+    passes its event time plus ``delay``, so state is O(keys within the
+    horizon) forever — the 100 TB shape for unbounded streams, where
+    plain dropDuplicates state grows with all-time key cardinality. The
+    trade: a duplicate arriving later than ``delay`` after the original
+    is re-emitted (at-least-once dedup, the standard streaming contract).
+
+    Batch parity: under availableNow every event is inside the horizon,
+    so the result equals DISTINCT over the keys."""
+    return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Dynamic-gap session windows per user (session_window is
     streaming-native; batch equivalent is operators/temporal.sessionize)."""
