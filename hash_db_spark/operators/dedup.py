@@ -1468,14 +1468,33 @@ def connected_components(
         .select(F.col("a").alias("id"), F.col("a").alias("lab"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         nbr = edges.join(
             labels.withColumnRenamed("id", "b"), "b"
         ).select(F.col("a").alias("id"), "lab")
-        new_labels = (
+        stepped = (
             labels.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("lab").alias("lab"))
+        )
+        # pointer doubling (path halving): lab <- min(lab, labels[lab]) —
+        # a label is itself a node id, so chasing one level per round
+        # makes the min label travel 2^k hops after k rounds instead of
+        # k. Plain min-propagation needs O(diameter) rounds and the
+        # neighbor-chain skew rescue PRODUCES path-shaped components, so
+        # log-round convergence is load-bearing, not a nicety.
+        lut = stepped.select(
+            F.col("id").alias("__lid"), F.col("lab").alias("__llab")
+        )
+        new_labels = (
+            stepped.join(lut, stepped.lab == F.col("__lid"), "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("lab"), F.coalesce(F.col("__llab"), F.col("lab"))
+                ).alias("lab"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -1486,7 +1505,15 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Wrong-but-plausible labels are worse than an error: 2^max_iter
+        # hop coverage means this only trips on truly adversarial graphs.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter > 2^max_iter?); raise max_iter"
+        )
     return labels.select(F.col("id"), F.col("lab").alias("cluster"))
 
 

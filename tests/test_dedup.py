@@ -350,3 +350,26 @@ def test_incremental_probe_hot_bucket_representative(spark):
     assert capped == {(1, 10): 1.0}  # one representative (min id), jac 1
     # uncapped default on this small corpus still finds the new dup
     assert any(r.new_id == 1 for r in got.collect())
+
+
+def test_components_distributed_long_path(spark):
+    """A 60-node path (what the neighbor-chain rescue emits for a hot
+    cluster) through the DISTRIBUTED label path (driver_threshold=0):
+    pointer doubling must converge within the default 20 rounds — plain
+    min-propagation would need 59."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(59)], ["id_a", "id_b", "jac"]
+    )
+    comp = D.connected_components(pairs, driver_threshold=0)
+    got = {r.id: r.cluster for r in comp.collect()}
+    assert got == {i: 0 for i in range(60)}
+
+
+def test_components_nonconvergence_raises(spark):
+    """max_iter=1 on a graph needing more rounds fails loudly instead of
+    returning plausible-but-wrong labels."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(29)], ["id_a", "id_b", "jac"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(pairs, driver_threshold=0, max_iter=1)
