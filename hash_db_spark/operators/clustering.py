@@ -80,19 +80,11 @@ def _assign_pass(corpus: DataFrame, cmat, with_vec: bool) -> DataFrame:
     return corpus.mapInPandas(block, schema)
 
 
-def kmeans_assign(
-    emb: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 8,
-) -> DataFrame:
-    """(vec_id, cluster): spherical k-means, 2 assignment passes around
-    1 exact centroid update (fixed-iteration Lloyd)."""
+def _centroid_mat(corpus: DataFrame, k: int):
+    """The k-means mean-centroid matrix (rows in dense surviving-cluster
+    order) — seeds, one assignment pass, one exact-integer update."""
     import numpy as np
 
-    corpus = emb.select(
-        F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("v")
-    )
     seeds = (
         corpus.withColumn("h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("h", "vec_id")
@@ -117,10 +109,84 @@ def kmeans_assign(
         by_cl.setdefault(r["cluster"], np.zeros(dims))[r["pos"]] = float(
             r["s"]
         ) / (float(SCALE) * r["n"])
-    cmat = np.array([by_cl[c] for c in sorted(by_cl)], dtype=np.float64)
     # empty clusters vanish; remaining indices stay in seed-rank order,
     # matching the oracle's dense re-rank over surviving clusters
-    return _assign_pass(corpus, cmat, with_vec=False)
+    return np.array([by_cl[c] for c in sorted(by_cl)], dtype=np.float64)
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> DataFrame:
+    """(vec_id, cluster): spherical k-means, 2 assignment passes around
+    1 exact centroid update (fixed-iteration Lloyd)."""
+    corpus = emb.select(
+        F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("v")
+    )
+    return _assign_pass(corpus, _centroid_mat(corpus, k), with_vec=False)
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> DataFrame:
+    """The centroid table as a DataFrame (vec_id = dense cluster index
+    1..m, embedding = mean vector) — the offline artifact
+    ``similarity.topk_ivf(centroids=...)`` consumes instead of growing
+    its own strided subset with the corpus."""
+    corpus = emb.select(
+        F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("v")
+    )
+    cmat = _centroid_mat(corpus, k)
+    rows = [(i + 1, row.tolist()) for i, row in enumerate(cmat)]
+    return emb.sparkSession.createDataFrame(
+        rows, f"{id_col} long, {vec_col} array<double>"
+    )
+
+
+def sql_kmeans_cents_ctes(k: int = 8) -> str:
+    """CTE block computing the k-means centroid table as ``cents(cid,
+    cv)`` over an existing ``corpus(vec_id, v)`` CTE — spliced into
+    similarity.sql_topk_ivf(cents_ctes=...) so the oracle reproduces the
+    kmeans-wired IVF end to end. km_-prefixed names avoid colliding with
+    the IVF query's own assign0/queries CTEs."""
+    return f"""km_seeds AS (
+  SELECT v AS sv,
+         row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         ) AS cidx
+  FROM corpus
+  QUALIFY cidx <= {k}
+),
+km_assign0 AS (
+  SELECT vec_id, v, cidx,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY round(list_cosine_similarity(v, sv), 6) DESC, cidx ASC
+         ) AS rn
+  FROM corpus, km_seeds
+),
+km_a0 AS (SELECT vec_id, v, cidx AS cl FROM km_assign0 WHERE rn = 1),
+km_comps AS (
+  SELECT cl, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM km_a0
+),
+km_dimsums AS (
+  SELECT cl, pos,
+         sum(CAST(floor(val * {SCALE}.0 + 0.5) AS BIGINT)) AS s,
+         count(*) AS n
+  FROM km_comps GROUP BY cl, pos
+),
+km_cents0 AS (
+  SELECT cl, list(CAST(s AS DOUBLE) / ({SCALE}.0 * n) ORDER BY pos) AS cv
+  FROM km_dimsums GROUP BY cl
+),
+cents AS (
+  SELECT row_number() OVER (ORDER BY cl) AS cid, cv FROM km_cents0
+)"""
 
 
 def sql_kmeans_assign(

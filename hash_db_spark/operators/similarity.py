@@ -412,13 +412,23 @@ def sql_topk_ivf(
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents_ctes: str | None = None,
 ) -> str:
+    """IVF oracle. ``cents_ctes`` overrides the default strided-subset
+    centroid CTE with caller-supplied CTE text that must end by defining
+    ``cents(cid, cv)`` — e.g. the k-means chain from
+    clustering.sql_kmeans_cents_ctes."""
     ids = ", ".join(str(i) for i in query_ids)
+    if cents_ctes is None:
+        cents_ctes = (
+            f"cents AS (SELECT vec_id AS cid, v AS cv FROM corpus "
+            f"WHERE vec_id % {stride} = 0)"
+        )
     return f"""
 WITH corpus AS (
   SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v FROM {table}
 ),
-cents AS (SELECT vec_id AS cid, v AS cv FROM corpus WHERE vec_id % {stride} = 0),
+{cents_ctes},
 assign0 AS (
   SELECT vec_id, cid,
          row_number() OVER (

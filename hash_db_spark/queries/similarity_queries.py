@@ -27,6 +27,25 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.topk_ivf(load_table(spark, sf_dir, "embeddings"), QUERY_IDS, k=K)
 
 
+def q_sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF fed by the offline k-means centroid artifact (the 100 TB
+    wiring: the centroid table is computed once by clustering and
+    supplied, instead of growing a strided corpus subset)."""
+    from hash_db_spark.operators import clustering as C
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = C.kmeans_centroids(emb, k=8)
+    return S.topk_ivf(emb, QUERY_IDS, k=K, nprobe=2, centroids=cents)
+
+
+def _ivf_kmeans_oracle() -> str:
+    from hash_db_spark.operators import clustering as C
+
+    return S.sql_topk_ivf(
+        QUERY_IDS, k=K, nprobe=2, cents_ctes=C.sql_kmeans_cents_ctes(k=8)
+    )
+
+
 def q_sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.topk_quantized(
         load_table(spark, sf_dir, "embeddings"), QUERY_IDS, k=K
@@ -52,6 +71,7 @@ QUERIES = {
     ),
     "sim_topk_lsh": Query(q_sim_topk_lsh, S.sql_topk_lsh(QUERY_IDS, k=K)),
     "sim_topk_ivf": Query(q_sim_topk_ivf, S.sql_topk_ivf(QUERY_IDS, k=K)),
+    "sim_topk_ivf_kmeans": Query(q_sim_topk_ivf_kmeans, _ivf_kmeans_oracle()),
     "sim_topk_quantized": Query(
         q_sim_topk_quantized, S.sql_topk_quantized(QUERY_IDS, k=K)
     ),
