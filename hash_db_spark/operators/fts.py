@@ -62,6 +62,52 @@ def fts_filter(df: DataFrame, col: str, query: str) -> DataFrame:
     return df.filter(compile_fts(col, query))
 
 
+def compile_phrase(col: Column | str, phrase: str) -> Column:
+    """Adjacency phrase match (extension — the reference grammar has only
+    ``&``/``|`` term folds): true when the phrase's tokens appear
+    consecutively in order. One boolean Column over the token array
+    (EXISTS over start positions), still inside a single scan; no
+    positional posting lists needed.
+    """
+    words = [w for w in phrase.split(" ") if w]
+    if not words:
+        raise ValueError(f"empty phrase: {phrase!r}")
+    tokens = fts_tokens(col)
+    n = len(words)
+    if n == 1:
+        return F.array_contains(tokens, words[0])
+    starts = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    at = lambda i, w: F.element_at(tokens, i) == w  # noqa: E731
+    match_at = lambda i: F.aggregate(  # noqa: E731
+        F.array(*[at(i + j, w) for j, w in enumerate(words)]),
+        F.lit(True),
+        lambda acc, x: acc & x,
+    )
+    return (F.size(tokens) >= n) & F.exists(starts, match_at)
+
+
+def phrase_filter(df: DataFrame, col: str, phrase: str) -> DataFrame:
+    """WHERE <col> ~ '"<phrase>"' (quoted-phrase extension)."""
+    return df.filter(compile_phrase(col, phrase))
+
+
+def compile_phrase_oracle(col: str, phrase: str) -> str:
+    """DuckDB rendering of the same adjacency test."""
+    words = [w for w in phrase.split(" ") if w]
+    tok = f"string_split(replace({col}, ',', ''), ' ')"
+    n = len(words)
+    if n == 1:
+        return f"list_contains({tok}, '{words[0]}')"
+    conj = " AND ".join(
+        f"t.toks[i+{j}] = '{w}'" for j, w in enumerate(words)
+    )
+    return (
+        f"(SELECT len(t.toks) >= {n} AND coalesce(list_max(list_transform("
+        f"generate_series(1, len(t.toks)-{n - 1}), i -> CASE WHEN {conj} "
+        f"THEN 1 ELSE 0 END)), 0) = 1 FROM (SELECT {tok} AS toks) t)"
+    )
+
+
 def compile_fts_oracle(col: str, query: str) -> str:
     """DuckDB-SQL rendering of the same fold, for oracle queries."""
     tok_expr = f"string_split(replace({col}, ',', ''), ' ')"

@@ -50,6 +50,28 @@ def q_fts_with_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_chars")
 
 
+FTS_PHRASE = "fast table"
+
+
+def q_fts_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-phrase adjacency match (grammar extension — the reference
+    FTS has only &/| term folds, /root/reference/client.py:683-709)."""
+    from hash_db_spark.operators.fts import phrase_filter
+
+    return phrase_filter(_docs(spark, sf_dir), "text", FTS_PHRASE).select(
+        "doc_id", "lang"
+    )
+
+
+def _fts_phrase_oracle() -> str:
+    from hash_db_spark.operators.fts import compile_phrase_oracle
+
+    return (
+        "SELECT doc_id, lang FROM documents "
+        f"WHERE {compile_phrase_oracle('text', FTS_PHRASE)}"
+    )
+
+
 def _fts_oracle(query: str, cols: str, extra: str = "") -> str:
     return (
         f"SELECT {cols} FROM documents "
@@ -371,6 +393,7 @@ QUERIES = {
     "fts_and": Query(q_fts_and, _fts_oracle(FTS_AND, "doc_id, lang, source")),
     "fts_or": Query(q_fts_or, _fts_oracle(FTS_OR, "doc_id, lang")),
     "fts_mixed": Query(q_fts_mixed, _fts_oracle(FTS_MIXED, "doc_id")),
+    "fts_phrase": Query(q_fts_phrase, _fts_phrase_oracle()),
     "fts_with_where": Query(
         q_fts_with_where,
         _fts_oracle(FTS_OR, "doc_id, lang, n_chars", " AND lang = 'en'"),

@@ -106,3 +106,22 @@ def test_fingerprints(spark):
     assert rows[1][0] == rows[2][0]   # exact fingerprint normalizes case/commas/spaces
     assert rows[1][0] != rows[3][0]   # order matters for exact fp
     assert rows[1][1] == rows[3][1]   # bag fingerprint is order-insensitive
+
+
+def test_phrase_match_adjacency(spark):
+    """Phrase match requires consecutive in-order tokens, not mere
+    co-occurrence; repeated tokens and boundary positions covered."""
+    from hash_db_spark.operators.fts import phrase_filter
+
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "brown the quick fox"),     # co-occurring, wrong order
+        (3, "quick brown"),             # exact at boundaries
+        (4, "x quick quick brown y"),   # repeated first word
+        (5, "quick"),                   # shorter than the phrase
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    got = {r.id for r in phrase_filter(df, "t", "quick brown").collect()}
+    assert got == {1, 3, 4}
+    single = {r.id for r in phrase_filter(df, "t", "quick").collect()}
+    assert single == {1, 2, 3, 4, 5}
