@@ -35,11 +35,19 @@ import re
 from pyspark.sql import Column, DataFrame, SparkSession
 import pyspark.sql.functions as F
 
-from hash_db_spark.operators.fts import compile_fts
+from hash_db_spark.operators.fts import compile_fts, compile_phrase
 from hash_db_spark.operators.relational import insert_rows, update_where
 
 _STR = r"'([^']*)'"
 _REF = r"([A-Za-z_][\w]*)\.([\w~\[\]]+)"
+
+
+def _fts_or_phrase(fld: str, q: str):
+    """``~ '"a b"'`` (inner double quotes) = adjacency phrase match;
+    otherwise the reference's &/| term fold."""
+    if len(q) >= 2 and q.startswith('"') and q.endswith('"'):
+        return compile_phrase(fld, q[1:-1])
+    return compile_fts(fld, q)
 
 
 def _lit(token: str):
@@ -221,7 +229,7 @@ class SqlEngine:
                 cond = cond & (self._resolve({table: df}, ref) == F.lit(val))
             for ref, q in fts:
                 _, fld = ref.split(".", 1)
-                cond = cond & compile_fts(fld, q)
+                cond = cond & _fts_or_phrase(fld, q)
         self.tables[table] = update_where(df, cond, assignments).localCheckpoint(
             eager=True
         )
@@ -275,7 +283,7 @@ class SqlEngine:
                     df = df.filter(self._resolve(scope, ref) == F.lit(val))
             for ref, q in fts:
                 _, fld = ref.split(".", 1)
-                df = df.filter(compile_fts(fld, q))
+                df = df.filter(_fts_or_phrase(fld, q))
 
         if group_s:
             key = group_s.split(".", 1)[1] if "." in group_s else group_s

@@ -157,3 +157,16 @@ def test_group_by_without_aggregate_is_distinct_keys(engine):
 def test_malformed_numeric_literal_raises(engine):
     with pytest.raises(ValueError, match="malformed numeric"):
         engine.sql("select * from people where people.age = 1.2.3")
+
+
+def test_dialect_phrase_match(spark):
+    """~ '"a b"' in the dialect WHERE routes to adjacency phrase match."""
+    from hash_db_spark.sql.dialect import SqlEngine
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "brown the quick fox")],
+        ["id", "body"],
+    )
+    eng = SqlEngine(spark, {"docs": docs})
+    out = eng.sql("select id from docs where docs.body ~ '\"quick brown\"'")
+    assert [r.id for r in out.collect()] == [1]
