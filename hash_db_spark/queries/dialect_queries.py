@@ -69,6 +69,26 @@ def q_dialect_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dialect_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Free-win clauses (SURVEY §2.2: the reference sorts only in the KV
+    API, K8): ORDER BY + LIMIT through the dialect compiles to
+    TakeOrderedAndProject — per-partition top-k, no global sort.
+    Tie-break on c_custkey keeps the top-10 deterministic."""
+    return _engine(spark, sf_dir).sql(
+        "select customer.c_custkey, customer.c_name, customer.c_acctbal "
+        "from customer where customer.c_mktsegment = 'BUILDING' "
+        "order by customer.c_acctbal desc, customer.c_custkey asc limit 10"
+    )
+
+
+def q_dialect_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT through the dialect (free win, SURVEY §2.2)."""
+    return _engine(spark, sf_dir).sql(
+        "select distinct orders.o_orderpriority, orders.o_orderstatus "
+        "from orders"
+    )
+
+
 def q_dialect_create_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _engine(spark, sf_dir)
     eng.sql(
@@ -105,6 +125,16 @@ QUERIES = {
         q_dialect_update,
         "SELECT c_custkey, CASE WHEN c_mktsegment = 'AUTOMOBILE' "
         "THEN 'PREMIUM' ELSE c_mktsegment END AS c_mktsegment FROM customer",
+    ),
+    "dialect_order_limit": Query(
+        q_dialect_order_limit,
+        "SELECT c_custkey, c_name, c_acctbal FROM customer "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10",
+    ),
+    "dialect_distinct": Query(
+        q_dialect_distinct,
+        "SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders",
     ),
     "dialect_create_join": Query(
         q_dialect_create_join,

@@ -8,10 +8,11 @@ operations*, so Catalyst plans every statement.
 
 Supported surface (everything example.py exercises):
 
-    select <cols|*> from <t>
+    select [distinct] <cols|*> from <t>
         [inner join <t2> on <a.x> = <b.y>]...
         [where <t.f> = <v> [and ...]]  [<t.f> ~ '<tok> & <tok> | <tok>']
         [group by <t.f>]                          (count(*) aggregate)
+        [order by <t.f> [asc|desc][, ...]] [limit <n>]   (free win, §2.2)
     insert into <t> (<f>, ...) values (<v>, ...)  (dynamic schema, auto-id)
     update <t> set <t.f> = <v>[, ...] where ...
     create join inner join <t2> on <a.x> = <b.y> ...   (materialized join)
@@ -237,16 +238,19 @@ class SqlEngine:
 
     def _select(self, text: str):
         m = re.match(
-            r"select (.+?) from (\w+)"
+            r"select (distinct )?(.+?) from (\w+)"
             r"((?: inner join \w+ on \S+ = \S+)*)"
             r"(?: where (.+?))?"
-            r"(?: group by (\S+))?$",
+            r"(?: group by (\S+))?"
+            r"(?: order by (.+?))?"
+            r"(?: limit (\d+))?$",
             text,
             re.IGNORECASE,
         )
         if not m:
             raise ValueError(f"bad select: {text!r}")
-        cols_s, table, joins_s, where_s, group_s = m.groups()
+        (distinct_s, cols_s, table, joins_s, where_s, group_s, order_s,
+         limit_s) = m.groups()
 
         scope = {table: self.tables[table]}
         df = self.tables[table]
@@ -289,29 +293,56 @@ class SqlEngine:
             key = group_s.split(".", 1)[1] if "." in group_s else group_s
             agg_wanted = "count(*)" in cols_s.lower()
             if agg_wanted:
-                return df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
-            # GROUP BY with no aggregate in the select list = distinct
-            # keys (GroupedData.agg() with zero expressions is a runtime
-            # error in pyspark).
-            return df.select(key).distinct()
+                out = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+            else:
+                # GROUP BY with no aggregate in the select list = distinct
+                # keys (GroupedData.agg() with zero expressions is a
+                # runtime error in pyspark).
+                out = df.select(key).distinct()
+            return self._order_limit(out, order_s, limit_s)
 
         if cols_s.strip() == "*":
-            return df
-        out_cols = []
-        for c in cols_s.split(","):
-            c = c.strip()
-            if "." in c:
-                c = c.split(".", 1)[1]
-            if c.startswith("~"):
-                # Document path projection: select people.~hobbies[]~name
-                # (example.py:341-344) — one output row per leaf.
-                from hash_db_spark.operators.documents import compile_path
+            out = df
+        else:
+            out_cols = []
+            for c in cols_s.split(","):
+                c = c.strip()
+                if "." in c:
+                    c = c.split(".", 1)[1]
+                if c.startswith("~"):
+                    # Document path projection: select
+                    # people.~hobbies[]~name (example.py:341-344) — one
+                    # output row per leaf.
+                    from hash_db_spark.operators.documents import compile_path
 
-                leaf = c.split("~")[-1]
-                df, col = compile_path(df, c.lstrip("~"), leaf)
-                df = df.withColumn(leaf, col)
-                c = leaf
-            out_cols.append(c)
-        # Projection skips rows missing a selected field
-        # (client.py:655-661) — under our schema: dropna on selection.
-        return df.select(*out_cols).dropna(how="any")
+                    leaf = c.split("~")[-1]
+                    df, col = compile_path(df, c.lstrip("~"), leaf)
+                    df = df.withColumn(leaf, col)
+                    c = leaf
+                out_cols.append(c)
+            # Projection skips rows missing a selected field
+            # (client.py:655-661) — under our schema: dropna on selection.
+            out = df.select(*out_cols).dropna(how="any")
+        if distinct_s:
+            out = out.distinct()
+        return self._order_limit(out, order_s, limit_s)
+
+    @staticmethod
+    def _order_limit(df: DataFrame, order_s: str | None, limit_s: str | None):
+        """Free-win clauses the reference lacks (SURVEY §2.2: sorting
+        exists only in the KV API K8). ORDER BY compiles to a distributed
+        sort; with LIMIT, Spark plans TakeOrderedAndProject — a per-
+        partition top-k + size-k driver merge, no global sort, so the
+        combination is scale-safe even on a 100 TB scan."""
+        if order_s:
+            keys = []
+            for part in order_s.split(","):
+                toks = part.strip().split()
+                ref = toks[0]
+                fld = ref.split(".", 1)[1] if "." in ref else ref
+                desc = len(toks) > 1 and toks[1].lower() == "desc"
+                keys.append(F.col(fld).desc() if desc else F.col(fld).asc())
+            df = df.orderBy(*keys)
+        if limit_s:
+            df = df.limit(int(limit_s))
+        return df

@@ -170,3 +170,53 @@ def test_dialect_phrase_match(spark):
     eng = SqlEngine(spark, {"docs": docs})
     out = eng.sql("select id from docs where docs.body ~ '\"quick brown\"'")
     assert [r.id for r in out.collect()] == [1]
+
+
+def test_order_by_limit(engine):
+    # Free-win clauses (SURVEY §2.2): order by + limit compile to a
+    # top-k plan; tie-break column keeps output deterministic.
+    got = engine.sql(
+        "select products.name, products.price from products "
+        "order by products.price desc, products.name asc limit 2"
+    )
+    assert [(r.name, r.price) for r in got.collect()] == [
+        ("boat", 100),
+        ("Spanner", 5),
+    ]
+
+
+def test_order_by_asc_default(engine):
+    got = engine.sql(
+        "select people.people_name from people order by people.age, people.people_name"
+    )
+    expect = [
+        r.people_name
+        for r in engine.tables["people"]
+        .orderBy("age", "people_name")
+        .collect()
+    ]
+    assert [r.people_name for r in got.collect()] == expect and len(expect) >= 3
+
+
+def test_select_distinct(engine):
+    got = engine.sql("select distinct products.name from products")
+    assert {r.name for r in got.collect()} == {"Spanner", "boat"}
+    assert got.count() == 2
+
+
+def test_order_limit_after_group_by(engine):
+    got = engine.sql(
+        "select products.name, count(*) from products "
+        "group by products.name order by products.name desc limit 1"
+    )
+    assert [(r.name, r.cnt) for r in got.collect()] == [("boat", 1)]
+
+
+def test_order_by_limit_plan_is_top_k(engine):
+    # LIMIT+ORDER BY must plan TakeOrderedAndProject (per-partition
+    # top-k, no global sort) — the scale-safe shape.
+    got = engine.sql(
+        "select products.name from products order by products.price desc limit 2"
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
