@@ -713,6 +713,37 @@ def minhash_index(
 MAX_BAND_BUCKET = 64
 
 
+def split_hot_buckets(
+    rows: DataFrame, keys: list[str], cap: int
+) -> tuple[DataFrame, DataFrame]:
+    """(cold, hot) split of ``rows`` by bucket size over ``keys`` WITHOUT
+    shuffling the full relation: bucket sizes come from a groupBy whose
+    map-side partial aggregation ships one row per distinct bucket per
+    partition, and only the hot keys broadcast back as anti/semi-join
+    filters. Structurally the hot-key set holds <= |rows|/cap entries
+    (each represents > cap members), so the broadcast is bounded by
+    construction — at 100 TB with cap=64 that is <= 1.6% of the band
+    rows, and those are skinny (two ints). The previous formulation
+    (count() over a (keys) window + cache) shuffled and materialized the
+    whole bands relation even when ZERO buckets were hot — the common
+    case — measured 2-4x slower at sf0.1."""
+    counts = rows.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    hot_keys = counts.filter(F.col("__n") > cap).select(*keys).cache()
+    if hot_keys.isEmpty():
+        # Runtime fast path (same pattern as ngram_jaccard_pairs'
+        # hot-shingle branch): zero hot buckets — healthy corpora at any
+        # scale — means cold == rows and the rescue/chain subplans would
+        # be empty; returning hot=None lets the caller keep the plain
+        # single-join plan, avoiding ~4 extra subplans whose stage +
+        # codegen overhead dominates at bench scale. The isEmpty probe
+        # costs one aggregation job over skinny band keys.
+        return rows, None
+    bhot = F.broadcast(hot_keys)
+    cold = rows.join(bhot, keys, "left_anti")
+    hot = rows.join(bhot, keys, "left_semi")
+    return cold, hot
+
+
 def _sigh_expr() -> "Column":
     """Fused signature string: bijective with the signature array (fixed
     element count, ',' separator), rendered identically by Spark's
@@ -737,24 +768,20 @@ def minhash_lsh_pairs(
     arrays — candidate count is small, so arrays-in-row beats re-exploding).
     Hot buckets (> max_band_bucket members) are excluded from the band
     join; identical-signature pairs inside them are recovered by a
-    signature-equality join restricted to hot band-0 buckets. Bucket
-    sizes come from a window over the SAME (band, key) partitioning the
-    self-join shuffles on, so the cap adds no extra shuffle of the bands
-    relation. Returns (id_a, id_b, jac) with jac >= threshold.
+    signature-equality join restricted to hot band-0 buckets. The
+    cold/hot split is split_hot_buckets — an aggregated bucket-size
+    frame broadcast back as anti/semi filters, so the bands relation is
+    never shuffled just to size buckets. Returns (id_a, id_b, jac) with
+    jac >= threshold.
     """
     base, bands = minhash_index(
         df, col, id_col, num_hashes, band_rows,
         with_sigh=max_band_bucket is not None,
     )
+    hot = None
     if max_band_bucket is not None:
-        wn = Window.partitionBy("band", "key")
-        # cache: the sized bands feed four join sides (cold x2, hot x2);
-        # uncached, each recomputes the explode + window from base
-        # (measured +0.9s at sf0.1 cold). docs x num_bands skinny rows;
-        # like the index caches above, lifecycle is the session's (LRU
-        # eviction under storage pressure, no explicit unpersist).
-        sized = bands.withColumn("__n", F.count(F.lit(1)).over(wn)).cache()
-        cold = sized.filter(F.col("__n") <= max_band_bucket)
+        cold, hot = split_hot_buckets(bands, ["band", "key"], max_band_bucket)
+    if hot is not None:
         a, b = cold.alias("a"), cold.alias("b")
         band_pairs = a.join(
             b,
@@ -762,7 +789,6 @@ def minhash_lsh_pairs(
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.id") < F.col("b.id")),
         ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        hot = sized.filter(F.col("__n") > max_band_bucket)
         hot0 = hot.filter(F.col("band") == 0)
         ha, hb = hot0.alias("a"), hot0.alias("b")
         rescue = ha.join(
@@ -872,23 +898,26 @@ def minhash_pairs_against_index(
         new_bands.select(F.col("id").alias("new_id"), "band", "key")
     )
     corpus = corpus_bands.select(F.col("id").alias("old_id"), "band", "key")
+    hot_stats = None
     if max_band_bucket is not None:
-        wn = Window.partitionBy("band", "key")
-        sized = corpus.select(
-            "old_id",
-            "band",
-            "key",
-            F.count(F.lit(1)).over(wn).alias("__n"),
-            F.min("old_id").over(wn).alias("__rep"),
+        # Aggregated bucket stats (one row per distinct bucket, map-side
+        # partial agg) instead of a window over the corpus — the window
+        # form shuffled the whole corpus index, violating the
+        # scanned-never-shuffled contract above. Runtime fast path as in
+        # split_hot_buckets: zero hot corpus buckets -> plain probe join.
+        stats = corpus.groupBy("band", "key").agg(
+            F.count(F.lit(1)).alias("__n"), F.min("old_id").alias("__rep")
         )
-        cold = sized.filter(F.col("__n") <= max_band_bucket).select(
-            "old_id", "band", "key"
+        hot_stats = stats.filter(F.col("__n") > max_band_bucket).cache()
+        if hot_stats.isEmpty():
+            hot_stats = None
+    if hot_stats is not None:
+        cold = corpus.join(
+            F.broadcast(hot_stats.select("band", "key")),
+            ["band", "key"],
+            "left_anti",
         )
-        reps = (
-            sized.filter(F.col("__n") > max_band_bucket)
-            .select("band", "key", F.col("__rep").alias("old_id"))
-            .distinct()
-        )
+        reps = hot_stats.select("band", "key", F.col("__rep").alias("old_id"))
         cands = (
             probe.join(cold, ["band", "key"])
             .select("new_id", "old_id")
@@ -1183,10 +1212,10 @@ def simhash_near_pairs(
             )
         ).alias("bk"),
     ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.byte").alias("byte"))
+    hot = None
     if max_band_bucket is not None:
-        wn = Window.partitionBy("band", "byte")
-        sized = bands.withColumn("__n", F.count(F.lit(1)).over(wn)).cache()
-        cold = sized.filter(F.col("__n") <= max_band_bucket)
+        cold, hot = split_hot_buckets(bands, ["band", "byte"], max_band_bucket)
+    if hot is not None:
         a, b = cold.alias("a"), cold.alias("b")
         band_pairs = a.join(
             b,
@@ -1199,7 +1228,6 @@ def simhash_near_pairs(
             F.col("a.simhash").alias("sim_a"),
             F.col("b.simhash").alias("sim_b"),
         )
-        hot = sized.filter(F.col("__n") > max_band_bucket)
         hot0 = hot.filter(F.col("band") == 0)
         ha, hb = hot0.alias("a"), hot0.alias("b")
         rescue = ha.join(
@@ -1459,8 +1487,14 @@ def connected_components(
         out = [(x, find(x)) for x in parent]
         spark = pairs.sparkSession
         id_type = dict(pairs.dtypes)[id_a]
+        # pandas input -> Arrow-batched LocalRelation: one columnar batch
+        # instead of row-wise pickled tuples (measured 1.5s -> 0.1s to
+        # materialize at 5k rows).
+        import pandas as pd
+
         return spark.createDataFrame(
-            out, f"id {id_type}, cluster {id_type}"
+            pd.DataFrame(out, columns=["id", "cluster"]),
+            schema=f"id {id_type}, cluster {id_type}",
         )
     labels = (
         edges.select("a")

@@ -531,10 +531,12 @@ def lsh_near_dup_pairs(
         F.col("bk.val").alias("val"),
         F.col("bk.fsig").alias("fsig"),
     )
+    hot = None
     if max_band_bucket is not None:
-        wn = Window.partitionBy("band", "val")
-        sized = bands.withColumn("__n", F.count(F.lit(1)).over(wn)).cache()
-        cold = sized.filter(F.col("__n") <= max_band_bucket)
+        from hash_db_spark.operators.dedup import split_hot_buckets
+
+        cold, hot = split_hot_buckets(bands, ["band", "val"], max_band_bucket)
+    if hot is not None:
         a, b = cold.alias("a"), cold.alias("b")
         band_pairs = a.join(
             b,
@@ -544,7 +546,6 @@ def lsh_near_dup_pairs(
         ).select(
             F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
         )
-        hot = sized.filter(F.col("__n") > max_band_bucket)
         hot0 = hot.filter(F.col("band") == 0)
         ha, hb = hot0.alias("a"), hot0.alias("b")
         rescue = ha.join(
