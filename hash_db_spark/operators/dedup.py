@@ -738,6 +738,12 @@ def split_hot_buckets(
         # codegen overhead dominates at bench scale. The isEmpty probe
         # costs one aggregation job over skinny band keys.
         return rows, None
+    # Hot buckets exist: the split feeds ~5 consumers (cold self-join x2,
+    # rescue x2, chain), each of which would otherwise recompute the
+    # bands pipeline — cache the skinny band rows once (measured 22.5s ->
+    # ~7s at a duplicate-heavy 10x sf0.1 corpus). Only this branch pays
+    # the materialization; the no-hot fast path above stays cache-free.
+    rows = rows.cache()
     bhot = F.broadcast(hot_keys)
     cold = rows.join(bhot, keys, "left_anti")
     hot = rows.join(bhot, keys, "left_semi")
