@@ -796,3 +796,92 @@ SELECT qid, vec_id, qcos, CAST(rank AS INT) AS rank FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: semantic (embedding-space) deduplication
+
+
+def semdedup_drop(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    k-means-cluster the embedding space, enumerate cosine near-duplicate
+    pairs ONLY within clusters, transitively close the pair graph, and
+    keep the smallest id per duplicate set. Returns (vec_id, kept_by) —
+    the dropped vectors and the retained representative each duplicates.
+
+    Scale shape: the clustering assignment is one Arrow/BLAS corpus pass
+    (operators/clustering.py); the pair join shuffles on cluster id, so
+    the quadratic term is sum(cluster_size^2), not n^2 — at corpus scale
+    k is raised so clusters stay small (the paper's design); the closure
+    reuses dedup.connected_components (driver union-find under 1M edges,
+    pointer-doubling label propagation above).
+    """
+    from hash_db_spark.operators.clustering import kmeans_assign
+    from hash_db_spark.operators.dedup import connected_components
+
+    corpus = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    assign = kmeans_assign(emb, id_col, vec_col, k)
+    av = corpus.join(assign, "vec_id")
+    a, b = av.alias("a"), av.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs)
+    return comp.filter(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias("vec_id"), F.col("cluster").alias("kept_by")
+    )
+
+
+def sql_semdedup(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    threshold: float = 0.9,
+) -> str:
+    """DuckDB oracle for semdedup_drop: identical k-means assignment
+    (clustering.sql_kmeans_assign), identical within-cluster pair
+    predicate, recursive-CTE transitive closure."""
+    from hash_db_spark.operators.clustering import sql_kmeans_assign
+    from hash_db_spark.operators.dedup import sql_connected_components
+
+    pairs_sql = f"""
+WITH corpus AS (
+  SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v FROM {table}
+),
+assign AS (
+  SELECT * FROM ({sql_kmeans_assign(table, id_col, vec_col, k)}) t
+),
+av AS (
+  SELECT a.vec_id, c.v, a.cluster
+  FROM assign a JOIN corpus c ON a.vec_id = c.vec_id
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM av a JOIN av b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+"""
+    comp = sql_connected_components(pairs_sql)
+    return (
+        f"SELECT id AS {id_col}, cluster AS kept_by FROM ({comp}) c "
+        "WHERE id != cluster"
+    )

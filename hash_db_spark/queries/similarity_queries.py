@@ -52,6 +52,18 @@ def q_sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_T = 0.4  # fixture near-dups live at cos >= 0.4 (COSINE_T)
+
+
+def q_semdedup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means-bucketed semantic dedup over the embeddings
+    table — dropped vec_ids with the kept representative (min id per
+    transitively-closed within-cluster duplicate set)."""
+    return S.semdedup_drop(
+        load_table(spark, sf_dir, "embeddings"), threshold=SEMDEDUP_T
+    )
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hash_db_spark.operators import clustering as C
 
@@ -74,5 +86,8 @@ QUERIES = {
     "sim_topk_ivf_kmeans": Query(q_sim_topk_ivf_kmeans, _ivf_kmeans_oracle()),
     "sim_topk_quantized": Query(
         q_sim_topk_quantized, S.sql_topk_quantized(QUERY_IDS, k=K)
+    ),
+    "semdedup_drop": Query(
+        q_semdedup_drop, S.sql_semdedup(threshold=SEMDEDUP_T)
     ),
 }

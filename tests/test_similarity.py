@@ -148,3 +148,24 @@ def test_lsh_cap_near_identical_cluster_stays_connected(spark):
     clusters = {r.id: r.cluster for r in comp.collect()}
     assert set(clusters) == set(range(12))
     assert len(set(clusters.values())) == 1
+
+
+def test_semdedup_drop_keeps_min_id_per_duplicate_set(spark):
+    """Two tight duplicate groups + isolated vectors: semdedup drops
+    everything but the smallest id of each group and keeps singletons."""
+    import random
+
+    rng = random.Random(7)
+    g1 = [0.9, -0.3, 0.5] + [0.01] * 61
+    g2 = [-0.8, 0.1, -0.6] + [0.02] * 61
+    rows = []
+    for i in range(3):  # ids 0,1,2 ~ duplicates of g1
+        rows.append((i, [x + 1e-5 * i for x in g1]))
+    for i in range(3, 6):  # ids 3,4,5 ~ duplicates of g2
+        rows.append((i, [x + 1e-5 * (i - 3) for x in g2]))
+    for i in range(6, 10):  # singletons: random far-apart vectors
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(64)]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = S.semdedup_drop(emb, k=4, threshold=0.999)
+    dropped = {r.vec_id: r.kept_by for r in out.collect()}
+    assert dropped == {1: 0, 2: 0, 4: 3, 5: 3}
