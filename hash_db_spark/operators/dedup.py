@@ -1199,6 +1199,16 @@ def simhash_near_pairs(
     every shared byte is hot reduce to the chain) — pass
     ``max_band_bucket=None`` for the exact enumeration when the corpus
     is known skew-free.
+
+    100 TB lever: byte bands give only 4x256 buckets, so beyond ~64*256
+    docs EVERY bucket exceeds the cap by pigeonhole and recall degrades
+    to the rescues. The fix is band WIDTH, not the cap: a 64-bit simhash
+    with four 16-bit bands (same construction, SIMHASH_BITS=64, `& 65535`
+    extraction, identical pigeonhole guarantee at max_hamming <= 3) gives
+    65k buckets per band — expected bucket size stays under cap=64 to
+    ~4M docs, and further sharding (e.g. prefix on a length bucket)
+    extends it arbitrarily. Kept at 32 bits here because the fixture gate
+    froze these hashes; the width is a constant, not a design change.
     """
     sh = simhash(df, col, id_col)
     bands = sh.select(
