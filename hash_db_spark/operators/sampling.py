@@ -205,3 +205,27 @@ def sql_weighted_sample(table: str, key_expr: str, weight_expr: str) -> str:
         f"WHERE CAST({sql_bucket(key_expr)} AS DOUBLE) / {float(BUCKETS)!r}"
         f" < ({weight_expr})"
     )
+
+
+def training_order(
+    df: DataFrame, key: str, seed: str = "epoch0", id_col: str | None = None
+) -> DataFrame:
+    """Deterministic global shuffle for training-example order: sort by
+    md5(seed || key) — reproducible across runs/engines, re-shuffled per
+    epoch by changing ``seed``, and free of any RNG state. At cluster
+    scale the orderBy is a range-partitioned distributed sort; writing
+    the result produces files whose lexical order IS the training order,
+    so a downstream loader streams shards sequentially without a global
+    materialization. Returns the input columns plus ``ord`` (the sort
+    key) so consumers can verify or merge ranges."""
+    ord_col = F.md5(F.concat(F.lit(seed), F.lit("#"), F.col(key).cast("string")))
+    return df.withColumn("ord", ord_col).orderBy("ord", key)
+
+
+def sql_training_order(
+    table: str, key_expr: str, cols: str, seed: str = "epoch0"
+) -> str:
+    return (
+        f"SELECT {cols}, md5('{seed}' || '#' || CAST({key_expr} AS VARCHAR))"
+        f" AS ord FROM {table}"
+    )

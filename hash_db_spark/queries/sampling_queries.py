@@ -11,6 +11,14 @@ from hash_db_spark.operators import sampling as SM
 from hash_db_spark.queries import Query
 
 
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle: md5(seed#doc_id) ordering key.
+    The driver hash is order-insensitive, so the check pins the KEY
+    values (bijective with the order), not row sequence."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SM.training_order(docs, "doc_id").select("doc_id", "ord")
+
+
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return SM.hash_sample(docs, "doc_id", 0.25).select("doc_id", "lang")
@@ -241,6 +249,10 @@ QUERIES = {
         q_hash_sample,
         f"SELECT doc_id, lang FROM documents "
         f"WHERE {SM.sql_bucket('doc_id')} < {int(0.25 * SM.BUCKETS)}",
+    ),
+    "training_order": Query(
+        q_training_order,
+        SM.sql_training_order("documents", "doc_id", "doc_id"),
     ),
     "train_val_test": Query(
         q_train_val_test,

@@ -69,3 +69,16 @@ def test_mix_plan_is_broadcast_mapside(spark, sf_dir):
     s = summarize(out)
     assert s.broadcast_joins >= 1
     assert "SortMergeJoin" not in formatted_plan(out)
+
+
+def test_training_order_deterministic_and_seed_sensitive(spark):
+    from hash_db_spark.operators import sampling as SM
+
+    df = spark.createDataFrame([(i,) for i in range(100)], ["doc_id"])
+    o1 = [r.doc_id for r in SM.training_order(df, "doc_id").collect()]
+    o2 = [r.doc_id for r in SM.training_order(df, "doc_id").collect()]
+    o3 = [r.doc_id for r in SM.training_order(df, "doc_id", seed="epoch1").collect()]
+    assert o1 == o2                      # reproducible
+    assert sorted(o1) == list(range(100))  # a permutation
+    assert o1 != o3                      # new seed -> new order
+    assert o1 != list(range(100))        # actually shuffled
