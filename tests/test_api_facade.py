@@ -1,0 +1,151 @@
+"""End-to-end replay of the reference's demo scenarios through the
+single HashDb facade — the switchability proof: one object, the server's
+verbs, the engine's DataFrames underneath.
+
+KV scenario: /root/reference/hash-db.py:85-110 demo data and queries.
+SQL scenario: /root/reference/example.py:86-238 (inserts, select-where,
+update, join) + :296-306 (FTS).
+Cypher scenario: /root/reference/example.py:241-281 (social graph).
+Documents: /root/reference/example.py:308-344 (save + path queries).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hash_db_spark.api import HashDb
+
+
+@pytest.fixture(scope="module")
+def db(spark):
+    return HashDb(spark)
+
+
+def test_kv_demo_scenario(db):
+    # hash-db.py:88-95 demo writes
+    for pk, sk, v in [
+        ("user#samsquire", "following#dinar", "Messages 1"),
+        ("user#samsquire", "following#someonelse", "Messages 2"),
+        ("user#samsquire", "message#2020-05-01T14:39", "Messages 1"),
+        ("user#samsquire", "profile", "profile"),
+        ("user#samsquire", "message#2020-06-01T14:39", "Messages 2"),
+        ("user#samsquire", "message#2020-07-01T09:30", "Messages 3"),
+        ("user#samsquire", "message#2020-08-01T14:39", "Messages 4"),
+        ("user#dinar", "message#2020-09-01T14:39", "Messages 5"),
+    ]:
+        db.set(pk, sk, v)
+
+    # point read + overwrite semantics (K1/K2)
+    assert db.get("user#samsquire", "profile") == "profile"
+    db.set("user#samsquire", "profile", "profile-v2")
+    assert db.get("user#samsquire", "profile") == "profile-v2"
+
+    # followers: query_begins (hash-db.py:98)
+    followers = db.query_begins("user#samsquire", "following")
+    assert [sk for _, sk, _ in followers] == [
+        "following#dinar", "following#someonelse"
+    ]
+
+    # messages between dates (hash-db.py:101)
+    msgs = db.query_between(
+        "user#samsquire", "message#2020-06-01", "message#2020-07-01~"
+    )
+    assert [v for _, _, v in msgs] == ["Messages 2", "Messages 3"]
+
+    # before/greater than (hash-db.py:106-110)
+    before = db.query_before_than(
+        "user#samsquire", "message", "message#2020-07"
+    )
+    assert [v for _, _, v in before] == ["Messages 1", "Messages 2"]
+    after = db.query_greater_than(
+        "user#samsquire", "message", "message#2020-07"
+    )
+    assert [v for _, _, v in after] == ["Messages 3", "Messages 4"]
+
+    # both_between across users; desc ordering (K6/K8)
+    both = db.both_between("user#a", "user#z", "message#", "message#~", desc=True)
+    assert [pk for pk, _, _ in both] == ["user#samsquire"] * 4 + ["user#dinar"]
+
+    # delete (K9)
+    db.clear("user#samsquire", "profile")
+    assert db.get("user#samsquire", "profile") is None
+
+
+def test_sql_scenario(db):
+    # example.py:86-117 — inserts with emergent schema + auto ids
+    for name, age in [("Sam", 29), ("Dinar", 31), ("Lee", 29)]:
+        db.sql(f"insert into folks (folks_name, age) values ('{name}', {age})")
+    got = db.sql("select * from folks where folks.age = 29")
+    assert {r["folks_name"] for r in got} == {"Sam", "Lee"}
+
+    # example.py:126-149 — update then re-select
+    db.sql("update folks set folks.age = 31 where folks.folks_name = 'Sam'")
+    assert {r["folks_name"] for r in db.sql(
+        "select * from folks where folks.age = 31"
+    )} == {"Sam", "Dinar"}
+
+    # example.py:150-238 — join through the dialect
+    for search, person in [("fishing rod", 1), ("boat", 3)]:
+        db.sql(f"insert into gear (search, person) values ('{search}', {person})")
+    joined = db.sql(
+        "select folks.folks_name, gear.search from gear "
+        "inner join folks on gear.person = folks.id"
+    )
+    assert {(r["folks_name"], r["search"]) for r in joined} == {
+        ("Sam", "fishing rod"), ("Lee", "boat")
+    }
+
+    # example.py:296-306 — FTS and/or through the dialect
+    fts = db.sql("select * from gear where gear.search ~ 'fishing & rod'")
+    assert [r["search"] for r in fts] == ["fishing rod"]
+    fts_or = db.sql("select * from gear where gear.search ~ 'rod | boat'")
+    assert {r["search"] for r in fts_or} == {"fishing rod", "boat"}
+
+    # free-win clauses ride along
+    top = db.sql("select folks.folks_name from folks order by folks.age desc, folks.folks_name limit 2")
+    assert [r["folks_name"] for r in top] == ["Dinar", "Sam"]
+
+
+def test_cypher_scenario(db):
+    # example.py:241-281 — social-graph MERGEs then a chain MATCH
+    for a, rel, b in [
+        ("Samuel", "FRIENDS", "Dinar"),
+        ("Dinar", "FRIENDS", "Hamza"),
+        ("Hamza", "FRIENDS", "Patrick"),
+    ]:
+        assert db.cypher(
+            f"merge (p:Person {{'name': '{a}'}})-[:{rel}]->"
+            f"(q:Person {{'name': '{b}'}})"
+        ) is None
+    rows = db.cypher(
+        "match (p:Person {'name': 'Samuel'})-[:FRIENDS]->(f:Person)"
+        "-[:FRIENDS]->(g:Person) return f, g"
+    )
+    # RETURN of a bare variable emits the node id (label:name), matching
+    # the engine's existing Cypher tests.
+    assert [(r["f"], r["g"]) for r in rows] == [
+        ("person:Dinar", "person:Hamza")
+    ]
+
+
+def test_documents_scenario(db):
+    # example.py:308-344 — save a nested doc, retrieve it, path-query it
+    doc = {
+        "name": "Sam Squire",
+        "age": 32,
+        "hobbies": [{"name": "God"}, {"name": "databases"}],
+    }
+    db.save("people", "1", doc)
+    db.save("people", "2", {"name": "Other", "age": 20,
+                            "hobbies": [{"name": "sports"}]})
+    assert db.document("people", "1") == doc
+    assert db.document("people", "missing") is None
+
+    hit = db.sql(
+        "select * from people where people.~hobbies[]~name = 'God'"
+    )
+    assert len(hit) == 1 and hit[0]["name"] == "Sam Squire"
+    leaves = db.sql("select people.doc_id, people.~hobbies[]~name from people")
+    assert {(r["doc_id"], r["name"]) for r in leaves} == {
+        ("1", "God"), ("1", "databases"), ("2", "sports")
+    }
