@@ -94,6 +94,9 @@ HEADLINE: list[str] = [
     "dedup_apply_keep",
     "quality_gate",
     "pack_sequences",
+    # the full prep pipeline as ONE plan: gate -> dedup-keep -> chunk ->
+    # pack -> per-lang counts
+    "train_prep",
 ]
 
 

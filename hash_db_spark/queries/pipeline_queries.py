@@ -234,6 +234,66 @@ GROUP BY source
 """
 
 
+def q_train_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end training-data preparation pipeline as one lazy
+    plan: quality gate → MinHash near-dup removal (keep one per
+    cluster) → token-window chunking → per-lang sequence packing →
+    per-lang sequence/token counts. Every stage is the already-verified
+    operator; this entry proves they COMPOSE — one Catalyst plan, no
+    driver materialization between stages."""
+    from hash_db_spark.functions.text import quality_score, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    gated = docs.filter(
+        (quality_score("text") >= 0.5)
+        & F.col("lang").isin("en", "de", "fr")
+        & token_count("text").between(10, 200)
+    )
+    pairs = D.minhash_lsh_pairs(gated, "text", "doc_id", threshold=0.5)
+    kept = D.apply_dedup_keep(gated, pairs, "doc_id")
+    chunks = chunking.token_chunks(
+        kept, "text", "doc_id", size=CHUNK_SIZE, overlap=CHUNK_OVERLAP
+    )
+    with_lang = chunks.join(
+        kept.select(F.col("doc_id").alias("id"), "lang"), "id"
+    )
+    packed = chunking.pack_chunks(with_lang, budget=64, shard_col="lang")
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_sequences"),
+        F.sum("seq_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+def _train_prep_oracle() -> str:
+    from hash_db_spark.functions.text import sql_quality_score, sql_token_count
+
+    gate = (
+        "SELECT * FROM documents "
+        f"WHERE {sql_quality_score('text')} >= 0.5 "
+        "AND lang IN ('en', 'de', 'fr') "
+        f"AND {sql_token_count('text')} BETWEEN 10 AND 200"
+    )
+    pairs_sql = D.sql_minhash_lsh_pairs(
+        f"({gate}) gdocs", "text", "doc_id", threshold=0.5
+    )
+    kept_sql = D.sql_apply_dedup_keep(
+        f"({gate}) gdocs", "doc_id", pairs_sql, "SELECT *"
+    )
+    chunks_sql = chunking.sql_token_chunks(
+        f"({kept_sql}) kdocs", "text", "doc_id", CHUNK_SIZE, CHUNK_OVERLAP
+    )
+    with_lang = (
+        f"SELECT c.*, d.lang FROM ({chunks_sql}) c "
+        f"JOIN ({kept_sql}) d ON d.doc_id = c.id"
+    )
+    packed = chunking.sql_pack_chunks(with_lang, budget=64, shard_col="lang")
+    return (
+        "SELECT shard, count(*) AS n_sequences, "
+        "CAST(sum(seq_tokens) AS BIGINT) AS n_tokens "
+        f"FROM ({packed}) p GROUP BY shard"
+    )
+
+
 def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution by edit distance: a small probe list (supplier
     names deterministically corrupted — 5th char deleted) matched against
@@ -286,6 +346,7 @@ QUERIES = {
     ),
     "pack_sequences": Query(q_pack_sequences, _pack_oracle()),
     "quality_gate": Query(q_quality_gate, _quality_gate_oracle()),
+    "train_prep": Query(q_train_prep, _train_prep_oracle()),
     "scrub_pattern_counts": Query(q_scrub_pattern_counts, SCRUB_COUNTS_ORACLE),
     "chunk_tokens": Query(
         q_chunk_tokens,
