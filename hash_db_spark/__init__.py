@@ -21,5 +21,15 @@ handles pushdown, pruning, join selection, and AQE handles skew at scale.
 from hash_db_spark.session import get_spark
 from hash_db_spark.catalog import load_tables, register_views
 
-__all__ = ["get_spark", "load_tables", "register_views"]
+
+def connect(spark=None, tables=None):
+    """Open a HashDb — the single-object facade with the reference
+    server's API surface (api.HashDb). Late import keeps bare package
+    import light."""
+    from hash_db_spark.api import HashDb
+
+    return HashDb(spark or get_spark(), tables)
+
+
+__all__ = ["get_spark", "load_tables", "register_views", "connect"]
 __version__ = "0.1.0"
