@@ -66,7 +66,11 @@ def read_kv_store(spark: SparkSession, path: str) -> DataFrame:
 
 
 def write_minhash_index(
-    base: DataFrame, bands: DataFrame, path: str, key_buckets: int = 64
+    base: DataFrame,
+    bands: DataFrame,
+    path: str,
+    key_buckets: int = 64,
+    mode: str = "overwrite",
 ) -> None:
     """Persist a MinHash LSH index (dedup.minhash_index output) so
     incremental dedup never touches corpus text again:
@@ -82,14 +86,14 @@ def write_minhash_index(
     (
         out.repartition("key_bucket")
         .write.partitionBy("key_bucket")
-        .mode("overwrite")
+        .mode(mode)
         .parquet(f"{path}/bands")
     )
     (
         base.select("id", "sh")
         .repartition(F.col("id"))
         .sortWithinPartitions("id")
-        .write.mode("overwrite")
+        .write.mode(mode)
         .parquet(f"{path}/shingles")
     )
 

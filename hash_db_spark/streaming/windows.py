@@ -251,3 +251,76 @@ def materialized_view_stream(
     return events.join(F.broadcast(dim), on).groupBy(*agg_cols).agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
     )
+
+
+def streaming_ingest_dedup(
+    docs_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+):
+    """Production ingest-dedup loop: per micro-batch, (1) collapse the
+    batch's internal near-dups (MinHash pairs -> keep one per cluster),
+    (2) probe the PERSISTED band index for near-dups against everything
+    already ingested, (3) append only novel documents to ``out_path``
+    and their index rows to ``index_path``.
+
+    The dedup state lives in the parquet index — not in stream state —
+    so the query is restart-safe (checkpoint replays a batch; the index
+    probe then flags the batch's own docs as dups of themselves only if
+    they were already appended, which keep-first semantics tolerate:
+    re-appended rows are filtered by the id anti-join), shareable with
+    batch jobs (sources.writers.read_minhash_index), and unbounded in
+    corpus size without executor-memory growth. Probe shape: batch bands
+    broadcast, the corpus index is scanned, never shuffled
+    (dedup.minhash_pairs_against_index).
+
+    Returns the StreamingQuery (trigger availableNow for tests/backfill;
+    swap the trigger for continuous ingest).
+    """
+    import os
+
+    from hash_db_spark.operators import dedup as D
+    from hash_db_spark.sources.writers import (
+        read_minhash_index,
+        write_minhash_index,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # (1) within-batch collapse
+        pairs = D.minhash_lsh_pairs(batch_df, col, id_col, threshold)
+        batch_kept = D.apply_dedup_keep(batch_df, pairs, id_col)
+        nb, nbands = D.minhash_index(batch_kept, col, id_col)
+        # (2) probe the persisted index (absent on the very first batch)
+        if os.path.exists(f"{index_path}/bands"):
+            sh, bands = read_minhash_index(spark, index_path)
+            dup_ids = (
+                D.minhash_pairs_against_index(nb, nbands, sh, bands, threshold)
+                .select(F.col("new_id").alias("id"))
+                .distinct()
+            )
+        else:
+            dup_ids = spark.createDataFrame([], nb.select("id").schema)
+        # (3) append the novel remainder + its index rows
+        novel_ids = nb.select("id").join(dup_ids, "id", "left_anti")
+        novel_docs = batch_kept.join(
+            novel_ids.withColumnRenamed("id", id_col), id_col, "left_semi"
+        )
+        novel_docs.write.mode("append").parquet(out_path)
+        write_minhash_index(
+            nb.join(novel_ids, "id", "left_semi"),
+            nbands.join(novel_ids, "id", "left_semi"),
+            index_path,
+            mode="append",
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

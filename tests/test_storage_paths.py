@@ -157,3 +157,52 @@ def test_fts_index_bm25_matches_scan_path(spark, sf_dir, tmp_path):
     assert "tok_bucket" in pf_line  # bucket predicate prunes directories
     pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
     assert "In(tok" in pushed  # term filter reaches the parquet reader
+
+
+def test_streaming_ingest_dedup_keeps_one_per_cluster(spark, sf_dir, tmp_path):
+    """Stream the documents fixture in micro-batches through the
+    foreachBatch ingest-dedup loop: the persisted-index state must make
+    later batches drop near-dups of earlier batches' docs, and the final
+    ingested set must contain no near-dup pair at all."""
+    import pyspark.sql.functions as F
+
+    from hash_db_spark.catalog import load_table
+    from hash_db_spark.operators import dedup as D
+    from hash_db_spark.streaming import windows as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_parts")
+    # 3 files -> 3 micro-batches; fixture plants near-dup pairs that the
+    # round-robin repartition spreads across batches
+    docs.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = W.streaming_ingest_dedup(
+        stream,
+        index_path=str(tmp_path / "idx"),
+        out_path=str(tmp_path / "kept"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    kept = spark.read.parquet(str(tmp_path / "kept"))
+    n_kept, n_docs = kept.count(), docs.count()
+    # dedup actually dropped something (fixture has >= 25 planted pairs)
+    assert 0 < n_kept < n_docs
+    # survivors are near-dup-free (keep-first may retain a chain member
+    # whose jaccard to the kept representative is below threshold, so
+    # assert no pair REMAINS rather than exact set equality)
+    leftover = D.minhash_lsh_pairs(kept, "text", "doc_id", threshold=0.5)
+    assert leftover.count() == 0
+    # every dropped doc has a kept near-dup witness under the index probe
+    dropped = docs.join(kept, "doc_id", "left_anti")
+    nb, nbands = D.minhash_index(dropped, "text", "doc_id")
+    kb, kbands = D.minhash_index(kept, "text", "doc_id")
+    witnesses = D.minhash_pairs_against_index(
+        nb, nbands, kb, kbands, threshold=0.5
+    )
+    assert witnesses.select("new_id").distinct().count() == dropped.count()
