@@ -885,3 +885,94 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
         f"SELECT id AS {id_col}, cluster AS kept_by FROM ({comp}) c "
         "WHERE id != cluster"
     )
+
+
+def topk_ivf_persisted(
+    spark,
+    path: str,
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Serve ANN top-k from a persisted IVF artifact
+    (sources.writers.write_ivf_index): probe-cell selection happens
+    driver-side against the tiny centroid table; the candidate scan then
+    reads ONLY the probed cells' partitions (PartitionFilters on
+    ``cluster``) and re-ranks exactly. Unlike topk_ivf there is no
+    corpus-wide assignment pass per query — that matmul was paid once at
+    index-build time, which is the production serving shape.
+
+    Identical ranking discipline to topk_ivf (round-half-away 6dp,
+    centroid ties to the lowest cid, final order cos DESC vec_id ASC) so
+    results match topk_ivf(emb, centroids=<same artifact>) exactly."""
+    import numpy as np
+
+    from hash_db_spark.functions.rounding import round_half_away
+    from hash_db_spark.sources.writers import read_ivf_index
+
+    def _norm_rows(m: np.ndarray) -> np.ndarray:
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        return m / np.where(n == 0, 1.0, n)
+
+    cents_df, cells = read_ivf_index(spark, path)
+    cent_rows = sorted(cents_df.collect(), key=lambda r: r[0])
+    cids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    cmat = _norm_rows(np.array([r[1] for r in cent_rows], dtype=np.float64))
+
+    corpus = cells.select(
+        "vec_id", _dvec("embedding").alias("v"), F.col("cluster")
+    )
+    q_rows = sorted(
+        corpus.filter(F.col("vec_id").isin(query_ids)).collect(),
+        key=lambda r: r[0],
+    )
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qmat = _norm_rows(np.array([r[1] for r in q_rows], dtype=np.float64))
+
+    qcos = round_half_away(qmat @ cmat.T, 6)
+    probe: dict[int, set[int]] = {}
+    for qi in range(len(qids)):
+        for ci in np.lexsort((cids, -qcos[qi]))[:nprobe]:
+            probe.setdefault(int(cids[ci]), set()).add(qi)
+    needed = sorted(probe)
+
+    # The pruned scan: only the probed cells' directories are read.
+    cand = corpus.filter(F.col("cluster").isin([int(c) for c in needed]))
+
+    bc = spark.sparkContext.broadcast(
+        (qids, qmat, {c: sorted(qs) for c, qs in probe.items()})
+    )
+
+    def block(batches):
+        import pandas as pd
+
+        bqids, bqmat, bprobe = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = _norm_rows(np.array(list(pdf["v"]), dtype=np.float64))
+            qcos_rows = round_half_away(v @ bqmat.T, 6)
+            vids = pdf["vec_id"].to_numpy()
+            clusters = pdf["cluster"].to_numpy()
+            mask = np.zeros((len(vids), len(bqids)), dtype=bool)
+            for c, qidx in bprobe.items():
+                rows = np.nonzero(clusters == c)[0]
+                for q in qidx:
+                    mask[rows, q] = True
+            mask &= vids[:, None] != bqids[None, :]
+            ri, qi = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "qid": bqids[qi],
+                    "vec_id": vids[ri],
+                    "cos": qcos_rows[ri, qi],
+                }
+            )
+
+    scored = cand.mapInPandas(block, "qid long, vec_id long, cos double")
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

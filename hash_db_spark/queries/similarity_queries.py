@@ -64,6 +64,20 @@ def q_semdedup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN served from the PERSISTED IVF artifact (build once into a
+    temp dir, probe with partition pruning) — result-identical to the
+    inline kmeans-wired IVF, so it shares that oracle."""
+    import tempfile
+
+    from hash_db_spark.sources.writers import write_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_idx_")
+    write_ivf_index(emb, path, k=8)
+    return S.topk_ivf_persisted(spark, path, QUERY_IDS, k=K)
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hash_db_spark.operators import clustering as C
 
@@ -84,6 +98,9 @@ QUERIES = {
     "sim_topk_lsh": Query(q_sim_topk_lsh, S.sql_topk_lsh(QUERY_IDS, k=K)),
     "sim_topk_ivf": Query(q_sim_topk_ivf, S.sql_topk_ivf(QUERY_IDS, k=K)),
     "sim_topk_ivf_kmeans": Query(q_sim_topk_ivf_kmeans, _ivf_kmeans_oracle()),
+    "sim_topk_ivf_persisted": Query(
+        q_sim_topk_ivf_persisted, _ivf_kmeans_oracle()
+    ),
     "sim_topk_quantized": Query(
         q_sim_topk_quantized, S.sql_topk_quantized(QUERY_IDS, k=K)
     ),

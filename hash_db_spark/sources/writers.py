@@ -191,3 +191,45 @@ def fts_index_probe(
     return postings.filter(
         F.col("tok_bucket").isin(buckets) & F.col("tok").isin(terms)
     ).drop("tok_bucket")
+
+
+def write_ivf_index(
+    emb: DataFrame,
+    path: str,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the offline ANN artifact the IVF serving path consumes:
+    the k-means centroid table plus every vector tagged with its cell,
+    partitioned BY cell — a query's candidate scan reads only its nprobe
+    cell directories (PartitionFilters), never the whole corpus. The
+    corpus-wide assignment matmul is paid once here, not per query."""
+    from hash_db_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(emb, id_col=id_col, vec_col=vec_col, k=k)
+    assign = kmeans_assign(emb, id_col=id_col, vec_col=vec_col, k=k)
+    cells = emb.select(id_col, vec_col).join(
+        assign.withColumnRenamed("vec_id", id_col), id_col
+    )
+    (
+        cells.repartition("cluster")
+        .write.partitionBy("cluster")
+        .mode("overwrite")
+        .parquet(f"{path}/cells")
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def read_ivf_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids, cells) of a persisted IVF index. cells keeps its
+    ``cluster`` partition column — probe filters prune on it."""
+    return (
+        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{path}/cells"),
+    )

@@ -206,3 +206,33 @@ def test_streaming_ingest_dedup_keeps_one_per_cluster(spark, sf_dir, tmp_path):
         nb, nbands, kb, kbands, threshold=0.5
     )
     assert witnesses.select("new_id").distinct().count() == dropped.count()
+
+
+def test_ivf_index_persist_probe_matches_inline(spark, sf_dir, tmp_path):
+    """Serving from the persisted IVF artifact must equal the inline
+    kmeans-wired IVF, and the candidate scan must partition-prune to the
+    probed cells."""
+    from hash_db_spark.catalog import load_table
+    from hash_db_spark.operators import similarity as S
+    from hash_db_spark.operators.clustering import kmeans_centroids
+    from hash_db_spark.sources import writers
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    writers.write_ivf_index(emb, path, k=8)
+
+    qids = [1, 2, 3, 4, 5]
+    got = S.topk_ivf_persisted(spark, path, qids, k=5)
+    want = S.topk_ivf(
+        emb, qids, k=5, centroids=kmeans_centroids(emb, k=8)
+    )
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in want.collect()
+    } and got.count() > 0
+
+    # partition pruning: the cells scan carries a partition filter on
+    # cluster (cells are directory-partitioned by it)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cluster" in plan.split(
+        "PartitionFilters: ["
+    )[1].split("]")[0]
