@@ -82,6 +82,15 @@ class CypherCompiler:
                     normalized.append(("edge", item))
             chains.append(normalized)
 
+        # WHERE var.attr = 'v' folds into the same per-variable attribute
+        # constraints as inline {attr: 'v'} maps — identical semantics,
+        # applied at candidate generation (so the filter sits UNDER the
+        # pattern joins, not over the joined result).
+        for var, attr, value in getattr(parser, "where_clause", []):
+            if var not in constraints:
+                raise ValueError(f"where references unbound variable {var!r}")
+            constraints[var].attributes[attr] = value
+
         def candidates(var: str) -> DataFrame:
             c = constraints[var]
             df = self.nodes
@@ -173,6 +182,17 @@ class CypherCompiler:
             result = candidates(only)
             bound.add(only)
 
+        count_var = getattr(parser, "return_count", None)
+        if count_var is not None:
+            if count_var not in bound:
+                raise ValueError(f"count() of unbound variable {count_var!r}")
+            # count(v) = number of DISTINCT matches of v (match output is
+            # set-semantics over bound variables).
+            return (
+                result.select(count_var)
+                .distinct()
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
         out_vars = parser.return_clause or sorted(bound)
         missing = [v for v in out_vars if v not in bound]
         if missing:

@@ -3,7 +3,9 @@
 Clean-room implementation of the reference grammar
 (/root/reference/cypher.py:120-278, tests /root/reference/cypher_test.py):
 
-    statement := ('match' | 'merge') pattern (',' pattern)* 'return' vars
+    statement := ('match' | 'merge') pattern (',' pattern)*
+                 ['where' var.attr '=' 'value' ('and' ...)*]   (extension)
+                 ['return' (vars | 'count(' var ')')]
     pattern   := node (edge node)*
     node      := '(' [var] [':' Label] [attrs] ')'
     edge      := '-[:REL]->' | '<-[:REL]-'
@@ -28,7 +30,7 @@ _TOKEN_RE = re.compile(
         # -[:REL]-> or -[:REL*1..3]->
       | <-\[:(?P<rel_l>\w+)(?:\*(?P<min_l>\d+)\.\.(?P<max_l>\d+))?\]-
         # <-[:REL]- or <-[:REL*1..3]-
-      | (?P<punct>[(){},:])
+      | (?P<punct>[(){},:=])
       | '(?P<squoted>[^']*)'
       | "(?P<dquoted>[^"]*)"
       | (?P<word>[\w.~\[\]#-]+)
@@ -73,6 +75,11 @@ class CypherParser:
         self.kind: str | None = None  # 'match' | 'merge'
         self.chains: list[list[Node | Edge]] = []
         self.return_clause: list[str] = []
+        # WHERE var.attr = 'value' [and ...] — free-win extension; the
+        # reference only supports inline {attr: value} maps.
+        self.where_clause: list[tuple[str, str, str]] = []
+        # RETURN count(var) — aggregate return, also a free win.
+        self.return_count: str | None = None
 
     # -- tokenizer ----------------------------------------------------------
 
@@ -121,12 +128,36 @@ class CypherParser:
             self._next()
             self.chains.append(self._parse_chain())
 
+        if self._peek() and self._peek()[0] == "word" and self._peek()[1].lower() == "where":
+            self._next()
+            while True:
+                ref = self._expect("word")[1]
+                if "." not in ref:
+                    raise ValueError(
+                        f"cypher where: expected var.attr, got {ref!r}"
+                    )
+                self._expect_punct("=")
+                val = self._expect("string")[1]
+                var, attr = ref.split(".", 1)
+                self.where_clause.append((var, attr, val))
+                nxt = self._peek()
+                if nxt and nxt[0] == "word" and nxt[1].lower() == "and":
+                    self._next()
+                    continue
+                break
+
         if self._peek() and self._peek()[0] == "word" and self._peek()[1].lower() == "return":
             self._next()
-            self.return_clause = [self._expect("word")[1]]
-            while self._peek() == ("punct", ","):
+            first = self._expect("word")[1]
+            if first.lower() == "count" and self._peek() == ("punct", "("):
                 self._next()
-                self.return_clause.append(self._expect("word")[1])
+                self.return_count = self._expect("word")[1]
+                self._expect_punct(")")
+            else:
+                self.return_clause = [first]
+                while self._peek() == ("punct", ","):
+                    self._next()
+                    self.return_clause.append(self._expect("word")[1])
         if self._peek() is not None:
             raise ValueError(f"cypher: trailing tokens at {self._peek()!r}")
         return self

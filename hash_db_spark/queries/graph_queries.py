@@ -35,6 +35,25 @@ def q_cypher_1hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cypher_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE clause (free-win grammar extension — the reference only has
+    inline {attr: value} maps): the predicate folds into candidate
+    generation, sitting UNDER the pattern joins."""
+    return _compiler(spark, sf_dir).run(
+        "match (c:Customer)-[:FROM]->(n:Nation) "
+        "where n.name = 'NATION_7' return c, n"
+    )
+
+
+def q_cypher_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETURN count(var) (free-win aggregate return): distinct matches
+    of the counted variable."""
+    return _compiler(spark, sf_dir).run(
+        "match (c:Customer)-[:FROM]->(n:Nation {name: 'NATION_7'}) "
+        "return count(c)"
+    )
+
+
 def q_cypher_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G6: 2-hop chain with intermediate variable."""
     return _compiler(spark, sf_dir).run(
@@ -255,6 +274,24 @@ QUERIES = {
         q_cypher_1hop,
         _g(
             "SELECT DISTINCT e.src AS c, e.dst AS n FROM gedges e "
+            "JOIN gnodes a ON a.id = e.src AND a.label = 'Customer' "
+            "JOIN gnodes b ON b.id = e.dst AND b.label = 'Nation' AND b.name = 'NATION_7' "
+            "WHERE e.rel = 'FROM'"
+        ),
+    ),
+    "cypher_where": Query(
+        q_cypher_where,
+        _g(
+            "SELECT DISTINCT e.src AS c, e.dst AS n FROM gedges e "
+            "JOIN gnodes a ON a.id = e.src AND a.label = 'Customer' "
+            "JOIN gnodes b ON b.id = e.dst AND b.label = 'Nation' AND b.name = 'NATION_7' "
+            "WHERE e.rel = 'FROM'"
+        ),
+    ),
+    "cypher_count": Query(
+        q_cypher_count,
+        _g(
+            "SELECT count(DISTINCT e.src) AS cnt FROM gedges e "
             "JOIN gnodes a ON a.id = e.src AND a.label = 'Customer' "
             "JOIN gnodes b ON b.id = e.dst AND b.label = 'Nation' AND b.name = 'NATION_7' "
             "WHERE e.rel = 'FROM'"

@@ -361,3 +361,66 @@ def test_var_length_match_social(spark):
         "person:Samuel", "person:Margaret", "person:Sally",  # 2 hops
     }
     assert got == {("person:Samuel", b) for b in expect_b}
+
+
+def test_where_clause_equals_inline_attrs(attr_graph):
+    """WHERE var.attr = 'v' must bind exactly like an inline {attr: 'v'}
+    map (it folds into candidate generation)."""
+    inline = {
+        tuple(r)
+        for r in attr_graph.run(
+            "match (p:Person {age: '30'})-[:KNOWS]->(q:Person) return p, q"
+        ).collect()
+    }
+    where = {
+        tuple(r)
+        for r in attr_graph.run(
+            "match (p:Person)-[:KNOWS]->(q:Person) "
+            "where p.age = '30' return p, q"
+        ).collect()
+    }
+    assert inline == where and inline
+
+
+def test_where_multiple_predicates(attr_graph):
+    got = attr_graph.run(
+        "match (p:Person)-[:KNOWS]->(q:Person) "
+        "where p.age = '30' and p.city = 'Leeds' return p"
+    ).collect()
+    assert [r.p for r in got] == ["person:Sally"]
+
+
+def test_where_unbound_variable_raises(attr_graph):
+    import pytest
+
+    with pytest.raises(ValueError, match="unbound"):
+        attr_graph.run(
+            "match (p:Person)-[:KNOWS]->(q:Person) where z.age = '30' return p"
+        )
+
+
+def test_return_count(attr_graph):
+    got = attr_graph.run(
+        "match (p:Person)-[:KNOWS]->(q:Person) return count(p)"
+    ).collect()
+    # Sally and Ann each know someone -> 2 distinct p matches
+    assert [r.cnt for r in got] == [2]
+
+
+def test_return_count_distinct_semantics(spark):
+    """count(v) counts DISTINCT matches of v, not pattern rows."""
+    from hash_db_spark.cypher import CypherCompiler
+
+    nodes = spark.createDataFrame(
+        [("person:a", "person", "a", {}), ("person:b", "person", "b", {}),
+         ("person:c", "person", "c", {})],
+        "id string, label string, name string, attrs map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [("person:a", "person:b", "KNOWS"), ("person:a", "person:c", "KNOWS")],
+        "src string, dst string, rel string",
+    )
+    got = CypherCompiler(nodes, edges).run(
+        "match (p)-[:KNOWS]->(q) return count(p)"
+    ).collect()
+    assert [r.cnt for r in got] == [1]  # one distinct p (two rows)
