@@ -54,8 +54,10 @@ HEADLINE: list[str] = [
     # similarity / clustering
     "sim_topk_brute",
     "sim_topk_ivf",
+    "sim_topk_ivf_persisted",
     "sim_topk_lsh",
     "kmeans_clusters",
+    "semdedup_drop",
     # pipeline prep
     "scrub_redact",
     "chunk_tokens",
@@ -83,6 +85,7 @@ HEADLINE: list[str] = [
     "multimodal_features",
     # sampling / reshaping / UDF surface
     "hash_sample",
+    "training_order",
     "gap_fill",
     "udf_pandas_scalar",
     "profile_columns",

@@ -825,6 +825,10 @@ def semdedup_drop(
     from hash_db_spark.operators.clustering import kmeans_assign
     from hash_db_spark.operators.dedup import connected_components
 
+    import numpy as np
+
+    from hash_db_spark.functions.rounding import round_half_away
+
     corpus = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -832,20 +836,42 @@ def semdedup_drop(
     assign = kmeans_assign(emb, id_col, vec_col, k)
     av = corpus.join(assign, "vec_id")
     a, b = av.alias("a"), av.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
-        )
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b")
+    joined = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.col("a.v").alias("va"),
+        F.col("b.v").alias("vb"),
     )
+    id_t = dict(joined.dtypes)["id_a"]
+
+    # One Arrow/BLAS einsum pass over the joined pair rows — the same
+    # scorer shape as lsh_near_dup_pairs' verify step; an interpreted
+    # zip_with/aggregate cosine per pair measured ~5s slower at sf0.1
+    # (sum(cluster_size^2) pairs is the method's working set).
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.array(list(pdf["va"]), dtype=np.float64)
+            B = np.array(list(pdf["vb"]), dtype=np.float64)
+            dots = np.einsum("ij,ij->i", A, B)
+            denom = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            cos = round_half_away(dots / np.where(denom == 0, 1.0, denom), 6)
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                }
+            )
+
+    pairs = joined.mapInPandas(score, f"id_a {id_t}, id_b {id_t}")
     comp = connected_components(pairs)
     return comp.filter(F.col("id") != F.col("cluster")).select(
         F.col("id").alias("vec_id"), F.col("cluster").alias("kept_by")
