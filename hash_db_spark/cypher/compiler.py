@@ -58,6 +58,19 @@ class CypherCompiler:
         whole node objects incl. the attribute dict, client.py:1198-1219)."""
         # Merge per-variable constraints across all occurrences.
         constraints: dict[str, Node] = {}
+        # Variables whose merged constraints are contradictory (the same
+        # attribute equal to two different values): conjunction semantics
+        # — the pattern matches nothing, which is a valid empty result,
+        # not an error. Plain dict.update would silently keep the LAST
+        # value and return wrong rows.
+        impossible: set[str] = set()
+
+        def merge_attrs(var: str, target: dict, incoming: dict) -> None:
+            for k, v in incoming.items():
+                if k in target and target[k] != v:
+                    impossible.add(var)
+                target[k] = v
+
         anon_count = 0
         chains = []
         for chain in parser.chains:
@@ -76,7 +89,7 @@ class CypherCompiler:
                                 f"{c.label} and {item.label}"
                             )
                         c.label = item.label
-                    c.attributes.update(item.attributes)
+                    merge_attrs(var, c.attributes, item.attributes)
                     normalized.append(("node", var))
                 else:
                     normalized.append(("edge", item))
@@ -89,11 +102,15 @@ class CypherCompiler:
         for var, attr, value in getattr(parser, "where_clause", []):
             if var not in constraints:
                 raise ValueError(f"where references unbound variable {var!r}")
-            constraints[var].attributes[attr] = value
+            merge_attrs(var, constraints[var].attributes, {attr: value})
 
         def candidates(var: str) -> DataFrame:
             c = constraints[var]
             df = self.nodes
+            if var in impossible:
+                return df.filter(F.lit(False)).select(
+                    F.col("id").alias(var)
+                )
             if c.label:
                 df = df.filter(F.col("label") == c.label)
             for k, v in c.attributes.items():

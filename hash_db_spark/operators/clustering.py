@@ -245,3 +245,24 @@ assign1 AS (
 )
 SELECT vec_id, CAST(cidx AS INT) AS cluster FROM assign1 WHERE rn = 1
 """
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assignments) from ONE k-means computation — callers
+    that need both (e.g. sources.writers.write_ivf_index) would otherwise
+    run the full fit twice via kmeans_centroids + kmeans_assign, doubling
+    the dominant cost of an offline index build."""
+    corpus = emb.select(
+        F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("v")
+    )
+    cmat = _centroid_mat(corpus, k)
+    cents = emb.sparkSession.createDataFrame(
+        [(i + 1, row.tolist()) for i, row in enumerate(cmat)],
+        f"{id_col} long, {vec_col} array<double>",
+    )
+    return cents, _assign_pass(corpus, cmat, with_vec=False)

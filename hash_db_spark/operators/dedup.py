@@ -712,6 +712,11 @@ def minhash_index(
 #      full k^2 pair list (the documented approximation in capped mode).
 MAX_BAND_BUCKET = 64
 
+# Hot-key sets beyond this row count are joined by shuffle instead of
+# broadcast (each row is two ints — 5M rows ~ 80 MB broadcast, well
+# under Spark's 8 GB hard limit with headroom for many executors).
+MAX_BROADCAST_HOT_KEYS = 5_000_000
+
 
 def split_hot_buckets(
     rows: DataFrame, keys: list[str], cap: int
@@ -744,7 +749,17 @@ def split_hot_buckets(
     # ~7s at a duplicate-heavy 10x sf0.1 corpus). Only this branch pays
     # the materialization; the no-hot fast path above stays cache-free.
     rows = rows.cache()
-    bhot = F.broadcast(hot_keys)
+    # The |rows|/cap bound on hot keys is a FRACTION, not an absolute: on
+    # a pathologically skewed corpus (e.g. byte-banded simhash past its
+    # bucket saturation point, where EVERY bucket is hot by pigeonhole)
+    # the hot-key set can exceed Spark's broadcast limit. Past the bound,
+    # drop the broadcast hint and let the anti/semi joins shuffle — slow
+    # but correct, where a forced broadcast would fail the job.
+    bhot = (
+        F.broadcast(hot_keys)
+        if hot_keys.count() <= MAX_BROADCAST_HOT_KEYS
+        else hot_keys
+    )
     cold = rows.join(bhot, keys, "left_anti")
     hot = rows.join(bhot, keys, "left_semi")
     return cold, hot

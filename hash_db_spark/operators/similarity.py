@@ -53,6 +53,45 @@ def cosine(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def score_pair_cosine(
+    joined: DataFrame, threshold: float, with_cos: bool
+) -> DataFrame:
+    """Shared Arrow/BLAS pair-cosine scorer: one einsum pass over rows
+    (id_a, id_b, va, vb), keeping pairs with round-half-away-6dp cosine
+    >= threshold. The single implementation keeps the rounding /
+    zero-denominator discipline identical across every caller's oracle
+    (lsh_near_dup_pairs, semdedup_drop); an interpreted
+    zip_with/aggregate cosine per pair is ~10x slower at bench scale."""
+    import numpy as np
+
+    from hash_db_spark.functions.rounding import round_half_away
+
+    id_t = dict(joined.dtypes)["id_a"]
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.array(list(pdf["va"]), dtype=np.float64)
+            B = np.array(list(pdf["vb"]), dtype=np.float64)
+            dots = np.einsum("ij,ij->i", A, B)
+            denom = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            cos = round_half_away(dots / np.where(denom == 0, 1.0, denom), 6)
+            keep = cos >= threshold
+            out = {
+                "id_a": pdf["id_a"].to_numpy()[keep],
+                "id_b": pdf["id_b"].to_numpy()[keep],
+            }
+            if with_cos:
+                out["cos"] = cos[keep]
+            yield pd.DataFrame(out)
+
+    schema = f"id_a {id_t}, id_b {id_t}" + (", cos double" if with_cos else "")
+    return joined.mapInPandas(score, schema)
+
+
 def hyperplanes(bits: int = LSH_BITS, dim: int = 64) -> list[list[float]]:
     """Deterministic ±1 hyperplane matrix seeded by md5(bit-dim)."""
     return [
@@ -591,31 +630,7 @@ def lsh_near_dup_pairs(
     va = base.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     vb = base.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     joined = cands.join(va, "id_a").join(vb, "id_b")
-    id_t = dict(joined.dtypes)["id_a"]
-
-    def score(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            A = np.array(list(pdf["va"]), dtype=np.float64)
-            B = np.array(list(pdf["vb"]), dtype=np.float64)
-            dots = np.einsum("ij,ij->i", A, B)
-            denom = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-            cos = round_half_away(
-                dots / np.where(denom == 0, 1.0, denom), 6
-            )
-            keep = cos >= threshold
-            yield pd.DataFrame(
-                {
-                    "id_a": pdf["id_a"].to_numpy()[keep],
-                    "id_b": pdf["id_b"].to_numpy()[keep],
-                    "cos": cos[keep],
-                }
-            )
-
-    return joined.mapInPandas(score, f"id_a {id_t}, id_b {id_t}, cos double")
+    return score_pair_cosine(joined, threshold, with_cos=True)
 
 
 def sql_lsh_near_dup_pairs(
@@ -825,10 +840,6 @@ def semdedup_drop(
     from hash_db_spark.operators.clustering import kmeans_assign
     from hash_db_spark.operators.dedup import connected_components
 
-    import numpy as np
-
-    from hash_db_spark.functions.rounding import round_half_away
-
     corpus = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -846,32 +857,9 @@ def semdedup_drop(
         F.col("a.v").alias("va"),
         F.col("b.v").alias("vb"),
     )
-    id_t = dict(joined.dtypes)["id_a"]
-
-    # One Arrow/BLAS einsum pass over the joined pair rows — the same
-    # scorer shape as lsh_near_dup_pairs' verify step; an interpreted
-    # zip_with/aggregate cosine per pair measured ~5s slower at sf0.1
-    # (sum(cluster_size^2) pairs is the method's working set).
-    def score(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            A = np.array(list(pdf["va"]), dtype=np.float64)
-            B = np.array(list(pdf["vb"]), dtype=np.float64)
-            dots = np.einsum("ij,ij->i", A, B)
-            denom = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-            cos = round_half_away(dots / np.where(denom == 0, 1.0, denom), 6)
-            keep = cos >= threshold
-            yield pd.DataFrame(
-                {
-                    "id_a": pdf["id_a"].to_numpy()[keep],
-                    "id_b": pdf["id_b"].to_numpy()[keep],
-                }
-            )
-
-    pairs = joined.mapInPandas(score, f"id_a {id_t}, id_b {id_t}")
+    # sum(cluster_size^2) pairs is the method's working set — scored in
+    # one shared Arrow einsum pass (score_pair_cosine).
+    pairs = score_pair_cosine(joined, threshold, with_cos=False)
     comp = connected_components(pairs)
     return comp.filter(F.col("id") != F.col("cluster")).select(
         F.col("id").alias("vec_id"), F.col("cluster").alias("kept_by")

@@ -65,15 +65,19 @@ def q_semdedup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN served from the PERSISTED IVF artifact (build once into a
-    temp dir, probe with partition pruning) — result-identical to the
-    inline kmeans-wired IVF, so it shares that oracle."""
+    """ANN served from the PERSISTED IVF artifact (build once, probe
+    with partition pruning) — result-identical to the inline
+    kmeans-wired IVF, so it shares that oracle. The index lands at a
+    DETERMINISTIC per-sf path and is overwritten in place (a fresh
+    mkdtemp per call would leak one full index copy per run)."""
+    import hashlib
     import tempfile
 
     from hash_db_spark.sources.writers import write_ivf_index
 
     emb = load_table(spark, sf_dir, "embeddings")
-    path = tempfile.mkdtemp(prefix="ivf_idx_")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/hash_db_spark_ivf_{tag}"
     write_ivf_index(emb, path, k=8)
     return S.topk_ivf_persisted(spark, path, QUERY_IDS, k=K)
 

@@ -205,13 +205,11 @@ def write_ivf_index(
     partitioned BY cell — a query's candidate scan reads only its nprobe
     cell directories (PartitionFilters), never the whole corpus. The
     corpus-wide assignment matmul is paid once here, not per query."""
-    from hash_db_spark.operators.clustering import (
-        kmeans_assign,
-        kmeans_centroids,
-    )
+    from hash_db_spark.operators.clustering import kmeans_fit
 
-    cents = kmeans_centroids(emb, id_col=id_col, vec_col=vec_col, k=k)
-    assign = kmeans_assign(emb, id_col=id_col, vec_col=vec_col, k=k)
+    # One k-means fit yields both artifacts — kmeans_centroids +
+    # kmeans_assign would each run the full fit (2x the corpus passes).
+    cents, assign = kmeans_fit(emb, id_col=id_col, vec_col=vec_col, k=k)
     cells = emb.select(id_col, vec_col).join(
         assign.withColumnRenamed("vec_id", id_col), id_col
     )

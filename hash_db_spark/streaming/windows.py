@@ -269,20 +269,25 @@ def streaming_ingest_dedup(
     and their index rows to ``index_path``.
 
     The dedup state lives in the parquet index — not in stream state —
-    so the query is restart-safe (checkpoint replays a batch; the index
-    probe then flags the batch's own docs as dups of themselves only if
-    they were already appended, which keep-first semantics tolerate:
-    re-appended rows are filtered by the id anti-join), shareable with
-    batch jobs (sources.writers.read_minhash_index), and unbounded in
-    corpus size without executor-memory growth. Probe shape: batch bands
-    broadcast, the corpus index is scanned, never shuffled
+    so the query is shareable with batch jobs
+    (sources.writers.read_minhash_index) and unbounded in corpus size
+    without executor-memory growth. Probe shape: batch bands broadcast,
+    the corpus index is scanned, never shuffled
     (dedup.minhash_pairs_against_index).
+
+    Delivery semantics: the two appends (docs, then index rows) are not
+    atomic, so a crash between them can re-append the same docs when the
+    checkpoint replays the batch — ``out_path`` is AT-LEAST-ONCE at the
+    row level. Consumers read through ``read_ingested`` (exact keyed
+    dedup on ``id_col``), which makes the pipeline end-to-end
+    exactly-once for near-dup-distinct documents. Writing the index
+    FIRST would invert the failure into data LOSS (replayed docs flag as
+    dups of their own index rows and are never emitted) — duplicates a
+    cheap keyed dedup can remove are the strictly better failure mode.
 
     Returns the StreamingQuery (trigger availableNow for tests/backfill;
     swap the trigger for continuous ingest).
     """
-    import os
-
     from hash_db_spark.operators import dedup as D
     from hash_db_spark.sources.writers import (
         read_minhash_index,
@@ -295,9 +300,16 @@ def streaming_ingest_dedup(
         pairs = D.minhash_lsh_pairs(batch_df, col, id_col, threshold)
         batch_kept = D.apply_dedup_keep(batch_df, pairs, id_col)
         nb, nbands = D.minhash_index(batch_kept, col, id_col)
-        # (2) probe the persisted index (absent on the very first batch)
-        if os.path.exists(f"{index_path}/bands"):
+        # (2) probe the persisted index (absent on the very first batch).
+        # try/except on the read, NOT os.path.exists — the index may live
+        # on any Hadoop-visible filesystem (HDFS/S3), where a driver-local
+        # path probe is always False and would silently skip the probe.
+        try:
             sh, bands = read_minhash_index(spark, index_path)
+            have_index = True
+        except Exception:
+            have_index = False
+        if have_index:
             dup_ids = (
                 D.minhash_pairs_against_index(nb, nbands, sh, bands, threshold)
                 .select(F.col("new_id").alias("id"))
@@ -305,18 +317,22 @@ def streaming_ingest_dedup(
             )
         else:
             dup_ids = spark.createDataFrame([], nb.select("id").schema)
-        # (3) append the novel remainder + its index rows
-        novel_ids = nb.select("id").join(dup_ids, "id", "left_anti")
-        novel_docs = batch_kept.join(
-            novel_ids.withColumnRenamed("id", id_col), id_col, "left_semi"
-        )
-        novel_docs.write.mode("append").parquet(out_path)
-        write_minhash_index(
-            nb.join(novel_ids, "id", "left_semi"),
-            nbands.join(novel_ids, "id", "left_semi"),
-            index_path,
-            mode="append",
-        )
+        # (3) append the novel remainder + its index rows. novel_ids
+        # feeds three writes; cached so the probe join runs once, not 3x.
+        novel_ids = nb.select("id").join(dup_ids, "id", "left_anti").cache()
+        try:
+            novel_docs = batch_kept.join(
+                novel_ids.withColumnRenamed("id", id_col), id_col, "left_semi"
+            )
+            novel_docs.write.mode("append").parquet(out_path)
+            write_minhash_index(
+                nb.join(novel_ids, "id", "left_semi"),
+                nbands.join(novel_ids, "id", "left_semi"),
+                index_path,
+                mode="append",
+            )
+        finally:
+            novel_ids.unpersist()
 
     return (
         docs_stream.writeStream.foreachBatch(process)
@@ -324,3 +340,11 @@ def streaming_ingest_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_ingested(spark, out_path: str, id_col: str = "doc_id") -> DataFrame:
+    """The exactly-once view of streaming_ingest_dedup's output: the
+    docs appends are at-least-once under crash-replay, so consumers
+    finish with an exact keyed dedup (cheap: one shuffle on the id, and
+    re-appended rows are byte-identical so ANY winner is correct)."""
+    return spark.read.parquet(out_path).dropDuplicates([id_col])

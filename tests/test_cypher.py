@@ -424,3 +424,22 @@ def test_return_count_distinct_semantics(spark):
         "match (p)-[:KNOWS]->(q) return count(p)"
     ).collect()
     assert [r.cnt for r in got] == [1]  # one distinct p (two rows)
+
+
+def test_contradictory_constraints_match_nothing(attr_graph):
+    """Conjunction semantics: the same attribute constrained to two
+    different values (inline vs WHERE, or twice in WHERE) yields an
+    EMPTY result — not last-writer-wins."""
+    assert attr_graph.run(
+        "match (p:Person {age: '30'})-[:KNOWS]->(q:Person) "
+        "where p.age = '40' return p"
+    ).count() == 0
+    assert attr_graph.run(
+        "match (p:Person)-[:KNOWS]->(q:Person) "
+        "where p.age = '30' and p.age = '40' return p"
+    ).count() == 0
+    # sanity: the non-contradictory version still matches
+    assert attr_graph.run(
+        "match (p:Person {age: '30'})-[:KNOWS]->(q:Person) "
+        "where p.age = '30' return p"
+    ).count() > 0
