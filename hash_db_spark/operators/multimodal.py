@@ -7,12 +7,13 @@ without touching payloads, and decode/feature-extraction runs as
 Arrow-batched ``mapInPandas`` so bytes cross the JVM↔Python boundary once
 per batch, not per row.
 
-The actual codec step is STUBBED (this container ships no image/audio
-libraries): ``decode_image`` raises NotImplementedError unless PIL is
-importable, and ``extract_features`` computes deterministic
-payload-derived pseudo-features (md5-seeded) so the full pipeline —
-schema, batching, partitioning, output shape — is real and
-oracle-checkable while the codec is swappable.
+Codec status: compressed formats (JPEG/PNG) are STUBBED behind a PIL
+guard (``decode_image`` raises NotImplementedError without it) with
+deterministic pseudo-features keeping that pipeline oracle-checkable;
+the uncompressed-raster path is REAL — ``ppm_decode`` parses binary P6
+PPM with numpy alone and ``ppm_stats`` computes true per-channel pixel
+sums, verified against a closed-form SQL oracle that never touches the
+bytes (``multimodal_ppm_decode``).
 
 At 100 TB: payloads dominate bytes; keep them in their own column chunk
 (never in join keys), push metadata predicates to the scan so payload
@@ -210,4 +211,128 @@ frames AS (
 SELECT media_id, CAST(frame_no AS INT) AS frame_no,
        lower(hex(encode(substring(payload_txt, frame_no * {frame_bytes} + 1, {frame_bytes})))) AS frame_hex
 FROM frames
+"""
+
+
+# --------------------------------------------------------------------------
+# REAL image decode: PPM (P6) — a true binary raster format parsed with
+# numpy alone, no external codec. JPEG/PNG stay behind the PIL guard; this
+# path proves the decode plumbing end-to-end with REAL pixel math.
+
+PPM_STATS_SCHEMA = (
+    "media_id long, width int, height int, "
+    "sum_r bigint, sum_g bigint, sum_b bigint"
+)
+
+
+def ppm_encode(media_id: int, width: int, height: int) -> bytes:
+    """Deterministic P6 image: pixel(ch, r, c) =
+    (media_id*31 + r*7 + c*13 + ch*97) % 256. The content is a pure
+    function of (media_id, r, c, ch), so per-image statistics have
+    closed forms an SQL oracle can compute without any decoder."""
+    import numpy as np
+
+    r = np.arange(height)[:, None, None]
+    c = np.arange(width)[None, :, None]
+    ch = np.arange(3)[None, None, :]
+    px = (media_id * 31 + r * 7 + c * 13 + ch * 97) % 256
+    header = f"P6\n{width} {height}\n255\n".encode()
+    return header + px.astype(np.uint8).tobytes()
+
+
+def ppm_decode(payload: bytes):
+    """Parse a binary P6 PPM: header (magic, dims, maxval) + raw RGB
+    rows. Returns (width, height, ndarray[h, w, 3] uint8)."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header = 3 whitespace-separated tokens after the magic
+    parts = payload.split(b"\n", 3)
+    if len(parts) < 4:
+        raise ValueError("truncated PPM header")
+    width, height = (int(t) for t in parts[1].split())
+    maxval = int(parts[2])
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    px = np.frombuffer(parts[3], dtype=np.uint8, count=width * height * 3)
+    return width, height, px.reshape(height, width, 3)
+
+
+def synth_ppm_media(df: DataFrame, id_col: str) -> DataFrame:
+    """(media_id, kind, payload) with REAL encoded PPM bytes, sizes
+    derived from the id (w in 4..8, h in 3..5)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "image/ppm",
+                    "payload": [
+                        ppm_encode(int(i), 4 + int(i) % 5, 3 + int(i) % 3)
+                        for i in ids
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        run, "media_id long, kind string, payload binary"
+    )
+
+
+def ppm_stats(media: DataFrame) -> DataFrame:
+    """REAL decode + per-image channel statistics in one Arrow pass:
+    parse each payload's header and pixel matrix, emit exact integer
+    channel sums (no float discipline needed)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "width", "height", "sum_r", "sum_g", "sum_b")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = ppm_decode(bytes(payload))
+                sums = px.astype(np.int64).sum(axis=(0, 1))
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_r"].append(int(sums[0]))
+                out["sum_g"].append(int(sums[1]))
+                out["sum_b"].append(int(sums[2]))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, PPM_STATS_SCHEMA
+    )
+
+
+def sql_ppm_stats(table: str, id_col: str) -> str:
+    """Closed-form oracle: the pixel function is deterministic in
+    (media_id, r, c, ch), so the channel sums are plain aggregations
+    over generated (r, c) grids — the oracle never parses a byte, which
+    is exactly what makes it independent evidence that the DECODER read
+    the pixels correctly."""
+    return f"""
+WITH m AS (
+  SELECT {id_col} AS media_id,
+         4 + {id_col} % 5 AS width,
+         3 + {id_col} % 3 AS height
+  FROM {table}
+),
+px AS (
+  SELECT m.media_id, m.width, m.height, r.r, c.c
+  FROM m,
+       LATERAL (SELECT unnest(generate_series(0, m.height - 1)) AS r) r,
+       LATERAL (SELECT unnest(generate_series(0, m.width - 1)) AS c) c
+)
+SELECT media_id,
+       CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height,
+       CAST(sum((media_id * 31 + r * 7 + c * 13) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((media_id * 31 + r * 7 + c * 13 + 97) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((media_id * 31 + r * 7 + c * 13 + 194) % 256) AS BIGINT) AS sum_b
+FROM px
+GROUP BY media_id, width, height
 """

@@ -19,6 +19,15 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(media)
 
 
+def q_multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL binary image decode: deterministic P6 PPM payloads encoded
+    per doc, parsed back with the numpy codec, per-channel pixel sums.
+    The oracle computes the sums from the generative closed form without
+    parsing a byte — independent evidence the decoder read the pixels."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.ppm_stats(M.synth_ppm_media(docs, "doc_id"))
+
+
 def q_multimodal_meta_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata predicate without touching payloads — the column-pruning
     payoff of the payload/meta split."""
@@ -55,6 +64,10 @@ QUERIES = {
     "multimodal_features": Query(
         q_multimodal_features,
         M.sql_extract_features("documents", "doc_id", "text"),
+    ),
+    "multimodal_ppm_decode": Query(
+        q_multimodal_ppm_decode,
+        M.sql_ppm_stats("documents", "doc_id"),
     ),
     "multimodal_resize": Query(
         q_multimodal_resize,

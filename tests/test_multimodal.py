@@ -1,0 +1,48 @@
+"""Multimodal plumbing: the REAL PPM (P6) codec path — encode/decode
+roundtrip, malformed-payload behavior, and the Spark stats pipeline vs a
+direct numpy computation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hash_db_spark.operators import multimodal as M
+
+
+def test_ppm_roundtrip_every_pixel():
+    for mid, w, h in [(0, 4, 3), (7, 8, 5), (123, 5, 4)]:
+        payload = M.ppm_encode(mid, w, h)
+        gw, gh, px = M.ppm_decode(payload)
+        assert (gw, gh) == (w, h) and px.shape == (h, w, 3)
+        for r in range(h):
+            for c in range(w):
+                for ch in range(3):
+                    assert px[r, c, ch] == (mid * 31 + r * 7 + c * 13 + ch * 97) % 256
+
+
+def test_ppm_decode_rejects_malformed():
+    with pytest.raises(ValueError, match="not a P6"):
+        M.ppm_decode(b"P5\n2 2\n255\nxxxx")
+    with pytest.raises(ValueError, match="truncated"):
+        M.ppm_decode(b"P6\n2 2")
+    with pytest.raises(ValueError, match="maxval"):
+        M.ppm_decode(b"P6\n2 2\n65535\n" + b"\0" * 12)
+    # payload shorter than width*height*3
+    with pytest.raises(ValueError):
+        M.ppm_decode(b"P6\n4 4\n255\n" + b"\0" * 5)
+
+
+def test_ppm_stats_pipeline_matches_numpy(spark):
+    ids = spark.createDataFrame([(i,) for i in range(20)], ["doc_id"])
+    media = M.synth_ppm_media(ids, "doc_id")
+    got = {
+        r.media_id: (r.width, r.height, r.sum_r, r.sum_g, r.sum_b)
+        for r in M.ppm_stats(media).collect()
+    }
+    assert len(got) == 20
+    for i in range(20):
+        w, h = 4 + i % 5, 3 + i % 3
+        _, _, px = M.ppm_decode(M.ppm_encode(i, w, h))
+        sums = px.astype(np.int64).sum(axis=(0, 1))
+        assert got[i] == (w, h, int(sums[0]), int(sums[1]), int(sums[2]))
