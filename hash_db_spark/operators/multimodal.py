@@ -336,3 +336,127 @@ SELECT media_id,
 FROM px
 GROUP BY media_id, width, height
 """
+
+
+# --------------------------------------------------------------------------
+# REAL audio decode: WAV (RIFF PCM16 mono) — canonical 44-byte header +
+# int16 little-endian samples, parsed with numpy alone.
+
+WAV_STATS_SCHEMA = (
+    "media_id long, sample_rate int, n_samples int, "
+    "sum_abs bigint, peak int"
+)
+
+
+def wav_encode(media_id: int, n_samples: int, sample_rate: int = 8000) -> bytes:
+    """Deterministic PCM16 mono clip: sample(t) =
+    ((media_id * 131 + t * 17) % 2048) - 1024. Pure function of
+    (media_id, t) — clip statistics have closed forms."""
+    import struct
+
+    import numpy as np
+
+    t = np.arange(n_samples, dtype=np.int64)
+    samples = ((media_id * 131 + t * 17) % 2048 - 1024).astype("<i2")
+    data = samples.tobytes()
+    header = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return header + data
+
+
+def wav_decode(payload: bytes):
+    """Parse canonical RIFF PCM16 mono: returns (sample_rate, ndarray of
+    int16 samples). Validates magic, PCM format code, and data length."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt_code, channels, rate = struct.unpack("<HHI", payload[20:28])
+    bits = struct.unpack("<H", payload[34:36])[0]
+    if (fmt_code, channels, bits) != (1, 1, 16):
+        raise ValueError(
+            f"unsupported WAV shape (fmt={fmt_code}, ch={channels}, bits={bits})"
+        )
+    if payload[36:40] != b"data":
+        raise ValueError("missing data chunk")
+    n_bytes = struct.unpack("<I", payload[40:44])[0]
+    samples = np.frombuffer(payload, dtype="<i2", offset=44, count=n_bytes // 2)
+    return rate, samples
+
+
+def synth_wav_media(df: DataFrame, id_col: str) -> DataFrame:
+    """(media_id, kind, payload) with REAL encoded WAV bytes; clip
+    length derived from the id (50..99 samples)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "audio/wav",
+                    "payload": [
+                        wav_encode(int(i), 50 + int(i) % 50) for i in ids
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        run, "media_id long, kind string, payload binary"
+    )
+
+
+def wav_stats(media: DataFrame) -> DataFrame:
+    """REAL decode + per-clip stats in one Arrow pass: sample rate,
+    sample count, integer sum of |sample|, and peak |sample| — the
+    loudness/clipping summary an audio-quality gate filters on."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "sample_rate", "n_samples", "sum_abs", "peak")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, samples = wav_decode(bytes(payload))
+                a = np.abs(samples.astype(np.int64))
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(samples))
+                out["sum_abs"].append(int(a.sum()))
+                out["peak"].append(int(a.max()) if len(a) else 0)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, WAV_STATS_SCHEMA
+    )
+
+
+def sql_wav_stats(table: str, id_col: str) -> str:
+    """Closed-form oracle over the generative sample formula — computes
+    the same stats without parsing a byte."""
+    return f"""
+WITH m AS (
+  SELECT {id_col} AS media_id, 50 + {id_col} % 50 AS n_samples FROM {table}
+),
+s AS (
+  SELECT m.media_id, m.n_samples,
+         (m.media_id * 131 + t.t * 17) % 2048 - 1024 AS v
+  FROM m,
+       LATERAL (SELECT unnest(generate_series(0, m.n_samples - 1)) AS t) t
+)
+SELECT media_id,
+       8000 AS sample_rate,
+       CAST(n_samples AS INT) AS n_samples,
+       CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+       CAST(max(abs(v)) AS INT) AS peak
+FROM s
+GROUP BY media_id, n_samples
+"""

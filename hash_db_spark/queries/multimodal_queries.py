@@ -19,6 +19,13 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(media)
 
 
+def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: deterministic RIFF/PCM16 payloads parsed by
+    the numpy codec; per-clip loudness stats vs the closed-form oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.wav_stats(M.synth_wav_media(docs, "doc_id"))
+
+
 def q_multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL binary image decode: deterministic P6 PPM payloads encoded
     per doc, parsed back with the numpy codec, per-channel pixel sums.
@@ -68,6 +75,10 @@ QUERIES = {
     "multimodal_ppm_decode": Query(
         q_multimodal_ppm_decode,
         M.sql_ppm_stats("documents", "doc_id"),
+    ),
+    "multimodal_wav_decode": Query(
+        q_multimodal_wav_decode,
+        M.sql_wav_stats("documents", "doc_id"),
     ),
     "multimodal_resize": Query(
         q_multimodal_resize,

@@ -46,3 +46,30 @@ def test_ppm_stats_pipeline_matches_numpy(spark):
         _, _, px = M.ppm_decode(M.ppm_encode(i, w, h))
         sums = px.astype(np.int64).sum(axis=(0, 1))
         assert got[i] == (w, h, int(sums[0]), int(sums[1]), int(sums[2]))
+
+
+def test_wav_roundtrip_and_malformed():
+    rate, s = M.wav_decode(M.wav_encode(3, 75, sample_rate=16000))
+    assert rate == 16000 and len(s) == 75
+    for t in (0, 37, 74):
+        assert s[t] == (3 * 131 + t * 17) % 2048 - 1024
+    with pytest.raises(ValueError, match="RIFF"):
+        M.wav_decode(b"OggS" + b"\0" * 60)
+    # stereo (channels=2) rejected
+    import struct
+    bad = bytearray(M.wav_encode(1, 10))
+    bad[22:24] = struct.pack("<H", 2)
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        M.wav_decode(bytes(bad))
+
+
+def test_wav_stats_pipeline_matches_numpy(spark):
+    ids = spark.createDataFrame([(i,) for i in range(15)], ["doc_id"])
+    got = {
+        r.media_id: (r.sample_rate, r.n_samples, r.sum_abs, r.peak)
+        for r in M.wav_stats(M.synth_wav_media(ids, "doc_id")).collect()
+    }
+    for i in range(15):
+        _, s = M.wav_decode(M.wav_encode(i, 50 + i % 50))
+        a = np.abs(s.astype(np.int64))
+        assert got[i] == (8000, len(s), int(a.sum()), int(a.max()))
