@@ -460,3 +460,147 @@ SELECT media_id,
 FROM s
 GROUP BY media_id, n_samples
 """
+
+
+# --------------------------------------------------------------------------
+# REAL video decode: Y4M (YUV4MPEG2, C420) — plain-text stream header,
+# per-frame FRAME markers, raw YUV420 planes. numpy-parseable.
+
+Y4M_STATS_SCHEMA = (
+    "media_id long, width int, height int, n_frames int, sum_luma bigint"
+)
+
+
+def y4m_encode(media_id: int, width: int, height: int, n_frames: int) -> bytes:
+    """Deterministic YUV4MPEG2 clip (C420): luma(f, r, c) =
+    (media_id * 37 + f * 11 + r * 5 + c * 3) % 256; chroma planes are
+    flat 128 (grey). Dimensions must be even for 4:2:0."""
+    import numpy as np
+
+    out = [f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420\n".encode()]
+    cw, chh = width // 2, height // 2
+    for f in range(n_frames):
+        r = np.arange(height)[:, None]
+        c = np.arange(width)[None, :]
+        y = ((media_id * 37 + f * 11 + r * 5 + c * 3) % 256).astype(np.uint8)
+        out.append(b"FRAME\n")
+        out.append(y.tobytes())
+        out.append(np.full(cw * chh * 2, 128, dtype=np.uint8).tobytes())
+    return b"".join(out)
+
+
+def y4m_decode(payload: bytes):
+    """Parse YUV4MPEG2/C420: returns (width, height, list of luma
+    ndarrays[h, w]); chroma planes are skipped (not summed)."""
+    import numpy as np
+
+    nl = payload.index(b"\n")
+    header = payload[:nl].decode()
+    if not header.startswith("YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    width = height = None
+    for tok in header.split()[1:]:
+        if tok[0] == "W":
+            width = int(tok[1:])
+        elif tok[0] == "H":
+            height = int(tok[1:])
+        elif tok[0] == "C" and tok != "C420":
+            raise ValueError(f"unsupported chroma mode {tok}")
+    if not width or not height:
+        raise ValueError("missing W/H in stream header")
+    luma_len = width * height
+    chroma_len = (width // 2) * (height // 2) * 2
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fl = payload.index(b"\n", pos)
+        if payload[pos:fl].split(b" ")[0] != b"FRAME":
+            raise ValueError("expected FRAME marker")
+        pos = fl + 1
+        if pos + luma_len + chroma_len > len(payload):
+            raise ValueError("truncated frame payload")
+        y = np.frombuffer(payload, dtype=np.uint8, offset=pos, count=luma_len)
+        frames.append(y.reshape(height, width))
+        pos += luma_len + chroma_len
+    return width, height, frames
+
+
+def synth_y4m_media(df: DataFrame, id_col: str) -> DataFrame:
+    """(media_id, kind, payload) with REAL encoded Y4M clips; geometry
+    and frame count derived from the id (even dims, 2..4 frames)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "video/y4m",
+                    "payload": [
+                        y4m_encode(
+                            int(i),
+                            4 + 2 * (int(i) % 3),
+                            4 + 2 * (int(i) % 2),
+                            2 + int(i) % 3,
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        run, "media_id long, kind string, payload binary"
+    )
+
+
+def y4m_stats(media: DataFrame) -> DataFrame:
+    """REAL decode + per-clip stats: geometry, frame count, total luma
+    sum — the brightness/duration summary a video-quality gate uses."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "width", "height", "n_frames", "sum_luma")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, frames = y4m_decode(bytes(payload))
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(len(frames))
+                out["sum_luma"].append(
+                    int(sum(f.astype(np.int64).sum() for f in frames))
+                )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, Y4M_STATS_SCHEMA
+    )
+
+
+def sql_y4m_stats(table: str, id_col: str) -> str:
+    """Closed-form oracle over the generative luma formula."""
+    return f"""
+WITH m AS (
+  SELECT {id_col} AS media_id,
+         4 + 2 * ({id_col} % 3) AS width,
+         4 + 2 * ({id_col} % 2) AS height,
+         2 + {id_col} % 3 AS n_frames
+  FROM {table}
+),
+px AS (
+  SELECT m.media_id, m.width, m.height, m.n_frames, f.f, r.r, c.c
+  FROM m,
+       LATERAL (SELECT unnest(generate_series(0, m.n_frames - 1)) AS f) f,
+       LATERAL (SELECT unnest(generate_series(0, m.height - 1)) AS r) r,
+       LATERAL (SELECT unnest(generate_series(0, m.width - 1)) AS c) c
+)
+SELECT media_id,
+       CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height,
+       CAST(n_frames AS INT) AS n_frames,
+       CAST(sum((media_id * 37 + f * 11 + r * 5 + c * 3) % 256) AS BIGINT)
+         AS sum_luma
+FROM px
+GROUP BY media_id, width, height, n_frames
+"""

@@ -26,6 +26,13 @@ def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.wav_stats(M.synth_wav_media(docs, "doc_id"))
 
 
+def q_multimodal_y4m_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode: deterministic YUV4MPEG2 clips parsed frame by
+    frame; geometry/duration/luma stats vs the closed-form oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.y4m_stats(M.synth_y4m_media(docs, "doc_id"))
+
+
 def q_multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL binary image decode: deterministic P6 PPM payloads encoded
     per doc, parsed back with the numpy codec, per-channel pixel sums.
@@ -79,6 +86,10 @@ QUERIES = {
     "multimodal_wav_decode": Query(
         q_multimodal_wav_decode,
         M.sql_wav_stats("documents", "doc_id"),
+    ),
+    "multimodal_y4m_decode": Query(
+        q_multimodal_y4m_decode,
+        M.sql_y4m_stats("documents", "doc_id"),
     ),
     "multimodal_resize": Query(
         q_multimodal_resize,

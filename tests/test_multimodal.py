@@ -73,3 +73,31 @@ def test_wav_stats_pipeline_matches_numpy(spark):
         _, s = M.wav_decode(M.wav_encode(i, 50 + i % 50))
         a = np.abs(s.astype(np.int64))
         assert got[i] == (8000, len(s), int(a.sum()), int(a.max()))
+
+
+def test_y4m_roundtrip_and_malformed():
+    w, h, frames = M.y4m_decode(M.y4m_encode(9, 8, 6, 4))
+    assert (w, h, len(frames)) == (8, 6, 4)
+    for f, r, c in [(0, 0, 0), (3, 5, 7), (2, 4, 1)]:
+        assert frames[f][r, c] == (9 * 37 + f * 11 + r * 5 + c * 3) % 256
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        M.y4m_decode(b"RIFF....WAVE\n")
+    with pytest.raises(ValueError, match="chroma"):
+        M.y4m_decode(b"YUV4MPEG2 W4 H4 C444\nFRAME\n" + b"\0" * 48)
+    # truncated frame
+    good = M.y4m_encode(1, 4, 4, 2)
+    with pytest.raises(ValueError, match="truncated"):
+        M.y4m_decode(good[:-5])
+
+
+def test_y4m_stats_pipeline_matches_numpy(spark):
+    ids = spark.createDataFrame([(i,) for i in range(12)], ["doc_id"])
+    got = {
+        r.media_id: (r.width, r.height, r.n_frames, r.sum_luma)
+        for r in M.y4m_stats(M.synth_y4m_media(ids, "doc_id")).collect()
+    }
+    for i in range(12):
+        w, h, nf = 4 + 2 * (i % 3), 4 + 2 * (i % 2), 2 + i % 3
+        gw, gh, frames = M.y4m_decode(M.y4m_encode(i, w, h, nf))
+        sl = int(sum(f.astype(np.int64).sum() for f in frames))
+        assert got[i] == (w, h, nf, sl)
