@@ -25,6 +25,28 @@ def q_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rank_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global row_number / ntile(7) / percent_rank over the WHOLE
+    customer table with NO single-task Window (operators/rank.py: range
+    partition + per-partition rank + driver offsets) — the scale-safe
+    answer to the `ansi_ntile` pattern, which documents the funnel this
+    operator removes. The oracle is the naive global window: identity of
+    results is the correctness statement."""
+    from hash_db_spark.operators.rank import ntile_global
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    return ntile_global(
+        cust,
+        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+        n=7,
+        out="septile",
+        rn_col="rn",
+        prank_col="prank",
+    ).select("c_custkey", "rn", "septile", "prank")
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
     cust = load_table(spark, sf_dir, "customer").select(
@@ -49,5 +71,16 @@ QUERIES = {
         q_salted_join,
         "SELECT event_id, user_id, c_mktsegment FROM events "
         "JOIN customer ON user_id = c_custkey",
+    ),
+    "rank_global_scalable": Query(
+        q_rank_global,
+        """
+        SELECT c_custkey,
+               CAST(row_number() OVER w AS BIGINT) AS rn,
+               CAST(ntile(7) OVER w AS INT) AS septile,
+               round(percent_rank() OVER w, 6) AS prank
+        FROM customer
+        WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey ASC)
+        """,
     ),
 }
