@@ -159,3 +159,42 @@ SELECT id, count(*) AS n_bigrams,
 FROM big JOIN bf USING (prev, tok) JOIN pf USING (prev)
 GROUP BY id
 """
+
+
+def lm_gate(
+    df: DataFrame, col: str, id_col: str, drop_frac: float = 0.1
+) -> DataFrame:
+    """(id, n_bigrams, bigram_logprob) for documents SURVIVING the LM
+    filter: score every doc with the corpus bigram model and drop the
+    worst ``drop_frac`` tail — the CCNet-style perplexity gate, with the
+    corpus's own bigram MLE standing in for the external LM.
+
+    The cutoff is the exact ``drop_frac`` quantile of the score
+    distribution (one scalar, broadcast back). Exact percentile buffers
+    the per-doc scores on one executor — one double per DOCUMENT (not
+    per token), so ~8 bytes x n_docs; beyond that, swap the threshold
+    for profiling.binned_histogram + histogram_quantiles (mergeable,
+    map-side) or percentile_approx — estimates differ cross-engine,
+    which is why the oracle-checked form uses the exact one.
+    """
+    scores = doc_bigram_logprob(df, col, id_col)
+    thr = scores.agg(
+        F.expr(f"percentile(bigram_logprob, {drop_frac!r})").alias("__thr")
+    )
+    return (
+        scores.crossJoin(F.broadcast(thr))
+        .filter(F.col("bigram_logprob") >= F.col("__thr"))
+        .select("id", "n_bigrams", "bigram_logprob")
+    )
+
+
+def sql_lm_gate(
+    table: str, col: str, id_col: str, drop_frac: float = 0.1
+) -> str:
+    scores = sql_doc_bigram_logprob(table, col, id_col)
+    return f"""
+WITH scores AS ({scores}),
+thr AS (SELECT quantile_cont(bigram_logprob, {drop_frac!r}) AS t FROM scores)
+SELECT id, n_bigrams, bigram_logprob
+FROM scores, thr WHERE bigram_logprob >= t
+"""

@@ -373,6 +373,23 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
 
 
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """(deg, n_nodes): undirected degree distribution — the first chart
+    of any graph report (and the skew census that decides whether the
+    triangle/wedge joins above need hub mitigation). Two map-side-
+    combined shuffles on integer keys; no row ever carries more than
+    (node, count). Isolated nodes (degree 0) are not represented in an
+    edge list and so don't appear — matching the oracle."""
+    return (
+        edges.select(F.col("src").alias("n"))
+        .unionAll(edges.select(F.col("dst").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .groupBy("deg")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
+
 SQL_TRIANGLE_COUNT = """
 WITH e AS (
   SELECT a.vec_id AS x, b.vec_id AS y

@@ -85,6 +85,13 @@ PASSTHROUGH: dict[str, str] = {
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY ROLLUP (r_name, n_name)
     """,
+    # CUBE: all 2^k grouping sets (ROLLUP's big sibling).
+    "ansi_cube": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
     # INTERSECT / EXCEPT set operators.
     "ansi_intersect": """
         SELECT c_custkey AS k FROM customer

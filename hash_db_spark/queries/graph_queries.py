@@ -246,6 +246,36 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the embedding near-dup graph (free win —
+    the skew census for the wedge/triangle joins)."""
+    from hash_db_spark.operators.dedup import embedding_near_dup_pairs
+    from hash_db_spark.operators.graph import degree_histogram
+
+    pairs = embedding_near_dup_pairs(load_table(spark, sf_dir, "embeddings"))
+    return degree_histogram(
+        pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+    )
+
+
+SQL_DEGREE_HIST = """
+WITH e AS (
+  SELECT a.vec_id AS x, b.vec_id AS y
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(
+          a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+),
+degs AS (
+  SELECT n, count(*) AS deg FROM (
+    SELECT x AS n FROM e UNION ALL SELECT y AS n FROM e
+  ) GROUP BY n
+)
+SELECT deg, count(*) AS n_nodes FROM degs GROUP BY deg
+"""
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative PageRank over the fixture property graph (free win —
     dataflow power iteration in DataFrames, GraphX-style)."""
@@ -270,6 +300,7 @@ QUERIES = {
     "graph_n_hop": Query(q_graph_n_hop, _n_hop_oracle()),
     "graph_pagerank": Query(q_graph_pagerank, _pagerank_oracle()),
     "graph_triangles": Query(q_graph_triangles, SQL_TRIANGLE_COUNT),
+    "graph_degree_hist": Query(q_graph_degree_hist, SQL_DEGREE_HIST),
     "cypher_1hop": Query(
         q_cypher_1hop,
         _g(

@@ -79,6 +79,15 @@ def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality gate: score docs under the corpus bigram
+    model, drop the worst decile (exact-quantile cutoff, broadcast
+    scalar)."""
+    return corpus_stats.lm_gate(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
 def q_dedup_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring scrub (the transformation side of
     dedup_span_grams): documents rewritten with every cross-document
@@ -361,6 +370,10 @@ QUERIES = {
     "doc_bigram_logprob": Query(
         q_doc_bigram_logprob,
         corpus_stats.sql_doc_bigram_logprob("documents", "text", "doc_id"),
+    ),
+    "lm_perplexity_gate": Query(
+        q_lm_perplexity_gate,
+        corpus_stats.sql_lm_gate("documents", "text", "doc_id"),
     ),
     "dedup_span_grams": Query(
         q_dedup_span_grams,
