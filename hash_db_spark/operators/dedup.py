@@ -1140,41 +1140,75 @@ WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
 # 4. SimHash
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 32
+# 60 bits = four 15-bit pigeonhole bands (32768 buckets each). The
+# round-3 32-bit/8-bit-band form saturated by pigeonhole at ~64k docs
+# (every byte bucket hot at sf0.1 already); 15-bit bands keep expected
+# bucket size under the hot cap to ~2M docs, and the whole construction
+# stays within non-negative int64 (sum of 2^0..2^59 < 2^63), which the
+# cross-engine bit arithmetic requires. Stops at 60, not 64: 2^63
+# overflows BIGINT and the sign bit breaks `>>` parity.
+SIMHASH_BITS = 60
+SIMHASH_BAND_BITS = 15
+SIMHASH_BANDS = 4
+SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
 
 
-def simhash(df: DataFrame, col: str, id_col: str) -> DataFrame:
-    """32-bit SimHash per document (classic Charikar construction with
+def simhash(
+    df: DataFrame, col: str, id_col: str, materialize: bool = False
+) -> DataFrame:
+    """60-bit SimHash per document (classic Charikar construction with
     term-frequency weights): every token *occurrence* votes +1/-1 per bit
-    of its hash, sign of the vote total → bit. TF weighting matters: on
-    shared-vocab corpora a distinct-token simhash collapses (most docs
-    hash identically). Returns (id, simhash:int64). One shuffle."""
+    of its hash, sign of the vote total → bit (sum of ±1 votes > 0 ⟺
+    2·set-bit-count > n, the form used here — plain bit-extract sums
+    codegen-compile ~3x faster than 60 CASE branches). TF weighting
+    matters: on shared-vocab corpora a distinct-token simhash collapses
+    (most docs hash identically). Returns (id, simhash:int64). One
+    shuffle.
+
+    ``materialize=True`` checkpoints the per-doc vote counts (61 skinny
+    numeric columns, one row per doc) before the bit-assembly
+    projection — for consumers like ``simhash_near_pairs`` whose plan
+    reads the signatures from several subplans (band self-join sides,
+    rescue, chain): without it each consumer re-tokenizes the corpus,
+    and Spark's cache builder evaluates the 60-term assembly expression
+    interpreted at the cache boundary (measured 5s vs 1.5s at sf0.1).
+    At 100 TB this is the signature ARTIFACT — one narrow row per doc,
+    the thing a real pipeline writes to storage and reuses — same
+    lineage-truncation precedent as ``relational.insert_rows``."""
+    # 15 hex chars of md5 = exactly SIMHASH_BITS of token hash,
+    # non-negative in int64 on both engines.
+    tok_hash = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast(
+        "long"
+    )
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(clean_tokens(col)).alias("tok"),
-    ).withColumn("h", md5_hash64(F.col("tok")))
+    ).withColumn("h", tok_hash)
     votes = toks.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n"),
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
-            ).alias(f"b{b}")
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(1)).alias(f"b{b}")
             for b in range(SIMHASH_BITS)
-        ]
+        ],
     )
+    if materialize:
+        votes = votes.localCheckpoint(eager=True)
     sim = None
     for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        term = F.when(2 * F.col(f"b{b}") > F.col("n"), F.lit(2**b)).otherwise(
+            F.lit(0)
+        )
         sim = term if sim is None else sim + term
     return votes.select("id", sim.cast("long").alias("simhash"))
 
 
 def sql_simhash(table: str, col: str, id_col: str) -> str:
     vote_exprs = ", ".join(
-        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
-        for b in range(SIMHASH_BITS)
+        f"sum((h >> {b}) & 1) AS b{b}" for b in range(SIMHASH_BITS)
     )
     sim_expr = " + ".join(
-        f"(CASE WHEN b{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+        f"(CASE WHEN 2 * b{b} > n THEN {2**b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
     )
     return f"""
 WITH toks AS (
@@ -1182,8 +1216,8 @@ WITH toks AS (
          unnest({sql_clean_tokens(col)}) AS tok
   FROM {table}
 ),
-hashed AS (SELECT id, {sql_md5_hash64('tok')} AS h FROM toks),
-votes AS (SELECT id, {vote_exprs} FROM hashed GROUP BY id)
+hashed AS (SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+votes AS (SELECT id, count(*) AS n, {vote_exprs} FROM hashed GROUP BY id)
 SELECT id, CAST({sim_expr} AS BIGINT) AS simhash FROM votes
 """
 
@@ -1197,35 +1231,33 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance.
 
-    Candidate generation pigeonholes on the 4 signature bytes: any pair
-    within hamming <= 3 can disturb at most 3 of the 4 bytes, so it
-    *must* share at least one — the byte-bucket equijoin is an exact
+    Candidate generation pigeonholes on four 15-bit signature bands: any
+    pair within hamming <= 3 can disturb at most 3 of the 4 bands, so it
+    *must* share at least one — the band-bucket equijoin is an exact
     candidate filter for max_hamming <= 3 (docs meet only in shared
     buckets; no cross join), then bit_count(xor) verifies. For larger
     thresholds, widen to overlapping bands. Returns (id_a, id_b, hamming).
 
     Skew guard (same family as minhash_lsh_pairs / lsh_near_dup_pairs):
-    byte buckets larger than ``max_band_bucket`` leave the all-pairs join
+    band buckets larger than ``max_band_bucket`` leave the all-pairs join
     and are covered by two linear rescues — identical-simhash pairs
     rejoin inside hot band-0 buckets (hamming-0 recall is exact), and
     consecutive members of every hot bucket chain so near-identical
     clusters stay connected. In capped mode the pigeonhole filter is no
     longer exhaustive inside hot buckets (differing-hash pairs whose
-    every shared byte is hot reduce to the chain) — pass
+    every shared band is hot reduce to the chain) — pass
     ``max_band_bucket=None`` for the exact enumeration when the corpus
     is known skew-free.
 
-    100 TB lever: byte bands give only 4x256 buckets, so beyond ~64*256
-    docs EVERY bucket exceeds the cap by pigeonhole and recall degrades
-    to the rescues. The fix is band WIDTH, not the cap: a 64-bit simhash
-    with four 16-bit bands (same construction, SIMHASH_BITS=64, `& 65535`
-    extraction, identical pigeonhole guarantee at max_hamming <= 3) gives
-    65k buckets per band — expected bucket size stays under cap=64 to
-    ~4M docs, and further sharding (e.g. prefix on a length bucket)
-    extends it arbitrarily. Kept at 32 bits here because the fixture gate
-    froze these hashes; the width is a constant, not a design change.
+    100 TB lever: band WIDTH, not the cap. 15-bit bands give 32768
+    buckets each — expected bucket size stays under cap=64 to ~2M docs
+    (the round-3 8-bit-band form saturated at ~64k docs, collapsing
+    recall to the rescues at bench scale already). Beyond that, shard
+    the band key further (e.g. prefix a token-length bucket) — the
+    pigeonhole argument only needs the four bands to partition the 60
+    bits, not any particular width.
     """
-    sh = simhash(df, col, id_col)
+    sh = simhash(df, col, id_col, materialize=True)
     bands = sh.select(
         "id",
         "simhash",
@@ -1234,11 +1266,11 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(k).alias("band"),
-                        F.shiftright(F.col("simhash"), k * 8)
-                        .bitwiseAND(255)
+                        F.shiftright(F.col("simhash"), k * SIMHASH_BAND_BITS)
+                        .bitwiseAND(SIMHASH_BAND_MASK)
                         .alias("byte"),
                     )
-                    for k in range(4)
+                    for k in range(SIMHASH_BANDS)
                 ]
             )
         ).alias("bk"),
@@ -1320,8 +1352,10 @@ def sql_simhash_near_pairs(
 ) -> str:
     sim = sql_simhash(table, col, id_col)
     band_selects = " UNION ALL ".join(
-        f"SELECT id, simhash, {k} AS band, (simhash >> {k * 8}) & 255 AS byte FROM sims"
-        for k in range(4)
+        f"SELECT id, simhash, {k} AS band, "
+        f"(simhash >> {k * SIMHASH_BAND_BITS}) & {SIMHASH_BAND_MASK} AS byte "
+        f"FROM sims"
+        for k in range(SIMHASH_BANDS)
     )
     if max_band_bucket is not None:
         cand_sql = f"""

@@ -110,3 +110,60 @@ def ntile_global(
         )
     ranked = ranked.drop("__pid")
     return ranked.drop("__rn") if rn_col is None else ranked
+
+
+def take_to_budget(
+    df: DataFrame,
+    order_cols: list[Column],
+    weight_col: str,
+    budget: int | float,
+    cum_col: str = "cum_weight",
+) -> DataFrame:
+    """Prefix of ``df`` along a total order whose running ``weight_col``
+    sum stays within ``budget`` — the "take the best documents until the
+    token budget is spent" selector of a training-data pipeline.
+
+    Same distributed shape as ``row_number_global``: range-partition on
+    the order, per-partition running sum (partitioned Window), plus a
+    per-partition weight offset collected to the driver (O(partitions)
+    scalars). A row is kept when its INCLUSIVE running sum is <= budget,
+    matching `sum(w) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)` —
+    exact for integer weights (token counts), so the cut row set is
+    bit-identical to the single-window oracle.
+    """
+    ranged = (
+        df.repartitionByRange(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sums = sorted(
+        (r["__pid"], r["w"])
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(weight_col).alias("w"))
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for pid, w in sums:
+        offsets[pid] = acc
+        acc += w
+    off = (
+        F.coalesce(
+            *[
+                F.when(F.col("__pid") == pid, F.lit(o))
+                for pid, o in offsets.items()
+            ],
+            F.lit(0),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.withColumn(cum_col, off + F.sum(weight_col).over(w))
+        .filter(F.col(cum_col) <= budget)
+        .drop("__pid")
+    )

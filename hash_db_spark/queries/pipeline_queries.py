@@ -88,6 +88,45 @@ def q_lm_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOKEN_BUDGET = 6000
+
+
+def q_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: take documents in priority order
+    (longest first, id tie-break) until the running token count spends
+    the budget — distributed global cumsum (operators/rank.take_to_budget),
+    no single-task window."""
+    from hash_db_spark.functions.text import token_count
+    from hash_db_spark.operators.rank import take_to_budget
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", token_count("text").alias("n_toks")
+    )
+    return take_to_budget(
+        docs,
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        "n_toks",
+        TOKEN_BUDGET,
+    ).select("doc_id", "n_toks", "cum_weight")
+
+
+def _token_budget_oracle() -> str:
+    from hash_db_spark.functions.text import sql_token_count
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, n_chars, {sql_token_count('text')} AS n_toks FROM documents
+)
+SELECT doc_id, n_toks, cum_weight FROM (
+  SELECT doc_id, n_toks,
+         CAST(sum(n_toks) OVER (ORDER BY n_chars DESC, doc_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_weight
+  FROM t
+) WHERE cum_weight <= {TOKEN_BUDGET}
+"""
+
+
 def q_dedup_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring scrub (the transformation side of
     dedup_span_grams): documents rewritten with every cross-document
@@ -374,6 +413,9 @@ QUERIES = {
     "lm_perplexity_gate": Query(
         q_lm_perplexity_gate,
         corpus_stats.sql_lm_gate("documents", "text", "doc_id"),
+    ),
+    "select_token_budget": Query(
+        q_select_token_budget, _token_budget_oracle()
     ),
     "dedup_span_grams": Query(
         q_dedup_span_grams,

@@ -64,7 +64,7 @@ def test_simhash_identical_docs_equal_hash(docs):
     sims = {r.id: r.simhash for r in D.simhash(docs, "text", "doc_id").collect()}
     assert sims[1] == sims[3]
     assert sims[1] != sims[4]
-    assert all(0 <= v < 2**32 for v in sims.values())
+    assert all(0 <= v < 2**D.SIMHASH_BITS for v in sims.values())
 
 
 def test_simhash_near_pairs_exact_dup_zero_distance(docs):

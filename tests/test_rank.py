@@ -54,6 +54,29 @@ def test_ntile_front_loads_remainder_when_total_lt_n(spark):
     assert [r["b"] for r in got.orderBy("v").collect()] == [1, 2, 3]
 
 
+def test_take_to_budget_matches_global_cumsum(spark, sf_dir):
+    from hash_db_spark.operators.rank import take_to_budget
+
+    cust = _customers(spark, sf_dir).withColumn(
+        "w", (F.col("c_custkey") % 7 + 1).cast("long")
+    )
+    order = [F.col("c_acctbal").desc(), F.col("c_custkey").asc()]
+    got = take_to_budget(cust, order, "w", budget=200).select(
+        "c_custkey", "cum_weight"
+    )
+    w = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = (
+        cust.withColumn("cum_weight", F.sum("w").over(w))
+        .filter(F.col("cum_weight") <= 200)
+        .select("c_custkey", "cum_weight")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() > 0
+
+
 def test_plan_has_no_unpartitioned_window(spark, sf_dir):
     cust = _customers(spark, sf_dir)
     got = ntile_global(
