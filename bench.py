@@ -97,6 +97,12 @@ HEADLINE: list[str] = [
     "dedup_apply_keep",
     "quality_gate",
     "pack_sequences",
+    # session-3 additions: scalable global rank, LM quality gate,
+    # token-budget selection, graph degree census
+    "rank_global_scalable",
+    "lm_perplexity_gate",
+    "select_token_budget",
+    "graph_degree_hist",
     # the full prep pipeline as ONE plan: gate -> dedup-keep -> chunk ->
     # pack -> per-lang counts
     "train_prep",
@@ -132,6 +138,13 @@ def main() -> None:
         # serialization.
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # Per-query isolation: operators cache skinny internal relations
+        # (hot-bucket keys, shingle arrays); across 55+ queries those
+        # accumulate in the one JVM and bleed GC/eviction pressure into
+        # later timings (measured multi-second swings on the tokenizing
+        # entries between otherwise identical runs). Clearing between
+        # queries keeps each measurement self-contained.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(

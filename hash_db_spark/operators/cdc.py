@@ -87,3 +87,38 @@ def compact(
     """Materialize the latest view (what a maintenance job writes back,
     truncating the log)."""
     return latest_view(base, changes, key, version)
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, id_col: str, cmp_cols: list[str]
+) -> DataFrame:
+    """(id, status ∈ {added, removed, changed}) between two corpus
+    snapshots, compared on ``cmp_cols`` (typically a content hash) —
+    the dataset-versioning report a training pipeline runs between
+    crawls. One full-outer shuffle on the id; unchanged rows drop out
+    of the result. Null-safe comparison: a column going NULL <-> value
+    counts as changed."""
+    o = old.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c).alias(f"__o_{c}") for c in cmp_cols],
+        F.lit(1).alias("__o"),
+    )
+    n = new.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c).alias(f"__n_{c}") for c in cmp_cols],
+        F.lit(1).alias("__n"),
+    )
+    j = o.join(n, "id", "full_outer")
+    changed = None
+    for c in cmp_cols:
+        d = ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        changed = d if changed is None else (changed | d)
+    status = (
+        F.when(F.col("__o").isNull(), F.lit("added"))
+        .when(F.col("__n").isNull(), F.lit("removed"))
+        .when(changed, F.lit("changed"))
+    )
+    return (
+        j.select("id", status.alias("status"))
+        .filter(F.col("status").isNotNull())
+    )

@@ -100,6 +100,75 @@ def asof_join(
     )
 
 
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    right_payload: list[str],
+) -> DataFrame:
+    """As-of with ``direction='nearest'`` (the pandas ``merge_asof``
+    third direction): for each left row, the right row minimizing
+    |right_time - left_time|, ties broken backward.
+
+    Implementation: the same tag-and-union as ``asof_join``, but BOTH
+    fill directions ride the one shuffle — two Windows over the same
+    key partition (ascending for the backward fill, descending for the
+    forward fill; Spark re-sorts within partitions, no second
+    exchange), then a per-row interval comparison picks the closer
+    side. NULL on one side falls back to the other."""
+    lt = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(0).alias("__is_right"),
+        "*",
+    )
+    rt = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(1).alias("__is_right"),
+        F.col(right_time).alias("__r___mt"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
+    )
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    wb = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__is_right").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").desc(), F.col("__is_right").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        F.last("__r___mt", ignorenulls=True).over(wb).alias("__mtb"),
+        F.last("__r___mt", ignorenulls=True).over(wf).alias("__mtf"),
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(wb).alias(f"__b_{c}")
+            for c in right_payload
+        ],
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(wf).alias(f"__f_{c}")
+            for c in right_payload
+        ],
+    )
+    use_b = F.col("__mtf").isNull() | (
+        F.col("__mtb").isNotNull()
+        & ((F.col("__t") - F.col("__mtb")) <= (F.col("__mtf") - F.col("__t")))
+    )
+    picked = [
+        F.when(use_b, F.col(f"__b_{c}"))
+        .otherwise(F.col(f"__f_{c}"))
+        .alias(f"asof_{c}")
+        for c in right_payload
+    ]
+    keep = [c for c in left.columns]
+    return filled.filter(F.col("__is_right") == 0).select(*keep, *picked)
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

@@ -431,6 +431,48 @@ SELECT 9001, 'NewSupplier', 3, 50.0
 """
 
 
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Between-crawl dataset diff: derive a 'next snapshot' of the
+    documents table (drop doc_id%17, re-case doc_id%13, add shifted ids
+    for doc_id%23) and report added/removed/changed — one full-outer
+    shuffle (cdc.snapshot_diff)."""
+    from hash_db_spark.operators import cdc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    changed = F.when(
+        F.col("doc_id") % 13 == 0, F.upper(F.col("text"))
+    ).otherwise(F.col("text"))
+    new = (
+        docs.filter(F.col("doc_id") % 17 != 0)
+        .withColumn("text", changed)
+        .unionByName(
+            docs.filter(F.col("doc_id") % 23 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return cdc.snapshot_diff(docs, new, "doc_id", ["text"])
+
+
+SNAPSHOT_DIFF_ORACLE = """
+WITH oldt AS (SELECT doc_id AS id, text FROM documents),
+newt AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 13 = 0 THEN upper(text) ELSE text END AS text
+  FROM documents WHERE doc_id % 17 != 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS id, text FROM documents WHERE doc_id % 23 = 0
+)
+SELECT id, status FROM (
+  SELECT COALESCE(o.id, n.id) AS id,
+         CASE WHEN o.id IS NULL THEN 'added'
+              WHEN n.id IS NULL THEN 'removed'
+              WHEN o.text IS DISTINCT FROM n.text THEN 'changed' END AS status
+  FROM oldt o FULL JOIN newt n ON o.id = n.id
+) WHERE status IS NOT NULL
+"""
+
+
 def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 validity intervals for the same changelog as cdc_latest_view:
     supplier 1 has three states (base → v1 → v2-current), supplier 2's
@@ -473,6 +515,9 @@ SELECT 9001, 1, NULL, TRUE, 'NewSupplier', 50.0
 QUERIES = {
     "percentiles": Query(q_percentiles, PERCENTILES_ORACLE),
     "cdc_latest_view": Query(q_cdc_latest_view, CDC_ORACLE),
+    "corpus_snapshot_diff": Query(
+        q_corpus_snapshot_diff, SNAPSHOT_DIFF_ORACLE
+    ),
     "cdc_scd2_history": Query(q_cdc_scd2_history, SCD2_ORACLE),
     "select_where_eq": Query(
         q_select_where_eq,

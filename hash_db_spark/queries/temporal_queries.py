@@ -98,6 +98,45 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of (pandas merge_asof's third direction):
+    for each purchase, the click closest in time either way, ties
+    backward. Both fills ride one shuffle."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    joined = T.asof_join_nearest(
+        purchases, clicks, key="user_id", left_time="ts", right_time="cts",
+        right_payload=["cts"],
+    )
+    return joined.select(
+        "event_id", "user_id", "ts",
+        F.col("asof_cts").alias("nearest_click_ts"),
+    )
+
+
+ASOF_NEAREST_ORACLE = """
+SELECT event_id, user_id, ts,
+       CASE WHEN f IS NULL THEN b
+            WHEN b IS NULL THEN f
+            WHEN (ts - b) <= (f - ts) THEN b ELSE f END AS nearest_click_ts
+FROM (
+  SELECT p.event_id, p.user_id, p.ts,
+         (SELECT max(c.ts) FROM events c
+           WHERE c.user_id = p.user_id AND c.event_type = 'click'
+             AND c.ts <= p.ts) AS b,
+         (SELECT min(c.ts) FROM events c
+           WHERE c.user_id = p.user_id AND c.event_type = 'click'
+             AND c.ts >= p.ts) AS f
+  FROM events p WHERE p.event_type = 'purchase'
+)
+"""
+
+
 ASOF_FWD_ORACLE = """
 SELECT p.event_id, p.user_id, p.ts,
        (SELECT min(c.ts) FROM events c
@@ -322,6 +361,7 @@ QUERIES = {
     "asof_join": Query(q_asof_join, ASOF_ORACLE),
     "asof_tolerance": Query(q_asof_tolerance, ASOF_TOL_ORACLE),
     "asof_forward": Query(q_asof_forward, ASOF_FWD_ORACLE),
+    "asof_nearest": Query(q_asof_nearest, ASOF_NEAREST_ORACLE),
     "range_join": Query(q_range_join, RANGE_ORACLE),
     "interval_bin_join": Query(q_interval_bin_join, INTERVAL_BIN_ORACLE),
     "ts_similar_users": Query(
