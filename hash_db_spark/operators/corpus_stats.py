@@ -198,3 +198,34 @@ thr AS (SELECT quantile_cont(bigram_logprob, {drop_frac!r}) AS t FROM scores)
 SELECT id, n_bigrams, bigram_logprob
 FROM scores, thr WHERE bigram_logprob >= t
 """
+
+
+def token_entropy(df: DataFrame, col: str, id_col: str) -> DataFrame:
+    """(id, n_tokens, token_entropy): Shannon entropy (bits) of each
+    document's unigram distribution — the repetition/diversity signal of
+    the Gopher-style quality rules (near-0 = one token repeated, high =
+    diverse vocabulary). H = log2(n) - Σ c·log2(c) / n keeps every term
+    exact-integer until the final logs. Two map-side-combinable shuffles
+    (doc×token, then doc); no corpus-wide state."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(clean_tokens(col)).alias("tok"),
+    )
+    cnt = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    h = F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n
+    return cnt.groupBy("id").agg(
+        n.alias("n_tokens"), F.round(h, 6).alias("token_entropy")
+    )
+
+
+def sql_token_entropy(table: str, col: str, id_col: str) -> str:
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS id, unnest({sql_clean_tokens(col)}) AS tok FROM {table}
+),
+cnt AS (SELECT id, tok, count(*) AS c FROM toks GROUP BY id, tok)
+SELECT id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS token_entropy
+FROM cnt GROUP BY id
+"""

@@ -417,6 +417,12 @@ QUERIES = {
     "select_token_budget": Query(
         q_select_token_budget, _token_budget_oracle()
     ),
+    "text_token_entropy": Query(
+        lambda spark, sf_dir: corpus_stats.token_entropy(
+            load_table(spark, sf_dir, "documents"), "text", "doc_id"
+        ),
+        corpus_stats.sql_token_entropy("documents", "text", "doc_id"),
+    ),
     "dedup_span_grams": Query(
         q_dedup_span_grams,
         D.sql_repeated_ngram_spans("documents", "text", "doc_id", n=SPAN_N),

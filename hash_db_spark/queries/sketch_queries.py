@@ -28,6 +28,26 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.join(exact, "event_type").orderBy("event_type")
 
 
+def q_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING distinct-count sketch: the HLL register maxima are a
+    streaming aggregation (groupBy max — complete mode, state = at most
+    groups x 256 skinny rows regardless of stream length); the estimate
+    is computed from the final register table. Lands on the same answer
+    as the batch sketch — the oracle is the batch SQL, making this a
+    driver-checked STREAMING entry, not a parity-only one."""
+    from hash_db_spark.streaming import windows as W
+
+    stream = W.read_events_stream(spark, sf_dir)
+    regs = S.register_rows(stream, "user_id", "event_type")
+    final_regs = W.run_stream_to_memory(regs, output_mode="complete")
+    est = S.estimate(final_regs, "event_type")
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").orderBy("event_type")
+
+
 def q_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     shard_sketches = S.register_rows(ev, "event_id", "event_type")
@@ -130,6 +150,7 @@ WHERE est.est >= 25
 
 QUERIES = {
     "hll_distinct_users": Query(q_hll_distinct_users, HLL_USERS_ORACLE),
+    "stream_hll_users": Query(q_stream_hll_users, HLL_USERS_ORACLE),
     "hll_merge_rollup": Query(q_hll_merge_rollup, HLL_ROLLUP_ORACLE),
     "cms_user_counts": Query(q_cms_user_counts, CMS_USERS_ORACLE),
     "cms_merge_heavy_hitters": Query(
