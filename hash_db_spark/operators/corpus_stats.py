@@ -177,7 +177,11 @@ def lm_gate(
     map-side) or percentile_approx — estimates differ cross-engine,
     which is why the oracle-checked form uses the exact one.
     """
-    scores = doc_bigram_logprob(df, col, id_col)
+    # Materialized once: the score frame feeds BOTH the threshold
+    # aggregate and the filter — without this the whole bigram pipeline
+    # (tokenize + 3 shuffles) runs twice. One narrow row per doc: the
+    # scores artifact a real pipeline would persist anyway.
+    scores = doc_bigram_logprob(df, col, id_col).localCheckpoint(eager=True)
     thr = scores.agg(
         F.expr(f"percentile(bigram_logprob, {drop_frac!r})").alias("__thr")
     )

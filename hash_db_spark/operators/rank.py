@@ -97,12 +97,18 @@ def ntile_global(
     big = size + 1  # rows 1 .. rem*big live in the first rem buckets
     c = F.col(rn)
     if size == 0:
-        bucket = c
+        bucket_sql = f"CAST({rn} AS INT)"
     else:
-        bucket = F.when(
-            c <= rem * big, F.ceil(c / F.lit(big))
-        ).otherwise(rem + F.ceil((c - F.lit(rem * big)) / F.lit(size)))
-    ranked = ranked.withColumn(out, bucket.cast("int"))
+        # Integer DIV end-to-end: ceil(a/b) = (a + b - 1) DIV b. A double
+        # division here can flip a bucket boundary once row numbers pass
+        # 2^52 — exactly the scale this operator exists for.
+        bucket_sql = (
+            f"CAST(CASE WHEN {rn} <= {rem * big} "
+            f"THEN ({rn} + {big - 1}) DIV {big} "
+            f"ELSE {rem} + (({rn} - {rem * big} + {size - 1}) DIV {size}) "
+            f"END AS INT)"
+        )
+    ranked = ranked.withColumn(out, F.expr(bucket_sql))
     if prank_col is not None:
         denom = max(total - 1, 1)
         ranked = ranked.withColumn(
@@ -145,7 +151,7 @@ def take_to_budget(
     offsets, acc = {}, 0
     for pid, w in sums:
         offsets[pid] = acc
-        acc += w
+        acc += w or 0  # sum() is NULL for an all-null-weight partition
     off = (
         F.coalesce(
             *[
