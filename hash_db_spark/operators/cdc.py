@@ -98,6 +98,11 @@ def snapshot_diff(
     crawls. One full-outer shuffle on the id; unchanged rows drop out
     of the result. Null-safe comparison: a column going NULL <-> value
     counts as changed."""
+    if not cmp_cols:
+        raise ValueError(
+            "cmp_cols must be non-empty (pass the content/hash columns "
+            "that define 'changed')"
+        )
     o = old.select(
         F.col(id_col).alias("id"),
         *[F.col(c).alias(f"__o_{c}") for c in cmp_cols],

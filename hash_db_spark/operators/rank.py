@@ -30,41 +30,48 @@ from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
 
 
-def _ranged_with_rn(
-    df: DataFrame, order_cols: list[Column], out: str
+def _ranged_with_offsets(
+    df: DataFrame, order_cols: list[Column], per_part_agg: Column
 ) -> tuple[DataFrame, int]:
-    """Attach a global row_number ``out`` via range partitioning +
-    per-partition offsets. Returns (df_with_rn_and___pid, total_rows).
-    Materializes once (localCheckpoint) so the offset-count job and the
-    final plan see the same sampled range boundaries."""
+    """Range-partition ``df`` on the order, aggregate ``per_part_agg``
+    per partition, and attach each partition's EXCLUSIVE prefix total as
+    ``__off`` (plus ``__pid``). Returns (ranged_df, grand_total).
+
+    Materializes once (localCheckpoint) so the offset job and the final
+    plan see the same sampled range boundaries. Offsets come back as a
+    broadcast-joined O(num_partitions)-row frame — NOT a coalesce/when
+    literal chain, which at cluster-scale partition counts blows past
+    codegen's method limit and costs a linear branch scan per row."""
     ranged = (
         df.repartitionByRange(*order_cols)
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    counts = sorted(
-        (r["__pid"], r["cnt"])
-        for r in ranged.groupBy("__pid")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
+    per_part = sorted(
+        (r["__pid"], r["v"])
+        for r in ranged.groupBy("__pid").agg(per_part_agg.alias("v")).collect()
     )
-    offsets, acc = {}, 0
-    for pid, cnt in counts:
-        offsets[pid] = acc
-        acc += cnt
-    off = (
-        F.coalesce(
-            *[
-                F.when(F.col("__pid") == pid, F.lit(o))
-                for pid, o in offsets.items()
-            ],
-            F.lit(0),
-        )
-        if offsets
-        else F.lit(0)
+    is_float = any(isinstance(v, float) for _, v in per_part)
+    offsets, acc = [], 0.0 if is_float else 0
+    for pid, v in per_part:
+        offsets.append((pid, acc))
+        acc += v or 0  # agg is NULL for an all-null-input partition
+    off_df = ranged.sparkSession.createDataFrame(
+        offsets, f"__pid int, __off {'double' if is_float else 'long'}"
     )
+    return ranged.join(F.broadcast(off_df), "__pid"), acc
+
+
+def _ranged_with_rn(
+    df: DataFrame, order_cols: list[Column], out: str
+) -> tuple[DataFrame, int]:
+    """Attach a global row_number ``out`` (int64 — an int32 rank wraps
+    past 2^31 rows, exactly the scale this module exists for). Returns
+    (df_with_rn_and___pid, total_rows)."""
+    ranged, total = _ranged_with_offsets(df, order_cols, F.count(F.lit(1)))
     w = Window.partitionBy("__pid").orderBy(*order_cols)
-    return ranged.withColumn(out, off + F.row_number().over(w)), acc
+    rn = F.col("__off") + F.row_number().over(w).cast("long")
+    return ranged.withColumn(out, rn).drop("__off"), total
 
 
 def row_number_global(
@@ -137,39 +144,14 @@ def take_to_budget(
     exact for integer weights (token counts), so the cut row set is
     bit-identical to the single-window oracle.
     """
-    ranged = (
-        df.repartitionByRange(*order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    sums = sorted(
-        (r["__pid"], r["w"])
-        for r in ranged.groupBy("__pid")
-        .agg(F.sum(weight_col).alias("w"))
-        .collect()
-    )
-    offsets, acc = {}, 0
-    for pid, w in sums:
-        offsets[pid] = acc
-        acc += w or 0  # sum() is NULL for an all-null-weight partition
-    off = (
-        F.coalesce(
-            *[
-                F.when(F.col("__pid") == pid, F.lit(o))
-                for pid, o in offsets.items()
-            ],
-            F.lit(0),
-        )
-        if offsets
-        else F.lit(0)
-    )
+    ranged, _ = _ranged_with_offsets(df, order_cols, F.sum(weight_col))
     w = (
         Window.partitionBy("__pid")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        ranged.withColumn(cum_col, off + F.sum(weight_col).over(w))
+        ranged.withColumn(cum_col, F.col("__off") + F.sum(weight_col).over(w))
         .filter(F.col(cum_col) <= budget)
-        .drop("__pid")
+        .drop("__pid", "__off")
     )

@@ -70,13 +70,30 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     fill_cols = ["__mt", *[f"asof_{c}" for c in right_payload]]
+    # Fill ONE struct of (matched time, payload...) atomically: filling
+    # time and payload with independent last(ignorenulls) calls lets a
+    # NULL payload in the matched row be papered over by a STALE older
+    # row's payload. The struct is NULL only on left rows (skipped by
+    # ignorenulls); its fields keep the matched row's values, NULLs
+    # included. A NULL left_time matches nothing (merge_asof contract) —
+    # without the guard the window frame would still hand it a fill.
+    m = F.when(
+        F.col("__t").isNotNull(),
+        F.last(
+            F.when(
+                F.col("__is_right") == 1,
+                F.struct(
+                    F.col("__r___mt").alias("mt"),
+                    *[F.col(f"__r_{c}").alias(c) for c in right_payload],
+                ),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
     filled = unioned.select(
         "*",
-        F.last("__r___mt", ignorenulls=True).over(w).alias("__mt"),
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in right_payload
-        ],
+        m.getField("mt").alias("__mt"),
+        *[m.getField(c).alias(f"asof_{c}") for c in right_payload],
     )
     if tolerance is not None:
         tol = F.expr(f"INTERVAL {tolerance}")
@@ -142,26 +159,30 @@ def asof_join_nearest(
         .orderBy(F.col("__t").desc(), F.col("__is_right").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.select(
-        "*",
-        F.last("__r___mt", ignorenulls=True).over(wb).alias("__mtb"),
-        F.last("__r___mt", ignorenulls=True).over(wf).alias("__mtf"),
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(wb).alias(f"__b_{c}")
-            for c in right_payload
-        ],
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(wf).alias(f"__f_{c}")
-            for c in right_payload
-        ],
+    # Atomic struct fill + NULL-left-time guard: see asof_join. Without
+    # the struct, a NULL payload in the matched row is papered over by a
+    # stale older row; without the guard, a NULL left_time sorts last in
+    # the descending window and spuriously "matches" the minimum right
+    # time.
+    pstruct = F.when(
+        F.col("__is_right") == 1,
+        F.struct(
+            F.col("__r___mt").alias("mt"),
+            *[F.col(f"__r_{c}").alias(c) for c in right_payload],
+        ),
     )
-    use_b = F.col("__mtf").isNull() | (
-        F.col("__mtb").isNotNull()
-        & ((F.col("__t") - F.col("__mtb")) <= (F.col("__mtf") - F.col("__t")))
+    guard = F.col("__t").isNotNull()
+    mb = F.when(guard, F.last(pstruct, ignorenulls=True).over(wb))
+    mf = F.when(guard, F.last(pstruct, ignorenulls=True).over(wf))
+    filled = unioned.select("*", mb.alias("__mb"), mf.alias("__mf"))
+    tb, tf = F.col("__mb.mt"), F.col("__mf.mt")
+    use_b = F.col("__mf").isNull() | (
+        F.col("__mb").isNotNull()
+        & ((F.col("__t") - tb) <= (tf - F.col("__t")))
     )
     picked = [
-        F.when(use_b, F.col(f"__b_{c}"))
-        .otherwise(F.col(f"__f_{c}"))
+        F.when(use_b, F.col(f"__mb.{c}"))
+        .otherwise(F.col(f"__mf.{c}"))
         .alias(f"asof_{c}")
         for c in right_payload
     ]

@@ -272,3 +272,82 @@ def test_stream_interval_join_lookback_exceeds_watermark(spark, sf_dir):
     a = {(r.purchase_id, r.click_id) for r in got.collect()}
     b = {(r.purchase_id, r.click_id) for r in batch.collect()}
     assert a == b and len(a) > 0
+
+
+def test_asof_null_payload_not_papered_over(spark):
+    """The matched row's NULL payload must come through as NULL, not be
+    replaced by a stale older row's value (atomic struct fill)."""
+    from datetime import datetime as dt
+
+    left = spark.createDataFrame(
+        [(1, "k", dt(2024, 1, 1, 10, 0, 11))], ["id", "sym", "ts"]
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", dt(2024, 1, 1, 10, 0, 5), "x"),
+            ("k", dt(2024, 1, 1, 10, 0, 10), None),  # matched, NULL payload
+        ],
+        ["sym", "ts", "val"],
+    )
+    for fn in (
+        lambda: T.asof_join(
+            left, right, key="sym", left_time="ts", right_time="ts",
+            right_payload=["val"],
+        ),
+        lambda: T.asof_join_nearest(
+            left, right, key="sym", left_time="ts", right_time="ts",
+            right_payload=["val"],
+        ),
+    ):
+        rows = fn().collect()
+        assert len(rows) == 1
+        assert rows[0]["asof_val"] is None, "stale payload leaked"
+
+
+def test_asof_null_left_time_matches_nothing(spark):
+    from datetime import datetime as dt
+
+    left = spark.createDataFrame(
+        [(1, "k", None)], "id int, sym string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("k", dt(2024, 1, 1, 10, 0, 5), "x")], ["sym", "ts", "val"]
+    )
+    for direction in ("backward", "forward"):
+        rows = T.asof_join(
+            left, right, key="sym", left_time="ts", right_time="ts",
+            right_payload=["val"], direction=direction,
+        ).collect()
+        assert rows[0]["asof_val"] is None, direction
+    rows = T.asof_join_nearest(
+        left, right, key="sym", left_time="ts", right_time="ts",
+        right_payload=["val"],
+    ).collect()
+    assert rows[0]["asof_val"] is None, "nearest"
+
+
+def test_asof_nearest_picks_closer_side_ties_backward(spark):
+    from datetime import datetime as dt
+
+    left = spark.createDataFrame(
+        [
+            (1, "k", dt(2024, 1, 1, 10, 0, 10)),  # closer to 10:00:12
+            (2, "k", dt(2024, 1, 1, 10, 0, 7)),   # tie 10:00:02/10:00:12
+        ],
+        ["id", "sym", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", dt(2024, 1, 1, 10, 0, 2), "early"),
+            ("k", dt(2024, 1, 1, 10, 0, 12), "late"),
+        ],
+        ["sym", "ts", "val"],
+    )
+    got = {
+        r["id"]: r["asof_val"]
+        for r in T.asof_join_nearest(
+            left, right, key="sym", left_time="ts", right_time="ts",
+            right_payload=["val"],
+        ).collect()
+    }
+    assert got == {1: "late", 2: "early"}  # tie -> backward
