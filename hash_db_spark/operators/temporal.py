@@ -216,6 +216,50 @@ def range_join(
     )
 
 
+def merge_intervals(
+    df: DataFrame,
+    key: str,
+    start: str,
+    end: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Coalesce overlapping/touching [start, end) intervals per key into
+    islands — the interval-union operator (uptime stitching, span
+    coverage). Returns (key, merged_start, merged_end, n_intervals).
+
+    Classic islands formulation: sort per key, an interval starts a new
+    island when its start exceeds the running max end of everything
+    before it; the cumulative island count labels rows; one groupBy
+    merges. Single shuffle on the key; windows ordered within
+    partitions. ``tiebreak`` makes the order total so both engines
+    number islands identically."""
+    order = [
+        F.col(start).asc(), F.col(end).asc(), F.col(tiebreak).asc()
+    ]
+    w_prev = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_max = F.max(end).over(w_prev)
+    new_island = F.when(
+        prev_max.isNull() | (F.col(start) > prev_max), 1
+    ).otherwise(0)
+    labeled = df.withColumn(
+        "__island", F.sum(new_island).over(w_cum)
+    )
+    return labeled.groupBy(key, "__island").agg(
+        F.min(start).alias("merged_start"),
+        F.max(end).alias("merged_end"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    ).drop("__island")
+
+
 def sessionize(
     events: DataFrame,
     key: str,

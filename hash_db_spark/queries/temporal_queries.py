@@ -238,6 +238,43 @@ FROM starts GROUP BY 1, 2, 3
 """
 
 
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union per user: every event opens a 15-minute activity
+    window; overlapping/touching windows coalesce into islands (uptime
+    stitching). One shuffle on the key."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("e"),
+    )
+    return T.merge_intervals(ev, key="user_id", start="s", end="e",
+                             tiebreak="event_id")
+
+
+INTERVAL_MERGE_ORACLE = """
+WITH iv AS (
+  SELECT user_id, event_id, ts AS s, ts + INTERVAL 15 MINUTE AS e FROM events
+),
+pm AS (
+  SELECT user_id, event_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM iv
+),
+lab AS (
+  SELECT user_id, s, e,
+         sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM pm
+)
+SELECT user_id, min(s) AS merged_start, max(e) AS merged_end,
+       count(*) AS n_intervals
+FROM lab GROUP BY user_id, island
+"""
+
+
 # --- Structured Streaming entries (stream vs batch oracle) ------------------
 
 def q_stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -362,6 +399,7 @@ QUERIES = {
     "asof_tolerance": Query(q_asof_tolerance, ASOF_TOL_ORACLE),
     "asof_forward": Query(q_asof_forward, ASOF_FWD_ORACLE),
     "asof_nearest": Query(q_asof_nearest, ASOF_NEAREST_ORACLE),
+    "interval_merge": Query(q_interval_merge, INTERVAL_MERGE_ORACLE),
     "range_join": Query(q_range_join, RANGE_ORACLE),
     "interval_bin_join": Query(q_interval_bin_join, INTERVAL_BIN_ORACLE),
     "ts_similar_users": Query(
