@@ -294,3 +294,16 @@ def test_strip_spans_linear_plan(spark, sf_dir):
     plan = formatted_plan(REG["dedup_strip_spans"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_nearest_single_shuffle(spark, sf_dir):
+    """Both fill directions must ride ONE key exchange — a second
+    exchange would mean the nearest variant pays double the shuffle of
+    plain asof_join."""
+    s = summarize(REG["asof_nearest"].fn(spark, sf_dir))
+    assert s.shuffle_exchanges <= 1, s.shuffle_exchanges
+
+
+def test_interval_merge_single_shuffle(spark, sf_dir):
+    s = summarize(REG["interval_merge"].fn(spark, sf_dir))
+    assert s.shuffle_exchanges <= 1, s.shuffle_exchanges

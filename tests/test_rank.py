@@ -88,3 +88,16 @@ def test_plan_has_no_unpartitioned_window(spark, sf_dir):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "__pid" in line, f"unpartitioned Window: {line[:160]}"
+
+
+def test_take_to_budget_float_weights(spark):
+    from hash_db_spark.operators.rank import take_to_budget
+
+    df = spark.createDataFrame(
+        [(i, 0.5 + (i % 3) * 0.25) for i in range(1, 21)], "id int, w double"
+    )
+    got = take_to_budget(df, [F.col("id").asc()], "w", budget=5.0)
+    rows = sorted((r["id"], r["cum_weight"]) for r in got.collect())
+    # running sum: .75, 1.75, 2.25, 3.0, 4.0, 4.5, 5.25 -> first 6 rows kept
+    assert [i for i, _ in rows] == [1, 2, 3, 4, 5, 6]
+    assert abs(rows[-1][1] - 4.5) < 1e-9

@@ -351,3 +351,32 @@ def test_asof_nearest_picks_closer_side_ties_backward(spark):
         ).collect()
     }
     assert got == {1: "late", 2: "early"}  # tie -> backward
+
+
+def test_merge_intervals_edges(spark):
+    from datetime import datetime as dt
+
+    iv = spark.createDataFrame(
+        [
+            # overlapping pair -> one island
+            ("a", 1, dt(2024, 1, 1, 10, 0), dt(2024, 1, 1, 10, 30)),
+            ("a", 2, dt(2024, 1, 1, 10, 20), dt(2024, 1, 1, 10, 50)),
+            # touching (start == prev end) merges
+            ("a", 3, dt(2024, 1, 1, 10, 50), dt(2024, 1, 1, 11, 0)),
+            # gap -> new island
+            ("a", 4, dt(2024, 1, 1, 12, 0), dt(2024, 1, 1, 12, 10)),
+            # contained interval must not extend the island
+            ("b", 5, dt(2024, 1, 1, 9, 0), dt(2024, 1, 1, 10, 0)),
+            ("b", 6, dt(2024, 1, 1, 9, 10), dt(2024, 1, 1, 9, 20)),
+        ],
+        ["k", "tid", "s", "e"],
+    )
+    got = sorted(
+        (r["k"], r["merged_start"], r["merged_end"], r["n_intervals"])
+        for r in T.merge_intervals(iv, "k", "s", "e", "tid").collect()
+    )
+    assert got == [
+        ("a", dt(2024, 1, 1, 10, 0), dt(2024, 1, 1, 11, 0), 3),
+        ("a", dt(2024, 1, 1, 12, 0), dt(2024, 1, 1, 12, 10), 1),
+        ("b", dt(2024, 1, 1, 9, 0), dt(2024, 1, 1, 10, 0), 2),
+    ]
