@@ -72,28 +72,54 @@ class CypherCompiler:
                 target[k] = v
 
         anon_count = 0
-        chains = []
-        for chain in parser.chains:
-            normalized = []
-            for item in chain:
-                if isinstance(item, Node):
-                    var = item.variable
-                    if var is None:
-                        var = f"__anon{anon_count}"
-                        anon_count += 1
-                    c = constraints.setdefault(var, Node(variable=var))
-                    if item.label:
-                        if c.label and c.label != item.label:
-                            raise ValueError(
-                                f"variable {var} bound to labels "
-                                f"{c.label} and {item.label}"
-                            )
-                        c.label = item.label
-                    merge_attrs(var, c.attributes, item.attributes)
-                    normalized.append(("node", var))
-                else:
-                    normalized.append(("edge", item))
-            chains.append(normalized)
+
+        def normalize(
+            raw_chains, cons: dict[str, Node]
+        ) -> list[list[tuple]]:
+            nonlocal anon_count
+            out = []
+            for chain in raw_chains:
+                normalized = []
+                for item in chain:
+                    if isinstance(item, Node):
+                        var = item.variable
+                        if var is None:
+                            var = f"__anon{anon_count}"
+                            anon_count += 1
+                        c = cons.setdefault(var, Node(variable=var))
+                        if item.label:
+                            if c.label and c.label != item.label:
+                                raise ValueError(
+                                    f"variable {var} bound to labels "
+                                    f"{c.label} and {item.label}"
+                                )
+                            c.label = item.label
+                        merge_attrs(var, c.attributes, item.attributes)
+                        normalized.append(("node", var))
+                    else:
+                        normalized.append(("edge", item))
+                out.append(normalized)
+            return out
+
+        chains = normalize(parser.chains, constraints)
+        # OPTIONAL MATCH: its own constraint scope — a label/attr stated
+        # in the optional pattern must not filter the mandatory rows.
+        opt_constraints: dict[str, Node] = {}
+        opt_chains = normalize(
+            getattr(parser, "optional_chains", []), opt_constraints
+        )
+        shared_vars = sorted(constraints.keys() & opt_constraints.keys())
+        for v in shared_vars:
+            oc = opt_constraints[v]
+            if oc.label or oc.attributes:
+                raise ValueError(
+                    f"optional match: shared variable {v!r} must be bare "
+                    "(constraints on it belong in the mandatory pattern)"
+                )
+        if opt_chains and not shared_vars:
+            raise ValueError(
+                "optional match must share at least one variable with match"
+            )
 
         # WHERE var.attr = 'v' folds into the same per-variable attribute
         # constraints as inline {attr: 'v'} maps — identical semantics,
@@ -104,8 +130,8 @@ class CypherCompiler:
                 raise ValueError(f"where references unbound variable {var!r}")
             merge_attrs(var, constraints[var].attributes, {attr: value})
 
-        def candidates(var: str) -> DataFrame:
-            c = constraints[var]
+        def candidates(var: str, cons: dict[str, Node] | None = None) -> DataFrame:
+            c = (cons if cons is not None else constraints)[var]
             df = self.nodes
             if var in impossible:
                 return df.filter(F.lit(False)).select(
@@ -155,49 +181,80 @@ class CypherCompiler:
                     )
             return reach.distinct()
 
-        result: DataFrame | None = None
-        bound: set[str] = set()
         edge_idx = 0
-        for chain in chains:
-            for i in range(0, len(chain) - 2, 2):
-                (_, v1), (_, edge), (_, v2) = chain[i], chain[i + 1], chain[i + 2]
-                src_var, dst_var = (v1, v2) if edge.direction == "right" else (v2, v1)
-                e = edge_relation(edge).select(
-                    F.col("src").alias(f"__src{edge_idx}"),
-                    F.col("dst").alias(f"__dst{edge_idx}"),
-                )
-                if result is None:
-                    result = candidates(src_var).join(
-                        e, F.col(src_var) == F.col(f"__src{edge_idx}")
+
+        def compile_chains(
+            norm_chains, cons: dict[str, Node]
+        ) -> tuple[DataFrame | None, set[str]]:
+            nonlocal edge_idx
+            result: DataFrame | None = None
+            bound: set[str] = set()
+            for chain in norm_chains:
+                for i in range(0, len(chain) - 2, 2):
+                    (_, v1), (_, edge), (_, v2) = (
+                        chain[i], chain[i + 1], chain[i + 2]
                     )
-                    bound.add(src_var)
-                else:
-                    if src_var in bound:
-                        result = result.join(
+                    src_var, dst_var = (
+                        (v1, v2) if edge.direction == "right" else (v2, v1)
+                    )
+                    e = edge_relation(edge).select(
+                        F.col("src").alias(f"__src{edge_idx}"),
+                        F.col("dst").alias(f"__dst{edge_idx}"),
+                    )
+                    if result is None:
+                        result = candidates(src_var, cons).join(
                             e, F.col(src_var) == F.col(f"__src{edge_idx}")
                         )
-                    else:
-                        result = result.crossJoin(
-                            candidates(src_var)
-                        ).join(e, F.col(src_var) == F.col(f"__src{edge_idx}"))
                         bound.add(src_var)
-                if dst_var in bound:
-                    result = result.filter(
-                        F.col(dst_var) == F.col(f"__dst{edge_idx}")
+                    else:
+                        if src_var in bound:
+                            result = result.join(
+                                e, F.col(src_var) == F.col(f"__src{edge_idx}")
+                            )
+                        else:
+                            result = result.crossJoin(
+                                candidates(src_var, cons)
+                            ).join(
+                                e, F.col(src_var) == F.col(f"__src{edge_idx}")
+                            )
+                            bound.add(src_var)
+                    if dst_var in bound:
+                        result = result.filter(
+                            F.col(dst_var) == F.col(f"__dst{edge_idx}")
+                        )
+                    else:
+                        result = result.join(
+                            candidates(dst_var, cons),
+                            F.col(dst_var) == F.col(f"__dst{edge_idx}"),
+                        )
+                        bound.add(dst_var)
+                    result = result.drop(
+                        f"__src{edge_idx}", f"__dst{edge_idx}"
                     )
-                else:
-                    result = result.join(
-                        candidates(dst_var),
-                        F.col(dst_var) == F.col(f"__dst{edge_idx}"),
-                    )
-                    bound.add(dst_var)
-                result = result.drop(f"__src{edge_idx}", f"__dst{edge_idx}")
-                edge_idx += 1
+                    edge_idx += 1
+            return result, bound
 
+        result, bound = compile_chains(chains, constraints)
         if result is None:  # single-node pattern, no edges
             only = next(iter(constraints))
             result = candidates(only)
             bound.add(only)
+
+        if opt_chains:
+            # Left-join the optional pattern's matches on the shared
+            # variables: rows of the mandatory result with no optional
+            # match keep NULLs for the optional-only variables — the
+            # standard OPTIONAL MATCH contract. Shared vars inside the
+            # optional compile use bare candidates (all ids); the join
+            # narrows them, and Catalyst pushes the equi-condition down.
+            opt_result, opt_bound = compile_chains(opt_chains, opt_constraints)
+            if opt_result is None:
+                raise ValueError("optional match requires an edge pattern")
+            opt_result = opt_result.select(
+                *sorted(opt_bound)
+            ).distinct()
+            result = result.join(opt_result, shared_vars, "left")
+            bound |= opt_bound
 
         count_var = getattr(parser, "return_count", None)
         if count_var is not None:
@@ -242,7 +299,9 @@ class CypherCompiler:
                     cols.append(F.col("name").alias(f"{v}_name"))
                 if with_attrs:
                     cols.append(F.col("attrs_str").alias(f"{v}_attrs"))
-                out = out.join(node_proj.select(*cols), v)
+                # left: an OPTIONAL MATCH variable can be NULL — an inner
+                # join here would silently drop those rows.
+                out = out.join(node_proj.select(*cols), v, "left")
         return out
 
     # -- MERGE --------------------------------------------------------------

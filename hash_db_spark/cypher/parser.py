@@ -4,6 +4,7 @@ Clean-room implementation of the reference grammar
 (/root/reference/cypher.py:120-278, tests /root/reference/cypher_test.py):
 
     statement := ('match' | 'merge') pattern (',' pattern)*
+                 ['optional' 'match' pattern (',' pattern)*]   (extension)
                  ['where' var.attr '=' 'value' ('and' ...)*]   (extension)
                  ['return' (vars | 'count(' var ')')]
     pattern   := node (edge node)*
@@ -78,6 +79,8 @@ class CypherParser:
         # WHERE var.attr = 'value' [and ...] — free-win extension; the
         # reference only supports inline {attr: value} maps.
         self.where_clause: list[tuple[str, str, str]] = []
+        # OPTIONAL MATCH chains (left-join extension).
+        self.optional_chains: list[list[Node | Edge]] = []
         # RETURN count(var) — aggregate return, also a free win.
         self.return_count: str | None = None
 
@@ -127,6 +130,24 @@ class CypherParser:
         while self._peek() == ("punct", ","):
             self._next()
             self.chains.append(self._parse_chain())
+
+        # OPTIONAL MATCH <chains> — left-join extension (free win; the
+        # reference grammar has no optional patterns).
+        if (
+            self._peek()
+            and self._peek()[0] == "word"
+            and self._peek()[1].lower() == "optional"
+        ):
+            self._next()
+            kw2 = self._expect("word")[1].lower()
+            if kw2 != "match":
+                raise ValueError(f"cypher: expected match after optional, got {kw2!r}")
+            if self.kind != "match":
+                raise ValueError("cypher: optional match only follows match")
+            self.optional_chains = [self._parse_chain()]
+            while self._peek() == ("punct", ","):
+                self._next()
+                self.optional_chains.append(self._parse_chain())
 
         if self._peek() and self._peek()[0] == "word" and self._peek()[1].lower() == "where":
             self._next()

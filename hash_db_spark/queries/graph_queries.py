@@ -35,6 +35,16 @@ def q_cypher_1hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cypher_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL MATCH (free-win grammar extension): every Nation with
+    its suppliers, nations without suppliers kept with NULL — compiles
+    to a left join of the optional pattern on the shared variable."""
+    return _compiler(spark, sf_dir).run(
+        "match (n:Nation) optional match (s:Supplier)-[:FROM]->(n) "
+        "return n, s"
+    )
+
+
 def q_cypher_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WHERE clause (free-win grammar extension — the reference only has
     inline {attr: value} maps): the predicate folds into candidate
@@ -308,6 +318,18 @@ QUERIES = {
             "JOIN gnodes a ON a.id = e.src AND a.label = 'Customer' "
             "JOIN gnodes b ON b.id = e.dst AND b.label = 'Nation' AND b.name = 'NATION_7' "
             "WHERE e.rel = 'FROM'"
+        ),
+    ),
+    "cypher_optional": Query(
+        q_cypher_optional,
+        _g(
+            "SELECT DISTINCT n.id AS n, o.s AS s "
+            "FROM gnodes n LEFT JOIN ("
+            "  SELECT e.src AS s, e.dst AS d FROM gedges e "
+            "  JOIN gnodes sn ON sn.id = e.src AND sn.label = 'Supplier' "
+            "  WHERE e.rel = 'FROM'"
+            ") o ON o.d = n.id "
+            "WHERE n.label = 'Nation'"
         ),
     ),
     "cypher_where": Query(

@@ -443,3 +443,37 @@ def test_contradictory_constraints_match_nothing(attr_graph):
         "match (p:Person {age: '30'})-[:KNOWS]->(q:Person) "
         "where p.age = '30' return p"
     ).count() > 0
+
+
+def test_optional_match_left_join(social):
+    rows = social.run(
+        "match (p:Person) optional match (p)-[:POSTED]->(q:Post) return p, q"
+    ).collect()
+    persons = {
+        r.id for r in social.nodes.filter("label = 'Person'").collect()
+    }
+    posted = {
+        (r.src, r.dst)
+        for r in social.edges.filter("rel = 'POSTED'").collect()
+    }
+    # every person appears; unmatched persons carry NULL q
+    assert {r.p for r in rows} == persons
+    for r in rows:
+        if r.q is None:
+            assert all(src != r.p for src, _ in posted), r.p
+        else:
+            assert (r.p, r.q) in posted
+
+
+def test_optional_match_rejects_constrained_shared_var(social):
+    with pytest.raises(ValueError, match="must be bare"):
+        social.run(
+            "match (p:Person) optional match (p:Post)-[:POSTED]->(q) return p"
+        )
+
+
+def test_optional_match_requires_shared_var(social):
+    with pytest.raises(ValueError, match="share at least one"):
+        social.run(
+            "match (p:Person) optional match (a)-[:POSTED]->(b) return p"
+        )
