@@ -69,6 +69,16 @@ def q_dialect_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dialect_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison operators in WHERE (free win — the reference grammar
+    only has ``=``): a price band plus an inequality, ANDed."""
+    return _engine(spark, sf_dir).sql(
+        "select orders.o_orderkey, orders.o_totalprice from orders "
+        "where orders.o_totalprice >= 400000 "
+        "and orders.o_totalprice < 500000 and orders.o_orderstatus != 'F'"
+    )
+
+
 def q_dialect_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Free-win clauses (SURVEY §2.2: the reference sorts only in the KV
     API, K8): ORDER BY + LIMIT through the dialect compiles to
@@ -125,6 +135,12 @@ QUERIES = {
         q_dialect_update,
         "SELECT c_custkey, CASE WHEN c_mktsegment = 'AUTOMOBILE' "
         "THEN 'PREMIUM' ELSE c_mktsegment END AS c_mktsegment FROM customer",
+    ),
+    "dialect_compare": Query(
+        q_dialect_compare,
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_totalprice >= 400000 AND o_totalprice < 500000 "
+        "AND o_orderstatus != 'F'",
     ),
     "dialect_order_limit": Query(
         q_dialect_order_limit,

@@ -10,7 +10,8 @@ Supported surface (everything example.py exercises):
 
     select [distinct] <cols|*> from <t>
         [inner join <t2> on <a.x> = <b.y>]...
-        [where <t.f> = <v> [and ...]]  [<t.f> ~ '<tok> & <tok> | <tok>']
+        [where <t.f> <=|!=|<|<=|>|>=> <v> [and ...]]
+            [<t.f> ~ '<tok> & <tok> | <tok>']   (comparisons: free win)
         [group by <t.f>]                          (count(*) aggregate)
         [order by <t.f> [asc|desc][, ...]] [limit <n>]   (free win, §2.2)
     insert into <t> (<f>, ...) values (<v>, ...)  (dynamic schema, auto-id)
@@ -195,19 +196,41 @@ class SqlEngine:
         return out
 
     def _parse_wheres(self, clause: str):
-        """-> (equality list [(ref, value)], fts list [(ref, query)])."""
-        eqs, fts = [], []
+        """-> (predicate list [(ref, op, value)], fts list [(ref, query)]).
+        op ∈ {=, !=, <, <=, >, >=} — comparison operators are a free-win
+        extension (§2.2; the reference grammar only has ``=``,
+        /root/reference/server.py SQL tests)."""
+        preds, fts = [], []
         for part in re.split(r"\band\b", clause, flags=re.IGNORECASE):
             part = part.strip()
             if not part:
                 continue
             if m := re.fullmatch(rf"{_REF} ~ {_STR}", part):
                 fts.append((f"{m.group(1)}.{m.group(2)}", m.group(3)))
-            elif m := re.fullmatch(rf"{_REF} = (.+)", part):
-                eqs.append((f"{m.group(1)}.{m.group(2)}", _lit(m.group(3))))
+            elif m := re.fullmatch(
+                # value lookahead: 'age >< 3' must not parse as '>'
+                # with literal '< 3'
+                rf"{_REF}\s*(<=|>=|!=|<>|=|<|>)\s*(?![<>=!])(.+)", part
+            ):
+                op = "!=" if m.group(3) == "<>" else m.group(3)
+                preds.append(
+                    (f"{m.group(1)}.{m.group(2)}", op, _lit(m.group(4)))
+                )
             else:
                 raise ValueError(f"bad where predicate: {part!r}")
-        return eqs, fts
+        return preds, fts
+
+    @staticmethod
+    def _cmp(col: Column, op: str, val) -> Column:
+        lit = F.lit(val)
+        return {
+            "=": col == lit,
+            "!=": col != lit,
+            "<": col < lit,
+            "<=": col <= lit,
+            ">": col > lit,
+            ">=": col >= lit,
+        }[op]
 
     def _update(self, text: str):
         m = re.match(
@@ -225,9 +248,11 @@ class SqlEngine:
         df = self.tables[table]
         cond = F.lit(True)
         if where_s:
-            eqs, fts = self._parse_wheres(where_s)
-            for ref, val in eqs:
-                cond = cond & (self._resolve({table: df}, ref) == F.lit(val))
+            preds, fts = self._parse_wheres(where_s)
+            for ref, op, val in preds:
+                cond = cond & self._cmp(
+                    self._resolve({table: df}, ref), op, val
+                )
             for ref, q in fts:
                 _, fld = ref.split(".", 1)
                 cond = cond & _fts_or_phrase(fld, q)
@@ -269,10 +294,15 @@ class SqlEngine:
             scope[right] = self.tables[right]
 
         if where_s:
-            eqs, fts = self._parse_wheres(where_s)
-            for ref, val in eqs:
+            preds, fts = self._parse_wheres(where_s)
+            for ref, op, val in preds:
                 _, fld = ref.split(".", 1)
                 if fld.startswith("~"):
+                    if op != "=":
+                        raise ValueError(
+                            f"document-path predicates support '=' only, "
+                            f"got {op!r}"
+                        )
                     # Document path predicate: t.~hobbies[]~name = v
                     # (example.py:324-335) — explode the path, filter the
                     # leaf, keep one row per matching element.
@@ -284,7 +314,9 @@ class SqlEngine:
                         df, fld.lstrip("~"), val, *keep, leaf_alias=f"__m_{leaf}"
                     ).drop(f"__m_{leaf}")
                 else:
-                    df = df.filter(self._resolve(scope, ref) == F.lit(val))
+                    df = df.filter(
+                        self._cmp(self._resolve(scope, ref), op, val)
+                    )
             for ref, q in fts:
                 _, fld = ref.split(".", 1)
                 df = df.filter(_fts_or_phrase(fld, q))

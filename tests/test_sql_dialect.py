@@ -220,3 +220,20 @@ def test_order_by_limit_plan_is_top_k(engine):
     )
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_where_comparison_operators(engine):
+    ppl = engine.tables["people"]
+    got = {r.people_name for r in engine.sql(
+        "select people.people_name from people where people.age > 30"
+    ).collect()}
+    want = {r.people_name for r in ppl.filter("age > 30").collect()}
+    assert got == want and want
+    got = {r.people_name for r in engine.sql(
+        "select people.people_name from people "
+        "where people.age >= 29 and people.age != 31"
+    ).collect()}
+    want = {
+        r.people_name for r in ppl.filter("age >= 29 AND age != 31").collect()
+    }
+    assert got == want and want
