@@ -98,6 +98,27 @@ def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "user_id")
 
 
+def q_stream_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING count-min: the cell grid is a streaming groupBy-count
+    (complete mode — state is the fixed d x w grid regardless of stream
+    length); point estimates come from the final cell table and land on
+    the batch sketch's exact answer, so the batch SQL is the oracle."""
+    from hash_db_spark.streaming import windows as W
+
+    stream = W.read_events_stream(spark, sf_dir)
+    cells = S.cms_cells(stream, "user_id")
+    final_cells = W.run_stream_to_memory(cells, output_mode="complete")
+    ev = load_table(spark, sf_dir, "events")
+    probes = ev.filter(F.col("user_id") <= 40).select("user_id").distinct()
+    est = S.cms_estimate(final_cells, probes, "user_id")
+    exact = (
+        ev.filter(F.col("user_id") <= 40)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    return est.join(exact, "user_id")
+
+
 CMS_USERS_ORACLE = f"""
 WITH cells AS ({S.sql_cms_cells("events", "user_id", "")}),
 probes AS (SELECT DISTINCT user_id FROM events WHERE user_id <= 40),
@@ -153,6 +174,7 @@ QUERIES = {
     "stream_hll_users": Query(q_stream_hll_users, HLL_USERS_ORACLE),
     "hll_merge_rollup": Query(q_hll_merge_rollup, HLL_ROLLUP_ORACLE),
     "cms_user_counts": Query(q_cms_user_counts, CMS_USERS_ORACLE),
+    "stream_cms_users": Query(q_stream_cms_users, CMS_USERS_ORACLE),
     "cms_merge_heavy_hitters": Query(
         q_cms_merge_heavy_hitters, CMS_MERGE_ORACLE
     ),
