@@ -98,6 +98,38 @@ def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "user_id")
 
 
+def q_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction (the runtime-filter technique):
+    the dimension's key set becomes a tiny bit list broadcast to the
+    fact scan, which drops non-joining rows MAP-SIDE before the exact
+    join — at 100 TB this is the difference between shuffling the whole
+    fact table and shuffling the ~joining fraction. False positives
+    survive the prefilter and are removed by the exact join, so the
+    result is bit-identical to the plain join (the oracle)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 100)
+        .select("c_custkey", "c_mktsegment")
+    )
+    bits = S.bloom_bits(dim, "c_custkey")
+    probe_keys = ev.select(F.col("user_id").alias("k")).distinct()
+    maybe = S.bloom_candidates(bits, probe_keys, "k").withColumnRenamed(
+        "k", "user_id"
+    )
+    pre = ev.join(F.broadcast(maybe), "user_id", "left_semi")
+    return pre.join(
+        F.broadcast(dim), pre.user_id == dim.c_custkey
+    ).select("event_id", "user_id", "c_mktsegment")
+
+
+BLOOM_PREJOIN_ORACLE = """
+SELECT event_id, user_id, c_mktsegment
+FROM events JOIN customer ON user_id = c_custkey
+WHERE c_custkey <= 100
+"""
+
+
 def q_stream_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING count-min: the cell grid is a streaming groupBy-count
     (complete mode — state is the fixed d x w grid regardless of stream
@@ -175,6 +207,7 @@ QUERIES = {
     "hll_merge_rollup": Query(q_hll_merge_rollup, HLL_ROLLUP_ORACLE),
     "cms_user_counts": Query(q_cms_user_counts, CMS_USERS_ORACLE),
     "stream_cms_users": Query(q_stream_cms_users, CMS_USERS_ORACLE),
+    "bloom_prejoin": Query(q_bloom_prejoin, BLOOM_PREJOIN_ORACLE),
     "cms_merge_heavy_hitters": Query(
         q_cms_merge_heavy_hitters, CMS_MERGE_ORACLE
     ),
