@@ -286,6 +286,30 @@ SELECT deg, count(*) AS n_nodes FROM degs GROUP BY deg
 """
 
 
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly-connected components of the property graph (edges
+    undirected): min-label propagation / driver union-find hybrid from
+    the dedup pipeline, reused verbatim — string node ids label
+    components by lexicographic min."""
+    from hash_db_spark.operators.dedup import connected_components
+
+    e = graph_edges(spark, sf_dir).select(
+        F.col("src").alias("id_a"), F.col("dst").alias("id_b")
+    )
+    return connected_components(e)
+
+
+def _components_oracle() -> str:
+    from hash_db_spark.operators.dedup import sql_connected_components
+
+    inner = sql_connected_components(
+        "SELECT src AS id_a, dst AS id_b FROM gedges"
+    )
+    return inner.replace(
+        "WITH RECURSIVE", f"WITH RECURSIVE {GRAPH_ORACLE_CTES},", 1
+    )
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative PageRank over the fixture property graph (free win —
     dataflow power iteration in DataFrames, GraphX-style)."""
@@ -311,6 +335,7 @@ QUERIES = {
     "graph_pagerank": Query(q_graph_pagerank, _pagerank_oracle()),
     "graph_triangles": Query(q_graph_triangles, SQL_TRIANGLE_COUNT),
     "graph_degree_hist": Query(q_graph_degree_hist, SQL_DEGREE_HIST),
+    "graph_components": Query(q_graph_components, _components_oracle()),
     "cypher_1hop": Query(
         q_cypher_1hop,
         _g(
