@@ -162,3 +162,15 @@ class HashDb:
 
     def register(self, name: str, df: DataFrame) -> None:
         self.engine.tables[name] = df
+
+    def explain(self, text: str) -> str:
+        """Formatted physical plan of a dialect SELECT — the engine's
+        answer to the reference's /dump diagnostics (server.py `dump`
+        route; K10 'subsumed' in SURVEY §2.1): instead of dumping trie
+        state, show what the engine will actually execute."""
+        from hash_db_spark.plans.inspect import formatted_plan
+
+        df = self.engine.sql(text)
+        if df is None:
+            raise ValueError("explain() takes a SELECT, not a mutation")
+        return formatted_plan(df)

@@ -149,3 +149,13 @@ def test_documents_scenario(db):
     assert {(r["doc_id"], r["name"]) for r in leaves} == {
         ("1", "God"), ("1", "databases"), ("2", "sports")
     }
+
+
+def test_explain_returns_physical_plan(db):
+    db.sql("insert into exp_t (name, score) values ('a', 1)")
+    plan = db.explain(
+        "select exp_t.name from exp_t where exp_t.score = 1"
+    )
+    assert "Physical Plan" in plan
+    with pytest.raises(ValueError, match="SELECT"):
+        db.explain("insert into exp_t (name) values ('x')")
