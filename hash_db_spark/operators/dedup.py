@@ -1616,6 +1616,102 @@ def connected_components(
     return labels.select(F.col("id"), F.col("lab").alias("cluster"))
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(id, cluster) by alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the O(log n)-round companion to ``connected_components``'s min-label
+    loop, whose round count is the component DIAMETER. Near-dup clusters
+    are shallow, so min-label wins there; a path-shaped component (chain
+    rescues produce exactly those) makes diameter O(n) and this
+    formulation the right tool.
+
+    Each round is two shuffles over the current edge list:
+    - large-star: every node u points its LARGER neighbors at
+      m = min(N(u) ∪ {u});
+    - small-star: every node u points its not-larger neighbors (and
+      itself) at the min of that set.
+    The edge list only shrinks toward stars rooted at component minima;
+    at convergence (edge set unchanged) every node's neighbor-min IS its
+    component label. Rounds localCheckpoint so plans stay flat.
+    """
+    e = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        both = e.select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        ).unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        # large-star
+        mins = both.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        ls = (
+            both.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        e1 = (
+            ls.filter(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("a"),
+                F.greatest("a", "b").alias("b"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star over e1
+        both1 = e1.select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        ).unionAll(e1.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        le = both1.filter(F.col("v") < F.col("u"))
+        mins_s = le.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            le.join(mins_s, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionAll(mins_s.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        )
+        e2 = (
+            ss.filter(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("a"),
+                F.greatest("a", "b").alias("b"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # converged when the canonical edge set is unchanged
+        if (
+            e2.exceptAll(e).isEmpty()
+            and e.exceptAll(e2).isEmpty()
+        ):
+            e = e2
+            break
+        e = e2
+    else:
+        raise RuntimeError(
+            f"connected_components_star: no convergence in {max_iter} rounds"
+        )
+    # stars rooted at minima: every node's label = min neighbor (roots
+    # label themselves)
+    both = e.select(
+        F.col("a").alias("id"), F.col("b").alias("nb")
+    ).unionAll(e.select(F.col("b").alias("id"), F.col("a").alias("nb")))
+    return both.groupBy("id").agg(
+        F.least(F.min("nb"), F.first("id")).alias("cluster")
+    )
+
+
 def sql_connected_components(pairs_sql: str) -> str:
     """DuckDB oracle: transitive closure by recursive label reach over the
     same pair set, then min reachable label per node."""

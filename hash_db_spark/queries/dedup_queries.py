@@ -94,6 +94,21 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs)
 
 
+def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same cluster assignment via large-star/small-star rounds —
+    the O(log n)-round formulation whose round count is independent of
+    component DIAMETER (min-label propagation needs O(diameter) rounds;
+    chain rescues in the capped candidate paths produce exactly the
+    path-shaped components that make diameter large)."""
+    pairs = D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        threshold=JACCARD_T,
+    )
+    return D.connected_components_star(pairs)
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest dedup: every 10th doc is the 'new batch',
     matched against the indexed remainder — batch bands broadcast, the
@@ -154,6 +169,14 @@ QUERIES = {
     ),
     "dedup_components": Query(
         q_dedup_components,
+        D.sql_connected_components(
+            D.sql_minhash_lsh_pairs(
+                "documents", "text", "doc_id", threshold=JACCARD_T
+            )
+        ),
+    ),
+    "dedup_components_star": Query(
+        q_dedup_components_star,
         D.sql_connected_components(
             D.sql_minhash_lsh_pairs(
                 "documents", "text", "doc_id", threshold=JACCARD_T

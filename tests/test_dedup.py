@@ -373,3 +373,27 @@ def test_components_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         D.connected_components(pairs, driver_threshold=0, max_iter=1)
+
+
+def test_star_components_match_min_label(spark):
+    """large-star/small-star must agree with the min-label/union-find
+    implementation — including on a long PATH, the shape whose diameter
+    makes min-label slow and this algorithm the documented scale path."""
+    import random
+
+    rng = random.Random(7)
+    rand_pairs = [(rng.randrange(60), rng.randrange(60)) for _ in range(50)]
+    path_pairs = [(i, i + 1) for i in range(40)]
+    two_comp = [(1, 2), (2, 3), (10, 11), (12, 11)]
+    for pairs in (rand_pairs, path_pairs, two_comp):
+        pairs = [(a, b) for a, b in pairs if a != b]
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        want = {
+            (r.id, r.cluster)
+            for r in D.connected_components(df, driver_threshold=0).collect()
+        }
+        got = {
+            (r.id, r.cluster)
+            for r in D.connected_components_star(df).collect()
+        }
+        assert got == want
