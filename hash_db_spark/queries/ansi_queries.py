@@ -85,6 +85,17 @@ PASSTHROUGH: dict[str, str] = {
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY ROLLUP (r_name, n_name)
     """,
+    # GROUPING() markers distinguish data-NULL from subtotal-NULL rows.
+    "ansi_grouping_flags": """
+        SELECT r_name, n_name,
+               CAST(grouping(r_name) AS INT) AS g_r,
+               CAST(grouping(n_name) AS INT) AS g_n,
+               count(*) AS n_sup
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
     # CUBE: all 2^k grouping sets (ROLLUP's big sibling).
     "ansi_cube": """
         SELECT o_orderstatus, o_orderpriority,
