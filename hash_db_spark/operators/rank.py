@@ -155,3 +155,37 @@ def take_to_budget(
         .filter(F.col(cum_col) <= budget)
         .drop("__pid", "__off")
     )
+
+
+def take_to_budget_by_stratum(
+    df: DataFrame,
+    stratum_col: str,
+    budgets: dict,
+    order_cols: list[Column],
+    weight_col: str,
+    cum_col: str = "cum_weight",
+) -> DataFrame:
+    """Per-stratum prefix selection: within each stratum (language,
+    source, quality bucket), take rows in priority order until that
+    stratum's budget is spent — how a training mixture is actually
+    assembled ("4B tokens of en, 2B of de, ..."). Unknown strata get
+    budget 0 (dropped).
+
+    Unlike the GLOBAL ``take_to_budget``, the running sum partitions on
+    the stratum, so this is ONE partitioned window — no offsets, no
+    driver round-trip, scale-safe as-is."""
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bmap = F.create_map(
+        *[F.lit(x) for kv in budgets.items() for x in kv]
+    )
+    return (
+        df.withColumn(cum_col, F.sum(weight_col).over(w))
+        .filter(
+            F.col(cum_col)
+            <= F.coalesce(bmap[F.col(stratum_col)], F.lit(0))
+        )
+    )

@@ -127,6 +127,50 @@ SELECT doc_id, n_toks, cum_weight FROM (
 """
 
 
+STRATUM_BUDGETS = {"en": 3000, "de": 1500, "fr": 800}
+
+
+def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture assembly under per-language token budgets: within each
+    language take the longest docs first until that language's budget is
+    spent — ONE partitioned window, no global funnel."""
+    from hash_db_spark.functions.text import token_count
+    from hash_db_spark.operators.rank import take_to_budget_by_stratum
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", token_count("text").alias("n_toks")
+    )
+    return take_to_budget_by_stratum(
+        docs,
+        "lang",
+        STRATUM_BUDGETS,
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        "n_toks",
+    ).select("doc_id", "lang", "n_toks", "cum_weight")
+
+
+def _mixture_budget_oracle() -> str:
+    from hash_db_spark.functions.text import sql_token_count
+
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in STRATUM_BUDGETS.items()
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, n_chars, {sql_token_count('text')} AS n_toks
+  FROM documents
+)
+SELECT doc_id, lang, n_toks, cum_weight FROM (
+  SELECT doc_id, lang, n_toks,
+         CAST(sum(n_toks) OVER (PARTITION BY lang
+              ORDER BY n_chars DESC, doc_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_weight
+  FROM t
+) WHERE cum_weight <= CASE lang {cases} ELSE 0 END
+"""
+
+
 def q_dedup_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring scrub (the transformation side of
     dedup_span_grams): documents rewritten with every cross-document
@@ -416,6 +460,9 @@ QUERIES = {
     ),
     "select_token_budget": Query(
         q_select_token_budget, _token_budget_oracle()
+    ),
+    "mixture_token_budget": Query(
+        q_mixture_token_budget, _mixture_budget_oracle()
     ),
     "text_token_entropy": Query(
         lambda spark, sf_dir: corpus_stats.token_entropy(
