@@ -231,3 +231,37 @@ def read_ivf_index(
         spark.read.parquet(f"{path}/centroids"),
         spark.read.parquet(f"{path}/cells"),
     )
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction — the table-maintenance job every
+    long-running ingest needs: streaming appends and per-batch commits
+    leave thousands of KB-sized parquet files whose open/footer cost
+    dominates scans at 100 TB. Rewrites ``path`` into
+    ceil(total_bytes / target_file_bytes) files at ``out_path`` and
+    returns the output file count.
+
+    Sizing reads the INPUT's on-disk bytes (post-compression) from the
+    file listing — no data pass; the rewrite itself is one scan with no
+    shuffle wider than the coalesce."""
+    import math
+    import os
+
+    total = 0
+    for root, _, files in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    # coalesce, not repartition: narrow dependency, no shuffle — each
+    # output task reads several input files sequentially.
+    df.coalesce(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files

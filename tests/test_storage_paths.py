@@ -236,3 +236,32 @@ def test_ivf_index_persist_probe_matches_inline(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [" in plan and "cluster" in plan.split(
         "PartitionFilters: ["
     )[1].split("]")[0]
+
+
+def test_compact_files(spark, tmp_path):
+    """Fragmented table (64 tiny files) compacts to the computed file
+    count with identical data."""
+    import glob
+
+    from hash_db_spark.sources.writers import compact_files
+
+    src = str(tmp_path / "fragmented")
+    out = str(tmp_path / "compacted")
+    spark.range(10_000).repartition(64).write.parquet(src)
+    assert len(glob.glob(f"{src}/*.parquet")) == 64
+
+    # target far above total size -> exactly one output file
+    n = compact_files(spark, src, out, target_file_bytes=1 << 30)
+    assert n == 1
+    assert len(glob.glob(f"{out}/*.parquet")) == 1
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(out)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # tiny target -> multiple files, data still identical
+    out2 = str(tmp_path / "compacted2")
+    n2 = compact_files(spark, src, out2, target_file_bytes=8 * 1024)
+    assert n2 > 1
+    assert len(glob.glob(f"{out2}/*.parquet")) == n2
+    c = spark.read.parquet(out2)
+    assert a.exceptAll(c).count() == 0 and c.exceptAll(a).count() == 0
