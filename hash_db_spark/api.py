@@ -170,7 +170,10 @@ class HashDb:
         state, show what the engine will actually execute."""
         from hash_db_spark.plans.inspect import formatted_plan
 
-        df = self.engine.sql(text)
-        if df is None:
+        # Reject BEFORE dispatch: engine.sql executes mutations eagerly,
+        # so checking its None return would run the INSERT/UPDATE first —
+        # a diagnostics call must never modify state.
+        if not text.strip().lower().startswith("select"):
             raise ValueError("explain() takes a SELECT, not a mutation")
+        df = self.engine.sql(text)
         return formatted_plan(df)

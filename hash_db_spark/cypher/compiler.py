@@ -261,11 +261,13 @@ class CypherCompiler:
             if count_var not in bound:
                 raise ValueError(f"count() of unbound variable {count_var!r}")
             # count(v) = number of DISTINCT matches of v (match output is
-            # set-semantics over bound variables).
+            # set-semantics over bound variables). F.count(col), not
+            # count(1): an OPTIONAL MATCH variable contributes a NULL for
+            # unmatched rows, and Cypher count(expr) skips NULLs.
             return (
                 result.select(count_var)
                 .distinct()
-                .agg(F.count(F.lit(1)).alias("cnt"))
+                .agg(F.count(F.col(count_var)).alias("cnt"))
             )
         out_vars = parser.return_clause or sorted(bound)
         missing = [v for v in out_vars if v not in bound]

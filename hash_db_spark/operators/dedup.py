@@ -1639,9 +1639,19 @@ def connected_components_star(
     at convergence (edge set unchanged) every node's neighbor-min IS its
     component label. Rounds localCheckpoint so plans stay flat.
     """
+    raw = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # Node universe BEFORE dropping self-pairs: a node whose only pair
+    # is (x, x) must still come back as a singleton cluster, exactly as
+    # connected_components emits it — drop-in equivalence.
+    all_nodes = (
+        raw.select("a")
+        .unionAll(raw.select(F.col("b").alias("a")))
+        .distinct()
+        .withColumnRenamed("a", "id")
+        .localCheckpoint(eager=True)
+    )
     e = (
-        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-        .filter(F.col("a") != F.col("b"))
+        raw.filter(F.col("a") != F.col("b"))
         .select(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
@@ -1703,13 +1713,18 @@ def connected_components_star(
             f"connected_components_star: no convergence in {max_iter} rounds"
         )
     # stars rooted at minima: every node's label = min neighbor (roots
-    # label themselves)
+    # label themselves); nodes with no surviving edge (self-pair-only)
+    # are their own singleton cluster.
     both = e.select(
         F.col("a").alias("id"), F.col("b").alias("nb")
     ).unionAll(e.select(F.col("b").alias("id"), F.col("a").alias("nb")))
-    return both.groupBy("id").agg(
+    labeled = both.groupBy("id").agg(
         F.least(F.min("nb"), F.first("id")).alias("cluster")
     )
+    singles = all_nodes.join(labeled, "id", "left_anti").select(
+        "id", F.col("id").alias("cluster")
+    )
+    return labeled.unionByName(singles)
 
 
 def sql_connected_components(pairs_sql: str) -> str:

@@ -238,30 +238,40 @@ def compact_files(
     path: str,
     out_path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    shuffle: bool = False,
 ) -> int:
     """Small-files compaction — the table-maintenance job every
     long-running ingest needs: streaming appends and per-batch commits
     leave thousands of KB-sized parquet files whose open/footer cost
-    dominates scans at 100 TB. Rewrites ``path`` into
+    dominates scans at 100 TB. Rewrites ``path`` toward
     ceil(total_bytes / target_file_bytes) files at ``out_path`` and
-    returns the output file count.
+    returns the ACTUAL output file count.
 
-    Sizing reads the INPUT's on-disk bytes (post-compression) from the
-    file listing — no data pass; the rewrite itself is one scan with no
-    shuffle wider than the coalesce."""
+    Sizing uses the Hadoop FileSystem content summary, so any scheme the
+    cluster can read (hdfs://, s3a://, local) sizes correctly — an
+    os.walk would silently return 0 off the local filesystem and
+    coalesce the whole table into one task. No data pass for sizing.
+
+    ``shuffle=False`` (default) merges via ``coalesce`` — narrow, each
+    output task reads several input files sequentially; it can only
+    REDUCE the file count, which is the compaction direction. Pass
+    ``shuffle=True`` to redistribute via ``repartition`` when files must
+    also be SPLIT (oversized files from a bulk load) — that pays one
+    full shuffle for exact output sizing."""
     import math
-    import os
 
-    total = 0
-    for root, _, files in os.walk(path):
-        total += sum(
-            os.path.getsize(os.path.join(root, f))
-            for f in files
-            if f.endswith(".parquet")
-        )
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(hpath).getLength()
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
-    # coalesce, not repartition: narrow dependency, no shuffle — each
-    # output task reads several input files sequentially.
-    df.coalesce(n_files).write.mode("overwrite").parquet(out_path)
-    return n_files
+    df = df.repartition(n_files) if shuffle else df.coalesce(n_files)
+    df.write.mode("overwrite").parquet(out_path)
+    opath = jvm.org.apache.hadoop.fs.Path(out_path)
+    written = [
+        f
+        for f in fs.listStatus(opath)
+        if f.getPath().getName().endswith(".parquet")
+    ]
+    return len(written)

@@ -157,5 +157,8 @@ def test_explain_returns_physical_plan(db):
         "select exp_t.name from exp_t where exp_t.score = 1"
     )
     assert "Physical Plan" in plan
+    n_before = len(db.sql("select * from exp_t"))
     with pytest.raises(ValueError, match="SELECT"):
         db.explain("insert into exp_t (name) values ('x')")
+    # the rejected mutation must NOT have executed
+    assert len(db.sql("select * from exp_t")) == n_before

@@ -477,3 +477,16 @@ def test_optional_match_requires_shared_var(social):
         social.run(
             "match (p:Person) optional match (a)-[:POSTED]->(b) return p"
         )
+
+
+def test_optional_match_count_skips_nulls(social):
+    """count(v) of an OPTIONAL MATCH variable must not count the NULL of
+    unmatched rows (Cypher count(expr) skips NULLs)."""
+    n_posters = social.run(
+        "match (p:Person)-[:POSTED]->(q:Post) return count(q)"
+    ).collect()[0]["cnt"]
+    n_opt = social.run(
+        "match (p:Person) optional match (p)-[:POSTED]->(q:Post) "
+        "return count(q)"
+    ).collect()[0]["cnt"]
+    assert n_opt == n_posters  # NULL q rows contribute nothing

@@ -385,8 +385,9 @@ def test_star_components_match_min_label(spark):
     rand_pairs = [(rng.randrange(60), rng.randrange(60)) for _ in range(50)]
     path_pairs = [(i, i + 1) for i in range(40)]
     two_comp = [(1, 2), (2, 3), (10, 11), (12, 11)]
-    for pairs in (rand_pairs, path_pairs, two_comp):
-        pairs = [(a, b) for a, b in pairs if a != b]
+    # self-pair-only node 99 must survive as a singleton in BOTH impls
+    selfy = [(1, 2), (99, 99)]
+    for pairs in (rand_pairs, path_pairs, two_comp, selfy):
         df = spark.createDataFrame(pairs, "id_a long, id_b long")
         want = {
             (r.id, r.cluster)

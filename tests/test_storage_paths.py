@@ -265,3 +265,30 @@ def test_compact_files(spark, tmp_path):
     assert len(glob.glob(f"{out2}/*.parquet")) == n2
     c = spark.read.parquet(out2)
     assert a.exceptAll(c).count() == 0 and c.exceptAll(a).count() == 0
+
+
+def test_compact_files_split_with_shuffle(spark, tmp_path):
+    """coalesce cannot split; shuffle=True must, and the returned count
+    must equal what was actually written either way."""
+    import glob
+
+    from hash_db_spark.sources.writers import compact_files
+
+    src = str(tmp_path / "one_big")
+    spark.range(50_000).coalesce(1).write.parquet(src)
+    assert len(glob.glob(f"{src}/*.parquet")) == 1
+
+    # no shuffle: cannot split one file; returns the true count (1)
+    out1 = str(tmp_path / "nosplit")
+    n1 = compact_files(spark, src, out1, target_file_bytes=16 * 1024)
+    assert n1 == len(glob.glob(f"{out1}/*.parquet")) == 1
+
+    # shuffle: splits to the computed count
+    out2 = str(tmp_path / "split")
+    n2 = compact_files(
+        spark, src, out2, target_file_bytes=16 * 1024, shuffle=True
+    )
+    assert n2 == len(glob.glob(f"{out2}/*.parquet")) > 1
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(out2)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
