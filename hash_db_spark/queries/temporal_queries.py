@@ -392,7 +392,41 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.cohort_retention(_events(spark, sf_dir))
 
 
+DECAY_REF = "2024-07-01"
+DECAY_HALF_LIFE_DAYS = 30.0
+
+
+def q_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted per-user activity — the feature-store staple:
+    each event contributes 0.5^(age_days / half_life) as of a reference
+    instant, summed per user. Pure map-side expression + one
+    map-combined shuffle; the decay curve is the same closed form on
+    both engines (epoch-second age, IEEE pow), rounded 4dp — coarse
+    enough to absorb summation-order noise at any corpus size."""
+    ev = _events(spark, sf_dir)
+    age_days = (
+        F.lit(F.unix_timestamp(F.lit(DECAY_REF).cast("timestamp")))
+        - F.unix_timestamp("ts")
+    ) / F.lit(86400.0)
+    w = F.pow(F.lit(0.5), age_days / F.lit(DECAY_HALF_LIFE_DAYS))
+    return ev.groupBy("user_id").agg(
+        F.round(F.sum(w), 4).alias("activity"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+DECAYED_ORACLE = f"""
+SELECT user_id,
+       round(sum(pow(0.5,
+         (epoch('{DECAY_REF}'::TIMESTAMP) - epoch(ts)) / 86400.0
+           / {DECAY_HALF_LIFE_DAYS})), 4) AS activity,
+       count(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
+    "decayed_activity": Query(q_decayed_activity, DECAYED_ORACLE),
     "funnel_stages": Query(q_funnel_stages, T.sql_funnel(FUNNEL_STEPS)),
     "cohort_retention": Query(q_cohort_retention, T.sql_cohort_retention()),
     "asof_join": Query(q_asof_join, ASOF_ORACLE),
