@@ -400,26 +400,42 @@ def q_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency-weighted per-user activity — the feature-store staple:
     each event contributes 0.5^(age_days / half_life) as of a reference
     instant, summed per user. Pure map-side expression + one
-    map-combined shuffle; the decay curve is the same closed form on
-    both engines (epoch-second age, IEEE pow), rounded 4dp — coarse
-    enough to absorb summation-order noise at any corpus size."""
+    map-combined shuffle. Each weight quantizes to integer MICRO-units
+    before the sum: a raw double sum is addition-order-dependent in its
+    last ulp, and a value astride a rounding boundary then renders
+    differently per engine/run — integer sums are exact in any order,
+    so the result is bit-stable at any corpus size."""
     ev = _events(spark, sf_dir)
     age_days = (
         F.lit(F.unix_timestamp(F.lit(DECAY_REF).cast("timestamp")))
         - F.unix_timestamp("ts")
     ) / F.lit(86400.0)
     w = F.pow(F.lit(0.5), age_days / F.lit(DECAY_HALF_LIFE_DAYS))
-    return ev.groupBy("user_id").agg(
-        F.round(F.sum(w), 4).alias("activity"),
-        F.count(F.lit(1)).alias("n_events"),
+    micro = F.round(w * F.lit(1e6), 0).cast("long")
+    # Final 4dp via integer HALF-UP division, not float round(): the
+    # micro sum makes exact .5 ties COMMON, and Spark rounds HALF_UP
+    # while DuckDB rounds HALF_EVEN — (n + 50) DIV 100 is the same
+    # integer on both.
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(micro).alias("__m"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            (F.expr("(__m + 50) div 100") / F.lit(1e4)).alias("activity"),
+            "n_events",
+        )
     )
 
 
 DECAYED_ORACLE = f"""
 SELECT user_id,
-       round(sum(pow(0.5,
+       ((sum(CAST(round(pow(0.5,
          (epoch('{DECAY_REF}'::TIMESTAMP) - epoch(ts)) / 86400.0
-           / {DECAY_HALF_LIFE_DAYS})), 4) AS activity,
+           / {DECAY_HALF_LIFE_DAYS}) * 1000000, 0) AS BIGINT)) + 50) // 100)
+         / 10000.0 AS activity,
        count(*) AS n_events
 FROM events GROUP BY user_id
 """
