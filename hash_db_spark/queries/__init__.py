@@ -53,6 +53,11 @@ def all_queries() -> dict[str, Query]:
     # histogram/bloom sketches, bigram LM, hive pruning, z-order, SCD2)
     # go first so the r01-r04 union covers every registry name, then the
     # entries whose code changed this round for re-verification.
+    #
+    # ROUND-5 TODO (first thing next session): replace this list with the
+    # 28-entry r05 priority queue recorded at the end of COVERAGE.md's
+    # Totals paragraph (every entry added after the r04 window froze),
+    # then backfill with any r04 window entry the gate reported non-green.
     priority = [
         # --- never driver-checked (43) -------------------------------
         # as-of variants / stream-stream join
