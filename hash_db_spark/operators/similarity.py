@@ -990,3 +990,85 @@ def topk_ivf_persisted(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def negative_samples(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(qid, j, neg_id, cos): k deterministic random negatives per query
+    for contrastive-pair construction — content-addressed (md5 of
+    "qid#j" mod corpus size), so the sampled negatives are stable across
+    runs, engines, and partitionings, and reproducible from the dataset
+    alone. A draw colliding with the query itself deterministically
+    remaps to the next id. Requires contiguous corpus ids [0, n) (the
+    id layout ``training_order``-style pipelines already produce);
+    scoring attaches the query-negative cosine so hard/easy negatives
+    can be filtered downstream.
+
+    Scale shape: the draw is a map-side expression on the (small) query
+    side; negatives attach via ONE equijoin on the corpus id — no
+    scan-per-query, no shuffle of the corpus beyond the join. The
+    corpus count is one scalar aggregate."""
+    n = corpus.count()
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("__qv")
+    )
+    j = F.explode(F.array(*[F.lit(i) for i in range(1, k + 1)])).alias("j")
+    cand = q.select("qid", "__qv", j)
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.col("qid").cast("string"), F.col("j").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n
+    )
+    cand = cand.withColumn("__neg0", draw).withColumn(
+        "neg_id",
+        F.when(F.col("__neg0") == F.col("qid"), (F.col("__neg0") + 1) % n)
+        .otherwise(F.col("__neg0"))
+        .cast("int"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neg_id"), F.col(vec_col).alias("__nv")
+    )
+    return cand.join(c, "neg_id").select(
+        "qid",
+        "j",
+        "neg_id",
+        F.round(cosine(_dvec("__qv"), _dvec("__nv")), 6).alias("cos"),
+    )
+
+
+def sql_negative_samples(k: int = 3, max_qid: int = 20) -> str:
+    js = ", ".join(str(i) for i in range(1, k + 1))
+    return f"""
+WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id < {max_qid}),
+cand AS (
+  SELECT qid, qv, j,
+         ('0x' || substr(md5(qid::VARCHAR || '#' || j::VARCHAR), 1, 8))::BIGINT
+           % cnt AS neg0,
+         cnt
+  FROM q, n, (SELECT unnest([{js}]) AS j)
+),
+fixed AS (
+  SELECT qid, qv, j,
+         CAST(CASE WHEN neg0 = qid THEN (neg0 + 1) % cnt ELSE neg0 END AS INT)
+           AS neg_id
+  FROM cand
+)
+SELECT f.qid, f.j, f.neg_id,
+       round(list_cosine_similarity(f.qv::DOUBLE[], e.embedding::DOUBLE[]), 6)
+         AS cos
+FROM fixed f JOIN embeddings e ON e.vec_id = f.neg_id
+"""

@@ -19,6 +19,16 @@ def q_sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training negatives: 3 content-addressed draws per
+    query (stable across runs/engines/partitionings), scored with the
+    query-negative cosine; self-collisions remap deterministically."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.negative_samples(
+        emb.filter(emb.vec_id < 20), emb, k=3
+    )
+
+
 def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.topk_lsh(load_table(spark, sf_dir, "embeddings"), QUERY_IDS, k=K)
 
@@ -100,6 +110,9 @@ QUERIES = {
         q_sim_topk_brute, S.sql_topk_bruteforce(QUERY_IDS, k=K)
     ),
     "sim_topk_lsh": Query(q_sim_topk_lsh, S.sql_topk_lsh(QUERY_IDS, k=K)),
+    "negative_samples": Query(
+        q_negative_samples, S.sql_negative_samples(k=3, max_qid=20)
+    ),
     "sim_topk_ivf": Query(q_sim_topk_ivf, S.sql_topk_ivf(QUERY_IDS, k=K)),
     "sim_topk_ivf_kmeans": Query(q_sim_topk_ivf_kmeans, _ivf_kmeans_oracle()),
     "sim_topk_ivf_persisted": Query(
