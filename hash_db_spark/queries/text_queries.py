@@ -142,6 +142,24 @@ FROM documents
 """
 
 
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: the labeled-vs-predicted confusion
+    matrix — the quality report that decides whether the classifier is
+    good enough to gate on. One map-combined shuffle."""
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy(
+        F.col("lang").alias("labeled"),
+        T.lang_id("text").alias("predicted"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+LANGID_CONFUSION_ORACLE = f"""
+SELECT lang AS labeled, {T.sql_lang_id('text')} AS predicted,
+       count(*) AS n
+FROM documents GROUP BY labeled, predicted
+"""
+
+
 def q_text_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword token estimate + distinct char trigrams per doc."""
     return _docs(spark, sf_dir).select(
@@ -401,6 +419,9 @@ QUERIES = {
     "text_stats": Query(q_text_stats, TEXT_STATS_ORACLE),
     "text_quality": Query(q_text_quality, TEXT_QUALITY_ORACLE),
     "text_langid": Query(q_text_langid, TEXT_LANGID_ORACLE),
+    "langid_confusion": Query(
+        q_langid_confusion, LANGID_CONFUSION_ORACLE
+    ),
     "text_fingerprint": Query(q_text_fingerprint, TEXT_FP_ORACLE),
     "text_subword_tokens": Query(q_text_subword_tokens, TEXT_SUBWORD_ORACLE),
     "text_repetition": Query(q_text_repetition, TEXT_REPETITION_ORACLE),
