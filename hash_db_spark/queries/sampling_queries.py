@@ -30,6 +30,55 @@ def q_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination audit: near-dup pairs (MinHash) whose
+    two documents landed in DIFFERENT splits — each such pair leaks
+    training signal into evaluation. Reports pair counts per ordered
+    split pair; an empty/near-empty result is the release gate. The join
+    attaches one skinny split column per pair side — no extra shuffle
+    beyond the pair generation itself."""
+    from hash_db_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = SM.train_val_test(docs, "doc_id", val=0.1, test=0.05).select(
+        "doc_id", "split"
+    )
+    pairs = D.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
+    a = split.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    b = split.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("leaked_pairs"))
+    )
+
+
+def _split_leakage_oracle() -> str:
+    from hash_db_spark.operators import dedup as D
+
+    pairs = D.sql_minhash_lsh_pairs(
+        "documents", "text", "doc_id", threshold=0.5
+    )
+    split = SM.sql_train_val_test("doc_id", val=0.1, test=0.05)
+    return f"""
+WITH pairs AS ({pairs}),
+s AS (SELECT doc_id, {split} AS split FROM documents)
+SELECT sa.split AS split_a, sb.split AS split_b,
+       count(*) AS leaked_pairs
+FROM pairs
+JOIN s sa ON sa.doc_id = pairs.id_a
+JOIN s sb ON sb.doc_id = pairs.id_b
+WHERE sa.split != sb.split
+GROUP BY split_a, split_b
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = SM.stratified_sample(
@@ -260,6 +309,9 @@ QUERIES = {
         f"count(*) AS n FROM documents GROUP BY 1",
     ),
     "stratified_sample": Query(q_stratified_sample, STRATIFIED_ORACLE),
+    "split_leakage_audit": Query(
+        q_split_leakage_audit, _split_leakage_oracle()
+    ),
     "mix_weights": Query(q_mix_weights, MIX_ORACLE),
     "pivot_counts": Query(q_pivot, PIVOT_ORACLE),
     "unpivot_measures": Query(q_unpivot_measures, UNPIVOT_ORACLE),
