@@ -8,6 +8,7 @@ fixture plants ~25 high-Jaccard pairs (3-gram shingles, jac >= 0.8)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
 
 from hash_db_spark.catalog import load_table
 from hash_db_spark.operators import dedup as D
@@ -109,6 +110,47 @@ def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components_star(pairs)
 
 
+def q_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-card duplication rate per language: how many documents sit
+    in a near-dup cluster, and how many of those a keep-one pass would
+    drop. Left-joins the (tiny) cluster table onto the corpus — the
+    aggregate every dataset release leads with."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "text", "doc_id", threshold=JACCARD_T)
+    clusters = D.connected_components(pairs).withColumnRenamed("id", "doc_id")
+    joined = docs.select("doc_id", "lang").join(clusters, "doc_id", "left")
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("cluster").alias("n_in_dup_cluster"),
+        F.count(
+            F.when(
+                F.col("cluster").isNotNull()
+                & (F.col("cluster") != F.col("doc_id")),
+                1,
+            )
+        ).alias("n_would_drop"),
+    )
+
+
+def _dedup_rate_oracle() -> str:
+    pairs = D.sql_minhash_lsh_pairs(
+        "documents", "text", "doc_id", threshold=JACCARD_T
+    )
+    comps = D.sql_connected_components(pairs)
+    return f"""
+WITH clusters AS (
+  SELECT * FROM ({comps})
+)
+SELECT d.lang,
+       count(*) AS n_docs,
+       count(c.cluster) AS n_in_dup_cluster,
+       count(CASE WHEN c.cluster IS NOT NULL AND c.cluster != d.doc_id
+             THEN 1 END) AS n_would_drop
+FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id
+GROUP BY d.lang
+"""
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest dedup: every 10th doc is the 'new batch',
     matched against the indexed remainder — batch bands broadcast, the
@@ -175,6 +217,7 @@ QUERIES = {
             )
         ),
     ),
+    "dedup_rate_report": Query(q_dedup_rate_report, _dedup_rate_oracle()),
     "dedup_components_star": Query(
         q_dedup_components_star,
         D.sql_connected_components(
