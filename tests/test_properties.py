@@ -197,3 +197,51 @@ def test_strip_hot_spans_matches_model(spark, docs, n):
             t for p, t in enumerate(ts) if p not in covered
         )
     assert got == model
+
+
+@settings(**SETTINGS)
+@given(
+    weights=st.lists(st.integers(1, 9), min_size=1, max_size=25),
+    budget=st.integers(0, 120),
+    n=st.integers(1, 9),
+)
+def test_rank_and_budget_match_python_model(spark, weights, budget, n):
+    """row_number/ntile/take_to_budget vs a direct python model over a
+    random total order — catches offset/boundary bugs the fixed-fixture
+    tests can't."""
+    import pyspark.sql.functions as F
+
+    from hash_db_spark.operators.rank import ntile_global, take_to_budget
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    order = [F.col("id").asc()]
+
+    got = {
+        r["id"]: (r["rn"], r["b"])
+        for r in ntile_global(
+            df, order, n=n, out="b", rn_col="rn"
+        ).collect()
+    }
+    total = len(weights)
+    size, rem = divmod(total, n)
+    for rank, (i, _) in enumerate(sorted(rows), start=1):
+        if size == 0:
+            bucket = rank
+        elif rank <= rem * (size + 1):
+            bucket = -(-rank // (size + 1))
+        else:
+            bucket = rem + -(-(rank - rem * (size + 1)) // size)
+        assert got[i] == (rank, bucket), (i, rank, bucket, got[i])
+
+    kept = {
+        r["id"]: r["cum_weight"]
+        for r in take_to_budget(df, order, "w", budget).collect()
+    }
+    cum = 0
+    for i, w in rows:
+        cum += w
+        if cum <= budget:
+            assert kept.get(i) == cum, (i, cum, kept.get(i))
+        else:
+            assert i not in kept, i
