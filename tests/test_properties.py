@@ -245,3 +245,51 @@ def test_rank_and_budget_match_python_model(spark, weights, budget, n):
             assert kept.get(i) == cum, (i, cum, kept.get(i))
         else:
             assert i not in kept, i
+
+
+@settings(**SETTINGS)
+@given(
+    iv=st.lists(
+        st.tuples(
+            st.sampled_from(["k1", "k2"]),
+            st.integers(0, 40),
+            st.integers(1, 15),
+        ),
+        min_size=1,
+        max_size=18,
+    )
+)
+def test_merge_intervals_matches_python_model(spark, iv):
+    """Island merging vs a direct sweep over sorted intervals."""
+    from datetime import datetime, timedelta
+
+    from hash_db_spark.operators.temporal import merge_intervals
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (k, i, base + timedelta(minutes=s), base + timedelta(minutes=s + d))
+        for i, (k, s, d) in enumerate(iv)
+    ]
+    df = spark.createDataFrame(rows, ["k", "tid", "s", "e"])
+    got = sorted(
+        (r["k"], r["merged_start"], r["merged_end"], r["n_intervals"])
+        for r in merge_intervals(df, "k", "s", "e", "tid").collect()
+    )
+    # python sweep: per key, sort by (s, e, tid); merge while s <= max_e
+    want = []
+    bykey: dict = {}
+    for k, tid, s, e in rows:
+        bykey.setdefault(k, []).append((s, e, tid))
+    for k, items in bykey.items():
+        items.sort()
+        cur_s, cur_e, cnt = None, None, 0
+        for s, e, _ in items:
+            if cur_s is None or s > cur_e:
+                if cur_s is not None:
+                    want.append((k, cur_s, cur_e, cnt))
+                cur_s, cur_e, cnt = s, e, 1
+            else:
+                cur_e = max(cur_e, e)
+                cnt += 1
+        want.append((k, cur_s, cur_e, cnt))
+    assert got == sorted(want)
