@@ -79,6 +79,17 @@ def q_dialect_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dialect_group_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum/avg/min/max in a grouped dialect select (free win — the
+    reference's only aggregate is count(*)). Integer source column keeps
+    the cross-engine sums exact."""
+    return _engine(spark, sf_dir).sql(
+        "select orders.o_orderstatus, count(*), sum(orders.o_custkey), "
+        "avg(orders.o_custkey), min(orders.o_custkey), "
+        "max(orders.o_custkey) from orders group by orders.o_orderstatus"
+    )
+
+
 def q_dialect_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Free-win clauses (SURVEY §2.2: the reference sorts only in the KV
     API, K8): ORDER BY + LIMIT through the dialect compiles to
@@ -135,6 +146,15 @@ QUERIES = {
         q_dialect_update,
         "SELECT c_custkey, CASE WHEN c_mktsegment = 'AUTOMOBILE' "
         "THEN 'PREMIUM' ELSE c_mktsegment END AS c_mktsegment FROM customer",
+    ),
+    "dialect_group_aggs": Query(
+        q_dialect_group_aggs,
+        "SELECT o_orderstatus, count(*) AS cnt, "
+        "CAST(sum(o_custkey) AS BIGINT) AS sum_o_custkey, "
+        "avg(o_custkey) AS avg_o_custkey, "
+        "min(o_custkey) AS min_o_custkey, "
+        "max(o_custkey) AS max_o_custkey "
+        "FROM orders GROUP BY o_orderstatus",
     ),
     "dialect_compare": Query(
         q_dialect_compare,

@@ -323,9 +323,19 @@ class SqlEngine:
 
         if group_s:
             key = group_s.split(".", 1)[1] if "." in group_s else group_s
-            agg_wanted = "count(*)" in cols_s.lower()
-            if agg_wanted:
-                out = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+            # Aggregate list: count(*) (reference semantics, R10) plus
+            # sum/avg/min/max(t.f) as free-win extensions (§2.2; aliased
+            # <fn>_<field> so the name is stable and oracle-matchable).
+            aggs = []
+            if "count(*)" in cols_s.lower():
+                aggs.append(F.count(F.lit(1)).alias("cnt"))
+            for fn, _t, fld in re.findall(
+                r"\b(sum|avg|min|max)\((\w+)\.(\w+)\)", cols_s, re.IGNORECASE
+            ):
+                fn = fn.lower()
+                aggs.append(getattr(F, fn)(fld).alias(f"{fn}_{fld}"))
+            if aggs:
+                out = df.groupBy(key).agg(*aggs)
             else:
                 # GROUP BY with no aggregate in the select list = distinct
                 # keys (GroupedData.agg() with zero expressions is a
