@@ -52,6 +52,35 @@ def q_multimodal_meta_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-kind media inventory (count, payload-bytes total, size band) —
+    the storage report for a multimodal corpus, computed entirely on the
+    metadata struct: payload column never read (the column-split's
+    whole point at 100 TB)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.media_table(docs, "doc_id", "text")
+    band = (
+        F.when(F.col("meta.n_chars") < 300, "small")
+        .when(F.col("meta.n_chars") < 500, "medium")
+        .otherwise("large")
+    )
+    return media.groupBy("kind", band.alias("size_band")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("meta.n_chars").cast("long")).alias("total_bytes"),
+    )
+
+
+MULTIMODAL_META_STATS_ORACLE = """
+SELECT 'image/fake' AS kind,
+       CASE WHEN length(text) < 300 THEN 'small'
+            WHEN length(text) < 500 THEN 'medium'
+            ELSE 'large' END AS size_band,
+       count(*) AS n,
+       CAST(sum(length(text)) AS BIGINT) AS total_bytes
+FROM documents GROUP BY kind, size_band
+"""
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing (codec stubbed): truncate-to-budget inside the
     same Arrow block a real decoder/resampler would run in; payload
@@ -75,6 +104,9 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "multimodal_meta_stats": Query(
+        q_multimodal_meta_stats, MULTIMODAL_META_STATS_ORACLE
+    ),
     "multimodal_features": Query(
         q_multimodal_features,
         M.sql_extract_features("documents", "doc_id", "text"),
