@@ -95,7 +95,30 @@ def q_kv_clear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return K.query_begins(K.kv_clear(kv, PK, sk), PK, "error#")
 
 
+def q_kv_count_by_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item counts per sort-key FAMILY under one partition key (the
+    'how many of each entity type does this user have' scan a KV app
+    issues constantly) — prefix scan + map-combined aggregate, no
+    row materialization to the client."""
+    import pyspark.sql.functions as F
+
+    kv = _kv(spark, sf_dir)
+    scan = K.query_begins(kv, PK, "")
+    fam = F.substring_index(F.col("sk"), "#", 1)
+    return scan.groupBy(fam.alias("sk_family")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+KV_COUNT_ORACLE = f"""
+WITH {KV_ORACLE_CTE}
+SELECT split_part(sk, '#', 1) AS sk_family, count(*) AS n
+FROM kv WHERE pk = '{PK}' GROUP BY sk_family
+"""
+
+
 QUERIES = {
+    "kv_count_by_prefix": Query(q_kv_count_by_prefix, KV_COUNT_ORACLE),
     "kv_get": Query(
         q_kv_get,
         f"WITH {KV_ORACLE_CTE} SELECT pk, sk, value FROM kv "
