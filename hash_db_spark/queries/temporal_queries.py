@@ -441,7 +441,24 @@ FROM events GROUP BY user_id
 """
 
 
+def q_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events by hour-of-day and type — the traffic-shape report behind
+    capacity planning; one map-combined shuffle over two small keys."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        F.hour("ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+HOURLY_PROFILE_ORACLE = """
+SELECT CAST(extract(hour FROM ts) AS INT) AS hour, event_type,
+       count(*) AS n
+FROM events GROUP BY hour, event_type
+"""
+
+
 QUERIES = {
+    "events_hourly_profile": Query(q_hourly_profile, HOURLY_PROFILE_ORACLE),
     "decayed_activity": Query(q_decayed_activity, DECAYED_ORACLE),
     "funnel_stages": Query(q_funnel_stages, T.sql_funnel(FUNNEL_STEPS)),
     "cohort_retention": Query(q_cohort_retention, T.sql_cohort_retention()),
