@@ -168,6 +168,20 @@ def histogram_quantiles(
     return hit.select("p", q.alias("q_est"))
 
 
+def sql_binned_histogram(
+    table: str, col: str, lo: float, hi: float, bins: int = 256
+) -> str:
+    """Standalone oracle for binned_histogram: identical bin rule, so
+    the sketch itself (not just its quantile estimates) hash-matches."""
+    width = (hi - lo) / bins
+    return f"""
+SELECT least({bins - 1}, greatest(0,
+         CAST(floor(({col} - {lo!r}) / {width!r}) AS BIGINT))) AS bin,
+       count(*) AS cnt
+FROM {table} GROUP BY 1
+"""
+
+
 def sql_histogram_quantiles(
     table: str,
     col: str,

@@ -290,7 +290,33 @@ def _histo_oracle() -> str:
     )
 
 
+DOCLEN_LO, DOCLEN_HI, DOCLEN_BINS = 0.0, 800.0, 32
+
+
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution as the mergeable binned sketch —
+    the corpus-card length chart, 32 count rows per shard regardless of
+    corpus size."""
+    from hash_db_spark.functions.profiling import binned_histogram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return binned_histogram(
+        docs, "n_chars", DOCLEN_LO, DOCLEN_HI, bins=DOCLEN_BINS
+    )
+
+
+def _doclen_oracle() -> str:
+    from hash_db_spark.functions.profiling import sql_binned_histogram
+
+    return sql_binned_histogram(
+        "documents", "n_chars", DOCLEN_LO, DOCLEN_HI, bins=DOCLEN_BINS
+    )
+
+
 QUERIES = {
+    "doc_length_histogram": Query(
+        q_doc_length_histogram, _doclen_oracle()
+    ),
     "profile_columns": Query(q_profile_columns, _profile_oracle()),
     "profile_quantiles": Query(q_profile_quantiles, _quantile_oracle()),
     "histo_quantiles": Query(q_histo_quantiles, _histo_oracle()),
