@@ -1012,8 +1012,12 @@ def negative_samples(
     Scale shape: the draw is a map-side expression on the (small) query
     side; negatives attach via ONE equijoin on the corpus id — no
     scan-per-query, no shuffle of the corpus beyond the join. The
-    corpus count is one scalar aggregate."""
+    corpus count is one scalar aggregate. Requires n >= 2: with a
+    single-row corpus the self-collision remap (neg0 + 1) % n would
+    map straight back to the query itself."""
     n = corpus.count()
+    if n < 2:
+        raise ValueError(f"negative_samples needs a corpus of >= 2 rows, got {n}")
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("__qv")
     )
@@ -1033,9 +1037,11 @@ def negative_samples(
     )
     cand = cand.withColumn("__neg0", draw).withColumn(
         "neg_id",
+        # long, not int: corpus ids are long everywhere else, and a
+        # >2^31-row corpus would silently wrap an int join key.
         F.when(F.col("__neg0") == F.col("qid"), (F.col("__neg0") + 1) % n)
         .otherwise(F.col("__neg0"))
-        .cast("int"),
+        .cast("long"),
     )
     c = corpus.select(
         F.col(id_col).alias("neg_id"), F.col(vec_col).alias("__nv")
@@ -1063,7 +1069,7 @@ cand AS (
 ),
 fixed AS (
   SELECT qid, qv, j,
-         CAST(CASE WHEN neg0 = qid THEN (neg0 + 1) % cnt ELSE neg0 END AS INT)
+         CAST(CASE WHEN neg0 = qid THEN (neg0 + 1) % cnt ELSE neg0 END AS BIGINT)
            AS neg_id
   FROM cand
 )

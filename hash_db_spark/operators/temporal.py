@@ -77,11 +77,16 @@ def asof_join(
     # ignorenulls); its fields keep the matched row's values, NULLs
     # included. A NULL left_time matches nothing (merge_asof contract) —
     # without the guard the window frame would still hand it a fill.
+    # Symmetrically, a NULL right_time row is never a match candidate:
+    # it sorts nulls-first in the ascending window and would otherwise
+    # donate its payload (with __mt NULL, so the tolerance predicate
+    # also evaluates NULL) to left rows that should stay unmatched.
     m = F.when(
         F.col("__t").isNotNull(),
         F.last(
             F.when(
-                F.col("__is_right") == 1,
+                (F.col("__is_right") == 1)
+                & F.col("__r___mt").isNotNull(),
                 F.struct(
                     F.col("__r___mt").alias("mt"),
                     *[F.col(f"__r_{c}").alias(c) for c in right_payload],
@@ -163,9 +168,10 @@ def asof_join_nearest(
     # the struct, a NULL payload in the matched row is papered over by a
     # stale older row; without the guard, a NULL left_time sorts last in
     # the descending window and spuriously "matches" the minimum right
-    # time.
+    # time. NULL right_time rows are excluded as match candidates for
+    # the same reason as in asof_join.
     pstruct = F.when(
-        F.col("__is_right") == 1,
+        (F.col("__is_right") == 1) & F.col("__r___mt").isNotNull(),
         F.struct(
             F.col("__r___mt").alias("mt"),
             *[F.col(f"__r_{c}").alias(c) for c in right_payload],

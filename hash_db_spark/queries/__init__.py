@@ -47,79 +47,56 @@ def all_queries() -> dict[str, Query]:
     )
 
     # Module order matters: the driver verifies registry entries in order and
-    # caps the run at the first 50. Round-4 PRIORITY: the 43 entries the
-    # driver has never checked (r01 ∪ r02 ∪ r03 covered 146/189 — the
-    # remaining ansi_* shapes, as-of variants, stream-stream join, CMS/
-    # histogram/bloom sketches, bigram LM, hive pruning, z-order, SCD2)
-    # go first so the r01-r04 union covers every registry name, then the
-    # entries whose code changed this round for re-verification.
-    #
-    # ROUND-5 TODO (first thing next session): replace this list with the
-    # 28-entry r05 priority queue recorded at the end of COVERAGE.md's
-    # Totals paragraph (every entry added after the r04 window froze),
-    # then backfill with any r04 window entry the gate reported non-green.
+    # caps the run at the first 50. Round-5 PRIORITY: the 37 entries the
+    # r01-r04 union has never checked (exactly the set listed in
+    # COVERAGE.md's Totals paragraph; recomputed this session as
+    # all_queries() minus the union of CORRECTNESS_r01..r04 keys). The four
+    # slow ones at sf0.01 in driver_sim (train_prep ~21s, graph_components
+    # ~17s, dedup_components_star ~8s, semdedup_drop ~7s) are interleaved —
+    # positions ~6/14/23/31 — so the window never pays them back-to-back.
+    # Remaining slots backfill with entries whose code changed this round.
     priority = [
-        # --- never driver-checked (43) -------------------------------
-        # as-of variants / stream-stream join
+        # --- never driver-checked (37) -------------------------------
+        "graph_degree_hist",
+        "cypher_optional",
+        "cypher_where",
+        "cypher_count",
+        "events_hourly_profile",
+        "graph_components",  # slow: recursive-CTE oracle
+        "dialect_group_aggs",
+        "dialect_compare",
+        "decayed_activity",
+        "asof_nearest",
+        "interval_merge",
+        "multimodal_meta_stats",
+        "doc_length_histogram",
+        "train_prep",  # slow: composed full-pipeline oracle
+        "multimodal_ppm_decode",
+        "multimodal_wav_decode",
+        "multimodal_y4m_decode",
+        "training_order",
+        "split_leakage_audit",
+        "stream_hll_users",
+        "stream_cms_users",
+        "bloom_prejoin",
+        "dedup_components_star",  # slow: large-star/small-star iterations
+        "rank_global_scalable",
+        "ansi_grouping_flags",
+        "ansi_cube",
+        "lm_perplexity_gate",
+        "select_token_budget",
+        "mixture_token_budget",
+        "text_token_entropy",
+        "semdedup_drop",  # slow: k-means bucket oracle
+        "kv_count_by_prefix",
+        "corpus_snapshot_diff",
+        "langid_confusion",
+        "dedup_rate_report",
+        "negative_samples",
+        "sim_topk_ivf_persisted",
+        # --- backfill: code changed this round (re-verify) -----------
         "asof_tolerance",
         "asof_forward",
-        "stream_stream_join",
-        # sketches
-        "histo_quantiles",
-        "cms_user_counts",
-        "cms_merge_heavy_hitters",
-        "bloom_decontaminate",
-        # bigram LM / layout / storage
-        "doc_bigram_logprob",
-        "hive_partition_prune",
-        "zorder_values",
-        "cdc_scd2_history",
-        # ANSI family (every remaining shape)
-        "ansi_q6_filtered_agg",
-        "ansi_left_join",
-        "ansi_cte_window",
-        "ansi_rollup",
-        "ansi_intersect",
-        "ansi_except",
-        "ansi_case_buckets",
-        "ansi_date_string_funcs",
-        "ansi_ntile",
-        "ansi_q4_order_priority",
-        "ansi_q14_promo_share",
-        "ansi_self_join_pairs",
-        "ansi_having_in",
-        "ansi_lead_lag",
-        "ansi_window_frames",
-        "ansi_scalar_subquery",
-        "ansi_q10_returned_items",
-        "ansi_q18_large_orders",
-        "ansi_q19_disjunctive_preds",
-        "ansi_percent_rank",
-        "ansi_value_histogram",
-        "ansi_q7_nation_volume",
-        "ansi_q8_market_share",
-        "ansi_q9_product_profit",
-        "ansi_q11_important_stock",
-        "ansi_q13_custdist",
-        "ansi_q15_top_supplier",
-        "ansi_q16_supplier_cnt",
-        "ansi_q17_small_qty_revenue",
-        "ansi_q20_excess_suppliers",
-        "ansi_q21_waiting_supplier",
-        "ansi_q22_idle_customers",
-        # --- new this round ------------------------------------------
-        "cypher_var_length",
-        "dedup_strip_spans",
-        "stream_dedup_within_wm",
-        "fts_phrase",
-        "sim_topk_ivf_kmeans",
-        "dialect_order_limit",
-        "dialect_distinct",
-        # The changed dedup paths (pointer-doubling components, hot-band
-        # caps in minhash/simhash/incremental/embedding_lsh) hold prior
-        # green driver rows and are re-verified by the gate-faithful
-        # driver_sim locally; all 50 window slots go to never-checked
-        # entries so the r01-r04 union covers the whole registry.
     ]
     registry: dict[str, Query] = {}
     for mod in (

@@ -169,3 +169,19 @@ def test_semdedup_drop_keeps_min_id_per_duplicate_set(spark):
     out = S.semdedup_drop(emb, k=4, threshold=0.999)
     dropped = {r.vec_id: r.kept_by for r in out.collect()}
     assert dropped == {1: 0, 2: 0, 4: 3, 5: 3}
+
+
+def test_negative_samples_long_ids_and_small_corpus_guard(spark):
+    """neg_id must be long (a >2^31-row corpus would wrap an int join
+    key) and a degenerate corpus (n < 2) is rejected: the self-collision
+    remap (neg0 + 1) % n would map straight back to the query."""
+    rows = [(i, [float(i), 1.0]) for i in range(5)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = S.negative_samples(emb.limit(2), emb, k=2)
+    assert dict(out.dtypes)["neg_id"] == "bigint"
+    got = out.collect()
+    assert len(got) == 4
+    assert all(r.qid != r.neg_id for r in got)
+    one = spark.createDataFrame([rows[0]], ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match=">= 2 rows"):
+        S.negative_samples(one, one, k=1)

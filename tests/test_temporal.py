@@ -326,6 +326,38 @@ def test_asof_null_left_time_matches_nothing(spark):
     assert rows[0]["asof_val"] is None, "nearest"
 
 
+def test_asof_null_right_time_never_matches(spark):
+    """A right row with NULL timestamp must not donate its payload: it
+    sorts nulls-first in the ascending backward window and, unguarded,
+    would fill left rows that should stay unmatched (with __mt NULL, so
+    a tolerance predicate would also evaluate NULL, not False)."""
+    from datetime import datetime as dt
+
+    left = spark.createDataFrame(
+        [(1, "k", dt(2024, 1, 1, 10, 0, 0))], ["id", "sym", "ts"]
+    )
+    right = spark.createDataFrame(
+        [("k", None, "ghost")], "sym string, ts timestamp, val string"
+    )
+    for direction in ("backward", "forward"):
+        rows = T.asof_join(
+            left, right, key="sym", left_time="ts", right_time="ts",
+            right_payload=["val"], direction=direction,
+        ).collect()
+        assert rows[0]["asof_val"] is None, direction
+        rows = T.asof_join(
+            left, right, key="sym", left_time="ts", right_time="ts",
+            right_payload=["val"], direction=direction,
+            tolerance="15 minutes",
+        ).collect()
+        assert rows[0]["asof_val"] is None, f"{direction}+tolerance"
+    rows = T.asof_join_nearest(
+        left, right, key="sym", left_time="ts", right_time="ts",
+        right_payload=["val"],
+    ).collect()
+    assert rows[0]["asof_val"] is None, "nearest"
+
+
 def test_asof_nearest_picks_closer_side_ties_backward(spark):
     from datetime import datetime as dt
 
