@@ -231,6 +231,14 @@ def ngram_jaccard_pairs(
     per-doc window shuffles cost 1.6x (9.4s vs 5.8s at sf0.1). On a
     Zipfian real corpus prefixes hold near-unique shingles and the
     technique wins; re-evaluate against real data before 100 TB.
+
+    100 TB usage note: this is a CANDIDATE GENERATOR, not a terminal
+    operator. A duplicate-heavy corpus has pair counts quadratic in its
+    cluster sizes, so *persisting* the pair set is the scale-killer even
+    when the plan is right. The scale-safe consumption path composes it
+    straight into connected_components / apply_dedup_keep (see
+    ``train_prep`` / ``dedup_apply_keep`` / ``dedup_rate_report``) so
+    pairs stream into the clustering shuffle without materializing.
     """
     # Cached: the shingle arrays feed the postings (twice on the hot path).
     # Doc size rides along with every posting (4 bytes) so the verify step
@@ -794,6 +802,13 @@ def minhash_lsh_pairs(
     frame broadcast back as anti/semi filters, so the bands relation is
     never shuffled just to size buckets. Returns (id_a, id_b, jac) with
     jac >= threshold.
+
+    100 TB usage note: like ngram_jaccard_pairs, this is a CANDIDATE
+    GENERATOR — pair counts grow quadratically in duplicate-cluster
+    sizes, so don't persist the pair set at scale. Compose it into
+    apply_dedup_keep / connected_components (``train_prep``,
+    ``dedup_rate_report``) so pairs flow straight into the clustering
+    shuffle.
     """
     base, bands = minhash_index(
         df, col, id_col, num_hashes, band_rows,

@@ -162,3 +162,30 @@ def test_explain_returns_physical_plan(db):
         db.explain("insert into exp_t (name) values ('x')")
     # the rejected mutation must NOT have executed
     assert len(db.sql("select * from exp_t")) == n_before
+
+
+def test_mutation_lineage_stays_flat(spark, monkeypatch):
+    """A long interactive mutation session must not build an unbounded
+    plan: per-set cost stays flat because the facade eagerly
+    localCheckpoints every _CHECKPOINT_EVERY mutations. Scaled-down
+    shape of the 500-set probe (measured flat at ~31s/100 sets with the
+    guard vs 42->92->182s cumulative-growth without it); the assertion
+    is flatness, not an absolute bound, so slow CI doesn't flake it."""
+    import time
+
+    from hash_db_spark import api
+
+    monkeypatch.setattr(api, "_CHECKPOINT_EVERY", 8)
+    db = HashDb(spark)
+    window = 25
+    times = []
+    for w in range(4):
+        t0 = time.time()
+        for i in range(w * window, (w + 1) * window):
+            db.set(f"pk{i % 5}", f"sk{i:04d}", f"v{i}")
+        times.append(time.time() - t0)
+    # Without the checkpoint the 4th window is ~4x the 1st and keeps
+    # growing; with it, windows are level (allow 2.5x for JVM noise).
+    assert times[3] < 2.5 * max(times[0], 1e-3), times
+    assert db.get("pk1", "sk0096") == "v96"
+    assert len(db.query_begins("pk2", "sk")) == 20
