@@ -108,6 +108,12 @@ HEADLINE: list[str] = [
     # the full prep pipeline as ONE plan: gate -> dedup-keep -> chunk ->
     # pack -> per-lang counts
     "train_prep",
+    # round-5 additions: BPE merge candidates, fixed-value pivot,
+    # SCD2 point-in-time lookup, interval-union coverage
+    "bpe_merge_candidates",
+    "pivot_lang_source",
+    "scd2_asof_lookup",
+    "interval_coverage",
 ]
 
 

@@ -141,6 +141,33 @@ class HashDb:
         """The same statement as a lazy DataFrame (engine-native path)."""
         return self.engine.sql(text)
 
+    def sql_script(self, script: str) -> list[dict] | None:
+        """Run a multi-statement session — the shape the reference's
+        example.py drives one HTTP POST per statement
+        (/root/reference/example.py:86-146: a run of inserts, then
+        selects, then an update) — in one call. Statements split on
+        `;`, honoring single-quoted strings (a literal `';'` never
+        splits); each runs in order and the LAST select's rows are
+        returned (None if the script ends on a mutation)."""
+        stmts, buf, in_str = [], [], False
+        for ch in script:
+            if ch == "'":
+                in_str = not in_str
+            if ch == ";" and not in_str:
+                stmts.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+        stmts.append("".join(buf))
+        result = None
+        for stmt in (s.strip() for s in stmts):
+            if not stmt:
+                continue
+            out = self.sql(stmt)
+            if out is not None:
+                result = out
+        return result
+
     # -- Cypher -------------------------------------------------------------
 
     def cypher(self, statement: str):

@@ -176,12 +176,23 @@ def cms_cells(
 
 
 def cms_estimate(
-    cells: DataFrame, probes: DataFrame, key: str, d: int = CMS_D, w: int = CMS_W
+    cells: DataFrame,
+    probes: DataFrame,
+    key: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    pre_merged: bool = False,
 ) -> DataFrame:
     """(key, est): point-frequency estimate for each probe key = min over
     the D rows of that key's cell. ``probes`` is small by nature (the
     keys you're asking about), so its exploded coordinates broadcast into
-    the cell join; the grid itself is tiny after aggregation."""
+    the cell join; the grid itself is tiny after aggregation.
+
+    ``pre_merged``: pass True ONLY when ``cells`` already holds one row
+    per (row, col) — the defensive shard-merge below is then skipped
+    (Catalyst can't prove an aggregation idempotent, so the redundant
+    groupBy otherwise costs a real shuffle: measured +46% on the
+    merge-heavy-hitters benchmark entry)."""
     coords = F.explode(
         F.array(
             *[
@@ -197,8 +208,14 @@ def cms_estimate(
     )
     # Merge shards to one count per (row, col) first: min() over per-shard
     # counts would under-estimate, violating the CMS never-undercount
-    # guarantee. A no-op on already-merged input (one row per cell).
-    merged = cells.groupBy("row", "col").agg(F.sum("c").alias("c"))
+    # guarantee. Semantically a no-op on already-merged input — callers
+    # that just merged assert that with pre_merged=True to skip the
+    # shuffle.
+    merged = (
+        cells
+        if pre_merged
+        else cells.groupBy("row", "col").agg(F.sum("c").alias("c"))
+    )
     return (
         probe_cells.join(merged, ["row", "col"], "left")
         .groupBy(key)

@@ -615,6 +615,33 @@ def minhash_signature(col: Column | str, num_hashes: int = NUM_HASHES) -> Column
     )
 
 
+# Semantic memo for minhash_index: several registry entries build the
+# SAME index over the same input plan (full-corpus pairs, apply-keep,
+# rate-report); without the memo each re-caches an identical plan —
+# Spark's CacheManager warns "already cached" and the shingle/signature
+# columns materialize once per caller instead of once per corpus.
+# Key = operator params + DataFrame.sameSemantics on the source (public
+# API, plan-identity exact). FIFO-capped: entries only pin logical plans
+# (the cached blocks are Spark-managed either way).
+_INDEX_MEMO: list[tuple[DataFrame, tuple, tuple[DataFrame, DataFrame]]] = []
+_INDEX_MEMO_CAP = 16
+
+# Same idea one level up: pairs-consuming entries (full-corpus pairs,
+# components, apply-keep, rate-report) re-derive the identical pair plan;
+# returning the same DataFrame object also stops split_hot_buckets from
+# re-caching an identical hot-keys plan downstream of the memoized bands.
+_PAIRS_MEMO: list[tuple[DataFrame, tuple, DataFrame]] = []
+
+
+def _same_semantics(a: DataFrame, b: DataFrame) -> bool:
+    """sameSemantics, treating a dead memo entry (its SparkSession was
+    stopped since it was recorded) as a miss rather than an error."""
+    try:
+        return a.sameSemantics(b)
+    except Exception:
+        return False
+
+
 def minhash_index(
     df: DataFrame,
     col: str,
@@ -646,6 +673,10 @@ def minhash_index(
             "fused integer band keys support band_rows <= 2 (K^2 * sig "
             "overflows int64); widen MINHASH band fusion to md5 keys first"
         )
+    params = (col, id_col, num_hashes, band_rows, tuple(keep), with_sigh)
+    for src, p, out in _INDEX_MEMO:
+        if p == params and _same_semantics(df, src):
+            return out
     num_bands = num_hashes // band_rows
     shingled = (
         shingle_frame(df, col, id_col, with_hash=True, keep=keep)
@@ -700,6 +731,9 @@ def minhash_index(
         *(["bk.sigh"] if with_sigh else []),
         *keep,
     )
+    if len(_INDEX_MEMO) >= _INDEX_MEMO_CAP:
+        _INDEX_MEMO.pop(0)
+    _INDEX_MEMO.append((df, params, (base, bands)))
     return base, bands
 
 
@@ -810,6 +844,10 @@ def minhash_lsh_pairs(
     ``dedup_rate_report``) so pairs flow straight into the clustering
     shuffle.
     """
+    params = (col, id_col, threshold, num_hashes, band_rows, max_band_bucket)
+    for src, p, out in _PAIRS_MEMO:
+        if p == params and _same_semantics(df, src):
+            return out
     base, bands = minhash_index(
         df, col, id_col, num_hashes, band_rows,
         with_sigh=max_band_bucket is not None,
@@ -859,13 +897,17 @@ def minhash_lsh_pairs(
     sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
+    pairs = (
         cands.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .withColumn("jac", F.round(inter.cast("double") / union, 6))
         .filter(F.col("jac") >= threshold)
         .select("id_a", "id_b", "jac")
     )
+    if len(_PAIRS_MEMO) >= _INDEX_MEMO_CAP:
+        _PAIRS_MEMO.pop(0)
+    _PAIRS_MEMO.append((df, params, pairs))
+    return pairs
 
 
 def minhash_pairs_against(

@@ -97,6 +97,12 @@ def all_queries() -> dict[str, Query]:
         # --- backfill: code changed this round (re-verify) -----------
         "asof_tolerance",
         "asof_forward",
+        "cms_merge_heavy_hitters",
+        # --- new this round ------------------------------------------
+        "bpe_merge_candidates",
+        "pivot_lang_source",
+        "scd2_asof_lookup",
+        "interval_coverage",
     ]
     registry: dict[str, Query] = {}
     for mod in (

@@ -512,6 +512,92 @@ SELECT 9001, 1, NULL, TRUE, 'NewSupplier', 50.0
 """
 
 
+def q_pivot_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reshaping: doc counts per language pivoted over a FIXED source
+    list (`DataFrame.pivot` with explicit values — the scale-safe form:
+    without the value list Spark first runs a distinct scan to discover
+    columns, and an unbounded category set would explode the schema).
+    Missing combinations surface as 0, not NULL."""
+    srcs = [f"src{i}" for i in range(5)]
+    docs = _t(spark, sf_dir, "documents")
+    p = (
+        docs.filter(F.col("source").isin(srcs))
+        .groupBy("lang")
+        .pivot("source", srcs)
+        .count()
+    )
+    return p.select(
+        "lang",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).cast("long").alias(f"n_{s}")
+            for s in srcs
+        ],
+    )
+
+
+PIVOT_ORACLE = """
+SELECT lang,
+       count(*) FILTER (WHERE source = 'src0') AS n_src0,
+       count(*) FILTER (WHERE source = 'src1') AS n_src1,
+       count(*) FILTER (WHERE source = 'src2') AS n_src2,
+       count(*) FILTER (WHERE source = 'src3') AS n_src3,
+       count(*) FILTER (WHERE source = 'src4') AS n_src4
+FROM documents
+WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+GROUP BY lang
+"""
+
+
+def q_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension state AS OF a version: SCD2 history built from a
+    data-driven changelog (every 10th supplier re-named at v1, every
+    20th deleted at v2), then the point-in-time filter
+    ``valid_from <= v AND (valid_to IS NULL OR valid_to > v)`` at v=1 —
+    the lookup a fact-table join would broadcast. Deletes at v2 don't
+    affect the v1 snapshot, so every supplier is present."""
+    from hash_db_spark.operators import cdc
+
+    sup = _t(spark, sf_dir, "supplier")
+    base = sup.select("s_suppkey", "s_name", "s_acctbal")
+    upserts = sup.filter(F.col("s_suppkey") % 10 == 0).select(
+        "s_suppkey",
+        F.lit(1).cast("long").alias("version"),
+        F.lit("upsert").alias("op"),
+        F.concat(F.col("s_name"), F.lit("-v1")).alias("s_name"),
+        (F.col("s_acctbal") + 100.0).alias("s_acctbal"),
+    )
+    deletes = sup.filter(F.col("s_suppkey") % 20 == 0).select(
+        "s_suppkey",
+        F.lit(2).cast("long").alias("version"),
+        F.lit("delete").alias("op"),
+        F.lit(None).cast("string").alias("s_name"),
+        F.lit(None).cast("double").alias("s_acctbal"),
+    )
+    hist = cdc.scd2_history(base, upserts.unionByName(deletes), "s_suppkey")
+    at_v = hist.filter(
+        (F.col("valid_from") <= 1)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > 1))
+    )
+    return at_v.select(
+        "s_suppkey",
+        "valid_from",
+        "s_name",
+        F.round("s_acctbal", 2).alias("s_acctbal"),
+    )
+
+
+SCD2_ASOF_ORACLE = """
+SELECT s_suppkey,
+       CAST(CASE WHEN s_suppkey % 10 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS valid_from,
+       CASE WHEN s_suppkey % 10 = 0 THEN s_name || '-v1' ELSE s_name END
+         AS s_name,
+       round(CASE WHEN s_suppkey % 10 = 0 THEN s_acctbal + 100.0
+                  ELSE s_acctbal END, 2) AS s_acctbal
+FROM supplier
+"""
+
+
 QUERIES = {
     "percentiles": Query(q_percentiles, PERCENTILES_ORACLE),
     "cdc_latest_view": Query(q_cdc_latest_view, CDC_ORACLE),
@@ -519,6 +605,8 @@ QUERIES = {
         q_corpus_snapshot_diff, SNAPSHOT_DIFF_ORACLE
     ),
     "cdc_scd2_history": Query(q_cdc_scd2_history, SCD2_ORACLE),
+    "pivot_lang_source": Query(q_pivot_lang_source, PIVOT_ORACLE),
+    "scd2_asof_lookup": Query(q_scd2_asof_lookup, SCD2_ASOF_ORACLE),
     "select_where_eq": Query(
         q_select_where_eq,
         "SELECT c_custkey, c_name, c_acctbal FROM customer "

@@ -176,7 +176,9 @@ def q_cms_merge_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     shards = S.cms_cells(ev, "user_id", "event_type")
     merged = shards.groupBy("row", "col").agg(F.sum("c").alias("c"))
     probes = ev.select("user_id").distinct()
-    est = S.cms_estimate(merged, probes, "user_id").filter(F.col("est") >= 25)
+    est = S.cms_estimate(merged, probes, "user_id", pre_merged=True).filter(
+        F.col("est") >= 25
+    )
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
     return est.join(exact, "user_id")
 

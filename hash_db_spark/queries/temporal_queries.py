@@ -275,6 +275,44 @@ FROM lab GROUP BY user_id, island
 """
 
 
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total covered activity per user: the merged islands from
+    interval_merge reduced to (user, covered microseconds, island
+    count) — the uptime/SLA aggregate. Composes on the same single
+    shuffle; the per-user reduction is map-side partial on top."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("e"),
+    )
+    merged = T.merge_intervals(
+        ev, key="user_id", start="s", end="e", tiebreak="event_id"
+    )
+    return merged.groupBy("user_id").agg(
+        F.sum(
+            # events ts is TIMESTAMP_NTZ after the nanos normalization;
+            # unix_micros needs TIMESTAMP. The session-tz offset cancels
+            # in the difference (exactly true in a fixed-offset zone —
+            # run pipelines in UTC; a DST-observing session tz could
+            # skew islands straddling a transition by the DST hour).
+            F.unix_micros(F.col("merged_end").cast("timestamp"))
+            - F.unix_micros(F.col("merged_start").cast("timestamp"))
+        ).alias("covered_us"),
+        F.count(F.lit(1)).alias("n_islands"),
+    )
+
+
+INTERVAL_COVERAGE_ORACLE = f"""
+WITH merged AS ({INTERVAL_MERGE_ORACLE})
+SELECT user_id,
+       CAST(sum(epoch_us(merged_end) - epoch_us(merged_start)) AS BIGINT)
+         AS covered_us,
+       count(*) AS n_islands
+FROM merged GROUP BY user_id
+"""
+
+
 # --- Structured Streaming entries (stream vs batch oracle) ------------------
 
 def q_stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,6 +505,9 @@ QUERIES = {
     "asof_forward": Query(q_asof_forward, ASOF_FWD_ORACLE),
     "asof_nearest": Query(q_asof_nearest, ASOF_NEAREST_ORACLE),
     "interval_merge": Query(q_interval_merge, INTERVAL_MERGE_ORACLE),
+    "interval_coverage": Query(
+        q_interval_coverage, INTERVAL_COVERAGE_ORACLE
+    ),
     "range_join": Query(q_range_join, RANGE_ORACLE),
     "interval_bin_join": Query(q_interval_bin_join, INTERVAL_BIN_ORACLE),
     "ts_similar_users": Query(

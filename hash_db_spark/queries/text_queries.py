@@ -337,6 +337,54 @@ FROM bloom_hits b LEFT JOIN true_hits t ON b.id = t.id
 """
 
 
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training's first step: the 20 most frequent ADJACENT
+    token pairs over the corpus (count desc, pair asc tie-break) — the
+    merge candidates a BPE trainer would fuse first. Unlike the shingle
+    path this keeps positional adjacency (no distinct), so repeated
+    pairs inside one document each count.
+
+    Scale shape: pure map-side explode (pairs per doc = tokens - 1)
+    into one partial-aggregated groupBy; the top-k is
+    TakeOrderedAndProject, not a global sort."""
+    from hash_db_spark.operators.dedup import clean_tokens
+
+    toks = clean_tokens("text")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(20)
+    )
+
+
+def _bpe_merge_oracle() -> str:
+    from hash_db_spark.operators.dedup import sql_clean_tokens
+
+    return f"""
+WITH toks AS (
+  SELECT {sql_clean_tokens('text')} AS t FROM documents
+),
+idx AS (
+  SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+  FROM toks WHERE len(t) >= 2
+)
+SELECT t[i] || ' ' || t[i + 1] AS pair, count(*) AS n
+FROM idx GROUP BY pair
+ORDER BY n DESC, pair ASC LIMIT 20
+"""
+
+
 def q_top_ngrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus analytics: 5 most frequent word trigrams per language
     (count desc, gram asc tie-break) — vocabulary/boilerplate discovery
@@ -430,4 +478,7 @@ QUERIES = {
         q_bloom_decontaminate, _bloom_decontaminate_oracle()
     ),
     "top_ngrams_per_lang": Query(q_top_ngrams_per_lang, TOP_NGRAMS_ORACLE),
+    "bpe_merge_candidates": Query(
+        q_bpe_merge_candidates, _bpe_merge_oracle()
+    ),
 }

@@ -10,10 +10,17 @@ validated empirically:
     dedup_embedding_lsh hyperplane-banded near-dup (no corpus broadcast)
     sim_topk_ivf        IVF cells, bounded centroid collect
 
+plus (round 5) the newest composed/iterative operators: semdedup_drop,
+train_prep, rank_global_scalable — driven through their registry query
+fns against the replicated fixture dir, so the stress exercises exactly
+the driver-checked plans.
+
 Near-linear wall-time growth vs the sf0.1 baseline is the pass criterion
 (results recorded in COVERAGE.md). Writes only under /tmp.
 
-Usage: python scripts/scale_stress.py [--replicas 10]
+Usage: python scripts/scale_stress.py [--replicas 10] [--ops a,b,c]
+       python scripts/scale_stress.py --replicas 100 --ops dedup_minhash_lsh
+           # single-op 100x probe: validates the hot-band cap's asymptote
 """
 
 from __future__ import annotations
@@ -68,12 +75,28 @@ def build(spark, replicas: int) -> None:
         )
     )
     big_emb.write.mode("overwrite").parquet(f"{OUT}/embeddings.parquet")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    n_cust = cust.count()
+    big_cust = cust.crossJoin(reps).select(
+        (F.col("c_custkey") + F.col("rep") * n_cust).alias("c_custkey"),
+        # jitter keeps acctbal ties (the rank tie-break path) realistic
+        # instead of every replica colliding on identical values
+        (F.col("c_acctbal") + (F.col("rep") % 13).cast("double") * 0.01)
+        .alias("c_acctbal"),
+    )
+    big_cust.write.mode("overwrite").parquet(f"{OUT}/customer.parquet")
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument(
+        "--ops",
+        default=None,
+        help="comma-separated subset of op names (as printed) to run",
+    )
     args = ap.parse_args()
+    wanted = set(args.ops.split(",")) if args.ops else None
 
     from hash_db_spark.session import get_spark
 
@@ -84,13 +107,19 @@ def main() -> int:
     from hash_db_spark.operators import dedup as D
     from hash_db_spark.operators import similarity as S
 
+    from hash_db_spark.queries import all_queries
+
+    reg = all_queries()
+
     def timed(name, make):
+        if wanted is not None and name.split("/")[0] not in wanted:
+            return None
         # warm plan, then one timed full materialization (bench protocol)
         df = make()
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
-        print(f"{name:24s} {dt:7.2f}s", flush=True)
+        print(f"{name:28s} {dt:7.2f}s", flush=True)
         return dt
 
     for scale, sf_dir in (("1x", SF_DIR), (f"{args.replicas}x", OUT)):
@@ -127,6 +156,13 @@ def main() -> int:
             f"sim_topk_ivf/{scale}",
             lambda: S.topk_ivf(emb, [1, 2, 3, 4, 5], k=5),
         )
+        # round-5 additions: the registry fns themselves, so the stress
+        # times the exact driver-checked plans
+        for entry in ("semdedup_drop", "train_prep", "rank_global_scalable"):
+            timed(
+                f"{entry}/{scale}",
+                lambda e=entry: reg[e].fn(spark, sf_dir),
+            )
     return 0
 
 

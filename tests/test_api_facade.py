@@ -189,3 +189,30 @@ def test_mutation_lineage_stays_flat(spark, monkeypatch):
     assert times[3] < 2.5 * max(times[0], 1e-3), times
     assert db.get("pk1", "sk0096") == "v96"
     assert len(db.query_begins("pk2", "sk")) == 20
+
+
+def test_sql_script_multi_statement_session(db):
+    """The reference example.py drives one POST per statement
+    (example.py:86-146); sql_script replays the same session in one
+    call — inserts, an update, then the final select's rows come back.
+    A quoted ';' must not split a statement."""
+    out = db.sql_script(
+        """
+        insert into crew (crew_name, age, motto) values ('Ada', 36, 'go; fast');
+        insert into crew (crew_name, age, motto) values ('Joan', 29, 'steady');
+        insert into crew (crew_name, age, motto) values ('Grace', 36, 'curious');
+        update crew set crew.age = 37 where crew.crew_name = 'Joan';
+        select * from crew where crew.age = 36
+        """
+    )
+    assert {r["crew_name"] for r in out} == {"Ada", "Grace"}
+    assert db.sql("select * from crew where crew.crew_name = 'Ada'")[0][
+        "motto"
+    ] == "go; fast"
+    # a script ending on a mutation returns None
+    assert (
+        db.sql_script(
+            "insert into crew (crew_name, age, motto) values ('Mae', 40, 'up')"
+        )
+        is None
+    )

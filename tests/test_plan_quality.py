@@ -307,3 +307,43 @@ def test_asof_nearest_single_shuffle(spark, sf_dir):
 def test_interval_merge_single_shuffle(spark, sf_dir):
     s = summarize(REG["interval_merge"].fn(spark, sf_dir))
     assert s.shuffle_exchanges <= 1, s.shuffle_exchanges
+
+
+def test_bpe_merge_topk_no_global_sort(spark, sf_dir):
+    """Pair counting is one partial-aggregated shuffle; the top-20 is
+    TakeOrderedAndProject, never a global sort of the pair counts."""
+    from hash_db_spark.plans.inspect import formatted_plan
+
+    df = REG["bpe_merge_candidates"].fn(spark, sf_dir)
+    s = summarize(df)
+    assert s.has_take_ordered
+    assert s.shuffle_exchanges <= 1  # the pair groupBy
+    assert "partial_count" in formatted_plan(df)
+
+
+def test_pivot_single_shuffle_with_explicit_values(spark, sf_dir):
+    """Pivot with an explicit value list must not add a distinct-scan
+    job or a second aggregation exchange: one groupBy(lang) shuffle."""
+    s = summarize(REG["pivot_lang_source"].fn(spark, sf_dir))
+    assert s.shuffle_exchanges <= 1
+    assert s.pushed("source")  # IN-list reached the parquet scan
+
+
+def test_interval_coverage_single_shuffle(spark, sf_dir):
+    """Window partitionBy(user_id), island groupBy(user_id, island) and
+    the final groupBy(user_id) all ride ONE hash exchange — subset
+    partitioning satisfies each downstream clustering requirement."""
+    s = summarize(REG["interval_coverage"].fn(spark, sf_dir))
+    assert s.shuffle_exchanges <= 1
+
+
+def test_scd2_asof_lookup_single_key_shuffle(spark, sf_dir):
+    """The changelog derives from the same supplier scan; the history
+    window is the only per-key shuffle (no join, no global window)."""
+    from hash_db_spark.plans.inspect import formatted_plan
+
+    df = REG["scd2_asof_lookup"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SinglePartition" not in plan
+    s = summarize(df)
+    assert s.shuffle_exchanges <= 1
