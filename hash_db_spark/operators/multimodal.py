@@ -439,6 +439,60 @@ def wav_stats(media: DataFrame) -> DataFrame:
     )
 
 
+WAV_ENERGY_SCHEMA = "media_id long, win int, n int, sum_sq bigint"
+
+
+def wav_window_energy(media: DataFrame, win: int = 25) -> DataFrame:
+    """Frame-level audio features: REAL decode + fixed-window energy
+    (sum of squared samples per ``win``-sample window) in ONE Arrow
+    pass — the VAD/loudness-contour feature an audio-quality pipeline
+    computes per frame, not per clip. Output rows explode inside the
+    pandas batch (windows per clip = ceil(n/win)), so payload bytes
+    still cross the JVM↔Python boundary exactly once."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "win", "n", "sum_sq")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _, samples = wav_decode(bytes(payload))
+                sq = samples.astype(np.int64) ** 2
+                for w0 in range(0, len(sq), win):
+                    chunk = sq[w0 : w0 + win]
+                    out["media_id"].append(mid)
+                    out["win"].append(w0 // win)
+                    out["n"].append(len(chunk))
+                    out["sum_sq"].append(int(chunk.sum()))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, WAV_ENERGY_SCHEMA
+    )
+
+
+def sql_wav_window_energy(table: str, id_col: str, win: int = 25) -> str:
+    """Closed-form oracle: the generative sample formula grouped by
+    window index — no byte parsed (`//` keeps DuckDB integer division;
+    bare `/` would coerce to DOUBLE)."""
+    return f"""
+WITH m AS (
+  SELECT {id_col} AS media_id, 50 + {id_col} % 50 AS n_samples FROM {table}
+),
+s AS (
+  SELECT m.media_id, t.t,
+         (m.media_id * 131 + t.t * 17) % 2048 - 1024 AS v
+  FROM m,
+       LATERAL (SELECT unnest(generate_series(0, m.n_samples - 1)) AS t) t
+)
+SELECT media_id,
+       CAST(t // {win} AS INT) AS win,
+       CAST(count(*) AS INT) AS n,
+       CAST(sum(v * v) AS BIGINT) AS sum_sq
+FROM s
+GROUP BY media_id, t // {win}
+"""
+
+
 def sql_wav_stats(table: str, id_col: str) -> str:
     """Closed-form oracle over the generative sample formula — computes
     the same stats without parsing a byte."""

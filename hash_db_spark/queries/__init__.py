@@ -103,6 +103,7 @@ def all_queries() -> dict[str, Query]:
         "pivot_lang_source",
         "scd2_asof_lookup",
         "interval_coverage",
+        "multimodal_wav_energy",
     ]
     registry: dict[str, Query] = {}
     for mod in (

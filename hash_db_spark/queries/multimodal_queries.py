@@ -26,6 +26,13 @@ def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.wav_stats(M.synth_wav_media(docs, "doc_id"))
 
 
+def q_multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio energy: decode + per-25-sample energy contour in
+    one Arrow pass vs the closed-form oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.wav_window_energy(M.synth_wav_media(docs, "doc_id"))
+
+
 def q_multimodal_y4m_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode: deterministic YUV4MPEG2 clips parsed frame by
     frame; geometry/duration/luma stats vs the closed-form oracle."""
@@ -118,6 +125,10 @@ QUERIES = {
     "multimodal_wav_decode": Query(
         q_multimodal_wav_decode,
         M.sql_wav_stats("documents", "doc_id"),
+    ),
+    "multimodal_wav_energy": Query(
+        q_multimodal_wav_energy,
+        M.sql_wav_window_energy("documents", "doc_id"),
     ),
     "multimodal_y4m_decode": Query(
         q_multimodal_y4m_decode,

@@ -75,6 +75,23 @@ def test_wav_stats_pipeline_matches_numpy(spark):
         assert got[i] == (8000, len(s), int(a.sum()), int(a.max()))
 
 
+def test_wav_window_energy_matches_numpy(spark):
+    """Windowed energy contour: every window's sum-of-squares equals the
+    numpy reference, the last (ragged) window carries its short length,
+    and window indices tile ceil(n/25)."""
+    ids = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
+    rows = M.wav_window_energy(M.synth_wav_media(ids, "doc_id")).collect()
+    got = {(r.media_id, r.win): (r.n, r.sum_sq) for r in rows}
+    for i in range(8):
+        _, s = M.wav_decode(M.wav_encode(i, 50 + i % 50))
+        sq = s.astype(np.int64) ** 2
+        n_wins = (len(sq) + 24) // 25
+        for w in range(n_wins):
+            chunk = sq[w * 25 : (w + 1) * 25]
+            assert got[(i, w)] == (len(chunk), int(chunk.sum()))
+        assert (i, n_wins) not in got
+
+
 def test_y4m_roundtrip_and_malformed():
     w, h, frames = M.y4m_decode(M.y4m_encode(9, 8, 6, 4))
     assert (w, h, len(frames)) == (8, 6, 4)
