@@ -109,11 +109,15 @@ HEADLINE: list[str] = [
     # pack -> per-lang counts
     "train_prep",
     # round-5 additions: BPE merge candidates, fixed-value pivot,
-    # SCD2 point-in-time lookup, interval-union coverage
+    # SCD2 point-in-time lookup, interval-union coverage, sketch/ANN
+    # quality audits, windowed audio energy
     "bpe_merge_candidates",
     "pivot_lang_source",
     "scd2_asof_lookup",
     "interval_coverage",
+    "minhash_est_error",
+    "sim_recall_report",
+    "multimodal_wav_energy",
 ]
 
 

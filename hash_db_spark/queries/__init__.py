@@ -104,6 +104,8 @@ def all_queries() -> dict[str, Query]:
         "scd2_asof_lookup",
         "interval_coverage",
         "multimodal_wav_energy",
+        "minhash_est_error",
+        "sim_recall_report",
     ]
     registry: dict[str, Query] = {}
     for mod in (

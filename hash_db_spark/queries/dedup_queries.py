@@ -181,6 +181,92 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EST_HASHES = 32
+
+
+def q_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit: per adjacent doc pair, the MinHash
+    signature-agreement Jaccard ESTIMATE (matching components /
+    num_hashes) against the TRUE shingle Jaccard, with the absolute
+    error — the measurement that justifies a signature width before
+    committing a 100 TB dedup run to it. Adjacent ids give a
+    deterministic mixed sample (the fixture's near-dup pairs land at
+    consecutive ids; the rest are background dissimilar pairs).
+
+    Scale shape: signatures are the already-cached index artifact; the
+    pair join is a self-equijoin on id+1 — linear, no candidate
+    explosion."""
+    docs = load_table(spark, sf_dir, "documents")
+    base, _ = D.minhash_index(docs, "text", "doc_id", num_hashes=_EST_HASHES)
+    a = base.select(
+        F.col("id").alias("id_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    b = base.select(
+        (F.col("id") - 1).alias("id_a"),
+        F.col("id").alias("id_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    j = a.join(b, "id_a")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.round(inter.cast("double") / union, 6)
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    est = F.round(matches.cast("double") / _EST_HASHES, 6)
+    return j.select(
+        "id_a",
+        "id_b",
+        jac.alias("jac"),
+        est.alias("est"),
+        F.round(F.abs(est - jac), 6).alias("err"),
+    )
+
+
+def _minhash_est_error_oracle() -> str:
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(hsh, h -> ({a} * h + {b}) % {D.MINHASH_P}))"
+        f" AS h{i}"
+        for i, (a, b) in enumerate(D._affine_constants(_EST_HASHES))
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END"
+        for i in range(_EST_HASHES)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, {D.sql_shingles('text')} AS sh FROM documents
+),
+nonempty AS (SELECT * FROM base WHERE len(sh) > 0),
+hashed AS (
+  SELECT id, sh, list_transform(sh, s -> {D.sql_md5_hash64('s')}) AS hsh
+  FROM nonempty
+),
+sig AS (SELECT id, sh, {sig_exprs} FROM hashed),
+paired AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b,
+         ({match_sum}) AS matches
+  FROM sig a JOIN sig b ON b.id = a.id + 1
+)
+SELECT id_a, id_b,
+       round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6)
+         AS jac,
+       round(CAST(matches AS DOUBLE) / {_EST_HASHES}, 6) AS est,
+       round(abs(round(CAST(matches AS DOUBLE) / {_EST_HASHES}, 6)
+                 - round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                         / (len(sh_a) + len(sh_b)
+                            - len(list_intersect(sh_a, sh_b))), 6)), 6)
+         AS err
+FROM paired
+"""
+
+
 QUERIES = {
     "dedup_exact_groups": Query(q_dedup_exact_groups, EXACT_GROUPS_ORACLE),
     "dedup_exact_keep": Query(q_dedup_exact_keep, EXACT_KEEP_ORACLE),
@@ -218,6 +304,9 @@ QUERIES = {
         ),
     ),
     "dedup_rate_report": Query(q_dedup_rate_report, _dedup_rate_oracle()),
+    "minhash_est_error": Query(
+        q_minhash_est_error, _minhash_est_error_oracle()
+    ),
     "dedup_components_star": Query(
         q_dedup_components_star,
         D.sql_connected_components(

@@ -4,6 +4,7 @@ the embeddings fixture. Query set = vec_ids 0..7, k=5."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
 
 from hash_db_spark.catalog import load_table
 from hash_db_spark.operators import similarity as S
@@ -74,6 +75,51 @@ def q_semdedup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality audit: per query, how many of the exact brute-force
+    top-k the LSH and IVF paths each recovered — the recall@k
+    measurement that picks nprobe/band width before an index ships.
+    All three runs are deterministic, so the report itself is
+    oracle-exact (recall = hits / n_exact downstream).
+
+    Scale shape: brute force here scores ONLY the 8 audit queries — the
+    standard sampled-recall protocol; the corpus-wide cost stays the
+    ANN paths' own."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = S.topk_bruteforce(emb, QUERY_IDS, k=K).select("qid", "vec_id")
+    lsh = S.topk_lsh(emb, QUERY_IDS, k=K).select(
+        "qid", "vec_id", F.lit(1).alias("__l")
+    )
+    ivf = S.topk_ivf(emb, QUERY_IDS, k=K).select(
+        "qid", "vec_id", F.lit(1).alias("__i")
+    )
+    return (
+        exact.join(lsh, ["qid", "vec_id"], "left")
+        .join(ivf, ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce("__l", F.lit(0))).cast("long").alias("lsh_hits"),
+            F.sum(F.coalesce("__i", F.lit(0))).cast("long").alias("ivf_hits"),
+        )
+    )
+
+
+def _sim_recall_oracle() -> str:
+    return f"""
+WITH exact AS (SELECT qid, vec_id FROM ({S.sql_topk_bruteforce(QUERY_IDS, k=K)}) x),
+l AS (SELECT qid, vec_id FROM ({S.sql_topk_lsh(QUERY_IDS, k=K)}) x),
+i AS (SELECT qid, vec_id FROM ({S.sql_topk_ivf(QUERY_IDS, k=K)}) x)
+SELECT e.qid, count(*) AS n_exact,
+       CAST(count(l.vec_id) AS BIGINT) AS lsh_hits,
+       CAST(count(i.vec_id) AS BIGINT) AS ivf_hits
+FROM exact e
+LEFT JOIN l ON l.qid = e.qid AND l.vec_id = e.vec_id
+LEFT JOIN i ON i.qid = e.qid AND i.vec_id = e.vec_id
+GROUP BY e.qid
+"""
+
+
 def q_sim_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN served from the PERSISTED IVF artifact (build once, probe
     with partition pruning) — result-identical to the inline
@@ -114,6 +160,7 @@ QUERIES = {
         q_negative_samples, S.sql_negative_samples(k=3, max_qid=20)
     ),
     "sim_topk_ivf": Query(q_sim_topk_ivf, S.sql_topk_ivf(QUERY_IDS, k=K)),
+    "sim_recall_report": Query(q_sim_recall_report, _sim_recall_oracle()),
     "sim_topk_ivf_kmeans": Query(q_sim_topk_ivf_kmeans, _ivf_kmeans_oracle()),
     "sim_topk_ivf_persisted": Query(
         q_sim_topk_ivf_persisted, _ivf_kmeans_oracle()

@@ -347,3 +347,25 @@ def test_scd2_asof_lookup_single_key_shuffle(spark, sf_dir):
     assert "SinglePartition" not in plan
     s = summarize(df)
     assert s.shuffle_exchanges <= 1
+
+
+def test_minhash_est_error_linear_pair_join(spark, sf_dir):
+    """The estimate-error audit joins signatures on id+1 — a linear
+    equijoin, never a candidate explosion or cartesian."""
+    from hash_db_spark.plans.inspect import formatted_plan
+
+    df = REG["minhash_est_error"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sim_recall_report_no_cartesian(spark, sf_dir):
+    """Recall audit: three deterministic top-k runs joined on
+    (qid, vec_id) equikeys; the brute stage scores only the 8 audit
+    queries (sampled-recall protocol), so no corpus x corpus join."""
+    from hash_db_spark.plans.inspect import formatted_plan
+
+    df = REG["sim_recall_report"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
