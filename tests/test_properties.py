@@ -293,3 +293,100 @@ def test_merge_intervals_matches_python_model(spark, iv):
                 cnt += 1
         want.append((k, cur_s, cur_e, cnt))
     assert got == sorted(want)
+
+
+@settings(**SETTINGS)
+@given(docs=st.lists(texts, min_size=1, max_size=8))
+def test_bpe_pair_counts_match_model(spark, docs):
+    """Adjacent-pair frequencies vs a direct python count: total pair
+    mass per doc is len(tokens) - 1, and every count matches."""
+    from collections import Counter
+
+    from hash_db_spark.operators.dedup import clean_tokens
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)],
+                               ["doc_id", "text"])
+    toks = clean_tokens("text")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    got = {
+        r["pair"]: r["n"]
+        for r in df.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    want: Counter = Counter()
+    for t in docs:
+        ts = [x for x in t.replace(",", "").split(" ") if x]
+        for a, b in zip(ts, ts[1:]):
+            want[f"{a} {b}"] += 1
+    assert got == dict(want)
+
+
+@settings(**SETTINGS)
+@given(
+    iv=st.lists(
+        st.tuples(
+            st.sampled_from(["u1", "u2"]),
+            st.integers(0, 40),
+            st.integers(1, 10),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_interval_coverage_bounds_and_model(spark, iv):
+    """Covered time per key: equals the python sweep; bounded below by
+    the longest single interval and above by the sum of durations."""
+    from datetime import datetime, timedelta
+
+    from hash_db_spark.operators.temporal import merge_intervals
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (k, i, base + timedelta(minutes=s), base + timedelta(minutes=s + d))
+        for i, (k, s, d) in enumerate(iv)
+    ]
+    df = spark.createDataFrame(rows, ["k", "tid", "s", "e"])
+    merged = merge_intervals(df, "k", "s", "e", "tid")
+    got = {
+        r["k"]: r["covered_min"]
+        for r in merged.groupBy("k")
+        .agg(
+            (
+                F.sum(
+                    F.unix_micros(F.col("merged_end").cast("timestamp"))
+                    - F.unix_micros(F.col("merged_start").cast("timestamp"))
+                )
+                / 60_000_000
+            ).alias("covered_min")
+        )
+        .collect()
+    }
+    # python sweep per key
+    bykey: dict = {}
+    for k, _, s, e in rows:
+        bykey.setdefault(k, []).append((s, e))
+    for k, items in bykey.items():
+        items.sort()
+        covered = 0.0
+        cur_s, cur_e = None, None
+        for s, e in items:
+            if cur_s is None or s > cur_e:
+                if cur_s is not None:
+                    covered += (cur_e - cur_s).total_seconds() / 60
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        covered += (cur_e - cur_s).total_seconds() / 60
+        assert abs(got[k] - covered) < 1e-9, (k, got[k], covered)
+        longest = max((e - s).total_seconds() / 60 for s, e in items)
+        total = sum((e - s).total_seconds() / 60 for s, e in items)
+        assert longest - 1e-9 <= got[k] <= total + 1e-9
