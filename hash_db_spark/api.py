@@ -148,7 +148,8 @@ class HashDb:
         selects, then an update) — in one call. Statements split on
         `;`, honoring single-quoted strings (a literal `';'` never
         splits); each runs in order and the LAST select's rows are
-        returned (None if the script ends on a mutation)."""
+        returned, wherever it appears (None if the script contains no
+        select at all)."""
         stmts, buf, in_str = [], [], False
         for ch in script:
             if ch == "'":

@@ -65,6 +65,23 @@ def clean_tokens(col: Column | str) -> Column:
     )
 
 
+def adjacent_token_pairs(col: Column | str) -> Column:
+    """'tok_i tok_i+1' strings for every ADJACENT token position —
+    positional (repeats count), unlike the distinct shingles() used for
+    dedup. The BPE merge-candidate unit; shared by the registry query
+    and its property test so they can't drift apart. Guarded: Spark's
+    sequence/slice would count DOWN on a sub-2-token doc."""
+    toks = clean_tokens(col)
+    return F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def sql_clean_tokens(col: str) -> str:
     return f"list_filter(string_split(replace({col}, ',', ''), ' '), x -> x != '')"
 
@@ -633,13 +650,22 @@ _INDEX_MEMO_CAP = 16
 _PAIRS_MEMO: list[tuple[DataFrame, tuple, DataFrame]] = []
 
 
-def _same_semantics(a: DataFrame, b: DataFrame) -> bool:
-    """sameSemantics, treating a dead memo entry (its SparkSession was
-    stopped since it was recorded) as a miss rather than an error."""
-    try:
-        return a.sameSemantics(b)
-    except Exception:
-        return False
+def _memo_lookup(memo: list, df: DataFrame, params: tuple):
+    """Probe a (src, params, out) memo. A dead entry — its SparkSession
+    was stopped since it was recorded, so sameSemantics raises — is
+    EVICTED on sight, not just skipped: dead entries would otherwise
+    occupy FIFO slots (pushing out live indexes) and pay a failed
+    plan-canonicalization attempt on every future lookup."""
+    for entry in list(memo):
+        src, p, out = entry
+        if p != params:
+            continue
+        try:
+            if df.sameSemantics(src):
+                return out
+        except Exception:
+            memo.remove(entry)
+    return None
 
 
 def minhash_index(
@@ -674,9 +700,9 @@ def minhash_index(
             "overflows int64); widen MINHASH band fusion to md5 keys first"
         )
     params = (col, id_col, num_hashes, band_rows, tuple(keep), with_sigh)
-    for src, p, out in _INDEX_MEMO:
-        if p == params and _same_semantics(df, src):
-            return out
+    memoed = _memo_lookup(_INDEX_MEMO, df, params)
+    if memoed is not None:
+        return memoed
     num_bands = num_hashes // band_rows
     shingled = (
         shingle_frame(df, col, id_col, with_hash=True, keep=keep)
@@ -845,9 +871,9 @@ def minhash_lsh_pairs(
     shuffle.
     """
     params = (col, id_col, threshold, num_hashes, band_rows, max_band_bucket)
-    for src, p, out in _PAIRS_MEMO:
-        if p == params and _same_semantics(df, src):
-            return out
+    memoed = _memo_lookup(_PAIRS_MEMO, df, params)
+    if memoed is not None:
+        return memoed
     base, bands = minhash_index(
         df, col, id_col, num_hashes, band_rows,
         with_sigh=max_band_bucket is not None,

@@ -291,13 +291,12 @@ def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return merged.groupBy("user_id").agg(
         F.sum(
-            # events ts is TIMESTAMP_NTZ after the nanos normalization;
-            # unix_micros needs TIMESTAMP. The session-tz offset cancels
-            # in the difference (exactly true in a fixed-offset zone —
-            # run pipelines in UTC; a DST-observing session tz could
-            # skew islands straddling a transition by the DST hour).
-            F.unix_micros(F.col("merged_end").cast("timestamp"))
-            - F.unix_micros(F.col("merged_start").cast("timestamp"))
+            # timestampdiff works directly on the TIMESTAMP_NTZ columns
+            # (events ts after nanos normalization) — timezone
+            # independent, unlike a cast-to-TIMESTAMP + unix_micros
+            # difference, which a DST-observing session tz would skew
+            # by an hour on islands straddling a transition.
+            F.expr("timestampdiff(MICROSECOND, merged_start, merged_end)")
         ).alias("covered_us"),
         F.count(F.lit(1)).alias("n_islands"),
     )

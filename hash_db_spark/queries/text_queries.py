@@ -347,20 +347,11 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pure map-side explode (pairs per doc = tokens - 1)
     into one partial-aggregated groupBy; the top-k is
     TakeOrderedAndProject, not a global sort."""
-    from hash_db_spark.operators.dedup import clean_tokens
+    from hash_db_spark.operators.dedup import adjacent_token_pairs
 
-    toks = clean_tokens("text")
-    pairs = F.when(
-        F.size(toks) >= 2,
-        F.zip_with(
-            F.slice(toks, 1, F.size(toks) - 1),
-            F.slice(toks, 2, F.size(toks) - 1),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     return (
         _docs(spark, sf_dir)
-        .select(F.explode(pairs).alias("pair"))
+        .select(F.explode(adjacent_token_pairs("text")).alias("pair"))
         .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("pair").asc())

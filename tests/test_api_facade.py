@@ -209,10 +209,19 @@ def test_sql_script_multi_statement_session(db):
     assert db.sql("select * from crew where crew.crew_name = 'Ada'")[0][
         "motto"
     ] == "go; fast"
-    # a script ending on a mutation returns None
+    # a script with no select returns None; a select followed by a
+    # trailing mutation still returns that (last) select's rows
     assert (
         db.sql_script(
             "insert into crew (crew_name, age, motto) values ('Mae', 40, 'up')"
         )
         is None
     )
+    out = db.sql_script(
+        "select * from crew where crew.crew_name = 'Mae';"
+        " update crew set crew.age = 41 where crew.crew_name = 'Mae'"
+    )
+    assert [r["crew_name"] for r in out] == ["Mae"]
+    assert [
+        r["crew_name"] for r in db.sql("select * from crew where crew.age = 41")
+    ] == ["Mae"]

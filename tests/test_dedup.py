@@ -398,3 +398,26 @@ def test_star_components_match_min_label(spark):
             for r in D.connected_components_star(df).collect()
         }
         assert got == want
+
+
+def test_minhash_memo_evicts_dead_entries(spark, docs):
+    """A memo entry whose source raises on sameSemantics (stopped
+    session) is evicted on sight, not left occupying a FIFO slot."""
+    from hash_db_spark.operators import dedup as D
+
+    class _Dead:
+        def __getattr__(self, name):
+            raise RuntimeError("session stopped")
+
+    params = ("text", "doc_id", 32, 2, (), False)
+    D._INDEX_MEMO.insert(0, (_Dead(), params, None))
+    try:
+        base, bands = D.minhash_index(docs, "text", "doc_id", num_hashes=32)
+        assert base is not None
+        assert all(
+            not isinstance(src, _Dead) for src, _, _ in D._INDEX_MEMO
+        )
+    finally:
+        D._INDEX_MEMO[:] = [
+            e for e in D._INDEX_MEMO if not isinstance(e[0], _Dead)
+        ]

@@ -302,22 +302,13 @@ def test_bpe_pair_counts_match_model(spark, docs):
     mass per doc is len(tokens) - 1, and every count matches."""
     from collections import Counter
 
-    from hash_db_spark.operators.dedup import clean_tokens
+    from hash_db_spark.operators.dedup import adjacent_token_pairs
 
     df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)],
                                ["doc_id", "text"])
-    toks = clean_tokens("text")
-    pairs = F.when(
-        F.size(toks) >= 2,
-        F.zip_with(
-            F.slice(toks, 1, F.size(toks) - 1),
-            F.slice(toks, 2, F.size(toks) - 1),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     got = {
         r["pair"]: r["n"]
-        for r in df.select(F.explode(pairs).alias("pair"))
+        for r in df.select(F.explode(adjacent_token_pairs("text")).alias("pair"))
         .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
