@@ -118,6 +118,7 @@ HEADLINE: list[str] = [
     "minhash_est_error",
     "sim_recall_report",
     "multimodal_wav_energy",
+    "dedup_embedding_incremental",
 ]
 
 

@@ -633,6 +633,171 @@ def lsh_near_dup_pairs(
     return score_pair_cosine(joined, threshold, with_cos=True)
 
 
+def lsh_pairs_against(
+    new_emb: DataFrame,
+    corpus_emb: DataFrame,
+    threshold: float = 0.9,
+    bits: int = LSH_BITS,
+    band_bits: int = LSH_BAND_BITS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_band_bucket: int | None = MAX_LSH_BAND_BUCKET,
+) -> DataFrame:
+    """Incremental embedding ingest dedup — the ANN counterpart of
+    dedup.minhash_pairs_against: match a NEW batch of vectors against
+    an already-indexed corpus without recomputing corpus x corpus
+    pairs. The batch's band rows broadcast (a batch is small by
+    definition); the corpus bands are scanned once, never shuffled.
+    Hot corpus buckets (> max_band_bucket members — e.g. a degenerate
+    all-zeros cell) are excluded from the broadcast join and rescued by
+    a full-signature equality probe on band 0, so one pathological
+    bucket can't multiply every new row by its membership. Returns
+    (new_id, old_id, cos >= threshold).
+
+    With a persisted signature index (write the bands frame with
+    sources.writers) this is the production shape: index once, probe
+    per batch."""
+    nb = lsh_signature_base(new_emb, bits, id_col, vec_col).cache()
+    cb = lsh_signature_base(corpus_emb, bits, id_col, vec_col).cache()
+    num_bands = bits // band_bits
+
+    def bands_of(base: DataFrame) -> DataFrame:
+        return base.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("band"),
+                            F.substring(
+                                F.col("sig"), j * band_bits + 1, band_bits
+                            ).alias("val"),
+                            (
+                                F.col("sig") if j == 0
+                                else F.lit(None).cast("string")
+                            ).alias("fsig"),
+                        )
+                        for j in range(num_bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(
+            "vec_id",
+            F.col("bk.band").alias("band"),
+            F.col("bk.val").alias("val"),
+            F.col("bk.fsig").alias("fsig"),
+        )
+
+    new_bands, corpus_bands = bands_of(nb), bands_of(cb)
+    hot = None
+    if max_band_bucket is not None:
+        from hash_db_spark.operators.dedup import split_hot_buckets
+
+        cold, hot = split_hot_buckets(
+            corpus_bands, ["band", "val"], max_band_bucket
+        )
+    else:
+        cold = corpus_bands
+    cands = (
+        F.broadcast(
+            new_bands.select(
+                F.col("vec_id").alias("new_id"), "band", "val"
+            )
+        )
+        .join(
+            cold.select(F.col("vec_id").alias("old_id"), "band", "val"),
+            ["band", "val"],
+        )
+        .select("new_id", "old_id")
+    )
+    if hot is not None:
+        n0 = new_bands.filter(F.col("band") == 0)
+        h0 = hot.filter(F.col("band") == 0)
+        rescue = (
+            F.broadcast(
+                n0.select(F.col("vec_id").alias("new_id"), "val", "fsig")
+            )
+            .join(
+                h0.select(F.col("vec_id").alias("old_id"), "val", "fsig"),
+                ["val", "fsig"],
+            )
+            .select("new_id", "old_id")
+        )
+        cands = cands.unionByName(rescue)
+    cands = cands.distinct()
+    va = nb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = cb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    joined = (
+        cands.select(
+            F.col("new_id").alias("id_a"), F.col("old_id").alias("id_b")
+        )
+        .join(va, "id_a")
+        .join(vb, "id_b")
+    )
+    return score_pair_cosine(joined, threshold, with_cos=True).select(
+        F.col("id_a").alias("new_id"), F.col("id_b").alias("old_id"), "cos"
+    )
+
+
+def sql_lsh_pairs_against(
+    new_pred: str,
+    corpus_pred: str,
+    threshold: float = 0.9,
+    bits: int = LSH_BITS,
+    band_bits: int = LSH_BAND_BITS,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_band_bucket: int | None = MAX_LSH_BAND_BUCKET,
+) -> str:
+    planes = hyperplanes(bits)
+    num_bands = bits // band_bits
+    bit_exprs = []
+    for plane in planes:
+        lit = "[" + ", ".join(f"{x:.1f}" for x in plane) + "]"
+        bit_exprs.append(
+            f"(CASE WHEN list_dot_product({vec_col}::DOUBLE[], {lit}) >= 0 "
+            f"THEN '1' ELSE '0' END)"
+        )
+    sig = " || ".join(bit_exprs)
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, v, is_new, {j} AS band, "
+        f"substr(sig, {j * band_bits + 1}, {band_bits}) AS val, "
+        f"CASE WHEN {j} = 0 THEN sig END AS fsig FROM base"
+        for j in range(num_bands)
+    )
+    cap = max_band_bucket if max_band_bucket is not None else 1 << 62
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v, {sig} AS sig,
+         ({new_pred}) AS is_new
+  FROM {table} WHERE ({new_pred}) OR ({corpus_pred})
+),
+bands AS ({band_selects}),
+cbn AS (
+  SELECT *, count(*) OVER (PARTITION BY band, val) AS n
+  FROM bands WHERE NOT is_new
+),
+cands AS (
+  SELECT DISTINCT new_id, old_id FROM (
+    SELECT nb.vec_id AS new_id, o.vec_id AS old_id
+    FROM bands nb JOIN cbn o ON o.band = nb.band AND o.val = nb.val
+    WHERE nb.is_new AND o.n <= {cap}
+    UNION ALL
+    SELECT nb.vec_id AS new_id, o.vec_id AS old_id
+    FROM bands nb JOIN cbn o ON o.val = nb.val AND o.fsig = nb.fsig
+    WHERE nb.is_new AND nb.band = 0 AND o.band = 0 AND o.n > {cap}
+  )
+)
+SELECT new_id, old_id,
+       round(list_cosine_similarity(va.v, vb.v), 6) AS cos
+FROM cands
+JOIN base va ON va.vec_id = new_id
+JOIN base vb ON vb.vec_id = old_id
+WHERE round(list_cosine_similarity(va.v, vb.v), 6) >= {threshold}
+"""
+
+
 def sql_lsh_near_dup_pairs(
     threshold: float = 0.4,
     bits: int = LSH_BITS,

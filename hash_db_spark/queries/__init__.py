@@ -106,6 +106,7 @@ def all_queries() -> dict[str, Query]:
         "multimodal_wav_energy",
         "minhash_est_error",
         "sim_recall_report",
+        "dedup_embedding_incremental",
     ]
     registry: dict[str, Query] = {}
     for mod in (

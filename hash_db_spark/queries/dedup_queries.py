@@ -167,6 +167,20 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding ingest: every 10th vector is the 'new
+    batch', matched against the indexed remainder — batch bands
+    broadcast, corpus signatures scanned once. Completes the
+    index-once/probe-per-batch trio (MinHash text, IVF, embedding
+    LSH)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_pairs_against(
+        emb.filter(F.col("vec_id") % 10 == 0),
+        emb.filter(F.col("vec_id") % 10 != 0),
+        threshold=COSINE_T,
+    )
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), threshold=COSINE_T
@@ -306,6 +320,12 @@ QUERIES = {
     "dedup_rate_report": Query(q_dedup_rate_report, _dedup_rate_oracle()),
     "minhash_est_error": Query(
         q_minhash_est_error, _minhash_est_error_oracle()
+    ),
+    "dedup_embedding_incremental": Query(
+        q_dedup_embedding_incremental,
+        S.sql_lsh_pairs_against(
+            "vec_id % 10 = 0", "vec_id % 10 != 0", threshold=COSINE_T
+        ),
     ),
     "dedup_components_star": Query(
         q_dedup_components_star,

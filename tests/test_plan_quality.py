@@ -369,3 +369,16 @@ def test_sim_recall_report_no_cartesian(spark, sf_dir):
     df = REG["sim_recall_report"].fn(spark, sf_dir)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_incremental_broadcasts_batch(spark, sf_dir):
+    """Incremental embedding ingest: the new batch's band rows broadcast
+    into the corpus-band join — the corpus side is scanned, never
+    shuffled for the join — and nothing goes cartesian."""
+    from hash_db_spark.plans.inspect import formatted_plan
+
+    df = REG["dedup_embedding_incremental"].fn(spark, sf_dir)
+    s = summarize(df)
+    assert s.broadcast_joins >= 1
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
