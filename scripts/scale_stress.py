@@ -158,7 +158,12 @@ def main() -> int:
         )
         # round-5 additions: the registry fns themselves, so the stress
         # times the exact driver-checked plans
-        for entry in ("semdedup_drop", "train_prep", "rank_global_scalable"):
+        for entry in (
+            "semdedup_drop",
+            "train_prep",
+            "rank_global_scalable",
+            "dedup_embedding_incremental",
+        ):
             timed(
                 f"{entry}/{scale}",
                 lambda e=entry: reg[e].fn(spark, sf_dir),
