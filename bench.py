@@ -119,6 +119,7 @@ HEADLINE: list[str] = [
     "sim_recall_report",
     "multimodal_wav_energy",
     "dedup_embedding_incremental",
+    "pack_manifest",
 ]
 
 

@@ -114,6 +114,59 @@ def pack_chunks(
     )
 
 
+def pack_manifest(
+    chunks: DataFrame,
+    budget: int = 64,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """The loader-facing form of pack_chunks: one row per PLACED chunk —
+    (shard, seq_id, id, chunk_idx, start_tok, n_tokens) where start_tok
+    is the chunk's token offset WITHIN its packed sequence. A training
+    data loader consumes exactly this manifest to assemble sequences
+    (and cut attention masks at chunk boundaries) without re-deriving
+    the packing. Same single per-shard window as pack_chunks; identical
+    placement (seq_id = floor(global_offset / budget), start_tok =
+    global_offset % budget)."""
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    shard = F.col(shard_col) if shard_col else F.lit("all")
+    offs = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("off")
+    return (
+        chunks.select(shard.alias("shard"), "id", "chunk_idx", "n_tokens")
+        .select("shard", "id", "chunk_idx", "n_tokens", offs)
+        .select(
+            "shard",
+            F.floor(F.col("off") / budget).cast("long").alias("seq_id"),
+            "id",
+            "chunk_idx",
+            (F.col("off") % budget).cast("int").alias("start_tok"),
+            "n_tokens",
+        )
+    )
+
+
+def sql_pack_manifest(
+    chunks_sql: str, budget: int = 64, shard_col: str | None = None
+) -> str:
+    shard = shard_col if shard_col else "'all'"
+    part = f"PARTITION BY {shard_col}" if shard_col else ""
+    return f"""
+WITH chunks AS ({chunks_sql}),
+offs AS (
+  SELECT {shard} AS shard, id, chunk_idx, n_tokens,
+         sum(n_tokens) OVER ({part} ORDER BY id, chunk_idx
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS off
+  FROM chunks
+)
+SELECT shard, CAST(floor(off / {budget}) AS BIGINT) AS seq_id,
+       id, chunk_idx, CAST(off % {budget} AS INT) AS start_tok, n_tokens
+FROM offs
+"""
+
+
 def sql_pack_chunks(
     chunks_sql: str, budget: int = 64, shard_col: str | None = None
 ) -> str:

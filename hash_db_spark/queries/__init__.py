@@ -107,6 +107,7 @@ def all_queries() -> dict[str, Query]:
         "minhash_est_error",
         "sim_recall_report",
         "dedup_embedding_incremental",
+        "pack_manifest",
     ]
     registry: dict[str, Query] = {}
     for mod in (

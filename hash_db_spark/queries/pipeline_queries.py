@@ -298,6 +298,32 @@ def _pack_oracle() -> str:
     return chunking.sql_pack_chunks(with_lang, budget=64, shard_col="lang")
 
 
+def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The loader-facing packing manifest: one row per placed chunk
+    with its (seq_id, start_tok) position — what a training data
+    loader consumes to assemble sequences and cut attention masks,
+    without re-deriving the packing."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunking.token_chunks(
+        docs, "text", "doc_id", size=CHUNK_SIZE, overlap=CHUNK_OVERLAP
+    )
+    with_lang = chunks.join(
+        docs.select(F.col("doc_id").alias("id"), "lang"), "id"
+    )
+    return chunking.pack_manifest(with_lang, budget=64, shard_col="lang")
+
+
+def _pack_manifest_oracle() -> str:
+    chunks = chunking.sql_token_chunks(
+        "documents", "text", "doc_id", CHUNK_SIZE, CHUNK_OVERLAP
+    )
+    with_lang = (
+        f"SELECT c.*, d.lang FROM ({chunks}) c "
+        f"JOIN documents d ON d.doc_id = c.id"
+    )
+    return chunking.sql_pack_manifest(with_lang, budget=64, shard_col="lang")
+
+
 def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed ingest gate — the filter stack a corpus actually ships
     through: quality score, language allowlist, token-length band;
@@ -452,6 +478,7 @@ QUERIES = {
         corpus_stats.sql_vocab_top_share("documents", "text", topn=10),
     ),
     "pack_sequences": Query(q_pack_sequences, _pack_oracle()),
+    "pack_manifest": Query(q_pack_manifest, _pack_manifest_oracle()),
     "quality_gate": Query(q_quality_gate, _quality_gate_oracle()),
     "train_prep": Query(q_train_prep, _train_prep_oracle()),
     "scrub_pattern_counts": Query(q_scrub_pattern_counts, SCRUB_COUNTS_ORACLE),

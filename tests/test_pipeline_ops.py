@@ -248,3 +248,45 @@ def test_bigram_logprob_hand_computed(spark):
     assert got[1] == (1, round(math.log10(2 / 3), 6))
     assert got[2] == got[1]
     assert got[3] == (1, round(math.log10(1 / 3), 6))
+
+
+def test_pack_manifest_consistent_with_pack_chunks(spark):
+    """Aggregating the manifest reproduces pack_chunks exactly, and
+    start_tok is each chunk's global offset mod budget with chunks
+    laid out gap-free in (id, chunk_idx) order within a shard."""
+    from hash_db_spark.operators import chunking
+
+    rows = [
+        ("en", 1, 0, 10), ("en", 1, 1, 10), ("en", 2, 0, 50),
+        ("en", 3, 0, 30), ("de", 9, 0, 7), ("de", 9, 1, 7),
+    ]
+    chunks = spark.createDataFrame(
+        rows, ["lang", "id", "chunk_idx", "n_tokens"]
+    )
+    manifest = chunking.pack_manifest(chunks, budget=64, shard_col="lang")
+    agg = {
+        (r.shard, r.seq_id): (r.n, r.toks)
+        for r in manifest.groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("toks")
+        )
+        .collect()
+    }
+    packed = {
+        (r.shard, r.seq_id): (r.n_chunks, r.seq_tokens)
+        for r in chunking.pack_chunks(
+            chunks, budget=64, shard_col="lang"
+        ).collect()
+    }
+    assert agg == packed
+    got = {
+        (r.shard, r.id, r.chunk_idx): (r.seq_id, r.start_tok)
+        for r in manifest.collect()
+    }
+    # en layout: offsets 0,10,20,70 -> seqs 0,0,0,1; start_toks 0,10,20,6
+    assert got[("en", 1, 0)] == (0, 0)
+    assert got[("en", 1, 1)] == (0, 10)
+    assert got[("en", 2, 0)] == (0, 20)
+    assert got[("en", 3, 0)] == (1, 6)
+    assert got[("de", 9, 0)] == (0, 0)
+    assert got[("de", 9, 1)] == (0, 7)
