@@ -120,6 +120,7 @@ HEADLINE: list[str] = [
     "multimodal_wav_energy",
     "dedup_embedding_incremental",
     "pack_manifest",
+    "vocab_zipf_fit",
 ]
 
 

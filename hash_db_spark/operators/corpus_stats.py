@@ -204,6 +204,53 @@ FROM scores, thr WHERE bigram_logprob >= t
 """
 
 
+def vocab_zipf_fit(df: DataFrame, col: str) -> DataFrame:
+    """(n_types, slope, intercept): OLS fit of log10(freq) against
+    log10(rank) over the whole vocabulary — the Zipf-exponent corpus QA
+    check (natural text sits near slope -1; heavy boilerplate or
+    synthetic/garbled corpora bend the curve). One row out.
+
+    Scale shape: vocabulary is sublinear in corpus size (Heaps' law)
+    but still too big for one task at 100 TB, so the global frequency
+    rank rides operators/rank.row_number_global (range partition +
+    O(partitions) offsets — no single-partition Window); the regression
+    itself is one map-side-combinable aggregate."""
+    from hash_db_spark.operators.rank import row_number_global
+
+    freq = token_frequencies(df, col)
+    ranked = row_number_global(
+        freq, [F.col("freq").desc(), F.col("tok").asc()], out="rank"
+    )
+    pts = ranked.select(
+        F.log10(F.col("freq").cast("double")).alias("y"),
+        F.log10(F.col("rank").cast("double")).alias("x"),
+    )
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.expr("regr_slope(y, x)"), 6).alias("slope"),
+        F.round(F.expr("regr_intercept(y, x)"), 6).alias("intercept"),
+    )
+
+
+def sql_vocab_zipf_fit(table: str, col: str) -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest({sql_clean_tokens(col)}) AS tok FROM {table}
+),
+freq AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
+ranked AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank
+  FROM freq
+)
+SELECT count(*) AS n_types,
+       round(regr_slope(log10(CAST(freq AS DOUBLE)),
+                        log10(CAST(rank AS DOUBLE))), 6) AS slope,
+       round(regr_intercept(log10(CAST(freq AS DOUBLE)),
+                            log10(CAST(rank AS DOUBLE))), 6) AS intercept
+FROM ranked
+"""
+
+
 def token_entropy(df: DataFrame, col: str, id_col: str) -> DataFrame:
     """(id, n_tokens, token_entropy): Shannon entropy (bits) of each
     document's unigram distribution — the repetition/diversity signal of

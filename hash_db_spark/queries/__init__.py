@@ -108,6 +108,11 @@ def all_queries() -> dict[str, Query]:
         "sim_recall_report",
         "dedup_embedding_incremental",
         "pack_manifest",
+        "vocab_zipf_fit",
+        # 50 entries — the window is now entirely priority slots; NO
+        # further additions this round (a new entry would displace one
+        # of these and ship as an unverified claim — r06's queue is the
+        # place for it).
     ]
     registry: dict[str, Query] = {}
     for mod in (

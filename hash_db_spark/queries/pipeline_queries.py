@@ -298,6 +298,16 @@ def _pack_oracle() -> str:
     return chunking.sql_pack_chunks(with_lang, budget=64, shard_col="lang")
 
 
+def q_vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-exponent corpus QA: OLS slope/intercept of the log-log
+    rank-frequency curve over the whole vocabulary; the frequency rank
+    rides the distributed global-rank operator (no single-task
+    window)."""
+    return corpus_stats.vocab_zipf_fit(
+        load_table(spark, sf_dir, "documents"), "text"
+    )
+
+
 def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The loader-facing packing manifest: one row per placed chunk
     with its (seq_id, start_tok) position — what a training data
@@ -479,6 +489,10 @@ QUERIES = {
     ),
     "pack_sequences": Query(q_pack_sequences, _pack_oracle()),
     "pack_manifest": Query(q_pack_manifest, _pack_manifest_oracle()),
+    "vocab_zipf_fit": Query(
+        q_vocab_zipf_fit,
+        corpus_stats.sql_vocab_zipf_fit("documents", "text"),
+    ),
     "quality_gate": Query(q_quality_gate, _quality_gate_oracle()),
     "train_prep": Query(q_train_prep, _train_prep_oracle()),
     "scrub_pattern_counts": Query(q_scrub_pattern_counts, SCRUB_COUNTS_ORACLE),
