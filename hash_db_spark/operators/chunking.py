@@ -101,7 +101,10 @@ def pack_chunks(
     )
     shard = F.col(shard_col) if shard_col else F.lit("all")
     offs = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("off")
-    seq = F.floor(F.col("off") / budget).alias("seq_id")
+    # Integer DIV, not floor(double division): a global token offset
+    # past 2^53 (real at 100 TB) silently loses ulps as a double and
+    # can flip a sequence boundary (same discipline as rank.ntile_global).
+    seq = F.expr(f"off DIV {budget}").alias("seq_id")
     return (
         chunks.select(shard.alias("shard"), "id", "chunk_idx", "n_tokens")
         .select("shard", "id", "chunk_idx", "n_tokens", offs)
@@ -139,7 +142,8 @@ def pack_manifest(
         .select("shard", "id", "chunk_idx", "n_tokens", offs)
         .select(
             "shard",
-            F.floor(F.col("off") / budget).cast("long").alias("seq_id"),
+            # integer DIV: see pack_chunks
+            F.expr(f"off DIV {budget}").cast("long").alias("seq_id"),
             "id",
             "chunk_idx",
             (F.col("off") % budget).cast("int").alias("start_tok"),
@@ -161,7 +165,7 @@ offs AS (
                              ROWS UNBOUNDED PRECEDING) - n_tokens AS off
   FROM chunks
 )
-SELECT shard, CAST(floor(off / {budget}) AS BIGINT) AS seq_id,
+SELECT shard, CAST(off // {budget} AS BIGINT) AS seq_id,
        id, chunk_idx, CAST(off % {budget} AS INT) AS start_tok, n_tokens
 FROM offs
 """
@@ -180,7 +184,7 @@ offs AS (
                              ROWS UNBOUNDED PRECEDING) - n_tokens AS off
   FROM chunks
 )
-SELECT shard, CAST(floor(off / {budget}) AS BIGINT) AS seq_id,
+SELECT shard, CAST(off // {budget} AS BIGINT) AS seq_id,
        count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
-FROM offs GROUP BY shard, CAST(floor(off / {budget}) AS BIGINT)
+FROM offs GROUP BY shard, CAST(off // {budget} AS BIGINT)
 """
