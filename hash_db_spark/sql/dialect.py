@@ -44,6 +44,41 @@ _STR = r"'([^']*)'"
 _REF = r"([A-Za-z_][\w]*)\.([\w~\[\]]+)"
 
 
+def _normalize_ws(text: str) -> str:
+    """Collapse whitespace runs to single spaces OUTSIDE single-quoted
+    literals. A bare ``' '.join(text.split())`` would rewrite string
+    VALUES — `'A  B'` silently stored as `'A B'`, phrase queries with
+    tabs altered — corrupting data with no error."""
+    out: list[str] = []
+    in_str = False
+    pending = False
+    for ch in text:
+        if ch == "'":
+            in_str = not in_str
+        if not in_str and ch.isspace():
+            pending = True
+            continue
+        if pending and out:
+            out.append(" ")
+        pending = False
+        out.append(ch)
+    return "".join(out)
+
+
+def _split_outside_quotes(s: str, pattern: str) -> list[str]:
+    """Split ``s`` on regex ``pattern`` matches that fall outside
+    single-quoted literals — `where name = 'rock and roll'` must not
+    split at the quoted 'and', and an UPDATE set list must not split at
+    a comma inside a value."""
+    parts, last = [], 0
+    for m in re.finditer(pattern, s, re.IGNORECASE):
+        if s.count("'", 0, m.start()) % 2 == 0:
+            parts.append(s[last : m.start()])
+            last = m.end()
+    parts.append(s[last:])
+    return parts
+
+
 def _fts_or_phrase(fld: str, q: str):
     """``~ '"a b"'`` (inner double quotes) = adjacency phrase match;
     otherwise the reference's &/| term fold."""
@@ -79,7 +114,7 @@ class SqlEngine:
     # ------------------------------------------------------------------ api
 
     def sql(self, text: str) -> DataFrame | None:
-        text = " ".join(text.split())
+        text = _normalize_ws(text)
         low = text.lower()
         if low.startswith("create join"):
             return self._create_join(text)
@@ -136,6 +171,15 @@ class SqlEngine:
         )
         if not specs:
             raise ValueError(f"create join: no specs in {text!r}")
+        n_joins = len(re.findall(r"\binner join\b", text, re.IGNORECASE))
+        if len(specs) != n_joins:
+            # Unqualified refs match the statement router but not _REF;
+            # silently registering a subset would materialize a partial
+            # join with no error.
+            raise ValueError(
+                f"create join: every spec needs table.field = "
+                f"table.field refs: {text!r}"
+            )
         # The driving table is the one that appears in specs but is never
         # the joined (right) table — e.g. items in the README example.
         rights = {s[0] for s in specs}
@@ -143,6 +187,14 @@ class SqlEngine:
         driving_cands = mentioned - rights
         if not driving_cands:
             raise ValueError("create join: cannot infer driving table")
+        if len(driving_cands) > 1:
+            # Two disconnected chains in one statement: set.pop() would
+            # pick a driving table hash-order-nondeterministically and
+            # register specs under a table one chain never touches.
+            raise ValueError(
+                f"create join: ambiguous driving table {sorted(driving_cands)}"
+                " — register one chain per statement"
+            )
         driving = driving_cands.pop()
         registered = []
         for right, lt, lf, rt, rf in specs:
@@ -201,7 +253,7 @@ class SqlEngine:
         extension (§2.2; the reference grammar only has ``=``,
         /root/reference/server.py SQL tests)."""
         preds, fts = [], []
-        for part in re.split(r"\band\b", clause, flags=re.IGNORECASE):
+        for part in _split_outside_quotes(clause, r"\band\b"):
             part = part.strip()
             if not part:
                 continue
@@ -240,7 +292,8 @@ class SqlEngine:
             raise ValueError(f"bad update: {text!r}")
         table, sets_s, where_s = m.groups()
         assignments: dict[str, Column] = {}
-        for part in sets_s.split(","):
+        # comma split honors quotes: set people.name = 'Smith, John'
+        for part in _split_outside_quotes(sets_s, ","):
             sm = re.fullmatch(rf"\s*{_REF} = (.+?)\s*", part)
             if not sm:
                 raise ValueError(f"bad set clause: {part!r}")
@@ -250,6 +303,12 @@ class SqlEngine:
         if where_s:
             preds, fts = self._parse_wheres(where_s)
             for ref, op, val in preds:
+                if ref.split(".", 1)[1].startswith("~"):
+                    raise ValueError(
+                        "document-path predicates are not supported in "
+                        "UPDATE (select them, then save() the changed "
+                        "documents)"
+                    )
                 cond = cond & self._cmp(
                     self._resolve({table: df}, ref), op, val
                 )
@@ -279,9 +338,18 @@ class SqlEngine:
 
         scope = {table: self.tables[table]}
         df = self.tables[table]
-        for right, lt, lf, rt, rf in re.findall(
+        join_specs = re.findall(
             rf"inner join (\w+) on {_REF} = {_REF}", joins_s or "", re.IGNORECASE
-        ):
+        )
+        n_joins = len(re.findall(r"\binner join\b", joins_s or "", re.IGNORECASE))
+        if len(join_specs) != n_joins:
+            # The outer select regex accepts `on \S+ = \S+`; a join whose
+            # refs aren't table.field would otherwise be silently DROPPED
+            # and the query would run un-joined on the base table.
+            raise ValueError(
+                f"join requires table.field = table.field refs: {joins_s!r}"
+            )
+        for right, lt, lf, rt, rf in join_specs:
             lref, rref = (f"{lt}.{lf}", f"{rt}.{rf}")
             if lt == right:
                 lref, rref = rref, lref
@@ -334,6 +402,16 @@ class SqlEngine:
             ):
                 fn = fn.lower()
                 aggs.append(getattr(F, fn)(fld).alias(f"{fn}_{fld}"))
+            # Every function-call-looking token in the select list must
+            # have parsed into an aggregate: an unqualified sum(value) or
+            # spaced count ( * ) would otherwise silently degrade the
+            # whole query to DISTINCT keys with no aggregate column.
+            called = re.findall(r"\b(\w+)\s*\(", cols_s)
+            if len(called) != len(aggs):
+                raise ValueError(
+                    f"group by: unsupported aggregate in {cols_s!r} — "
+                    "supported: count(*), sum/avg/min/max(table.field)"
+                )
             if aggs:
                 out = df.groupBy(key).agg(*aggs)
             else:

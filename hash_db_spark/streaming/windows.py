@@ -91,9 +91,13 @@ def sliding_counts(
 
 
 def stream_dedup(events: DataFrame, keys: list[str]) -> DataFrame:
-    """Streaming exact dedup on key columns; with a watermark the state
-    store stays bounded (dropDuplicates keeps one entry per key within
-    the watermark horizon)."""
+    """Streaming exact dedup on key columns. State-bound caveat: Spark
+    only evicts dropDuplicates state under a watermark when the
+    EVENT-TIME column is among the dedup keys — with value-only keys
+    (the usual call shape here) state grows with all-time key
+    cardinality regardless of any upstream watermark. For a long-running
+    stream use stream_dedup_within_watermark, whose eviction is
+    guaranteed by construction."""
     return events.dropDuplicates(keys)
 
 
@@ -191,7 +195,14 @@ def run_stream_to_memory(
 ) -> DataFrame:
     """Execute a streaming DataFrame with trigger(availableNow) into a
     memory sink; block until done; return the sink as a DataFrame. This
-    is how the driver's batch-oracle checks validate streaming results."""
+    is how the driver's batch-oracle checks validate streaming results.
+
+    ``update`` mode contract: the memory sink ACCUMULATES one row per
+    key per micro-batch, so the returned table equals the final state
+    only when the run is a single micro-batch (availableNow with no
+    maxFilesPerTrigger on the source — the shape every registry entry
+    uses). A multi-batch update-mode caller must reduce to the last row
+    per key itself."""
     name = f"sink_{uuid.uuid4().hex[:12]}"
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
@@ -304,10 +315,18 @@ def streaming_ingest_dedup(
         # try/except on the read, NOT os.path.exists — the index may live
         # on any Hadoop-visible filesystem (HDFS/S3), where a driver-local
         # path probe is always False and would silently skip the probe.
+        # ONLY path-not-found means "first batch": a transient storage
+        # error swallowed here would silently skip the dedup probe and
+        # append every near-dup as novel — permanent corpus corruption,
+        # strictly worse than failing the batch (checkpoint replays it).
+        from pyspark.errors import AnalysisException
+
         try:
             sh, bands = read_minhash_index(spark, index_path)
             have_index = True
-        except Exception:
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
             have_index = False
         if have_index:
             dup_ids = (
@@ -318,8 +337,18 @@ def streaming_ingest_dedup(
         else:
             dup_ids = spark.createDataFrame([], nb.select("id").schema)
         # (3) append the novel remainder + its index rows. novel_ids
-        # feeds three writes; cached so the probe join runs once, not 3x.
-        novel_ids = nb.select("id").join(dup_ids, "id", "left_anti").cache()
+        # derives from batch_kept, NOT from the index frame nb: the
+        # index excludes empty-shingle docs (fewer tokens than one
+        # 3-gram), and deriving novelty from nb would silently drop
+        # every short document from the corpus forever. Short docs are
+        # emitted but carry no index rows (the semi-joins below no-op
+        # for them) — they dedup downstream via read_ingested's keyed
+        # pass. Cached: feeds three writes, probe join runs once.
+        novel_ids = (
+            batch_kept.select(F.col(id_col).alias("id"))
+            .join(dup_ids, "id", "left_anti")
+            .cache()
+        )
         try:
             novel_docs = batch_kept.join(
                 novel_ids.withColumnRenamed("id", id_col), id_col, "left_semi"

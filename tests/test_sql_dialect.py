@@ -237,3 +237,38 @@ def test_where_comparison_operators(engine):
         r.people_name for r in ppl.filter("age >= 29 AND age != 31").collect()
     }
     assert got == want and want
+
+
+def test_string_literals_preserve_whitespace_and_keywords(spark):
+    """Whitespace normalization and the WHERE 'and' split must not
+    touch single-quoted literals: values with double spaces, commas,
+    and the word 'and' round-trip exactly."""
+    eng = SqlEngine(spark, {})
+    eng.sql("insert into songs (title, artist) values ('rock and roll', 'A  B')")
+    eng.sql("update songs set songs.artist = 'Smith, John' "
+            "where songs.title = 'rock and roll'")
+    got = eng.sql("select * from songs where songs.title = 'rock and roll'")
+    rows = got.collect()
+    assert len(rows) == 1
+    assert rows[0]["artist"] == "Smith, John"
+    # double-space value survived ingest before the update
+    eng.sql("insert into songs (title, artist) values ('x', 'A  B')")
+    rows = eng.sql("select * from songs where songs.artist = 'A  B'").collect()
+    assert [r["title"] for r in rows] == ["x"]
+
+
+def test_unparseable_aggregate_and_join_raise_not_degrade(engine):
+    """Silently-wrong shapes now raise: an unqualified aggregate must
+    not degrade GROUP BY to distinct keys, and a join with unqualified
+    refs must not run un-joined."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported aggregate"):
+        engine.sql("select sum(age) from people group by people.age")
+    with _pytest.raises(ValueError, match="table.field"):
+        engine.sql("select * from items inner join people on people = id")
+    with _pytest.raises(ValueError, match="ambiguous driving table"):
+        engine.sql(
+            "create join inner join people on items.people = people.id "
+            "inner join products on orders.product = products.id"
+        )

@@ -292,3 +292,35 @@ def test_compact_files_split_with_shuffle(spark, tmp_path):
     a = spark.read.parquet(src)
     b = spark.read.parquet(out2)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_streaming_ingest_keeps_short_documents(spark, tmp_path):
+    """Documents too short to shingle (fewer than 3 tokens) must still
+    be ingested: novelty derives from the batch's kept set, not from
+    the shingle index (which excludes them). Regression for silent
+    short-doc loss."""
+    from hash_db_spark.streaming import windows as W
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hi"),
+            (2, "two tokens"),
+            (3, "a full length document with plenty of tokens inside"),
+        ],
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src)
+    )
+    q = W.streaming_ingest_dedup(
+        stream,
+        index_path=str(tmp_path / "idx"),
+        out_path=str(tmp_path / "kept"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    kept = {r.doc_id for r in spark.read.parquet(str(tmp_path / "kept")).collect()}
+    assert kept == {1, 2, 3}
