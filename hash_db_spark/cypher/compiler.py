@@ -190,6 +190,18 @@ class CypherCompiler:
             result: DataFrame | None = None
             bound: set[str] = set()
             for chain in norm_chains:
+                if len(chain) == 1:
+                    # Lone-node chain in a (possibly multi-chain) MATCH:
+                    # bind it via cross product with the rest — the
+                    # Cypher contract for comma-separated disconnected
+                    # patterns. Without this the chain was silently
+                    # dropped (or its RETURN raised 'unbound').
+                    _, v = chain[0]
+                    if v not in bound:
+                        c = candidates(v, cons)
+                        result = c if result is None else result.crossJoin(c)
+                        bound.add(v)
+                    continue
                 for i in range(0, len(chain) - 2, 2):
                     (_, v1), (_, edge), (_, v2) = (
                         chain[i], chain[i + 1], chain[i + 2]
@@ -269,7 +281,17 @@ class CypherCompiler:
                 .distinct()
                 .agg(F.count(F.col(count_var)).alias("cnt"))
             )
-        out_vars = parser.return_clause or sorted(bound)
+        # Default projection (no RETURN): named variables only — the
+        # __anonN synthetics backing anonymous pattern nodes are
+        # internal and must not leak into the result schema.
+        out_vars = parser.return_clause or sorted(
+            v for v in bound if not v.startswith("__anon")
+        )
+        if not out_vars:
+            raise ValueError(
+                "match binds no named variables — add a RETURN clause "
+                "or name a pattern node"
+            )
         missing = [v for v in out_vars if v not in bound]
         if missing:
             raise ValueError(f"return of unbound variables: {missing}")
@@ -358,6 +380,26 @@ class CypherCompiler:
         edges_delta = spark.createDataFrame(
             list(new_edges.values()), "src string, dst string, rel string"
         )
+        # Node identity is lower(label):name (reference id scheme; MATCH
+        # still compares labels case-sensitively). A merge whose id
+        # collides with an existing node of a DIFFERENT label would be
+        # silently anti-joined away and never created — refuse loudly.
+        conflict = (
+            nodes_delta.alias("n")
+            .join(self.nodes.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .select("id", F.col("n.label").alias("new_label"),
+                    F.col("o.label").alias("old_label"))
+            .limit(1)
+            .collect()
+        )
+        if conflict:
+            c = conflict[0]
+            raise ValueError(
+                f"merge label conflict on node id {c['id']!r}: existing "
+                f"label {c['old_label']!r} vs merged {c['new_label']!r} "
+                "(node identity is case-insensitive on the label)"
+            )
         nodes_out = self.nodes.unionByName(
             nodes_delta.join(self.nodes.select("id"), "id", "left_anti"),
             allowMissingColumns=True,

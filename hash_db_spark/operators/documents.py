@@ -97,5 +97,13 @@ def filter_path(
     Emits one row per matching array element, projected to ``keep`` plus
     the matched leaf (named ``leaf_alias``, default the last path segment)."""
     alias = leaf_alias or path.split("~")[-1]
+    if alias in keep:
+        # Two identically-named output columns would make the filter's
+        # F.col(alias) an AMBIGUOUS_REFERENCE — fail with the remedy
+        # instead of a cryptic analysis error.
+        raise ValueError(
+            f"leaf alias {alias!r} collides with a kept column — pass an "
+            "explicit leaf_alias"
+        )
     out, col = compile_path(df, path, alias)
     return out.select(*keep, col).filter(F.col(alias) == value)

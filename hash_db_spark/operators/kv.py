@@ -38,7 +38,15 @@ def kv_set(kv: DataFrame, rows: DataFrame) -> DataFrame:
     """K1: point upsert. Last-writer-wins per (pk, sk): new rows replace
     existing ones (reference overwrites the dict entry,
     /root/reference/client.py:183). Anti-join + union keeps it shuffle-light;
-    on a real deployment this is a Delta MERGE."""
+    on a real deployment this is a Delta MERGE.
+
+    A batch is a SET of rows (DataFrames carry no insertion order), so an
+    intra-batch key collision has no "last" writer — it resolves
+    deterministically to max(value), and the unique-(pk, sk) invariant
+    holds regardless of batch contents (without the collapse, both
+    duplicate rows would survive the anti-join and every later get/query
+    would emit the key twice)."""
+    rows = rows.groupBy("pk", "sk").agg(F.max("value").alias("value"))
     keep = kv.join(rows.select("pk", "sk"), on=["pk", "sk"], how="left_anti")
     return keep.unionByName(rows)
 
@@ -49,8 +57,13 @@ def kv_get(kv: DataFrame, pk: str, sk: str) -> DataFrame:
 
 
 def kv_clear(kv: DataFrame, pk: str, sk: str) -> DataFrame:
-    """K9: point delete (/root/reference/client.py:204-212)."""
-    return kv.filter(~((F.col("pk") == pk) & (F.col("sk") == sk)))
+    """K9: point delete (/root/reference/client.py:204-212). Null-safe:
+    with a plain ``==`` a NULL-keyed row makes the conjunction NULL,
+    NOT(NULL) is NULL, and the filter would silently delete that
+    unrelated row along with the targeted key."""
+    return kv.filter(
+        ~(F.col("pk").eqNullSafe(F.lit(pk)) & F.col("sk").eqNullSafe(F.lit(sk)))
+    )
 
 
 def query_begins(kv: DataFrame, pk: str, sk_prefix: str, desc: bool = False) -> DataFrame:

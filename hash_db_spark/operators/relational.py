@@ -92,45 +92,29 @@ def insert_rows(table: DataFrame, new_rows: DataFrame, id_col: str = "id") -> Da
     - ids are max(id) + a deterministic dense rank over the new batch's
       natural order, not a single counter bottleneck.
 
-    Id assignment is distributed: the batch is range-partitioned on its
-    natural order, each partition ranks locally (Window PARTITIONED BY the
-    physical partition — no single-task global Window), and per-partition
-    offsets are added from a tiny O(num_partitions) driver-side count.
-    Equal global ids to a global row_number whenever the order is total;
-    ties within equal keys land in the same range partition, so id *sets*
-    are deterministic either way. The max(id) lookup is a single-row
+    Id assignment is distributed via the shared rank machinery
+    (operators/rank._ranged_with_rn): range partition on the batch's
+    natural order, per-partition row_number, per-partition offsets
+    BROADCAST-JOINED back (not a coalesce/when literal chain — at
+    cluster-scale partition counts that blows past codegen's 64KB
+    method limit and costs a linear branch scan per row, exactly the
+    formulation rank.py's docstring rejects). Equal global ids to a
+    global row_number whenever the order is total; ties within equal
+    keys land in the same range partition, so id *sets* are
+    deterministic either way. The max(id) lookup is a single-row
     aggregate (not a scale concern); on Delta-backed storage this whole
     function is an append with an id-service column.
     """
+    from hash_db_spark.operators.rank import _ranged_with_rn
+
     start = (table.agg(F.coalesce(F.max(id_col), F.lit(0)).alias("m")).collect()[0]["m"])
     order_cols = [F.col(c) for c in new_rows.columns if c != id_col]
-    # Materialize the ranged batch once: range boundaries come from a
-    # sampling pass, and the offset-count job plus the final plan must see
-    # the SAME partitioning (also truncates lineage, as a real ingest
-    # commit would).
-    ranged = (
-        new_rows.repartitionByRange(*order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    counts = sorted(
-        (r["__pid"], r["cnt"])
-        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    )
-    offsets, acc = {}, 0
-    for pid, cnt in counts:
-        offsets[pid] = acc
-        acc += cnt
-    off_expr = F.coalesce(
-        *[F.when(F.col("__pid") == pid, F.lit(off)) for pid, off in offsets.items()],
-        F.lit(0),
-    ) if offsets else F.lit(0)
-    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    ranked, _ = _ranged_with_rn(new_rows, order_cols, "__rn")
     withid = (
-        ranged.withColumn(
-            id_col, F.lit(start) + off_expr + F.row_number().over(w)
+        ranked.withColumn(
+            id_col, (F.lit(start) + F.col("__rn")).cast("long")
         )
-        .drop("__pid")
+        .drop("__rn", "__pid")
     )
     return table.unionByName(withid, allowMissingColumns=True)
 
@@ -139,12 +123,14 @@ def update_where(df: DataFrame, condition: Column, assignments: dict[str, Column
     """R12: UPDATE t SET f = v WHERE p, as a recompute over immutable data
     (the reference deindexes and rewrites trie keys in place,
     /root/reference/client.py:483-546; on Delta-backed storage this becomes
-    a MERGE — semantics identical)."""
+    a MERGE — semantics identical). Setting a column the table doesn't
+    have yet WIDENS the schema (emergent-schema contract,
+    /root/reference/README.md:175): non-matching rows read NULL for the
+    new field, matching the reference's union-of-fields table model."""
     out = df
     for col_name, new_val in assignments.items():
-        out = out.withColumn(
-            col_name, F.when(condition, new_val).otherwise(F.col(col_name))
-        )
+        prev = F.col(col_name) if col_name in out.columns else F.lit(None)
+        out = out.withColumn(col_name, F.when(condition, new_val).otherwise(prev))
     return out
 
 

@@ -490,3 +490,38 @@ def test_optional_match_count_skips_nulls(social):
         "return count(q)"
     ).collect()[0]["cnt"]
     assert n_opt == n_posters  # NULL q rows contribute nothing
+
+
+def test_multi_chain_lone_node_cross_product(social):
+    """Comma-separated disconnected patterns produce the cross product
+    (Cypher semantics); previously lone-node chains were silently
+    dropped or raised 'unbound'."""
+    rows = social.run(
+        "match (a:Post), (b:Person {'name': 'Samuel'}) return a, b"
+    ).collect()
+    posts = {r["a"] for r in rows}
+    assert all(r["b"] == "person:Samuel" for r in rows)
+    assert len(posts) >= 1 and len(rows) == len(posts)
+
+
+def test_merge_label_case_conflict_raises(spark):
+    """Node identity is case-insensitive on the label; a merge whose id
+    collides with an existing node of a different label must fail
+    loudly, not silently skip creation."""
+    nodes = spark.createDataFrame([], "id string, label string, name string")
+    edges = spark.createDataFrame([], "src string, dst string, rel string")
+    nodes, edges = CypherCompiler(nodes, edges).run(
+        "merge (a:Person {'name': 'X'})-[:KNOWS]->(b:Person {'name': 'Y'})"
+    )
+    with pytest.raises(ValueError, match="label conflict"):
+        CypherCompiler(nodes, edges).run(
+            "merge (a:PERSON {'name': 'X'})-[:KNOWS]->"
+            "(b:Person {'name': 'Z'})"
+        )
+
+
+def test_anonymous_vars_do_not_leak_in_default_projection(social):
+    """MATCH without RETURN projects named variables only — the __anonN
+    synthetics behind anonymous pattern nodes stay internal."""
+    df = social.run("match (a:Person)-[:FRIEND]->()")
+    assert list(df.columns) == ["a"]

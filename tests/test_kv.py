@@ -108,3 +108,27 @@ def test_clear(kv):
     out = K.kv_clear(kv, "user#samsquire", "profile")
     assert out.count() == len(ROWS) - 1
     assert K.kv_get(out, "user#samsquire", "profile").count() == 0
+
+
+def test_kv_set_intra_batch_duplicates_collapse(spark, kv):
+    """A batch is a set — an intra-batch (pk, sk) collision resolves
+    deterministically (max value) and the unique-key invariant holds."""
+    rows = spark.createDataFrame(
+        [("p1", "s1", "v1"), ("p1", "s1", "v2"), ("p2", "s1", "x")],
+        ["pk", "sk", "value"],
+    )
+    out = K.kv_set(kv, rows)
+    got = skv(K.kv_get(out, "p1", "s1"))
+    assert got == [("p1", "s1", "v2")]
+    assert out.groupBy("pk", "sk").count().filter("count > 1").count() == 0
+
+
+def test_kv_clear_preserves_null_keyed_rows(spark):
+    """Deleting one key must not sweep away unrelated NULL-keyed rows
+    via three-valued logic."""
+    kvn = spark.createDataFrame(
+        [(None, "s1", "a"), ("p", None, "b"), ("p", "s", "c")],
+        "pk string, sk string, value string",
+    )
+    out = K.kv_clear(kvn, "p", "s")
+    assert sorted((r.value) for r in out.collect()) == ["a", "b"]

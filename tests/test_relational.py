@@ -79,3 +79,15 @@ def test_rank_per_group_deterministic(spark, items):
     )
     got = {r.people: r.search for r in ranked.collect()}
     assert got == {1: "boat", 3: "spanner"}
+
+
+def test_update_where_widens_schema_for_new_column(spark):
+    """Emergent-schema UPDATE (README.md:175): SET on a column the
+    table doesn't have yet creates it — matching rows get the value,
+    the rest read NULL — instead of raising UNRESOLVED_COLUMN."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    out = R.update_where(
+        df, F.col("id") == 1, {"nickname": F.lit("one")}
+    )
+    got = {r.id: r.nickname for r in out.collect()}
+    assert got == {1: "one", 2: None}
