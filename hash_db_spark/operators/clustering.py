@@ -137,15 +137,12 @@ def kmeans_centroids(
     """The centroid table as a DataFrame (vec_id = dense cluster index
     1..m, embedding = mean vector) — the offline artifact
     ``similarity.topk_ivf(centroids=...)`` consumes instead of growing
-    its own strided subset with the corpus."""
-    corpus = emb.select(
-        F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("v")
-    )
-    cmat = _centroid_mat(corpus, k)
-    rows = [(i + 1, row.tolist()) for i, row in enumerate(cmat)]
-    return emb.sparkSession.createDataFrame(
-        rows, f"{id_col} long, {vec_col} array<double>"
-    )
+    its own strided subset with the corpus.
+
+    Delegates to kmeans_fit (its assignment half is lazy, so this costs
+    nothing extra) — one centroid-assembly implementation, not three
+    drifting copies."""
+    return kmeans_fit(emb, id_col, vec_col, k)[0]
 
 
 def sql_kmeans_cents_ctes(k: int = 8) -> str:

@@ -135,7 +135,12 @@ def shingle_frame(
         for pdf in batches:
             ids, shs, hshs = [], [], []
             for i, t in zip(pdf[id_col], pdf[col]):
-                toks = [x for x in (t or "").replace(",", "").split(" ") if x]
+                # NULL text arrives as None OR float NaN in the Arrow
+                # batch; NaN is truthy, so `t or ""` alone would crash
+                # on .replace (same guard as token_gram_posts).
+                if not isinstance(t, str):
+                    t = ""
+                toks = [x for x in t.replace(",", "").split(" ") if x]
                 grams = (
                     list(
                         dict.fromkeys(
@@ -651,21 +656,35 @@ _PAIRS_MEMO: list[tuple[DataFrame, tuple, DataFrame]] = []
 
 
 def _memo_lookup(memo: list, df: DataFrame, params: tuple):
-    """Probe a (src, params, out) memo. A dead entry — its SparkSession
-    was stopped since it was recorded, so sameSemantics raises — is
-    EVICTED on sight, not just skipped: dead entries would otherwise
-    occupy FIFO slots (pushing out live indexes) and pay a failed
-    plan-canonicalization attempt on every future lookup."""
+    """Probe a (src, params, out, pinned) memo. A dead entry — its
+    SparkSession was stopped since it was recorded, so sameSemantics
+    raises — is EVICTED on sight, not just skipped: dead entries would
+    otherwise occupy FIFO slots (pushing out live indexes) and pay a
+    failed plan-canonicalization attempt on every future lookup."""
     for entry in list(memo):
-        src, p, out = entry
+        src, p, out, _pinned = entry
         if p != params:
             continue
         try:
             if df.sameSemantics(src):
                 return out
         except Exception:
-            memo.remove(entry)
+            _memo_evict(memo, entry)
     return None
+
+
+def _memo_evict(memo: list, entry) -> None:
+    """Remove an entry AND unpersist the cached frames it pins: after
+    eviction no Python reference to those frames remains, so skipping
+    the unpersist would orphan their cached blocks for the session
+    lifetime (storage fills monotonically past _INDEX_MEMO_CAP distinct
+    corpora)."""
+    memo.remove(entry)
+    for frame in entry[3]:
+        try:
+            frame.unpersist()
+        except Exception:
+            pass  # dead session — blocks died with it
 
 
 def minhash_index(
@@ -758,8 +777,8 @@ def minhash_index(
         *keep,
     )
     if len(_INDEX_MEMO) >= _INDEX_MEMO_CAP:
-        _INDEX_MEMO.pop(0)
-    _INDEX_MEMO.append((df, params, (base, bands)))
+        _memo_evict(_INDEX_MEMO, _INDEX_MEMO[0])
+    _INDEX_MEMO.append((df, params, (base, bands), [shingled, base]))
     return base, bands
 
 
@@ -931,8 +950,8 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", "jac")
     )
     if len(_PAIRS_MEMO) >= _INDEX_MEMO_CAP:
-        _PAIRS_MEMO.pop(0)
-    _PAIRS_MEMO.append((df, params, pairs))
+        _memo_evict(_PAIRS_MEMO, _PAIRS_MEMO[0])
+    _PAIRS_MEMO.append((df, params, pairs, []))
     return pairs
 
 
@@ -993,11 +1012,15 @@ def minhash_pairs_against_index(
     Skew guard: a hot corpus bucket (boilerplate cluster) would fan every
     probing new doc out to bucket-size candidates. Buckets past
     ``max_band_bucket`` instead contribute ONE candidate per probing new
-    doc — the bucket's min-id representative — which is all incremental
-    ingest needs (flag the new doc as a dup of the cluster; the verify
-    step still computes the true jaccard against that representative).
-    Capped mode thus returns at least one matching old_id per genuine
-    near-dup, not necessarily every one."""
+    doc — the bucket's min-id representative — plus an exact-content
+    rescue: a shingle-set fingerprint equijoin new-vs-corpus, so an
+    EXACT duplicate is always caught even when every shared bucket is
+    hot and its representative happens to be dissimilar. Capped-mode
+    guarantee: exact-content duplicates always match; a NEAR-identical
+    (not exact) pair whose every shared bucket is hot can still be
+    missed via a dissimilar representative — the documented capped-mode
+    approximation (the full-pairs path's neighbor-chain rescue has no
+    cross-batch analogue)."""
     probe = F.broadcast(
         new_bands.select(F.col("id").alias("new_id"), "band", "key")
     )
@@ -1022,12 +1045,29 @@ def minhash_pairs_against_index(
             "left_anti",
         )
         reps = hot_stats.select("band", "key", F.col("__rep").alias("old_id"))
+        # Exact-content rescue (hot branch only — with no hot buckets
+        # an exact dup collides in every cold bucket and the plain join
+        # already finds it): fingerprint of the full shingle array,
+        # chr(1)-joined (never appears in space-joined word grams) so
+        # the 8-byte-ish md5 is the join key, not the array itself.
+        fp = F.md5(F.concat_ws(chr(1), "sh"))
+        rescue = (
+            new_base.select(F.col("id").alias("new_id"), fp.alias("__fp"))
+            .join(
+                corpus_shingles.select(
+                    F.col("id").alias("old_id"), fp.alias("__fp")
+                ),
+                "__fp",
+            )
+            .select("new_id", "old_id")
+        )
         cands = (
             probe.join(cold, ["band", "key"])
             .select("new_id", "old_id")
             .unionByName(
                 probe.join(reps, ["band", "key"]).select("new_id", "old_id")
             )
+            .unionByName(rescue)
             .distinct()
         )
     else:
@@ -1078,6 +1118,12 @@ cands AS (
     SELECT n.id AS new_id, o.rep AS old_id
     FROM flagged n JOIN corpusn o ON n.band = o.band AND n.key = o.key
     WHERE n.is_new AND o.n > {max_band_bucket}
+    UNION ALL
+    SELECT n.id AS new_id, o.id AS old_id
+    FROM nonempty n JOIN nonempty o
+      ON md5(list_aggregate(n.sh, 'string_agg', chr(1)))
+       = md5(list_aggregate(o.sh, 'string_agg', chr(1)))
+    WHERE n.is_new AND NOT o.is_new
   )
 )"""
 
@@ -1514,12 +1560,16 @@ def embedding_near_dup_pairs(
     import numpy as np
     import pandas as pd
 
-    rows = emb.select(id_col, vec_col).collect()
-    if len(rows) > MAX_BROADCAST_VECTORS:
+    # limit(cap+1) bounds the probe itself: guarding AFTER a full
+    # collect would OOM the driver on exactly the oversized input the
+    # guard exists to reject (same discipline as MAX_IVF_CENTROIDS).
+    probe = emb.select(id_col).limit(MAX_BROADCAST_VECTORS + 1).collect()
+    if len(probe) > MAX_BROADCAST_VECTORS:
         raise ValueError(
-            f"{len(rows)} vectors exceed the broadcastable baseline "
+            f"vector count exceeds the broadcastable baseline "
             f"({MAX_BROADCAST_VECTORS}); use LSH/IVF candidate generation"
         )
+    rows = emb.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows])
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -1843,14 +1893,20 @@ def apply_dedup_keep(
     connected_components first is what makes A~B, B~C collapse to one
     survivor instead of two.
 
-    Plan: components (tiny — only docs appearing in pairs), then one
-    broadcast-able anti-join of the drop-list against the corpus: the
-    full table is scanned once and never shuffled."""
+    Plan: components over docs appearing in pairs, then one anti-join of
+    the drop-list against the corpus. The drop-list is NOT force-
+    broadcast: its size is one row per duplicate document — unbounded on
+    a duplicate-heavy corpus (40% dups of 100 TB would OOM the driver
+    and blow the 8 GB broadcast hard limit). AQE picks broadcast at
+    runtime when the list is actually small (the common case) and falls
+    back to a shuffled anti-join when it isn't — the same size-guarded
+    pattern as MAX_BROADCAST_HOT_KEYS, decided by measured size instead
+    of a hint."""
     clusters = connected_components(pairs, id_a, id_b)
     drop = clusters.filter(F.col("id") != F.col("cluster")).select(
         F.col("id").alias(id_col)
     )
-    return df.join(F.broadcast(drop), id_col, "left_anti")
+    return df.join(drop, id_col, "left_anti")
 
 
 def sql_apply_dedup_keep(

@@ -22,6 +22,17 @@ import pyspark.sql.functions as F
 
 BUCKETS = 10_000
 
+# val's bucket range anchors here (test anchors at 0): growing either
+# rate can never move a row between val and test — see train_val_test.
+VAL_ANCHOR = BUCKETS // 2
+
+
+def _n_buckets(rate: float) -> int:
+    """rate -> kept-bucket count. round(), not int(): 0.29 * 10000 is
+    2899.9999999999995 in IEEE doubles — truncation silently keeps one
+    bucket too few, a systematic shortfall vs the nominal rate."""
+    return int(round(rate * BUCKETS))
+
 
 def _bucket(key: Column) -> Column:
     """Stable bucket in [0, BUCKETS): md5-derived, engine-portable."""
@@ -41,33 +52,47 @@ def sql_bucket(key_expr: str) -> str:
 
 def hash_sample(df: DataFrame, key: str, rate: float) -> DataFrame:
     """Keep ~rate of rows, deterministically by key hash."""
-    return df.filter(_bucket(F.col(key)) < int(rate * BUCKETS))
+    return df.filter(_bucket(F.col(key)) < _n_buckets(rate))
+
+
+def _split_ranges(val: float, test: float) -> tuple[int, int]:
+    n_test, n_val = _n_buckets(test), _n_buckets(val)
+    if n_test > VAL_ANCHOR or n_val > BUCKETS - VAL_ANCHOR:
+        raise ValueError(
+            f"split rates too large for anchored ranges: test <= "
+            f"{VAL_ANCHOR / BUCKETS}, val <= {(BUCKETS - VAL_ANCHOR) / BUCKETS}"
+        )
+    return n_test, n_val
 
 
 def train_val_test(
     df: DataFrame, key: str, val: float = 0.02, test: float = 0.01
 ) -> DataFrame:
-    """Assign a split column: test gets the lowest hash buckets, then
-    val, then train — so growing val/test keeps prior membership stable
-    (a row can move train→val but never val→test)."""
+    """Assign a split column with ANCHORED bucket ranges: test grows up
+    from bucket 0, val grows up from bucket VAL_ANCHOR — the ranges are
+    disjoint by construction, so growing EITHER rate later can never
+    move a row between val and test (growing a rate only converts train
+    rows). The previous adjacent-range layout ([0,t) test, [t,t+v) val)
+    violated exactly this: raising the test rate annexed former VAL
+    buckets into test, contaminating the held-out set with examples the
+    model was tuned against."""
     b = _bucket(F.col(key))
-    n_test = int(test * BUCKETS)
-    n_val = int(val * BUCKETS)
+    n_test, n_val = _split_ranges(val, test)
     return df.withColumn(
         "split",
         F.when(b < n_test, "test")
-        .when(b < n_test + n_val, "val")
+        .when((b >= VAL_ANCHOR) & (b < VAL_ANCHOR + n_val), "val")
         .otherwise("train"),
     )
 
 
 def sql_train_val_test(key_expr: str, val: float = 0.02, test: float = 0.01) -> str:
-    n_test = int(test * BUCKETS)
-    n_val = int(val * BUCKETS)
+    n_test, n_val = _split_ranges(val, test)
     b = sql_bucket(key_expr)
     return (
         f"(CASE WHEN {b} < {n_test} THEN 'test' "
-        f"WHEN {b} < {n_test + n_val} THEN 'val' ELSE 'train' END)"
+        f"WHEN {b} >= {VAL_ANCHOR} AND {b} < {VAL_ANCHOR + n_val} "
+        f"THEN 'val' ELSE 'train' END)"
     )
 
 
@@ -75,13 +100,14 @@ def stratified_sample(
     df: DataFrame, key: str, strata: str, rates: dict[str, float]
 ) -> DataFrame:
     """Per-class sampling rate (e.g. downsample the majority language)."""
+    if not rates:
+        raise ValueError("stratified_sample needs a non-empty rates dict")
     b = _bucket(F.col(key))
     thresh = None
     for cls, rate in rates.items():
-        t = F.when(F.col(strata) == cls, int(rate * BUCKETS))
-        thresh = t if thresh is None else thresh.when(
-            F.col(strata) == cls, int(rate * BUCKETS)
-        )
+        cond = F.col(strata) == cls
+        n = _n_buckets(rate)
+        thresh = F.when(cond, n) if thresh is None else thresh.when(cond, n)
     thresh = thresh.otherwise(0)
     return df.filter(b < thresh)
 
@@ -104,6 +130,8 @@ def mix_to_weights(
     (key, stratum rate). No corpus-sized shuffle. No counterpart in the
     reference (free win).
     """
+    if not weights:
+        raise ValueError("mix_to_weights needs a non-empty weights dict")
     w = None
     for cls, wt in weights.items():
         cond = F.col(strata) == cls
@@ -121,10 +149,15 @@ def mix_to_weights(
         )
         .select(strata, "__rate")
     )
+    # round(), not floor(): the binding stratum's rate computes as e.g.
+    # 0.9999999999999999 in doubles (w * (cnt/w) / cnt), and floor would
+    # drop its top hash bucket — violating "the binding stratum keeps
+    # everything". Both engines round the identical double identically.
     return (
         df.join(F.broadcast(rates), strata)
         .filter(
-            _bucket(F.col(key)) < F.floor(F.col("__rate") * F.lit(float(BUCKETS)))
+            _bucket(F.col(key))
+            < F.round(F.col("__rate") * F.lit(float(BUCKETS)), 0)
         )
         .drop("__rate")
     )
@@ -148,7 +181,7 @@ r AS (
   SELECT {strata}, w * n_out / cnt AS rate FROM cw CROSS JOIN sc
 )
 SELECT {cols} FROM {table} t JOIN r USING ({strata})
-WHERE {sql_bucket(f"t.{key}")} < floor(rate * 10000.0)
+WHERE {sql_bucket(f"t.{key}")} < round(rate * 10000.0, 0)
 """
 
 

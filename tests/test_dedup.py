@@ -347,7 +347,10 @@ def test_incremental_probe_hot_bucket_representative(spark):
             nb, nbands, cb, cbands, threshold=0.5, max_band_bucket=2
         ).collect()
     }
-    assert capped == {(1, 10): 1.0}  # one representative (min id), jac 1
+    # the exact-content rescue matches ALL identical corpus docs (the
+    # rep-only form previously surfaced just the min id, and could miss
+    # entirely when the rep happened to be dissimilar)
+    assert capped == {(1, i): 1.0 for i in range(10, 22)}
     # uncapped default on this small corpus still finds the new dup
     assert any(r.new_id == 1 for r in got.collect())
 
@@ -410,14 +413,41 @@ def test_minhash_memo_evicts_dead_entries(spark, docs):
             raise RuntimeError("session stopped")
 
     params = ("text", "doc_id", 32, 2, (), False)
-    D._INDEX_MEMO.insert(0, (_Dead(), params, None))
+    D._INDEX_MEMO.insert(0, (_Dead(), params, None, []))
     try:
         base, bands = D.minhash_index(docs, "text", "doc_id", num_hashes=32)
         assert base is not None
         assert all(
-            not isinstance(src, _Dead) for src, _, _ in D._INDEX_MEMO
+            not isinstance(src, _Dead) for src, *_ in D._INDEX_MEMO
         )
     finally:
         D._INDEX_MEMO[:] = [
             e for e in D._INDEX_MEMO if not isinstance(e[0], _Dead)
         ]
+
+
+def test_capped_index_probe_exact_dup_rescue(spark):
+    """Capped mode guarantee: an exact-content duplicate always matches
+    even when its every shared bucket is hot — the shingle-fingerprint
+    rescue finds ALL identical corpus docs, not just each hot bucket's
+    min-id representative."""
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [(10, text), (11, text), (12, text)], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    tag = "__is_new"
+    tagged = new.withColumn(tag, F.lit(True)).unionByName(
+        corpus.withColumn(tag, F.lit(False))
+    )
+    base, bands = D.minhash_index(tagged, "text", "doc_id", keep=(tag,))
+    got = D.minhash_pairs_against_index(
+        base.filter(F.col(tag)).drop(tag),
+        bands.filter(F.col(tag)).drop(tag),
+        base.filter(~F.col(tag)).drop(tag),
+        bands.filter(~F.col(tag)).drop(tag),
+        threshold=0.5,
+        max_band_bucket=1,  # every bucket (3 identical members) is hot
+    )
+    olds = sorted(r.old_id for r in got.collect())
+    assert olds == [10, 11, 12]
