@@ -118,13 +118,18 @@ def binned_histogram(
     at 100 TB the exact percentile buffers every value, while this is a
     map-side count per bin (``bins`` rows cross the wire per shard) and
     shards merge by adding counts. Out-of-range values clamp to the edge
-    bins. The bin rule is one shared arithmetic expression, so DuckDB
-    computes the identical grid."""
+    bins; NULLs are EXCLUDED (greatest/least skip NULL in both engines,
+    so an unfiltered NULL would silently land in bin 0, inflating the
+    low tail and dragging every histogram quantile down — profiling
+    counts nulls separately in profile_columns). The bin rule is one
+    shared arithmetic expression, so DuckDB computes the identical
+    grid."""
     width = (hi - lo) / bins
     b = F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("long")
     b = F.least(F.lit(bins - 1), F.greatest(F.lit(0), b))
     return (
-        df.select(b.alias("bin"))
+        df.filter(F.col(col).isNotNull())
+        .select(b.alias("bin"))
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -178,7 +183,7 @@ def sql_binned_histogram(
 SELECT least({bins - 1}, greatest(0,
          CAST(floor(({col} - {lo!r}) / {width!r}) AS BIGINT))) AS bin,
        count(*) AS cnt
-FROM {table} GROUP BY 1
+FROM {table} WHERE {col} IS NOT NULL GROUP BY 1
 """
 
 
@@ -199,7 +204,7 @@ WITH hist AS (
   SELECT least({bins - 1}, greatest(0,
            CAST(floor(({col} - {lo!r}) / {width!r}) AS BIGINT))) AS bin,
          count(*) AS cnt
-  FROM {table} GROUP BY 1
+  FROM {table} WHERE {col} IS NOT NULL GROUP BY 1
 ),
 cum AS (
   SELECT bin, sum(cnt) OVER (ORDER BY bin

@@ -58,11 +58,18 @@ def redact(col: Column | str, kinds: tuple[str, ...] = DEFAULT_KINDS) -> Column:
     return c
 
 
+def _sql_pat(kind: str) -> str:
+    """DuckDB single-quoted string literals do NOT process backslash
+    escapes (unlike e'...'), so the regex goes in verbatim — doubling
+    backslashes corrupts \\. / \\b / \\d into literal-backslash atoms
+    that never match, making the oracle silently pass PII through."""
+    return PATTERNS[kind].replace("'", "''")
+
+
 def sql_redact(col: str, kinds: tuple[str, ...] = DEFAULT_KINDS) -> str:
     expr = col
     for k in _ordered(kinds):
-        pat = PATTERNS[k].replace("\\", "\\\\").replace("'", "''")
-        expr = f"regexp_replace({expr}, '{pat}', '{TOKENS[k]}', 'g')"
+        expr = f"regexp_replace({expr}, '{_sql_pat(k)}', '{TOKENS[k]}', 'g')"
     return expr
 
 
@@ -74,5 +81,4 @@ def pattern_count(col: Column | str, kind: str) -> Column:
 
 
 def sql_pattern_count(col: str, kind: str) -> str:
-    pat = PATTERNS[kind].replace("\\", "\\\\").replace("'", "''")
-    return f"len(regexp_extract_all({col}, '{pat}'))"
+    return f"len(regexp_extract_all({col}, '{_sql_pat(kind)}'))"

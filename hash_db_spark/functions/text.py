@@ -137,9 +137,15 @@ def char_ngram_count(col: Column | str, n: int = 3) -> Column:
     by character-level language ID and near-dup shingling. substring()
     with a Column start position requires the SQL-expression form."""
     name = _colname(F.col(col) if isinstance(col, str) else col)
+    # CASE-guarded: Spark's sequence(1, 0) counts DOWN ([1, 0], not [])
+    # — for a string shorter than n the unguarded form produced one
+    # phantom gram (count 1 where DuckDB's generate_series(1,0) = []
+    # correctly gives 0).
     grams = F.expr(
-        f"transform(sequence(1, greatest(length(lower({name})) - {n - 1}, 0)), "
-        f"i -> substring(lower({name}), i, {n}))"
+        f"CASE WHEN length(lower({name})) >= {n} THEN "
+        f"transform(sequence(1, length(lower({name})) - {n - 1}), "
+        f"i -> substring(lower({name}), i, {n})) "
+        f"ELSE array() END"
     )
     return F.size(F.array_distinct(grams))
 

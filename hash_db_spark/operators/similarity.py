@@ -44,13 +44,18 @@ def _dvec(col) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two double arrays, accumulation in array order
-    (matches DuckDB's list_cosine_similarity exactly)."""
+    (matches DuckDB's list_cosine_similarity exactly). A zero-magnitude
+    vector yields NULL (cosine is undefined; NULL fails every >=threshold
+    filter and sorts last) — without the NULLIF-style guard Spark 4's
+    default ANSI mode aborts the whole query with DIVIDE_BY_ZERO on one
+    degenerate row. The Arrow paths guard denom==0 the same way."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
-    return dot / (na * nb)
+    denom = na * nb
+    return dot / F.when(denom != 0.0, denom)
 
 
 def score_pair_cosine(
@@ -184,6 +189,7 @@ def lsh_signature_base(
 
     planes = np.array(hyperplanes(bits), dtype=np.float64)  # bits x dim
     id_type = emb.schema[id_col].dataType.simpleString()
+    plane_dim = planes.shape[1]
 
     def block(batches):
         import pandas as pd
@@ -192,7 +198,18 @@ def lsh_signature_base(
             if len(pdf) == 0:
                 continue
             v = np.array(list(pdf[vec_col]), dtype=np.float64)
-            signs = v @ planes[:, : v.shape[1]].T >= 0
+            if v.shape[1] != plane_dim:
+                # A silent slice would sign against truncated planes —
+                # diverging from the SQL oracles' full-dim literals
+                # (dim < plane_dim) or crash the matmul (dim >
+                # plane_dim). The hyperplane table and its SQL
+                # renderings are generated for one dimension.
+                raise ValueError(
+                    f"embedding dim {v.shape[1]} != hyperplane dim "
+                    f"{plane_dim}; regenerate hyperplanes(bits, dim) and "
+                    "the SQL plane literals together"
+                )
+            signs = v @ planes.T >= 0
             sigs = [
                 "".join("1" if b else "0" for b in row) for row in signs
             ]
@@ -206,6 +223,54 @@ def lsh_signature_base(
 
     return emb.select(id_col, vec_col).mapInPandas(
         block, f"vec_id {id_type}, v array<double>, sig string"
+    )
+
+
+def _lsh_bands(
+    base: DataFrame,
+    bits: int,
+    band_bits: int,
+    with_fsig: bool,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """(vec_id, keep..., band, val[, fsig]) — ONE band-explode shared by
+    every LSH consumer (topk_lsh, lsh_near_dup_pairs, lsh_pairs_against);
+    with_fsig puts the full signature on band-0 rows only (one copy per
+    vector) for hot-bucket rescues. A change to banding happens here
+    once, not in three drifting copies."""
+    num_bands = bits // band_bits
+    return base.select(
+        "vec_id",
+        *keep,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.substring(
+                            F.col("sig"), j * band_bits + 1, band_bits
+                        ).alias("val"),
+                        *(
+                            [
+                                (
+                                    F.col("sig") if j == 0
+                                    else F.lit(None).cast("string")
+                                ).alias("fsig")
+                            ]
+                            if with_fsig
+                            else []
+                        ),
+                    )
+                    for j in range(num_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "vec_id",
+        *keep,
+        F.col("bk.band").alias("band"),
+        F.col("bk.val").alias("val"),
+        *(["bk.fsig"] if with_fsig else []),
     )
 
 
@@ -226,25 +291,8 @@ def topk_lsh(
     touches num_bands buckets, not the corpus. Signature computation is
     one map-side Arrow/BLAS pass (lsh_signature_base).
     """
-    num_bands = bits // band_bits
     base = lsh_signature_base(emb, bits, id_col, vec_col)
-    bands = base.select(
-        "vec_id",
-        "v",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.substring(F.col("sig"), j * band_bits + 1, band_bits).alias(
-                            "val"
-                        ),
-                    )
-                    for j in range(num_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("vec_id", "v", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
+    bands = _lsh_bands(base, bits, band_bits, with_fsig=False, keep=("v",))
 
     qb = (
         bands.filter(F.col("vec_id").isin(query_ids))
@@ -541,35 +589,8 @@ def lsh_near_dup_pairs(
 
     Returns (id_a, id_b, cos) with id_a < id_b, cos >= threshold, 6dp.
     """
-    num_bands = bits // band_bits
     base = lsh_signature_base(emb, bits, id_col, vec_col).cache()
-    bands = base.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.substring(
-                            F.col("sig"), j * band_bits + 1, band_bits
-                        ).alias("val"),
-                        # full signature rides on band-0 rows only (one
-                        # copy per vector) for the hot-bucket rescue
-                        (
-                            F.col("sig") if j == 0
-                            else F.lit(None).cast("string")
-                        ).alias("fsig"),
-                    )
-                    for j in range(num_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(
-        "vec_id",
-        F.col("bk.band").alias("band"),
-        F.col("bk.val").alias("val"),
-        F.col("bk.fsig").alias("fsig"),
-    )
+    bands = _lsh_bands(base, bits, band_bits, with_fsig=True)
     hot = None
     if max_band_bucket is not None:
         from hash_db_spark.operators.dedup import split_hot_buckets
@@ -659,36 +680,8 @@ def lsh_pairs_against(
     per batch."""
     nb = lsh_signature_base(new_emb, bits, id_col, vec_col).cache()
     cb = lsh_signature_base(corpus_emb, bits, id_col, vec_col).cache()
-    num_bands = bits // band_bits
-
-    def bands_of(base: DataFrame) -> DataFrame:
-        return base.select(
-            "vec_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(j).alias("band"),
-                            F.substring(
-                                F.col("sig"), j * band_bits + 1, band_bits
-                            ).alias("val"),
-                            (
-                                F.col("sig") if j == 0
-                                else F.lit(None).cast("string")
-                            ).alias("fsig"),
-                        )
-                        for j in range(num_bands)
-                    ]
-                )
-            ).alias("bk"),
-        ).select(
-            "vec_id",
-            F.col("bk.band").alias("band"),
-            F.col("bk.val").alias("val"),
-            F.col("bk.fsig").alias("fsig"),
-        )
-
-    new_bands, corpus_bands = bands_of(nb), bands_of(cb)
+    new_bands = _lsh_bands(nb, bits, band_bits, with_fsig=True)
+    corpus_bands = _lsh_bands(cb, bits, band_bits, with_fsig=True)
     hot = None
     if max_band_bucket is not None:
         from hash_db_spark.operators.dedup import split_hot_buckets
@@ -925,7 +918,12 @@ def topk_quantized(
                 continue
             c = _quant(np.array(list(pdf["v"]), dtype=np.float64))
             cnorm = np.linalg.norm(c, axis=1)
-            denom = np.where(cnorm == 0, 1.0, cnorm)[:, None] * bqnorm[None, :]
+            # query-side zero-norm guarded like the corpus side: an
+            # all-zero query vector would make denom 0 and cos NaN,
+            # which Spark ranks ABOVE every real score while the
+            # oracle's NULL sorts last — divergent top-k.
+            qden = np.where(bqnorm == 0, 1.0, bqnorm)
+            denom = np.where(cnorm == 0, 1.0, cnorm)[:, None] * qden[None, :]
             cos = round_half_away(c @ bqmat.T / denom, 6)
             vids = pdf["vec_id"].to_numpy()
             mask = vids[:, None] != bqids[None, :]

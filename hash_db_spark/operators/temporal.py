@@ -64,12 +64,6 @@ def asof_join(
     t_order = (
         F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
     )
-    w = (
-        Window.partitionBy("__k")
-        .orderBy(t_order, F.col("__is_right").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    fill_cols = ["__mt", *[f"asof_{c}" for c in right_payload]]
     # Fill ONE struct of (matched time, payload...) atomically: filling
     # time and payload with independent last(ignorenulls) calls lets a
     # NULL payload in the matched row be papered over by a STALE older
@@ -81,19 +75,28 @@ def asof_join(
     # it sorts nulls-first in the ascending window and would otherwise
     # donate its payload (with __mt NULL, so the tolerance predicate
     # also evaluates NULL) to left rows that should stay unmatched.
+    cand = F.when(
+        (F.col("__is_right") == 1) & F.col("__r___mt").isNotNull(),
+        F.struct(
+            F.col("__r___mt").alias("mt"),
+            *[F.col(f"__r_{c}").alias(c) for c in right_payload],
+        ),
+    )
+    # cand rides the window ORDER as the final key: several right rows
+    # sharing one (key, right_time) would otherwise tie completely and
+    # the fill would take whichever the shuffle ordered last — with the
+    # struct ascending, ties resolve deterministically to the GREATEST
+    # payload tuple (merge_intervals/sessionize demand an explicit
+    # tiebreak for the same reason).
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(t_order, F.col("__is_right").desc(), cand.asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fill_cols = ["__mt", *[f"asof_{c}" for c in right_payload]]
     m = F.when(
         F.col("__t").isNotNull(),
-        F.last(
-            F.when(
-                (F.col("__is_right") == 1)
-                & F.col("__r___mt").isNotNull(),
-                F.struct(
-                    F.col("__r___mt").alias("mt"),
-                    *[F.col(f"__r_{c}").alias(c) for c in right_payload],
-                ),
-            ),
-            ignorenulls=True,
-        ).over(w),
+        F.last(cand, ignorenulls=True).over(w),
     )
     filled = unioned.select(
         "*",
@@ -154,16 +157,6 @@ def asof_join_nearest(
         *[F.col(c).alias(f"__r_{c}") for c in right_payload],
     )
     unioned = lt.unionByName(rt, allowMissingColumns=True)
-    wb = (
-        Window.partitionBy("__k")
-        .orderBy(F.col("__t").asc(), F.col("__is_right").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wf = (
-        Window.partitionBy("__k")
-        .orderBy(F.col("__t").desc(), F.col("__is_right").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     # Atomic struct fill + NULL-left-time guard: see asof_join. Without
     # the struct, a NULL payload in the matched row is papered over by a
     # stale older row; without the guard, a NULL left_time sorts last in
@@ -176,6 +169,19 @@ def asof_join_nearest(
             F.col("__r___mt").alias("mt"),
             *[F.col(f"__r_{c}").alias(c) for c in right_payload],
         ),
+    )
+    # pstruct as the final window key: ties on (key, right_time)
+    # resolve deterministically to the greatest payload tuple in BOTH
+    # directions (see asof_join).
+    wb = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__is_right").desc(), pstruct.asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").desc(), F.col("__is_right").desc(), pstruct.asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     guard = F.col("__t").isNotNull()
     mb = F.when(guard, F.last(pstruct, ignorenulls=True).over(wb))

@@ -185,3 +185,26 @@ def test_negative_samples_long_ids_and_small_corpus_guard(spark):
     one = spark.createDataFrame([rows[0]], ["vec_id", "embedding"])
     with pytest.raises(ValueError, match=">= 2 rows"):
         S.negative_samples(one, one, k=1)
+
+
+def test_cosine_zero_vector_yields_null_not_crash(spark):
+    """Under Spark 4's default ANSI mode an unguarded denominator turns
+    one zero-magnitude embedding into a job-aborting DIVIDE_BY_ZERO;
+    the NULLIF-style guard makes cosine NULL instead (undefined), which
+    fails every threshold filter and sorts last."""
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.0, 1.0]),
+            (3, [1.0, 1.0])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = S.topk_bruteforce(emb, [0], k=3).collect()
+    assert [r.vec_id for r in got] == [3, 2, 1]
+    assert got[-1].cos is None  # the zero vector ranks last with NULL
+
+
+def test_lsh_rejects_mismatched_embedding_dim(spark):
+    """Signatures against truncated hyperplanes would silently diverge
+    from the SQL oracles' full-dim plane literals — reject instead."""
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 32), (1, [0.5] * 32)], ["vec_id", "embedding"]
+    )
+    with pytest.raises(Exception, match="hyperplane dim"):
+        S.lsh_signature_base(emb).collect()
