@@ -21,12 +21,26 @@ OP_UPSERT = "upsert"
 OP_DELETE = "delete"
 
 
+def _require_change_cols(changes: DataFrame, key: str, version: str) -> None:
+    """The allowMissingColumns union would silently MASK a malformed
+    changelog: without ``op`` every changed key's NULL-op winner is
+    filtered out (looks like a delete — silent data loss); without
+    ``version`` NULLs sort last and every change is silently ignored.
+    Fail loudly instead."""
+    missing = {key, version, "op"} - set(changes.columns)
+    if missing:
+        raise ValueError(
+            f"changes frame is missing required columns {sorted(missing)}"
+        )
+
+
 def latest_view(
     base: DataFrame, changes: DataFrame, key: str, version: str = "version"
 ) -> DataFrame:
     """Current state = base ⊎ changes, last version per key wins,
     deletes removed. ``changes`` carries (key, version, op, data cols);
     base rows are implicit (version 0, op upsert)."""
+    _require_change_cols(changes, key, version)
     base_tagged = (
         base.withColumn(version, F.lit(0).cast("long"))
         .withColumn("op", F.lit(OP_UPSERT))
@@ -62,6 +76,7 @@ def scd2_history(
     Contract: change versions are >= 1 and distinct per key (base rows
     take version 0). A base-vs-change tie on version is still ordered
     deterministically (base first) via the ``__src`` flag."""
+    _require_change_cols(changes, key, version)
     base_tagged = (
         base.withColumn(version, F.lit(0).cast("long"))
         .withColumn("op", F.lit(OP_UPSERT))

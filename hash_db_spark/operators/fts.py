@@ -83,7 +83,14 @@ def compile_phrase(col: Column | str, phrase: str) -> Column:
         F.lit(True),
         lambda acc, x: acc & x,
     )
-    return (F.size(tokens) >= n) & F.exists(starts, match_at)
+    # CASE-guarded, not bare conjunction: for a doc shorter than the
+    # phrase, sequence(1, size-(n-1)) counts DOWN through 0 and
+    # element_at(tokens, 0) throws. Relying on the preceding
+    # size>=n conjunct's short-circuit is not contractual — the
+    # optimizer may split or reorder predicate conjuncts.
+    return F.when(
+        F.size(tokens) >= n, F.exists(starts, match_at)
+    ).otherwise(F.lit(False))
 
 
 def phrase_filter(df: DataFrame, col: str, phrase: str) -> DataFrame:
@@ -109,7 +116,11 @@ def compile_phrase_oracle(col: str, phrase: str) -> str:
 
 
 def compile_fts_oracle(col: str, query: str) -> str:
-    """DuckDB-SQL rendering of the same fold, for oracle queries."""
+    """DuckDB-SQL rendering of the same fold, for oracle queries.
+    Raises on an empty/operator-only query exactly like compile_fts —
+    returning '' would splice an invalid 'WHERE ' into the caller's
+    SQL and surface as an unrelated DuckDB parse error. Term quotes are
+    SQL-escaped so a term like o'brien can't break the statement."""
     tok_expr = f"string_split(replace({col}, ',', ''), ' ')"
     pred = ""
     mode = "and"
@@ -119,9 +130,11 @@ def compile_fts_oracle(col: str, query: str) -> str:
         if tok in ("&", "|"):
             mode = "and" if tok == "&" else "or"
             continue
-        term = f"list_contains({tok_expr}, '{tok}')"
+        term = f"list_contains({tok_expr}, '{tok.replace(chr(39), chr(39) * 2)}')"
         if not pred:
             pred = term
         else:
             pred = f"({pred} {'AND' if mode == 'and' else 'OR'} {term})"
+    if not pred:
+        raise ValueError(f"empty FTS query: {query!r}")
     return pred

@@ -196,7 +196,13 @@ def sql_n_hop_reach(
     start_id: str, max_hops: int = 3, reverse: bool = False
 ) -> str:
     """Recursive-CTE oracle over gedges (min path length = BFS depth).
-    Append after GRAPH_ORACLE_CTES under WITH RECURSIVE."""
+    Append after GRAPH_ORACLE_CTES under WITH RECURSIVE.
+
+    min(hops) equals the BFS first-reach distance for every node EXCEPT
+    the start itself: on a cyclic graph the CTE re-derives the start at
+    hops = cycle length, while the visited-set BFS never re-emits it —
+    the start is excluded explicitly so the pair agrees on cycles too
+    (test_pipeline_ops codifies the never-revisit BFS contract)."""
     frm, to = ("dst", "src") if reverse else ("src", "dst")
     return f"""
 reach AS (
@@ -207,7 +213,7 @@ reach AS (
   WHERE reach.hops < {max_hops}
 )
 SELECT id, CAST(min(hops) AS INT) AS hops
-FROM reach WHERE hops > 0 GROUP BY id
+FROM reach WHERE hops > 0 AND id != '{start_id}' GROUP BY id
 """
 
 

@@ -50,6 +50,13 @@ def sql_spread16(expr: str) -> str:
     # CAST to BIGINT first so every shift happens in 64-bit — on a DuckDB
     # INTEGER column, `x << 8` overflows for x >= 32768, breaking the
     # bit-identical contract with Spark's `.cast("long")` above.
+    #
+    # Textual-duplication caveat: each masking round substitutes {x}
+    # twice, so the rendered SQL holds 2^len(_SPREAD) = 16 copies of the
+    # input expression (32 per z-value). Fine for the bare column refs
+    # the oracles pass; for a COMPUTED input, bind it to a named column
+    # in a subquery/CTE first and pass the name, or the oracle text (and
+    # DuckDB's evaluation of the duplicated subtree) grows exponentially.
     x = f"((CAST(({expr}) AS BIGINT)) & 65535)"
     for sh, mask in _SPREAD:
         x = f"(({x} | ({x} << {sh})) & {mask})"

@@ -124,7 +124,11 @@ def sql_bm25_rank(
     b: float = 0.75,
     topn: int = 15,
 ) -> str:
-    term_list = ", ".join(f"'{t}'" for t in terms)
+    if not terms:
+        # Spark's bm25_rank returns an empty frame for an empty term
+        # list; 'IN ()' is a DuckDB syntax error — fail identically.
+        raise ValueError("bm25 oracle needs a non-empty terms list")
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     return f"""
 WITH toks AS (
   SELECT {id_col} AS id, unnest({sql_clean_tokens(col)}) AS tok FROM {table}

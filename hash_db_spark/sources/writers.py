@@ -96,15 +96,51 @@ def write_minhash_index(
         .write.mode(mode)
         .parquet(f"{path}/shingles")
     )
+    # Bucket modulus is index metadata (see write_fts_index): probes
+    # must derive buckets with the SAME modulus or pruning misses.
+    # Always overwrite the tiny meta file — append-mode batch writes
+    # (the streaming ingest path) re-assert the same value, and the
+    # very first write may well be an append.
+    base.sparkSession.createDataFrame(
+        [(int(key_buckets),)], "key_buckets int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def read_minhash_index(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame]:
-    """(shingles, bands) frames of a persisted MinHash index."""
+    """(shingles, bands) frames of a persisted MinHash index. Use
+    minhash_index_probe to prune the bands scan to a probe batch's
+    buckets before joining."""
     return (
         spark.read.parquet(f"{path}/shingles"),
         spark.read.parquet(f"{path}/bands").drop("key_bucket"),
+    )
+
+
+def minhash_index_probe(
+    spark: SparkSession, path: str, new_bands: DataFrame
+) -> DataFrame:
+    """The persisted bands relation pruned to the PROBE batch's key
+    buckets: the batch is small by definition, so its distinct bucket
+    set collects driver-side and becomes a partition predicate
+    (PartitionFilters) — the (band, key) join then scans only matching
+    bucket directories instead of the whole index, which is the payoff
+    the write-side partitionBy exists for. The modulus comes from the
+    index's own metadata, never a caller default."""
+    kb = spark.read.parquet(f"{path}/meta").collect()[0]["key_buckets"]
+    buckets = sorted(
+        r["b"]
+        for r in new_bands.select(
+            (F.abs(F.col("key")) % kb).cast("int").alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    return (
+        spark.read.parquet(f"{path}/bands")
+        .filter(F.col("key_bucket").isin(buckets))
+        .drop("key_bucket")
     )
 
 
@@ -154,6 +190,14 @@ def write_fts_index(
         .write.mode("overwrite")
         .parquet(f"{path}/doclens")
     )
+    # The bucket modulus is INDEX METADATA: a probe computed with a
+    # different token_buckets maps terms to the wrong partitions and
+    # silently returns empty/partial postings — persist it with the
+    # index so readers can't diverge.
+    spark = docs.sparkSession
+    spark.createDataFrame(
+        [(int(token_buckets),)], "token_buckets int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def _tok_bucket(col: str, token_buckets: int):
@@ -165,12 +209,17 @@ def _tok_bucket(col: str, token_buckets: int):
 
 def read_fts_index(
     spark: SparkSession, path: str
-) -> tuple[DataFrame, DataFrame]:
-    """(postings, doclens) of a persisted FTS index. Keep postings'
-    tok_bucket column: probe filters use it for partition pruning."""
+) -> tuple[DataFrame, DataFrame, int]:
+    """(postings, doclens, token_buckets) of a persisted FTS index.
+    Keep postings' tok_bucket column: probe filters use it for
+    partition pruning. token_buckets comes from the index's own
+    metadata — pass IT to fts_index_probe/bm25_from_index, never an
+    independent default."""
+    buckets = spark.read.parquet(f"{path}/meta").collect()[0]["token_buckets"]
     return (
         spark.read.parquet(f"{path}/postings"),
         spark.read.parquet(f"{path}/doclens"),
+        int(buckets),
     )
 
 

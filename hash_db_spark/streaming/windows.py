@@ -321,8 +321,14 @@ def streaming_ingest_dedup(
         # strictly worse than failing the batch (checkpoint replays it).
         from pyspark.errors import AnalysisException
 
+        from hash_db_spark.sources.writers import minhash_index_probe
+
         try:
-            sh, bands = read_minhash_index(spark, index_path)
+            sh, _all_bands = read_minhash_index(spark, index_path)
+            # bands pruned to the batch's key buckets: the probe join
+            # scans only matching bucket directories (PartitionFilters),
+            # not the whole persisted index.
+            bands = minhash_index_probe(spark, index_path, nbands)
             have_index = True
         except AnalysisException as e:
             if "PATH_NOT_FOUND" not in str(e):

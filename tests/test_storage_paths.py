@@ -143,15 +143,18 @@ def test_fts_index_bm25_matches_scan_path(spark, sf_dir, tmp_path):
     terms = ["hash", "join", "spark"]
     path = str(tmp_path / "ftsidx")
     writers.write_fts_index(docs, path, token_buckets=16)
-    postings, doclens = writers.read_fts_index(spark, path)
+    postings, doclens, buckets = writers.read_fts_index(spark, path)
+    # the bucket modulus round-trips as index metadata — a probe with a
+    # mismatched count would silently return partial postings
+    assert buckets == 16
 
-    got = R.bm25_from_index(postings, doclens, terms, token_buckets=16)
+    got = R.bm25_from_index(postings, doclens, terms, token_buckets=buckets)
     want = R.bm25_rank(docs, "text", "doc_id", terms)
     assert [tuple(r) for r in got.collect()] == [
         tuple(r) for r in want.collect()
     ]
 
-    probe = writers.fts_index_probe(postings, terms, token_buckets=16)
+    probe = writers.fts_index_probe(postings, terms, token_buckets=buckets)
     plan = _plan(probe)
     pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "tok_bucket" in pf_line  # bucket predicate prunes directories
