@@ -113,6 +113,14 @@ def all_queries() -> dict[str, Query]:
         # further additions this round (a new entry would displace one
         # of these and ship as an unverified claim — r06's queue is the
         # place for it).
+        #
+        # ROUND-6 TODO (first thing next session): rebuild this list as
+        # (1) any r05 window entry CORRECTNESS_r05.json reports
+        # non-green, then (2) entries whose code changes in r06, then
+        # (3) r06 additions. If r05 is fully green, the r01-r05 union
+        # covers all 243 names and the whole window is free for new
+        # work. Recompute the never-checked set as all_queries() minus
+        # the union of CORRECTNESS_r01..r05 keys — don't trust prose.
     ]
     registry: dict[str, Query] = {}
     for mod in (
