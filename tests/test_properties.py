@@ -381,3 +381,113 @@ def test_interval_coverage_bounds_and_model(spark, iv):
         longest = max((e - s).total_seconds() / 60 for s, e in items)
         total = sum((e - s).total_seconds() / 60 for s, e in items)
         assert longest - 1e-9 <= got[k] <= total + 1e-9
+
+
+@settings(**SETTINGS)
+@given(
+    lefts=st.lists(
+        st.tuples(st.sampled_from(["k1", "k2"]), st.integers(0, 50)),
+        min_size=1,
+        max_size=12,
+    ),
+    rights=st.lists(
+        st.tuples(
+            st.sampled_from(["k1", "k2"]),
+            st.integers(0, 50),
+            st.integers(0, 9),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    direction=st.sampled_from(["backward", "forward"]),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, lefts, rights, direction):
+    """Independent model: pandas.merge_asof on the same data. Rights are
+    pre-collapsed to max payload per (key, time) so both sides share one
+    tie rule (ours: greatest payload tuple)."""
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from hash_db_spark.operators.temporal import asof_join
+
+    base = datetime(2024, 1, 1)
+    collapsed: dict = {}
+    for k, t, v in rights:
+        collapsed[(k, t)] = max(collapsed.get((k, t), -1), v)
+    lrows = [
+        (i, k, base + timedelta(seconds=t)) for i, (k, t) in enumerate(lefts)
+    ]
+    rrows = [
+        (k, base + timedelta(seconds=t), v)
+        for (k, t), v in sorted(collapsed.items())
+    ]
+    ldf = spark.createDataFrame(lrows, ["lid", "k", "ts"])
+    rdf = spark.createDataFrame(rrows, ["k", "ts", "val"])
+    got = {
+        r["lid"]: r["asof_val"]
+        for r in asof_join(
+            ldf, rdf, key="k", left_time="ts", right_time="ts",
+            right_payload=["val"], direction=direction,
+        ).collect()
+    }
+    lpd = pd.DataFrame(lrows, columns=["lid", "k", "ts"]).sort_values("ts", kind="mergesort")
+    rpd = pd.DataFrame(rrows, columns=["k", "ts", "val"]).sort_values("ts", kind="mergesort")
+    merged = pd.merge_asof(
+        lpd, rpd, on="ts", by="k", direction=direction
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.val) else int(r.val))
+        for r in merged.itertuples()
+    }
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    changes=st.lists(
+        st.tuples(
+            st.integers(1, 3),            # key
+            st.integers(1, 6),            # version
+            st.booleans(),                # upsert?
+            st.integers(0, 9),            # payload
+        ),
+        min_size=0,
+        max_size=12,
+    )
+)
+def test_scd2_history_matches_python_model(spark, changes):
+    """scd2_history vs a direct replay: per key, sort versions, every
+    upsert opens an interval closed by the NEXT version that touched
+    the key (delete closes without contributing a row)."""
+    from hash_db_spark.operators import cdc
+
+    # distinct versions per key (the documented contract)
+    seen, uniq = set(), []
+    for k, v, up, p in changes:
+        if (k, v) not in seen:
+            seen.add((k, v))
+            uniq.append((k, v, "upsert" if up else "delete", p))
+    base = spark.createDataFrame(
+        [(k, 100 + k) for k in (1, 2, 3)], "k long, payload long"
+    )
+    ch = spark.createDataFrame(
+        uniq or [(99, 1, "delete", 0)],  # createDataFrame needs >=1 row
+        "k long, version long, op string, payload long",
+    )
+    got = {
+        (r.k, r.valid_from): (r.valid_to, r.is_current, r.payload)
+        for r in cdc.scd2_history(base, ch, "k").collect()
+    }
+    model = {}
+    events = {k: [(0, "upsert", 100 + k)] for k in (1, 2, 3)}
+    for k, v, op, p in (uniq or [(99, 1, "delete", 0)]):
+        events.setdefault(k, []).append((v, op, p))
+    for k, evs in events.items():
+        evs.sort()
+        for i, (v, op, p) in enumerate(evs):
+            if op != "upsert":
+                continue
+            nxt = evs[i + 1][0] if i + 1 < len(evs) else None
+            model[(k, v)] = (nxt, nxt is None, p)
+    assert got == model
