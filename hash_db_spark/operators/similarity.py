@@ -226,6 +226,33 @@ def lsh_signature_base(
     )
 
 
+# Semantic memo for CACHED signature bases (same machinery as
+# dedup._INDEX_MEMO): lsh_near_dup_pairs and lsh_pairs_against each
+# cache the signature frame they verify against. Without the memo the
+# documented per-batch incremental-ingest loop (index once, probe per
+# batch) pins two new cached frames per batch for the session lifetime;
+# with it, the recurring corpus side is reused and evicted batches are
+# unpersisted (ADVICE r05).
+_SIGBASE_MEMO: list = []
+_SIGBASE_MEMO_CAP = 8
+
+
+def _cached_signature_base(
+    emb: DataFrame, bits: int, id_col: str, vec_col: str
+) -> DataFrame:
+    from hash_db_spark.operators.dedup import _memo_evict, _memo_lookup
+
+    params = (bits, id_col, vec_col)
+    hit = _memo_lookup(_SIGBASE_MEMO, emb, params)
+    if hit is not None:
+        return hit
+    base = lsh_signature_base(emb, bits, id_col, vec_col).cache()
+    if len(_SIGBASE_MEMO) >= _SIGBASE_MEMO_CAP:
+        _memo_evict(_SIGBASE_MEMO, _SIGBASE_MEMO[0])
+    _SIGBASE_MEMO.append((emb, params, base, [base]))
+    return base
+
+
 def _lsh_bands(
     base: DataFrame,
     bits: int,
@@ -589,7 +616,7 @@ def lsh_near_dup_pairs(
 
     Returns (id_a, id_b, cos) with id_a < id_b, cos >= threshold, 6dp.
     """
-    base = lsh_signature_base(emb, bits, id_col, vec_col).cache()
+    base = _cached_signature_base(emb, bits, id_col, vec_col)
     bands = _lsh_bands(base, bits, band_bits, with_fsig=True)
     hot = None
     if max_band_bucket is not None:
@@ -678,8 +705,8 @@ def lsh_pairs_against(
     With a persisted signature index (write the bands frame with
     sources.writers) this is the production shape: index once, probe
     per batch."""
-    nb = lsh_signature_base(new_emb, bits, id_col, vec_col).cache()
-    cb = lsh_signature_base(corpus_emb, bits, id_col, vec_col).cache()
+    nb = _cached_signature_base(new_emb, bits, id_col, vec_col)
+    cb = _cached_signature_base(corpus_emb, bits, id_col, vec_col)
     new_bands = _lsh_bands(nb, bits, band_bits, with_fsig=True)
     corpus_bands = _lsh_bands(cb, bits, band_bits, with_fsig=True)
     hot = None
@@ -918,18 +945,26 @@ def topk_quantized(
                 continue
             c = _quant(np.array(list(pdf["v"]), dtype=np.float64))
             cnorm = np.linalg.norm(c, axis=1)
-            # query-side zero-norm guarded like the corpus side: an
-            # all-zero query vector would make denom 0 and cos NaN,
-            # which Spark ranks ABOVE every real score while the
-            # oracle's NULL sorts last — divergent top-k.
-            qden = np.where(bqnorm == 0, 1.0, bqnorm)
-            denom = np.where(cnorm == 0, 1.0, cnorm)[:, None] * qden[None, :]
+            # Zero-magnitude vectors (either side) have UNDEFINED cosine:
+            # emit NULL, matching the cosine() expression path and the
+            # SQL oracle (x/0 -> NULL). Substituting 0.0 here would rank
+            # degenerate rows above genuine NULLs and let them pass a
+            # >= 0 threshold; raw 0/0 NaN would be worse still (Spark
+            # sorts NaN above every real double).
+            qbad = bqnorm == 0
+            cbad = cnorm == 0
+            denom = (
+                np.where(cbad, 1.0, cnorm)[:, None]
+                * np.where(qbad, 1.0, bqnorm)[None, :]
+            )
             cos = round_half_away(c @ bqmat.T / denom, 6)
             vids = pdf["vec_id"].to_numpy()
             mask = vids[:, None] != bqids[None, :]
             ri, qi = np.nonzero(mask)
+            qcos = pd.Series(cos[ri, qi], dtype="Float64")
+            qcos[(cbad[:, None] | qbad[None, :])[ri, qi]] = pd.NA
             yield pd.DataFrame(
-                {"qid": bqids[qi], "vec_id": vids[ri], "qcos": cos[ri, qi]}
+                {"qid": bqids[qi], "vec_id": vids[ri], "qcos": qcos}
             )
 
     scored = corpus.mapInPandas(block, "qid long, vec_id long, qcos double")

@@ -97,11 +97,31 @@ def write_minhash_index(
         .parquet(f"{path}/shingles")
     )
     # Bucket modulus is index metadata (see write_fts_index): probes
-    # must derive buckets with the SAME modulus or pruning misses.
-    # Always overwrite the tiny meta file — append-mode batch writes
-    # (the streaming ingest path) re-assert the same value, and the
-    # very first write may well be an append.
-    base.sparkSession.createDataFrame(
+    # must derive buckets with the SAME modulus or pruning misses. On
+    # append, a DIFFERENT modulus than the one the existing partitions
+    # were bucketed with would silently re-point probes at the wrong
+    # bucket directories (old duplicates re-ingested as novel) — refuse
+    # it instead of overwriting the meta. The very first write may well
+    # be an append (streaming ingest), so a missing meta is fine.
+    spark = base.sparkSession
+    if mode == "append":
+        from pyspark.errors import AnalysisException
+
+        try:
+            existing = spark.read.parquet(f"{path}/meta").collect()[0][
+                "key_buckets"
+            ]
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            existing = None
+        if existing is not None and existing != int(key_buckets):
+            raise ValueError(
+                f"minhash index at {path} was bucketed with "
+                f"key_buckets={existing}; appending with "
+                f"key_buckets={key_buckets} would corrupt probe pruning"
+            )
+    spark.createDataFrame(
         [(int(key_buckets),)], "key_buckets int"
     ).write.mode("overwrite").parquet(f"{path}/meta")
 

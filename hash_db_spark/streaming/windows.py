@@ -324,16 +324,27 @@ def streaming_ingest_dedup(
         from hash_db_spark.sources.writers import minhash_index_probe
 
         try:
-            sh, _all_bands = read_minhash_index(spark, index_path)
-            # bands pruned to the batch's key buckets: the probe join
-            # scans only matching bucket directories (PartitionFilters),
-            # not the whole persisted index.
-            bands = minhash_index_probe(spark, index_path, nbands)
+            sh, all_bands = read_minhash_index(spark, index_path)
             have_index = True
         except AnalysisException as e:
             if "PATH_NOT_FOUND" not in str(e):
                 raise
             have_index = False
+        if have_index:
+            # bands pruned to the batch's key buckets: the probe join
+            # scans only matching bucket directories (PartitionFilters),
+            # not the whole persisted index.
+            try:
+                bands = minhash_index_probe(spark, index_path, nbands)
+            except AnalysisException as e:
+                if "PATH_NOT_FOUND" not in str(e):
+                    raise
+                # bands/ exists but meta/ is absent (index written by a
+                # pre-meta build, or a torn write). This is NOT a first
+                # batch — skipping the probe here would append every
+                # near-dup as novel. Probe against the unpruned bands
+                # frame instead: correct, just unprimed for pruning.
+                bands = all_bands
         if have_index:
             dup_ids = (
                 D.minhash_pairs_against_index(nb, nbands, sh, bands, threshold)

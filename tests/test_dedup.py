@@ -93,6 +93,46 @@ def test_embedding_near_dup(spark):
     assert pairs[(1, 2)] == pytest.approx(0.9939, abs=1e-3)
 
 
+def test_embedding_guard_rejects_oversized(spark, monkeypatch):
+    monkeypatch.setattr(D, "MAX_BROADCAST_VECTORS", 2)
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)], ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="broadcastable baseline"):
+        D.embedding_near_dup_pairs(emb)
+
+
+def test_embedding_guard_adds_no_extra_job(spark):
+    # The size guard and the matrix collect must share ONE action: the
+    # ids-only probe + full collect variant doubled the scan (BENCH r05
+    # regression on dedup_embedding and graph_degree_hist). A single
+    # limit().collect() can itself launch several incremental jobs
+    # (CollectLimit scale-up), so the invariant is job-count parity with
+    # one bare limit+collect, not literally one job.
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5]) for i in range(8)], ["vec_id", "embedding"]
+    ).cache()
+    emb.count()  # materialize outside the measured groups
+    sc = spark.sparkContext
+    sc.setJobGroup("emb-baseline-jobs", "bare limit collect")
+    try:
+        emb.select("vec_id", "embedding").limit(
+            D.MAX_BROADCAST_VECTORS + 1
+        ).collect()
+    finally:
+        sc.setJobGroup("", "")
+    sc.setJobGroup("emb-guard-jobs", "guard+collect job count")
+    try:
+        D.embedding_near_dup_pairs(emb, threshold=0.99)
+    finally:
+        sc.setJobGroup("", "")
+    tracker = sc.statusTracker()
+    baseline = len(tracker.getJobIdsForGroup("emb-baseline-jobs"))
+    guarded = len(tracker.getJobIdsForGroup("emb-guard-jobs"))
+    assert baseline >= 1
+    assert guarded == baseline
+
+
 def test_ngram_hot_shingle_cap(spark):
     from hash_db_spark.operators import dedup as D
 

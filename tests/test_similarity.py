@@ -208,3 +208,23 @@ def test_lsh_rejects_mismatched_embedding_dim(spark):
     )
     with pytest.raises(Exception, match="hyperplane dim"):
         S.lsh_signature_base(emb).collect()
+
+
+def test_topk_quantized_zero_vector_yields_null(spark):
+    """Zero-magnitude vectors have undefined cosine: the Arrow path must
+    emit NULL (matching cosine() and the SQL oracle's x/0 -> NULL), not
+    a 0.0 that outranks genuine NULLs or passes a >= 0 threshold."""
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (3, [0.0, 0.0, 0.0]),   # degenerate corpus vector
+        ],
+        ["vec_id", "embedding"],
+    )
+    rows = S.topk_quantized(emb, [1], k=5).collect()
+    by_id = {r.vec_id: r for r in rows}
+    assert by_id[3].qcos is None
+    # NULL sorts last under desc ordering: the degenerate row ranks
+    # below the genuine neighbor.
+    assert by_id[2].rank < by_id[3].rank

@@ -327,3 +327,68 @@ def test_streaming_ingest_keeps_short_documents(spark, tmp_path):
     q.awaitTermination(120)
     kept = {r.doc_id for r in spark.read.parquet(str(tmp_path / "kept")).collect()}
     assert kept == {1, 2, 3}
+
+
+def test_minhash_index_append_modulus_mismatch_raises(spark, tmp_path):
+    """Appending bands bucketed with a DIFFERENT key_buckets than the
+    existing index silently re-points probes at wrong bucket dirs (old
+    duplicates re-ingested as novel) — the writer must refuse."""
+    import pytest
+
+    from hash_db_spark.operators import dedup as D
+    from hash_db_spark.sources import writers
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with several shared tokens inside") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    base, bands = D.minhash_index(docs, "text", "doc_id")
+    path = str(tmp_path / "mhidx")
+    writers.write_minhash_index(base, bands, path, key_buckets=64)
+    # re-asserting the same modulus on append is fine
+    writers.write_minhash_index(base, bands, path, key_buckets=64, mode="append")
+    with pytest.raises(ValueError, match="key_buckets=64"):
+        writers.write_minhash_index(base, bands, path, key_buckets=32, mode="append")
+
+
+def test_streaming_ingest_probes_despite_missing_meta(spark, tmp_path):
+    """bands/ present but meta/ absent (pre-meta index or torn write) is
+    NOT a first batch: the ingest loop must still probe — via the
+    unpruned bands frame — so a near-dup of an indexed doc is dropped,
+    not appended as novel (ADVICE r05)."""
+    import shutil
+
+    from hash_db_spark.streaming import windows as W
+
+    long_text = "the quick brown fox jumps over the lazy dog again and again"
+    seed = spark.createDataFrame([(1, long_text)], ["doc_id", "text"])
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "kept")
+
+    # Seed batch 1 through the loop to build index + corpus.
+    src1 = str(tmp_path / "src1")
+    seed.coalesce(1).write.parquet(src1)
+    stream1 = spark.readStream.schema(seed.schema).parquet(src1)
+    W.streaming_ingest_dedup(
+        stream1, index_path=idx, out_path=out,
+        checkpoint=str(tmp_path / "ckpt1"),
+    ).awaitTermination(120)
+
+    # Simulate the pre-meta/torn-write index.
+    shutil.rmtree(f"{idx}/meta")
+
+    # Batch 2 carries an exact dup of doc 1 plus one novel doc.
+    batch2 = spark.createDataFrame(
+        [(2, long_text), (3, "completely different words appear in this novel document")],
+        ["doc_id", "text"],
+    )
+    src2 = str(tmp_path / "src2")
+    batch2.coalesce(1).write.parquet(src2)
+    stream2 = spark.readStream.schema(batch2.schema).parquet(src2)
+    W.streaming_ingest_dedup(
+        stream2, index_path=idx, out_path=out,
+        checkpoint=str(tmp_path / "ckpt2"),
+    ).awaitTermination(120)
+
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 3}  # the dup of 1 was dropped, the novel doc kept
