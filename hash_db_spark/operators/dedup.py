@@ -1387,6 +1387,26 @@ def simhash_near_pairs(
     bits, not any particular width.
     """
     sh = simhash(df, col, id_col, materialize=True)
+    return hamming_band_pairs(
+        sh, "simhash", max_hamming=max_hamming, max_band_bucket=max_band_bucket
+    )
+
+
+def hamming_band_pairs(
+    hashed: DataFrame,
+    hash_col: str,
+    max_hamming: int = 3,
+    max_band_bucket: int | None = MAX_BAND_BUCKET,
+) -> DataFrame:
+    """Near-pairs of (id, <hash_col>) rows by Hamming distance over a
+    60-bit hash — the band-pigeonhole candidate join + bit_count verify
+    factored out of simhash_near_pairs so every 60-bit Hamming space
+    (token SimHash, image dHash, video-frame dHash) shares ONE
+    implementation of the banding, the hot-bucket cap, and the two
+    rescues. Contract and caveats are simhash_near_pairs' docstring;
+    input must expose columns (id, hash_col); returns
+    (id_a, id_b, hamming)."""
+    sh = hashed.select("id", F.col(hash_col).alias("simhash"))
     bands = sh.select(
         "id",
         "simhash",
@@ -1479,7 +1499,20 @@ def sql_simhash_near_pairs(
     max_hamming: int = 3,
     max_band_bucket: int | None = MAX_BAND_BUCKET,
 ) -> str:
-    sim = sql_simhash(table, col, id_col)
+    return sql_hamming_band_pairs(
+        sql_simhash(table, col, id_col), max_hamming, max_band_bucket
+    )
+
+
+def sql_hamming_band_pairs(
+    sims_sql: str,
+    max_hamming: int = 3,
+    max_band_bucket: int | None = MAX_BAND_BUCKET,
+) -> str:
+    """Oracle twin of hamming_band_pairs: ``sims_sql`` must yield
+    (id, simhash) rows; the banding / cap / rescue semantics mirror the
+    Spark path term for term."""
+    sim = sims_sql
     band_selects = " UNION ALL ".join(
         f"SELECT id, simhash, {k} AS band, "
         f"(simhash >> {k * SIMHASH_BAND_BITS}) & {SIMHASH_BAND_MASK} AS byte "

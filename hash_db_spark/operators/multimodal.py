@@ -658,3 +658,249 @@ SELECT media_id,
 FROM px
 GROUP BY media_id, width, height, n_frames
 """
+
+
+# ---------------------------------------------------------------------------
+# perceptual near-dup hashing (image dHash / video frame dHash)
+# ---------------------------------------------------------------------------
+#
+# The missing dedup modality (VERDICT r05 #3): decode rasters -> 60-bit
+# difference hash -> Hamming-band near-pairs via dedup.hamming_band_pairs
+# (the SAME 4x15-bit banding as token SimHash, so image, video-frame and
+# text near-dup all share one pigeonhole/cap/rescue implementation).
+# 60 bits (6 grid rows x 10 column comparisons) rather than the classic
+# 64 keeps the hash strictly positive in BIGINT on both engines — no
+# sign-extension traps in band extraction (shift+mask) or bit_count(xor).
+
+DHASH_GRID_H = 6
+DHASH_GRID_W = 10  # comparisons per row; samples DHASH_GRID_W + 1 columns
+
+
+def dhash_from_gray(gray) -> int:
+    """60-bit dHash of one grayscale frame: nearest-neighbor sample to a
+    (6 x 11) grid, bit (r, c) = right neighbor strictly brighter.
+    Brightness-shift invariant (a constant offset preserves every
+    comparison), and NN sampling — src = (dst * size) // grid — keeps
+    the hash expressible in closed form by the SQL oracles over the
+    synthetic rasters (an area-average kernel would not be)."""
+    import numpy as np
+
+    h, w = gray.shape
+    rs = [(gr * h) // DHASH_GRID_H for gr in range(DHASH_GRID_H)]
+    cs = [(gc * w) // (DHASH_GRID_W + 1) for gc in range(DHASH_GRID_W + 1)]
+    g = gray[np.ix_(rs, cs)].astype(np.int64)
+    bits = g[:, 1:] > g[:, :-1]
+    hsh = 0
+    for gr in range(DHASH_GRID_H):
+        for gc in range(DHASH_GRID_W):
+            if bits[gr, gc]:
+                hsh |= 1 << (gr * DHASH_GRID_W + gc)
+    return hsh
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """(id, dhash) for PPM payloads: REAL decode, integer-mean gray
+    (floor((r+g+b)/3), matching the oracle's integer arithmetic), dHash.
+    One Arrow pass; the payload bytes never leave the executor."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _w, _h, px = ppm_decode(bytes(payload))
+                gray = px.astype(np.int64).sum(axis=2) // 3
+                ids.append(mid)
+                hashes.append(dhash_from_gray(gray))
+            yield pd.DataFrame({"id": ids, "dhash": hashes})
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, "id long, dhash long"
+    )
+
+
+def frame_dhash(media: DataFrame) -> DataFrame:
+    """(media_id, frame, dhash) for every luma frame of Y4M payloads.
+    Frame identity for pair operators: media_id * 4 + frame is unique
+    (synthetic clips hold <= 4 frames; real pipelines would widen the
+    stride or use a struct key)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame": [], "dhash": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _w, _h, frames = y4m_decode(bytes(payload))
+                for f, luma in enumerate(frames):
+                    out["media_id"].append(mid)
+                    out["frame"].append(f)
+                    out["dhash"].append(dhash_from_gray(luma))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, "media_id long, frame int, dhash long"
+    )
+
+
+def video_dup_pairs(
+    frames: DataFrame, max_hash_media: int | None = 64
+) -> DataFrame:
+    """Clip-level near-dup pairs by frame-hash containment: two clips
+    match when every distinct frame hash of the smaller evidence set
+    appears in the other clip. Runs entirely on the (media_id, dhash)
+    relation — payload bytes are long gone.
+
+    Skew guard (the ngram max_doc_freq discipline): a frame hash present
+    in more than ``max_hash_media`` distinct clips (test cards, black
+    frames, station logos) is boilerplate, not evidence — it would
+    create k^2 candidate pairs on its own. Such hashes are excluded from
+    BOTH the sharing join and the per-clip evidence denominators, so
+    containment is judged over discriminative frames only; clips with no
+    discriminative frames at all never pair. Returns
+    (media_a, media_b, n_shared)."""
+    fh = frames.select("media_id", "dhash").distinct()
+    if max_hash_media is not None:
+        from hash_db_spark.operators.dedup import split_hot_buckets
+
+        fh, _hot = split_hot_buckets(fh, ["dhash"], max_hash_media)
+    counts = fh.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_ev"))
+    a, b = fh.alias("a"), fh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.dhash") == F.col("b.dhash"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ca = counts.select(
+        F.col("media_id").alias("media_a"), F.col("n_ev").alias("n_a")
+    )
+    cb = counts.select(
+        F.col("media_id").alias("media_b"), F.col("n_ev").alias("n_b")
+    )
+    return (
+        shared.join(ca, "media_a")
+        .join(cb, "media_b")
+        .filter(F.col("n_shared") >= F.least("n_a", "n_b"))
+        .select("media_a", "media_b", "n_shared")
+    )
+
+
+def _sql_gray_ppm(expr_id: str, expr_r: str, expr_c: str) -> str:
+    base = f"({expr_id} * 31 + ({expr_r}) * 7 + ({expr_c}) * 13)"
+    return (
+        f"(({base} % 256) + (({base} + 97) % 256) + (({base} + 194) % 256)) // 3"
+    )
+
+
+def sql_image_dhash(table: str, id_col: str) -> str:
+    """Closed-form (id, simhash) oracle relation for the synthetic PPM
+    rasters: regenerates the NN-sampled gray grid from the pixel formula
+    and assembles the 60 bits with integer shifts (never float power —
+    sums past 2^53 must stay exact)."""
+    sr = f"(gr.gr * height) // {DHASH_GRID_H}"
+    sc = f"(gc.gc * width) // {DHASH_GRID_W + 1}"
+    return f"""
+WITH m AS (
+  SELECT {id_col} AS media_id,
+         4 + {id_col} % 5 AS width,
+         3 + {id_col} % 3 AS height
+  FROM {table}
+),
+samp AS (
+  SELECT media_id, gr.gr, gc.gc, {_sql_gray_ppm("media_id", sr, sc)} AS g
+  FROM m,
+       LATERAL (SELECT unnest(generate_series(0, {DHASH_GRID_H - 1})) AS gr) gr,
+       LATERAL (SELECT unnest(generate_series(0, {DHASH_GRID_W})) AS gc) gc
+),
+bits AS (
+  SELECT a.media_id, a.gr, a.gc,
+         CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+  FROM samp a JOIN samp b
+    ON b.media_id = a.media_id AND b.gr = a.gr AND b.gc = a.gc + 1
+  WHERE a.gc < {DHASH_GRID_W}
+),
+hashes AS (
+  SELECT media_id AS id,
+         CAST(sum(bit * (1::BIGINT << (gr * {DHASH_GRID_W} + gc))) AS BIGINT)
+           AS simhash
+  FROM bits GROUP BY media_id
+)
+SELECT id, simhash FROM hashes
+"""
+
+
+def sql_frame_dhash(table: str, id_col: str) -> str:
+    """Closed-form (media_id, frame, simhash) relation for the synthetic
+    Y4M luma formula (luma IS the gray channel)."""
+    sr = f"(gr.gr * height) // {DHASH_GRID_H}"
+    sc = f"(gc.gc * width) // {DHASH_GRID_W + 1}"
+    return f"""
+WITH m AS (
+  SELECT {id_col} AS media_id,
+         4 + 2 * ({id_col} % 3) AS width,
+         4 + 2 * ({id_col} % 2) AS height,
+         2 + {id_col} % 3 AS n_frames
+  FROM {table}
+),
+samp AS (
+  SELECT media_id, f.f, gr.gr, gc.gc,
+         (media_id * 37 + f.f * 11 + ({sr}) * 5 + ({sc}) * 3) % 256 AS g
+  FROM m,
+       LATERAL (SELECT unnest(generate_series(0, m.n_frames - 1)) AS f) f,
+       LATERAL (SELECT unnest(generate_series(0, {DHASH_GRID_H - 1})) AS gr) gr,
+       LATERAL (SELECT unnest(generate_series(0, {DHASH_GRID_W})) AS gc) gc
+),
+bits AS (
+  SELECT a.media_id, a.f, a.gr, a.gc,
+         CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+  FROM samp a JOIN samp b
+    ON b.media_id = a.media_id AND b.f = a.f AND b.gr = a.gr
+       AND b.gc = a.gc + 1
+  WHERE a.gc < {DHASH_GRID_W}
+),
+frames AS (
+  SELECT media_id, f AS frame,
+         CAST(sum(bit * (1::BIGINT << (gr * {DHASH_GRID_W} + gc))) AS BIGINT)
+           AS simhash
+  FROM bits GROUP BY media_id, f
+)
+SELECT media_id, frame, simhash FROM frames
+"""
+
+
+def sql_video_dup_pairs(
+    table: str, id_col: str, max_hash_media: int | None = 64
+) -> str:
+    """Oracle twin of frame_dhash |> video_dup_pairs: closed-form frame
+    hashes, boilerplate-hash cap as a window count, containment over
+    the cold evidence sets."""
+    frames = sql_frame_dhash(table, id_col)
+    cap = max_hash_media if max_hash_media is not None else 1 << 62
+    return f"""
+WITH fr AS ({frames}),
+fh AS (SELECT DISTINCT media_id, simhash FROM fr),
+fdf AS (
+  SELECT media_id, simhash,
+         count(*) OVER (PARTITION BY simhash) AS nm
+  FROM fh
+),
+cold AS (SELECT media_id, simhash FROM fdf WHERE nm <= {cap}),
+counts AS (SELECT media_id, count(*) AS n_ev FROM cold GROUP BY media_id),
+shared AS (
+  SELECT a.media_id AS media_a, b.media_id AS media_b,
+         count(*) AS n_shared
+  FROM cold a JOIN cold b
+    ON a.simhash = b.simhash AND a.media_id < b.media_id
+  GROUP BY 1, 2
+)
+SELECT media_a, media_b, CAST(n_shared AS BIGINT) AS n_shared
+FROM shared
+JOIN counts ca ON ca.media_id = media_a
+JOIN counts cb ON cb.media_id = media_b
+WHERE n_shared >= least(ca.n_ev, cb.n_ev)
+"""

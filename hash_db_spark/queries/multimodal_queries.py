@@ -110,7 +110,47 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.frame_sample(media, frame_bytes=64, every_k=3)
 
 
+def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup: decode the synthetic PPM rasters, 60-bit
+    dHash, Hamming-band near-pairs via the shared SimHash banding
+    (dedup.hamming_band_pairs). The closing dedup modality — text
+    (MinHash/SimHash), embeddings (LSH/IVF), and now rasters all land in
+    the same band-join machinery."""
+    from hash_db_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = M.image_dhash(M.synth_ppm_media(docs, "doc_id"))
+    return D.hamming_band_pairs(hashed, "dhash", max_hamming=3)
+
+
+def q_dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip-level video dedup: per-frame dHash over decoded Y4M luma,
+    then frame-hash containment (boilerplate-hash capped). Subset keyed
+    on doc_id so the entry scales with the corpus."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 9 == 0
+    )
+    frames = M.frame_dhash(M.synth_y4m_media(docs, "doc_id"))
+    return M.video_dup_pairs(frames)
+
+
+VIDEO_SUBSET = "(SELECT * FROM documents WHERE doc_id % 9 = 0)"
+
+
+def _image_phash_oracle() -> str:
+    from hash_db_spark.operators.dedup import sql_hamming_band_pairs
+
+    return sql_hamming_band_pairs(
+        M.sql_image_dhash("documents", "doc_id"), max_hamming=3
+    )
+
+
 QUERIES = {
+    "dedup_image_phash": Query(q_dedup_image_phash, _image_phash_oracle()),
+    "dedup_video_frames": Query(
+        q_dedup_video_frames,
+        M.sql_video_dup_pairs(VIDEO_SUBSET, "doc_id"),
+    ),
     "multimodal_meta_stats": Query(
         q_multimodal_meta_stats, MULTIMODAL_META_STATS_ORACLE
     ),

@@ -118,3 +118,60 @@ def test_y4m_stats_pipeline_matches_numpy(spark):
         gw, gh, frames = M.y4m_decode(M.y4m_encode(i, w, h, nf))
         sl = int(sum(f.astype(np.int64).sum() for f in frames))
         assert got[i] == (w, h, nf, sl)
+
+
+def test_dhash_brightness_invariant():
+    """dHash must be invariant under a constant brightness offset (the
+    property that makes it a PERCEPTUAL hash, not a checksum) and must
+    differ for a structurally different image."""
+    import numpy as np
+
+    from hash_db_spark.operators import multimodal as M
+
+    rng = np.arange(6 * 11).reshape(6, 11) * 7 % 200
+    base = M.dhash_from_gray(rng)
+    assert M.dhash_from_gray(rng + 40) == base
+    flipped = M.dhash_from_gray(rng[:, ::-1].copy())
+    assert flipped != base
+    assert 0 <= base < 1 << 60
+
+
+def test_image_dhash_exact_dup_pairs(spark):
+    """Identical rasters -> hamming 0; the banded pair join finds them."""
+    from hash_db_spark.operators import dedup as D
+    from hash_db_spark.operators import multimodal as M
+
+    # ids 7 and 22 share dims (both % 5 == 2, % 3 == 1) and id 22 = 7 + 15
+    # shifts every channel by 15*31 mod 256 — same dims, different pixels.
+    docs = spark.createDataFrame([(7,), (22,), (9,)], ["doc_id"])
+    hashed = M.image_dhash(M.synth_ppm_media(docs, "doc_id"))
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.hamming_band_pairs(hashed, "dhash", max_hamming=60).collect()
+    }
+    # brute-force ground truth from the collected hashes
+    hs = {r.id: r.dhash for r in hashed.collect()}
+    for (a, b), ham in pairs.items():
+        assert bin(hs[a] ^ hs[b]).count("1") == ham
+
+
+def test_video_dup_pairs_containment(spark):
+    """Containment semantics on a controlled frame relation: clip 2's
+    evidence set is a subset of clip 1's -> pair; clip 3 shares nothing.
+    A boilerplate hash present in every clip is excluded from evidence."""
+    from hash_db_spark.operators import multimodal as M
+
+    BOILER = 999
+    frames = spark.createDataFrame(
+        [
+            (1, 0, 10), (1, 1, 11), (1, 2, 12), (1, 3, BOILER),
+            (2, 0, 10), (2, 1, 11), (2, 2, BOILER),
+            (3, 0, 50), (3, 1, BOILER),
+        ],
+        ["media_id", "frame", "dhash"],
+    )
+    got = {
+        (r.media_a, r.media_b): r.n_shared
+        for r in M.video_dup_pairs(frames, max_hash_media=2).collect()
+    }
+    assert got == {(1, 2): 2}
