@@ -1,0 +1,244 @@
+"""URL / host-level corpus curation (SURVEY north-star: web-crawl prep).
+
+No reference counterpart. The standard FIRST stage of crawl corpus prep,
+before any text dedup: canonicalize URLs, collapse exact URL duplicates,
+extract registrable domains against a public-suffix table, cap documents
+per host. Everything is expression-level (regexp + string ops inside
+whole-stage codegen) except the suffix match, which is a broadcast join
+against the (tiny) suffix dimension — the 100 TB shape for a PSL lookup.
+
+The fixtures carry no URLs, so entries derive a deterministic synthetic
+URL from doc_id (same discipline as the synthetic PPM/WAV/Y4M payloads:
+Spark and the DuckDB oracle both generate it from the same closed form,
+then each runs its own canonicalizer — parity checks the OPERATOR, not
+the generator). The synthetic shape deliberately exercises every rule:
+uppercase schemes, default ports, utm tracking params, fragments,
+trailing slashes, multi-label public suffixes (co.uk).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+# Public-suffix snippet (offline stand-in for the full Mozilla PSL —
+# the operator is data-driven, so swapping in the real list is a data
+# change, not a code change). Longest-match-wins, like the PSL.
+PUBLIC_SUFFIXES = (
+    "com", "org", "net", "io", "dev",
+    "co.uk", "org.uk", "ac.uk", "com.au", "net.au",
+)
+
+# Tracking query parameters stripped by canonicalization.
+TRACKING_PARAM_RE = r"(utm_[a-z]+|fbclid|gclid)=[^&#]*"
+
+
+def synth_url(doc_id: Column | str) -> Column:
+    """Deterministic synthetic URL for a document id (closed form shared
+    with sql_synth_url)."""
+    d = F.col(doc_id) if isinstance(doc_id, str) else doc_id
+    scheme = F.when(d % 7 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    sub = F.element_at(
+        F.array(F.lit(""), F.lit("www."), F.lit("cdn."), F.lit("blog.")),
+        (d % 4 + 1).cast("int"),
+    )
+    site = d % 23
+    tld = F.element_at(
+        F.array(F.lit(".com"), F.lit(".org"), F.lit(".io"), F.lit(".co.uk")),
+        (site % 4 + 1).cast("int"),
+    )
+    port = F.when(
+        (d % 11 == 0) & (d % 7 == 0), F.lit(":80")
+    ).when(d % 11 == 0, F.lit(":443")).otherwise(F.lit(""))
+    path = F.concat(F.lit("/a/"), (d % 13).cast("string"))
+    slash = F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit(""))
+    query = F.when(d % 6 == 0, F.lit("?utm_campaign=promo")).when(
+        d % 6 == 3, F.lit("?page=2")
+    ).otherwise(F.lit(""))
+    frag = F.when(d % 9 == 0, F.lit("#sec")).otherwise(F.lit(""))
+    return F.concat(
+        scheme, F.lit("://"), sub, F.lit("site"), site.cast("string"),
+        tld, port, path, slash, query, frag,
+    )
+
+
+def sql_synth_url(id_expr: str) -> str:
+    d = f"({id_expr})"
+    return (
+        f"(CASE WHEN {d} % 7 = 0 THEN 'HTTP' ELSE 'https' END) || '://' || "
+        f"(['', 'www.', 'cdn.', 'blog.'][{d} % 4 + 1]) || "
+        f"'site' || ({d} % 23) || "
+        f"(['.com', '.org', '.io', '.co.uk'][({d} % 23) % 4 + 1]) || "
+        f"(CASE WHEN {d} % 11 = 0 AND {d} % 7 = 0 THEN ':80' "
+        f"      WHEN {d} % 11 = 0 THEN ':443' ELSE '' END) || "
+        f"'/a/' || ({d} % 13) || "
+        f"(CASE WHEN {d} % 5 = 0 THEN '/' ELSE '' END) || "
+        f"(CASE WHEN {d} % 6 = 0 THEN '?utm_campaign=promo' "
+        f"      WHEN {d} % 6 = 3 THEN '?page=2' ELSE '' END) || "
+        f"(CASE WHEN {d} % 9 = 0 THEN '#sec' ELSE '' END)"
+    )
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Canonical URL: lowercase scheme+host, fragment stripped, default
+    ports stripped, tracking params stripped (empty query dropped),
+    trailing path slash stripped. Pure regexp/string expressions —
+    whole-stage codegen, no UDF."""
+    u = F.col(url) if isinstance(url, str) else url
+    # 1. lowercase scheme://host[:port] (path/query case is significant)
+    head = F.lower(F.regexp_extract(u, r"^([^/]+//[^/?#]*)", 1))
+    tail = F.regexp_replace(u, r"^[^/]+//[^/?#]*", "")
+    u = F.concat(head, tail)
+    # 2. strip fragment
+    u = F.regexp_replace(u, r"#.*$", "")
+    # 3. strip default ports
+    u = F.regexp_replace(u, r"^(http://[^/:?#]+):80(?=[/?]|$)", r"$1")
+    u = F.regexp_replace(u, r"^(https://[^/:?#]+):443(?=[/?]|$)", r"$1")
+    # 4. strip tracking params, then tidy separators / empty query
+    u = F.regexp_replace(u, TRACKING_PARAM_RE, "")
+    u = F.regexp_replace(u, r"\?&+", "?")
+    u = F.regexp_replace(u, r"&+", "&")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    # 5. strip one trailing path slash (never the root's)
+    u = F.regexp_replace(u, r"(://[^/?#]+/[^?#]*?)/(\?|$)", r"$1$2")
+    return u
+
+
+def sql_canonicalize_url(expr: str) -> str:
+    """DuckDB twin of canonicalize_url, rule for rule (DuckDB needs the
+    'g' flag for global replacement and lacks lookahead — the port rule
+    uses a capture of the boundary instead)."""
+    u = (
+        f"lower(regexp_extract({expr}, '^([^/]+//[^/?#]*)', 1)) || "
+        f"regexp_replace({expr}, '^[^/]+//[^/?#]*', '')"
+    )
+    u = f"regexp_replace({u}, '#.*$', '')"
+    u = f"regexp_replace({u}, '^(http://[^/:?#]+):80([/?]|$)', '\\1\\2')"
+    u = f"regexp_replace({u}, '^(https://[^/:?#]+):443([/?]|$)', '\\1\\2')"
+    u = f"regexp_replace({u}, '{TRACKING_PARAM_RE}', '', 'g')"
+    u = f"regexp_replace({u}, '\\?&+', '?', 'g')"
+    u = f"regexp_replace({u}, '&+', '&', 'g')"
+    u = f"regexp_replace({u}, '[?&]+$', '')"
+    u = f"regexp_replace({u}, '(://[^/?#]+/[^?#]*?)/(\\?|$)', '\\1\\2')"
+    return u
+
+
+def url_host(url: Column | str) -> Column:
+    """Host of a canonical URL (ports/userinfo already normalized away)."""
+    u = F.col(url) if isinstance(url, str) else url
+    return F.regexp_extract(u, r"^[a-z]+://([^/:?#]+)", 1)
+
+
+def sql_url_host(expr: str) -> str:
+    return f"regexp_extract({expr}, '^[a-z]+://([^/:?#]+)', 1)"
+
+
+def suffix_table(spark) -> DataFrame:
+    """The public-suffix dimension: (suffix, n_labels). Tiny — always
+    the broadcast side."""
+    rows = [(s, s.count(".") + 1) for s in PUBLIC_SUFFIXES]
+    return spark.createDataFrame(rows, "suffix string, n_labels int")
+
+
+def registrable_domain(
+    hosts: DataFrame, host_col: str = "host"
+) -> DataFrame:
+    """The (host, domain) DIMENSION over the input's distinct hosts:
+    domain = registrable domain (one label + longest matching public
+    suffix), NULL when no suffix matches or the host IS a bare suffix.
+    Candidate suffixes (the host's last 1..3 labels) explode map-side
+    and broadcast-join the suffix table; longest match wins. Callers
+    join the mapping back on host — distinct-hosts cardinality is tiny
+    next to the corpus, and building the dimension once beats running
+    the suffix logic per document row."""
+    hosts = hosts.select(host_col).distinct()
+    labels = F.split(F.col(host_col), r"\.")
+    n = F.size(labels)
+    # sequence(1, 0) counts DOWN — guard single-label hosts explicitly.
+    cands = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.least(n - 1, F.lit(3))),
+            lambda k: F.struct(
+                F.array_join(F.slice(labels, n - k + 1, k), ".").alias(
+                    "suffix"
+                ),
+                F.element_at(labels, (n - k).cast("int")).alias("label"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<suffix:string,label:string>>"))
+    spark = hosts.sparkSession
+    exploded = hosts.withColumn("__cand", F.explode_outer(cands))
+    joined = exploded.join(
+        F.broadcast(suffix_table(spark)),
+        exploded["__cand.suffix"] == F.col("suffix"),
+        "left",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(host_col).orderBy(
+        F.col("n_labels").desc_nulls_last()
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            host_col,
+            F.when(
+                F.col("n_labels").isNotNull(),
+                F.concat_ws(".", F.col("__cand.label"), F.col("suffix")),
+            ).alias("domain"),
+        )
+    )
+
+
+def sql_registrable_domain(hosts_sql: str, host_col: str = "host") -> str:
+    """Oracle twin: ``hosts_sql`` yields rows with ``host_col``; returns
+    the distinct (host, domain) dimension by the same longest-suffix
+    rule."""
+    values = ", ".join(
+        f"('{s}', {s.count('.') + 1})" for s in PUBLIC_SUFFIXES
+    )
+    return f"""
+WITH hosts_in AS (SELECT DISTINCT {host_col} FROM ({hosts_sql})),
+sfx(suffix, n_labels) AS (VALUES {values}),
+cand AS (
+  SELECT h.{host_col},
+         CASE WHEN len(labels) >= 2 THEN
+           array_to_string(labels[len(labels) - k + 1 :], '.') END
+           AS cand_suffix,
+         CASE WHEN len(labels) >= 2 THEN labels[len(labels) - k] END
+           AS cand_label
+  FROM (SELECT *, string_split({host_col}, '.') AS labels FROM hosts_in) h,
+       LATERAL (SELECT unnest(generate_series(1,
+                  greatest(least(len(labels) - 1, 3), 1))) AS k) ks
+),
+matched AS (
+  SELECT c.*, s.n_labels,
+         row_number() OVER (
+           PARTITION BY c.{host_col}
+           ORDER BY s.n_labels DESC NULLS LAST) AS rn
+  FROM cand c LEFT JOIN sfx s ON s.suffix = c.cand_suffix
+)
+SELECT {host_col},
+       CASE WHEN n_labels IS NOT NULL
+            THEN cand_label || '.' || cand_suffix END AS domain
+FROM matched WHERE rn = 1
+"""
+
+
+def url_dedup(
+    docs_urls: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact URL dedup after canonicalization: one survivor per
+    canonical URL (min id — keep-first), with the duplicate count.
+    Straight groupBy on the canonical string; at 100 TB this is the
+    cheapest dedup stage and runs before any content hashing."""
+    return (
+        docs_urls.withColumn("curl", canonicalize_url(url_col))
+        .groupBy("curl")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )

@@ -44,6 +44,7 @@ def all_queries() -> dict[str, Query]:
         temporal_queries,
         text_queries,
         udf_queries,
+        web_queries,
     )
 
     # Module order matters: the driver verifies registry entries in order and
@@ -142,6 +143,7 @@ def all_queries() -> dict[str, Query]:
         text_queries,
         dedup_queries,
         similarity_queries,
+        web_queries,
     ):
         overlap = registry.keys() & mod.QUERIES.keys()
         if overlap:

@@ -359,6 +359,23 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE training: 4 rounds of pick-top-pair -> greedy merge
+    -> recount (operators/bpe.py). Each round's counts depend on the
+    previous merge, so this is the real trainer loop, not round-0
+    candidates; only the single winning pair crosses to the driver per
+    round."""
+    from hash_db_spark.operators.bpe import bpe_train_merges
+
+    return bpe_train_merges(_docs(spark, sf_dir), "text", "doc_id", k=4)
+
+
+def _bpe_train_oracle() -> str:
+    from hash_db_spark.operators.bpe import sql_bpe_train_merges
+
+    return sql_bpe_train_merges("documents", "text", k=4)
+
+
 def _bpe_merge_oracle() -> str:
     from hash_db_spark.operators.dedup import sql_clean_tokens
 
@@ -472,4 +489,5 @@ QUERIES = {
     "bpe_merge_candidates": Query(
         q_bpe_merge_candidates, _bpe_merge_oracle()
     ),
+    "bpe_train_merges": Query(q_bpe_train_merges, _bpe_train_oracle()),
 }

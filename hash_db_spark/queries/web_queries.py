@@ -1,0 +1,99 @@
+"""Driver-checkable queries: URL / host-level crawl curation
+(operators/web.py). The fixtures carry no URLs, so every entry derives
+the deterministic synthetic URL from doc_id on BOTH engines and checks
+the curation operators' behavior on it (the synth-payload discipline of
+the multimodal entries)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from hash_db_spark.catalog import load_table
+from hash_db_spark.operators import web as W
+from hash_db_spark.queries import Query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize-then-collapse: one survivor per canonical URL with
+    the duplicate count — the cheapest dedup stage of crawl prep,
+    running long before any content hash."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", W.synth_url("doc_id").alias("url")
+    )
+    return W.url_dedup(docs)
+
+
+URL_DEDUP_ORACLE = f"""
+SELECT {W.sql_canonicalize_url(W.sql_synth_url('doc_id'))} AS curl,
+       min(doc_id) AS keep_id,
+       count(*) AS n_dups
+FROM documents
+GROUP BY curl
+"""
+
+
+def q_url_host_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (host, registrable domain) dimension over the corpus's
+    distinct hosts — longest public-suffix match against the broadcast
+    suffix table (multi-label suffixes like co.uk included)."""
+    docs = _docs(spark, sf_dir)
+    hosts = docs.select(
+        W.url_host(W.canonicalize_url(W.synth_url("doc_id"))).alias("host")
+    )
+    return W.registrable_domain(hosts)
+
+
+URL_HOST_DOMAINS_ORACLE = W.sql_registrable_domain(
+    f"SELECT {W.sql_url_host(W.sql_canonicalize_url(W.sql_synth_url('doc_id')))}"
+    " AS host FROM documents"
+)
+
+
+def q_host_doc_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain document cap (5): subdomains fold into one
+    budget, selection is content-addressed (md5 of doc_id) so the kept
+    set is reproducible and append-stable. Composition: host extraction
+    -> broadcast suffix-dimension join -> per_group_cap window."""
+    from hash_db_spark.operators.sampling import per_group_cap
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        W.url_host(W.canonicalize_url(W.synth_url("doc_id"))).alias("host"),
+    )
+    dim = W.registrable_domain(docs.select("host"))
+    withdom = docs.join(F.broadcast(dim), "host")
+    return per_group_cap(withdom, "doc_id", "domain", 5).select(
+        "doc_id", "host", "domain"
+    )
+
+
+def _host_doc_caps_oracle() -> str:
+    from hash_db_spark.operators.sampling import sql_per_group_cap
+
+    host = W.sql_url_host(W.sql_canonicalize_url(W.sql_synth_url("doc_id")))
+    dim = W.sql_registrable_domain(
+        f"SELECT {host} AS host FROM documents"
+    )
+    return sql_per_group_cap(
+        f"""(
+  SELECT d.doc_id, d.host, dim.domain
+  FROM (SELECT doc_id, {host} AS host FROM documents) d
+  JOIN ({dim}) dim ON dim.host = d.host
+)""",
+        "doc_id",
+        "domain",
+        5,
+        select="doc_id, host, domain",
+    )
+
+
+QUERIES = {
+    "url_dedup": Query(q_url_dedup, URL_DEDUP_ORACLE),
+    "url_host_domains": Query(q_url_host_domains, URL_HOST_DOMAINS_ORACLE),
+    "host_doc_caps": Query(q_host_doc_caps, _host_doc_caps_oracle()),
+}

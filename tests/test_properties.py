@@ -491,3 +491,40 @@ def test_scd2_history_matches_python_model(spark, changes):
             nxt = evs[i + 1][0] if i + 1 < len(evs) else None
             model[(k, v)] = (nxt, nxt is None, p)
     assert got == model
+
+
+@settings(**SETTINGS)
+@given(docs=st.lists(texts, min_size=1, max_size=6))
+def test_bpe_train_merges_match_model(spark, docs):
+    """The full k-round trainer vs a direct python replay: same winners,
+    same counts, same greedy-merge evolution (including self-pair runs,
+    which greedy merges at even offsets only)."""
+    from collections import Counter
+
+    from hash_db_spark.operators.bpe import bpe_train_merges, merge_pair_greedy
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], ["doc_id", "text"]
+    )
+    got = [
+        (r["round"], r["pair"], r["n"])
+        for r in bpe_train_merges(df, "text", "doc_id", k=3).collect()
+    ]
+
+    corpus = [
+        [x for x in t.replace(",", "").split(" ") if x] for t in docs
+    ]
+    want = []
+    for rnd in range(1, 4):
+        counts: Counter = Counter()
+        for ts in corpus:
+            for a, b in zip(ts, ts[1:]):
+                counts[(a, b)] += 1
+        if not counts:
+            break
+        (a, b), n = min(
+            counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )
+        want.append((rnd, f"{a} {b}", n))
+        corpus = [merge_pair_greedy(ts, a, b) for ts in corpus]
+    assert got == want
