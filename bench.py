@@ -121,6 +121,13 @@ HEADLINE: list[str] = [
     "dedup_embedding_incremental",
     "pack_manifest",
     "vocab_zipf_fit",
+    # round-6 additions: perceptual image/video near-dup, iterative BPE
+    # training, URL/host crawl curation
+    "dedup_image_phash",
+    "dedup_video_frames",
+    "bpe_train_merges",
+    "url_dedup",
+    "host_doc_caps",
 ]
 
 
@@ -129,10 +136,13 @@ def main() -> None:
     ap.add_argument(
         "--repeat",
         type=int,
-        default=int(os.environ.get("SPARK_GRAFT_REPEAT", "1")),
+        default=int(os.environ.get("SPARK_GRAFT_REPEAT", "3")),
         help="whole-suite passes; per-query time is the MEDIAN across "
         "passes (round-robin, so pass k's cache state is identical for "
-        "every query — separates JVM/GC variance from real regressions)",
+        "every query — separates JVM/GC variance from real regressions). "
+        "Default 3: medians are the RECORDED protocol since r06, making "
+        "regression-vs-noise calls mechanical (VERDICT r05 #9); "
+        "SPARK_GRAFT_REPEAT=1 for a quick single pass while iterating.",
     )
     args = ap.parse_args()
     sf = SF_DIR.rstrip("/").split("sf")[-1]

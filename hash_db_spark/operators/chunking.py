@@ -78,6 +78,24 @@ FROM starts
 """
 
 
+def _warn_if_unsharded(shard_col: str | None) -> None:
+    """shard_col=None funnels the packing window into ONE task (a single
+    'all' partition) — fine for tests, a stall at corpus scale. Loud,
+    not silent: same discipline as every other documented boundary
+    (broadcast caps, centroid caps). A single-VALUED shard column has
+    the same funnel and can't be detected without a job — the docstrings
+    call that out instead."""
+    if shard_col is None:
+        import warnings
+
+        warnings.warn(
+            "pack_* called without shard_col: the packing window runs as "
+            "ONE task; partition by lang/source at corpus scale",
+            ResourceWarning,
+            stacklevel=3,
+        )
+
+
 def pack_chunks(
     chunks: DataFrame,
     budget: int = 64,
@@ -99,6 +117,7 @@ def pack_chunks(
         .orderBy("id", "chunk_idx")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    _warn_if_unsharded(shard_col)
     shard = F.col(shard_col) if shard_col else F.lit("all")
     offs = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("off")
     # Integer DIV, not floor(double division): a global token offset
@@ -135,6 +154,7 @@ def pack_manifest(
         .orderBy("id", "chunk_idx")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    _warn_if_unsharded(shard_col)
     shard = F.col(shard_col) if shard_col else F.lit("all")
     offs = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("off")
     return (

@@ -687,6 +687,30 @@ def _memo_evict(memo: list, entry) -> None:
             pass  # dead session — blocks died with it
 
 
+_SHINGLED_MEMO: list = []
+
+
+def _cached_shingled(
+    df: DataFrame, col: str, id_col: str, keep: tuple[str, ...]
+) -> DataFrame:
+    """Cached (id, sh, hsh[, keep...]) shingle frame, memoized on the
+    source plan + shingle params only (no signature params — see
+    minhash_index)."""
+    params = ("shingled", col, id_col, tuple(keep))
+    hit = _memo_lookup(_SHINGLED_MEMO, df, params)
+    if hit is not None:
+        return hit
+    sh = (
+        shingle_frame(df, col, id_col, with_hash=True, keep=keep)
+        .filter(F.size("sh") > 0)
+        .cache()
+    )
+    if len(_SHINGLED_MEMO) >= _INDEX_MEMO_CAP:
+        _memo_evict(_SHINGLED_MEMO, _SHINGLED_MEMO[0])
+    _SHINGLED_MEMO.append((df, params, sh, [sh]))
+    return sh
+
+
 def minhash_index(
     df: DataFrame,
     col: str,
@@ -723,11 +747,12 @@ def minhash_index(
     if memoed is not None:
         return memoed
     num_bands = num_hashes // band_rows
-    shingled = (
-        shingle_frame(df, col, id_col, with_hash=True, keep=keep)
-        .filter(F.size("sh") > 0)
-        .cache()
-    )
+    # The shingle frame is num_hashes-INDEPENDENT: memoized one level
+    # below the index memo so two signature widths over the same corpus
+    # (e.g. the 128-hash pair entries and the 32-hash est-error audit)
+    # share one cached frame instead of re-cache()ing an identical plan
+    # (the CacheManager "already cached" warning in BENCH_r05).
+    shingled = _cached_shingled(df, col, id_col, keep)
     base = shingled.select(
         "id",
         "sh",
@@ -778,7 +803,8 @@ def minhash_index(
     )
     if len(_INDEX_MEMO) >= _INDEX_MEMO_CAP:
         _memo_evict(_INDEX_MEMO, _INDEX_MEMO[0])
-    _INDEX_MEMO.append((df, params, (base, bands), [shingled, base]))
+    # shingled is pinned (and unpersisted) by _SHINGLED_MEMO, not here.
+    _INDEX_MEMO.append((df, params, (base, bands), [base]))
     return base, bands
 
 

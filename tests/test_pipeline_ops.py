@@ -290,3 +290,25 @@ def test_pack_manifest_consistent_with_pack_chunks(spark):
     assert got[("en", 3, 0)] == (1, 6)
     assert got[("de", 9, 0)] == (0, 0)
     assert got[("de", 9, 1)] == (0, 7)
+
+
+def test_pack_unsharded_warns(spark):
+    """shard_col=None must warn loudly (single-task funnel), a real
+    shard column must not."""
+    import warnings
+
+    from hash_db_spark.operators import chunking
+
+    chunks = spark.createDataFrame(
+        [(1, 0, 10, "en"), (2, 0, 12, "de")],
+        ["id", "chunk_idx", "n_tokens", "lang"],
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        chunking.pack_chunks(chunks, budget=16)
+        chunking.pack_manifest(chunks, budget=16)
+    assert sum("ONE task" in str(x.message) for x in w) == 2
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        chunking.pack_chunks(chunks, budget=16, shard_col="lang")
+    assert not w
