@@ -85,6 +85,21 @@ def build(spark, replicas: int) -> None:
         .alias("c_acctbal"),
     )
     big_cust.write.mode("overwrite").parquet(f"{OUT}/customer.parquet")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_users = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    n_ev = ev.count()
+    # user_id shifts per replica: per-user interval structure (the
+    # merge/coverage work unit) replicates instead of fusing every
+    # replica's events into the same users' timelines.
+    big_ev = ev.crossJoin(reps).select(
+        (F.col("event_id") + F.col("rep") * n_ev).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("rep") * n_users).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+    big_ev.write.mode("overwrite").parquet(f"{OUT}/events.parquet")
 
 
 def main() -> int:
@@ -163,6 +178,16 @@ def main() -> int:
             "train_prep",
             "rank_global_scalable",
             "dedup_embedding_incremental",
+            # round-6: the r05 additions VERDICT #8 asked for...
+            "sim_recall_report",
+            "interval_coverage",
+            "vocab_zipf_fit",
+            # ...and this round's new operators
+            "dedup_image_phash",
+            "dedup_video_frames",
+            "bpe_train_merges",
+            "url_dedup",
+            "host_doc_caps",
         ):
             timed(
                 f"{entry}/{scale}",
