@@ -84,7 +84,11 @@ def bpe_train_merges(
 ) -> DataFrame:
     """Train ``k`` BPE merges over the corpus; returns the merge table
     (round, pair, n) — round 1-based, n = the pair's count at pick time,
-    tie-break (n DESC, pair ASC) on the space-joined pair string.
+    tie-break (n DESC, a ASC, b ASC) on the pair's COMPONENTS: the
+    space-joined string is ambiguous once merged units contain spaces
+    (('a b','c') and ('a','b c') both join to 'a b c'), so ordering on
+    it could let Spark and the oracle pick different winners on a count
+    tie and diverge every subsequent round.
 
     100 TB shape: the trainer state (current token arrays) stays
     distributed; only the single winning pair crosses to the driver per
@@ -100,7 +104,7 @@ def bpe_train_merges(
         top = (
             _pair_counts(cur)
             .withColumn("pair", F.concat_ws(" ", "a", "b"))
-            .orderBy(F.col("n").desc(), F.col("pair").asc())
+            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
             .limit(1)
             .collect()
         )
@@ -139,7 +143,7 @@ def sql_bpe_train_merges(table: str, col: str, k: int = 4) -> str:
 ),
 w{j} AS (
   SELECT a, b, a || ' ' || b AS pair, n
-  FROM p{j} ORDER BY n DESC, pair ASC LIMIT 1
+  FROM p{j} ORDER BY n DESC, a ASC, b ASC LIMIT 1
 )"""
         )
         if j < k:

@@ -84,14 +84,16 @@ def _warn_if_unsharded(shard_col: str | None) -> None:
     not silent: same discipline as every other documented boundary
     (broadcast caps, centroid caps). A single-VALUED shard column has
     the same funnel and can't be detected without a job — the docstrings
-    call that out instead."""
+    call that out instead. RuntimeWarning, not ResourceWarning: the
+    default warning filters print the former and swallow the latter,
+    and a warning nobody sees isn't loud."""
     if shard_col is None:
         import warnings
 
         warnings.warn(
             "pack_* called without shard_col: the packing window runs as "
             "ONE task; partition by lang/source at corpus scale",
-            ResourceWarning,
+            RuntimeWarning,
             stacklevel=3,
         )
 

@@ -108,9 +108,11 @@ def write_minhash_index(
         from pyspark.errors import AnalysisException
 
         try:
-            existing = spark.read.parquet(f"{path}/meta").collect()[0][
-                "key_buckets"
-            ]
+            meta_rows = spark.read.parquet(f"{path}/meta").collect()
+            # A torn write can leave meta/ present but EMPTY (directory
+            # committed, zero rows) — treat it exactly like a missing
+            # meta rather than crashing on [0].
+            existing = meta_rows[0]["key_buckets"] if meta_rows else None
         except AnalysisException as e:
             if "PATH_NOT_FOUND" not in str(e):
                 raise

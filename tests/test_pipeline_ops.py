@@ -304,10 +304,15 @@ def test_pack_unsharded_warns(spark):
         ["id", "chunk_idx", "n_tokens", "lang"],
     )
     with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
+        # "default" = Python's normal filters: proves the warning class
+        # is one users actually SEE (ResourceWarning would be swallowed
+        # here — the original bug).
+        warnings.resetwarnings()
+        warnings.simplefilter("default")
         chunking.pack_chunks(chunks, budget=16)
         chunking.pack_manifest(chunks, budget=16)
     assert sum("ONE task" in str(x.message) for x in w) == 2
+    assert all(issubclass(x.category, RuntimeWarning) for x in w)
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         chunking.pack_chunks(chunks, budget=16, shard_col="lang")
