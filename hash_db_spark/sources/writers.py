@@ -109,10 +109,20 @@ def write_minhash_index(
 
         try:
             meta_rows = spark.read.parquet(f"{path}/meta").collect()
-            # A torn write can leave meta/ present but EMPTY (directory
-            # committed, zero rows) — treat it exactly like a missing
-            # meta rather than crashing on [0].
-            existing = meta_rows[0]["key_buckets"] if meta_rows else None
+            # meta/ is written LAST: present-but-EMPTY meta (directory
+            # committed, zero rows) means a torn prior write whose
+            # bands/ were already bucketed with an UNKNOWN modulus.
+            # Appending as if this were a first write would re-point
+            # probes at wrong bucket dirs — refuse, demand a rebuild.
+            if not meta_rows:
+                raise ValueError(
+                    f"minhash index at {path} has a torn meta (present "
+                    "but empty): the existing bands were bucketed with "
+                    "an unknown key_buckets modulus. Rebuild the index "
+                    "(mode='overwrite') or restore meta/ before "
+                    "appending."
+                )
+            existing = meta_rows[0]["key_buckets"]
         except AnalysisException as e:
             if "PATH_NOT_FOUND" not in str(e):
                 raise

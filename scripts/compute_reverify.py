@@ -43,6 +43,8 @@ GATE_STATE = {
     3: "027f3bc^",
     4: "62eb1ad^",
     5: "b02210f^",
+    6: "c7f6390^",
+    7: "b11ac1b^",
 }
 
 Sym = tuple[str, str]  # (module dotted name, symbol name)
@@ -256,24 +258,29 @@ def changed_symbols(ref: str, head_hashes: dict[Sym, str]) -> set[Sym]:
 def taint(
     roots: dict[str, list[Sym]], edges: dict[Sym, set[Sym]], changed: set[Sym]
 ) -> set[str]:
-    """Entries whose pseudo-symbol transitively reaches a changed symbol."""
-    reach_cache: dict[Sym, bool] = {}
+    """Entries whose pseudo-symbol transitively reaches a changed symbol.
 
-    def reaches(sym: Sym, seen: set[Sym]) -> bool:
-        if sym in changed:
-            return True
-        if sym in reach_cache:
-            return reach_cache[sym]
-        if sym in seen:
-            return False
-        seen.add(sym)
-        r = any(reaches(d, seen) for d in edges.get(sym, ()))
-        reach_cache[sym] = r
-        return r
-
-    return {
-        e for e, syms in roots.items() if any(reaches(s, set()) for s in syms)
-    }
+    Implemented as a reverse-edge BFS from the changed set: a symbol is
+    tainted iff it IS changed or any forward path from it hits a changed
+    symbol, which is exactly reverse-reachability from ``changed``.  Unlike
+    the original memoized DFS (which cached False results computed while
+    ancestors were still on the stack, making the answer depend on root
+    visit order in cyclic graphs — ADVICE r07 medium), BFS over the
+    transposed graph is order-independent and sound in cycles.
+    """
+    rev: dict[Sym, set[Sym]] = {}
+    for sym, deps in edges.items():
+        for d in deps:
+            rev.setdefault(d, set()).add(sym)
+    tainted: set[Sym] = set(changed)
+    stack: list[Sym] = list(changed)
+    while stack:
+        cur = stack.pop()
+        for parent in rev.get(cur, ()):
+            if parent not in tainted:
+                tainted.add(parent)
+                stack.append(parent)
+    return {e for e, syms in roots.items() if any(s in tainted for s in syms)}
 
 
 def main() -> None:

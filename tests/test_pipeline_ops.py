@@ -304,11 +304,16 @@ def test_pack_unsharded_warns(spark):
         ["id", "chunk_idx", "n_tokens", "lang"],
     )
     with warnings.catch_warnings(record=True) as w:
-        # "default" = Python's normal filters: proves the warning class
-        # is one users actually SEE (ResourceWarning would be swallowed
-        # here — the original bug).
+        # NOTE: resetwarnings()+simplefilter("default") does NOT
+        # reinstate CPython's stock ignore::ResourceWarning default
+        # filter, so a ResourceWarning WOULD still be recorded here —
+        # re-add that stock filter explicitly so this block genuinely
+        # simulates default visibility (the original bug emitted
+        # ResourceWarning, which users never saw). The class assertion
+        # below is the second, belt-and-braces guard.
         warnings.resetwarnings()
         warnings.simplefilter("default")
+        warnings.filterwarnings("ignore", category=ResourceWarning)
         chunking.pack_chunks(chunks, budget=16)
         chunking.pack_manifest(chunks, budget=16)
     assert sum("ONE task" in str(x.message) for x in w) == 2

@@ -351,6 +351,35 @@ def test_minhash_index_append_modulus_mismatch_raises(spark, tmp_path):
         writers.write_minhash_index(base, bands, path, key_buckets=32, mode="append")
 
 
+def test_minhash_index_append_torn_empty_meta_raises(spark, tmp_path):
+    """meta/ is written LAST, so a present-but-EMPTY meta means a torn
+    prior write whose bands/ were already bucketed with an unknown
+    modulus. Appending as if this were a first write would re-point
+    probes at wrong bucket dirs — the writer must refuse and demand a
+    rebuild (ADVICE r07 medium)."""
+    import pytest
+
+    from hash_db_spark.operators import dedup as D
+    from hash_db_spark.sources import writers
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with several shared tokens inside") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    base, bands = D.minhash_index(docs, "text", "doc_id")
+    path = str(tmp_path / "mhidx")
+    writers.write_minhash_index(base, bands, path, key_buckets=64)
+    # Simulate the torn write: meta/ exists but holds zero rows.
+    spark.createDataFrame([], "key_buckets int").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta")
+    with pytest.raises(ValueError, match="torn meta"):
+        writers.write_minhash_index(base, bands, path, key_buckets=64, mode="append")
+    # Rebuild (overwrite) is the prescribed recovery and must succeed.
+    writers.write_minhash_index(base, bands, path, key_buckets=64)
+    writers.write_minhash_index(base, bands, path, key_buckets=64, mode="append")
+
+
 def test_streaming_ingest_probes_despite_missing_meta(spark, tmp_path):
     """bands/ present but meta/ absent (pre-meta index or torn write) is
     NOT a first batch: the ingest loop must still probe — via the
