@@ -904,3 +904,148 @@ JOIN counts ca ON ca.media_id = media_a
 JOIN counts cb ON cb.media_id = media_b
 WHERE n_shared >= least(ca.n_ev, cb.n_ev)
 """
+
+
+def image_in_video(
+    images: DataFrame,
+    frames: DataFrame,
+    max_hamming: int = 3,
+    max_hash_media: int | None = 64,
+) -> DataFrame:
+    """Cross-modal containment — which still images appear as frames of
+    which clips. Completes the multimodal near-dup matrix (VERDICT r07
+    #5): image<->image (dHash bands), clip<->clip (frame containment),
+    and now image<->clip, all in the SAME 60-bit dHash space. A frame
+    "shows" an image when their dHashes are within ``max_hamming`` bits
+    (transcode/resize jitter flips a few comparison bits; exact equality
+    finds only byte-identical rasters).
+
+    ``images`` is (id, dhash) — image_dhash output; ``frames`` is
+    (media_id, frame, dhash) — frame_dhash output. Returns
+    (image_id, media_id, n_frames): the clip and how many of its frames
+    match the image.
+
+    Scale shape: candidates are generated over DISTINCT hash values,
+    not media — the two modalities' distinct-hash relations are banded
+    with SimHash's 4 x 15-bit pigeonhole (any pair within Hamming <= 3
+    shares at least one exact band, so the band equijoin is exhaustive,
+    never all-pairs), verified with bit_count(xor), and only then joined
+    back to the media facts. Skew guard (video_dup_pairs'
+    max_hash_media discipline, applied across BOTH modalities): a hash
+    held by more than ``max_hash_media`` distinct media — an image
+    counts as one medium, a clip as one medium regardless of frame
+    count — is boilerplate (flat gradients, test cards, black frames)
+    and is excluded before banding, so per-hash fan-out is capped on
+    both ends. Everything is shuffle-co-partitioned equijoins; nothing
+    is collected."""
+    from hash_db_spark.operators.dedup import (
+        SIMHASH_BAND_BITS,
+        SIMHASH_BAND_MASK,
+        SIMHASH_BANDS,
+    )
+
+    imgd = images.select(F.col("id").alias("image_id"), "dhash").distinct()
+    clipd = frames.select("media_id", "dhash").distinct()
+    if max_hash_media is not None:
+        # Tag the two modalities into disjoint media keys (image ids and
+        # clip ids share the doc_id space) so one count spans both sides.
+        tagged = imgd.select(
+            "dhash", (F.col("image_id") * 2).alias("mkey")
+        ).unionByName(
+            clipd.select("dhash", (F.col("media_id") * 2 + 1).alias("mkey"))
+        )
+        cold = (
+            tagged.groupBy("dhash")
+            .agg(F.count(F.lit(1)).alias("__n_media"))
+            .filter(F.col("__n_media") <= max_hash_media)
+            .select("dhash")
+        )
+        imgd = imgd.join(cold, "dhash")
+        frames = frames.join(cold, "dhash")
+
+    def banded(hashes: DataFrame, out: str) -> DataFrame:
+        return hashes.select(
+            F.col("dhash").alias(out),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("band"),
+                            F.shiftright(F.col("dhash"), k * SIMHASH_BAND_BITS)
+                            .bitwiseAND(SIMHASH_BAND_MASK)
+                            .alias("byte"),
+                        )
+                        for k in range(SIMHASH_BANDS)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(out, F.col("bk.band").alias("band"), F.col("bk.byte").alias("byte"))
+
+    ih = banded(imgd.select("dhash").distinct(), "dhash_img")
+    fhv = banded(
+        frames.select("dhash").distinct(), "dhash_fr"
+    )
+    cand = (
+        ih.join(fhv, ["band", "byte"])
+        .select("dhash_img", "dhash_fr")
+        .distinct()
+        .filter(
+            F.bit_count(
+                F.col("dhash_img").bitwiseXOR(F.col("dhash_fr"))
+            )
+            <= max_hamming
+        )
+    )
+    return (
+        imgd.join(cand, imgd["dhash"] == cand["dhash_img"])
+        .join(
+            frames.select("media_id", "dhash").alias("fr"),
+            F.col("fr.dhash") == cand["dhash_fr"],
+        )
+        .groupBy("image_id", "media_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+    )
+
+
+def sql_image_in_video(
+    img_table: str,
+    img_id: str,
+    vid_table: str,
+    vid_id: str,
+    max_hamming: int = 3,
+    max_hash_media: int | None = 64,
+) -> str:
+    """Oracle twin of image_dhash x frame_dhash |> image_in_video:
+    closed-form hashes on both sides, cross-modality hash-population
+    cap, brute-force Hamming join over distinct hash values (exactly
+    what the Spark side's banded pigeonhole computes for
+    max_hamming <= 3 with 4 bands — the banding is a pruning, not a
+    semantic)."""
+    cap = max_hash_media if max_hash_media is not None else 1 << 62
+    return f"""
+WITH img AS ({sql_image_dhash(img_table, img_id)}),
+fr AS ({sql_frame_dhash(vid_table, vid_id)}),
+clipd AS (SELECT DISTINCT media_id, simhash FROM fr),
+tagged AS (
+  SELECT simhash, id * 2 AS mkey FROM img
+  UNION ALL
+  SELECT simhash, media_id * 2 + 1 AS mkey FROM clipd
+),
+cold AS (
+  SELECT simhash FROM tagged GROUP BY simhash HAVING count(*) <= {cap}
+),
+imgc AS (SELECT i.* FROM img i JOIN cold c ON c.simhash = i.simhash),
+frc AS (SELECT f.* FROM fr f JOIN cold c ON c.simhash = f.simhash),
+cand AS (
+  SELECT DISTINCT a.simhash AS h_img, b.simhash AS h_fr
+  FROM (SELECT DISTINCT simhash FROM imgc) a,
+       (SELECT DISTINCT simhash FROM frc) b
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+)
+SELECT i.id AS image_id, f.media_id,
+       CAST(count(*) AS BIGINT) AS n_frames
+FROM imgc i
+JOIN cand ON cand.h_img = i.simhash
+JOIN frc f ON f.simhash = cand.h_fr
+GROUP BY 1, 2
+"""

@@ -133,44 +133,60 @@ def sql_url_host(expr: str) -> str:
     return f"regexp_extract({expr}, '^[a-z]+://([^/:?#]+)', 1)"
 
 
-def suffix_table(spark) -> DataFrame:
+def suffix_table(
+    spark, suffixes: tuple[str, ...] = PUBLIC_SUFFIXES
+) -> DataFrame:
     """The public-suffix dimension: (suffix, n_labels). Tiny — always
-    the broadcast side."""
-    rows = [(s, s.count(".") + 1) for s in PUBLIC_SUFFIXES]
+    the broadcast side. ``suffixes`` defaults to the offline stand-in;
+    pass the full Mozilla PSL (a data swap, not a code change) for
+    production."""
+    rows = [(s, s.count(".") + 1) for s in suffixes]
     return spark.createDataFrame(rows, "suffix string, n_labels int")
 
 
 def registrable_domain(
-    hosts: DataFrame, host_col: str = "host"
+    hosts: DataFrame,
+    host_col: str = "host",
+    suffixes: tuple[str, ...] = PUBLIC_SUFFIXES,
 ) -> DataFrame:
     """The (host, domain) DIMENSION over the input's distinct hosts:
     domain = registrable domain (one label + longest matching public
     suffix), NULL when no suffix matches or the host IS a bare suffix.
-    Candidate suffixes (the host's last 1..3 labels) explode map-side
+    Candidate suffixes (the host's last 1..max-suffix-depth labels,
+    depth derived from the suffix data so a deeper real-PSL entry like
+    s3.dualstack.<region>.amazonaws.com still matches) explode map-side
     and broadcast-join the suffix table; longest match wins. Callers
     join the mapping back on host — distinct-hosts cardinality is tiny
     next to the corpus, and building the dimension once beats running
     the suffix logic per document row."""
+    max_depth = max(s.count(".") + 1 for s in suffixes)
     hosts = hosts.select(host_col).distinct()
     labels = F.split(F.col(host_col), r"\.")
     n = F.size(labels)
-    # sequence(1, 0) counts DOWN — guard single-label hosts explicitly.
-    cands = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.least(n - 1, F.lit(3))),
-            lambda k: F.struct(
-                F.array_join(F.slice(labels, n - k + 1, k), ".").alias(
-                    "suffix"
-                ),
-                F.element_at(labels, (n - k).cast("int")).alias("label"),
+    # Candidates include the WHOLE host (k = n): per the real PSL
+    # algorithm, a host that itself IS a public suffix has no
+    # registrable domain. Without the k = n candidate, "co.uk" under a
+    # real PSL (which lists both "uk" and "co.uk") would wrongly
+    # resolve to domain "co.uk" via the shorter "uk" match — the
+    # stand-in list masked this because it omits the parent TLDs.
+    # k = n rows carry a NULL label, which the projection below turns
+    # into a NULL domain when that candidate wins. The upper bound
+    # least(n, depth) is always >= 1, so sequence() never counts down.
+    cands = F.transform(
+        F.sequence(F.lit(1), F.least(n, F.lit(max_depth))),
+        lambda k: F.struct(
+            F.array_join(F.slice(labels, n - k + 1, k), ".").alias(
+                "suffix"
             ),
+            F.when(
+                k < n, F.element_at(labels, (n - k).cast("int"))
+            ).alias("label"),
         ),
-    ).otherwise(F.array().cast("array<struct<suffix:string,label:string>>"))
+    )
     spark = hosts.sparkSession
     exploded = hosts.withColumn("__cand", F.explode_outer(cands))
     joined = exploded.join(
-        F.broadcast(suffix_table(spark)),
+        F.broadcast(suffix_table(spark, suffixes)),
         exploded["__cand.suffix"] == F.col("suffix"),
         "left",
     )
@@ -184,34 +200,41 @@ def registrable_domain(
         .filter(F.col("__rn") == 1)
         .select(
             host_col,
+            # NULL label = the whole-host candidate won: the host IS a
+            # public suffix, so no registrable domain (concat_ws would
+            # silently skip the NULL — guard explicitly).
             F.when(
-                F.col("n_labels").isNotNull(),
+                F.col("n_labels").isNotNull()
+                & F.col("__cand.label").isNotNull(),
                 F.concat_ws(".", F.col("__cand.label"), F.col("suffix")),
             ).alias("domain"),
         )
     )
 
 
-def sql_registrable_domain(hosts_sql: str, host_col: str = "host") -> str:
+def sql_registrable_domain(
+    hosts_sql: str,
+    host_col: str = "host",
+    suffixes: tuple[str, ...] = PUBLIC_SUFFIXES,
+) -> str:
     """Oracle twin: ``hosts_sql`` yields rows with ``host_col``; returns
     the distinct (host, domain) dimension by the same longest-suffix
     rule."""
+    max_depth = max(s.count(".") + 1 for s in suffixes)
     values = ", ".join(
-        f"('{s}', {s.count('.') + 1})" for s in PUBLIC_SUFFIXES
+        f"('{s}', {s.count('.') + 1})" for s in suffixes
     )
     return f"""
 WITH hosts_in AS (SELECT DISTINCT {host_col} FROM ({hosts_sql})),
 sfx(suffix, n_labels) AS (VALUES {values}),
 cand AS (
   SELECT h.{host_col},
-         CASE WHEN len(labels) >= 2 THEN
-           array_to_string(labels[len(labels) - k + 1 :], '.') END
-           AS cand_suffix,
-         CASE WHEN len(labels) >= 2 THEN labels[len(labels) - k] END
+         array_to_string(labels[len(labels) - k + 1 :], '.') AS cand_suffix,
+         CASE WHEN k < len(labels) THEN labels[len(labels) - k] END
            AS cand_label
   FROM (SELECT *, string_split({host_col}, '.') AS labels FROM hosts_in) h,
        LATERAL (SELECT unnest(generate_series(1,
-                  greatest(least(len(labels) - 1, 3), 1))) AS k) ks
+                  least(len(labels), {max_depth}))) AS k) ks
 ),
 matched AS (
   SELECT c.*, s.n_labels,
@@ -221,7 +244,7 @@ matched AS (
   FROM cand c LEFT JOIN sfx s ON s.suffix = c.cand_suffix
 )
 SELECT {host_col},
-       CASE WHEN n_labels IS NOT NULL
+       CASE WHEN n_labels IS NOT NULL AND cand_label IS NOT NULL
             THEN cand_label || '.' || cand_suffix END AS domain
 FROM matched WHERE rn = 1
 """

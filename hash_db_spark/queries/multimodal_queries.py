@@ -134,6 +134,19 @@ def q_dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.video_dup_pairs(frames)
 
 
+def q_dedup_image_in_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal near-dup: which still images appear as frames of
+    which clips — image dHash against per-frame dHash, exact equality
+    in the shared 60-bit space, boilerplate hashes capped across both
+    modalities. Video side rides the same doc_id % 9 subset as
+    dedup_video_frames; image side is the full corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    vids = docs.filter(F.col("doc_id") % 9 == 0)
+    images = M.image_dhash(M.synth_ppm_media(docs, "doc_id"))
+    frames = M.frame_dhash(M.synth_y4m_media(vids, "doc_id"))
+    return M.image_in_video(images, frames)
+
+
 VIDEO_SUBSET = "(SELECT * FROM documents WHERE doc_id % 9 = 0)"
 
 
@@ -150,6 +163,10 @@ QUERIES = {
     "dedup_video_frames": Query(
         q_dedup_video_frames,
         M.sql_video_dup_pairs(VIDEO_SUBSET, "doc_id"),
+    ),
+    "dedup_image_in_video": Query(
+        q_dedup_image_in_video,
+        M.sql_image_in_video("documents", "doc_id", VIDEO_SUBSET, "doc_id"),
     ),
     "multimodal_meta_stats": Query(
         q_multimodal_meta_stats, MULTIMODAL_META_STATS_ORACLE

@@ -175,3 +175,52 @@ def test_video_dup_pairs_containment(spark):
         for r in M.video_dup_pairs(frames, max_hash_media=2).collect()
     }
     assert got == {(1, 2): 2}
+
+
+def test_image_in_video_near_match_and_hot_cap(spark):
+    """Cross-modal containment on a controlled relation: image A matches
+    clip 1 exactly in two frames, image B matches clip 2 within
+    hamming 2 (one frame), image C is 10+ bits from everything, and a
+    boilerplate hash shared by >cap media matches nothing."""
+    from hash_db_spark.operators import multimodal as M
+
+    BOILER = (1 << 45) | 7
+    images = spark.createDataFrame(
+        [
+            (100, 0b1111),            # A: exact match for clip 1 frames
+            (101, 0b1111 | (1 << 20)),  # B: hamming 1 from clip 2's 0b1111|1<<21? no — see frames
+            (102, (1 << 59) | (1 << 30) | (1 << 10)),  # C: far from all
+            (103, BOILER),            # D: boilerplate hash
+        ],
+        ["id", "dhash"],
+    )
+    frames = spark.createDataFrame(
+        [
+            (1, 0, 0b1111), (1, 1, 0b1111), (1, 2, 0b110011),
+            (2, 0, 0b1111 | (1 << 20) | (1 << 21)),  # hamming 1 from B
+            (2, 1, (1 << 58)),
+            (3, 0, BOILER), (4, 0, BOILER), (5, 0, BOILER),
+        ],
+        ["media_id", "frame", "dhash"],
+    )
+    got = {
+        (r.image_id, r.media_id): r.n_frames
+        for r in M.image_in_video(
+            images, frames, max_hamming=3, max_hash_media=3
+        ).collect()
+    }
+    # A matches clip 1 frames 0,1 exactly (frame 2 is hamming 4:
+    # 0b1111 ^ 0b110011 = 0b111100 -> excluded) and clip 2 frame 0 at
+    # hamming 2; B matches clip 2 frame 0 at hamming 1 and clip 1
+    # frames 0,1 at hamming 1. C matches nothing. BOILER is held by
+    # image 103 + clips 3,4,5 = 4 media > cap 3 -> excluded both sides.
+    assert got == {(100, 1): 2, (100, 2): 1, (101, 1): 2, (101, 2): 1}
+
+    # tighter tolerance drops the hamming-1 match
+    got0 = {
+        (r.image_id, r.media_id): r.n_frames
+        for r in M.image_in_video(
+            images, frames, max_hamming=0, max_hash_media=3
+        ).collect()
+    }
+    assert got0 == {(100, 1): 2}

@@ -91,3 +91,67 @@ def test_host_caps_fold_subdomains(spark):
     kept = per_group_cap(withdom, "doc_id", "domain", 3).collect()
     assert len(kept) == 3
     assert all(r.domain == "ex.co.uk" for r in kept)
+
+
+def test_registrable_domain_real_psl_scale(spark):
+    """Real-PSL readiness (VERDICT r07 #6): a 1k-entry synthetic suffix
+    table — multi-label up to depth 4, punycode-ish xn-- entries,
+    overlapping prefixes so longest-match is genuinely exercised —
+    through the SAME broadcast join, checked host-by-host against a
+    pure-Python longest-match referee."""
+    import random
+
+    rng = random.Random(20260814)
+    # Base TLD pool: ascii + punycode-ish (the PSL carries IDN suffixes
+    # as punycode, e.g. xn--p1ai for .рф).
+    tlds = [f"t{i}" for i in range(40)] + [f"xn--{i}a{i}b" for i in range(10)]
+    suffixes = set(tlds)
+    # Layer multi-label suffixes over random parents (PSL style:
+    # co.uk under uk, s3.dualstack.region.amazonaws.com 4 deep).
+    mids = ["co", "org", "ac", "gov", "s3", "cdn", "xn--o1ac"]
+    while len(suffixes) < 1000:
+        parent = rng.choice(sorted(suffixes))
+        if parent.count(".") >= 3:  # depth cap 4
+            continue
+        suffixes.add(f"{rng.choice(mids)}{rng.randrange(30)}.{parent}")
+    suffixes = tuple(sorted(suffixes))
+    assert len(suffixes) == 1000
+    assert max(s.count(".") + 1 for s in suffixes) == 4
+
+    sfx_set = set(suffixes)
+
+    def referee(host: str) -> str | None:
+        # The real PSL algorithm: longest matching suffix wins,
+        # INCLUDING the whole host — a host that IS a public suffix
+        # has no registrable domain.
+        labels = host.split(".")
+        for k in range(len(labels), 0, -1):  # longest suffix first
+            cand = ".".join(labels[-k:])
+            if cand in sfx_set:
+                return ".".join(labels[-k - 1:]) if k < len(labels) else None
+        return None
+
+    # Hosts: registrable-at-every-depth, bare suffixes, unmatched, and
+    # hosts where a SHORTER suffix also matches (longest must win).
+    host_rows = []
+    picks = rng.sample(suffixes, 200)
+    for i, s in enumerate(picks):
+        host_rows.append(f"site{i}.{s}")          # label + suffix
+        host_rows.append(f"www.deep{i}.{s}")      # extra subdomain
+        host_rows.append(s)                       # bare suffix -> NULL
+    host_rows += ["localhost", "nomatch.zzz", "a.b.zzz"]
+    hosts = spark.createDataFrame([(h,) for h in host_rows], ["host"])
+
+    got = {
+        r.host: r.domain
+        for r in W.registrable_domain(hosts, suffixes=suffixes).collect()
+    }
+    want = {h: referee(h) for h in set(host_rows)}
+    assert got == want
+    # sanity on the fixture itself: bare suffixes resolve to None, and
+    # at least one deep (3+ label) suffix actually matched
+    assert all(want[s] is None for s in picks)
+    assert any(
+        s.count(".") >= 2 and want[f"site{i}.{s}"] == f"site{i}.{s}"
+        for i, s in enumerate(picks)
+    )
