@@ -48,80 +48,82 @@ def all_queries() -> dict[str, Query]:
     )
 
     # Module order matters: the driver verifies registry entries in order and
-    # caps the run at the first 50. Round-5 PRIORITY: the 37 entries the
-    # r01-r04 union has never checked (exactly the set listed in
-    # COVERAGE.md's Totals paragraph; recomputed this session as
-    # all_queries() minus the union of CORRECTNESS_r01..r04 keys). The four
-    # slow ones at sf0.01 in driver_sim (train_prep ~21s, graph_components
-    # ~17s, dedup_components_star ~8s, semdedup_drop ~7s) are interleaved —
-    # positions ~6/14/23/31 — so the window never pays them back-to-back.
-    # Remaining slots backfill with entries whose code changed this round.
+    # caps the run at the first 50. ROUND-8 PRIORITY, computed mechanically
+    # by scripts/compute_reverify.py at r08 HEAD (after its cycle-soundness
+    # fix and the r06/r07 gate-ref registration): 7 never-driver-checked
+    # entries first (the six r06 additions that rounds 6-7 left unverified
+    # plus this round's dedup_image_in_video), then the 57 stale entries
+    # (code changed since their last green driver round) oldest-green-first
+    # — all 17 r01, all 12 r02, and the first 14 of 19 r03. That fills the
+    # 50-slot window exactly.
+    #
+    # ROUND-9 WINDOW HEAD (the 14-entry residual, verbatim — recompute with
+    # the tool before trusting, but this is the plan of record):
+    #   r03-green: stratified_sample, stream_sessions,
+    #     stream_stateful_counter, top_ngrams_per_lang, unpivot_measures
+    #   r04-green: bloom_decontaminate, cdc_scd2_history, cms_user_counts,
+    #     fts_phrase, histo_quantiles, sim_topk_ivf_kmeans,
+    #     stream_dedup_within_wm, stream_stream_join, zorder_values
+    # plus anything r08's own code changes taint; r08 additions after that.
     priority = [
-        # --- never driver-checked (37) -------------------------------
-        "graph_degree_hist",
-        "cypher_optional",
-        "cypher_where",
-        "cypher_count",
-        "events_hourly_profile",
-        "graph_components",  # slow: recursive-CTE oracle
-        "dialect_group_aggs",
-        "dialect_compare",
-        "decayed_activity",
-        "asof_nearest",
-        "interval_merge",
-        "multimodal_meta_stats",
-        "doc_length_histogram",
-        "train_prep",  # slow: composed full-pipeline oracle
-        "multimodal_ppm_decode",
-        "multimodal_wav_decode",
-        "multimodal_y4m_decode",
-        "training_order",
-        "split_leakage_audit",
-        "stream_hll_users",
-        "stream_cms_users",
-        "bloom_prejoin",
-        "dedup_components_star",  # slow: large-star/small-star iterations
-        "rank_global_scalable",
-        "ansi_grouping_flags",
-        "ansi_cube",
-        "lm_perplexity_gate",
-        "select_token_budget",
-        "mixture_token_budget",
-        "text_token_entropy",
-        "semdedup_drop",  # slow: k-means bucket oracle
-        "kv_count_by_prefix",
-        "corpus_snapshot_diff",
-        "langid_confusion",
-        "dedup_rate_report",
-        "negative_samples",
-        "sim_topk_ivf_persisted",
-        # --- backfill: code changed this round (re-verify) -----------
-        "asof_tolerance",
-        "asof_forward",
-        "cms_merge_heavy_hitters",
-        # --- new this round ------------------------------------------
-        "bpe_merge_candidates",
-        "pivot_lang_source",
-        "scd2_asof_lookup",
-        "interval_coverage",
-        "multimodal_wav_energy",
-        "minhash_est_error",
-        "sim_recall_report",
-        "dedup_embedding_incremental",
-        "pack_manifest",
-        "vocab_zipf_fit",
-        # 50 entries — the window is now entirely priority slots; NO
-        # further additions this round (a new entry would displace one
-        # of these and ship as an unverified claim — r06's queue is the
-        # place for it).
-        #
-        # ROUND-6 TODO (first thing next session): rebuild this list as
-        # (1) any r05 window entry CORRECTNESS_r05.json reports
-        # non-green, then (2) entries whose code changes in r06, then
-        # (3) r06 additions. If r05 is fully green, the r01-r05 union
-        # covers all 243 names and the whole window is free for new
-        # work. Recompute the never-checked set as all_queries() minus
-        # the union of CORRECTNESS_r01..r05 keys — don't trust prose.
+        # --- never driver-checked (7): cheap url entries first to
+        # absorb the window's JVM/codegen warmup ---------------------
+        "url_dedup",
+        "url_host_domains",
+        "host_doc_caps",
+        "bpe_train_merges",
+        "dedup_image_phash",
+        "dedup_video_frames",
+        "dedup_image_in_video",
+        # --- stale, green r01 (17) ----------------------------------
+        "kv_set",
+        "kv_clear",
+        "insert_rows",
+        "update_where",
+        "fts_and",
+        "fts_or",
+        "fts_mixed",
+        "fts_with_where",
+        "text_subword_tokens",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_simhash_pairs",
+        "dedup_embedding",
+        "sim_topk_brute",
+        "sim_topk_ivf",
+        "sim_topk_lsh",
+        # --- stale, green r02 (12) ----------------------------------
+        "asof_join",
+        "cdc_latest_view",
+        "doc_path_where",
+        "graph_n_hop",
+        "graph_triangles",
+        "hash_sample",
+        "kmeans_clusters",
+        "mix_weights",
+        "stream_dedup",
+        "stream_mv_join",
+        "stream_tumbling_daily",
+        "train_val_test",
+        # --- stale, green r03 (first 14 of 19) ----------------------
+        "contamination_check",
+        "dedup_apply_keep",
+        "dedup_components",
+        "dedup_embedding_lsh",
+        "dedup_incremental",
+        "dedup_span_grams",
+        "grouped_quantiles",
+        "grouping_sets",
+        "pack_sequences",
+        "profile_columns",
+        "profile_quantiles",
+        "scrub_pattern_counts",
+        "scrub_redact",
+        "sim_topk_quantized",
+        # 50 entries. NO further additions to this list this round — a
+        # new entry would displace a never-checked/stale slot and ship
+        # as an unverified claim; r09's queue is the place for it.
     ]
     registry: dict[str, Query] = {}
     for mod in (
