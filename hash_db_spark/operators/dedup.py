@@ -1658,7 +1658,23 @@ def embedding_near_dup_pairs(
                 out_c.extend(cos[i][mask])
             yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos": out_c})
 
-    return emb.select(id_col, vec_col).mapInPandas(
+    # The guard collect told us the exact row count, so size the scan-side
+    # parallelism to the data instead of inheriting the source's partition
+    # count: ~4096 vectors per Python worker keeps the BLAS blocks fat.
+    # At bench scale (2k vectors over 32 parquet partitions) this collapses
+    # 32 near-empty Arrow worker round-trips into one; at the 200k
+    # broadcast cap it still yields ~49 tasks. coalesce, not repartition —
+    # no shuffle, just fewer scan tasks.
+    import math
+
+    k = max(
+        1,
+        min(
+            emb.sparkSession.sparkContext.defaultParallelism,
+            math.ceil(len(rows) / 4096),
+        ),
+    )
+    return emb.select(id_col, vec_col).coalesce(k).mapInPandas(
         block, "id_a long, id_b long, cos double"
     )
 

@@ -324,10 +324,18 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     not, at 100 TB (the classic MapReduce triangle-counting fix).
     Counts are integers, so any enumeration order gives the oracle's
     exact answer (the oracle counts src<dst<z directly).
+
+    The edge list feeds the degree census plus three join branches, and
+    Spark re-executes an un-materialized subplan per consumer — fatal
+    when edges are an expensive derivation (the embedding near-dup
+    pairs ran 4x before this). One eager localCheckpoint pins the edge
+    list on the executors; every branch reads the materialized copy.
+    Edge lists are small next to the corpora they derive from, so the
+    executor storage cost is the right trade at any scale.
     """
+    edges = edges.localCheckpoint(eager=True)
     deg = (
-        edges.select(F.col("src").alias("n"))
-        .unionAll(edges.select(F.col("dst").alias("n")))
+        edges.select(F.explode(F.array("src", "dst")).alias("n"))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
@@ -385,10 +393,15 @@ def degree_histogram(edges: DataFrame) -> DataFrame:
     triangle/wedge joins above need hub mitigation). Two map-side-
     combined shuffles on integer keys; no row ever carries more than
     (node, count). Isolated nodes (degree 0) are not represented in an
-    edge list and so don't appear — matching the oracle."""
+    edge list and so don't appear — matching the oracle.
+
+    Endpoints come from ONE explode pass, not a self-unionAll: union's
+    two branches are separate subplans with no exchange between them,
+    so Spark executes the upstream edge plan TWICE — ruinous when edges
+    are an expensive derivation (the embedding near-dup pairs), and a
+    doubled scan even when they're a raw table."""
     return (
-        edges.select(F.col("src").alias("n"))
-        .unionAll(edges.select(F.col("dst").alias("n")))
+        edges.select(F.explode(F.array("src", "dst")).alias("n"))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("deg"))
         .groupBy("deg")
