@@ -188,6 +188,9 @@ def main() -> int:
             "bpe_train_merges",
             "url_dedup",
             "host_doc_caps",
+            # round-8 additions
+            "url_host_domains",
+            "dedup_image_in_video",
         ):
             timed(
                 f"{entry}/{scale}",
