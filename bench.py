@@ -128,6 +128,11 @@ HEADLINE: list[str] = [
     "bpe_train_merges",
     "url_dedup",
     "host_doc_caps",
+    # round-8 additions: registrable-domain dimension, cross-modal
+    # image-in-video containment, audio fingerprint near-dup
+    "url_host_domains",
+    "dedup_image_in_video",
+    "dedup_audio_pairs",
 ]
 
 

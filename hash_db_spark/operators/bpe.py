@@ -119,16 +119,52 @@ def bpe_train_merges(
     return spark.createDataFrame(merges, "round int, pair string, n long")
 
 
-def sql_bpe_train_merges(table: str, col: str, k: int = 4) -> str:
-    """Oracle twin: a generated k-level CTE chain where every level
-    recomputes the winner and replays the greedy merge with
-    gaps-and-islands arithmetic (merge at a match position iff its
-    offset inside a maximal consecutive-match streak is even — streaks
-    longer than 1 only occur for self-pairs, where greedy keeps the
-    even offsets)."""
+def bpe_train_encode(
+    docs: DataFrame, col: str, id_col: str, k: int = 4
+) -> DataFrame:
+    """Train ``k`` merges (bpe_train_merges' loop, same tie-break) and
+    apply ALL of them — the trainer's final state IS the encoded corpus,
+    so this is train+encode in one schedule: k count-shuffles, k scalar
+    winner collects, k Arrow merge passes, nothing else crossing to the
+    driver. Returns (id, n_tokens, enc) with ``enc`` the '|'-joined
+    token sequence (merged units keep their internal spaces, so the
+    join is unambiguous — clean_tokens emits no '|').
+
+    Encoding a NEW corpus with an existing merge table is the same
+    _merge_pass chain minus the counting: broadcast the (a, b) list and
+    replay rank order inside one Arrow pass (what production tokenizers
+    do per document)."""
+    cur = docs.select(
+        F.col(id_col).alias("id"), clean_tokens(col).alias("t")
+    ).localCheckpoint(eager=True)
+    for _rnd in range(1, k + 1):
+        top = (
+            _pair_counts(cur)
+            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        cur = _merge_pass(cur, top[0]["a"], top[0]["b"]).localCheckpoint(
+            eager=True
+        )
+    return cur.select(
+        "id",
+        F.size("t").cast("int").alias("n_tokens"),
+        F.array_join("t", "|").alias("enc"),
+    )
+
+
+def _sql_bpe_parts(
+    table: str, col: str, k: int, replay_last: bool, id_expr: str
+) -> list[str]:
+    """Shared CTE-chain generator: winner levels w1..wk, greedy-merge
+    replays t1..t{k-1} (and t{k} when ``replay_last`` — the encoder
+    needs the final state, the trainer only the winners)."""
     parts = [
         f"""t0 AS (
-  SELECT row_number() OVER () AS id, {sql_clean_tokens(col)} AS t
+  SELECT {id_expr} AS id, {sql_clean_tokens(col)} AS t
   FROM {table}
 )"""
     ]
@@ -146,7 +182,7 @@ w{j} AS (
   FROM p{j} ORDER BY n DESC, a ASC, b ASC LIMIT 1
 )"""
         )
-        if j < k:
+        if j < k or replay_last:
             parts.append(
                 f"""pos{j} AS (
   SELECT s.id, s.i, s.t[s.i] AS tok,
@@ -179,6 +215,19 @@ t{j} AS (
   GROUP BY s.id
 )"""
             )
+    return parts
+
+
+def sql_bpe_train_merges(table: str, col: str, k: int = 4) -> str:
+    """Oracle twin: a generated k-level CTE chain where every level
+    recomputes the winner and replays the greedy merge with
+    gaps-and-islands arithmetic (merge at a match position iff its
+    offset inside a maximal consecutive-match streak is even — streaks
+    longer than 1 only occur for self-pairs, where greedy keeps the
+    even offsets)."""
+    parts = _sql_bpe_parts(
+        table, col, k, replay_last=False, id_expr="row_number() OVER ()"
+    )
     unions = " UNION ALL ".join(
         f"SELECT {j} AS round, pair, CAST(n AS BIGINT) AS n FROM w{j}"
         for j in range(1, k + 1)
@@ -187,4 +236,30 @@ t{j} AS (
         "WITH "
         + ",\n".join(parts)
         + f"\nSELECT * FROM ({unions}) ORDER BY round"
+    )
+
+
+def sql_bpe_train_encode(
+    table: str, col: str, id_col: str, k: int = 4
+) -> str:
+    """Oracle twin of bpe_train_encode: the same winner/replay chain
+    carried through the FINAL merge, projected per document. Documents
+    whose token array came up empty (clean_tokens of symbol-only text)
+    still emit a row with n_tokens = 0 — the replay GROUP BY would drop
+    them, so they re-enter via the anti-joined t0 base."""
+    parts = _sql_bpe_parts(
+        table, col, k, replay_last=True, id_expr=id_col
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT id, CAST(len(t) AS INT) AS n_tokens,
+       array_to_string(t, '|') AS enc
+FROM t{k}
+UNION ALL
+SELECT id, 0 AS n_tokens, '' AS enc
+FROM t0
+WHERE len(t) = 0
+"""
     )

@@ -1049,3 +1049,79 @@ JOIN cand ON cand.h_img = i.simhash
 JOIN frc f ON f.simhash = cand.h_fr
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# audio near-dup: energy-contour difference hash (same 60-bit Hamming space)
+# ---------------------------------------------------------------------------
+
+AUDIO_HASH_BITS = 60
+
+
+def audio_energy_dhash(media: DataFrame) -> DataFrame:
+    """(id, dhash) for WAV payloads: REAL PCM16 decode, then a 60-bit
+    difference hash of the energy contour — bit j = energy at probe
+    j+1 strictly greater than at probe j, probes NN-sampled across the
+    clip (pos = (j * n) // 61, the image dHash's sampling rule in one
+    dimension). Gain-invariant: scaling every sample multiplies every
+    probe energy by the same factor, preserving each comparison — so a
+    re-mastered / volume-normalized copy hashes identically, which is
+    the property that makes this a FINGERPRINT rather than a checksum.
+
+    The synthetic clips are tiny (50-99 samples), so probes land on
+    single-sample energies; a production pipeline would probe STFT
+    frame energies instead — same hash assembly, same banding. Feeds
+    dedup.hamming_band_pairs like image/video/text hashes: the fourth
+    modality in the shared 60-bit near-dup machinery."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nb = AUDIO_HASH_BITS
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _, samples = wav_decode(bytes(payload))
+                e = samples.astype(np.int64) ** 2
+                n = len(e)
+                pos = [(j * n) // (nb + 1) for j in range(nb + 1)]
+                s = e[pos]
+                hsh = 0
+                for j in range(nb):
+                    if s[j + 1] > s[j]:
+                        hsh |= 1 << j
+                ids.append(mid)
+                hashes.append(hsh)
+            yield pd.DataFrame({"id": ids, "dhash": hashes})
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, "id long, dhash long"
+    )
+
+
+def sql_audio_energy_dhash(table: str, id_col: str) -> str:
+    """Closed-form (id, simhash) oracle for the synthetic WAV formula:
+    regenerates the probe energies from sample(t) = ((id*131 + t*17) %
+    2048) - 1024 and assembles the 60 bits with integer shifts."""
+    nb = AUDIO_HASH_BITS
+    return f"""
+WITH m AS (
+  SELECT {id_col} AS media_id, 50 + {id_col} % 50 AS n_samples FROM {table}
+),
+probe AS (
+  SELECT media_id, j.j,
+         ((media_id * 131 + ((j.j * n_samples) // {nb + 1}) * 17) % 2048
+          - 1024) AS v
+  FROM m,
+       LATERAL (SELECT unnest(generate_series(0, {nb})) AS j) j
+),
+bits AS (
+  SELECT a.media_id, a.j,
+         CASE WHEN b.v * b.v > a.v * a.v THEN 1 ELSE 0 END AS bit
+  FROM probe a JOIN probe b
+    ON b.media_id = a.media_id AND b.j = a.j + 1
+  WHERE a.j < {nb}
+)
+SELECT media_id AS id,
+       CAST(sum(bit * (1::BIGINT << j)) AS BIGINT) AS simhash
+FROM bits GROUP BY media_id
+"""

@@ -134,6 +134,18 @@ def q_dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.video_dup_pairs(frames)
 
 
+def q_dedup_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup: decode the synthetic PCM16 clips, 60-bit
+    energy-contour difference hash (gain-invariant), Hamming-band
+    near-pairs via the SAME banding as image/video/text — the fourth
+    modality in the shared 60-bit near-dup machinery."""
+    from hash_db_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = M.audio_energy_dhash(M.synth_wav_media(docs, "doc_id"))
+    return D.hamming_band_pairs(hashed, "dhash", max_hamming=3)
+
+
 def q_dedup_image_in_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal near-dup: which still images appear as frames of
     which clips — image dHash against per-frame dHash, exact equality
@@ -158,6 +170,14 @@ def _image_phash_oracle() -> str:
     )
 
 
+def _audio_pairs_oracle() -> str:
+    from hash_db_spark.operators.dedup import sql_hamming_band_pairs
+
+    return sql_hamming_band_pairs(
+        M.sql_audio_energy_dhash("documents", "doc_id"), max_hamming=3
+    )
+
+
 QUERIES = {
     "dedup_image_phash": Query(q_dedup_image_phash, _image_phash_oracle()),
     "dedup_video_frames": Query(
@@ -167,6 +187,10 @@ QUERIES = {
     "dedup_image_in_video": Query(
         q_dedup_image_in_video,
         M.sql_image_in_video("documents", "doc_id", VIDEO_SUBSET, "doc_id"),
+    ),
+    "dedup_audio_pairs": Query(
+        q_dedup_audio_pairs,
+        _audio_pairs_oracle(),
     ),
     "multimodal_meta_stats": Query(
         q_multimodal_meta_stats, MULTIMODAL_META_STATS_ORACLE

@@ -376,6 +376,27 @@ def _bpe_train_oracle() -> str:
     return sql_bpe_train_merges("documents", "text", k=4)
 
 
+BPE_ENCODE_SUBSET = "(SELECT * FROM documents WHERE doc_id % 11 = 5)"
+
+
+def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer application: train 4 merges, then emit every document's
+    encoded token sequence — the trainer's final distributed state IS
+    the encoding, so no extra pass. Subset keyed on doc_id keeps the
+    per-doc string emission gate-sized; training still sees the subset
+    corpus on both engines."""
+    from hash_db_spark.operators.bpe import bpe_train_encode
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 11 == 5)
+    return bpe_train_encode(docs, "text", "doc_id", k=4)
+
+
+def _bpe_encode_oracle() -> str:
+    from hash_db_spark.operators.bpe import sql_bpe_train_encode
+
+    return sql_bpe_train_encode(BPE_ENCODE_SUBSET, "text", "doc_id", k=4)
+
+
 def _bpe_merge_oracle() -> str:
     from hash_db_spark.operators.dedup import sql_clean_tokens
 
@@ -490,4 +511,5 @@ QUERIES = {
         q_bpe_merge_candidates, _bpe_merge_oracle()
     ),
     "bpe_train_merges": Query(q_bpe_train_merges, _bpe_train_oracle()),
+    "bpe_encode_corpus": Query(q_bpe_encode_corpus, _bpe_encode_oracle()),
 }

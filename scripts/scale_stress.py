@@ -191,6 +191,7 @@ def main() -> int:
             # round-8 additions
             "url_host_domains",
             "dedup_image_in_video",
+            "dedup_audio_pairs",
         ):
             timed(
                 f"{entry}/{scale}",

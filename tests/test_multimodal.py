@@ -224,3 +224,35 @@ def test_image_in_video_near_match_and_hot_cap(spark):
         ).collect()
     }
     assert got0 == {(100, 1): 2}
+
+
+def test_audio_energy_dhash_gain_invariant(spark):
+    """The energy-contour difference hash must be invariant under gain
+    scaling (a volume-normalized copy fingerprints identically) and
+    sensitive to contour reordering."""
+    import struct
+
+    import numpy as np
+
+    from hash_db_spark.operators import multimodal as M
+
+    def pcm16(samples):
+        data = np.asarray(samples, dtype="<i2").tobytes()
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(-400, 400, size=80)
+    rows = [
+        (1, bytearray(pcm16(base))),
+        (2, bytearray(pcm16(base * 2))),        # gain x2 -> same hash
+        (3, bytearray(pcm16(base[::-1]))),      # reversed contour
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.id: r.dhash for r in M.audio_energy_dhash(media).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+    assert 0 <= got[1] < 1 << 60

@@ -528,3 +528,38 @@ def test_bpe_train_merges_match_model(spark, docs):
         want.append((rnd, f"{a} {b}", n))
         corpus = [merge_pair_greedy(ts, a, b) for ts in corpus]
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(docs=st.lists(texts, min_size=1, max_size=6))
+def test_bpe_train_encode_match_model(spark, docs):
+    """train+encode vs a python replay of the same loop: per-doc token
+    counts and encoded sequences agree after every trained merge is
+    applied (the trainer's final state, including the k-th merge)."""
+    from collections import Counter
+
+    from hash_db_spark.operators.bpe import bpe_train_encode, merge_pair_greedy
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], ["doc_id", "text"]
+    )
+    got = {
+        r["id"]: (r["n_tokens"], r["enc"])
+        for r in bpe_train_encode(df, "text", "doc_id", k=3).collect()
+    }
+
+    corpus = {
+        i: [x for x in t.replace(",", "").split(" ") if x]
+        for i, t in enumerate(docs)
+    }
+    for _rnd in range(3):
+        counts: Counter = Counter()
+        for ts in corpus.values():
+            for a, b in zip(ts, ts[1:]):
+                counts[(a, b)] += 1
+        if not counts:
+            break
+        (a, b), _ = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        corpus = {i: merge_pair_greedy(ts, a, b) for i, ts in corpus.items()}
+    want = {i: (len(ts), "|".join(ts)) for i, ts in corpus.items()}
+    assert got == want
