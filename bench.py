@@ -133,6 +133,8 @@ HEADLINE: list[str] = [
     "url_host_domains",
     "dedup_image_in_video",
     "dedup_audio_pairs",
+    "dedup_image_incremental",
+    "bpe_encode_corpus",
 ]
 
 

@@ -1583,6 +1583,133 @@ WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
 """
 
 
+def hamming_pairs_against(
+    batch: DataFrame,
+    corpus: DataFrame,
+    hash_col: str,
+    max_hamming: int = 3,
+    max_band_bucket: int | None = MAX_BAND_BUCKET,
+) -> DataFrame:
+    """Incremental perceptual dedup: match a probe BATCH of 60-bit
+    hashes against an already-hashed corpus without corpus x corpus
+    pairs — the hamming analog of minhash_pairs_against (index once,
+    probe per batch). Both inputs expose (id, hash_col); returns
+    (batch_id, corpus_id, hamming), hamming <= max_hamming.
+
+    Only the CORPUS side is banded and hot-capped (the batch is small
+    by contract): corpus band buckets over ``max_band_bucket`` members
+    are boilerplate (flat gradients, silence) and leave the band join;
+    hot hashes are rescued by EXACT equality against the batch, so an
+    exact duplicate of boilerplate is still caught, while near-misses
+    of boilerplate are consciously dropped (same trade as
+    hamming_band_pairs' rescue). With a persisted index the corpus
+    bands come pre-bucketed from parquet and the probe prunes to the
+    batch's (band, byte) buckets — scan, never shuffle."""
+    bsh = batch.select(F.col("id").alias("batch_id"),
+                       F.col(hash_col).alias("bsim"))
+    csh = corpus.select(F.col("id").alias("corpus_id"),
+                        F.col(hash_col).alias("csim"))
+
+    def banded(sh: DataFrame, id_out: str, sim_col: str) -> DataFrame:
+        return sh.select(
+            id_out,
+            sim_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("band"),
+                            F.shiftright(F.col(sim_col), k * SIMHASH_BAND_BITS)
+                            .bitwiseAND(SIMHASH_BAND_MASK)
+                            .alias("byte"),
+                        )
+                        for k in range(SIMHASH_BANDS)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(
+            id_out, sim_col,
+            F.col("bk.band").alias("band"), F.col("bk.byte").alias("byte"),
+        )
+
+    cbands = banded(csh, "corpus_id", "csim")
+    hot = None
+    if max_band_bucket is not None:
+        cbands, hot = split_hot_buckets(cbands, ["band", "byte"], max_band_bucket)
+    bbands = banded(bsh, "batch_id", "bsim")
+    cands = bbands.join(cbands, ["band", "byte"]).select(
+        "batch_id", "corpus_id", "bsim", "csim"
+    )
+    if hot is not None:
+        rescue = bsh.join(
+            hot.select("corpus_id", "csim").distinct(),
+            F.col("bsim") == F.col("csim"),
+        ).select("batch_id", "corpus_id", "bsim", "csim")
+        cands = cands.unionByName(rescue)
+    ham = F.bit_count(F.col("bsim").bitwiseXOR(F.col("csim")))
+    return (
+        cands.filter(ham <= max_hamming)
+        .select("batch_id", "corpus_id", ham.alias("hamming"))
+        .distinct()
+    )
+
+
+def sql_hamming_pairs_against(
+    batch_sql: str,
+    corpus_sql: str,
+    max_hamming: int = 3,
+    max_band_bucket: int | None = MAX_BAND_BUCKET,
+) -> str:
+    """Oracle twin of hamming_pairs_against: both inputs yield
+    (id, simhash); corpus-side band-bucket cap + exact-equality hot
+    rescue mirrored term for term."""
+    cband = " UNION ALL ".join(
+        f"SELECT id, simhash, {k} AS band, "
+        f"(simhash >> {k * SIMHASH_BAND_BITS}) & {SIMHASH_BAND_MASK} AS byte "
+        f"FROM corp"
+        for k in range(SIMHASH_BANDS)
+    )
+    bband = " UNION ALL ".join(
+        f"SELECT id, simhash, {k} AS band, "
+        f"(simhash >> {k * SIMHASH_BAND_BITS}) & {SIMHASH_BAND_MASK} AS byte "
+        f"FROM bat"
+        for k in range(SIMHASH_BANDS)
+    )
+    if max_band_bucket is not None:
+        cands = f"""
+cbn AS (
+  SELECT *, count(*) OVER (PARTITION BY band, byte) AS n FROM cbands
+),
+cands AS (
+  SELECT b.id AS batch_id, c.id AS corpus_id,
+         b.simhash AS bsim, c.simhash AS csim
+  FROM bbands b JOIN cbn c ON c.band = b.band AND c.byte = b.byte
+  WHERE c.n <= {max_band_bucket}
+  UNION ALL
+  SELECT b.id, c.id, b.simhash, c.simhash
+  FROM bat b JOIN (
+    SELECT DISTINCT id, simhash FROM cbn WHERE n > {max_band_bucket}
+  ) c ON c.simhash = b.simhash
+)"""
+    else:
+        cands = """
+cands AS (
+  SELECT b.id AS batch_id, c.id AS corpus_id,
+         b.simhash AS bsim, c.simhash AS csim
+  FROM bbands b JOIN cbands c ON c.band = b.band AND c.byte = b.byte
+)"""
+    return f"""
+WITH bat AS ({batch_sql}),
+corp AS ({corpus_sql}),
+cbands AS ({cband}),
+bbands AS ({bband}),{cands}
+SELECT DISTINCT batch_id, corpus_id,
+       bit_count(xor(bsim, csim)) AS hamming
+FROM cands
+WHERE bit_count(xor(bsim, csim)) <= {max_hamming}
+"""
+
+
 # ---------------------------------------------------------------------------
 # 5. embedding cosine near-dup
 # ---------------------------------------------------------------------------

@@ -146,6 +146,33 @@ def q_dedup_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.hamming_band_pairs(hashed, "dhash", max_hamming=3)
 
 
+def q_dedup_image_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental perceptual dedup: every 10th image is the 'new
+    batch', probed against the indexed remainder in the 60-bit dHash
+    space — corpus bands capped, boilerplate rescued by exact equality
+    (dedup.hamming_pairs_against). Completes multimodal parity with the
+    text (dedup_incremental) and embedding
+    (dedup_embedding_incremental) ingest paths."""
+    from hash_db_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = M.image_dhash(M.synth_ppm_media(docs, "doc_id"))
+    batch = hashed.filter(F.col("id") % 10 == 0)
+    corpus = hashed.filter(F.col("id") % 10 != 0)
+    return D.hamming_pairs_against(batch, corpus, "dhash", max_hamming=3)
+
+
+def _image_incr_oracle() -> str:
+    from hash_db_spark.operators.dedup import sql_hamming_pairs_against
+
+    hashes = M.sql_image_dhash("documents", "doc_id")
+    return sql_hamming_pairs_against(
+        f"SELECT * FROM ({hashes}) WHERE id % 10 = 0",
+        f"SELECT * FROM ({hashes}) WHERE id % 10 != 0",
+        max_hamming=3,
+    )
+
+
 def q_dedup_image_in_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal near-dup: which still images appear as frames of
     which clips — image dHash against per-frame dHash, exact equality
@@ -191,6 +218,10 @@ QUERIES = {
     "dedup_audio_pairs": Query(
         q_dedup_audio_pairs,
         _audio_pairs_oracle(),
+    ),
+    "dedup_image_incremental": Query(
+        q_dedup_image_incremental,
+        _image_incr_oracle(),
     ),
     "multimodal_meta_stats": Query(
         q_multimodal_meta_stats, MULTIMODAL_META_STATS_ORACLE

@@ -192,6 +192,8 @@ def main() -> int:
             "url_host_domains",
             "dedup_image_in_video",
             "dedup_audio_pairs",
+            "dedup_image_incremental",
+            "bpe_encode_corpus",
         ):
             timed(
                 f"{entry}/{scale}",

@@ -491,3 +491,47 @@ def test_capped_index_probe_exact_dup_rescue(spark):
     )
     olds = sorted(r.old_id for r in got.collect())
     assert olds == [10, 11, 12]
+
+
+def test_hamming_pairs_against_probe_cap_and_rescue(spark):
+    """Batch-vs-corpus hamming probe: near matches found via bands,
+    boilerplate corpus buckets excluded but exact-equal boilerplate
+    rescued, batch never pairs with itself."""
+    from hash_db_spark.operators import dedup as D
+
+    BOILER = (1 << 30) | 3
+    batch = spark.createDataFrame(
+        [
+            (1000, 0b1111),            # near-dup of corpus 1/2
+            (1001, BOILER),            # exact copy of hot boilerplate
+            (1002, (1 << 59) | 1),     # matches nothing
+        ],
+        ["id", "dhash"],
+    )
+    corpus_rows = [(1, 0b1111), (2, 0b1111 | (1 << 5))]
+    # 70 corpus members share BOILER -> every band bucket it occupies
+    # exceeds cap 64 -> band join skips it; exact rescue still fires.
+    corpus_rows += [(100 + i, BOILER) for i in range(70)]
+    corpus = spark.createDataFrame(corpus_rows, ["id", "dhash"])
+    got = {
+        (r.batch_id, r.corpus_id): r.hamming
+        for r in D.hamming_pairs_against(
+            batch, corpus, "dhash", max_hamming=3, max_band_bucket=64
+        ).collect()
+    }
+    expect = {(1000, 1): 0, (1000, 2): 1}
+    expect.update({(1001, 100 + i): 0 for i in range(70)})
+    assert got == expect
+
+    # near-miss of boilerplate (hamming 1) is consciously dropped: its
+    # cold bands don't match, and rescue is exact-only
+    near_boiler = spark.createDataFrame(
+        [(2000, BOILER ^ (1 << 2))], ["id", "dhash"]
+    )
+    got2 = D.hamming_pairs_against(
+        near_boiler, corpus, "dhash", max_hamming=3, max_band_bucket=64
+    ).collect()
+    assert [
+        (r.batch_id, r.corpus_id) for r in got2
+        if r.corpus_id >= 100
+    ] == []

@@ -522,9 +522,10 @@ def test_bpe_train_merges_match_model(spark, docs):
                 counts[(a, b)] += 1
         if not counts:
             break
-        (a, b), n = min(
-            counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
-        )
+        # tie-break on COMPONENTS (a, b), not the joined string — the
+        # space-joined form is ambiguous once merged units contain
+        # spaces, exactly the divergence the r07 trainer fix closed.
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
         want.append((rnd, f"{a} {b}", n))
         corpus = [merge_pair_greedy(ts, a, b) for ts in corpus]
     assert got == want
