@@ -356,3 +356,125 @@ def compact_files(
         if f.getPath().getName().endswith(".parquet")
     ]
     return len(written)
+
+
+# ---------------------------------------------------------------------------
+# perceptual (60-bit dHash) band index — the multimodal analog of the
+# MinHash band index above: same meta/modulus discipline, same probe
+# pruning, hash-value rows instead of shingle bands.
+# ---------------------------------------------------------------------------
+
+
+def write_dhash_index(
+    hashes: DataFrame,
+    path: str,
+    byte_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Persist perceptual hashes as a pre-banded index so incremental
+    media dedup never re-decodes payloads: bands/(id, dhash, band,
+    byte) — 4 rows per hash, SIMHASH banding — partitioned by a byte
+    hash bucket for probe pruning. The bucket modulus is index metadata
+    (write_minhash_index's discipline verbatim): appends with a
+    different modulus are refused, a present-but-empty meta (torn prior
+    write) demands a rebuild."""
+    from hash_db_spark.operators.dedup import (
+        SIMHASH_BAND_BITS,
+        SIMHASH_BAND_MASK,
+        SIMHASH_BANDS,
+    )
+
+    bands = hashes.select(
+        "id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.shiftright(F.col("dhash"), k * SIMHASH_BAND_BITS)
+                        .bitwiseAND(SIMHASH_BAND_MASK)
+                        .alias("byte"),
+                    )
+                    for k in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "id", "dhash",
+        F.col("bk.band").alias("band"), F.col("bk.byte").alias("byte"),
+        (F.col("bk.byte") % byte_buckets).cast("int").alias("byte_bucket"),
+    )
+    spark = hashes.sparkSession
+    if mode == "append":
+        from pyspark.errors import AnalysisException
+
+        try:
+            meta_rows = spark.read.parquet(f"{path}/meta").collect()
+            if not meta_rows:
+                raise ValueError(
+                    f"dhash index at {path} has a torn meta (present but "
+                    "empty): rebuild the index (mode='overwrite') or "
+                    "restore meta/ before appending."
+                )
+            existing = meta_rows[0]["byte_buckets"]
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            existing = None
+        if existing is not None and existing != int(byte_buckets):
+            raise ValueError(
+                f"dhash index at {path} was bucketed with "
+                f"byte_buckets={existing}; appending with "
+                f"byte_buckets={byte_buckets} would corrupt probe pruning"
+            )
+    (
+        bands.repartition("byte_bucket")
+        .write.partitionBy("byte_bucket")
+        .mode(mode)
+        .parquet(f"{path}/bands")
+    )
+    spark.createDataFrame(
+        [(int(byte_buckets),)], "byte_buckets int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def dhash_index_probe(
+    spark: SparkSession, path: str, batch_hashes: DataFrame
+) -> DataFrame:
+    """The persisted corpus hashes pruned to the probe batch's byte
+    buckets, as a distinct (id, dhash) relation ready for
+    dedup.hamming_pairs_against. Pruning keeps every corpus hash
+    sharing ANY band byte with the batch — a superset of band-join
+    candidates — and an exact-equal hash shares all four bytes, so the
+    hot-bucket rescue survives pruning too. The batch's distinct bucket
+    set collects driver-side (a batch is small by contract) and becomes
+    a partition predicate."""
+    from hash_db_spark.operators.dedup import (
+        SIMHASH_BAND_BITS,
+        SIMHASH_BAND_MASK,
+        SIMHASH_BANDS,
+    )
+
+    bb = spark.read.parquet(f"{path}/meta").collect()[0]["byte_buckets"]
+    buckets = sorted(
+        {
+            r["b"]
+            for k in range(SIMHASH_BANDS)
+            for r in batch_hashes.select(
+                (
+                    F.shiftright(F.col("dhash"), k * SIMHASH_BAND_BITS)
+                    .bitwiseAND(SIMHASH_BAND_MASK)
+                    % bb
+                ).cast("int").alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+    )
+    return (
+        spark.read.parquet(f"{path}/bands")
+        .filter(F.col("byte_bucket").isin(buckets))
+        .select("id", "dhash")
+        .distinct()
+    )

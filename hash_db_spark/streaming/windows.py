@@ -394,3 +394,94 @@ def read_ingested(spark, out_path: str, id_col: str = "doc_id") -> DataFrame:
     finish with an exact keyed dedup (cheap: one shuffle on the id, and
     re-appended rows are byte-identical so ANY winner is correct)."""
     return spark.read.parquet(out_path).dropDuplicates([id_col])
+
+
+def streaming_media_ingest_dedup(
+    media_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+):
+    """Perceptual ingest-dedup for media streams — the multimodal twin
+    of streaming_ingest_dedup: per micro-batch, (1) dHash every payload
+    once, (2) collapse the batch's internal near-dups (band pairs ->
+    keep one per cluster), (3) probe the PERSISTED dhash band index for
+    near-dups against everything already ingested, (4) append only
+    novel media to ``out_path`` and their hashes to ``index_path``.
+
+    Payload bytes are decoded exactly once per ingest (the index stores
+    60-bit hashes, 4 skinny band rows each); re-ingesting a corpus
+    later probes hashes, never pixels. Probe shape: the batch's byte
+    buckets prune the index scan (sources.writers.dhash_index_probe),
+    then dedup.hamming_pairs_against verifies — corpus side banded and
+    hot-capped, exact-equal boilerplate rescued.
+
+    Delivery semantics are streaming_ingest_dedup's verbatim: media
+    append first, index append second, so a crash between them replays
+    as at-least-once rows in ``out_path`` (cleaned by a keyed read)
+    rather than data loss. Returns the StreamingQuery (availableNow
+    trigger)."""
+    from pyspark.errors import AnalysisException
+
+    from hash_db_spark.operators import dedup as D
+    from hash_db_spark.operators import multimodal as M
+    from hash_db_spark.sources.writers import (
+        dhash_index_probe,
+        write_dhash_index,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # (1) decode + hash ONCE: feeds the pair join (2 sides), the
+        # probe, and the index append — without materialization the
+        # mapInPandas decode would re-run per consumer.
+        hashed = (
+            M.image_dhash(
+                batch_df.select(F.col(id_col).alias("media_id"), "payload")
+            )
+            .localCheckpoint(eager=True)
+        )
+        # (2) within-batch collapse
+        pairs = D.hamming_band_pairs(hashed, "dhash", max_hamming=max_hamming)
+        batch_kept = D.apply_dedup_keep(hashed, pairs, "id")
+        # (3) probe the persisted index; only PATH_NOT_FOUND means
+        # "first batch" (streaming_ingest_dedup's error discipline: a
+        # swallowed transient storage error would re-ingest every dup).
+        try:
+            corpus = dhash_index_probe(spark, index_path, batch_kept)
+            dup_ids = (
+                D.hamming_pairs_against(
+                    batch_kept, corpus, "dhash", max_hamming=max_hamming
+                )
+                .select(F.col("batch_id").alias("id"))
+                .distinct()
+            )
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            dup_ids = spark.createDataFrame([], batch_kept.select("id").schema)
+        novel_ids = batch_kept.select("id").join(dup_ids, "id", "left_anti").cache()
+        try:
+            (
+                batch_df.join(
+                    novel_ids.withColumnRenamed("id", id_col), id_col, "left_semi"
+                )
+                .write.mode("append")
+                .parquet(out_path)
+            )
+            write_dhash_index(
+                batch_kept.join(novel_ids, "id", "left_semi"),
+                index_path,
+                mode="append",
+            )
+        finally:
+            novel_ids.unpersist()
+
+    return (
+        media_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

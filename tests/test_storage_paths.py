@@ -421,3 +421,50 @@ def test_streaming_ingest_probes_despite_missing_meta(spark, tmp_path):
 
     kept = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert kept == {1, 3}  # the dup of 1 was dropped, the novel doc kept
+
+
+def test_streaming_media_ingest_dedup_end_to_end(spark, tmp_path):
+    """Perceptual streaming ingest: batch 1 seeds the dhash index;
+    batch 2 carries an exact pixel dup of a seeded image plus a novel
+    raster — the dup is dropped via the persisted index probe, the
+    novel image lands, and its hashes append to the index."""
+    from hash_db_spark.operators.multimodal import ppm_encode
+    from hash_db_spark.streaming import windows as W
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "kept")
+
+    def media_df(rows):
+        return spark.createDataFrame(
+            [(mid, bytearray(payload)) for mid, payload in rows],
+            "media_id long, payload binary",
+        )
+
+    # Batch 1: two distinct rasters.
+    b1 = media_df([(1, ppm_encode(1, 8, 6)), (2, ppm_encode(2, 9, 5))])
+    src1 = str(tmp_path / "src1")
+    b1.coalesce(1).write.parquet(src1)
+    W.streaming_media_ingest_dedup(
+        spark.readStream.schema(b1.schema).parquet(src1),
+        index_path=idx, out_path=out,
+        checkpoint=str(tmp_path / "ckpt1"),
+    ).awaitTermination(120)
+
+    # Batch 2: media 3 has media 1's exact pixels (same generative id),
+    # media 4 is novel.
+    b2 = media_df([(3, ppm_encode(1, 8, 6)), (4, ppm_encode(7, 10, 4))])
+    src2 = str(tmp_path / "src2")
+    b2.coalesce(1).write.parquet(src2)
+    W.streaming_media_ingest_dedup(
+        spark.readStream.schema(b2.schema).parquet(src2),
+        index_path=idx, out_path=out,
+        checkpoint=str(tmp_path / "ckpt2"),
+    ).awaitTermination(120)
+
+    kept = {r.media_id for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 2, 4}
+    # index holds 4 band rows per surviving hash, for exactly ids 1,2,4
+    bands = spark.read.parquet(f"{idx}/bands")
+    idx_ids = {r.id for r in bands.select("id").distinct().collect()}
+    assert idx_ids == {1, 2, 4}
+    assert bands.count() == 12
