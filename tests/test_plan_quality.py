@@ -382,3 +382,50 @@ def test_embedding_incremental_broadcasts_batch(spark, sf_dir):
     assert s.broadcast_joins >= 1
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_image_in_video_no_cartesian_and_candidates_on_distinct(spark, sf_dir):
+    """The cross-modal containment join must band-join distinct hash
+    VALUES (never all-pairs) and keep every join an equijoin — a
+    cartesian/BNL anywhere is the quadratic blowup the design exists to
+    avoid."""
+    from hash_db_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(REG["dedup_image_in_video"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # candidate stage dedupes hash values before the fact joins
+    assert "HashAggregate" in plan
+
+
+def test_hamming_pairs_against_equijoins_only(spark, sf_dir):
+    """Batch-vs-corpus perceptual probe: (band, byte) equijoin + exact
+    rescue — no cartesian, no nested loop, and the verify stays a
+    post-join filter (bit_count), never a join condition explosion."""
+    from hash_db_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(REG["dedup_image_incremental"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_encode_single_python_chain(spark, sf_dir):
+    """bpe_train_encode's output plan reads the checkpointed final
+    state: no re-derivation of earlier rounds (the k merge passes ran
+    at build), so the emitted plan is scan -> project, not k stacked
+    Python evals."""
+    from hash_db_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(REG["bpe_encode_corpus"].fn(spark, sf_dir))
+    assert plan.count("MapInPandas") == 0  # final state is materialized
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_audio_pairs_shares_banding_shape(spark, sf_dir):
+    """Audio near-dup rides the shared hamming banding: equijoins only,
+    and the decode is ONE MapInPandas pass feeding the band explode."""
+    from hash_db_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(REG["dedup_audio_pairs"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
