@@ -135,6 +135,8 @@ HEADLINE: list[str] = [
     "dedup_audio_pairs",
     "dedup_image_incremental",
     "bpe_encode_corpus",
+    "dedup_audio_incremental",
+    "media_dup_clusters",
 ]
 
 

@@ -173,6 +173,57 @@ def _image_incr_oracle() -> str:
     )
 
 
+def q_dedup_audio_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental audio dedup: every 10th clip's fingerprint probed
+    against the indexed remainder — same hamming_pairs_against shape as
+    images, so every modality shares one incremental-ingest
+    implementation."""
+    from hash_db_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = M.audio_energy_dhash(M.synth_wav_media(docs, "doc_id"))
+    batch = hashed.filter(F.col("id") % 10 == 0)
+    corpus = hashed.filter(F.col("id") % 10 != 0)
+    return D.hamming_pairs_against(batch, corpus, "dhash", max_hamming=3)
+
+
+def _audio_incr_oracle() -> str:
+    from hash_db_spark.operators.dedup import sql_hamming_pairs_against
+
+    hashes = M.sql_audio_energy_dhash("documents", "doc_id")
+    return sql_hamming_pairs_against(
+        f"SELECT * FROM ({hashes}) WHERE id % 10 = 0",
+        f"SELECT * FROM ({hashes}) WHERE id % 10 != 0",
+        max_hamming=3,
+    )
+
+
+def q_media_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignment for image near-dups: the banded pair relation
+    transitive-closed into (id, cluster) via the shared union-find
+    (dedup.connected_components) — what a curation pipeline joins back
+    to pick one representative per perceptual cluster, completing
+    media parity with the text dup-cluster path."""
+    from hash_db_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = M.image_dhash(M.synth_ppm_media(docs, "doc_id"))
+    pairs = D.hamming_band_pairs(hashed, "dhash", max_hamming=3)
+    return D.connected_components(pairs)
+
+
+def _media_clusters_oracle() -> str:
+    from hash_db_spark.operators.dedup import (
+        sql_connected_components,
+        sql_hamming_band_pairs,
+    )
+
+    pairs = sql_hamming_band_pairs(
+        M.sql_image_dhash("documents", "doc_id"), max_hamming=3
+    )
+    return sql_connected_components(pairs)
+
+
 def q_dedup_image_in_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal near-dup: which still images appear as frames of
     which clips — image dHash against per-frame dHash, exact equality
@@ -222,6 +273,14 @@ QUERIES = {
     "dedup_image_incremental": Query(
         q_dedup_image_incremental,
         _image_incr_oracle(),
+    ),
+    "dedup_audio_incremental": Query(
+        q_dedup_audio_incremental,
+        _audio_incr_oracle(),
+    ),
+    "media_dup_clusters": Query(
+        q_media_dup_clusters,
+        _media_clusters_oracle(),
     ),
     "multimodal_meta_stats": Query(
         q_multimodal_meta_stats, MULTIMODAL_META_STATS_ORACLE

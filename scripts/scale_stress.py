@@ -194,6 +194,8 @@ def main() -> int:
             "dedup_audio_pairs",
             "dedup_image_incremental",
             "bpe_encode_corpus",
+            "dedup_audio_incremental",
+            "media_dup_clusters",
         ):
             timed(
                 f"{entry}/{scale}",
