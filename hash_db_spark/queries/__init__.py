@@ -57,14 +57,21 @@ def all_queries() -> dict[str, Query]:
     # — all 17 r01, all 12 r02, and the first 14 of 19 r03. That fills the
     # 50-slot window exactly.
     #
-    # ROUND-9 WINDOW HEAD (the 14-entry residual, verbatim — recompute with
-    # the tool before trusting, but this is the plan of record):
-    #   r03-green: stratified_sample, stream_sessions,
+    # ROUND-9 WINDOW HEAD (recomputed at r08 session end with the fixed
+    # tool — 20 entries; recompute before trusting, but this is the plan
+    # of record):
+    #   never-checked (r08 session-2 additions, all sim-green):
+    #     dedup_audio_pairs, dedup_image_incremental,
+    #     dedup_audio_incremental, media_dup_clusters, bpe_encode_corpus
+    #   newly stale (r08's degree_histogram explode fix; re-simmed green):
+    #     graph_degree_hist
+    #   r03-green residual: stratified_sample, stream_sessions,
     #     stream_stateful_counter, top_ngrams_per_lang, unpivot_measures
-    #   r04-green: bloom_decontaminate, cdc_scd2_history, cms_user_counts,
-    #     fts_phrase, histo_quantiles, sim_topk_ivf_kmeans,
-    #     stream_dedup_within_wm, stream_stream_join, zorder_values
-    # plus anything r08's own code changes taint; r08 additions after that.
+    #   r04-green residual: bloom_decontaminate, cdc_scd2_history,
+    #     cms_user_counts, fts_phrase, histo_quantiles,
+    #     sim_topk_ivf_kmeans, stream_dedup_within_wm, stream_stream_join,
+    #     zorder_values
+    # plus anything r09's own code changes taint; r09 additions after.
     priority = [
         # --- never driver-checked (7): cheap url entries first to
         # absorb the window's JVM/codegen warmup ---------------------
