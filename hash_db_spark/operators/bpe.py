@@ -185,10 +185,10 @@ w{j} AS (
         if j < k or replay_last:
             parts.append(
                 f"""pos{j} AS (
-  SELECT s.id, s.i, s.t[s.i] AS tok,
-         (s.t[s.i] = w.a AND s.t[s.i + 1] = w.b) AS m
+  SELECT s.id, s.i, s.t[s.i] AS tok, w.a AS wa, w.b AS wb,
+         coalesce(s.t[s.i] = w.a AND s.t[s.i + 1] = w.b, FALSE) AS m
   FROM (SELECT id, t, unnest(generate_series(1, len(t))) AS i
-        FROM {prev}) s, w{j} w
+        FROM {prev}) s LEFT JOIN w{j} w ON TRUE
 ),
 isl{j} AS (
   SELECT *, i - row_number() OVER (
@@ -196,8 +196,7 @@ isl{j} AS (
   FROM pos{j}
 ),
 mrk{j} AS (
-  SELECT id, i, tok, m,
-         m AND (i - min(i) OVER (PARTITION BY id, m, grp)) % 2 = 0
+  SELECT *, m AND (i - min(i) OVER (PARTITION BY id, m, grp)) % 2 = 0
            AS merge_at
   FROM isl{j}
 ),
@@ -208,9 +207,9 @@ emit{j} AS (
 ),
 t{j} AS (
   SELECT s.id,
-         list(CASE WHEN s.merge_at THEN w.a || ' ' || w.b
+         list(CASE WHEN s.merge_at THEN s.wa || ' ' || s.wb
                    ELSE s.tok END ORDER BY s.i) AS t
-  FROM emit{j} s, w{j} w
+  FROM emit{j} s
   WHERE NOT s.merged_prev
   GROUP BY s.id
 )"""

@@ -1083,12 +1083,16 @@ def audio_energy_dhash(media: DataFrame) -> DataFrame:
                 _, samples = wav_decode(bytes(payload))
                 e = samples.astype(np.int64) ** 2
                 n = len(e)
-                pos = [(j * n) // (nb + 1) for j in range(nb + 1)]
-                s = e[pos]
                 hsh = 0
-                for j in range(nb):
-                    if s[j + 1] > s[j]:
-                        hsh |= 1 << j
+                if n > 0:
+                    # n = 0 would index e[0] below — a zero-sample clip
+                    # (valid RIFF, empty data chunk) hashes to 0, the
+                    # flat-contour fingerprint.
+                    pos = [(j * n) // (nb + 1) for j in range(nb + 1)]
+                    s = e[pos]
+                    for j in range(nb):
+                        if s[j + 1] > s[j]:
+                            hsh |= 1 << j
                 ids.append(mid)
                 hashes.append(hsh)
             yield pd.DataFrame({"id": ids, "dhash": hashes})

@@ -256,3 +256,10 @@ def test_audio_energy_dhash_gain_invariant(spark):
     assert got[1] == got[2]
     assert got[1] != got[3]
     assert 0 <= got[1] < 1 << 60
+
+    # a zero-sample clip (valid RIFF, empty data) hashes to 0 instead of
+    # crashing on the first probe index
+    empty = spark.createDataFrame(
+        [(9, bytearray(pcm16([])))], "media_id long, payload binary"
+    )
+    assert [r.dhash for r in M.audio_energy_dhash(empty).collect()] == [0]

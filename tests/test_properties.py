@@ -564,3 +564,52 @@ def test_bpe_train_encode_match_model(spark, docs):
         corpus = {i: merge_pair_greedy(ts, a, b) for i, ts in corpus.items()}
     want = {i: (len(ts), "|".join(ts)) for i, ts in corpus.items()}
     assert got == want
+
+
+def test_bpe_oracle_parity_on_degenerate_corpora(spark):
+    """Spark trainer/encoder vs the DuckDB oracle CTEs on corpora that
+    exhaust before k rounds: all-single-token docs (round-1 winner
+    absent) and a corpus that dries up after one merge. The replay
+    levels must carry tokens through an EMPTY winner (LEFT JOIN, not
+    cross join — a cross join with an empty winner CTE silently empties
+    the whole replay and the encoder diverges from Spark's break)."""
+    import duckdb
+    import pandas as pd
+
+    from hash_db_spark.operators.bpe import (
+        bpe_train_encode,
+        bpe_train_merges,
+        sql_bpe_train_encode,
+        sql_bpe_train_merges,
+    )
+
+    for rows in (
+        [(1, "alpha"), (2, "beta"), (3, "gamma")],
+        [(1, "x y"), (2, "x y"), (3, "solo")],
+        [(1, "a b a b"), (2, "a b c"), (3, "c c c c")],
+    ):
+        sdf = spark.createDataFrame(rows, ["doc_id", "text"])
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+        got = sorted(
+            (r.id, r.n_tokens, r.enc)
+            for r in bpe_train_encode(sdf, "text", "doc_id", k=3).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                sql_bpe_train_encode("documents", "text", "doc_id", k=3)
+            ).fetchall()
+        )
+        assert got == want, rows
+        gt = sorted(
+            tuple(r)
+            for r in bpe_train_merges(sdf, "text", "doc_id", k=3).collect()
+        )
+        wt = sorted(
+            tuple(r)
+            for r in con.execute(
+                sql_bpe_train_merges("documents", "text", k=3)
+            ).fetchall()
+        )
+        assert gt == wt, rows
