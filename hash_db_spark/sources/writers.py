@@ -457,16 +457,25 @@ def dhash_index_probe(
     )
 
     bb = spark.read.parquet(f"{path}/meta").collect()[0]["byte_buckets"]
+    # ONE job for all four bands (explode), not one collect per band —
+    # probe overhead is per-micro-batch, so driver round-trips count.
     buckets = sorted(
         {
             r["b"]
-            for k in range(SIMHASH_BANDS)
             for r in batch_hashes.select(
-                (
-                    F.shiftright(F.col("dhash"), k * SIMHASH_BAND_BITS)
-                    .bitwiseAND(SIMHASH_BAND_MASK)
-                    % bb
-                ).cast("int").alias("b")
+                F.explode(
+                    F.array(
+                        *[
+                            (
+                                F.shiftright(
+                                    F.col("dhash"), k * SIMHASH_BAND_BITS
+                                ).bitwiseAND(SIMHASH_BAND_MASK)
+                                % bb
+                            ).cast("int")
+                            for k in range(SIMHASH_BANDS)
+                        ]
+                    )
+                ).alias("b")
             )
             .distinct()
             .collect()

@@ -449,8 +449,27 @@ def streaming_media_ingest_dedup(
         # (3) probe the persisted index; only PATH_NOT_FOUND means
         # "first batch" (streaming_ingest_dedup's error discipline: a
         # swallowed transient storage error would re-ingest every dup).
+        # A missing META with bands/ PRESENT (torn prior write — bands
+        # land before meta) is NOT a first batch: skipping the probe
+        # would append every near-dup as novel. Fall back to the
+        # unpruned bands relation — correct, just unprimed for pruning
+        # (the text loop's exact discipline).
         try:
             corpus = dhash_index_probe(spark, index_path, batch_kept)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            try:
+                corpus = (
+                    spark.read.parquet(f"{index_path}/bands")
+                    .select("id", "dhash")
+                    .distinct()
+                )
+            except AnalysisException as e2:
+                if "PATH_NOT_FOUND" not in str(e2):
+                    raise
+                corpus = None
+        if corpus is not None:
             dup_ids = (
                 D.hamming_pairs_against(
                     batch_kept, corpus, "dhash", max_hamming=max_hamming
@@ -458,9 +477,7 @@ def streaming_media_ingest_dedup(
                 .select(F.col("batch_id").alias("id"))
                 .distinct()
             )
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" not in str(e):
-                raise
+        else:
             dup_ids = spark.createDataFrame([], batch_kept.select("id").schema)
         novel_ids = batch_kept.select("id").join(dup_ids, "id", "left_anti").cache()
         try:

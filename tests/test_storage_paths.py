@@ -468,3 +468,46 @@ def test_streaming_media_ingest_dedup_end_to_end(spark, tmp_path):
     idx_ids = {r.id for r in bands.select("id").distinct().collect()}
     assert idx_ids == {1, 2, 4}
     assert bands.count() == 12
+
+
+def test_streaming_media_ingest_probes_despite_missing_meta(spark, tmp_path):
+    """bands/ present but meta/ absent (torn dhash-index write) is NOT a
+    first batch: the media ingest loop must still probe — via the
+    unpruned bands relation — so an exact dup of an indexed image is
+    dropped, not re-ingested as novel."""
+    import shutil
+
+    from hash_db_spark.operators.multimodal import ppm_encode
+    from hash_db_spark.streaming import windows as W
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "kept")
+
+    def media_df(rows):
+        return spark.createDataFrame(
+            [(mid, bytearray(p)) for mid, p in rows],
+            "media_id long, payload binary",
+        )
+
+    b1 = media_df([(1, ppm_encode(1, 8, 6))])
+    src1 = str(tmp_path / "src1")
+    b1.coalesce(1).write.parquet(src1)
+    W.streaming_media_ingest_dedup(
+        spark.readStream.schema(b1.schema).parquet(src1),
+        index_path=idx, out_path=out,
+        checkpoint=str(tmp_path / "ckpt1"),
+    ).awaitTermination(120)
+
+    shutil.rmtree(f"{idx}/meta")
+
+    b2 = media_df([(2, ppm_encode(1, 8, 6)), (3, ppm_encode(5, 7, 5))])
+    src2 = str(tmp_path / "src2")
+    b2.coalesce(1).write.parquet(src2)
+    W.streaming_media_ingest_dedup(
+        spark.readStream.schema(b2.schema).parquet(src2),
+        index_path=idx, out_path=out,
+        checkpoint=str(tmp_path / "ckpt2"),
+    ).awaitTermination(120)
+
+    kept = {r.media_id for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 3}  # dup of 1 dropped despite the torn meta
