@@ -137,6 +137,7 @@ HEADLINE: list[str] = [
     "bpe_encode_corpus",
     "dedup_audio_incremental",
     "media_dup_clusters",
+    "warc_extract",
 ]
 
 

@@ -12,6 +12,7 @@ import tempfile
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
 
 from hash_db_spark.catalog import load_table
 from hash_db_spark.queries import Query
@@ -101,10 +102,35 @@ FROM part WHERE p_partkey <= 400
 """
 
 
+WARC_SUBSET = "(SELECT * FROM documents WHERE doc_id % 7 = 2)"
+
+
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl landing-format ingest: REAL WARC/1.0 payloads (request +
+    response records per capture) parsed with length-based framing in
+    one Arrow pass; response records only, bodies reduced to
+    (length, md5). The stage every web-curation operator sits behind —
+    oracle regenerates url/status/mime/body stats from the generative
+    closed forms without touching a byte."""
+    from hash_db_spark.sources import warc
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 == 2
+    )
+    return warc.warc_records(warc.synth_warc_media(docs, "doc_id"))
+
+
+def _warc_oracle() -> str:
+    from hash_db_spark.sources import warc
+
+    return warc.sql_warc_records(WARC_SUBSET, "doc_id")
+
+
 QUERIES = {
     "csv_roundtrip": Query(q_csv_roundtrip, "SELECT * FROM supplier"),
     "jsonl_roundtrip": Query(q_jsonl_roundtrip, "SELECT * FROM orders"),
     "orc_roundtrip": Query(q_orc_roundtrip, "SELECT * FROM orders"),
     "hive_partition_prune": Query(q_hive_partition_prune, HIVE_PRUNE_ORACLE),
     "zorder_values": Query(q_zorder_values, _zorder_oracle()),
+    "warc_extract": Query(q_warc_extract, _warc_oracle()),
 }

@@ -196,6 +196,7 @@ def main() -> int:
             "bpe_encode_corpus",
             "dedup_audio_incremental",
             "media_dup_clusters",
+            "warc_extract",
         ):
             timed(
                 f"{entry}/{scale}",

@@ -51,3 +51,70 @@ def test_orc_roundtrip_edge_values(spark, edge_df, tmp_path):
     got = formats.read_orc(spark, path)
     assert _rows(got) == _rows(edge_df)
     assert got.schema == edge_df.schema
+
+
+def test_warc_roundtrip_and_framing():
+    """Encoder->parser round-trip; request records skipped; a body
+    containing the '\\r\\n\\r\\n' delimiter parses intact (length-based
+    framing, not splitting); malformed payloads raise."""
+    import hashlib
+
+    import pytest
+
+    from hash_db_spark.sources import warc
+
+    for d in (0, 7, 13, 17, 221, 1234):
+        recs = warc.warc_parse(warc.warc_encode(d))
+        assert len(recs) == 1  # the request record was skipped
+        r = recs[0]
+        assert r["url"] == warc.synth_url_py(d)
+        assert r["status"] == (404 if d % 17 == 0 else 200)
+        assert r["mime"] == ("text/plain" if d % 13 == 0 else "text/html")
+        assert r["body"] == warc.synth_body(d)
+
+    # body that embeds the record delimiter: naive splitting would
+    # truncate it; the length-framed parser must not.
+    evil = b"first half\r\n\r\nsecond half"
+    http = (
+        f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        f"Content-Length: {len(evil)}\r\n\r\n"
+    ).encode() + evil
+    payload = warc._record(
+        [("WARC-Type", "response"), ("WARC-Target-URI", "https://x/")],
+        http,
+    )
+    (rec,) = warc.warc_parse(payload)
+    assert rec["body"] == evil
+
+    with pytest.raises(ValueError, match="version"):
+        warc.warc_parse(b"NOTWARC/1.0\r\n\r\n")
+    with pytest.raises(ValueError, match="truncated"):
+        warc.warc_parse(payload[:-10])
+    with pytest.raises(ValueError, match="Content-Length"):
+        warc.warc_parse(b"WARC/1.0\r\nWARC-Type: response\r\n\r\n")
+
+
+def test_warc_records_pipeline(spark):
+    """The Spark extraction pass over real WARC bytes matches the
+    per-record python parse (ids spanning status/mime variants)."""
+    import hashlib
+
+    from hash_db_spark.sources import warc
+
+    ids = [0, 13, 17, 26, 34, 100]
+    docs = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    got = {
+        r.media_id: (r.url, r.status, r.mime, r.n_body_bytes, r.body_md5)
+        for r in warc.warc_records(
+            warc.synth_warc_media(docs, "doc_id")
+        ).collect()
+    }
+    for i in ids:
+        body = warc.synth_body(i)
+        assert got[i] == (
+            warc.synth_url_py(i),
+            404 if i % 17 == 0 else 200,
+            "text/plain" if i % 13 == 0 else "text/html",
+            len(body),
+            hashlib.md5(body).hexdigest(),
+        )
