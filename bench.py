@@ -138,6 +138,7 @@ HEADLINE: list[str] = [
     "dedup_audio_incremental",
     "media_dup_clusters",
     "warc_extract",
+    "crawl_prep",
 ]
 
 

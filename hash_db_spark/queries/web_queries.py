@@ -92,8 +92,58 @@ def _host_doc_caps_oracle() -> str:
     )
 
 
+def q_crawl_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole crawl-curation front end as ONE Catalyst plan (the web
+    analog of train_prep): WARC bytes -> length-framed response
+    extraction -> status/mime gate -> canonical URL dedup (keep-first)
+    -> registrable-domain dimension (broadcast) -> per-domain document
+    cap. One Arrow decode pass, two shuffles (url group, domain
+    window), everything else map-side or broadcast."""
+    from hash_db_spark.operators.sampling import per_group_cap
+    from hash_db_spark.sources import warc
+
+    docs = load_table(spark, sf_dir, "documents")
+    recs = warc.warc_records(warc.synth_warc_media(docs, "doc_id"))
+    ok = recs.filter(
+        (F.col("status") == 200) & (F.col("mime") == "text/html")
+    )
+    dedup = W.url_dedup(ok, url_col="url", id_col="media_id")
+    hosted = dedup.withColumn("host", W.url_host("curl"))
+    dim = W.registrable_domain(hosted.select("host"))
+    withdom = hosted.join(F.broadcast(dim), "host")
+    return per_group_cap(withdom, "keep_id", "domain", 5).select(
+        F.col("keep_id").alias("doc_id"), "curl", "domain", "n_dups"
+    )
+
+
+def _crawl_prep_oracle() -> str:
+    from hash_db_spark.operators.sampling import sql_per_group_cap
+
+    curl = W.sql_canonicalize_url(W.sql_synth_url("doc_id"))
+    base = (
+        f"(SELECT doc_id, {curl} AS curl FROM documents "
+        "WHERE doc_id % 17 != 0 AND doc_id % 13 != 0)"
+    )
+    dedup = (
+        f"(SELECT curl, min(doc_id) AS keep_id, count(*) AS n_dups "
+        f"FROM {base} GROUP BY curl)"
+    )
+    host = W.sql_url_host("curl")
+    hosted = f"(SELECT d.*, {host} AS host FROM {dedup} d)"
+    dim = W.sql_registrable_domain(f"SELECT host FROM {hosted} h")
+    joined = (
+        f"(SELECT h.*, dim.domain FROM {hosted} h "
+        f"JOIN ({dim}) dim ON dim.host = h.host)"
+    )
+    return sql_per_group_cap(
+        joined, "keep_id", "domain", 5,
+        select="keep_id AS doc_id, curl, domain, n_dups",
+    )
+
+
 QUERIES = {
     "url_dedup": Query(q_url_dedup, URL_DEDUP_ORACLE),
     "url_host_domains": Query(q_url_host_domains, URL_HOST_DOMAINS_ORACLE),
     "host_doc_caps": Query(q_host_doc_caps, _host_doc_caps_oracle()),
+    "crawl_prep": Query(q_crawl_prep, _crawl_prep_oracle()),
 }

@@ -197,6 +197,7 @@ def main() -> int:
             "dedup_audio_incremental",
             "media_dup_clusters",
             "warc_extract",
+            "crawl_prep",
         ):
             timed(
                 f"{entry}/{scale}",
