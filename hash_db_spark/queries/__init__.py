@@ -62,7 +62,8 @@ def all_queries() -> dict[str, Query]:
     # of record):
     #   never-checked (r08 session-2 additions, all sim-green):
     #     dedup_audio_pairs, dedup_image_incremental,
-    #     dedup_audio_incremental, media_dup_clusters, bpe_encode_corpus
+    #     dedup_audio_incremental, media_dup_clusters, bpe_encode_corpus,
+    #     warc_extract, crawl_prep
     #   newly stale (r08's degree_histogram explode fix; re-simmed green):
     #     graph_degree_hist
     #   r03-green residual: stratified_sample, stream_sessions,
