@@ -118,3 +118,35 @@ def test_warc_records_pipeline(spark):
             len(body),
             hashlib.md5(body).hexdigest(),
         )
+
+
+def test_warc_framing_fuzz_roundtrip():
+    """Property fuzz: arbitrary binary bodies — including ones packed
+    with '\\r\\n' and '\\r\\n\\r\\n' runs — survive encode->parse intact in
+    multi-record payloads."""
+    import random
+
+    from hash_db_spark.sources import warc
+
+    rng = random.Random(42)
+    chunks = [b"\r\n", b"\r\n\r\n", b"a", b"xyz", b"\x00\xff", b"WARC/1.0", b" "]
+    for trial in range(25):
+        bodies = [
+            b"".join(rng.choice(chunks) for _ in range(rng.randrange(0, 40)))
+            for _ in range(rng.randrange(1, 4))
+        ]
+        payload = b""
+        for i, body in enumerate(bodies):
+            http = (
+                f"HTTP/1.1 200 OK\r\nContent-Type: x/y\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode() + body
+            payload += warc._record(
+                [
+                    ("WARC-Type", "response"),
+                    ("WARC-Target-URI", f"https://t/{trial}/{i}"),
+                ],
+                http,
+            )
+        recs = warc.warc_parse(payload)
+        assert [r["body"] for r in recs] == bodies, trial
