@@ -139,6 +139,10 @@ HEADLINE: list[str] = [
     "media_dup_clusters",
     "warc_extract",
     "crawl_prep",
+    # line-level corpus cleanup (CCNet/C4-style): global first-occurrence
+    # line dedup and boilerplate-line stripping, doc reassembly included
+    "line_dedup_docs",
+    "line_boilerplate_strip",
 ]
 
 

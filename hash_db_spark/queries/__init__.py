@@ -60,10 +60,11 @@ def all_queries() -> dict[str, Query]:
     # ROUND-9 WINDOW HEAD (recomputed at r08 session end with the fixed
     # tool — 20 entries; recompute before trusting, but this is the plan
     # of record):
-    #   never-checked (r08 session-2 additions, all sim-green):
+    #   never-checked (r08 session-2/3 additions, all sim-green):
     #     dedup_audio_pairs, dedup_image_incremental,
     #     dedup_audio_incremental, media_dup_clusters, bpe_encode_corpus,
-    #     warc_extract, crawl_prep
+    #     warc_extract, crawl_prep, line_dedup_docs,
+    #     line_boilerplate_strip
     #   newly stale (r08's degree_histogram explode fix; re-simmed green):
     #     graph_degree_hist
     #   r03-green residual: stratified_sample, stream_sessions,

@@ -15,13 +15,54 @@ from pyspark.sql import DataFrame, SparkSession
 
 from hash_db_spark.catalog import load_table
 from hash_db_spark.functions import scrub
-from hash_db_spark.operators import chunking, corpus_stats
+from hash_db_spark.operators import chunking, corpus_stats, lines
 from hash_db_spark.operators import dedup as D
 from hash_db_spark.queries import Query
 
 CHUNK_SIZE = 16
 CHUNK_OVERLAP = 4
 SPAN_N = 8
+
+# Line-level dedup instantiation: the synthetic fixture is single-line
+# text (no '\n' structure), so "lines" are non-overlapping 2-token
+# windows — short enough that the 31-word fixture vocabulary produces
+# real cross-document repetition (at sf0.01: 13.7k line instances,
+# 944 distinct) instead of a vacuous no-op. On a real corpus the line
+# frame comes from split(text, '\n') instead; the operators are
+# splitter-agnostic.
+LINE_TOKENS = 2
+BOILERPLATE_DF = 8
+
+
+def _line_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = chunking.token_chunks(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        size=LINE_TOKENS,
+        overlap=0,
+    )
+    return ch.select(
+        "id", F.col("chunk_idx").alias("line_idx"), F.col("chunk_text").alias("line")
+    )
+
+
+def _lines_cte() -> str:
+    inner = chunking.sql_token_chunks(
+        "documents", "text", "doc_id", size=LINE_TOKENS, overlap=0
+    )
+    return (
+        "lines AS (SELECT id, chunk_idx AS line_idx, chunk_text AS line "
+        f"FROM ({inner}))"
+    )
+
+
+def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lines.line_dedup_docs(_line_frame(spark, sf_dir))
+
+
+def q_line_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lines.strip_boilerplate_docs(_line_frame(spark, sf_dir), BOILERPLATE_DF)
 
 
 def q_scrub_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -536,4 +577,11 @@ QUERIES = {
     ),
     "stream_stateful_counter": Query(q_stream_stateful_counter, STATEFUL_ORACLE),
     "stream_sessions": Query(q_stream_sessions, STREAM_SESSIONS_ORACLE),
+    "line_dedup_docs": Query(
+        q_line_dedup_docs, lines.sql_line_dedup_docs(_lines_cte())
+    ),
+    "line_boilerplate_strip": Query(
+        q_line_boilerplate_strip,
+        lines.sql_strip_boilerplate_docs(_lines_cte(), BOILERPLATE_DF),
+    ),
 }

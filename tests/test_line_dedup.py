@@ -1,0 +1,80 @@
+"""Unit tests for line-level corpus dedup (operators/lines.py):
+first-occurrence semantics, boilerplate doc-frequency capping,
+reassembly ordering, vanish-on-empty behavior, and the scale-shape
+pins (min-struct partial agg, no window; broadcast anti-join for the
+strip). Oracle parity for the registry entries is covered by
+tests/test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import pytest
+
+from hash_db_spark.operators import lines as L
+
+
+@pytest.fixture(scope="module")
+def line_df(spark):
+    # doc 1: [x, y, x]  — internal dup of "x"
+    # doc 2: [y, z]     — "y" already seen in doc 1
+    # doc 3: [x]        — fully duplicate doc (vanishes after dedup)
+    rows = [
+        (1, 0, "x"),
+        (1, 1, "y"),
+        (1, 2, "x"),
+        (2, 0, "y"),
+        (2, 1, "z"),
+        (3, 0, "x"),
+    ]
+    return spark.createDataFrame(rows, "id long, line_idx int, line string")
+
+
+def test_dedup_lines_first_occurrence(line_df):
+    surv = {(r.id, r.line_idx, r.line) for r in L.dedup_lines(line_df).collect()}
+    assert surv == {(1, 0, "x"), (1, 1, "y"), (2, 1, "z")}
+
+
+def test_line_dedup_docs_reassembles_in_order_and_drops_empty(line_df):
+    got = {r.id: (r.clean_text, r.n_kept) for r in L.line_dedup_docs(line_df).collect()}
+    assert got == {1: ("x y", 2), 2: ("z", 1)}  # doc 3 vanished
+
+
+def test_boilerplate_df_counts_distinct_docs_not_instances(spark):
+    # "b" appears twice in doc 1 but only in 2 distinct docs -> df=2.
+    rows = [
+        (1, 0, "b"),
+        (1, 1, "b"),
+        (2, 0, "b"),
+        (2, 1, "u"),
+        (3, 0, "c"),
+        (4, 0, "c"),
+        (5, 0, "c"),
+    ]
+    df = spark.createDataFrame(rows, "id long, line_idx int, line string")
+    assert {r.line for r in L.boilerplate_lines(df, 2).collect()} == {"c"}
+    got = {r.id: r.clean_text for r in L.strip_boilerplate_docs(df, 2).collect()}
+    # docs 3-5 were pure boilerplate and vanish; "b" (df=2) survives.
+    assert got == {1: "b b", 2: "b u"}
+
+
+def test_strip_keeps_everything_below_cap(line_df):
+    out = L.strip_boilerplate_docs(line_df, 99)
+    assert out.count() == 3
+    assert out.agg({"n_kept": "sum"}).collect()[0][0] == 6
+
+
+def test_dedup_plan_is_partial_agg_no_window(line_df):
+    from hash_db_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(L.dedup_lines(line_df))
+    # Hot-line skew safety: commutative min must partial-aggregate
+    # map-side; a sort-based Window would funnel hot lines into one task.
+    assert "partial_min" in plan
+    assert "Window" not in plan
+
+
+def test_strip_plan_broadcasts_hot_set(line_df):
+    from hash_db_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(L.strip_boilerplate(line_df, 1))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
