@@ -143,6 +143,7 @@ HEADLINE: list[str] = [
     # line dedup and boilerplate-line stripping, doc reassembly included
     "line_dedup_docs",
     "line_boilerplate_strip",
+    "line_containment",
 ]
 
 

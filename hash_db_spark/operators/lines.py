@@ -101,11 +101,98 @@ def strip_boilerplate_docs(lines: DataFrame, max_doc_freq: int) -> DataFrame:
     return reassemble_docs(strip_boilerplate(lines, max_doc_freq))
 
 
+def line_containment_pairs(
+    lines: DataFrame,
+    threshold: float = 0.9,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """Document pairs whose DISTINCT-line sets overlap by at least
+    ``threshold`` of the smaller set: containment =
+    |lines(A) ∩ lines(B)| / min(|lines(A)|, |lines(B)|). The text
+    analog of the image-in-video containment join — catches a doc
+    quoted wholesale inside a larger one, which symmetric Jaccard
+    misses when the host doc is much bigger.
+
+    Candidate generation follows the hot-postings discipline of
+    ``dedup.ngram_jaccard_pairs`` (kept STANDALONE rather than shared:
+    that function's shape is driver-verified and this module must not
+    taint it): lines with doc-frequency > ``max_doc_freq`` are dropped
+    from the equijoin (a line in k docs contributes k² candidate rows —
+    boilerplate is a quadratic skew bomb), then the intersection count
+    is corrected with per-doc hot-line sets, so the reported
+    containment is exact whenever a pair shares at least one non-hot
+    line. Returns (id_a, id_b, containment) with id_a < id_b, 6dp.
+    """
+    ds = lines.select("id", "line").distinct()
+    sz = ds.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    posts = ds.join(sz, "id")
+    hot = (
+        posts.groupBy("line")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .select("line")
+        .cache()
+    )
+    has_hot = hot.count() > 0
+    capped = (
+        posts.join(F.broadcast(hot), "line", "left_anti") if has_hot else posts
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    pair_inter = (
+        a.join(
+            b,
+            (F.col("a.line") == F.col("b.line"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("inter_c"),
+            F.min("a.sz").alias("sz_a"),
+            F.min("b.sz").alias("sz_b"),
+        )
+    )
+    if has_hot:
+        hot_sets = (
+            posts.join(F.broadcast(hot), "line", "left_semi")
+            .groupBy("id")
+            .agg(F.collect_set("line").alias("hs"))
+        )
+        empty = F.array().cast("array<string>")
+        pair_inter = (
+            pair_inter.join(
+                hot_sets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")),
+                "id_a",
+                "left",
+            )
+            .join(
+                hot_sets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")),
+                "id_b",
+                "left",
+            )
+            .withColumn(
+                "inter_c",
+                F.col("inter_c")
+                + F.size(
+                    F.array_intersect(
+                        F.coalesce(F.col("hs_a"), empty),
+                        F.coalesce(F.col("hs_b"), empty),
+                    )
+                ),
+            )
+        )
+    cont = F.round(
+        F.col("inter_c").cast("double") / F.least("sz_a", "sz_b"), 6
+    ).alias("containment")
+    return (
+        pair_inter.select("id_a", "id_b", cont)
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins. The oracle optimizes for CLARITY (row_number
-# window) where the Spark plan optimizes for scale (min-struct partial
-# agg) — both select the lexicographically-first (id, line_idx) per
-# line value, so results are bit-identical.
+# window / NOT IN) where the Spark plan optimizes for scale (min-struct
+# partial agg, capped joins) — results are bit-identical.
 # ---------------------------------------------------------------------------
 
 
@@ -123,6 +210,45 @@ SELECT id,
        string_agg(line, ' ' ORDER BY line_idx) AS clean_text,
        CAST(count(*) AS BIGINT) AS n_kept
 FROM surv GROUP BY id
+"""
+
+
+def sql_line_containment_pairs(
+    lines_cte: str, threshold: float = 0.9, max_doc_freq: int = 1000
+) -> str:
+    return f"""
+WITH {lines_cte},
+ds AS (SELECT DISTINCT id, line FROM lines),
+sz AS (SELECT id, count(*) AS sz FROM ds GROUP BY id),
+hot AS (
+  SELECT line FROM (SELECT line, count(*) AS df FROM ds GROUP BY line)
+  WHERE df > {max_doc_freq}
+),
+capped AS (SELECT * FROM ds WHERE line NOT IN (SELECT line FROM hot)),
+pair_inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter_c
+  FROM capped a JOIN capped b ON a.line = b.line AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+hot_sets AS (
+  SELECT id, list(line) AS hs FROM ds
+  WHERE line IN (SELECT line FROM hot) GROUP BY id
+),
+scored AS (
+  SELECT id_a, id_b,
+         inter_c + len(list_intersect(COALESCE(ha.hs, []), COALESCE(hb.hs, [])))
+           AS i,
+         sa.sz AS sz_a, sb.sz AS sz_b
+  FROM pair_inter
+  JOIN sz sa ON sa.id = id_a
+  JOIN sz sb ON sb.id = id_b
+  LEFT JOIN hot_sets ha ON ha.id = id_a
+  LEFT JOIN hot_sets hb ON hb.id = id_b
+)
+SELECT id_a, id_b,
+       round(CAST(i AS DOUBLE) / least(sz_a, sz_b), 6) AS containment
+FROM scored
+WHERE round(CAST(i AS DOUBLE) / least(sz_a, sz_b), 6) >= {threshold}
 """
 
 

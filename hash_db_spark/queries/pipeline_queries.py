@@ -65,6 +65,19 @@ def q_line_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lines.strip_boilerplate_docs(_line_frame(spark, sf_dir), BOILERPLATE_DF)
 
 
+# Containment cap chosen BELOW the fixture's max line-df (29 at sf0.01)
+# so the gate exercises the hot-set correction path, not just the fast
+# no-hot branch.
+CONTAIN_THRESHOLD = 0.9
+CONTAIN_MAX_DF = 20
+
+
+def q_line_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lines.line_containment_pairs(
+        _line_frame(spark, sf_dir), CONTAIN_THRESHOLD, CONTAIN_MAX_DF
+    )
+
+
 def q_scrub_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
@@ -583,5 +596,11 @@ QUERIES = {
     "line_boilerplate_strip": Query(
         q_line_boilerplate_strip,
         lines.sql_strip_boilerplate_docs(_lines_cte(), BOILERPLATE_DF),
+    ),
+    "line_containment": Query(
+        q_line_containment,
+        lines.sql_line_containment_pairs(
+            _lines_cte(), CONTAIN_THRESHOLD, CONTAIN_MAX_DF
+        ),
     ),
 }

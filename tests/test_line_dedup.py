@@ -62,6 +62,55 @@ def test_strip_keeps_everything_below_cap(line_df):
     assert out.agg({"n_kept": "sum"}).collect()[0][0] == 6
 
 
+def test_containment_subset_doc(spark):
+    # doc 2's distinct lines {p, q} are a subset of doc 1's {p, q, r}:
+    # containment = 2 / min(3, 2) = 1.0. doc 3 shares only one line
+    # with doc 1: 1 / min(3, 1) = 1.0 as well (single-line doc fully
+    # contained); with threshold just above, only exact subsets at
+    # size >= 2 remain.
+    rows = [
+        (1, 0, "p"),
+        (1, 1, "q"),
+        (1, 2, "r"),
+        (2, 0, "p"),
+        (2, 1, "q"),
+        (3, 0, "z"),
+        (4, 0, "q"),
+        (4, 1, "w"),
+    ]
+    df = spark.createDataFrame(rows, "id long, line_idx int, line string")
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in L.line_containment_pairs(df, threshold=0.9).collect()
+    }
+    assert got == {(1, 2): 1.0}
+
+
+def test_containment_hot_correction_is_exact(spark):
+    # "h" is in 3 docs -> hot at max_doc_freq=2 and dropped from
+    # candidate generation; pairs sharing a non-hot line must still
+    # report the EXACT containment including "h".
+    rows = [
+        (1, 0, "h"),
+        (1, 1, "a"),
+        (2, 0, "h"),
+        (2, 1, "a"),
+        (3, 0, "h"),
+        (3, 1, "b"),
+    ]
+    df = spark.createDataFrame(rows, "id long, line_idx int, line string")
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in L.line_containment_pairs(
+            df, threshold=0.5, max_doc_freq=2
+        ).collect()
+    }
+    # (1,2) share {h,a}: 2/2 = 1.0 exactly, even though "h" was capped.
+    # (1,3)/(2,3) share only the hot "h" -> no non-hot meeting point,
+    # documented miss (the exact-dup path catches identical docs).
+    assert got == {(1, 2): 1.0}
+
+
 def test_dedup_plan_is_partial_agg_no_window(line_df):
     from hash_db_spark.plans.inspect import formatted_plan
 
