@@ -144,6 +144,7 @@ HEADLINE: list[str] = [
     "line_dedup_docs",
     "line_boilerplate_strip",
     "line_containment",
+    "line_clean_prep",
 ]
 
 

@@ -101,6 +101,19 @@ def strip_boilerplate_docs(lines: DataFrame, max_doc_freq: int) -> DataFrame:
     return reassemble_docs(strip_boilerplate(lines, max_doc_freq))
 
 
+def line_clean_prep(
+    lines: DataFrame, max_doc_freq: int, min_lines: int = 2
+) -> DataFrame:
+    """The composed line-level cleanup a crawl pipeline actually runs,
+    as ONE Catalyst plan: boilerplate strip (corpus-frequency cap) →
+    global first-occurrence line dedup → document reassembly → drop
+    docs left with fewer than ``min_lines`` lines. No driver hops;
+    three shuffles total (hot-line agg folds into the strip's
+    broadcast, dedup min-struct agg, reassembly by doc)."""
+    surv = dedup_lines(strip_boilerplate(lines, max_doc_freq))
+    return reassemble_docs(surv).filter(F.col("n_kept") >= min_lines)
+
+
 def line_containment_pairs(
     lines: DataFrame,
     threshold: float = 0.9,
@@ -268,4 +281,32 @@ SELECT id,
        string_agg(line, ' ' ORDER BY line_idx) AS clean_text,
        CAST(count(*) AS BIGINT) AS n_kept
 FROM surv GROUP BY id
+"""
+
+
+def sql_line_clean_prep(
+    lines_cte: str, max_doc_freq: int, min_lines: int = 2
+) -> str:
+    return f"""
+WITH {lines_cte},
+hot AS (
+  SELECT line
+  FROM (SELECT line, count(DISTINCT id) AS df FROM lines GROUP BY line)
+  WHERE df > {max_doc_freq}
+),
+stripped AS (
+  SELECT id, line_idx, line FROM lines
+  WHERE line NOT IN (SELECT line FROM hot)
+),
+ranked AS (
+  SELECT id, line_idx, line,
+         row_number() OVER (PARTITION BY line ORDER BY id, line_idx) AS rn
+  FROM stripped
+),
+surv AS (SELECT id, line_idx, line FROM ranked WHERE rn = 1)
+SELECT id,
+       string_agg(line, ' ' ORDER BY line_idx) AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_kept
+FROM surv GROUP BY id
+HAVING count(*) >= {min_lines}
 """

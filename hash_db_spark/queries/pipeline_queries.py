@@ -78,6 +78,12 @@ def q_line_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_clean_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lines.line_clean_prep(
+        _line_frame(spark, sf_dir), BOILERPLATE_DF, min_lines=2
+    )
+
+
 def q_scrub_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
@@ -602,5 +608,9 @@ QUERIES = {
         lines.sql_line_containment_pairs(
             _lines_cte(), CONTAIN_THRESHOLD, CONTAIN_MAX_DF
         ),
+    ),
+    "line_clean_prep": Query(
+        q_line_clean_prep,
+        lines.sql_line_clean_prep(_lines_cte(), BOILERPLATE_DF, min_lines=2),
     ),
 }

@@ -111,6 +111,28 @@ def test_containment_hot_correction_is_exact(spark):
     assert got == {(1, 2): 1.0}
 
 
+def test_line_clean_prep_strip_then_dedup_then_gate(spark):
+    # "c" is boilerplate at cap=2 (3 docs) and is stripped FIRST, so it
+    # never wins a dedup slot; "x"/"y" dedup to doc 1; the min_lines=2
+    # gate then drops every doc but doc 1.
+    rows = [
+        (1, 0, "x"),
+        (1, 1, "y"),
+        (1, 2, "c"),
+        (2, 0, "x"),
+        (2, 1, "c"),
+        (3, 0, "y"),
+        (3, 1, "c"),
+        (4, 0, "z"),
+    ]
+    df = spark.createDataFrame(rows, "id long, line_idx int, line string")
+    got = {
+        r.id: (r.clean_text, r.n_kept)
+        for r in L.line_clean_prep(df, max_doc_freq=2, min_lines=2).collect()
+    }
+    assert got == {1: ("x y", 2)}
+
+
 def test_dedup_plan_is_partial_agg_no_window(line_df):
     from hash_db_spark.plans.inspect import formatted_plan
 
