@@ -198,6 +198,11 @@ def main() -> int:
             "media_dup_clusters",
             "warc_extract",
             "crawl_prep",
+            # round-8 session 3: line-level cleanup family
+            "line_dedup_docs",
+            "line_boilerplate_strip",
+            "line_containment",
+            "line_clean_prep",
         ):
             timed(
                 f"{entry}/{scale}",
