@@ -145,6 +145,9 @@ HEADLINE: list[str] = [
     "line_boilerplate_strip",
     "line_containment",
     "line_clean_prep",
+    # crawl link graph: href extraction + host PageRank
+    "link_host_graph",
+    "pagerank_hosts",
 ]
 
 

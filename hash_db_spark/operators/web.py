@@ -265,3 +265,65 @@ def url_dedup(
             F.count(F.lit(1)).alias("n_dups"),
         )
     )
+
+
+# --- synthetic HTML + link extraction (crawl link graph) --------------------
+
+# Link fan-out: doc d links to targets (d*31 + j*37) % LINK_TARGET_MOD
+# for j in 1..(1 + d % 3). Pure closed form shared with the DuckDB
+# oracle, like synth_url; self-links possible and kept (PageRank
+# handles them; dropping them would be a policy, not a parse, choice).
+LINK_TARGET_MOD = 997
+
+
+def link_targets(doc_id: Column | str) -> Column:
+    """array<long> of synthetic out-link target ids for a document."""
+    d = F.col(doc_id) if isinstance(doc_id, str) else doc_id
+    return F.transform(
+        F.sequence(F.lit(1), (1 + d % 3).cast("int")),
+        lambda j: (d * 31 + j * 37) % LINK_TARGET_MOD,
+    )
+
+
+def sql_link_targets_cte(table: str = "documents", id_col: str = "doc_id") -> str:
+    """CTE body ``links(doc_id, t)``: one row per (doc, out-link target)."""
+    return (
+        f"links AS (SELECT {id_col} AS doc_id, "
+        f"({id_col} * 31 + j * 37) % {LINK_TARGET_MOD} AS t "
+        f"FROM {table}, unnest(generate_series(1, 1 + {id_col} % 3)) AS u(j))"
+    )
+
+
+def synth_html(doc_id: Column | str) -> Column:
+    """Deterministic synthetic HTML page for a document: real anchor
+    tags around the closed-form target URLs, plus two decoys a correct
+    extractor must NOT match — a ``data-href="..."`` attribute and a
+    single-quoted ``href='...'`` (the extraction spec is double-quoted
+    ``href`` attributes). Pure string expressions — codegen, no UDF."""
+    d = F.col(doc_id) if isinstance(doc_id, str) else doc_id
+    anchors = F.array_join(
+        F.transform(
+            link_targets(d),
+            lambda t: F.concat(
+                F.lit('<a href="'), synth_url(t), F.lit('">l</a>')
+            ),
+        ),
+        "",
+    )
+    return F.concat(
+        F.lit('<html><body data-href="https://decoy.example/x">'),
+        anchors,
+        F.lit("<p>page "),
+        d.cast("string"),
+        F.lit(" <a href='https://singlequote.example/y'>s</a></p></body></html>"),
+    )
+
+
+def html_hrefs(html: Column | str) -> Column:
+    """All double-quoted href attribute values, in document order.
+    ``[ >]href="..."`` — the preceding space/tag-open boundary rejects
+    ``data-href``; single-quoted hrefs are out of spec. One
+    regexp_extract_all — whole-stage codegen, no UDF, so extraction
+    runs at scan speed on 100 TB of page text."""
+    h = F.col(html) if isinstance(html, str) else html
+    return F.regexp_extract_all(h, F.lit(' href="([^"]*)"'), 1)

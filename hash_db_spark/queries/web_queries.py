@@ -141,9 +141,99 @@ def _crawl_prep_oracle() -> str:
     )
 
 
+def _host_of_id(id_expr: str) -> str:
+    return W.sql_url_host(W.sql_canonicalize_url(W.sql_synth_url(id_expr)))
+
+
+def q_link_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph from crawled pages: synthesize the HTML
+    (closed form), REALLY extract double-quoted href attributes with
+    one codegen regexp pass (decoy attributes excluded), canonicalize,
+    and aggregate to (src_host, dst_host, n_links). The whole chain is
+    scan -> project -> explode -> one groupBy shuffle — no UDF, no
+    driver hop; the oracle derives the same edges from the link
+    formula without ever touching HTML, so the entry cross-checks the
+    encode/extract loop itself."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", W.synth_html("doc_id").alias("html")
+    )
+    links = docs.select(
+        W.url_host(W.canonicalize_url(W.synth_url("doc_id"))).alias("src_host"),
+        F.explode(W.html_hrefs("html")).alias("href"),
+    )
+    return (
+        links.select(
+            "src_host",
+            W.url_host(W.canonicalize_url("href")).alias("dst_host"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+def _link_host_graph_oracle() -> str:
+    return f"""
+WITH {W.sql_link_targets_cte()},
+e AS (
+  SELECT {_host_of_id('doc_id')} AS src_host,
+         {_host_of_id('t')} AS dst_host
+  FROM links
+)
+SELECT src_host, dst_host, count(*) AS n_links
+FROM e GROUP BY src_host, dst_host
+"""
+
+
+def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the host link graph — the crawl-side authority
+    signal that feeds per-domain sampling weights. Composes the
+    href-extracted edge list (distinct host pairs) into the shared
+    fixed-iteration pagerank operator (operators/graph.py): one
+    equijoin + one aggregation per iteration, lineage checkpointed."""
+    from hash_db_spark.operators.graph import pagerank
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", W.synth_html("doc_id").alias("html")
+    )
+    links = docs.select(
+        W.url_host(W.canonicalize_url(W.synth_url("doc_id"))).alias("src"),
+        F.explode(W.html_hrefs("html")).alias("href"),
+    )
+    edges = links.select(
+        "src", W.url_host(W.canonicalize_url("href")).alias("dst")
+    ).distinct()
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return pagerank(nodes, edges, iterations=3)
+
+
+def _pagerank_hosts_oracle() -> str:
+    from hash_db_spark.operators.graph import sql_pagerank
+
+    return f"""
+WITH {W.sql_link_targets_cte()},
+gedges AS (
+  SELECT DISTINCT {_host_of_id('doc_id')} AS src,
+         {_host_of_id('t')} AS dst
+  FROM links
+),
+gnodes AS (
+  SELECT DISTINCT src AS id FROM gedges
+  UNION
+  SELECT DISTINCT dst AS id FROM gedges
+),
+{sql_pagerank(iterations=3)}
+"""
+
+
 QUERIES = {
     "url_dedup": Query(q_url_dedup, URL_DEDUP_ORACLE),
     "url_host_domains": Query(q_url_host_domains, URL_HOST_DOMAINS_ORACLE),
     "host_doc_caps": Query(q_host_doc_caps, _host_doc_caps_oracle()),
     "crawl_prep": Query(q_crawl_prep, _crawl_prep_oracle()),
+    "link_host_graph": Query(q_link_host_graph, _link_host_graph_oracle()),
+    "pagerank_hosts": Query(q_pagerank_hosts, _pagerank_hosts_oracle()),
 }

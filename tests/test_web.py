@@ -155,3 +155,42 @@ def test_registrable_domain_real_psl_scale(spark):
         s.count(".") >= 2 and want[f"site{i}.{s}"] == f"site{i}.{s}"
         for i, s in enumerate(picks)
     )
+
+
+def test_html_hrefs_extracts_only_double_quoted_href(spark):
+    html = (
+        '<body data-href="https://decoy.example/x">'
+        '<a href="https://a.example/1">1</a>'
+        "<a href='https://singlequote.example/y'>s</a>"
+        '<div href="https://b.example/2"/>'
+        '<a href="">empty</a></body>'
+    )
+    df = spark.createDataFrame([(html,)], ["html"])
+    got = df.select(W.html_hrefs("html").alias("h")).collect()[0].h
+    # data-href and single-quoted href are out of spec; empty href is a
+    # real (if useless) attribute value and is extracted.
+    assert got == ["https://a.example/1", "https://b.example/2", ""]
+
+
+def test_synth_html_roundtrips_link_targets(spark):
+    df = spark.createDataFrame([(i,) for i in range(50)], ["doc_id"])
+    out = df.select(
+        "doc_id",
+        W.link_targets("doc_id").alias("t"),
+        W.html_hrefs(W.synth_html("doc_id")).alias("h"),
+    ).collect()
+    for r in out:
+        assert 1 + r.doc_id % 3 == len(r.t) == len(r.h)
+        for t, href in zip(r.t, r.h):
+            assert f"site{t % 23}" in href
+
+
+def test_link_extraction_plan_is_pure_codegen(spark):
+    from hash_db_spark.plans.inspect import formatted_plan
+
+    df = spark.createDataFrame([(1,)], ["doc_id"])
+    plan = formatted_plan(
+        df.select(F.explode(W.html_hrefs(W.synth_html("doc_id"))).alias("h"))
+    )
+    for slow in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert slow not in plan
