@@ -203,6 +203,8 @@ def main() -> int:
             "line_boilerplate_strip",
             "line_containment",
             "line_clean_prep",
+            "link_host_graph",
+            "pagerank_hosts",
         ):
             timed(
                 f"{entry}/{scale}",
