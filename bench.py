@@ -148,6 +148,9 @@ HEADLINE: list[str] = [
     # crawl link graph: href extraction + host PageRank
     "link_host_graph",
     "pagerank_hosts",
+    # robots.txt politeness: parsed rules dimension + URL filter audit
+    "robots_rules",
+    "robots_url_filter",
 ]
 
 

@@ -327,3 +327,101 @@ def html_hrefs(html: Column | str) -> Column:
     runs at scan speed on 100 TB of page text."""
     h = F.col(html) if isinstance(html, str) else html
     return F.regexp_extract_all(h, F.lit(' href="([^"]*)"'), 1)
+
+
+# --- robots.txt politeness ---------------------------------------------------
+
+# Synthetic per-host robots.txt, closed form on the host's site number
+# (hosts of one site share rules across subdomains — realistic enough
+# for the filter semantics): every site disallows one /a/<k> prefix,
+# sites with s % 19 == 0 disallow everything, and a Crawl-delay line
+# exercises the parser's must-skip path.
+
+
+def host_site_num(host: Column | str) -> Column:
+    h = F.col(host) if isinstance(host, str) else host
+    return F.regexp_extract(h, r"site(\d+)", 1).cast("int")
+
+
+def sql_host_site_num(expr: str) -> str:
+    return f"CAST(regexp_extract({expr}, 'site(\\d+)', 1) AS INT)"
+
+
+def synth_robots(host: Column | str) -> Column:
+    """robots.txt body for a host. Pure string expressions."""
+    s = host_site_num(host)
+    block_all = F.when(s % 19 == 0, F.lit("Disallow: /\n")).otherwise(F.lit(""))
+    return F.concat(
+        F.lit("User-agent: *\n"),
+        F.lit("Disallow: /a/"),
+        ((s * 5 + 1) % 13).cast("string"),
+        F.lit("\n"),
+        block_all,
+        F.lit("Crawl-delay: "),
+        (1 + s % 5).cast("string"),
+        F.lit("\n"),
+    )
+
+
+def robots_disallow_prefixes(robots: Column | str) -> Column:
+    """REAL parse: the Disallow rule paths of a robots.txt body, in
+    file order. Line split + prefix filter + substring — codegen, no
+    UDF (non-Disallow lines like Crawl-delay must be skipped)."""
+    r = F.col(robots) if isinstance(robots, str) else robots
+    return F.transform(
+        F.filter(
+            F.split(r, "\n"), lambda ln: ln.startswith(F.lit("Disallow: "))
+        ),
+        lambda ln: F.substring(ln, 11, 2147483647),
+    )
+
+
+def robots_rules(hosts: DataFrame, host_col: str = "host") -> DataFrame:
+    """(host, rule): one row per Disallow rule per distinct host — the
+    politeness dimension a fetch scheduler joins against. At corpus
+    scale this is |hosts| x O(1) rows: broadcastable for moderate
+    crawls; partition-join on host beyond the broadcast threshold."""
+    return hosts.select(host_col).distinct().select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            robots_disallow_prefixes(synth_robots(host_col))
+        ).alias("rule"),
+    )
+
+
+def robots_url_filter(
+    docs_urls: DataFrame, url_col: str = "curl", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-host crawl politeness audit: how many of the corpus's
+    canonical URLs a robots Disallow prefix blocks vs allows.
+
+    Robots semantics: a URL is blocked when its path+query starts with
+    ANY of its host's Disallow prefixes (prefix match — '/a/1' blocks
+    '/a/12' too; our synth set has no Allow overrides). The rules ride
+    a broadcast join keyed on host; the prefix test is an `exists`
+    over the per-host rule array — all codegen."""
+    u = docs_urls.select(
+        F.col(id_col).alias("id"),
+        url_host(url_col).alias("host"),
+        F.regexp_replace(F.col(url_col), r"^[a-z]+://[^/]+", "").alias("path"),
+    )
+    rules = (
+        u.select("host")
+        .distinct()
+        .select(
+            "host",
+            robots_disallow_prefixes(synth_robots("host")).alias("rules"),
+        )
+    )
+    joined = u.join(F.broadcast(rules), "host")
+    blocked = F.exists(
+        F.col("rules"), lambda p: F.col("path").startswith(p)
+    )
+    return (
+        joined.select("host", blocked.alias("b"))
+        .groupBy("host")
+        .agg(
+            F.sum(F.when(F.col("b"), 1).otherwise(0)).alias("n_blocked"),
+            F.sum(F.when(F.col("b"), 0).otherwise(1)).alias("n_allowed"),
+        )
+    )

@@ -229,6 +229,69 @@ gnodes AS (
 """
 
 
+def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-politeness dimension: REAL parse of each distinct
+    host's (synthetic, closed-form) robots.txt into one row per
+    Disallow rule — line split + prefix filter, all codegen. The
+    oracle derives the rules from the site-number formula without ever
+    building the robots text, so the entry cross-checks the parser."""
+    docs = _docs(spark, sf_dir)
+    hosts = docs.select(
+        W.url_host(W.canonicalize_url(W.synth_url("doc_id"))).alias("host")
+    )
+    return W.robots_rules(hosts)
+
+
+_SN = "CAST(regexp_extract(host, 'site([0-9]+)', 1) AS INT)"
+
+ROBOTS_RULES_ORACLE = f"""
+WITH hosts AS (
+  SELECT DISTINCT {_host_of_id('doc_id')} AS host FROM documents
+),
+s AS (SELECT host, {_SN} AS sn FROM hosts)
+SELECT host, '/a/' || ((sn * 5 + 1) % 13) AS rule FROM s
+UNION ALL
+SELECT host, '/' AS rule FROM s WHERE sn % 19 = 0
+"""
+
+
+def q_robots_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host politeness audit: blocked vs allowed URL counts under
+    the hosts' robots Disallow prefixes (prefix semantics — '/a/1'
+    blocks '/a/12'). Rules ride a broadcast join; the prefix test is
+    an `exists` over the per-host rule array."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        W.canonicalize_url(W.synth_url("doc_id")).alias("curl"),
+    )
+    return W.robots_url_filter(docs)
+
+
+ROBOTS_FILTER_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id,
+         {W.sql_canonicalize_url(W.sql_synth_url('doc_id'))} AS curl
+  FROM documents
+),
+p AS (
+  SELECT doc_id, {W.sql_url_host('curl')} AS host,
+         regexp_replace(curl, '^[a-z]+://[^/]+', '') AS path
+  FROM u
+),
+s AS (SELECT *, {_SN} AS sn FROM p),
+b AS (
+  SELECT host,
+         (starts_with(path, '/a/' || ((sn * 5 + 1) % 13)) OR sn % 19 = 0)
+           AS blk
+  FROM s
+)
+SELECT host,
+       CAST(sum(CASE WHEN blk THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+       CAST(sum(CASE WHEN blk THEN 0 ELSE 1 END) AS BIGINT) AS n_allowed
+FROM b GROUP BY host
+"""
+
+
 QUERIES = {
     "url_dedup": Query(q_url_dedup, URL_DEDUP_ORACLE),
     "url_host_domains": Query(q_url_host_domains, URL_HOST_DOMAINS_ORACLE),
@@ -236,4 +299,6 @@ QUERIES = {
     "crawl_prep": Query(q_crawl_prep, _crawl_prep_oracle()),
     "link_host_graph": Query(q_link_host_graph, _link_host_graph_oracle()),
     "pagerank_hosts": Query(q_pagerank_hosts, _pagerank_hosts_oracle()),
+    "robots_rules": Query(q_robots_rules, ROBOTS_RULES_ORACLE),
+    "robots_url_filter": Query(q_robots_url_filter, ROBOTS_FILTER_ORACLE),
 }

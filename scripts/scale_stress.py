@@ -205,6 +205,8 @@ def main() -> int:
             "line_clean_prep",
             "link_host_graph",
             "pagerank_hosts",
+            "robots_rules",
+            "robots_url_filter",
         ):
             timed(
                 f"{entry}/{scale}",

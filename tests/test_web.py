@@ -194,3 +194,42 @@ def test_link_extraction_plan_is_pure_codegen(spark):
     )
     for slow in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert slow not in plan
+
+
+def test_robots_parse_skips_non_disallow_lines(spark):
+    df = spark.createDataFrame([("www.site19.com",)], ["host"])
+    out = df.select(
+        W.robots_disallow_prefixes(W.synth_robots("host")).alias("p")
+    ).collect()[0].p
+    # site 19: 19 % 19 == 0 -> block-all rule present; (19*5+1)%13 = 5;
+    # the Crawl-delay and User-agent lines must not leak into rules.
+    assert out == ["/a/5", "/"]
+
+
+def test_robots_filter_prefix_semantics(spark):
+    # site1 disallows /a/6 ((1*5+1)%13); '/a/6x' is prefix-blocked,
+    # '/a/7' is not; site0 (0%19==0) blocks everything.
+    rows = [
+        (1, "https://site1.org/a/6"),
+        (2, "https://site1.org/a/6x"),
+        (3, "https://site1.org/a/7"),
+        (4, "https://site0.com/a/3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, curl string")
+    got = {
+        r.host: (r.n_blocked, r.n_allowed)
+        for r in W.robots_url_filter(df).collect()
+    }
+    assert got == {"site1.org": (2, 1), "site0.com": (1, 0)}
+
+
+def test_robots_filter_plan_broadcasts_rules(spark):
+    from hash_db_spark.plans.inspect import formatted_plan
+
+    df = spark.createDataFrame(
+        [(1, "https://site1.org/a/6")], "doc_id long, curl string"
+    )
+    plan = formatted_plan(W.robots_url_filter(df))
+    assert "BroadcastHashJoin" in plan
+    for slow in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert slow not in plan
