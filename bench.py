@@ -151,6 +151,7 @@ HEADLINE: list[str] = [
     # robots.txt politeness: parsed rules dimension + URL filter audit
     "robots_rules",
     "robots_url_filter",
+    "fetch_schedule",
 ]
 
 

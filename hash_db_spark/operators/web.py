@@ -425,3 +425,58 @@ def robots_url_filter(
             F.sum(F.when(F.col("b"), 0).otherwise(1)).alias("n_allowed"),
         )
     )
+
+
+def robots_crawl_delay(robots: Column | str) -> Column:
+    """REAL parse of the Crawl-delay value (seconds, int) from a
+    robots.txt body; NULL when absent. Same codegen line-split
+    discipline as robots_disallow_prefixes."""
+    r = F.col(robots) if isinstance(robots, str) else robots
+    lines = F.filter(
+        F.split(r, "\n"), lambda ln: ln.startswith(F.lit("Crawl-delay: "))
+    )
+    return F.substring(F.element_at(lines, 1), 14, 2147483647).cast("int")
+
+
+def fetch_schedule(
+    docs_urls: DataFrame, url_col: str = "curl", id_col: str = "doc_id"
+) -> DataFrame:
+    """Polite fetch schedule: per host, URLs are sequenced
+    deterministically (by id) and assigned fetch offsets slot*delay
+    seconds apart, delay parsed from the host's robots.txt.
+
+    Scale shape: hosts are the parallel unit — ONE window partitioned
+    by host (a real crawl's per-host queues are exactly this
+    partitioning; a host with millions of URLs serializes through one
+    task here AND through one connection in the fetcher, so the plan
+    skew mirrors the physical constraint). The delay dimension rides a
+    broadcast join. Returns (id, host, slot, fetch_at)."""
+    from pyspark.sql import Window
+
+    u = docs_urls.select(
+        F.col(id_col).alias("id"),
+        url_host(url_col).alias("host"),
+    )
+    delays = (
+        u.select("host")
+        .distinct()
+        .select(
+            "host", robots_crawl_delay(synth_robots("host")).alias("delay")
+        )
+    )
+    w = Window.partitionBy("host").orderBy("id")
+    return (
+        u.join(F.broadcast(delays), "host")
+        .select(
+            "id",
+            "host",
+            (F.row_number().over(w) - 1).alias("slot"),
+            "delay",
+        )
+        .select(
+            "id",
+            "host",
+            "slot",
+            (F.col("slot").cast("long") * F.col("delay")).alias("fetch_at"),
+        )
+    )

@@ -292,6 +292,36 @@ FROM b GROUP BY host
 """
 
 
+def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host polite fetch slots: Crawl-delay REALLY parsed from the
+    robots text, URLs sequenced by id within each host (one window per
+    host — mirroring the fetcher's per-host connection queue)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        W.canonicalize_url(W.synth_url("doc_id")).alias("curl"),
+    )
+    return W.fetch_schedule(docs)
+
+
+FETCH_SCHEDULE_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id AS id,
+         {W.sql_url_host(W.sql_canonicalize_url(W.sql_synth_url('doc_id')))}
+           AS host
+  FROM documents
+),
+s AS (
+  SELECT id, host,
+         row_number() OVER (PARTITION BY host ORDER BY id) - 1 AS slot,
+         1 + ({_SN} % 5) AS delay
+  FROM u
+)
+SELECT id, host, CAST(slot AS INT) AS slot,
+       CAST(slot * delay AS BIGINT) AS fetch_at
+FROM s
+"""
+
+
 QUERIES = {
     "url_dedup": Query(q_url_dedup, URL_DEDUP_ORACLE),
     "url_host_domains": Query(q_url_host_domains, URL_HOST_DOMAINS_ORACLE),
@@ -301,4 +331,5 @@ QUERIES = {
     "pagerank_hosts": Query(q_pagerank_hosts, _pagerank_hosts_oracle()),
     "robots_rules": Query(q_robots_rules, ROBOTS_RULES_ORACLE),
     "robots_url_filter": Query(q_robots_url_filter, ROBOTS_FILTER_ORACLE),
+    "fetch_schedule": Query(q_fetch_schedule, FETCH_SCHEDULE_ORACLE),
 }

@@ -207,6 +207,7 @@ def main() -> int:
             "pagerank_hosts",
             "robots_rules",
             "robots_url_filter",
+            "fetch_schedule",
         ):
             timed(
                 f"{entry}/{scale}",

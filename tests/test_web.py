@@ -233,3 +233,33 @@ def test_robots_filter_plan_broadcasts_rules(spark):
     assert "BroadcastHashJoin" in plan
     for slow in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert slow not in plan
+
+
+def test_fetch_schedule_slots_and_delay(spark):
+    # site2: delay = 1 + 2%5 = 3s; three URLs on one host sequence at
+    # 0/3/6; a second host schedules independently from slot 0.
+    rows = [
+        (5, "https://site2.io/a/1"),
+        (3, "https://site2.io/a/2"),
+        (9, "https://site2.io/a/3"),
+        (4, "https://www.site7.org/a/4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, curl string")
+    got = {
+        r.id: (r.host, r.slot, r.fetch_at)
+        for r in W.fetch_schedule(df).collect()
+    }
+    assert got == {
+        3: ("site2.io", 0, 0),
+        5: ("site2.io", 1, 3),
+        9: ("site2.io", 2, 6),
+        4: ("www.site7.org", 0, 0),
+    }
+
+
+def test_robots_crawl_delay_parse(spark):
+    df = spark.createDataFrame([("cdn.site13.io",)], ["host"])
+    got = df.select(
+        W.robots_crawl_delay(W.synth_robots("host")).alias("d")
+    ).collect()[0].d
+    assert got == 1 + 13 % 5
