@@ -613,3 +613,67 @@ def test_bpe_oracle_parity_on_degenerate_corpora(spark):
             ).fetchall()
         )
         assert gt == wt, rows
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(words, min_size=0, max_size=6), min_size=1, max_size=8
+    )
+)
+def test_line_dedup_matches_model(spark, docs):
+    """Line dedup against a pure-Python first-occurrence model, plus
+    idempotence: deduping the survivors changes nothing."""
+    from hash_db_spark.operators import lines as L
+
+    rows = [
+        (i, j, w) for i, d in enumerate(docs) for j, w in enumerate(d)
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "id long, line_idx int, line string")
+    got = sorted(
+        (r.id, r.line_idx, r.line) for r in L.dedup_lines(df).collect()
+    )
+    seen: set[str] = set()
+    model = []
+    for i, j, w in sorted(rows):
+        if w not in seen:
+            seen.add(w)
+            model.append((i, j, w))
+    assert got == sorted(model)
+    surv = spark.createDataFrame(got, "id long, line_idx int, line string")
+    again = sorted(
+        (r.id, r.line_idx, r.line) for r in L.dedup_lines(surv).collect()
+    )
+    assert again == got
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(words, min_size=1, max_size=5), min_size=1, max_size=8
+    ),
+    cap=st.integers(1, 4),
+)
+def test_boilerplate_strip_matches_model(spark, docs, cap):
+    from hash_db_spark.operators import lines as L
+
+    rows = [
+        (i, j, w) for i, d in enumerate(docs) for j, w in enumerate(d)
+    ]
+    df = spark.createDataFrame(rows, "id long, line_idx int, line string")
+    dfreq: dict[str, set[int]] = {}
+    for i, _, w in rows:
+        dfreq.setdefault(w, set()).add(i)
+    hot = {w for w, ids in dfreq.items() if len(ids) > cap}
+    model = {}
+    for i, d in enumerate(docs):
+        kept = [w for w in d if w not in hot]
+        if kept:
+            model[i] = (" ".join(kept), len(kept))
+    got = {
+        r.id: (r.clean_text, r.n_kept)
+        for r in L.strip_boilerplate_docs(df, cap).collect()
+    }
+    assert got == model
