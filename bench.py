@@ -152,6 +152,7 @@ HEADLINE: list[str] = [
     "robots_rules",
     "robots_url_filter",
     "fetch_schedule",
+    "rank_weighted_caps",
 ]
 
 

@@ -322,6 +322,71 @@ FROM s
 """
 
 
+# Authority-weighted quota: floor(rank * QUOTA_SCALE), min 1. The scale
+# turns the ~1/n_hosts average rank into a usable per-host budget.
+QUOTA_SCALE = 500
+
+
+def q_rank_weighted_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank-weighted per-host document caps — the authority signal
+    actually feeding curation: high-rank hosts keep more documents,
+    low-rank hosts keep at least one, selection stays content-addressed
+    (md5 of doc_id) so the kept set is append-stable. Composition:
+    link-graph PageRank -> quota dimension (broadcast, one row per
+    host) -> variable-cap window per host. Hosts absent from the link
+    graph default to quota 1 (left join + coalesce)."""
+    from pyspark.sql import Window
+
+    ranks = q_pagerank_hosts(spark, sf_dir)
+    quota = ranks.select(
+        F.col("id").alias("host"),
+        F.greatest(
+            F.lit(1), F.floor(F.col("rank") * QUOTA_SCALE).cast("int")
+        ).alias("quota"),
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        W.url_host(W.canonicalize_url(W.synth_url("doc_id"))).alias("host"),
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("host").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.join(F.broadcast(quota), "host", "left")
+        .select(
+            "doc_id",
+            "host",
+            F.coalesce("quota", F.lit(1)).alias("quota"),
+            F.row_number().over(w).alias("__rk"),
+        )
+        .filter(F.col("__rk") <= F.col("quota"))
+        .select("doc_id", "host", "quota")
+    )
+
+
+def _rank_weighted_caps_oracle() -> str:
+    pr = _pagerank_hosts_oracle()
+    return f"""
+WITH pr AS ({pr}),
+quota AS (
+  SELECT id AS host,
+         GREATEST(1, CAST(FLOOR(rank * {QUOTA_SCALE}) AS INT)) AS quota
+  FROM pr
+),
+d AS (
+  SELECT doc_id, {_host_of_id('doc_id')} AS host FROM documents
+),
+r AS (
+  SELECT d.doc_id, d.host, COALESCE(q.quota, 1) AS quota,
+         row_number() OVER (
+           PARTITION BY d.host
+           ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+         ) AS rk
+  FROM d LEFT JOIN quota q ON q.host = d.host
+)
+SELECT doc_id, host, quota FROM r WHERE rk <= quota
+"""
+
+
 QUERIES = {
     "url_dedup": Query(q_url_dedup, URL_DEDUP_ORACLE),
     "url_host_domains": Query(q_url_host_domains, URL_HOST_DOMAINS_ORACLE),
@@ -332,4 +397,7 @@ QUERIES = {
     "robots_rules": Query(q_robots_rules, ROBOTS_RULES_ORACLE),
     "robots_url_filter": Query(q_robots_url_filter, ROBOTS_FILTER_ORACLE),
     "fetch_schedule": Query(q_fetch_schedule, FETCH_SCHEDULE_ORACLE),
+    "rank_weighted_caps": Query(
+        q_rank_weighted_caps, _rank_weighted_caps_oracle()
+    ),
 }

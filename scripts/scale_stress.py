@@ -208,6 +208,7 @@ def main() -> int:
             "robots_rules",
             "robots_url_filter",
             "fetch_schedule",
+            "rank_weighted_caps",
         ):
             timed(
                 f"{entry}/{scale}",

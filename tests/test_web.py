@@ -263,3 +263,18 @@ def test_robots_crawl_delay_parse(spark):
         W.robots_crawl_delay(W.synth_robots("host")).alias("d")
     ).collect()[0].d
     assert got == 1 + 13 % 5
+
+
+def test_rank_weighted_caps_respects_quota(spark, sf_dir):
+    from hash_db_spark.queries.web_queries import q_rank_weighted_caps
+
+    rows = q_rank_weighted_caps(spark, sf_dir).collect()
+    assert rows, "caps output empty"
+    per_host: dict[str, int] = {}
+    quotas: dict[str, int] = {}
+    for r in rows:
+        assert r.quota >= 1
+        per_host[r.host] = per_host.get(r.host, 0) + 1
+        quotas[r.host] = r.quota
+    for h, n in per_host.items():
+        assert n <= quotas[h], h
