@@ -153,6 +153,7 @@ HEADLINE: list[str] = [
     "robots_url_filter",
     "fetch_schedule",
     "rank_weighted_caps",
+    "stream_line_dedup",
 ]
 
 

@@ -84,6 +84,34 @@ def q_line_clean_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming line-level dedup: documents stream -> stateless line
+    explode (token windows) -> dropDuplicates on the line value. Only
+    the line column is projected, so which instance survives is
+    irrelevant (stream_dedup's trick) and the batch oracle is plain
+    DISTINCT. State grows with all-time distinct-line cardinality —
+    for an unbounded crawl, key the dedup on ingest time and use
+    dropDuplicatesWithinWatermark (stream_dedup_within_watermark),
+    same trade documented there."""
+    from hash_db_spark.streaming import windows as SW
+
+    docs = SW.read_documents_stream(spark, sf_dir)
+    ch = chunking.token_chunks(
+        docs, "text", "doc_id", size=LINE_TOKENS, overlap=0
+    )
+    deduped = ch.select(F.col("chunk_text").alias("line")).dropDuplicates(
+        ["line"]
+    )
+    return SW.run_stream_to_memory(deduped, output_mode="append")
+
+
+def _stream_line_dedup_oracle() -> str:
+    inner = chunking.sql_token_chunks(
+        "documents", "text", "doc_id", size=LINE_TOKENS, overlap=0
+    )
+    return f"SELECT DISTINCT chunk_text AS line FROM ({inner})"
+
+
 def q_scrub_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
@@ -612,5 +640,8 @@ QUERIES = {
     "line_clean_prep": Query(
         q_line_clean_prep,
         lines.sql_line_clean_prep(_lines_cte(), BOILERPLATE_DF, min_lines=2),
+    ),
+    "stream_line_dedup": Query(
+        q_stream_line_dedup, _stream_line_dedup_oracle()
     ),
 }

@@ -502,3 +502,14 @@ def streaming_media_ingest_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet as a file-source stream (schema from a static
+    read; pathGlobFilter narrows the monitored dir to the one file)."""
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
