@@ -677,3 +677,47 @@ def test_boilerplate_strip_matches_model(spark, docs, cap):
         for r in L.strip_boilerplate_docs(df, cap).collect()
     }
     assert got == model
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(words, min_size=1, max_size=6), min_size=2, max_size=7
+    ),
+    cap=st.integers(1, 5),
+)
+def test_line_containment_matches_model(spark, docs, cap):
+    """Containment pairs vs an exact pure-Python model. The operator's
+    contract: a pair is reported (with EXACT score) iff it shares at
+    least one non-hot line; pairs whose every shared line is hot are
+    documented misses. The model replays exactly that."""
+    from hash_db_spark.operators import lines as L
+
+    rows = [
+        (i, j, w) for i, d in enumerate(docs) for j, w in enumerate(d)
+    ]
+    df = spark.createDataFrame(rows, "id long, line_idx int, line string")
+    sets = {i: set(d) for i, d in enumerate(docs)}
+    dfreq: dict[str, set[int]] = {}
+    for i, d in enumerate(docs):
+        for w in set(d):
+            dfreq.setdefault(w, set()).add(i)
+    hot = {w for w, ids in dfreq.items() if len(ids) > cap}
+    model = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            shared = sets[a] & sets[b]
+            if not (shared - hot):
+                continue  # no non-hot meeting point -> documented miss
+            c = round(len(shared) / min(len(sets[a]), len(sets[b])), 6)
+            if c >= 0.5:
+                model[(a, b)] = c
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in L.line_containment_pairs(
+            df, threshold=0.5, max_doc_freq=cap
+        ).collect()
+    }
+    assert got == model
