@@ -154,6 +154,7 @@ HEADLINE: list[str] = [
     "fetch_schedule",
     "rank_weighted_caps",
     "stream_line_dedup",
+    "crawl_prep_polite",
 ]
 
 

@@ -141,6 +141,80 @@ def _crawl_prep_oracle() -> str:
     )
 
 
+def q_crawl_prep_polite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """crawl_prep with the politeness stage a compliant pipeline must
+    run: WARC extraction -> status/mime gate -> URL dedup -> robots
+    Disallow filter (rules REALLY parsed, broadcast per host) ->
+    registrable-domain cap. Still ONE plan: the robots stage adds one
+    broadcast join + a codegen exists(), no extra shuffle."""
+    from hash_db_spark.operators.sampling import per_group_cap
+    from hash_db_spark.sources import warc
+
+    docs = load_table(spark, sf_dir, "documents")
+    recs = warc.warc_records(warc.synth_warc_media(docs, "doc_id"))
+    ok = recs.filter(
+        (F.col("status") == 200) & (F.col("mime") == "text/html")
+    )
+    dedup = W.url_dedup(ok, url_col="url", id_col="media_id")
+    hosted = dedup.withColumn("host", W.url_host("curl")).withColumn(
+        "path", F.regexp_replace(F.col("curl"), r"^[a-z]+://[^/]+", "")
+    )
+    rules = (
+        hosted.select("host")
+        .distinct()
+        .select(
+            "host",
+            W.robots_disallow_prefixes(W.synth_robots("host")).alias("rules"),
+        )
+    )
+    allowed = (
+        hosted.join(F.broadcast(rules), "host")
+        .filter(
+            ~F.exists(F.col("rules"), lambda p: F.col("path").startswith(p))
+        )
+        .drop("rules", "path")
+    )
+    dim = W.registrable_domain(allowed.select("host"))
+    withdom = allowed.join(F.broadcast(dim), "host")
+    return per_group_cap(withdom, "keep_id", "domain", 5).select(
+        F.col("keep_id").alias("doc_id"), "curl", "domain", "n_dups"
+    )
+
+
+def _crawl_prep_polite_oracle() -> str:
+    from hash_db_spark.operators.sampling import sql_per_group_cap
+
+    curl = W.sql_canonicalize_url(W.sql_synth_url("doc_id"))
+    base = (
+        f"(SELECT doc_id, {curl} AS curl FROM documents "
+        "WHERE doc_id % 17 != 0 AND doc_id % 13 != 0)"
+    )
+    dedup = (
+        f"(SELECT curl, min(doc_id) AS keep_id, count(*) AS n_dups "
+        f"FROM {base} GROUP BY curl)"
+    )
+    host = W.sql_url_host("curl")
+    hosted = (
+        f"(SELECT d.*, {host} AS host, "
+        f"regexp_replace(curl, '^[a-z]+://[^/]+', '') AS path FROM {dedup} d)"
+    )
+    sn = "CAST(regexp_extract(host, 'site([0-9]+)', 1) AS INT)"
+    allowed = (
+        f"(SELECT keep_id, curl, n_dups, host FROM {hosted} h "
+        f"WHERE NOT (starts_with(path, '/a/' || (({sn} * 5 + 1) % 13)) "
+        f"OR {sn} % 19 = 0))"
+    )
+    dim = W.sql_registrable_domain(f"SELECT host FROM {allowed} a")
+    joined = (
+        f"(SELECT a.*, dim.domain FROM {allowed} a "
+        f"JOIN ({dim}) dim ON dim.host = a.host)"
+    )
+    return sql_per_group_cap(
+        joined, "keep_id", "domain", 5,
+        select="keep_id AS doc_id, curl, domain, n_dups",
+    )
+
+
 def _host_of_id(id_expr: str) -> str:
     return W.sql_url_host(W.sql_canonicalize_url(W.sql_synth_url(id_expr)))
 
@@ -399,5 +473,8 @@ QUERIES = {
     "fetch_schedule": Query(q_fetch_schedule, FETCH_SCHEDULE_ORACLE),
     "rank_weighted_caps": Query(
         q_rank_weighted_caps, _rank_weighted_caps_oracle()
+    ),
+    "crawl_prep_polite": Query(
+        q_crawl_prep_polite, _crawl_prep_polite_oracle()
     ),
 }

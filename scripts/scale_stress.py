@@ -209,6 +209,7 @@ def main() -> int:
             "robots_url_filter",
             "fetch_schedule",
             "rank_weighted_caps",
+            "crawl_prep_polite",
         ):
             timed(
                 f"{entry}/{scale}",
