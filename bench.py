@@ -155,6 +155,7 @@ HEADLINE: list[str] = [
     "rank_weighted_caps",
     "stream_line_dedup",
     "crawl_prep_polite",
+    "warc_extract_gz",
 ]
 
 

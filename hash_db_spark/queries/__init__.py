@@ -67,7 +67,7 @@ def all_queries() -> dict[str, Query]:
     #     line_boilerplate_strip, line_containment, line_clean_prep,
     #     link_host_graph, pagerank_hosts, robots_rules,
     #     robots_url_filter, fetch_schedule, rank_weighted_caps,
-    #     stream_line_dedup, crawl_prep_polite
+    #     stream_line_dedup, crawl_prep_polite, warc_extract_gz
     #   newly stale (r08's degree_histogram explode fix; re-simmed green):
     #     graph_degree_hist
     #   r03-green residual: stratified_sample, stream_sessions,

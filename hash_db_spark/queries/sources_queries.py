@@ -126,6 +126,20 @@ def _warc_oracle() -> str:
     return warc.sql_warc_records(WARC_SUBSET, "doc_id")
 
 
+def q_warc_extract_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip-membered WARC ingest (the production landing format: each
+    record its own gzip member, members concatenated). The parser
+    magic-sniffs and decompresses inside the SAME Arrow batch loop —
+    identical plan shape to warc_extract, and the identical closed-form
+    oracle: compression must be invisible to extraction."""
+    from hash_db_spark.sources import warc
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 == 2
+    )
+    return warc.warc_records(warc.synth_warc_media_gz(docs, "doc_id"))
+
+
 QUERIES = {
     "csv_roundtrip": Query(q_csv_roundtrip, "SELECT * FROM supplier"),
     "jsonl_roundtrip": Query(q_jsonl_roundtrip, "SELECT * FROM orders"),
@@ -133,4 +147,5 @@ QUERIES = {
     "hive_partition_prune": Query(q_hive_partition_prune, HIVE_PRUNE_ORACLE),
     "zorder_values": Query(q_zorder_values, _zorder_oracle()),
     "warc_extract": Query(q_warc_extract, _warc_oracle()),
+    "warc_extract_gz": Query(q_warc_extract_gz, _warc_oracle()),
 }

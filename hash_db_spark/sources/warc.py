@@ -107,8 +107,22 @@ def warc_parse(payload: bytes) -> list[dict]:
     """Length-framed WARC/1.0 parse: returns one dict per RESPONSE
     record — {url, status, mime, body}. Raises ValueError on malformed
     framing (bad magic, missing Content-Length, short content, missing
-    record terminator)."""
+    record terminator).
+
+    Gzip-membered input (production WARCs: each record its own gzip
+    member, members concatenated) is auto-detected by magic and
+    decompressed first — Python's gzip.decompress consumes ALL
+    concatenated members, after which the plain length-framed parse
+    applies unchanged."""
     import hashlib  # noqa: F401  (callers hash bodies)
+
+    if payload[:2] == b"\x1f\x8b":
+        import gzip
+
+        try:
+            payload = gzip.decompress(payload)
+        except (OSError, EOFError) as e:  # BadGzipFile / truncated member
+            raise ValueError(f"bad gzip member in WARC payload: {e}") from e
 
     out: list[dict] = []
     i, n = 0, len(payload)
@@ -158,6 +172,25 @@ def warc_parse(payload: bytes) -> list[dict]:
             }
         )
     return out
+
+
+def warc_encode_gz(doc_id: int) -> bytes:
+    """Gzip-membered twin of warc_encode: the request and response
+    records each compressed as their OWN gzip member (the production
+    WARC convention — members are individually seekable), members
+    concatenated. mtime pinned to 0 so the bytes are deterministic."""
+    import gzip
+
+    url = synth_url_py(doc_id)
+    plain = warc_encode(doc_id)
+    # Split at the response record boundary: re-encode the two records
+    # separately so each becomes one member.
+    marker = b"WARC/1.0\r\nWARC-Type: response\r\n"
+    cut = plain.find(marker)
+    assert cut > 0, url
+    return gzip.compress(plain[:cut], mtime=0) + gzip.compress(
+        plain[cut:], mtime=0
+    )
 
 
 def synth_warc_media(df: DataFrame, id_col: str) -> DataFrame:
@@ -222,3 +255,24 @@ SELECT {d} AS media_id,
        md5(repeat('crawl-' || {d} || '-', 20 + {d} % 30)) AS body_md5
 FROM {table}
 """
+
+
+def synth_warc_media_gz(df: DataFrame, id_col: str) -> DataFrame:
+    """(media_id, kind, payload) with gzip-membered WARC bytes — the
+    production landing format; warc_records parses it via the same
+    Arrow pass (magic-sniffed decompression inside the batch loop)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "application/warc+gzip",
+                    "payload": [warc_encode_gz(int(i)) for i in ids],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        run, "media_id long, kind string, payload binary"
+    )

@@ -150,3 +150,45 @@ def test_warc_framing_fuzz_roundtrip():
             )
         recs = warc.warc_parse(payload)
         assert [r["body"] for r in recs] == bodies, trial
+
+
+def test_warc_gz_members_parse_identically():
+    """Gzip-membered payloads (request/response as separate members)
+    parse to exactly the plain parse; corrupted members raise."""
+    import gzip
+
+    import pytest
+
+    from hash_db_spark.sources import warc
+
+    for d in (0, 7, 13, 17, 42, 221):
+        assert warc.warc_parse(warc.warc_encode_gz(d)) == warc.warc_parse(
+            warc.warc_encode(d)
+        )
+    # many captures concatenated into one gz stream of 2N members
+    multi = b"".join(warc.warc_encode_gz(d) for d in (3, 4, 5))
+    assert [r["url"] for r in warc.warc_parse(multi)] == [
+        warc.synth_url_py(d) for d in (3, 4, 5)
+    ]
+    # truncated member -> ValueError (not a silent partial parse)
+    broken = warc.warc_encode_gz(9)[:-7]
+    with pytest.raises(ValueError):
+        warc.warc_parse(broken)
+    # gzip magic with garbage payload
+    with pytest.raises(ValueError):
+        warc.warc_parse(b"\x1f\x8bgarbage")
+    # a plain payload whose BODY contains gzip magic must NOT trigger
+    # decompression: framing comes first, magic only sniffed at offset 0
+    body = b"\x1f\x8b not actually gzip \r\n\r\n tail"
+    payload = warc._record(
+        [
+            ("WARC-Type", "response"),
+            ("WARC-Target-URI", "https://x.example/z"),
+        ],
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: "
+        + str(len(body)).encode()
+        + b"\r\n\r\n"
+        + body,
+    )
+    (rec,) = warc.warc_parse(payload)
+    assert rec["body"] == body
