@@ -136,9 +136,14 @@ def line_containment_pairs(
     containment is exact whenever a pair shares at least one non-hot
     line. Returns (id_a, id_b, containment) with id_a < id_b, 6dp.
     """
-    ds = lines.select("id", "line").distinct()
-    sz = ds.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    posts = ds.join(sz, "id")
+    # Per-doc distinct-line sets in ONE groupBy (map-side partial via
+    # collect_set), size carried into the postings map-side — replaces
+    # a distinct + per-doc count + join-back (three shuffles) with one
+    # shuffle, the same shape ngram_jaccard_pairs uses for shingles.
+    arr = lines.groupBy("id").agg(F.collect_set("line").alias("ls"))
+    posts = arr.select(
+        "id", F.size("ls").alias("sz"), F.explode("ls").alias("line")
+    )
     hot = (
         posts.groupBy("line")
         .agg(F.count(F.lit(1)).alias("df"))
