@@ -108,7 +108,15 @@ def q_crawl_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("status") == 200) & (F.col("mime") == "text/html")
     )
     dedup = W.url_dedup(ok, url_col="url", id_col="media_id")
-    hosted = dedup.withColumn("host", W.url_host("curl"))
+    # hosted feeds BOTH the domain dimension and the cap join, and
+    # Spark re-executes an un-materialized subplan once per consumer
+    # (mapInPandas output carries no reusable exchange) — without the
+    # checkpoint the Arrow WARC decode runs twice. The checkpointed
+    # frame is the post-dedup URL set: tiny next to the crawl.
+    hosted = (
+        dedup.withColumn("host", W.url_host("curl"))
+        .localCheckpoint(eager=True)
+    )
     dim = W.registrable_domain(hosted.select("host"))
     withdom = hosted.join(F.broadcast(dim), "host")
     return per_group_cap(withdom, "keep_id", "domain", 5).select(
@@ -156,8 +164,15 @@ def q_crawl_prep_polite(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("status") == 200) & (F.col("mime") == "text/html")
     )
     dedup = W.url_dedup(ok, url_col="url", id_col="media_id")
-    hosted = dedup.withColumn("host", W.url_host("curl")).withColumn(
-        "path", F.regexp_replace(F.col("curl"), r"^[a-z]+://[^/]+", "")
+    # Four consumers of hosted (robots rules, robots join, domain dim,
+    # cap join) — checkpoint once or the Arrow WARC decode runs 4x
+    # (same re-execution trap as crawl_prep; see comment there).
+    hosted = (
+        dedup.withColumn("host", W.url_host("curl"))
+        .withColumn(
+            "path", F.regexp_replace(F.col("curl"), r"^[a-z]+://[^/]+", "")
+        )
+        .localCheckpoint(eager=True)
     )
     rules = (
         hosted.select("host")

@@ -210,6 +210,8 @@ def main() -> int:
             "fetch_schedule",
             "rank_weighted_caps",
             "crawl_prep_polite",
+            "stream_line_dedup",
+            "warc_extract_gz",
         ):
             timed(
                 f"{entry}/{scale}",

@@ -278,3 +278,23 @@ def test_rank_weighted_caps_respects_quota(spark, sf_dir):
         quotas[r.host] = r.quota
     for h, n in per_host.items():
         assert n <= quotas[h], h
+
+
+def test_crawl_prep_decodes_warc_exactly_once(spark, sf_dir):
+    """The WARC Arrow decode must not re-execute per consumer: after
+    the eager checkpoint of the post-dedup URL frame, the final plan
+    reads the checkpoint (zero MapInPandas nodes) and the decode ran
+    exactly once, at checkpoint build. Rows prove the decode happened."""
+    import re
+
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries.web_queries import (
+        q_crawl_prep,
+        q_crawl_prep_polite,
+    )
+
+    for fn in (q_crawl_prep, q_crawl_prep_polite):
+        df = fn(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert not re.findall(r"\(\d+\) MapInPandas", plan), fn.__name__
+        assert df.count() > 0, fn.__name__
