@@ -156,6 +156,11 @@ HEADLINE: list[str] = [
     "stream_line_dedup",
     "crawl_prep_polite",
     "warc_extract_gz",
+    # HTML -> text extraction + crawl discovery/popularity signals
+    "html_text_extract",
+    "html_anchor_texts",
+    "sitemap_discover",
+    "html_corpus_prep",
 ]
 
 

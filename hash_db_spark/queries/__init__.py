@@ -32,6 +32,7 @@ def all_queries() -> dict[str, Query]:
         dialect_queries,
         document_queries,
         graph_queries,
+        html_queries,
         kv_queries,
         multimodal_queries,
         pipeline_queries,
@@ -67,7 +68,9 @@ def all_queries() -> dict[str, Query]:
     #     line_boilerplate_strip, line_containment, line_clean_prep,
     #     link_host_graph, pagerank_hosts, robots_rules,
     #     robots_url_filter, fetch_schedule, rank_weighted_caps,
-    #     stream_line_dedup, crawl_prep_polite, warc_extract_gz
+    #     stream_line_dedup, crawl_prep_polite, warc_extract_gz,
+    #     html_text_extract, html_anchor_texts, sitemap_discover,
+    #     html_corpus_prep (r08 session-4 additions, all sim-green)
     #   newly stale (r08's degree_histogram explode fix; re-simmed green):
     #     graph_degree_hist
     #   r03-green residual: stratified_sample, stream_sessions,
@@ -158,6 +161,7 @@ def all_queries() -> dict[str, Query]:
         dedup_queries,
         similarity_queries,
         web_queries,
+        html_queries,
     ):
         overlap = registry.keys() & mod.QUERIES.keys()
         if overlap:
