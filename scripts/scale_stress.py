@@ -212,6 +212,11 @@ def main() -> int:
             "crawl_prep_polite",
             "stream_line_dedup",
             "warc_extract_gz",
+            # round-8 session 4: HTML -> text extraction family
+            "html_text_extract",
+            "html_anchor_texts",
+            "sitemap_discover",
+            "html_corpus_prep",
         ):
             timed(
                 f"{entry}/{scale}",
