@@ -119,7 +119,14 @@ def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hash_db_spark.operators import dedup as D
 
     docs = load_table(spark, sf_dir, "documents")
-    hashed = M.image_dhash(M.synth_ppm_media(docs, "doc_id"))
+    # The band self-join (and any hot-split union) re-executes an
+    # un-materialized subplan once per branch — without the eager
+    # checkpoint the Arrow PPM decode runs once PER consumer. The
+    # checkpointed frame is the skinny (id, dhash) set, tiny next to
+    # the rasters. Same trap/fix as the crawl_prep WARC decode.
+    hashed = M.image_dhash(M.synth_ppm_media(docs, "doc_id")).localCheckpoint(
+        eager=True
+    )
     return D.hamming_band_pairs(hashed, "dhash", max_hamming=3)
 
 
@@ -130,7 +137,10 @@ def q_dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 9 == 0
     )
-    frames = M.frame_dhash(M.synth_y4m_media(docs, "doc_id"))
+    # checkpoint: one Y4M decode, not one per containment-join branch
+    frames = M.frame_dhash(
+        M.synth_y4m_media(docs, "doc_id")
+    ).localCheckpoint(eager=True)
     return M.video_dup_pairs(frames)
 
 
@@ -142,7 +152,10 @@ def q_dedup_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hash_db_spark.operators import dedup as D
 
     docs = load_table(spark, sf_dir, "documents")
-    hashed = M.audio_energy_dhash(M.synth_wav_media(docs, "doc_id"))
+    # checkpoint: one PCM decode, not one per band-join branch
+    hashed = M.audio_energy_dhash(
+        M.synth_wav_media(docs, "doc_id")
+    ).localCheckpoint(eager=True)
     return D.hamming_band_pairs(hashed, "dhash", max_hamming=3)
 
 
@@ -156,7 +169,11 @@ def q_dedup_image_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hash_db_spark.operators import dedup as D
 
     docs = load_table(spark, sf_dir, "documents")
-    hashed = M.image_dhash(M.synth_ppm_media(docs, "doc_id"))
+    # checkpoint: batch + corpus + band/exact-rescue branches would
+    # each re-run the PPM decode otherwise
+    hashed = M.image_dhash(M.synth_ppm_media(docs, "doc_id")).localCheckpoint(
+        eager=True
+    )
     batch = hashed.filter(F.col("id") % 10 == 0)
     corpus = hashed.filter(F.col("id") % 10 != 0)
     return D.hamming_pairs_against(batch, corpus, "dhash", max_hamming=3)
@@ -181,7 +198,10 @@ def q_dedup_audio_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hash_db_spark.operators import dedup as D
 
     docs = load_table(spark, sf_dir, "documents")
-    hashed = M.audio_energy_dhash(M.synth_wav_media(docs, "doc_id"))
+    # checkpoint: one PCM decode across batch/corpus/rescue branches
+    hashed = M.audio_energy_dhash(
+        M.synth_wav_media(docs, "doc_id")
+    ).localCheckpoint(eager=True)
     batch = hashed.filter(F.col("id") % 10 == 0)
     corpus = hashed.filter(F.col("id") % 10 != 0)
     return D.hamming_pairs_against(batch, corpus, "dhash", max_hamming=3)
@@ -207,7 +227,10 @@ def q_media_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hash_db_spark.operators import dedup as D
 
     docs = load_table(spark, sf_dir, "documents")
-    hashed = M.image_dhash(M.synth_ppm_media(docs, "doc_id"))
+    # checkpoint: one PPM decode under the band join + union-find loop
+    hashed = M.image_dhash(M.synth_ppm_media(docs, "doc_id")).localCheckpoint(
+        eager=True
+    )
     pairs = D.hamming_band_pairs(hashed, "dhash", max_hamming=3)
     return D.connected_components(pairs)
 
@@ -232,8 +255,14 @@ def q_dedup_image_in_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_video_frames; image side is the full corpus."""
     docs = load_table(spark, sf_dir, "documents")
     vids = docs.filter(F.col("doc_id") % 9 == 0)
-    images = M.image_dhash(M.synth_ppm_media(docs, "doc_id"))
-    frames = M.frame_dhash(M.synth_y4m_media(vids, "doc_id"))
+    # checkpoints: the containment join + hot-split fans BOTH sides
+    # into many branches (24 decode replays without them)
+    images = M.image_dhash(
+        M.synth_ppm_media(docs, "doc_id")
+    ).localCheckpoint(eager=True)
+    frames = M.frame_dhash(
+        M.synth_y4m_media(vids, "doc_id")
+    ).localCheckpoint(eager=True)
     return M.image_in_video(images, frames)
 
 

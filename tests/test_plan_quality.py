@@ -423,9 +423,32 @@ def test_bpe_encode_single_python_chain(spark, sf_dir):
 
 def test_audio_pairs_shares_banding_shape(spark, sf_dir):
     """Audio near-dup rides the shared hamming banding: equijoins only,
-    and the decode is ONE MapInPandas pass feeding the band explode."""
+    and the decode ran ONCE (at the eager checkpoint) — the emitted
+    plan reads the checkpointed (id, dhash) frame, zero Python nodes."""
     from hash_db_spark.plans.inspect import formatted_plan
 
     plan = formatted_plan(REG["dedup_audio_pairs"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("MapInPandas") == 0
+
+
+def test_media_dedup_decodes_run_once(spark, sf_dir):
+    """Every media-dedup entry checkpoints its skinny hash frame, so no
+    downstream branch replays the Arrow decode: the final plans carry
+    ZERO MapInPandas nodes (the decode ran once, at checkpoint build).
+    Before the fix these plans replayed the decode 4-24x."""
+    from hash_db_spark.plans.inspect import formatted_plan
+
+    for entry in (
+        "dedup_image_phash",
+        "dedup_video_frames",
+        "dedup_image_in_video",
+        "dedup_image_incremental",
+        "dedup_audio_incremental",
+        "media_dup_clusters",
+    ):
+        df = REG[entry].fn(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert plan.count("MapInPandas") == 0, entry
+        assert df.count() >= 0, entry
