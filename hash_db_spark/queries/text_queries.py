@@ -249,12 +249,20 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hash_db_spark.operators.dedup import shingle_frame
 
     docs = _docs(spark, sf_dir)
-    posts = shingle_frame(docs, "text", "doc_id").select(
-        "id", F.explode("sh").alias("s")
+    # Shingle each side from a PRE-filtered scan: a doc_id filter cannot
+    # push through the opaque Arrow pass, so deriving both sides from
+    # one shingle_frame re-runs the full-corpus shingle per branch —
+    # the bench side would shingle 100 TB to keep 10 docs' grams.
+    bench = (
+        shingle_frame(docs.filter(F.col("doc_id") < 10), "text", "doc_id")
+        .select(F.explode("sh").alias("s"))
+        .distinct()
     )
-    bench = posts.filter(F.col("id") < 10).select("s").distinct()
+    corpus = shingle_frame(
+        docs.filter(F.col("doc_id") >= 10), "text", "doc_id"
+    ).select("id", F.explode("sh").alias("s"))
     return (
-        posts.filter(F.col("id") >= 10)
+        corpus
         .join(F.broadcast(bench), "s")
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
@@ -287,11 +295,20 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hash_db_spark.operators.dedup import shingle_frame
 
     docs = _docs(spark, sf_dir)
-    posts = shingle_frame(docs, "text", "doc_id").select(
-        "id", F.explode("sh").alias("s")
+    # bench shingles a pre-filtered 10-doc scan (see contamination_check:
+    # the id filter cannot push through the Arrow pass); the corpus gram
+    # list feeds THREE consumers (candidate distinct, candidate join,
+    # exact-verify join), so it is checkpointed once instead of
+    # re-shingling the corpus per branch — the same bytes a shuffle of
+    # it would spill anyway.
+    bench = (
+        shingle_frame(docs.filter(F.col("doc_id") < 10), "text", "doc_id")
+        .select(F.explode("sh").alias("s"))
+        .distinct()
     )
-    bench = posts.filter(F.col("id") < 10).select("s").distinct()
-    corpus = posts.filter(F.col("id") >= 10)
+    corpus = shingle_frame(
+        docs.filter(F.col("doc_id") >= 10), "text", "doc_id"
+    ).select("id", F.explode("sh").alias("s")).localCheckpoint(eager=True)
     bits = SK.bloom_bits(bench, "s")
     cand_grams = SK.bloom_candidates(bits, corpus.select("s").distinct(), "s")
     cands = corpus.join(F.broadcast(cand_grams), "s")

@@ -433,6 +433,26 @@ def test_audio_pairs_shares_banding_shape(spark, sf_dir):
     assert plan.count("MapInPandas") == 0
 
 
+def test_decontamination_shingles_prefiltered(spark, sf_dir):
+    """The benchmark side shingles a PRE-filtered scan (a doc_id filter
+    cannot push through the Arrow pass — without the prefilter the
+    bench branch re-shingles the whole corpus for 10 docs' grams):
+    both entries' plans carry a Filter BELOW each MapInPandas, and
+    bloom's corpus grams are checkpointed (2 passes total, not 5)."""
+    import re
+
+    from hash_db_spark.plans.inspect import formatted_plan
+
+    for entry, max_python in (("contamination_check", 2),
+                              ("bloom_decontaminate", 2)):
+        plan = formatted_plan(REG[entry].fn(spark, sf_dir))
+        assert len(re.findall(r"\(\d+\) MapInPandas", plan)) <= max_python, (
+            entry
+        )
+        # every scan under a MapInPandas carries the doc_id pushdown
+        assert "PushedFilters: [IsNotNull(doc_id)" in plan, entry
+
+
 def test_media_dedup_decodes_run_once(spark, sf_dir):
     """Every media-dedup entry checkpoints its skinny hash frame, so no
     downstream branch replays the Arrow decode: the final plans carry
