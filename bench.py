@@ -161,6 +161,12 @@ HEADLINE: list[str] = [
     "html_anchor_texts",
     "sitemap_discover",
     "html_corpus_prep",
+    # model-based curation: hashed-linear classifier, weighted
+    # Bernoulli sampling, embedding standardization
+    "quality_classifier",
+    "weighted_doc_sample",
+    "embedding_dim_stats",
+    "classifier_sample_prep",
 ]
 
 

@@ -31,6 +31,7 @@ def all_queries() -> dict[str, Query]:
         dedup_queries,
         dialect_queries,
         document_queries,
+        curation_queries,
         graph_queries,
         html_queries,
         kv_queries,
@@ -70,7 +71,9 @@ def all_queries() -> dict[str, Query]:
     #     robots_url_filter, fetch_schedule, rank_weighted_caps,
     #     stream_line_dedup, crawl_prep_polite, warc_extract_gz,
     #     html_text_extract, html_anchor_texts, sitemap_discover,
-    #     html_corpus_prep (r08 session-4 additions, all sim-green)
+    #     html_corpus_prep, quality_classifier, weighted_doc_sample,
+    #     embedding_dim_stats, classifier_sample_prep
+    #     (r08 session-4 additions, all sim-green)
     #   newly stale (r08's degree_histogram explode fix; re-simmed green):
     #     graph_degree_hist
     #   r03-green residual: stratified_sample, stream_sessions,
@@ -162,6 +165,7 @@ def all_queries() -> dict[str, Query]:
         similarity_queries,
         web_queries,
         html_queries,
+        curation_queries,
     ):
         overlap = registry.keys() & mod.QUERIES.keys()
         if overlap:

@@ -1,0 +1,88 @@
+"""Driver-checkable queries: model-based curation (operators/curation.py)
+— hashed-linear quality classification, weighted Bernoulli sampling,
+embedding standardization stats."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from hash_db_spark.catalog import load_table
+from hash_db_spark.operators import curation as C
+from hash_db_spark.queries import Query
+
+SAMPLE_TARGET = 100  # expected kept docs of weighted_doc_sample
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style quality scoring: hashed unigram+bigram features,
+    broadcast (bucket, w_milli) model dimension, per-doc integer score
+    and keep verdict. Features explode map-side; one shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return C.classifier_scores(docs, C.weight_dim(spark))
+
+
+def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Bernoulli sample of the corpus, inclusion probability
+    proportional to n_chars (longer docs likelier), expected size
+    SAMPLE_TARGET. One scan + a broadcast scalar total; integer-exact,
+    reproducible, append-stable per doc_id."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return C.weighted_sample(docs, "doc_id", "n_chars", SAMPLE_TARGET)
+
+
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/stddev of the corpus embeddings — the
+    standardization dimension a whitening/normalization stage
+    broadcasts back over the vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return C.embedding_dim_stats(emb)
+
+
+def q_classifier_sample_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation tail: classifier-kept docs weighted-sampled to
+    a token budget proxy — the classifier gate feeds the weighted
+    Bernoulli sampler in ONE plan (gate is map-side after its sum;
+    sampler adds only the scalar total)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = C.classifier_scores(docs, C.weight_dim(spark))
+    kept = (
+        docs.select("doc_id", "n_chars")
+        .join(scored.filter("keep").select("doc_id"), "doc_id")
+    )
+    return C.weighted_sample(kept, "doc_id", "n_chars", SAMPLE_TARGET)
+
+
+def _classifier_sample_oracle() -> str:
+    scores = C.sql_classifier_scores()
+    kept = f"""(
+  SELECT d.doc_id, d.n_chars
+  FROM documents d
+  JOIN ({scores}) s ON s.doc_id = d.doc_id AND s.keep
+)"""
+    return C.sql_weighted_sample(
+        kept, "doc_id", "n_chars", SAMPLE_TARGET, select="doc_id, n_chars"
+    )
+
+
+QUERIES: dict[str, Query] = {
+    "quality_classifier": Query(
+        q_quality_classifier, C.sql_classifier_scores()
+    ),
+    "weighted_doc_sample": Query(
+        q_weighted_doc_sample,
+        C.sql_weighted_sample(
+            "documents",
+            "doc_id",
+            "n_chars",
+            SAMPLE_TARGET,
+            select="doc_id, n_chars",
+        ),
+    ),
+    "embedding_dim_stats": Query(
+        q_embedding_dim_stats, C.sql_embedding_dim_stats()
+    ),
+    "classifier_sample_prep": Query(
+        q_classifier_sample_prep, _classifier_sample_oracle()
+    ),
+}

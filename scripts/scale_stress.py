@@ -217,6 +217,11 @@ def main() -> int:
             "html_anchor_texts",
             "sitemap_discover",
             "html_corpus_prep",
+            # round-8 session 4: model-based curation
+            "quality_classifier",
+            "weighted_doc_sample",
+            "embedding_dim_stats",
+            "classifier_sample_prep",
         ):
             timed(
                 f"{entry}/{scale}",

@@ -1,0 +1,126 @@
+"""Model-based curation: classifier features/scoring, weighted
+Bernoulli sampling (exactness + expected size), embedding stats."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyspark.sql.functions as F
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hash_db_spark.operators import curation as C
+
+
+def test_gram_features_unigrams_and_bigrams(spark):
+    df = spark.createDataFrame([("a bb ccc",), ("solo",)], "text string")
+    out = [r.g for r in df.select(C.gram_features("text").alias("g")).collect()]
+    assert out[0] == ["a", "bb", "ccc", "a bb", "bb ccc"]
+    assert out[1] == ["solo"]  # no trailing (word, NULL) pseudo-bigram
+
+
+def test_classifier_score_model(spark):
+    """z_milli equals the Python recomputation of the same closed-form
+    model over the same md5 buckets."""
+    rows = [(1, "x yy x"), (2, "zz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_feats, r.z_milli, r.keep)
+        for r in C.classifier_scores(df, C.weight_dim(spark)).collect()
+    }
+
+    def bucket(g: str) -> int:
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % C.N_FEATURE_BUCKETS
+
+    def w(b: int) -> int:
+        return (b * C._W_MULT) % C._W_MOD - (C._W_MOD - 1) // 2
+
+    for doc_id, text in rows:
+        words = text.split()
+        grams = words + [f"{a} {b}" for a, b in zip(words, words[1:])]
+        z = sum(w(bucket(g)) for g in grams)
+        assert got[doc_id] == (len(grams), z, z > 0), doc_id
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(1, 5000)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 20),
+)
+def test_weighted_sample_matches_closed_form(spark, rows, target):
+    """The kept set is EXACTLY the closed-form predicate: integer u and
+    integer floor-div threshold — no float path anywhere."""
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    kept = {
+        r.doc_id for r in C.weighted_sample(df, "doc_id", "w", target).collect()
+    }
+    W = sum(w for _, w in rows)
+    expect = set()
+    for k, w in rows:
+        u = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % C.SAMPLE_M
+        if u < (target * w * C.SAMPLE_M) // W:
+            expect.add(k)
+    assert kept == expect
+
+
+def test_weighted_sample_expected_size_and_bias(spark, sf_dir):
+    from hash_db_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    n = docs.count()
+    kept = C.weighted_sample(docs, "doc_id", "n_chars", 100).collect()
+    # expected size 100; md5 uniformity gives a few-sigma band
+    assert 60 <= len(kept) <= 140
+    # inclusion is weight-biased: kept docs are longer on average
+    avg_all = docs.agg(F.avg("n_chars")).first()[0]
+    avg_kept = sum(r.n_chars for r in kept) / len(kept)
+    assert avg_kept > avg_all
+
+
+def test_weighted_sample_append_stable(spark):
+    """A row's fate never changes when other rows arrive, as long as the
+    total weight is held (content-addressed u, per-row threshold)."""
+    base = [(i, 100) for i in range(50)]
+    df1 = spark.createDataFrame(base, "doc_id long, w long")
+    # same total weight, rows re-distributed
+    df2 = spark.createDataFrame(
+        [(i, 100) for i in range(25)] + [(100 + i, 100) for i in range(25)],
+        "doc_id long, w long",
+    )
+    k1 = {r.doc_id for r in C.weighted_sample(df1, "doc_id", "w", 10).collect()}
+    k2 = {r.doc_id for r in C.weighted_sample(df2, "doc_id", "w", 10).collect()}
+    common = set(range(25))
+    assert k1 & common == k2 & common
+
+
+def test_embedding_dim_stats_match_numpy(spark, sf_dir):
+    from hash_db_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mat = np.array([r.embedding for r in emb.collect()], dtype=np.float64)
+    got = {r.dim: (r.mu, r.sigma) for r in C.embedding_dim_stats(emb).collect()}
+    assert len(got) == mat.shape[1]
+    for d in range(mat.shape[1]):
+        assert abs(got[d][0] - round(float(mat[:, d].mean()), 4)) <= 1e-4
+        assert abs(got[d][1] - round(float(mat[:, d].std()), 4)) <= 1e-4
+
+
+def test_classifier_plan_one_shuffle_broadcast_model(spark, sf_dir):
+    """Features explode map-side, the model joins broadcast, ONE
+    exchange (the per-doc sum)."""
+    from hash_db_spark.catalog import load_table
+    from hash_db_spark.plans.inspect import formatted_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = formatted_plan(C.classifier_scores(docs, C.weight_dim(spark)))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # one shuffle: the doc_id aggregation (AQE may add none beyond it)
+    n_ex = plan.count("(+) Exchange") or plan.count(") Exchange")
+    assert n_ex <= 2
