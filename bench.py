@@ -167,6 +167,7 @@ HEADLINE: list[str] = [
     "weighted_doc_sample",
     "embedding_dim_stats",
     "classifier_sample_prep",
+    "stream_quality_gate",
 ]
 
 

@@ -72,8 +72,8 @@ def all_queries() -> dict[str, Query]:
     #     stream_line_dedup, crawl_prep_polite, warc_extract_gz,
     #     html_text_extract, html_anchor_texts, sitemap_discover,
     #     html_corpus_prep, quality_classifier, weighted_doc_sample,
-    #     embedding_dim_stats, classifier_sample_prep
-    #     (r08 session-4 additions, all sim-green)
+    #     embedding_dim_stats, classifier_sample_prep,
+    #     stream_quality_gate (r08 session-4 additions, all sim-green)
     #   newly stale (r08's degree_histogram explode fix; re-simmed green):
     #     graph_degree_hist
     #   r03-green residual: stratified_sample, stream_sessions,

@@ -65,7 +65,34 @@ def _classifier_sample_oracle() -> str:
     )
 
 
+def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming classifier gate: documents stream -> hashed features ->
+    stream-static broadcast join with the weight dimension -> per-doc
+    score aggregation -> keep filter. availableNow single batch, so
+    complete mode equals the batch classifier restricted to keep=true —
+    the oracle. At 100 TB the same plan runs on a real source with the
+    aggregation keyed per micro-batch (doc rows don't straddle files)."""
+    from hash_db_spark.streaming import windows as SW
+
+    docs = SW.read_documents_stream(spark, sf_dir)
+    scored = C.classifier_scores(docs, C.weight_dim(spark))
+    return SW.run_stream_to_memory(
+        scored.filter("keep").select("doc_id", "n_feats", "z_milli"),
+        output_mode="complete",
+    )
+
+
+def _stream_quality_gate_oracle() -> str:
+    return (
+        f"SELECT doc_id, n_feats, z_milli FROM ({C.sql_classifier_scores()})"
+        f" WHERE keep"
+    )
+
+
 QUERIES: dict[str, Query] = {
+    "stream_quality_gate": Query(
+        q_stream_quality_gate, _stream_quality_gate_oracle()
+    ),
     "quality_classifier": Query(
         q_quality_classifier, C.sql_classifier_scores()
     ),

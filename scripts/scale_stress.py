@@ -222,6 +222,7 @@ def main() -> int:
             "weighted_doc_sample",
             "embedding_dim_stats",
             "classifier_sample_prep",
+            "stream_quality_gate",
         ):
             timed(
                 f"{entry}/{scale}",
