@@ -440,13 +440,13 @@ def q_top_ngrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hash_db_spark.operators.dedup import shingle_frame
 
     docs = _docs(spark, sf_dir)
-    posts = shingle_frame(docs, "text", "doc_id").select(
-        "id", F.explode("sh").alias("s")
+    # keep= threads lang through the Arrow pass — re-attaching it with
+    # a join would shuffle the whole exploded gram relation a 2nd time
+    posts = shingle_frame(docs, "text", "doc_id", keep=("lang",)).select(
+        "lang", F.explode("sh").alias("s")
     )
-    counts = (
-        posts.join(docs.select(F.col("doc_id").alias("id"), "lang"), "id")
-        .groupBy("lang", "s")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    counts = posts.groupBy("lang", "s").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
     w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("s").asc())
     return (
