@@ -59,9 +59,11 @@ def all_queries() -> dict[str, Query]:
     # — all 17 r01, all 12 r02, and the first 14 of 19 r03. That fills the
     # 50-slot window exactly.
     #
-    # ROUND-9 WINDOW HEAD (recomputed at r08 session end with the fixed
-    # tool — 20 entries; recompute before trusting, but this is the plan
-    # of record):
+    # ROUND-9 WINDOW HEAD (recomputed at r08 session-4 HEAD:
+    # 279 entries, 36 never-checked, 58 stale, 185 fresh; the r08 gate
+    # below covers 7 never-checked + 43 stale, leaving 29 never-checked
+    # + 15 stale = 44 r09-head slots, ~6 free for r09 additions.
+    # Recompute before trusting, but this is the plan of record):
     #   never-checked (r08 session-2/3 additions, all sim-green):
     #     dedup_audio_pairs, dedup_image_incremental,
     #     dedup_audio_incremental, media_dup_clusters, bpe_encode_corpus,
@@ -76,13 +78,19 @@ def all_queries() -> dict[str, Query]:
     #     stream_quality_gate (r08 session-4 additions, all sim-green)
     #   newly stale (r08's degree_histogram explode fix; re-simmed green):
     #     graph_degree_hist
-    #   r03-green residual: stratified_sample, stream_sessions,
-    #     stream_stateful_counter, top_ngrams_per_lang, unpivot_measures
-    #   r04-green residual: bloom_decontaminate, cdc_scd2_history,
-    #     cms_user_counts, fts_phrase, histo_quantiles,
+    #   r03-green residual (5, incl. the session-4 join-removal taint on
+    #     top_ngrams_per_lang — re-simmed green): stratified_sample,
+    #     stream_sessions, stream_stateful_counter, top_ngrams_per_lang,
+    #     unpivot_measures
+    #   r04-green residual (9, bloom_decontaminate re-simmed green after
+    #     the session-4 prefilter fix): bloom_decontaminate,
+    #     cdc_scd2_history, cms_user_counts, fts_phrase, histo_quantiles,
     #     sim_topk_ivf_kmeans, stream_dedup_within_wm, stream_stream_join,
     #     zorder_values
     # plus anything r09's own code changes taint; r09 additions after.
+    # Session-4 assurance: full-registry sim at this HEAD = 278/278
+    # matches, failures=[] (279th entry stream_quality_gate simmed
+    # green separately).
     priority = [
         # --- never driver-checked (7): cheap url entries first to
         # absorb the window's JVM/codegen warmup ---------------------
