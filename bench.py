@@ -168,6 +168,7 @@ HEADLINE: list[str] = [
     "embedding_dim_stats",
     "classifier_sample_prep",
     "stream_quality_gate",
+    "doc_lang_segments",
 ]
 
 

@@ -65,6 +65,93 @@ def _classifier_sample_oracle() -> str:
     )
 
 
+SEG_CHUNK_TOKENS = 10
+
+
+def q_doc_lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-language document segmentation: language-ID each 10-token
+    chunk, then run-length-compress consecutive same-language chunks
+    into (doc, segment, lang, start, end) spans — the stage that splits
+    a mixed-language page before language-specific pipelines. One
+    shuffle (the per-doc window); the groupBy reuses its partitioning."""
+    from pyspark.sql import Window
+
+    from hash_db_spark.functions import text as T
+    from hash_db_spark.operators import chunking
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = chunking.token_chunks(
+        docs, "text", "doc_id", size=SEG_CHUNK_TOKENS, overlap=0
+    )
+    w = Window.partitionBy("id").orderBy("chunk_idx")
+    # lang_id_fast, not lang_id: chunk labeling is the hot path and the
+    # HOF filter() variant evaluates interpreted per chunk
+    labeled = ch.select(
+        "id", "chunk_idx", T.lang_id_fast("chunk_text").alias("lg")
+    ).withColumn(
+        "new_seg",
+        F.when(
+            F.lag("lg").over(w).isNull() | (F.lag("lg").over(w) != F.col("lg")),
+            1,
+        ).otherwise(0),
+    )
+    segged = labeled.withColumn(
+        "seg",
+        F.sum("new_seg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        segged.groupBy("id", "seg", "lg")
+        .agg(
+            F.min("chunk_idx").alias("start_idx"),
+            F.max("chunk_idx").alias("end_idx"),
+            F.count(F.lit(1)).alias("n_chunks"),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("seg").cast("long").alias("seg"),
+            F.col("lg").alias("lang"),
+            "start_idx",
+            "end_idx",
+            "n_chunks",
+        )
+    )
+
+
+def _doc_lang_segments_oracle() -> str:
+    from hash_db_spark.functions.text import sql_lang_id_fast
+    from hash_db_spark.operators.chunking import sql_token_chunks
+
+    inner = sql_token_chunks(
+        "documents", "text", "doc_id", size=SEG_CHUNK_TOKENS, overlap=0
+    )
+    return f"""
+WITH chunks AS (SELECT * FROM ({inner})),
+labeled AS (
+  SELECT id, chunk_idx, {sql_lang_id_fast('chunk_text')} AS lg,
+         CASE WHEN lag({sql_lang_id_fast('chunk_text')})
+                     OVER (PARTITION BY id ORDER BY chunk_idx) IS NULL
+                OR lag({sql_lang_id_fast('chunk_text')})
+                     OVER (PARTITION BY id ORDER BY chunk_idx)
+                   <> {sql_lang_id_fast('chunk_text')}
+              THEN 1 ELSE 0 END AS new_seg
+  FROM chunks
+),
+segged AS (
+  SELECT id, chunk_idx, lg,
+         sum(new_seg) OVER (PARTITION BY id ORDER BY chunk_idx) AS seg
+  FROM labeled
+)
+SELECT id AS doc_id,
+       CAST(seg AS BIGINT) AS seg,
+       lg AS lang,
+       min(chunk_idx) AS start_idx,
+       max(chunk_idx) AS end_idx,
+       CAST(count(*) AS BIGINT) AS n_chunks
+FROM segged
+GROUP BY id, seg, lg
+"""
+
+
 def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming classifier gate: documents stream -> hashed features ->
     stream-static broadcast join with the weight dimension -> per-doc
@@ -90,6 +177,9 @@ def _stream_quality_gate_oracle() -> str:
 
 
 QUERIES: dict[str, Query] = {
+    "doc_lang_segments": Query(
+        q_doc_lang_segments, _doc_lang_segments_oracle()
+    ),
     "stream_quality_gate": Query(
         q_stream_quality_gate, _stream_quality_gate_oracle()
     ),

@@ -223,6 +223,7 @@ def main() -> int:
             "embedding_dim_stats",
             "classifier_sample_prep",
             "stream_quality_gate",
+            "doc_lang_segments",
         ):
             timed(
                 f"{entry}/{scale}",

@@ -124,3 +124,27 @@ def test_classifier_plan_one_shuffle_broadcast_model(spark, sf_dir):
     # one shuffle: the doc_id aggregation (AQE may add none beyond it)
     n_ex = plan.count("(+) Exchange") or plan.count(") Exchange")
     assert n_ex <= 2
+
+
+def test_lang_segments_partition_docs(spark, sf_dir):
+    """Per doc: segments are consecutive (1..k), non-overlapping, cover
+    every chunk index exactly once, and adjacent segments differ in
+    language (maximal runs)."""
+    from collections import defaultdict
+
+    from hash_db_spark.queries.curation_queries import q_doc_lang_segments
+
+    rows = q_doc_lang_segments(spark, sf_dir).collect()
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r.doc_id].append(r)
+    assert by_doc
+    for doc, segs in by_doc.items():
+        segs.sort(key=lambda r: r.seg)
+        assert [r.seg for r in segs] == list(range(1, len(segs) + 1)), doc
+        prev_end, prev_lang = -1, None
+        for r in segs:
+            assert r.start_idx == prev_end + 1, doc
+            assert r.end_idx - r.start_idx + 1 == r.n_chunks, doc
+            assert r.lang != prev_lang, doc  # maximal runs
+            prev_end, prev_lang = r.end_idx, r.lang
