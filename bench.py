@@ -169,6 +169,7 @@ HEADLINE: list[str] = [
     "classifier_sample_prep",
     "stream_quality_gate",
     "doc_lang_segments",
+    "decontaminate_mask",
 ]
 
 

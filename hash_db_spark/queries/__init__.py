@@ -75,7 +75,7 @@ def all_queries() -> dict[str, Query]:
     #     html_text_extract, html_anchor_texts, sitemap_discover,
     #     html_corpus_prep, quality_classifier, weighted_doc_sample,
     #     embedding_dim_stats, classifier_sample_prep,
-    #     stream_quality_gate, doc_lang_segments
+    #     stream_quality_gate, doc_lang_segments, decontaminate_mask
     #     (r08 session-4 additions, all sim-green)
     #   newly stale (r08's degree_histogram explode fix; re-simmed green):
     #     graph_degree_hist

@@ -152,6 +152,110 @@ GROUP BY id, seg, lg
 """
 
 
+def q_decontaminate_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURGICAL decontamination: instead of dropping a contaminated doc
+    (contamination_check) it masks exactly the tokens covered by any
+    benchmark trigram, keeping the rest of the document trainable.
+    Positional grams come from lead() windows over posexploded tokens
+    (no interpreted HOFs); the benchmark gram set broadcasts; masked
+    position ranges union per doc; reassembly is the lines.py
+    collect-sort idiom. Every shuffle is keyed by doc_id."""
+    from pyspark.sql import Window
+
+    from hash_db_spark.operators.dedup import clean_tokens, shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = (
+        docs.filter(F.col("doc_id") < 10)
+        .select(F.explode(shingles("text")).alias("g"))
+        .distinct()
+    )
+    toks = docs.filter(F.col("doc_id") >= 10).select(
+        "doc_id", F.posexplode(clean_tokens("text")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    # concat_ws skips the NULL leads at doc end, yielding 1/2-token
+    # strings that cannot equal a 3-token benchmark gram — no end guard
+    # needed.
+    grams = toks.withColumn(
+        "g",
+        F.concat_ws(
+            " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+        ),
+    )
+    starts = grams.join(F.broadcast(bench), "g").select("doc_id", "pos")
+    masked = (
+        starts.select(
+            F.col("doc_id").alias("mid"),
+            F.explode(
+                F.array(F.col("pos"), F.col("pos") + 1, F.col("pos") + 2)
+            ).alias("mpos"),
+        )
+        .distinct()
+    )
+    rebuilt = toks.join(
+        masked,
+        (F.col("doc_id") == F.col("mid")) & (F.col("pos") == F.col("mpos")),
+        "left",
+    ).select(
+        "doc_id",
+        "pos",
+        F.col("mpos").isNotNull().alias("is_masked"),
+        F.when(F.col("mpos").isNotNull(), F.lit("<mask>"))
+        .otherwise(F.col("tok"))
+        .alias("out_tok"),
+    )
+    parts = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "out_tok"))),
+        lambda s: s.out_tok,
+    )
+    return (
+        rebuilt.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("is_masked").cast("long")).alias("n_masked"),
+            F.array_join(parts, " ").alias("text_masked"),
+        )
+        .filter(F.col("n_masked") > 0)
+    )
+
+
+def _decontaminate_mask_oracle() -> str:
+    from hash_db_spark.operators.dedup import sql_clean_tokens, sql_shingles
+
+    return f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({sql_shingles('text', 3)}) AS g
+  FROM documents WHERE doc_id < 10
+),
+toks AS (
+  SELECT doc_id, {sql_clean_tokens('text')} AS t
+  FROM documents WHERE doc_id >= 10
+),
+pt AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+  FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+),
+starts AS (
+  SELECT doc_id, i - 1 AS pos
+  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE (t[i] || ' ' || t[i+1] || ' ' || t[i+2]) IN (SELECT g FROM bench)
+),
+masked AS (
+  SELECT DISTINCT doc_id, pos + d AS mpos
+  FROM starts, unnest(generate_series(0, 2)) AS v(d)
+)
+SELECT p.doc_id,
+       CAST(sum(CASE WHEN m.mpos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_masked,
+       string_agg(CASE WHEN m.mpos IS NOT NULL THEN '<mask>' ELSE p.tok END,
+                  ' ' ORDER BY p.pos) AS text_masked
+FROM pt p
+LEFT JOIN masked m ON m.doc_id = p.doc_id AND m.mpos = p.pos
+GROUP BY p.doc_id
+HAVING sum(CASE WHEN m.mpos IS NOT NULL THEN 1 ELSE 0 END) > 0
+"""
+
+
 def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming classifier gate: documents stream -> hashed features ->
     stream-static broadcast join with the weight dimension -> per-doc
@@ -179,6 +283,9 @@ def _stream_quality_gate_oracle() -> str:
 QUERIES: dict[str, Query] = {
     "doc_lang_segments": Query(
         q_doc_lang_segments, _doc_lang_segments_oracle()
+    ),
+    "decontaminate_mask": Query(
+        q_decontaminate_mask, _decontaminate_mask_oracle()
     ),
     "stream_quality_gate": Query(
         q_stream_quality_gate, _stream_quality_gate_oracle()

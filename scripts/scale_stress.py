@@ -224,6 +224,7 @@ def main() -> int:
             "classifier_sample_prep",
             "stream_quality_gate",
             "doc_lang_segments",
+            "decontaminate_mask",
         ):
             timed(
                 f"{entry}/{scale}",

@@ -148,3 +148,41 @@ def test_lang_segments_partition_docs(spark, sf_dir):
             assert r.end_idx - r.start_idx + 1 == r.n_chunks, doc
             assert r.lang != prev_lang, doc  # maximal runs
             prev_end, prev_lang = r.end_idx, r.lang
+
+
+def test_decontaminate_mask_removes_all_bench_grams(spark, sf_dir):
+    """The defining property: after masking, a document shares ZERO
+    trigrams with the benchmark set (in-place replacement cannot create
+    new adjacencies), n_masked equals the <mask> token count, and
+    unmasked docs are absent."""
+    from hash_db_spark.catalog import load_table
+    from hash_db_spark.queries.curation_queries import q_decontaminate_mask
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+
+    def grams(text):
+        toks = [t for t in text.replace(",", "").split(" ") if t]
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }, toks
+
+    bench = set()
+    for d, t in docs.items():
+        if d < 10:
+            bench |= grams(t)[0]
+
+    rows = q_decontaminate_mask(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        g, toks = grams(r.text_masked)
+        assert not (g & bench), r.doc_id
+        assert toks.count("<mask>") == r.n_masked, r.doc_id
+        # same length, only mask positions changed
+        orig = grams(docs[r.doc_id])[1]
+        assert len(orig) == len(toks), r.doc_id
+        assert all(a == b or b == "<mask>" for a, b in zip(orig, toks)), (
+            r.doc_id
+        )
