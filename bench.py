@@ -170,6 +170,7 @@ HEADLINE: list[str] = [
     "stream_quality_gate",
     "doc_lang_segments",
     "decontaminate_mask",
+    "crawl_frontier_schedule",
 ]
 
 

@@ -236,10 +236,11 @@ def sql_anchor_pairs_cte(page_expr: str, table: str = "documents") -> str:
 
 def synth_sitemap(site: Column | str) -> Column:
     """Deterministic sitemap XML for a site: bare-host <loc> entries
-    for paths /a/0 .. /a/(2 + site % 11) — deliberately overlapping
-    but not equal to the corpus's crawled path set (/a/(doc_id % 13)),
-    so the anti-join finds real frontier. Closed form shared with
-    sql_synth_sitemap."""
+    for the EVEN paths /a/0, /a/2 .. /a/(2*(2 + site % 11)) — path
+    numbers run up to 24 while the corpus only ever crawls
+    /a/(doc_id % 13), so the listed set deliberately straddles the
+    crawled set: even paths <= 12 are usually known, paths > 12 are
+    real frontier. Closed form shared with sql_synth_sitemap."""
     s = _c(site)
     tld = F.element_at(
         F.array(F.lit(".com"), F.lit(".org"), F.lit(".io"), F.lit(".co.uk")),
@@ -253,7 +254,7 @@ def synth_sitemap(site: Column | str) -> Column:
                 s.cast("string"),
                 tld,
                 F.lit("/a/"),
-                k.cast("string"),
+                (k * 2).cast("string"),
                 F.lit("</loc></url>"),
             ),
         ),
@@ -270,7 +271,7 @@ def sql_synth_sitemap(site_expr: str) -> str:
     return (
         f"'<?xml version=\"1.0\"?><urlset>' || "
         f"(SELECT coalesce(string_agg('<url><loc>https://site' || {s} || "
-        f"{tld} || '/a/' || k || '</loc></url>', '' ORDER BY k), '') "
+        f"{tld} || '/a/' || (k * 2) || '</loc></url>', '' ORDER BY k), '') "
         f"FROM unnest(generate_series(0, 2 + {s} % 11)) AS g(k)) || "
         f"'</urlset>'"
     )

@@ -75,8 +75,9 @@ def all_queries() -> dict[str, Query]:
     #     html_text_extract, html_anchor_texts, sitemap_discover,
     #     html_corpus_prep, quality_classifier, weighted_doc_sample,
     #     embedding_dim_stats, classifier_sample_prep,
-    #     stream_quality_gate, doc_lang_segments, decontaminate_mask
-    #     (r08 session-4 additions, all sim-green)
+    #     stream_quality_gate, doc_lang_segments, decontaminate_mask,
+    #     crawl_frontier_schedule (r08 session-4 additions, all
+    #     sim-green; 282 entries total -> 47 r09-head slots)
     #   newly stale (r08's degree_histogram explode fix; re-simmed green):
     #     graph_degree_hist
     #   r03-green residual (5, incl. the session-4 join-removal taint on

@@ -136,6 +136,94 @@ GROUP BY l.site
 """
 
 
+def q_crawl_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl loop, closed: sitemap-discovered frontier (listed
+    minus crawled) -> robots Disallow filter -> polite per-host fetch
+    slots (Crawl-delay parsed from each host's robots). Everything
+    after the crawled-set distinct is dimension-sized (sites, rules,
+    delays ride broadcasts); the only corpus-scale work is the one
+    distinct."""
+    docs = load_table(spark, sf_dir, "documents")
+    crawled = docs.select(
+        (F.col("doc_id") % 23).alias("site"),
+        F.concat(F.lit("/a/"), (F.col("doc_id") % 13).cast("string")).alias(
+            "path"
+        ),
+    ).distinct()
+    sitemaps = crawled.select("site").distinct().withColumn(
+        "sitemap", H.synth_sitemap("site")
+    )
+    new = H.sitemap_paths(sitemaps).join(
+        crawled, ["site", "path"], "left_anti"
+    )
+    tld = F.element_at(
+        F.array(F.lit(".com"), F.lit(".org"), F.lit(".io"), F.lit(".co.uk")),
+        (F.col("site") % 4 + 1).cast("int"),
+    )
+    urls = new.select(
+        F.regexp_extract("path", r"/a/([0-9]+)", 1).cast("int").alias("id"),
+        F.concat(
+            F.lit("https://site"), F.col("site").cast("string"), tld,
+            F.col("path"),
+        ).alias("curl"),
+        "path",
+    )
+    hosts = urls.select(W.url_host("curl").alias("host")).distinct()
+    rules = hosts.select(
+        "host",
+        W.robots_disallow_prefixes(W.synth_robots("host")).alias("rules"),
+    )
+    withrules = urls.withColumn("host", W.url_host("curl")).join(
+        F.broadcast(rules), "host"
+    )
+    allowed = withrules.filter(
+        ~F.exists(F.col("rules"), lambda p: F.col("path").startswith(p))
+    ).select("id", "curl")
+    return W.fetch_schedule(allowed, url_col="curl", id_col="id")
+
+
+CRAWL_FRONTIER_SCHEDULE_ORACLE = f"""
+WITH crawled AS (
+  SELECT DISTINCT doc_id % 23 AS site, '/a/' || (doc_id % 13) AS path
+  FROM documents
+),
+maps AS (
+  SELECT site, {H.sql_synth_sitemap('site')} AS sm
+  FROM (SELECT DISTINCT site FROM crawled)
+),
+listed AS (
+  SELECT site, path
+  FROM maps,
+       unnest(regexp_extract_all(sm,
+         '<loc>[a-z]+://[^/<]+(/[^<]*)</loc>', 1)) AS u(path)
+),
+new AS (
+  SELECT l.site, l.path
+  FROM listed l
+  LEFT JOIN crawled c ON c.site = l.site AND c.path = l.path
+  WHERE c.path IS NULL
+),
+allowed AS (
+  SELECT site, path,
+         CAST(regexp_extract(path, '/a/([0-9]+)', 1) AS INT) AS id,
+         'site' || site || (['.com', '.org', '.io', '.co.uk'][site % 4 + 1])
+           AS host
+  FROM new
+  WHERE NOT (starts_with(path, '/a/' || ((site * 5 + 1) % 13))
+             OR site % 19 = 0)
+),
+s AS (
+  SELECT id, host,
+         row_number() OVER (PARTITION BY host ORDER BY id) - 1 AS slot,
+         1 + (site % 5) AS delay
+  FROM allowed
+)
+SELECT id, host, CAST(slot AS INT) AS slot,
+       CAST(slot * delay AS BIGINT) AS fetch_at
+FROM s
+"""
+
+
 def q_html_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page -> corpus document as ONE plan: extract main text, gate on
     extracted token count, and attach the inlink-popularity signal
@@ -206,5 +294,8 @@ QUERIES: dict[str, Query] = {
     "html_text_extract": Query(q_html_text_extract, HTML_TEXT_EXTRACT_ORACLE),
     "html_anchor_texts": Query(q_html_anchor_texts, HTML_ANCHOR_TEXTS_ORACLE),
     "sitemap_discover": Query(q_sitemap_discover, SITEMAP_DISCOVER_ORACLE),
+    "crawl_frontier_schedule": Query(
+        q_crawl_frontier_schedule, CRAWL_FRONTIER_SCHEDULE_ORACLE
+    ),
     "html_corpus_prep": Query(q_html_corpus_prep, _html_corpus_prep_oracle()),
 }

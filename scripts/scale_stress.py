@@ -225,6 +225,7 @@ def main() -> int:
             "stream_quality_gate",
             "doc_lang_segments",
             "decontaminate_mask",
+            "crawl_frontier_schedule",
         ):
             timed(
                 f"{entry}/{scale}",

@@ -158,3 +158,39 @@ def test_extraction_is_pure_codegen(spark, sf_dir):
     plan = formatted_plan(q_html_text_extract(spark, sf_dir))
     assert "MapInPandas" not in plan
     assert "EvalPython" not in plan
+
+
+def test_frontier_schedule_politeness(spark, sf_dir):
+    """Scheduled frontier URLs were never crawled, never disallowed,
+    and per-host slots are dense from 0 with fetch_at = slot * delay."""
+    from collections import defaultdict
+
+    from hash_db_spark.queries.html_queries import (
+        q_crawl_frontier_schedule,
+        q_sitemap_discover,
+    )
+
+    rows = q_crawl_frontier_schedule(spark, sf_dir).collect()
+    assert rows
+    per_host = defaultdict(list)
+    for r in rows:
+        per_host[r.host].append(r)
+    for host, hs in per_host.items():
+        site = int(host.split("site")[1].split(".")[0])
+        assert site % 19 != 0, host  # block-all sites never scheduled
+        delay = 1 + site % 5
+        hs.sort(key=lambda r: r.slot)
+        assert [r.slot for r in hs] == list(range(len(hs))), host
+        blocked_prefix = str((site * 5 + 1) % 13)
+        for r in hs:
+            assert r.fetch_at == r.slot * delay, host
+            # robots prefix semantics: '/a/1' blocks '/a/12' too
+            assert not str(r.id).startswith(blocked_prefix), host
+
+    # scheduled ids are even (sitemaps list even paths only) and the
+    # schedule is bounded by the discovered frontier
+    assert all(r.id % 2 == 0 for r in rows)
+    n_new = sum(
+        r.n_new for r in q_sitemap_discover(spark, sf_dir).collect()
+    )
+    assert 0 < len(rows) <= n_new
