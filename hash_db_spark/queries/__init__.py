@@ -60,9 +60,9 @@ def all_queries() -> dict[str, Query]:
     # 50-slot window exactly.
     #
     # ROUND-9 WINDOW HEAD (recomputed at r08 session-4 end:
-    # 281 entries, 38 never-checked, 58 stale, 185 fresh; the r08 gate
-    # below covers 7 never-checked + 43 stale, leaving 31 never-checked
-    # + 15 stale = 46 r09-head slots, ~4 free for r09 additions.
+    # 282 entries, 39 never-checked, 58 stale, 185 fresh; the r08 gate
+    # below covers 7 never-checked + 43 stale, leaving 32 never-checked
+    # + 15 stale = 47 r09-head slots, ~3 free for r09 additions.
     # Recompute before trusting, but this is the plan of record):
     #   never-checked (r08 session-2/3 additions, all sim-green):
     #     dedup_audio_pairs, dedup_image_incremental,
