@@ -171,6 +171,7 @@ HEADLINE: list[str] = [
     "doc_lang_segments",
     "decontaminate_mask",
     "crawl_frontier_schedule",
+    "lm_trigram_interp",
 ]
 
 

@@ -217,6 +217,146 @@ WHERE {sql_sample_u(key)} <
 """
 
 
+# --- interpolated trigram LM ---------------------------------------------------
+
+# Jelinek-Mercer interpolation weights (trigram, bigram, unigram).
+LM_L3, LM_L2, LM_L1 = 0.6, 0.3, 0.1
+
+
+def trigram_interp_logprob(
+    train: DataFrame, score: DataFrame, col: str, id_col: str
+) -> DataFrame:
+    """(id, n_trigrams, interp_logprob): mean log10 of the
+    Jelinek-Mercer interpolated trigram probability of each SCORE doc
+    under counts from the TRAIN corpus — the CCNet shape (reference LM
+    scores the crawl; here both halves are fixture docs).
+
+      P(w3|w1 w2) = L3*c3/c2p + L2*cb/c1 + L1*(cu+1)/(N+V)
+
+    with missing trigram/bigram components contributing 0 and the
+    add-one unigram floor keeping P > 0 for unseen words. All counts
+    are exact integers until the final division/log. Scale shape: one
+    adjacency window per side keyed on the doc id, count aggregations
+    with map-side partials, then joins keyed on (Zipfian) token
+    prefixes — AQE broadcast for normal vocabularies, salted shuffle
+    (operators/skew.py) beyond. Docs under 3 tokens drop out."""
+    from pyspark.sql import Window
+
+    from hash_db_spark.operators.dedup import clean_tokens
+
+    def tri_stream(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(clean_tokens(col)).alias("pos", "tok"),
+        )
+        w = Window.partitionBy("id").orderBy("pos")
+        return (
+            toks.withColumn("w2", F.lag("tok", 1).over(w))
+            .withColumn("w1", F.lag("tok", 2).over(w))
+            .filter(F.col("w1").isNotNull())
+            .select("id", "w1", "w2", F.col("tok").alias("w3"))
+        )
+
+    tri_train = tri_stream(train)
+    uni = train.select(
+        F.explode(clean_tokens(col)).alias("w3")
+    )
+    c3 = tri_train.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("c3")
+    )
+    c2p = tri_train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2p"))
+    cb = tri_train.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("cb"))
+    c1 = tri_train.groupBy("w2").agg(F.count(F.lit(1)).alias("c1"))
+    cu = uni.groupBy("w3").agg(F.count(F.lit(1)).alias("cu"))
+    totals = uni.agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.countDistinct("w3").alias("v_size"),
+    )
+
+    p = (
+        F.lit(LM_L3)
+        * F.coalesce(F.col("c3") / F.col("c2p"), F.lit(0.0))
+        + F.lit(LM_L2) * F.coalesce(F.col("cb") / F.col("c1"), F.lit(0.0))
+        + F.lit(LM_L1)
+        * ((F.coalesce(F.col("cu"), F.lit(0)) + 1)
+           / (F.col("n_tok") + F.col("v_size")))
+    )
+    return (
+        tri_stream(score)
+        .join(c3, ["w1", "w2", "w3"], "left")
+        .join(c2p, ["w1", "w2"], "left")
+        .join(cb, ["w2", "w3"], "left")
+        .join(c1, ["w2"], "left")
+        .join(cu, ["w3"], "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(F.avg(F.log10(p)), 6).alias("interp_logprob"),
+        )
+        .select(
+            F.col("id").alias(id_col), "n_trigrams", "interp_logprob"
+        )
+    )
+
+
+def sql_trigram_interp_logprob(
+    train_pred: str,
+    score_pred: str,
+    table: str = "documents",
+    col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    from hash_db_spark.operators.dedup import sql_clean_tokens
+
+    toks = sql_clean_tokens(col)
+    stream = f"""(
+  SELECT id, w1, w2, w3 FROM (
+    SELECT id, tok AS w3,
+           lag(tok, 1) OVER (PARTITION BY id ORDER BY pos) AS w2,
+           lag(tok, 2) OVER (PARTITION BY id ORDER BY pos) AS w1
+    FROM (
+      SELECT {id_col} AS id, unnest(l) AS tok,
+             generate_subscripts(l, 1) AS pos
+      FROM (SELECT {id_col}, {toks} AS l FROM {table} WHERE {{pred}})
+    )
+  ) WHERE w1 IS NOT NULL
+)"""
+    tri_train = stream.format(pred=train_pred)
+    tri_score = stream.format(pred=score_pred)
+    return f"""
+WITH tri_train AS (SELECT * FROM {tri_train}),
+tri_score AS (SELECT * FROM {tri_score}),
+uni AS (
+  SELECT unnest({toks}) AS w3 FROM {table} WHERE {train_pred}
+),
+c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tri_train GROUP BY 1, 2, 3),
+c2p AS (SELECT w1, w2, count(*) AS c2p FROM tri_train GROUP BY 1, 2),
+cb AS (SELECT w2, w3, count(*) AS cb FROM tri_train GROUP BY 1, 2),
+c1 AS (SELECT w2, count(*) AS c1 FROM tri_train GROUP BY 1),
+cu AS (SELECT w3, count(*) AS cu FROM uni GROUP BY 1),
+totals AS (
+  SELECT count(*) AS n_tok, count(DISTINCT w3) AS v_size FROM uni
+)
+SELECT s.id AS {id_col},
+       count(*) AS n_trigrams,
+       round(avg(log10(
+         {LM_L3} * coalesce(c3.c3 / c2p.c2p, 0.0)
+         + {LM_L2} * coalesce(cb.cb / c1.c1, 0.0)
+         + {LM_L1} * ((coalesce(cu.cu, 0) + 1)
+                      / (totals.n_tok + totals.v_size))
+       )), 6) AS interp_logprob
+FROM tri_score s
+LEFT JOIN c3 ON c3.w1 = s.w1 AND c3.w2 = s.w2 AND c3.w3 = s.w3
+LEFT JOIN c2p ON c2p.w1 = s.w1 AND c2p.w2 = s.w2
+LEFT JOIN cb ON cb.w2 = s.w2 AND cb.w3 = s.w3
+LEFT JOIN c1 ON c1.w2 = s.w2
+LEFT JOIN cu ON cu.w3 = s.w3
+CROSS JOIN totals
+GROUP BY s.id
+"""
+
+
 # --- embedding standardization -------------------------------------------------
 
 

@@ -152,6 +152,19 @@ GROUP BY id, seg, lg
 """
 
 
+def q_lm_trigram_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated trigram LM scoring, reference-vs-target: even docs
+    train the counts, odd docs are scored (the CCNet split shape —
+    a clean reference corpus scores the crawl)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return C.trigram_interp_logprob(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "text",
+        "doc_id",
+    )
+
+
 def q_decontaminate_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURGICAL decontamination: instead of dropping a contaminated doc
     (contamination_check) it masks exactly the tokens covered by any
@@ -286,6 +299,10 @@ QUERIES: dict[str, Query] = {
     ),
     "decontaminate_mask": Query(
         q_decontaminate_mask, _decontaminate_mask_oracle()
+    ),
+    "lm_trigram_interp": Query(
+        q_lm_trigram_interp,
+        C.sql_trigram_interp_logprob("doc_id % 2 = 0", "doc_id % 2 = 1"),
     ),
     "stream_quality_gate": Query(
         q_stream_quality_gate, _stream_quality_gate_oracle()

@@ -226,6 +226,7 @@ def main() -> int:
             "doc_lang_segments",
             "decontaminate_mask",
             "crawl_frontier_schedule",
+            "lm_trigram_interp",
         ):
             timed(
                 f"{entry}/{scale}",

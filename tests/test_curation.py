@@ -186,3 +186,53 @@ def test_decontaminate_mask_removes_all_bench_grams(spark, sf_dir):
         assert all(a == b or b == "<mask>" for a, b in zip(orig, toks)), (
             r.doc_id
         )
+
+
+def test_trigram_interp_matches_python_model(spark):
+    """Spark interp logprob == a direct Python recomputation of the
+    Jelinek-Mercer formula on a tiny handcrafted corpus."""
+    import math
+    from collections import Counter
+
+    train = [(0, "a b c a b d"), (2, "a b c c")]
+    score = [(1, "a b c a b"), (3, "x y z q")]
+    df = spark.createDataFrame(train + score, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_trigrams, r.interp_logprob)
+        for r in C.trigram_interp_logprob(
+            df.filter("doc_id % 2 = 0"),
+            df.filter("doc_id % 2 = 1"),
+            "text",
+            "doc_id",
+        ).collect()
+    }
+
+    tri, c2p, cb, c1, cu = Counter(), Counter(), Counter(), Counter(), Counter()
+    n_tok = 0
+    for _, t in train:
+        ws = t.split()
+        n_tok += len(ws)
+        cu.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            cb[(a, b)] += 1
+            c1[a] += 1
+        for a, b, c in zip(ws, ws[1:], ws[2:]):
+            tri[(a, b, c)] += 1
+            c2p[(a, b)] += 1
+    v = len(cu)
+
+    for doc_id, t in score:
+        ws = t.split()
+        logs = []
+        for a, b, c in zip(ws, ws[1:], ws[2:]):
+            p = (
+                C.LM_L3 * (tri[(a, b, c)] / c2p[(a, b)] if c2p[(a, b)] else 0)
+                + C.LM_L2 * (cb[(b, c)] / c1[b] if c1[b] else 0)
+                + C.LM_L1 * ((cu[c] + 1) / (n_tok + v))
+            )
+            logs.append(math.log10(p))
+        expect = round(sum(logs) / len(logs), 6)
+        assert got[doc_id][0] == len(ws) - 2, doc_id
+        assert abs(got[doc_id][1] - expect) <= 1e-6, doc_id
+    # in-domain text scores higher than out-of-vocabulary text
+    assert got[1][1] > got[3][1]
