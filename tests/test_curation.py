@@ -236,3 +236,31 @@ def test_trigram_interp_matches_python_model(spark):
         assert abs(got[doc_id][1] - expect) <= 1e-6, doc_id
     # in-domain text scores higher than out-of-vocabulary text
     assert got[1][1] > got[3][1]
+
+
+def test_session4_entries_plan_shapes(spark, sf_dir):
+    """Every curation/html entry is pure codegen (zero Python-exec
+    nodes), and the weighted sampler has NO sort anywhere — its whole
+    point vs A-ES top-k is one scan + a 1-row scalar broadcast."""
+    import re
+
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries import all_queries
+
+    reg = all_queries()
+    for entry in (
+        "html_text_extract",
+        "quality_classifier",
+        "weighted_doc_sample",
+        "embedding_dim_stats",
+        "doc_lang_segments",
+        "decontaminate_mask",
+        "lm_trigram_interp",
+        "crawl_frontier_schedule",
+    ):
+        plan = formatted_plan(reg[entry].fn(spark, sf_dir))
+        assert not re.findall(
+            r"\(\d+\) (?:MapInPandas|ArrowEvalPython|BatchEvalPython)", plan
+        ), entry
+    sampler = formatted_plan(reg["weighted_doc_sample"].fn(spark, sf_dir))
+    assert not re.findall(r"\(\d+\) Sort\b", sampler)
