@@ -172,6 +172,7 @@ HEADLINE: list[str] = [
     "decontaminate_mask",
     "crawl_frontier_schedule",
     "lm_trigram_interp",
+    "corpus_health_report",
 ]
 
 

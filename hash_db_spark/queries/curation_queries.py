@@ -293,7 +293,79 @@ def _stream_quality_gate_oracle() -> str:
     )
 
 
+def q_corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health dashboard in ONE plan: doc count,
+    heuristic-gate pass rate inputs, exact-duplicate count, language
+    agreement, and mean token length. The dup check is the only
+    corpus-keyed shuffle (md5 groupBy joined back); everything else is
+    map-side into the final per-source aggregation."""
+    from hash_db_spark.functions.text import (
+        lang_id_fast,
+        quality_score,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", F.md5("text").alias("fp"))
+    dup_fp = (
+        fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select("fp")
+    )
+    dups = fp.join(F.broadcast(dup_fp), "fp").select(
+        "doc_id", F.lit(True).alias("is_dup")
+    )
+    enriched = docs.join(dups, "doc_id", "left").select(
+        "source",
+        F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        (quality_score("text") >= 0.5).alias("q_ok"),
+        (lang_id_fast("text") == F.col("lang")).alias("lang_ok"),
+        token_count("text").alias("n_toks"),
+    )
+    return enriched.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dups"),
+        F.sum(F.col("q_ok").cast("long")).alias("n_quality_ok"),
+        F.sum(F.col("lang_ok").cast("long")).alias("n_lang_ok"),
+        F.round(F.avg("n_toks"), 4).alias("avg_tokens"),
+    )
+
+
+def _corpus_health_oracle() -> str:
+    from hash_db_spark.functions.text import (
+        sql_lang_id_fast,
+        sql_quality_score,
+        sql_token_count,
+    )
+
+    return f"""
+WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+dup_fp AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) > 1),
+enriched AS (
+  SELECT d.source,
+         (f.fp IN (SELECT fp FROM dup_fp)) AS is_dup,
+         ({sql_quality_score('d.text')} >= 0.5) AS q_ok,
+         ({sql_lang_id_fast('d.text')} = d.lang) AS lang_ok,
+         {sql_token_count('d.text')} AS n_toks
+  FROM documents d JOIN fp f ON f.doc_id = d.doc_id
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+       CAST(sum(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quality_ok,
+       CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lang_ok,
+       round(avg(n_toks), 4) AS avg_tokens
+FROM enriched
+GROUP BY source
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "corpus_health_report": Query(
+        q_corpus_health_report, _corpus_health_oracle()
+    ),
     "doc_lang_segments": Query(
         q_doc_lang_segments, _doc_lang_segments_oracle()
     ),

@@ -227,6 +227,7 @@ def main() -> int:
             "decontaminate_mask",
             "crawl_frontier_schedule",
             "lm_trigram_interp",
+            "corpus_health_report",
         ):
             timed(
                 f"{entry}/{scale}",
