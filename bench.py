@@ -173,6 +173,7 @@ HEADLINE: list[str] = [
     "crawl_frontier_schedule",
     "lm_trigram_interp",
     "corpus_health_report",
+    "dedup_budget_select",
 ]
 
 

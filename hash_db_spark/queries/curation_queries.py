@@ -293,6 +293,59 @@ def _stream_quality_gate_oracle() -> str:
     )
 
 
+DEDUP_BUDGET = 6000  # tokens
+
+
+def q_dedup_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assemble-the-training-set step as ONE plan: exact-dedup
+    survivors (keep-first by content fingerprint) filled into a token
+    budget in priority order (longest first, id tie-break). Composes
+    the dedup keep-set semi-join with the distributed global cumsum —
+    no single-task window anywhere."""
+    from hash_db_spark.functions.text import token_count
+    from hash_db_spark.operators.dedup import exact_dedup_keep_first
+    from hash_db_spark.operators.rank import take_to_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = exact_dedup_keep_first(docs, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    survivors = docs.join(keep, "doc_id", "semi").select(
+        "doc_id", "n_chars", token_count("text").alias("n_toks")
+    )
+    return take_to_budget(
+        survivors,
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        "n_toks",
+        DEDUP_BUDGET,
+    ).select("doc_id", "n_toks", "cum_weight")
+
+
+def _dedup_budget_oracle() -> str:
+    from hash_db_spark.functions.text import sql_fingerprint, sql_token_count
+
+    return f"""
+WITH keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents
+  GROUP BY {sql_fingerprint('text')}
+),
+survivors AS (
+  SELECT d.doc_id, d.n_chars, {sql_token_count('d.text')} AS n_toks
+  FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM keep)
+),
+ordered AS (
+  SELECT doc_id, n_toks,
+         sum(n_toks) OVER (ORDER BY n_chars DESC, doc_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS cum_weight
+  FROM survivors
+)
+SELECT doc_id, n_toks, CAST(cum_weight AS BIGINT) AS cum_weight
+FROM ordered
+WHERE cum_weight <= {DEDUP_BUDGET}
+"""
+
+
 def q_corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus health dashboard in ONE plan: doc count,
     heuristic-gate pass rate inputs, exact-duplicate count, language
@@ -365,6 +418,9 @@ GROUP BY source
 QUERIES: dict[str, Query] = {
     "corpus_health_report": Query(
         q_corpus_health_report, _corpus_health_oracle()
+    ),
+    "dedup_budget_select": Query(
+        q_dedup_budget_select, _dedup_budget_oracle()
     ),
     "doc_lang_segments": Query(
         q_doc_lang_segments, _doc_lang_segments_oracle()

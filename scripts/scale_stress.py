@@ -228,6 +228,7 @@ def main() -> int:
             "crawl_frontier_schedule",
             "lm_trigram_interp",
             "corpus_health_report",
+            "dedup_budget_select",
         ):
             timed(
                 f"{entry}/{scale}",
