@@ -93,9 +93,8 @@ def all_queries() -> dict[str, Query]:
     #     sim_topk_ivf_kmeans, stream_dedup_within_wm, stream_stream_join,
     #     zorder_values
     # plus anything r09's own code changes taint; r09 additions after.
-    # Session-4 assurance: full-registry sim at this HEAD = 278/278
-    # matches, failures=[] (279th entry stream_quality_gate simmed
-    # green separately).
+    # Session-4 end assurance: full-registry sim at the FINAL session-4
+    # HEAD = 285/285 matches, failures=[] (311s serialized).
     priority = [
         # --- never driver-checked (7): cheap url entries first to
         # absorb the window's JVM/codegen warmup ---------------------
