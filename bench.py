@@ -174,6 +174,7 @@ HEADLINE: list[str] = [
     "lm_trigram_interp",
     "corpus_health_report",
     "dedup_budget_select",
+    "robots_sitemap_refs",
 ]
 
 

@@ -348,18 +348,50 @@ def sql_host_site_num(expr: str) -> str:
 
 
 def synth_robots(host: Column | str) -> Column:
-    """robots.txt body for a host. Pure string expressions."""
+    """robots.txt body for a host. Pure string expressions. Hosts with
+    an even site number advertise their sitemap (a Sitemap: line the
+    Disallow/Crawl-delay parsers must skip; robots_sitemap_refs parses
+    it) — odd sites don't, so the discovery join has real misses."""
     s = host_site_num(host)
+    h = F.col(host) if isinstance(host, str) else host
     block_all = F.when(s % 19 == 0, F.lit("Disallow: /\n")).otherwise(F.lit(""))
+    sitemap = F.when(
+        s % 2 == 0,
+        F.concat(
+            F.lit("Sitemap: https://"), h, F.lit("/sitemap.xml\n")
+        ),
+    ).otherwise(F.lit(""))
     return F.concat(
         F.lit("User-agent: *\n"),
         F.lit("Disallow: /a/"),
         ((s * 5 + 1) % 13).cast("string"),
         F.lit("\n"),
         block_all,
+        sitemap,
         F.lit("Crawl-delay: "),
         (1 + s % 5).cast("string"),
         F.lit("\n"),
+    )
+
+
+def robots_sitemap_refs(hosts: DataFrame, host_col: str = "host") -> DataFrame:
+    """(host, sitemap_url): REAL parse of the Sitemap: lines of each
+    distinct host's robots.txt — the discovery entry point a crawler
+    follows before guessing /sitemap.xml. Hosts advertising none are
+    absent. Same codegen line-split discipline as the Disallow and
+    Crawl-delay parsers; dimension-sized (distinct hosts)."""
+    r = synth_robots(host_col)
+    lines = F.filter(
+        F.split(r, "\n"), lambda ln: ln.startswith(F.lit("Sitemap: "))
+    )
+    return (
+        hosts.select(host_col).distinct()
+        .select(
+            F.col(host_col).alias("host"),
+            F.explode(
+                F.transform(lines, lambda ln: F.substring(ln, 10, 1 << 30))
+            ).alias("sitemap_url"),
+        )
     )
 
 

@@ -60,10 +60,10 @@ def all_queries() -> dict[str, Query]:
     # 50-slot window exactly.
     #
     # ROUND-9 WINDOW HEAD (recomputed at r08 session-4 end:
-    # 285 entries, 42 never-checked, 58 stale, 185 fresh; the r08 gate
-    # below covers 7 never-checked + 43 stale, leaving 35 never-checked
-    # + 15 stale = 50 r09-head slots — the r09 window is EXACTLY FULL;
-    # r09 additions and any r09 taint queue for r10.
+    # 286 entries, 43 never-checked, 58 stale, 185 fresh; the r08 gate
+    # below covers 7 never-checked + 43 stale, leaving 36 never-checked
+    # + 15 stale = 51 r09-head candidates — one more than the 50-slot
+    # window; r09 additions, r09 taint, and the overflow queue for r10.
     # Recompute before trusting, but this is the plan of record):
     #   never-checked (r08 session-2/3 additions, all sim-green):
     #     dedup_audio_pairs, dedup_image_incremental,
@@ -78,9 +78,10 @@ def all_queries() -> dict[str, Query]:
     #     embedding_dim_stats, classifier_sample_prep,
     #     stream_quality_gate, doc_lang_segments, decontaminate_mask,
     #     crawl_frontier_schedule, lm_trigram_interp,
-    #     corpus_health_report, dedup_budget_select (r08 session-4
-    #     additions, all sim-green; 285 entries -> 50 r09-head slots:
-    #     the r09 window is exactly full)
+    #     corpus_health_report, dedup_budget_select,
+    #     robots_sitemap_refs (r08 session-4 additions, all sim-green;
+    #     286 entries -> 51 r09-head candidates: ONE never-checked entry
+    #     overflows to the r10 queue head)
     #   newly stale (r08's degree_histogram explode fix; re-simmed green):
     #     graph_degree_hist
     #   r03-green residual (5, incl. the session-4 join-removal taint on

@@ -476,7 +476,34 @@ SELECT doc_id, host, quota FROM r WHERE rk <= quota
 """
 
 
+def q_robots_sitemap_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap advertisement parse: the Sitemap: lines of each distinct
+    host's robots.txt (the crawler's discovery entry point); hosts
+    advertising none are absent — the discovery join has real misses."""
+    docs = _docs(spark, sf_dir)
+    hosts = docs.select(
+        W.url_host(W.canonicalize_url(W.synth_url("doc_id"))).alias("host")
+    )
+    return W.robots_sitemap_refs(hosts)
+
+
+ROBOTS_SITEMAP_REFS_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT
+    {W.sql_url_host(W.sql_canonicalize_url(W.sql_synth_url('doc_id')))}
+      AS host
+  FROM documents
+)
+SELECT host, 'https://' || host || '/sitemap.xml' AS sitemap_url
+FROM h
+WHERE {_SN} % 2 = 0
+"""
+
+
 QUERIES = {
+    "robots_sitemap_refs": Query(
+        q_robots_sitemap_refs, ROBOTS_SITEMAP_REFS_ORACLE
+    ),
     "url_dedup": Query(q_url_dedup, URL_DEDUP_ORACLE),
     "url_host_domains": Query(q_url_host_domains, URL_HOST_DOMAINS_ORACLE),
     "host_doc_caps": Query(q_host_doc_caps, _host_doc_caps_oracle()),

@@ -229,6 +229,7 @@ def main() -> int:
             "lm_trigram_interp",
             "corpus_health_report",
             "dedup_budget_select",
+            "robots_sitemap_refs",
         ):
             timed(
                 f"{entry}/{scale}",
