@@ -90,6 +90,52 @@ def quality_score(col: Column | str) -> Column:
     )
 
 
+def stopword_ratio_fast(col: Column | str) -> Column:
+    """Codegen twin of stopword_ratio for hot paths: hits counted with
+    ONE word-boundary regexp (native codegen) instead of an interpreted
+    filter() lambda — identical counts for comma-free \\w/space text
+    (the lang_id_fast equivalence), same rounding."""
+    c = F.col(col) if isinstance(col, str) else col
+    hits = F.size(F.regexp_extract_all(c, F.lit(_marker_re_en()), 0))
+    return F.round(hits.cast("double") / F.size(tokens(col)), 4)
+
+
+def quality_score_fast(col: Column | str) -> Column:
+    """quality_score with the interpreted-HOF stopword component
+    replaced by stopword_ratio_fast — value-identical on comma-free
+    \\w/space text (every other component is already native:
+    array_distinct, size, split)."""
+    n = token_count(col)
+    length_band = F.when(n < 5, 0.2).when(n > 500, 0.5).otherwise(1.0)
+    return F.round(
+        length_band
+        * lexical_diversity(col)
+        * (1.0 - stopword_ratio_fast(col) / 2),
+        4,
+    )
+
+
+def _marker_re_en() -> str:
+    return r"\b(?:" + "|".join(LANG_MARKERS["en"]) + r")\b"
+
+
+def sql_stopword_ratio_fast(col: str) -> str:
+    return (
+        f"round(CAST(len(regexp_extract_all({col}, '{_marker_re_en()}'))"
+        f" AS DOUBLE) / len({_sql_tokens(col)}), 4)"
+    )
+
+
+def sql_quality_score_fast(col: str) -> str:
+    n = sql_token_count(col)
+    return (
+        f"round((CASE WHEN {n} < 5 THEN 0.2 WHEN {n} > 500 THEN 0.5"
+        f" ELSE 1.0 END)"
+        f" * {sql_lexical_diversity(col)}"
+        f" * (1.0 - {sql_stopword_ratio_fast(col)} / 2), 4)"
+    )
+
+
 def lang_id(col: Column | str) -> Column:
     """Stopword-hit argmax over LANG_MARKERS with fixed tie priority."""
     t = tokens(col)

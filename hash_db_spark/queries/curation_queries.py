@@ -354,7 +354,7 @@ def q_corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side into the final per-source aggregation."""
     from hash_db_spark.functions.text import (
         lang_id_fast,
-        quality_score,
+        quality_score_fast,
         token_count,
     )
 
@@ -371,7 +371,7 @@ def q_corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = docs.join(dups, "doc_id", "left").select(
         "source",
         F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
-        (quality_score("text") >= 0.5).alias("q_ok"),
+        (quality_score_fast("text") >= 0.5).alias("q_ok"),
         (lang_id_fast("text") == F.col("lang")).alias("lang_ok"),
         token_count("text").alias("n_toks"),
     )
@@ -387,7 +387,7 @@ def q_corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _corpus_health_oracle() -> str:
     from hash_db_spark.functions.text import (
         sql_lang_id_fast,
-        sql_quality_score,
+        sql_quality_score_fast,
         sql_token_count,
     )
 
@@ -397,7 +397,7 @@ dup_fp AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) > 1),
 enriched AS (
   SELECT d.source,
          (f.fp IN (SELECT fp FROM dup_fp)) AS is_dup,
-         ({sql_quality_score('d.text')} >= 0.5) AS q_ok,
+         ({sql_quality_score_fast('d.text')} >= 0.5) AS q_ok,
          ({sql_lang_id_fast('d.text')} = d.lang) AS lang_ok,
          {sql_token_count('d.text')} AS n_toks
   FROM documents d JOIN fp f ON f.doc_id = d.doc_id

@@ -264,3 +264,18 @@ def test_session4_entries_plan_shapes(spark, sf_dir):
         ), entry
     sampler = formatted_plan(reg["weighted_doc_sample"].fn(spark, sf_dir))
     assert not re.findall(r"\(\d+\) Sort\b", sampler)
+
+
+def test_quality_score_fast_equals_hof_variant(spark, sf_dir):
+    """quality_score_fast == quality_score on every fixture doc (the
+    comma-free word/space equivalence), so the codegen swap in
+    corpus_health_report changes nothing semantically."""
+    from hash_db_spark.catalog import load_table
+    from hash_db_spark.functions.text import quality_score, quality_score_fast
+
+    docs = load_table(spark, sf_dir, "documents")
+    diff = docs.select(
+        quality_score("text").alias("a"),
+        quality_score_fast("text").alias("b"),
+    ).filter("a <> b")
+    assert diff.count() == 0
