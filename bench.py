@@ -175,6 +175,7 @@ HEADLINE: list[str] = [
     "corpus_health_report",
     "dedup_budget_select",
     "robots_sitemap_refs",
+    "embedding_project_jl",
 ]
 
 

@@ -360,6 +360,70 @@ GROUP BY s.id
 # --- embedding standardization -------------------------------------------------
 
 
+JL_OUT_DIMS = 16
+
+
+def jl_sign(dim: Column, odim: Column) -> Column:
+    """Deterministic Rademacher entry of the projection matrix:
+    +-1 from a closed-form parity (both engines share it)."""
+    return ((dim * 31 + odim * 17) % 2) * 2 - 1
+
+
+def embedding_project_jl(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(vec_id, odim, val): Johnson-Lindenstrauss projection to
+    JL_OUT_DIMS dims with a deterministic +-1/sqrt(k) matrix — the
+    standard compression before banded LSH / IVF when vectors are wide.
+    Relational form: posexplode the vector, join the broadcast
+    (dim, odim, sign) matrix, partial-aggregate the dot products —
+    the shuffle moves (n x k) skinny rows, never the matrix math to
+    the driver. Rounded to 4dp on both engines."""
+    spark = emb.sparkSession
+    dims = emb.select(F.posexplode(vec_col).alias("dim", "v"), id_col)
+    n_in = F.size(F.col(vec_col))
+    proj = (
+        spark.range(JL_OUT_DIMS)
+        .select(F.col("id").cast("int").alias("odim"))
+        .crossJoin(
+            emb.select(
+                F.explode(F.sequence(F.lit(0), n_in - 1)).alias("dim")
+            ).distinct()
+        )
+        .select(
+            "dim",
+            "odim",
+            jl_sign(F.col("dim"), F.col("odim")).cast("double").alias("sgn"),
+        )
+    )
+    scale = 1.0 / (JL_OUT_DIMS ** 0.5)
+    return (
+        dims.join(F.broadcast(proj), "dim")
+        .groupBy(id_col, "odim")
+        .agg(
+            F.round(F.sum(F.col("v") * F.col("sgn")) * F.lit(scale), 4).alias(
+                "val"
+            )
+        )
+    )
+
+
+def sql_embedding_project_jl(table: str = "embeddings") -> str:
+    scale = 1.0 / (JL_OUT_DIMS ** 0.5)
+    return f"""
+WITH dims AS (
+  SELECT vec_id, i - 1 AS dim, embedding[i] AS v
+  FROM {table}, unnest(generate_series(1, len(embedding))) AS u(i)
+)
+SELECT vec_id, CAST(odim AS INT) AS odim,
+       round(sum(v * (((dim * 31 + odim * 17) % 2) * 2 - 1)) * {scale}, 4)
+         AS val
+FROM dims,
+     unnest(generate_series(0, {JL_OUT_DIMS - 1})) AS o(odim)
+GROUP BY vec_id, odim
+"""
+
+
 def embedding_dim_stats(
     emb: DataFrame, vec_col: str = "embedding"
 ) -> DataFrame:

@@ -39,6 +39,13 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.embedding_dim_stats(emb)
 
 
+def q_embedding_project_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection of the corpus embeddings to 16 dims — the
+    compression stage before banded LSH / IVF on wide vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return C.embedding_project_jl(emb)
+
+
 def q_classifier_sample_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation tail: classifier-kept docs weighted-sampled to
     a token budget proxy — the classifier gate feeds the weighted
@@ -450,6 +457,9 @@ QUERIES: dict[str, Query] = {
     ),
     "embedding_dim_stats": Query(
         q_embedding_dim_stats, C.sql_embedding_dim_stats()
+    ),
+    "embedding_project_jl": Query(
+        q_embedding_project_jl, C.sql_embedding_project_jl()
     ),
     "classifier_sample_prep": Query(
         q_classifier_sample_prep, _classifier_sample_oracle()

@@ -230,6 +230,7 @@ def main() -> int:
             "corpus_health_report",
             "dedup_budget_select",
             "robots_sitemap_refs",
+            "embedding_project_jl",
         ):
             timed(
                 f"{entry}/{scale}",
