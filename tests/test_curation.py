@@ -279,3 +279,34 @@ def test_quality_score_fast_equals_hof_variant(spark, sf_dir):
         quality_score_fast("text").alias("b"),
     ).filter("a <> b")
     assert diff.count() == 0
+
+
+def test_jl_projection_matches_numpy(spark, sf_dir):
+    """Spark JL projection == numpy recomputation with the same
+    closed-form Rademacher matrix (within the shared 4dp rounding)."""
+    from hash_db_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.collect()
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = [r.vec_id for r in rows]
+    d = mat.shape[1]
+    proj = np.array(
+        [
+            [((dim * 31 + odim * 17) % 2) * 2 - 1 for odim in range(C.JL_OUT_DIMS)]
+            for dim in range(d)
+        ],
+        dtype=np.float64,
+    )
+    expect = mat @ proj / np.sqrt(C.JL_OUT_DIMS)
+    got = {
+        (r.vec_id, r.odim): r.val
+        for r in C.embedding_project_jl(emb).collect()
+    }
+    assert len(got) == len(ids) * C.JL_OUT_DIMS
+    for i, vid in enumerate(ids):
+        for o in range(C.JL_OUT_DIMS):
+            assert abs(got[(vid, o)] - round(float(expect[i, o]), 4)) <= 1e-3, (
+                vid,
+                o,
+            )
