@@ -176,6 +176,7 @@ HEADLINE: list[str] = [
     "dedup_budget_select",
     "robots_sitemap_refs",
     "embedding_project_jl",
+    "embedding_whiten_norms",
 ]
 
 

@@ -450,3 +450,46 @@ SELECT i - 1 AS dim,
 FROM {table}, unnest(generate_series(1, len(embedding))) AS u(i)
 GROUP BY dim
 """
+
+
+def embedding_whiten_norms(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(vec_id, norm): L2 norm of each vector after per-dimension
+    standardization ((v - mu) / sigma) — the application half of
+    embedding_dim_stats. The UNROUNDED stats join back as a broadcast
+    dimension; the norm reduces per vector with a partial-aggregable
+    sum of squares. Rounded to 3dp (two float reductions stack)."""
+    dims = emb.select(F.col(id_col), F.posexplode(vec_col).alias("dim", "v"))
+    stats = (
+        emb.select(F.posexplode(vec_col).alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.avg("v").alias("mu"),
+            F.stddev_pop("v").alias("sigma"),
+        )
+    )
+    z = (F.col("v") - F.col("mu")) / F.col("sigma")
+    return (
+        dims.join(F.broadcast(stats), "dim")
+        .groupBy(id_col)
+        .agg(F.round(F.sqrt(F.sum(z * z)), 3).alias("norm"))
+    )
+
+
+def sql_embedding_whiten_norms(table: str = "embeddings") -> str:
+    return f"""
+WITH dims AS (
+  SELECT vec_id, i - 1 AS dim, embedding[i] AS v
+  FROM {table}, unnest(generate_series(1, len(embedding))) AS u(i)
+),
+stats AS (
+  SELECT dim, avg(v) AS mu, stddev_pop(v) AS sigma
+  FROM dims GROUP BY dim
+)
+SELECT d.vec_id,
+       round(sqrt(sum(((d.v - s.mu) / s.sigma) * ((d.v - s.mu) / s.sigma))), 3)
+         AS norm
+FROM dims d JOIN stats s ON s.dim = d.dim
+GROUP BY d.vec_id
+"""

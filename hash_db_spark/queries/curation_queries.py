@@ -46,6 +46,14 @@ def q_embedding_project_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.embedding_project_jl(emb)
 
 
+def q_embedding_whiten_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The application half of standardization: per-vector L2 norm of
+    the whitened embeddings — stats broadcast back over the exploded
+    vectors, norms reduce with partial aggregation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return C.embedding_whiten_norms(emb)
+
+
 def q_classifier_sample_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation tail: classifier-kept docs weighted-sampled to
     a token budget proxy — the classifier gate feeds the weighted
@@ -460,6 +468,9 @@ QUERIES: dict[str, Query] = {
     ),
     "embedding_project_jl": Query(
         q_embedding_project_jl, C.sql_embedding_project_jl()
+    ),
+    "embedding_whiten_norms": Query(
+        q_embedding_whiten_norms, C.sql_embedding_whiten_norms()
     ),
     "classifier_sample_prep": Query(
         q_classifier_sample_prep, _classifier_sample_oracle()

@@ -231,6 +231,7 @@ def main() -> int:
             "dedup_budget_select",
             "robots_sitemap_refs",
             "embedding_project_jl",
+            "embedding_whiten_norms",
         ):
             timed(
                 f"{entry}/{scale}",
