@@ -177,6 +177,7 @@ HEADLINE: list[str] = [
     "robots_sitemap_refs",
     "embedding_project_jl",
     "embedding_whiten_norms",
+    "mixture_temperature",
 ]
 
 

@@ -80,6 +80,56 @@ def _classifier_sample_oracle() -> str:
     )
 
 
+MIX_TEMPERATURE = 2.0
+
+
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights from OBSERVED language token
+    shares: w_l = share_l^(1/T) renormalized (T=2 flattens toward
+    uniform — the standard multilingual upweighting of low-resource
+    languages). One corpus aggregation to the language dimension; the
+    normalizations are windows over that dimension-sized frame (a few
+    rows), never the corpus."""
+    from pyspark.sql import Window
+
+    from hash_db_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.sum(token_count("text")).alias("n_toks")
+    )
+    wall = Window.partitionBy()
+    share = F.col("n_toks") / F.sum("n_toks").over(wall)
+    raw = F.pow(share, 1.0 / MIX_TEMPERATURE)
+    return per_lang.select(
+        "lang",
+        "n_toks",
+        F.round(share, 4).alias("share"),
+        F.round(raw / F.sum(raw).over(wall), 4).alias("temp_weight"),
+    )
+
+
+def _mixture_temperature_oracle() -> str:
+    from hash_db_spark.functions.text import sql_token_count
+
+    # window calls cannot nest in DuckDB: one CTE level per window
+    return f"""
+WITH per_lang AS (
+  SELECT lang, CAST(sum({sql_token_count('text')}) AS BIGINT) AS n_toks
+  FROM documents GROUP BY lang
+),
+shared AS (
+  SELECT lang, n_toks, n_toks / sum(n_toks) OVER () AS share
+  FROM per_lang
+),
+raw AS (SELECT *, pow(share, {1.0 / 2.0}) AS rw FROM shared)
+SELECT lang, n_toks,
+       round(share, 4) AS share,
+       round(rw / sum(rw) OVER (), 4) AS temp_weight
+FROM raw
+"""
+
+
 SEG_CHUNK_TOKENS = 10
 
 
@@ -471,6 +521,9 @@ QUERIES: dict[str, Query] = {
     ),
     "embedding_whiten_norms": Query(
         q_embedding_whiten_norms, C.sql_embedding_whiten_norms()
+    ),
+    "mixture_temperature": Query(
+        q_mixture_temperature, _mixture_temperature_oracle()
     ),
     "classifier_sample_prep": Query(
         q_classifier_sample_prep, _classifier_sample_oracle()

@@ -232,6 +232,7 @@ def main() -> int:
             "robots_sitemap_refs",
             "embedding_project_jl",
             "embedding_whiten_norms",
+            "mixture_temperature",
         ):
             timed(
                 f"{entry}/{scale}",
