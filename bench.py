@@ -178,6 +178,7 @@ HEADLINE: list[str] = [
     "embedding_project_jl",
     "embedding_whiten_norms",
     "mixture_temperature",
+    "gopher_quality_gate",
 ]
 
 

@@ -80,6 +80,72 @@ def _classifier_sample_oracle() -> str:
     )
 
 
+# Gopher-style rule thresholds (Rae et al. 2021 repetition/quality
+# rules, the subset expressible over these fixtures).
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_WLEN, GOPHER_MAX_WLEN = 3.0, 10.0
+GOPHER_MIN_ALPHA = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+def q_gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule bundle as one map-side projection: word count
+    band, mean word length band, alphabetic-word fraction, minimum
+    stopword hits — each rule column REALLY computed (pure codegen
+    regexp/length arithmetic) plus the combined verdict. The word-count
+    floor is the rule that bites on these fixtures."""
+    from hash_db_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = token_count("text")
+    nonspace = F.length(F.regexp_replace("text", r"\s", ""))
+    mean_wlen = F.round(nonspace / n_words, 4)
+    alpha_words = F.size(
+        F.regexp_extract_all("text", F.lit(r"\b[a-zA-Z]+\b"), 0)
+    )
+    alpha_frac = F.round(alpha_words / n_words, 4)
+    stopwords = F.size(
+        F.regexp_extract_all(
+            "text", F.lit(r"\b(?:the|a|of|and|to)\b"), 0
+        )
+    )
+    out = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_wlen"),
+        alpha_frac.alias("alpha_frac"),
+        stopwords.alias("n_stopwords"),
+    )
+    passed = (
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mean_wlen").between(GOPHER_MIN_WLEN, GOPHER_MAX_WLEN)
+        & (F.col("alpha_frac") >= GOPHER_MIN_ALPHA)
+        & (F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS)
+    )
+    return out.withColumn("pass", passed)
+
+
+def _gopher_oracle() -> str:
+    from hash_db_spark.functions.text import sql_token_count
+
+    n = sql_token_count("text")
+    mean_wlen = f"round(length(regexp_replace(text, '\\s', '', 'g')) / {n}, 4)"
+    alpha = f"round(len(regexp_extract_all(text, '\\b[a-zA-Z]+\\b')) / {n}, 4)"
+    stop = r"len(regexp_extract_all(text, '\b(?:the|a|of|and|to)\b'))"
+    return f"""
+SELECT doc_id,
+       CAST({n} AS INT) AS n_words,
+       {mean_wlen} AS mean_wlen,
+       {alpha} AS alpha_frac,
+       CAST({stop} AS INT) AS n_stopwords,
+       ({n} BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+        AND {mean_wlen} BETWEEN {GOPHER_MIN_WLEN} AND {GOPHER_MAX_WLEN}
+        AND {alpha} >= {GOPHER_MIN_ALPHA}
+        AND {stop} >= {GOPHER_MIN_STOPWORDS}) AS pass
+FROM documents
+"""
+
+
 MIX_TEMPERATURE = 2.0
 
 
@@ -525,6 +591,7 @@ QUERIES: dict[str, Query] = {
     "mixture_temperature": Query(
         q_mixture_temperature, _mixture_temperature_oracle()
     ),
+    "gopher_quality_gate": Query(q_gopher_quality_gate, _gopher_oracle()),
     "classifier_sample_prep": Query(
         q_classifier_sample_prep, _classifier_sample_oracle()
     ),

@@ -233,6 +233,7 @@ def main() -> int:
             "embedding_project_jl",
             "embedding_whiten_norms",
             "mixture_temperature",
+            "gopher_quality_gate",
         ):
             timed(
                 f"{entry}/{scale}",
