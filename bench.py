@@ -179,6 +179,7 @@ HEADLINE: list[str] = [
     "embedding_whiten_norms",
     "mixture_temperature",
     "gopher_quality_gate",
+    "source_dup_matrix",
 ]
 
 

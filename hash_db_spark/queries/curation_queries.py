@@ -80,6 +80,57 @@ def _classifier_sample_oracle() -> str:
     )
 
 
+SHARE_LINE_TOKENS = 2  # the lines-family pseudo-line convention
+
+
+def q_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source sharing matrix: for every source pair, how many
+    distinct LINES both carry — the which-sources-share-boilerplate
+    diagnostic that decides dedup order and template stripping scope.
+    (Whole-doc fingerprints would be vacuous here: exact doc dups never
+    span sources on these fixtures — the degenerate-fixture trap.)
+    Distinct (line, source) pairs self-join on the line value; the
+    shuffle is that distinct relation, not the corpus."""
+    from hash_db_spark.operators import chunking
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = chunking.token_chunks(
+        docs, "text", "doc_id", size=SHARE_LINE_TOKENS, overlap=0
+    )
+    ls = (
+        ch.join(docs.select(F.col("doc_id").alias("id"), "source"), "id")
+        .select(F.col("chunk_text").alias("line"), "source")
+        .distinct()
+    )
+    a, b = ls.alias("a"), ls.alias("b")
+    return (
+        a.join(b, "line")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def _source_dup_matrix_oracle() -> str:
+    from hash_db_spark.operators.chunking import sql_token_chunks
+
+    inner = sql_token_chunks(
+        "documents", "text", "doc_id", size=SHARE_LINE_TOKENS, overlap=0
+    )
+    return f"""
+WITH ls AS (
+  SELECT DISTINCT c.chunk_text AS line, d.source
+  FROM ({inner}) c JOIN documents d ON d.doc_id = c.id
+)
+SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+FROM ls a JOIN ls b ON a.line = b.line AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 # Gopher-style rule thresholds (Rae et al. 2021 repetition/quality
 # rules, the subset expressible over these fixtures).
 GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
@@ -592,6 +643,9 @@ QUERIES: dict[str, Query] = {
         q_mixture_temperature, _mixture_temperature_oracle()
     ),
     "gopher_quality_gate": Query(q_gopher_quality_gate, _gopher_oracle()),
+    "source_dup_matrix": Query(
+        q_source_dup_matrix, _source_dup_matrix_oracle()
+    ),
     "classifier_sample_prep": Query(
         q_classifier_sample_prep, _classifier_sample_oracle()
     ),

@@ -234,6 +234,7 @@ def main() -> int:
             "embedding_whiten_norms",
             "mixture_temperature",
             "gopher_quality_gate",
+            "source_dup_matrix",
         ):
             timed(
                 f"{entry}/{scale}",
