@@ -180,6 +180,7 @@ HEADLINE: list[str] = [
     "mixture_temperature",
     "gopher_quality_gate",
     "source_dup_matrix",
+    "winnow_fingerprints",
 ]
 
 

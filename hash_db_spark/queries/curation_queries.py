@@ -80,6 +80,76 @@ def _classifier_sample_oracle() -> str:
     )
 
 
+WINNOW_K = 3  # gram width (tokens)
+WINNOW_W = 4  # winnowing window (grams)
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (the MOSS local-fingerprinting guarantee): per doc,
+    the distinct minimum gram-hash of every full window of WINNOW_W
+    consecutive token-k-gram hashes — any shared substring of length
+    >= k + w - 1 tokens is guaranteed to share a fingerprint, with a
+    w-fold smaller set than all-grams. Positional grams via lead()
+    windows, the winnow via ONE frame-bounded window min (integer
+    md5-derived hashes, so both engines agree exactly). One shuffle
+    (the per-doc window); the distinct rides its partitioning."""
+    from pyspark.sql import Window
+
+    from hash_db_spark.operators.dedup import clean_tokens, md5_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(clean_tokens("text")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.withColumn(
+            "g",
+            F.concat_ws(
+                " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+            ),
+        )
+        # window expressions cannot sit in a WHERE: project the lead
+        # first, filter on the column
+        .withColumn("last_tok", F.lead("tok", WINNOW_K - 1).over(w))
+        .filter(F.col("last_tok").isNotNull())
+        .select("doc_id", "pos", md5_hash64(F.col("g")).alias("h"))
+    )
+    frame = w.rowsBetween(0, WINNOW_W - 1)
+    winnowed = grams.select(
+        "doc_id",
+        F.min("h").over(frame).alias("fph"),
+        F.count("h").over(frame).alias("n_in_frame"),
+    ).filter(F.col("n_in_frame") == WINNOW_W)
+    return winnowed.select("doc_id", "fph").distinct()
+
+
+def _winnow_oracle() -> str:
+    from hash_db_spark.operators.dedup import sql_clean_tokens, sql_md5_hash64
+
+    h = sql_md5_hash64("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {sql_clean_tokens('text')} AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS pos, {h} AS h
+  FROM toks, unnest(generate_series(1, len(t) - {WINNOW_K - 1})) AS u(i)
+),
+winnowed AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW
+                      AND {WINNOW_W - 1} FOLLOWING) AS fph,
+         count(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW
+                        AND {WINNOW_W - 1} FOLLOWING) AS n_in_frame
+  FROM grams
+)
+SELECT DISTINCT doc_id, fph FROM winnowed WHERE n_in_frame = {WINNOW_W}
+"""
+
+
 SHARE_LINE_TOKENS = 2  # the lines-family pseudo-line convention
 
 
@@ -646,6 +716,7 @@ QUERIES: dict[str, Query] = {
     "source_dup_matrix": Query(
         q_source_dup_matrix, _source_dup_matrix_oracle()
     ),
+    "winnow_fingerprints": Query(q_winnow_fingerprints, _winnow_oracle()),
     "classifier_sample_prep": Query(
         q_classifier_sample_prep, _classifier_sample_oracle()
     ),

@@ -235,6 +235,7 @@ def main() -> int:
             "mixture_temperature",
             "gopher_quality_gate",
             "source_dup_matrix",
+            "winnow_fingerprints",
         ):
             timed(
                 f"{entry}/{scale}",
