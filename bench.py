@@ -181,6 +181,7 @@ HEADLINE: list[str] = [
     "gopher_quality_gate",
     "source_dup_matrix",
     "winnow_fingerprints",
+    "winnow_dup_pairs",
 ]
 
 

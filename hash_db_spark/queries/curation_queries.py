@@ -150,6 +150,51 @@ SELECT DISTINCT doc_id, fph FROM winnowed WHERE n_in_frame = {WINNOW_W}
 """
 
 
+WINNOW_MAX_DF = 20  # boilerplate-fingerprint cap (house hot-key rule)
+
+
+def q_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing's consumer: candidate near-dup pairs sharing >= 2
+    winnowed fingerprints. Fingerprints carried by more than
+    WINNOW_MAX_DF docs are boilerplate and excluded BEFORE the
+    self-join (the house hot-key cap — documented recall trade, exact
+    in the oracle too), so the equijoin is bounded per key."""
+    from hash_db_spark.queries.curation_queries import q_winnow_fingerprints
+
+    fps = q_winnow_fingerprints(spark, sf_dir)
+    df_counts = fps.groupBy("fph").agg(F.count(F.lit(1)).alias("df"))
+    cold = fps.join(
+        F.broadcast(df_counts.filter(F.col("df") <= WINNOW_MAX_DF)), "fph"
+    )
+    a, b = cold.alias("a"), cold.alias("b")
+    return (
+        a.join(b, "fph")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+
+
+def _winnow_pairs_oracle() -> str:
+    return f"""
+WITH fps AS ({_winnow_oracle()}),
+cold AS (
+  SELECT doc_id, fph FROM fps
+  WHERE fph IN (
+    SELECT fph FROM fps GROUP BY fph HAVING count(*) <= {WINNOW_MAX_DF}
+  )
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM cold a JOIN cold b ON a.fph = b.fph AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
 SHARE_LINE_TOKENS = 2  # the lines-family pseudo-line convention
 
 
@@ -717,6 +762,7 @@ QUERIES: dict[str, Query] = {
         q_source_dup_matrix, _source_dup_matrix_oracle()
     ),
     "winnow_fingerprints": Query(q_winnow_fingerprints, _winnow_oracle()),
+    "winnow_dup_pairs": Query(q_winnow_dup_pairs, _winnow_pairs_oracle()),
     "classifier_sample_prep": Query(
         q_classifier_sample_prep, _classifier_sample_oracle()
     ),

@@ -236,6 +236,7 @@ def main() -> int:
             "gopher_quality_gate",
             "source_dup_matrix",
             "winnow_fingerprints",
+            "winnow_dup_pairs",
         ):
             timed(
                 f"{entry}/{scale}",
