@@ -217,6 +217,46 @@ WHERE {sql_sample_u(key)} <
 """
 
 
+# --- winnowing ----------------------------------------------------------------
+
+
+def winnow_fps(
+    df: DataFrame, col: str, id_col: str, k: int = 3, w: int = 4
+) -> DataFrame:
+    """(id, fph) distinct: winnowed token-k-gram fingerprints — the min
+    md5-derived hash of every FULL window of w consecutive gram hashes.
+    Guarantee: two docs sharing a substring of >= k + w - 1 tokens
+    share at least one fingerprint (the window containing the shared
+    region's minimum is full on both sides)."""
+    from pyspark.sql import Window
+
+    from hash_db_spark.operators.dedup import clean_tokens, md5_hash64
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(clean_tokens(col)).alias("pos", "tok"),
+    )
+    win = Window.partitionBy("id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", *(["tok"] + [F.lead("tok", j).over(win) for j in range(1, k)])
+    )
+    grams = (
+        toks.withColumn("g", gram)
+        # window expressions cannot sit in a WHERE: project the lead
+        # first, filter on the column
+        .withColumn("last_tok", F.lead("tok", k - 1).over(win))
+        .filter(F.col("last_tok").isNotNull())
+        .select("id", "pos", md5_hash64(F.col("g")).alias("h"))
+    )
+    frame = win.rowsBetween(0, w - 1)
+    winnowed = grams.select(
+        "id",
+        F.min("h").over(frame).alias("fph"),
+        F.count("h").over(frame).alias("n_in_frame"),
+    ).filter(F.col("n_in_frame") == w)
+    return winnowed.select("id", "fph").distinct()
+
+
 # --- interpolated trigram LM ---------------------------------------------------
 
 # Jelinek-Mercer interpolation weights (trigram, bigram, unigram).

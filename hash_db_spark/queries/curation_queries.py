@@ -93,35 +93,10 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows, the winnow via ONE frame-bounded window min (integer
     md5-derived hashes, so both engines agree exactly). One shuffle
     (the per-doc window); the distinct rides its partitioning."""
-    from pyspark.sql import Window
-
-    from hash_db_spark.operators.dedup import clean_tokens, md5_hash64
-
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(clean_tokens("text")).alias("pos", "tok")
+    return C.winnow_fps(docs, "text", "doc_id", WINNOW_K, WINNOW_W).select(
+        F.col("id").alias("doc_id"), "fph"
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    grams = (
-        toks.withColumn(
-            "g",
-            F.concat_ws(
-                " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
-            ),
-        )
-        # window expressions cannot sit in a WHERE: project the lead
-        # first, filter on the column
-        .withColumn("last_tok", F.lead("tok", WINNOW_K - 1).over(w))
-        .filter(F.col("last_tok").isNotNull())
-        .select("doc_id", "pos", md5_hash64(F.col("g")).alias("h"))
-    )
-    frame = w.rowsBetween(0, WINNOW_W - 1)
-    winnowed = grams.select(
-        "doc_id",
-        F.min("h").over(frame).alias("fph"),
-        F.count("h").over(frame).alias("n_in_frame"),
-    ).filter(F.col("n_in_frame") == WINNOW_W)
-    return winnowed.select("doc_id", "fph").distinct()
 
 
 def _winnow_oracle() -> str:

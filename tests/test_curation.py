@@ -310,3 +310,24 @@ def test_jl_projection_matches_numpy(spark, sf_dir):
                 vid,
                 o,
             )
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.sampled_from("abcdefgh"), min_size=6, max_size=6).map(" ".join),
+    st.lists(st.sampled_from("pqrstuvw"), min_size=4, max_size=12),
+    st.lists(st.sampled_from("klmnoxyz"), min_size=4, max_size=12),
+)
+def test_winnow_shared_substring_guarantee(spark, shared, pre, suf):
+    """The winnowing guarantee: two docs sharing a substring of
+    >= k + w - 1 tokens (k=3, w=4 -> 6) share at least one
+    fingerprint, wherever the substring sits."""
+    d1 = " ".join(pre) + " " + shared
+    d2 = shared + " " + " ".join(suf)
+    df = spark.createDataFrame([(1, d1), (2, d2)], "doc_id long, text string")
+    fps = C.winnow_fps(df, "text", "doc_id", k=3, w=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.id, set()).add(r.fph)
+    assert by_doc.get(1) and by_doc.get(2)
+    assert by_doc[1] & by_doc[2], (d1, d2)
