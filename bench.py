@@ -182,6 +182,7 @@ HEADLINE: list[str] = [
     "source_dup_matrix",
     "winnow_fingerprints",
     "winnow_dup_pairs",
+    "doc_boundary_overlap",
 ]
 
 

@@ -125,6 +125,97 @@ SELECT DISTINCT doc_id, fph FROM winnowed WHERE n_in_frame = {WINNOW_W}
 """
 
 
+BOUNDARY_TOKENS = 4  # = the chunking overlap, the split signature width
+BOUNDARY_CHUNK = 16
+
+
+def q_doc_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-document detection WITH ground truth: run the
+    tail-equals-head detector over the overlap-chunked corpus (16-token
+    chunks, 4-token overlap), where adjacent chunks of one document
+    REALLY share their boundary by construction. Output pairs carry an
+    is_adjacent flag (same doc, consecutive index), so precision is
+    auditable: non-adjacent hits are the detector's coincidence rate.
+    (Whole docs would be vacuous here — random fixture text has no
+    natural split docs; probed before shipping.) Map-side head/tail
+    hashing, ONE equijoin on the boundary hash."""
+    from hash_db_spark.operators import chunking
+    from hash_db_spark.operators.dedup import clean_tokens, md5_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = chunking.token_chunks(
+        docs, "text", "doc_id", size=BOUNDARY_CHUNK, overlap=BOUNDARY_TOKENS
+    )
+    t = clean_tokens("chunk_text")
+    n = F.size(t)
+    eligible = ch.select(
+        "id",
+        "chunk_idx",
+        md5_hash64(
+            F.array_join(F.slice(t, 1, BOUNDARY_TOKENS), " ")
+        ).alias("head_h"),
+        md5_hash64(
+            F.array_join(
+                F.slice(t, n - BOUNDARY_TOKENS + 1, BOUNDARY_TOKENS), " "
+            )
+        ).alias("tail_h"),
+        n.alias("n_toks"),
+    ).filter(F.col("n_toks") >= BOUNDARY_TOKENS)
+    a = eligible.select(
+        F.col("id").alias("id_a"), F.col("chunk_idx").alias("idx_a"), "tail_h"
+    )
+    b = eligible.select(
+        F.col("id").alias("id_b"), F.col("chunk_idx").alias("idx_b"), "head_h"
+    )
+    return (
+        a.join(b, a.tail_h == b.head_h)
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            | (F.col("idx_a") != F.col("idx_b"))
+        )
+        .select(
+            "id_a",
+            "idx_a",
+            "id_b",
+            "idx_b",
+            (
+                (F.col("id_a") == F.col("id_b"))
+                & (F.col("idx_b") == F.col("idx_a") + 1)
+            ).alias("is_adjacent"),
+        )
+    )
+
+
+def _boundary_overlap_oracle() -> str:
+    from hash_db_spark.operators.chunking import sql_token_chunks
+    from hash_db_spark.operators.dedup import sql_clean_tokens, sql_md5_hash64
+
+    inner = sql_token_chunks(
+        "documents", "text", "doc_id",
+        size=BOUNDARY_CHUNK, overlap=BOUNDARY_TOKENS,
+    )
+    toks = sql_clean_tokens("chunk_text")
+    head = sql_md5_hash64(
+        f"list_aggregate(list_slice({toks}, 1, {BOUNDARY_TOKENS}),"
+        f" 'string_agg', ' ')"
+    )
+    tail = sql_md5_hash64(
+        f"list_aggregate(list_slice({toks}, len({toks}) - {BOUNDARY_TOKENS}"
+        f" + 1, len({toks})), 'string_agg', ' ')"
+    )
+    return f"""
+WITH e AS (
+  SELECT id, chunk_idx, {head} AS head_h, {tail} AS tail_h
+  FROM ({inner}) WHERE len({toks}) >= {BOUNDARY_TOKENS}
+)
+SELECT a.id AS id_a, a.chunk_idx AS idx_a,
+       b.id AS id_b, b.chunk_idx AS idx_b,
+       (a.id = b.id AND b.chunk_idx = a.chunk_idx + 1) AS is_adjacent
+FROM e a JOIN e b ON a.tail_h = b.head_h
+WHERE a.id <> b.id OR a.chunk_idx <> b.chunk_idx
+"""
+
+
 WINNOW_MAX_DF = 20  # boilerplate-fingerprint cap (house hot-key rule)
 
 
@@ -738,6 +829,9 @@ QUERIES: dict[str, Query] = {
     ),
     "winnow_fingerprints": Query(q_winnow_fingerprints, _winnow_oracle()),
     "winnow_dup_pairs": Query(q_winnow_dup_pairs, _winnow_pairs_oracle()),
+    "doc_boundary_overlap": Query(
+        q_doc_boundary_overlap, _boundary_overlap_oracle()
+    ),
     "classifier_sample_prep": Query(
         q_classifier_sample_prep, _classifier_sample_oracle()
     ),

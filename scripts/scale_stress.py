@@ -237,6 +237,7 @@ def main() -> int:
             "source_dup_matrix",
             "winnow_fingerprints",
             "winnow_dup_pairs",
+            "doc_boundary_overlap",
         ):
             timed(
                 f"{entry}/{scale}",
