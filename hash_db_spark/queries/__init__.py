@@ -99,7 +99,7 @@ def all_queries() -> dict[str, Query]:
     #     zorder_values
     # plus anything r09's own code changes taint; r09 additions after.
     # Session-4 end assurance: full-registry sim at the FINAL session-4
-    # HEAD = 285/285 matches, failures=[] (311s serialized).
+    # HEAD = 294/294 matches, failures=[] (295s serialized).
     priority = [
         # --- never driver-checked (7): cheap url entries first to
         # absorb the window's JVM/codegen warmup ---------------------
