@@ -183,6 +183,7 @@ HEADLINE: list[str] = [
     "winnow_fingerprints",
     "winnow_dup_pairs",
     "doc_boundary_overlap",
+    "mixture_temp_select",
 ]
 
 

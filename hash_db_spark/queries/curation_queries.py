@@ -428,6 +428,69 @@ FROM raw
 """
 
 
+MIX_SELECT_BUDGET = 6000  # total token budget across languages
+
+
+def q_mixture_temp_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture loop closed: temperature weights (observed shares,
+    T=2) become per-language token budgets, and each language fills its
+    budget in priority order (longest docs first, id tie-break) — ONE
+    partitioned running-sum window; the data-driven budget dimension
+    rides a broadcast join (unlike the static-dict stratum selector)."""
+    from pyspark.sql import Window
+
+    from hash_db_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", token_count("text").alias("n_toks")
+    )
+    budgets = q_mixture_temperature(spark, sf_dir).select(
+        "lang",
+        F.round(F.col("temp_weight") * MIX_SELECT_BUDGET)
+        .cast("long")
+        .alias("budget"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.withColumn("cum_weight", F.sum("n_toks").over(w))
+        .join(F.broadcast(budgets), "lang")
+        .filter(F.col("cum_weight") <= F.col("budget"))
+        .select("doc_id", "lang", "n_toks", "cum_weight")
+    )
+
+
+def _mixture_temp_select_oracle() -> str:
+    from hash_db_spark.functions.text import sql_token_count
+
+    return f"""
+WITH weights AS ({_mixture_temperature_oracle()}),
+budgets AS (
+  SELECT lang,
+         CAST(round(temp_weight * {MIX_SELECT_BUDGET}) AS BIGINT) AS budget
+  FROM weights
+),
+d AS (
+  SELECT doc_id, lang, n_chars, {sql_token_count('text')} AS n_toks
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang, n_toks,
+         sum(n_toks) OVER (PARTITION BY lang
+                           ORDER BY n_chars DESC, doc_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS cum_weight
+  FROM d
+)
+SELECT r.doc_id, r.lang, CAST(r.n_toks AS INT) AS n_toks,
+       CAST(r.cum_weight AS BIGINT) AS cum_weight
+FROM r JOIN budgets b ON b.lang = r.lang
+WHERE r.cum_weight <= b.budget
+"""
+
+
 SEG_CHUNK_TOKENS = 10
 
 
@@ -822,6 +885,9 @@ QUERIES: dict[str, Query] = {
     ),
     "mixture_temperature": Query(
         q_mixture_temperature, _mixture_temperature_oracle()
+    ),
+    "mixture_temp_select": Query(
+        q_mixture_temp_select, _mixture_temp_select_oracle()
     ),
     "gopher_quality_gate": Query(q_gopher_quality_gate, _gopher_oracle()),
     "source_dup_matrix": Query(

@@ -238,6 +238,7 @@ def main() -> int:
             "winnow_fingerprints",
             "winnow_dup_pairs",
             "doc_boundary_overlap",
+            "mixture_temp_select",
         ):
             timed(
                 f"{entry}/{scale}",
