@@ -184,6 +184,7 @@ HEADLINE: list[str] = [
     "winnow_dup_pairs",
     "doc_boundary_overlap",
     "mixture_temp_select",
+    "winnow_components",
 ]
 
 

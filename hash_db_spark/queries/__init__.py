@@ -82,10 +82,10 @@ def all_queries() -> dict[str, Query]:
     #     robots_sitemap_refs, embedding_project_jl,
     #     embedding_whiten_norms, mixture_temperature,
     #     gopher_quality_gate, source_dup_matrix, winnow_fingerprints,
-    #     winnow_dup_pairs, doc_boundary_overlap, mixture_temp_select
-    #     (r08 session-4 additions, all sim-green; 295 entries -> 60
-    #     r09-head candidates: TEN never-checked entries overflow to
-    #     the r10 queue head)
+    #     winnow_dup_pairs, doc_boundary_overlap, mixture_temp_select,
+    #     winnow_components (r08 session-4 additions, all sim-green;
+    #     296 entries -> 61 r09-head candidates: ELEVEN never-checked
+    #     entries overflow to the r10 queue head)
     #   newly stale (r08's degree_histogram explode fix; re-simmed green):
     #     graph_degree_hist
     #   r03-green residual (5, incl. the session-4 join-removal taint on

@@ -125,6 +125,26 @@ SELECT DISTINCT doc_id, fph FROM winnowed WHERE n_in_frame = {WINNOW_W}
 """
 
 
+def q_winnow_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnow candidate pairs transitive-closed into (id, cluster) via
+    the shared union-find — the keep-one-per-cluster input, giving the
+    winnowing path the same cluster machinery as MinHash/SimHash/media
+    dedup."""
+    from hash_db_spark.operators.dedup import connected_components
+
+    pairs = q_winnow_dup_pairs(spark, sf_dir).select("id_a", "id_b")
+    return connected_components(pairs)
+
+
+def _winnow_components_oracle() -> str:
+    from hash_db_spark.operators.dedup import sql_connected_components
+
+    pairs = f"""(
+  SELECT id_a, id_b FROM ({_winnow_pairs_oracle()})
+)"""
+    return sql_connected_components(pairs)
+
+
 BOUNDARY_TOKENS = 4  # = the chunking overlap, the split signature width
 BOUNDARY_CHUNK = 16
 
@@ -897,6 +917,9 @@ QUERIES: dict[str, Query] = {
     "winnow_dup_pairs": Query(q_winnow_dup_pairs, _winnow_pairs_oracle()),
     "doc_boundary_overlap": Query(
         q_doc_boundary_overlap, _boundary_overlap_oracle()
+    ),
+    "winnow_components": Query(
+        q_winnow_components, _winnow_components_oracle()
     ),
     "classifier_sample_prep": Query(
         q_classifier_sample_prep, _classifier_sample_oracle()

@@ -239,6 +239,7 @@ def main() -> int:
             "winnow_dup_pairs",
             "doc_boundary_overlap",
             "mixture_temp_select",
+            "winnow_components",
         ):
             timed(
                 f"{entry}/{scale}",
