@@ -185,6 +185,7 @@ HEADLINE: list[str] = [
     "doc_boundary_overlap",
     "mixture_temp_select",
     "winnow_components",
+    "dup_cluster_histogram",
 ]
 
 

@@ -83,9 +83,10 @@ def all_queries() -> dict[str, Query]:
     #     embedding_whiten_norms, mixture_temperature,
     #     gopher_quality_gate, source_dup_matrix, winnow_fingerprints,
     #     winnow_dup_pairs, doc_boundary_overlap, mixture_temp_select,
-    #     winnow_components (r08 session-4 additions, all sim-green;
-    #     296 entries -> 61 r09-head candidates: ELEVEN never-checked
-    #     entries overflow to the r10 queue head)
+    #     winnow_components, dup_cluster_histogram (r08 session-4
+    #     additions, all sim-green; 297 entries -> 62 r09-head
+    #     candidates: TWELVE never-checked entries overflow to the r10
+    #     queue head)
     #   newly stale (r08's degree_histogram explode fix; re-simmed green):
     #     graph_degree_hist
     #   r03-green residual (5, incl. the session-4 join-removal taint on

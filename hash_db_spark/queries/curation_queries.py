@@ -145,6 +145,29 @@ def _winnow_components_oracle() -> str:
     return sql_connected_components(pairs)
 
 
+def q_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the winnow near-dup clusters:
+    (cluster_size, n_clusters) — the one-glance answer to 'is my dedup
+    finding pairs or pathological blobs'. Two tiny aggregations over
+    the component assignment."""
+    comps = q_winnow_components(spark, sf_dir)
+    sizes = comps.groupBy("cluster").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(F.col("sz").alias("cluster_size"), "n_clusters")
+    )
+
+
+def _dup_cluster_histogram_oracle() -> str:
+    return f"""
+WITH comps AS ({_winnow_components_oracle()}),
+sizes AS (SELECT cluster, count(*) AS sz FROM comps GROUP BY cluster)
+SELECT sz AS cluster_size, count(*) AS n_clusters
+FROM sizes GROUP BY sz
+"""
+
+
 BOUNDARY_TOKENS = 4  # = the chunking overlap, the split signature width
 BOUNDARY_CHUNK = 16
 
@@ -920,6 +943,9 @@ QUERIES: dict[str, Query] = {
     ),
     "winnow_components": Query(
         q_winnow_components, _winnow_components_oracle()
+    ),
+    "dup_cluster_histogram": Query(
+        q_dup_cluster_histogram, _dup_cluster_histogram_oracle()
     ),
     "classifier_sample_prep": Query(
         q_classifier_sample_prep, _classifier_sample_oracle()

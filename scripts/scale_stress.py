@@ -240,6 +240,7 @@ def main() -> int:
             "doc_boundary_overlap",
             "mixture_temp_select",
             "winnow_components",
+            "dup_cluster_histogram",
         ):
             timed(
                 f"{entry}/{scale}",
