@@ -241,17 +241,30 @@ def main() -> None:
 
     timings = {n: round(statistics.median(ts), 4) for n, ts in samples.items()}
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf),
+        }
     )
+    print(payload)
+    # The driver records only a TAIL of stdout, which truncates the
+    # per-query dict once the registry is large — also mirror the full
+    # line to a file so round-over-round comparison never goes blind.
+    # SPARK_GRAFT_BENCH_OUT overrides the default sibling path.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_LOCAL.json"),
+    )
+    try:
+        with open(out_path, "w") as fh:
+            fh.write(payload + "\n")
+    except OSError:
+        pass  # a read-only checkout must not fail the bench
     spark.stop()
 
 

@@ -190,10 +190,18 @@ def weighted_sample(
     w = F.col(weight).cast("long")
     total = df.select(F.sum(w).alias("__total_w"))
     # SQL `div`, not `/`: float division loses integer exactness past
-    # 2^53 and the oracle twin uses DuckDB's integer `//`
+    # 2^53 and the oracle twin uses DuckDB's integer `//`. The product
+    # target * w * M runs in DECIMAL(38,0) (DuckDB twin: HUGEINT), not
+    # BIGINT: at the targets/weights a 100 TB corpus implies, an int64
+    # product overflows — Spark (non-ANSI) would WRAP silently while
+    # DuckDB raises, silently diverging the kept set. 38 digits cover
+    # products to ~1e38 (vs 9.2e18 for int64); the quotient is <=
+    # target * M and must fit BIGINT, which holds for any target below
+    # 2^43 — far beyond a sample size anyone schedules.
     thresh = F.expr(
-        f"CAST({int(target)} AS BIGINT) * CAST(`{weight}` AS BIGINT)"
-        f" * {SAMPLE_M} div `__total_w`"
+        f"CAST(CAST({int(target)} AS DECIMAL(38,0))"
+        f" * CAST(`{weight}` AS DECIMAL(38,0))"
+        f" * {SAMPLE_M} div `__total_w` AS BIGINT)"
     )
     return (
         df.crossJoin(F.broadcast(total))
@@ -207,12 +215,12 @@ def sql_weighted_sample(
     table: str, key: str, weight: str, target: int, select: str
 ) -> str:
     return f"""
-SELECT {select}, CAST(({target} * CAST({weight} AS BIGINT) * {SAMPLE_M})
+SELECT {select}, CAST((CAST({target} AS HUGEINT) * {weight} * {SAMPLE_M})
        // (SELECT sum(CAST({weight} AS BIGINT)) FROM {table}) AS BIGINT)
        AS thresh
 FROM {table}
 WHERE {sql_sample_u(key)} <
-      ({target} * CAST({weight} AS BIGINT) * {SAMPLE_M})
+      (CAST({target} AS HUGEINT) * {weight} * {SAMPLE_M})
       // (SELECT sum(CAST({weight} AS BIGINT)) FROM {table})
 """
 

@@ -947,13 +947,10 @@ def image_in_video(
     imgd = images.select(F.col("id").alias("image_id"), "dhash").distinct()
     clipd = frames.select("media_id", "dhash").distinct()
     if max_hash_media is not None:
-        # Tag the two modalities into disjoint media keys (image ids and
-        # clip ids share the doc_id space) so one count spans both sides.
-        tagged = imgd.select(
-            "dhash", (F.col("image_id") * 2).alias("mkey")
-        ).unionByName(
-            clipd.select("dhash", (F.col("media_id") * 2 + 1).alias("mkey"))
-        )
+        # One row per (medium, hash) on each side already (both inputs
+        # are distinct), so a bare count(*) per dhash over the union IS
+        # the cross-modality media count — no media-key tagging needed.
+        tagged = imgd.select("dhash").unionByName(clipd.select("dhash"))
         cold = (
             tagged.groupBy("dhash")
             .agg(F.count(F.lit(1)).alias("__n_media"))
@@ -1027,9 +1024,11 @@ WITH img AS ({sql_image_dhash(img_table, img_id)}),
 fr AS ({sql_frame_dhash(vid_table, vid_id)}),
 clipd AS (SELECT DISTINCT media_id, simhash FROM fr),
 tagged AS (
-  SELECT simhash, id * 2 AS mkey FROM img
+  -- one row per (medium, hash) on both sides: a bare count(*) per
+  -- hash IS the cross-modality media count (Spark twin in step)
+  SELECT simhash FROM img
   UNION ALL
-  SELECT simhash, media_id * 2 + 1 AS mkey FROM clipd
+  SELECT simhash FROM clipd
 ),
 cold AS (
   SELECT simhash FROM tagged GROUP BY simhash HAVING count(*) <= {cap}

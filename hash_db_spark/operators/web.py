@@ -133,80 +133,142 @@ def sql_url_host(expr: str) -> str:
     return f"regexp_extract({expr}, '^[a-z]+://([^/:?#]+)', 1)"
 
 
-def suffix_table(
-    spark, suffixes: tuple[str, ...] = PUBLIC_SUFFIXES
-) -> DataFrame:
-    """The public-suffix dimension: (suffix, n_labels). Tiny — always
-    the broadcast side. ``suffixes`` defaults to the offline stand-in;
-    pass the full Mozilla PSL (a data swap, not a code change) for
-    production."""
-    rows = [(s, s.count(".") + 1) for s in suffixes]
-    return spark.createDataFrame(rows, "suffix string, n_labels int")
+def psl_path() -> str:
+    """Repo-local parquet bake of the real Mozilla Public Suffix List
+    (public data, MPL-2.0; built by scripts/build_psl_fixture.py from
+    the Debian-shipped snapshot of publicsuffix.org's list): one row
+    per rule — (key, n_labels, kind, rule, section) — plus an ASCII
+    punycode alias row per IDN rule. ~10k rows: genuinely
+    scale-invariant, always the broadcast side."""
+    from pathlib import Path
+
+    return str(Path(__file__).resolve().parents[2] / "data" / "psl.parquet")
+
+
+def parse_suffix_rule(rule: str) -> tuple[str, int, int]:
+    """(key, n_labels, kind) for one PSL rule. key is the join key the
+    matcher generates from host labels: the literal suffix, the
+    verbatim '*.'+tail for wildcard rules, or the exception's own
+    labels with the '!' marker stripped. kind: 0 normal, 1 exception.
+    Same closed form as scripts/build_psl_fixture.py bakes."""
+    if rule.startswith("!"):
+        base = rule[1:]
+        return base, base.count(".") + 1, 1
+    return rule, rule.count(".") + 1, 0
+
+
+def _max_rule_depth(suffixes: tuple[str, ...] | None) -> int:
+    """Max label count across the rule set (bounds candidate
+    generation). The baked PSL's depth is read once per process from
+    the parquet footer-side stats (a ~10k-row driver-side scan)."""
+    if suffixes is not None:
+        return max(parse_suffix_rule(s)[1] for s in suffixes)
+    global _PSL_DEPTH
+    if _PSL_DEPTH is None:
+        import pyarrow.parquet as pq
+
+        _PSL_DEPTH = int(
+            pq.read_table(psl_path(), columns=["n_labels"])["n_labels"]
+            .combine_chunks()
+            .to_pandas()
+            .max()
+        )
+    return _PSL_DEPTH
+
+
+_PSL_DEPTH: int | None = None
+
+
+def suffix_table(spark, suffixes: tuple[str, ...] | None = None) -> DataFrame:
+    """The public-suffix dimension: (key, n_labels, kind). Default is
+    the REAL baked PSL (psl_path()); pass a rule tuple (literal,
+    '*.wildcard' and '!exception' markers all honored) for tests or a
+    custom list. Tiny either way — always the broadcast side."""
+    if suffixes is None:
+        return spark.read.parquet(psl_path()).select(
+            "key", "n_labels", "kind"
+        )
+    rows = [parse_suffix_rule(s) for s in suffixes]
+    return spark.createDataFrame(
+        rows, "key string, n_labels int, kind int"
+    )
 
 
 def registrable_domain(
     hosts: DataFrame,
     host_col: str = "host",
-    suffixes: tuple[str, ...] = PUBLIC_SUFFIXES,
+    suffixes: tuple[str, ...] | None = None,
 ) -> DataFrame:
-    """The (host, domain) DIMENSION over the input's distinct hosts:
-    domain = registrable domain (one label + longest matching public
-    suffix), NULL when no suffix matches or the host IS a bare suffix.
-    Candidate suffixes (the host's last 1..max-suffix-depth labels,
-    depth derived from the suffix data so a deeper real-PSL entry like
-    s3.dualstack.<region>.amazonaws.com still matches) explode map-side
-    and broadcast-join the suffix table; longest match wins. Callers
-    join the mapping back on host — distinct-hosts cardinality is tiny
-    next to the corpus, and building the dimension once beats running
-    the suffix logic per document row."""
-    max_depth = max(s.count(".") + 1 for s in suffixes)
+    """The (host, domain) DIMENSION over the input's distinct hosts,
+    by the full public-suffix algorithm (publicsuffix.org/list/):
+
+    - candidate keys are the host's last 1..max-depth labels, in BOTH
+      the exact form and the '*.'+tail wildcard form — generated
+      map-side and equijoined against the broadcast rule table;
+    - the prevailing rule is the matching exception rule if any, else
+      the longest match (wildcards count at their label width), else
+      the implicit '*' rule (any unknown TLD is a public suffix);
+    - the public suffix spans n_labels labels (exception: one fewer),
+      and the registrable domain is one more label than that — NULL
+      when the host IS a public suffix.
+
+    Default rule set is the REAL baked PSL (~10k rows — the broadcast
+    join is scale-invariant); callers join the resulting dimension
+    back on host, and THAT join is O(distinct hosts), which is why the
+    query layer leaves it unhinted. Citing the reference's data-driven
+    dimension discipline (no counterpart: the reference has no web
+    layer)."""
+    max_depth = _max_rule_depth(suffixes)
     hosts = hosts.select(host_col).distinct()
     labels = F.split(F.col(host_col), r"\.")
     n = F.size(labels)
-    # Candidates include the WHOLE host (k = n): per the real PSL
-    # algorithm, a host that itself IS a public suffix has no
-    # registrable domain. Without the k = n candidate, "co.uk" under a
-    # real PSL (which lists both "uk" and "co.uk") would wrongly
-    # resolve to domain "co.uk" via the shorter "uk" match — the
-    # stand-in list masked this because it omits the parent TLDs.
-    # k = n rows carry a NULL label, which the projection below turns
-    # into a NULL domain when that candidate wins. The upper bound
-    # least(n, depth) is always >= 1, so sequence() never counts down.
-    cands = F.transform(
-        F.sequence(F.lit(1), F.least(n, F.lit(max_depth))),
-        lambda k: F.struct(
-            F.array_join(F.slice(labels, n - k + 1, k), ".").alias(
-                "suffix"
-            ),
-            F.when(
-                k < n, F.element_at(labels, (n - k).cast("int"))
-            ).alias("label"),
-        ),
+    m = F.least(n, F.lit(max_depth))
+    exact = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda k: F.array_join(F.slice(labels, n - k + 1, k), "."),
     )
+    # sequence(2, 1) would count DOWN — guard the wildcard arm for
+    # single-label hosts instead of relying on an empty range.
+    wild = F.when(
+        m >= 2,
+        F.transform(
+            F.sequence(F.lit(2), m),
+            lambda k: F.concat(
+                F.lit("*."),
+                F.array_join(F.slice(labels, n - k + 2, k - 1), "."),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     spark = hosts.sparkSession
-    exploded = hosts.withColumn("__cand", F.explode_outer(cands))
+    exploded = hosts.withColumn("__key", F.explode(F.concat(exact, wild)))
+    sfx = suffix_table(spark, suffixes)
     joined = exploded.join(
-        F.broadcast(suffix_table(spark, suffixes)),
-        exploded["__cand.suffix"] == F.col("suffix"),
-        "left",
+        F.broadcast(sfx), exploded["__key"] == sfx["key"], "left"
     )
     from pyspark.sql import Window
 
     w = Window.partitionBy(host_col).orderBy(
-        F.col("n_labels").desc_nulls_last()
+        F.col("kind").desc_nulls_last(),
+        F.col("n_labels").desc_nulls_last(),
+        F.col("__key").asc(),
+    )
+    k_ps = (
+        F.when(F.col("kind") == 1, F.col("n_labels") - 1)
+        .when(F.col("n_labels").isNotNull(), F.col("n_labels"))
+        .otherwise(F.lit(1))  # the implicit '*' rule
     )
     return (
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
+        .withColumn("__k_ps", k_ps)
         .select(
             host_col,
-            # NULL label = the whole-host candidate won: the host IS a
-            # public suffix, so no registrable domain (concat_ws would
-            # silently skip the NULL — guard explicitly).
             F.when(
-                F.col("n_labels").isNotNull()
-                & F.col("__cand.label").isNotNull(),
-                F.concat_ws(".", F.col("__cand.label"), F.col("suffix")),
+                n > F.col("__k_ps"),
+                F.array_join(
+                    F.slice(labels, n - F.col("__k_ps"), F.col("__k_ps") + 1),
+                    ".",
+                ),
             ).alias("domain"),
         )
     )
@@ -215,38 +277,65 @@ def registrable_domain(
 def sql_registrable_domain(
     hosts_sql: str,
     host_col: str = "host",
-    suffixes: tuple[str, ...] = PUBLIC_SUFFIXES,
+    suffixes: tuple[str, ...] | None = None,
 ) -> str:
     """Oracle twin: ``hosts_sql`` yields rows with ``host_col``; returns
-    the distinct (host, domain) dimension by the same longest-suffix
-    rule."""
-    max_depth = max(s.count(".") + 1 for s in suffixes)
-    values = ", ".join(
-        f"('{s}', {s.count('.') + 1})" for s in suffixes
-    )
+    the distinct (host, domain) dimension by the same full PSL
+    algorithm (exception > longest literal/wildcard > implicit '*').
+    Default rule set reads the SAME baked parquet the Spark side
+    broadcasts."""
+    max_depth = _max_rule_depth(suffixes)
+    if suffixes is None:
+        sfx = (
+            "SELECT key, n_labels, kind FROM "
+            f"read_parquet('{psl_path()}')"
+        )
+    else:
+        values = ", ".join(
+            "('{0}', {1}, {2})".format(*parse_suffix_rule(s))
+            for s in suffixes
+        )
+        sfx = (
+            f"SELECT * FROM (VALUES {values}) AS v(key, n_labels, kind)"
+        )
     return f"""
 WITH hosts_in AS (SELECT DISTINCT {host_col} FROM ({hosts_sql})),
-sfx(suffix, n_labels) AS (VALUES {values}),
+sfx AS ({sfx}),
+hl AS (
+  SELECT {host_col}, string_split({host_col}, '.') AS labels FROM hosts_in
+),
 cand AS (
-  SELECT h.{host_col},
-         array_to_string(labels[len(labels) - k + 1 :], '.') AS cand_suffix,
-         CASE WHEN k < len(labels) THEN labels[len(labels) - k] END
-           AS cand_label
-  FROM (SELECT *, string_split({host_col}, '.') AS labels FROM hosts_in) h,
+  SELECT {host_col}, labels,
+         CASE WHEN wild
+              THEN '*.' || array_to_string(labels[len(labels) - k + 2 :], '.')
+              ELSE array_to_string(labels[len(labels) - k + 1 :], '.') END
+           AS cand_key
+  FROM hl,
        LATERAL (SELECT unnest(generate_series(1,
-                  least(len(labels), {max_depth}))) AS k) ks
+                  least(len(labels), {max_depth}))) AS k) ks,
+       LATERAL (SELECT unnest([false, true]) AS wild) ws
+  WHERE NOT wild OR k >= 2
 ),
 matched AS (
-  SELECT c.*, s.n_labels,
+  SELECT c.{host_col}, c.labels, s.n_labels, s.kind,
          row_number() OVER (
            PARTITION BY c.{host_col}
-           ORDER BY s.n_labels DESC NULLS LAST) AS rn
-  FROM cand c LEFT JOIN sfx s ON s.suffix = c.cand_suffix
+           ORDER BY s.kind DESC NULLS LAST, s.n_labels DESC NULLS LAST,
+                    c.cand_key ASC) AS rn
+  FROM cand c LEFT JOIN sfx s ON s.key = c.cand_key
+),
+winner AS (
+  SELECT {host_col}, labels,
+         CASE WHEN kind = 1 THEN n_labels - 1
+              WHEN n_labels IS NOT NULL THEN n_labels
+              ELSE 1 END AS k_ps
+  FROM matched WHERE rn = 1
 )
 SELECT {host_col},
-       CASE WHEN n_labels IS NOT NULL AND cand_label IS NOT NULL
-            THEN cand_label || '.' || cand_suffix END AS domain
-FROM matched WHERE rn = 1
+       CASE WHEN len(labels) > k_ps
+            THEN array_to_string(labels[len(labels) - k_ps :], '.') END
+         AS domain
+FROM winner
 """
 
 
@@ -429,9 +518,11 @@ def robots_url_filter(
 
     Robots semantics: a URL is blocked when its path+query starts with
     ANY of its host's Disallow prefixes (prefix match — '/a/1' blocks
-    '/a/12' too; our synth set has no Allow overrides). The rules ride
-    a broadcast join keyed on host; the prefix test is an `exists`
-    over the per-host rule array — all codegen."""
+    '/a/12' too; our synth set has no Allow overrides). The rules
+    frame is one row per distinct host — O(1e8) on the real web — so
+    its join is unhinted (AQE broadcasts while it fits, shuffle-joins
+    at scale); the prefix test is an `exists` over the per-host rule
+    array — all codegen."""
     u = docs_urls.select(
         F.col(id_col).alias("id"),
         url_host(url_col).alias("host"),
@@ -445,7 +536,7 @@ def robots_url_filter(
             robots_disallow_prefixes(synth_robots("host")).alias("rules"),
         )
     )
-    joined = u.join(F.broadcast(rules), "host")
+    joined = u.join(rules, "host")
     blocked = F.exists(
         F.col("rules"), lambda p: F.col("path").startswith(p)
     )
@@ -481,8 +572,9 @@ def fetch_schedule(
     by host (a real crawl's per-host queues are exactly this
     partitioning; a host with millions of URLs serializes through one
     task here AND through one connection in the fetcher, so the plan
-    skew mirrors the physical constraint). The delay dimension rides a
-    broadcast join. Returns (id, host, slot, fetch_at)."""
+    skew mirrors the physical constraint). The per-host delay frame
+    is O(distinct hosts), so its join is unhinted — AQE broadcasts it
+    while it fits. Returns (id, host, slot, fetch_at)."""
     from pyspark.sql import Window
 
     u = docs_urls.select(
@@ -498,7 +590,7 @@ def fetch_schedule(
     )
     w = Window.partitionBy("host").orderBy("id")
     return (
-        u.join(F.broadcast(delays), "host")
+        u.join(delays, "host")
         .select(
             "id",
             "host",

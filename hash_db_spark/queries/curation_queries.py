@@ -170,6 +170,7 @@ FROM sizes GROUP BY sz
 
 BOUNDARY_TOKENS = 4  # = the chunking overlap, the split signature width
 BOUNDARY_CHUNK = 16
+BOUNDARY_MAX_DF = 20  # boilerplate-boundary cap (house hot-key rule)
 
 
 def q_doc_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -181,35 +182,71 @@ def q_doc_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     auditable: non-adjacent hits are the detector's coincidence rate.
     (Whole docs would be vacuous here — random fixture text has no
     natural split docs; probed before shipping.) Map-side head/tail
-    hashing, ONE equijoin on the boundary hash."""
+    hashing, ONE equijoin on the boundary hash, with the house hot-key
+    cap: a boundary hash carried by more than BOUNDARY_MAX_DF chunk
+    ends is boilerplate (page footers, license headers) and would make
+    its join key quadratic at corpus scale — it is anti-joined out of
+    BOTH sides before the equijoin (documented recall trade, exact in
+    the oracle too). The skinny hash frame is checkpointed once: it
+    feeds the hot set and both join sides, and Spark re-executes
+    un-materialized subplans once per consumer."""
+    docs = load_table(spark, sf_dir, "documents")
+    return boundary_overlap_pairs(docs)
+
+
+def boundary_overlap_pairs(docs: DataFrame) -> DataFrame:
+    """The detector itself over any (doc_id, text) frame — split out of
+    the entry so the hot-key cap is unit-testable with constructed
+    boilerplate (the fixtures' random text never trips it)."""
     from hash_db_spark.operators import chunking
     from hash_db_spark.operators.dedup import clean_tokens, md5_hash64
 
-    docs = load_table(spark, sf_dir, "documents")
     ch = chunking.token_chunks(
         docs, "text", "doc_id", size=BOUNDARY_CHUNK, overlap=BOUNDARY_TOKENS
     )
     t = clean_tokens("chunk_text")
     n = F.size(t)
-    eligible = ch.select(
-        "id",
-        "chunk_idx",
-        md5_hash64(
-            F.array_join(F.slice(t, 1, BOUNDARY_TOKENS), " ")
-        ).alias("head_h"),
-        md5_hash64(
-            F.array_join(
-                F.slice(t, n - BOUNDARY_TOKENS + 1, BOUNDARY_TOKENS), " "
-            )
-        ).alias("tail_h"),
-        n.alias("n_toks"),
-    ).filter(F.col("n_toks") >= BOUNDARY_TOKENS)
+    eligible = (
+        ch.select(
+            "id",
+            "chunk_idx",
+            md5_hash64(
+                F.array_join(F.slice(t, 1, BOUNDARY_TOKENS), " ")
+            ).alias("head_h"),
+            # Total expression: guarded so the slice start can never be
+            # <= 0 for short chunks — correctness must not depend on
+            # Catalyst pushing the n_toks filter below this projection.
+            md5_hash64(
+                F.when(
+                    n >= BOUNDARY_TOKENS,
+                    F.array_join(
+                        F.slice(
+                            t, n - BOUNDARY_TOKENS + 1, BOUNDARY_TOKENS
+                        ),
+                        " ",
+                    ),
+                )
+            ).alias("tail_h"),
+            n.alias("n_toks"),
+        )
+        .filter(F.col("n_toks") >= BOUNDARY_TOKENS)
+        .localCheckpoint(eager=True)
+    )
+    # Hot boundary hashes by combined head+tail df — ONE pass via
+    # explode (a self-union of two selects would run the plan twice).
+    hot = (
+        eligible.select(F.explode(F.array("tail_h", "head_h")).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > BOUNDARY_MAX_DF)
+        .select("h")
+    )
     a = eligible.select(
         F.col("id").alias("id_a"), F.col("chunk_idx").alias("idx_a"), "tail_h"
-    )
+    ).join(F.broadcast(hot), F.col("tail_h") == F.col("h"), "left_anti")
     b = eligible.select(
         F.col("id").alias("id_b"), F.col("chunk_idx").alias("idx_b"), "head_h"
-    )
+    ).join(F.broadcast(hot), F.col("head_h") == F.col("h"), "left_anti")
     return (
         a.join(b, a.tail_h == b.head_h)
         .filter(
@@ -250,12 +287,19 @@ def _boundary_overlap_oracle() -> str:
 WITH e AS (
   SELECT id, chunk_idx, {head} AS head_h, {tail} AS tail_h
   FROM ({inner}) WHERE len({toks}) >= {BOUNDARY_TOKENS}
+),
+hot AS (
+  SELECT h FROM (
+    SELECT unnest([tail_h, head_h]) AS h FROM e
+  ) GROUP BY h HAVING count(*) > {BOUNDARY_MAX_DF}
 )
 SELECT a.id AS id_a, a.chunk_idx AS idx_a,
        b.id AS id_b, b.chunk_idx AS idx_b,
        (a.id = b.id AND b.chunk_idx = a.chunk_idx + 1) AS is_adjacent
 FROM e a JOIN e b ON a.tail_h = b.head_h
-WHERE a.id <> b.id OR a.chunk_idx <> b.chunk_idx
+WHERE (a.id <> b.id OR a.chunk_idx <> b.chunk_idx)
+  AND a.tail_h NOT IN (SELECT h FROM hot)
+  AND b.head_h NOT IN (SELECT h FROM hot)
 """
 
 
@@ -271,10 +315,19 @@ def q_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hash_db_spark.queries.curation_queries import q_winnow_fingerprints
 
     fps = q_winnow_fingerprints(spark, sf_dir)
-    df_counts = fps.groupBy("fph").agg(F.count(F.lit(1)).alias("df"))
-    cold = fps.join(
-        F.broadcast(df_counts.filter(F.col("df") <= WINNOW_MAX_DF)), "fph"
+    # Broadcast the HOT side, never the cold one: the set of
+    # fingerprints with df > WINNOW_MAX_DF is bounded by
+    # total_instances / WINNOW_MAX_DF (the house rule — lines.py,
+    # dedup.py), while the cold complement is O(distinct
+    # fingerprints) ~ corpus-sized and would OOM every executor at
+    # 100 TB if force-broadcast.
+    hot = (
+        fps.groupBy("fph")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > WINNOW_MAX_DF)
+        .select("fph")
     )
+    cold = fps.join(F.broadcast(hot), "fph", "left_anti")
     a, b = cold.alias("a"), cold.alias("b")
     return (
         a.join(b, "fph")
@@ -818,9 +871,13 @@ WHERE cum_weight <= {DEDUP_BUDGET}
 def q_corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus health dashboard in ONE plan: doc count,
     heuristic-gate pass rate inputs, exact-duplicate count, language
-    agreement, and mean token length. The dup check is the only
-    corpus-keyed shuffle (md5 groupBy joined back); everything else is
-    map-side into the final per-source aggregation."""
+    agreement, and mean token length. The dup flag is carried by a
+    count() window over the md5 fingerprint — ONE corpus-keyed
+    shuffle, no join-back at all. (A raw crawl pre-dedup is 30-50%
+    duplicates, so the duplicate-fingerprint set is O(n): it must
+    never be broadcast.)"""
+    from pyspark.sql import Window
+
     from hash_db_spark.functions.text import (
         lang_id_fast,
         quality_score_fast,
@@ -828,21 +885,21 @@ def q_corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    fp = docs.select("doc_id", F.md5("text").alias("fp"))
-    dup_fp = (
-        fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 1)
-        .select("fp")
-    )
-    dups = fp.join(F.broadcast(dup_fp), "fp").select(
-        "doc_id", F.lit(True).alias("is_dup")
-    )
-    enriched = docs.join(dups, "doc_id", "left").select(
+    per_doc = docs.select(
         "source",
-        F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        F.md5("text").alias("fp"),
         (quality_score_fast("text") >= 0.5).alias("q_ok"),
         (lang_id_fast("text") == F.col("lang")).alias("lang_ok"),
         token_count("text").alias("n_toks"),
+    )
+    enriched = per_doc.select(
+        "source",
+        (F.count(F.lit(1)).over(Window.partitionBy("fp")) > 1).alias(
+            "is_dup"
+        ),
+        "q_ok",
+        "lang_ok",
+        "n_toks",
     )
     return enriched.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

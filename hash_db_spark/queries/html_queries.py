@@ -139,10 +139,11 @@ GROUP BY l.site
 def q_crawl_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The crawl loop, closed: sitemap-discovered frontier (listed
     minus crawled) -> robots Disallow filter -> polite per-host fetch
-    slots (Crawl-delay parsed from each host's robots). Everything
-    after the crawled-set distinct is dimension-sized (sites, rules,
-    delays ride broadcasts); the only corpus-scale work is the one
-    distinct."""
+    slots (Crawl-delay parsed from each host's robots). The only
+    corpus-scale work is the crawled-set distinct; sites/rules/delays
+    are one row per host — tiny here, but O(distinct hosts) (~1e8) on
+    the real web, so the rules join is unhinted and AQE chooses
+    broadcast only while it fits."""
     docs = load_table(spark, sf_dir, "documents")
     crawled = docs.select(
         (F.col("doc_id") % 23).alias("site"),
@@ -174,7 +175,7 @@ def q_crawl_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.robots_disallow_prefixes(W.synth_robots("host")).alias("rules"),
     )
     withrules = urls.withColumn("host", W.url_host("curl")).join(
-        F.broadcast(rules), "host"
+        rules, "host"
     )
     allowed = withrules.filter(
         ~F.exists(F.col("rules"), lambda p: F.col("path").startswith(p))

@@ -112,6 +112,39 @@ def _stream_line_dedup_oracle() -> str:
     return f"SELECT DISTINCT chunk_text AS line FROM ({inner})"
 
 
+def q_stream_line_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of stream_line_dedup (VERDICT r08 #5): the
+    same stateless line explode, deduped with dropDuplicatesWithin-
+    Watermark so state is GUARANTEED bounded — a line's entry evicts
+    once the watermark passes its event time + 1 day, instead of
+    growing with all-time distinct-line cardinality. Event time is the
+    deterministic synthetic ingest timestamp (closed form over doc_id,
+    the synth-payload discipline), so both engines see the same rows.
+    Batch parity: under availableNow every row is inside the horizon,
+    so the result equals DISTINCT over the line — the same oracle as
+    the unbounded form. At-least-once contract: a duplicate arriving
+    later than the delay re-emits (stream_dedup_within_watermark's
+    documented trade)."""
+    from hash_db_spark.streaming import windows as SW
+
+    docs = SW.read_documents_stream(spark, sf_dir)
+    ch = chunking.token_chunks(
+        docs, "text", "doc_id", size=LINE_TOKENS, overlap=0
+    )
+    lines_ts = ch.select(
+        F.col("chunk_text").alias("line"),
+        F.timestamp_seconds(1577836800 + (F.col("id") % 86400)).alias("ts"),
+    )
+    deduped = SW.stream_dedup_within_watermark(
+        lines_ts, ["line"], delay="1 day"
+    ).select("line")
+    return SW.run_stream_to_memory(deduped, output_mode="append")
+
+
+# Oracle: identical to _stream_line_dedup_oracle() — the watermark
+# changes the STATE bound, not the availableNow result set.
+
+
 def q_scrub_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
@@ -644,4 +677,11 @@ QUERIES = {
     "stream_line_dedup": Query(
         q_stream_line_dedup, _stream_line_dedup_oracle()
     ),
+    # r10 QUEUE (registration throttled per VERDICT r08 #1 — the r09
+    # window is already oversubscribed with never-checked entries):
+    #   "stream_line_dedup_wm": Query(
+    #       q_stream_line_dedup_wm, _stream_line_dedup_oracle()),
+    # Implemented + unit-tested (tests/test_streaming.py) this round;
+    # registering it is the one-line uncomment once the r10 window has
+    # a slot.
 }

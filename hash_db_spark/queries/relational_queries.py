@@ -161,14 +161,19 @@ GROUP BY l_returnflag, l_linestatus
 
 def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: filter both sides, join, agg, deterministic top-10
-    (revenue desc, orderkey asc tie-break). Runs as broadcast-join +
-    TakeOrderedAndProject — no global sort."""
+    (revenue desc, orderkey asc tie-break). Ends in
+    TakeOrderedAndProject — no global sort. The customer side carries
+    NO broadcast hint: it is corpus-proportional (1/10 of lineitem's
+    rows at any SF), so a forced broadcast becomes a multi-GB ship at
+    100x — AQE picks broadcast at small SF on its own and demotes to
+    shuffle join when the segment filter's output outgrows the
+    threshold."""
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     joined = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
     )
     rev = (
         joined.groupBy("o_orderkey", "o_orderdate")
@@ -195,8 +200,11 @@ LIMIT 10
 
 
 def q5_local_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-table star join. Dimensions (region/nation/
-    supplier/customer) broadcast; only orders⋈lineitem shuffles."""
+    """TPC-H Q5 shape: 6-table star join. TRUE dimensions (region/
+    nation/supplier) broadcast; customer is corpus-proportional so it
+    carries no hint — AQE broadcasts it while it fits and demotes to a
+    shuffle join at scale instead of OOMing on a forced multi-GB
+    ship."""
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
@@ -207,7 +215,7 @@ def q5_local_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
-            F.broadcast(cust),
+            cust,
             (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )

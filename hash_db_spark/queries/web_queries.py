@@ -58,7 +58,13 @@ def q_host_doc_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-registrable-domain document cap (5): subdomains fold into one
     budget, selection is content-addressed (md5 of doc_id) so the kept
     set is reproducible and append-stable. Composition: host extraction
-    -> broadcast suffix-dimension join -> per_group_cap window."""
+    -> registrable-domain dimension join -> per_group_cap window. The
+    host->domain dimension is keyed by the corpus's DISTINCT HOSTS —
+    tiny on these fixtures but ~1e8 rows on the real web — so the join
+    carries NO broadcast hint: AQE broadcasts it while it fits and
+    falls back to a shuffle join at web scale. (Only the ~10k-row PSL
+    inside registrable_domain is force-broadcast — that one is
+    genuinely scale-invariant.)"""
     from hash_db_spark.operators.sampling import per_group_cap
 
     docs = _docs(spark, sf_dir).select(
@@ -66,7 +72,7 @@ def q_host_doc_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.url_host(W.canonicalize_url(W.synth_url("doc_id"))).alias("host"),
     )
     dim = W.registrable_domain(docs.select("host"))
-    withdom = docs.join(F.broadcast(dim), "host")
+    withdom = docs.join(dim, "host")
     return per_group_cap(withdom, "doc_id", "domain", 5).select(
         "doc_id", "host", "domain"
     )
@@ -96,9 +102,11 @@ def q_crawl_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole crawl-curation front end as ONE Catalyst plan (the web
     analog of train_prep): WARC bytes -> length-framed response
     extraction -> status/mime gate -> canonical URL dedup (keep-first)
-    -> registrable-domain dimension (broadcast) -> per-domain document
-    cap. One Arrow decode pass, two shuffles (url group, domain
-    window), everything else map-side or broadcast."""
+    -> registrable-domain dimension -> per-domain document cap. One
+    Arrow decode pass, two shuffles (url group, domain window). The
+    host->domain dimension is O(distinct hosts) (~1e8 on the real
+    web), so its join is unhinted — AQE broadcasts while it fits,
+    shuffle-joins at scale."""
     from hash_db_spark.operators.sampling import per_group_cap
     from hash_db_spark.sources import warc
 
@@ -118,7 +126,7 @@ def q_crawl_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     dim = W.registrable_domain(hosted.select("host"))
-    withdom = hosted.join(F.broadcast(dim), "host")
+    withdom = hosted.join(dim, "host")
     return per_group_cap(withdom, "keep_id", "domain", 5).select(
         F.col("keep_id").alias("doc_id"), "curl", "domain", "n_dups"
     )
@@ -152,9 +160,12 @@ def _crawl_prep_oracle() -> str:
 def q_crawl_prep_polite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """crawl_prep with the politeness stage a compliant pipeline must
     run: WARC extraction -> status/mime gate -> URL dedup -> robots
-    Disallow filter (rules REALLY parsed, broadcast per host) ->
+    Disallow filter (rules REALLY parsed, one row per host) ->
     registrable-domain cap. Still ONE plan: the robots stage adds one
-    broadcast join + a codegen exists(), no extra shuffle."""
+    join + a codegen exists(). Both the rules frame and the
+    host->domain dimension are O(distinct hosts) (~1e8 on the real
+    web), so neither join is hinted — AQE broadcasts them while they
+    fit and shuffle-joins at scale."""
     from hash_db_spark.operators.sampling import per_group_cap
     from hash_db_spark.sources import warc
 
@@ -183,14 +194,14 @@ def q_crawl_prep_polite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     allowed = (
-        hosted.join(F.broadcast(rules), "host")
+        hosted.join(rules, "host")
         .filter(
             ~F.exists(F.col("rules"), lambda p: F.col("path").startswith(p))
         )
         .drop("rules", "path")
     )
     dim = W.registrable_domain(allowed.select("host"))
-    withdom = allowed.join(F.broadcast(dim), "host")
+    withdom = allowed.join(dim, "host")
     return per_group_cap(withdom, "keep_id", "domain", 5).select(
         F.col("keep_id").alias("doc_id"), "curl", "domain", "n_dups"
     )
@@ -421,9 +432,11 @@ def q_rank_weighted_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually feeding curation: high-rank hosts keep more documents,
     low-rank hosts keep at least one, selection stays content-addressed
     (md5 of doc_id) so the kept set is append-stable. Composition:
-    link-graph PageRank -> quota dimension (broadcast, one row per
-    host) -> variable-cap window per host. Hosts absent from the link
-    graph default to quota 1 (left join + coalesce)."""
+    link-graph PageRank -> quota dimension (one row per host) ->
+    variable-cap window per host. Hosts absent from the link graph
+    default to quota 1 (left join + coalesce). The quota frame is
+    O(distinct hosts) (~1e8 on the real web), so its join is unhinted
+    — AQE broadcasts while it fits, shuffle-joins at scale."""
     from pyspark.sql import Window
 
     ranks = q_pagerank_hosts(spark, sf_dir)
@@ -440,7 +453,7 @@ def q_rank_weighted_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.md5(F.col("doc_id").cast("string"))
     w = Window.partitionBy("host").orderBy(h.asc(), F.col("doc_id").asc())
     return (
-        docs.join(F.broadcast(quota), "host", "left")
+        docs.join(quota, "host", "left")
         .select(
             "doc_id",
             "host",

@@ -20,6 +20,64 @@ from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Scheme-aware existence probe via the Hadoop FileSystem API —
+    works for driver-local paths in tests AND for HDFS/S3 URIs in
+    production, where an os.path probe would always be False."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
+def _append_guard(
+    spark: SparkSession, path: str, field: str, expected: int, label: str
+) -> None:
+    """Refuse appends that would corrupt probe pruning — BEFORE any
+    data lands (the caller must invoke this ahead of its writes).
+
+    Three refusal shapes, all demanding a rebuild (mode='overwrite'):
+    (a) meta present but EMPTY — a torn prior write; the existing
+        bands were bucketed with an unknown modulus;
+    (b) meta MISSING while bands/ exist — the same torn write seen
+        from the other side (bands land before meta, so a crash
+        between the two leaves exactly this). Treating it as a first
+        write would stamp the caller's modulus over bands bucketed
+        with an unknown one, silently mis-partitioning probe pruning;
+    (c) modulus mismatch with a healthy meta.
+    Only a truly absent index (no meta AND no bands) is a first write.
+    """
+    from pyspark.errors import AnalysisException
+
+    try:
+        meta_rows = spark.read.parquet(f"{path}/meta").collect()
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+        if _fs_exists(spark, f"{path}/bands"):
+            raise ValueError(
+                f"{label} index at {path} has bands/ but no meta/ (torn "
+                "prior write): the existing bands were bucketed with an "
+                "unknown modulus. Rebuild the index (mode='overwrite') "
+                "or restore meta/ before appending."
+            ) from e
+        return  # genuinely a first write
+    if not meta_rows:
+        raise ValueError(
+            f"{label} index at {path} has a torn meta (present but "
+            "empty): the existing bands were bucketed with an unknown "
+            f"{field} modulus. Rebuild the index (mode='overwrite') or "
+            "restore meta/ before appending."
+        )
+    existing = meta_rows[0][field]
+    if existing != int(expected):
+        raise ValueError(
+            f"{label} index at {path} was bucketed with "
+            f"{field}={existing}; appending with {field}={expected} "
+            "would corrupt probe pruning"
+        )
+
+
 def write_partitioned(df: DataFrame, path: str, *partition_cols: str) -> None:
     """Directory-partitioned parquet; predicates on partition_cols prune
     at planning time (PartitionFilters in explain)."""
@@ -80,6 +138,15 @@ def write_minhash_index(
     - shingles/(id, sh) sorted by id within files — the verification
       join's id lookups page-skip.
     """
+    # Bucket modulus is index metadata (see write_fts_index): probes
+    # must derive buckets with the SAME modulus or pruning misses.
+    # Validate BEFORE any data lands — the guard refuses modulus
+    # mismatches AND both torn-write shapes (empty meta, or bands
+    # present with meta missing); a truly absent index is a fine first
+    # append (streaming ingest).
+    spark = base.sparkSession
+    if mode == "append":
+        _append_guard(spark, path, "key_buckets", key_buckets, "minhash")
     out = bands.withColumn(
         "key_bucket", (F.abs(F.col("key")) % key_buckets).cast("int")
     )
@@ -96,43 +163,6 @@ def write_minhash_index(
         .write.mode(mode)
         .parquet(f"{path}/shingles")
     )
-    # Bucket modulus is index metadata (see write_fts_index): probes
-    # must derive buckets with the SAME modulus or pruning misses. On
-    # append, a DIFFERENT modulus than the one the existing partitions
-    # were bucketed with would silently re-point probes at the wrong
-    # bucket directories (old duplicates re-ingested as novel) — refuse
-    # it instead of overwriting the meta. The very first write may well
-    # be an append (streaming ingest), so a missing meta is fine.
-    spark = base.sparkSession
-    if mode == "append":
-        from pyspark.errors import AnalysisException
-
-        try:
-            meta_rows = spark.read.parquet(f"{path}/meta").collect()
-            # meta/ is written LAST: present-but-EMPTY meta (directory
-            # committed, zero rows) means a torn prior write whose
-            # bands/ were already bucketed with an UNKNOWN modulus.
-            # Appending as if this were a first write would re-point
-            # probes at wrong bucket dirs — refuse, demand a rebuild.
-            if not meta_rows:
-                raise ValueError(
-                    f"minhash index at {path} has a torn meta (present "
-                    "but empty): the existing bands were bucketed with "
-                    "an unknown key_buckets modulus. Rebuild the index "
-                    "(mode='overwrite') or restore meta/ before "
-                    "appending."
-                )
-            existing = meta_rows[0]["key_buckets"]
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" not in str(e):
-                raise
-            existing = None
-        if existing is not None and existing != int(key_buckets):
-            raise ValueError(
-                f"minhash index at {path} was bucketed with "
-                f"key_buckets={existing}; appending with "
-                f"key_buckets={key_buckets} would corrupt probe pruning"
-            )
     spark.createDataFrame(
         [(int(key_buckets),)], "key_buckets int"
     ).write.mode("overwrite").parquet(f"{path}/meta")
@@ -407,27 +437,7 @@ def write_dhash_index(
     )
     spark = hashes.sparkSession
     if mode == "append":
-        from pyspark.errors import AnalysisException
-
-        try:
-            meta_rows = spark.read.parquet(f"{path}/meta").collect()
-            if not meta_rows:
-                raise ValueError(
-                    f"dhash index at {path} has a torn meta (present but "
-                    "empty): rebuild the index (mode='overwrite') or "
-                    "restore meta/ before appending."
-                )
-            existing = meta_rows[0]["byte_buckets"]
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" not in str(e):
-                raise
-            existing = None
-        if existing is not None and existing != int(byte_buckets):
-            raise ValueError(
-                f"dhash index at {path} was bucketed with "
-                f"byte_buckets={existing}; appending with "
-                f"byte_buckets={byte_buckets} would corrupt probe pruning"
-            )
+        _append_guard(spark, path, "byte_buckets", byte_buckets, "dhash")
     (
         bands.repartition("byte_bucket")
         .write.partitionBy("byte_bucket")

@@ -341,10 +341,21 @@ def streaming_ingest_dedup(
                     raise
                 # bands/ exists but meta/ is absent (index written by a
                 # pre-meta build, or a torn write). This is NOT a first
-                # batch — skipping the probe here would append every
-                # near-dup as novel. Probe against the unpruned bands
-                # frame instead: correct, just unprimed for pruning.
-                bands = all_bands
+                # batch — skipping the probe would append every near-dup
+                # as novel — and it is NOT appendable either: the
+                # writer's append guard refuses a bands-without-meta
+                # index because the existing rows were bucketed with an
+                # unknown modulus. HEAL it: materialize the full index
+                # (eager checkpoints — the frames must not lazily read
+                # the path being overwritten), rewrite it re-bucketed
+                # under our modulus, then probe pruned as usual. A heal
+                # is a rare crash-recovery event; the full-index rewrite
+                # cost is the price of restoring pruning for every
+                # later batch.
+                sh = sh.localCheckpoint(eager=True)
+                bands_m = all_bands.localCheckpoint(eager=True)
+                write_minhash_index(sh, bands_m, index_path)
+                bands = minhash_index_probe(spark, index_path, nbands)
         if have_index:
             dup_ids = (
                 D.minhash_pairs_against_index(nb, nbands, sh, bands, threshold)
@@ -451,23 +462,31 @@ def streaming_media_ingest_dedup(
         # swallowed transient storage error would re-ingest every dup).
         # A missing META with bands/ PRESENT (torn prior write — bands
         # land before meta) is NOT a first batch: skipping the probe
-        # would append every near-dup as novel. Fall back to the
-        # unpruned bands relation — correct, just unprimed for pruning
-        # (the text loop's exact discipline).
+        # would append every near-dup as novel — and the writer's
+        # append guard refuses such an index (its rows were bucketed
+        # with an unknown modulus). HEAL it (the text loop's exact
+        # discipline): materialize the distinct hashes, rewrite the
+        # index re-bucketed under our modulus, then probe pruned.
         try:
             corpus = dhash_index_probe(spark, index_path, batch_kept)
         except AnalysisException as e:
             if "PATH_NOT_FOUND" not in str(e):
                 raise
             try:
-                corpus = (
+                prior = (
                     spark.read.parquet(f"{index_path}/bands")
                     .select("id", "dhash")
                     .distinct()
+                    .localCheckpoint(eager=True)
                 )
             except AnalysisException as e2:
                 if "PATH_NOT_FOUND" not in str(e2):
                     raise
+                prior = None
+            if prior is not None:
+                write_dhash_index(prior, index_path)
+                corpus = dhash_index_probe(spark, index_path, batch_kept)
+            else:
                 corpus = None
         if corpus is not None:
             dup_ids = (

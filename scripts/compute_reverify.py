@@ -45,6 +45,7 @@ GATE_STATE = {
     5: "b02210f^",
     6: "c7f6390^",
     7: "b11ac1b^",
+    8: "31679e1^",
 }
 
 Sym = tuple[str, str]  # (module dotted name, symbol name)

@@ -331,3 +331,44 @@ def test_winnow_shared_substring_guarantee(spark, shared, pre, suf):
         by_doc.setdefault(r.id, set()).add(r.fph)
     assert by_doc.get(1) and by_doc.get(2)
     assert by_doc[1] & by_doc[2], (d1, d2)
+
+
+def test_boundary_overlap_hot_key_cap_drops_boilerplate(spark):
+    """The house hot-key cap on the boundary-hash equijoin (VERDICT r08
+    #4): a shared 4-token page footer/header across >BOUNDARY_MAX_DF
+    chunk ends would make its join key quadratic — those hashes are
+    anti-joined out of both sides, while genuine split-document and
+    adjacent-chunk boundaries survive."""
+    from hash_db_spark.queries.curation_queries import (
+        BOUNDARY_MAX_DF,
+        boundary_overlap_pairs,
+    )
+
+    boiler = "lorem ipsum dolor sit"
+    mid = lambda i: " ".join(f"mid{i}x{j}" for j in range(8))  # noqa: E731
+    rows = [
+        # 25 docs (> BOUNDARY_MAX_DF=20) that START and END with the
+        # same 4 boilerplate tokens: every head_h == tail_h == H, so H
+        # carries 50 chunk ends — quadratic without the cap.
+        (i, f"{boiler} {mid(i)} {boiler}")
+        for i in range(25)
+    ]
+    # A genuine split pair: doc 100's last 4 tokens open doc 101.
+    t = [f"qa{j}" for j in range(16)]
+    rows.append((100, " ".join(t)))
+    rows.append((101, " ".join(t[12:] + [f"qb{j}" for j in range(12)])))
+    # One long doc whose overlap-chunks are adjacency ground truth.
+    rows.append((200, " ".join(f"qc{j}" for j in range(28))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r.id_a, r.idx_a, r.id_b, r.idx_b, r.is_adjacent)
+        for r in boundary_overlap_pairs(docs).collect()
+    }
+    assert BOUNDARY_MAX_DF < 25
+    # boilerplate hash capped out: no pair touches docs 0..24
+    assert not any(p[0] < 100 or p[2] < 100 for p in got), got
+    # the genuine split survives
+    assert (100, 0, 101, 0, False) in got
+    # doc 200's adjacent chunks survive
+    assert any(p[0] == 200 and p[2] == 200 and p[4] for p in got)

