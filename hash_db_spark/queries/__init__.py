@@ -49,117 +49,96 @@ def all_queries() -> dict[str, Query]:
         web_queries,
     )
 
-    # Module order matters: the driver verifies registry entries in order and
-    # caps the run at the first 50. ROUND-8 PRIORITY, computed mechanically
-    # by scripts/compute_reverify.py at r08 HEAD (after its cycle-soundness
-    # fix and the r06/r07 gate-ref registration): 7 never-driver-checked
-    # entries first (the six r06 additions that rounds 6-7 left unverified
-    # plus this round's dedup_image_in_video), then the 57 stale entries
-    # (code changed since their last green driver round) oldest-green-first
-    # — all 17 r01, all 12 r02, and the first 14 of 19 r03. That fills the
-    # 50-slot window exactly.
+    # Module order matters: the driver verifies registry entries in order
+    # and caps the run at the first 50.
     #
-    # ROUND-9 WINDOW HEAD (recomputed at r08 session-4 end:
-    # 286 entries, 43 never-checked, 58 stale, 185 fresh; the r08 gate
-    # below covers 7 never-checked + 43 stale, leaving 36 never-checked
-    # + 15 stale = 51 r09-head candidates — one more than the 50-slot
-    # window; r09 additions, r09 taint, and the overflow queue for r10.
-    # Recompute before trusting, but this is the plan of record):
-    #   never-checked (r08 session-2/3 additions, all sim-green):
-    #     dedup_audio_pairs, dedup_image_incremental,
-    #     dedup_audio_incremental, media_dup_clusters, bpe_encode_corpus,
-    #     warc_extract, crawl_prep, line_dedup_docs,
-    #     line_boilerplate_strip, line_containment, line_clean_prep,
-    #     link_host_graph, pagerank_hosts, robots_rules,
-    #     robots_url_filter, fetch_schedule, rank_weighted_caps,
-    #     stream_line_dedup, crawl_prep_polite, warc_extract_gz,
-    #     html_text_extract, html_anchor_texts, sitemap_discover,
-    #     html_corpus_prep, quality_classifier, weighted_doc_sample,
-    #     embedding_dim_stats, classifier_sample_prep,
-    #     stream_quality_gate, doc_lang_segments, decontaminate_mask,
-    #     crawl_frontier_schedule, lm_trigram_interp,
-    #     corpus_health_report, dedup_budget_select,
-    #     robots_sitemap_refs, embedding_project_jl,
-    #     embedding_whiten_norms, mixture_temperature,
-    #     gopher_quality_gate, source_dup_matrix, winnow_fingerprints,
-    #     winnow_dup_pairs, doc_boundary_overlap, mixture_temp_select,
-    #     winnow_components, dup_cluster_histogram (r08 session-4
-    #     additions, all sim-green; 297 entries -> 62 r09-head
-    #     candidates: TWELVE never-checked entries overflow to the r10
-    #     queue head)
-    #   newly stale (r08's degree_histogram explode fix; re-simmed green):
-    #     graph_degree_hist
-    #   r03-green residual (5, incl. the session-4 join-removal taint on
-    #     top_ngrams_per_lang — re-simmed green): stratified_sample,
-    #     stream_sessions, stream_stateful_counter, top_ngrams_per_lang,
-    #     unpivot_measures
-    #   r04-green residual (9, bloom_decontaminate re-simmed green after
-    #     the session-4 prefilter fix): bloom_decontaminate,
-    #     cdc_scd2_history, cms_user_counts, fts_phrase, histo_quantiles,
-    #     sim_topk_ivf_kmeans, stream_dedup_within_wm, stream_stream_join,
-    #     zorder_values
-    # plus anything r09's own code changes taint; r09 additions after.
-    # Session-4 end assurance: full-registry sim at the FINAL session-4
-    # HEAD = 294/294 matches, failures=[] (295s serialized).
+    # ROUND-9 WINDOW, computed mechanically by scripts/compute_reverify.py
+    # at r09 HEAD (after this round's scale fixes landed, so every edited
+    # entry's FIRST driver fact is post-fix). Post-fix state: 297 entries,
+    # 47 never-checked, 20 stale (the r08 session-2/3/4 backlog plus the
+    # entries tainted by r09's broadcast/PSL/writer fixes). 67 candidates
+    # for 50 slots; installed here:
+    #   - 46 of the 47 never-checked (dup_cluster_histogram defers to the
+    #     r10 queue — its parent media_dup_clusters IS in-window and the
+    #     histogram is a thin consumer of it);
+    #   - the 4 r09-tainted entries VERDICT r08 #2-#4 explicitly wants
+    #     verified post-fix: q3_top_orders + q5_local_revenue (customer
+    #     unhinted), host_doc_caps (dim unhinted + real PSL),
+    #     url_host_domains (real PSL).
+    #
+    # R10 QUEUE HEAD (17 + any r10 taint; never-checked first):
+    #   dup_cluster_histogram;
+    #   stale with prior green facts: dedup_image_in_video (r08 green,
+    #   r09 mkey removal), graph_degree_hist (r07), stratified_sample,
+    #   stream_sessions, stream_stateful_counter, top_ngrams_per_lang,
+    #   unpivot_measures (r03), bloom_decontaminate, cdc_scd2_history,
+    #   cms_user_counts, fts_phrase, histo_quantiles, sim_topk_ivf_kmeans,
+    #   stream_dedup_within_wm, stream_stream_join, zorder_values (r04);
+    #   plus the throttled stream_line_dedup_wm registration
+    #   (pipeline_queries.py r10 QUEUE comment).
+    #
+    # Registration throttle (VERDICT r08 #1): NO new registry entries
+    # this round — new operators land in code/tests and queue for r10.
+    # Ordering: cheap codegen entries first to absorb the window's
+    # JVM/codegen warmup; heavy entries (pagerank, lang segments,
+    # winnowing, health report) interleaved, never clustered.
     priority = [
-        # --- never driver-checked (7): cheap url entries first to
-        # absorb the window's JVM/codegen warmup ---------------------
-        "url_dedup",
-        "url_host_domains",
+        # --- cheap openers (absorb warmup) --------------------------
+        "warc_extract",
+        "robots_rules",
+        "html_text_extract",
+        "weighted_doc_sample",
+        # --- never driver-checked (r08 s2/s3/s4 backlog) ------------
+        "line_dedup_docs",
+        "doc_lang_segments",
+        "line_boilerplate_strip",
+        "line_containment",
+        "pagerank_hosts",
+        "line_clean_prep",
+        "link_host_graph",
+        "rank_weighted_caps",
+        "robots_url_filter",
+        "corpus_health_report",
+        "fetch_schedule",
+        "winnow_fingerprints",
+        "stream_line_dedup",
+        "winnow_dup_pairs",
+        "crawl_prep",
+        "winnow_components",
+        "crawl_prep_polite",
+        "doc_boundary_overlap",
+        "warc_extract_gz",
+        "quality_classifier",
+        "html_anchor_texts",
+        "decontaminate_mask",
+        "sitemap_discover",
+        "html_corpus_prep",
+        "bpe_encode_corpus",
+        "classifier_sample_prep",
+        "lm_trigram_interp",
+        "stream_quality_gate",
+        "dedup_audio_pairs",
+        "crawl_frontier_schedule",
+        "dedup_image_incremental",
+        "embedding_dim_stats",
+        "dedup_audio_incremental",
+        "embedding_project_jl",
+        "media_dup_clusters",
+        "embedding_whiten_norms",
+        "source_dup_matrix",
+        "mixture_temperature",
+        "dedup_budget_select",
+        "gopher_quality_gate",
+        "mixture_temp_select",
+        "robots_sitemap_refs",
+        # --- r09-tainted, judge-mandated post-fix facts -------------
+        "q3_top_orders",
+        "q5_local_revenue",
         "host_doc_caps",
-        "bpe_train_merges",
-        "dedup_image_phash",
-        "dedup_video_frames",
-        "dedup_image_in_video",
-        # --- stale, green r01 (17) ----------------------------------
-        "kv_set",
-        "kv_clear",
-        "insert_rows",
-        "update_where",
-        "fts_and",
-        "fts_or",
-        "fts_mixed",
-        "fts_with_where",
-        "text_subword_tokens",
-        "dedup_ngram_jaccard",
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "dedup_simhash_pairs",
-        "dedup_embedding",
-        "sim_topk_brute",
-        "sim_topk_ivf",
-        "sim_topk_lsh",
-        # --- stale, green r02 (12) ----------------------------------
-        "asof_join",
-        "cdc_latest_view",
-        "doc_path_where",
-        "graph_n_hop",
-        "graph_triangles",
-        "hash_sample",
-        "kmeans_clusters",
-        "mix_weights",
-        "stream_dedup",
-        "stream_mv_join",
-        "stream_tumbling_daily",
-        "train_val_test",
-        # --- stale, green r03 (first 14 of 19) ----------------------
-        "contamination_check",
-        "dedup_apply_keep",
-        "dedup_components",
-        "dedup_embedding_lsh",
-        "dedup_incremental",
-        "dedup_span_grams",
-        "grouped_quantiles",
-        "grouping_sets",
-        "pack_sequences",
-        "profile_columns",
-        "profile_quantiles",
-        "scrub_pattern_counts",
-        "scrub_redact",
-        "sim_topk_quantized",
-        # 50 entries. NO further additions to this list this round — a
-        # new entry would displace a never-checked/stale slot and ship
-        # as an unverified claim; r09's queue is the place for it.
+        "url_host_domains",
+        # 50 entries. NO further additions this round — a new entry
+        # would displace a slot and ship as an unverified claim; the
+        # r10 queue above is the place for it.
     ]
     registry: dict[str, Query] = {}
     for mod in (
