@@ -28,12 +28,20 @@ import pyspark.sql.functions as F
 
 N_FEATURE_BUCKETS = 1 << 16
 
-# Closed-form synthetic milli-weights (stand-in for a trained model —
-# the scoring path only sees the (bucket, w_milli) dimension, so real
-# weights drop in as data). Knuth-multiplicative spread, zero-mean-ish
-# integer range [-1001, +1001].
-_W_MULT = 2654435761
-_W_MOD = 2003
+
+def weights_path() -> str:
+    """Repo-local parquet of REALLY-trained milli-weights (one row per
+    bucket, unseen buckets 0): a logistic model distilling the Gopher
+    heuristic gate over hashed unigram+bigram features, baked
+    deterministically by scripts/train_quality_weights.py. The scoring
+    path only sees the (bucket, w_milli) dimension, so retraining is a
+    data refresh, not a code change."""
+    from pathlib import Path
+
+    return str(
+        Path(__file__).resolve().parents[2] / "data"
+        / "quality_weights.parquet"
+    )
 
 
 def _c(col: Column | str) -> Column:
@@ -90,22 +98,17 @@ feats AS (
 
 
 def weight_dim(spark) -> DataFrame:
-    """The (bucket, w_milli) model dimension — 64k rows, always the
-    broadcast side."""
-    return spark.range(N_FEATURE_BUCKETS).select(
-        F.col("id").alias("bucket"),
-        ((F.col("id") * _W_MULT) % _W_MOD - F.lit((_W_MOD - 1) // 2))
-        .cast("long")
-        .alias("w_milli"),
-    )
+    """The (bucket, w_milli) trained-model dimension — 64k rows,
+    genuinely bounded by N_FEATURE_BUCKETS, so always the broadcast
+    side."""
+    return spark.read.parquet(weights_path()).select("bucket", "w_milli")
 
 
 def sql_weight_dim() -> str:
+    """Oracle twin reads the SAME baked parquet the Spark side
+    broadcasts."""
     return (
-        f"SELECT i AS bucket, "
-        f"CAST((i * {_W_MULT}) % {_W_MOD} - {(_W_MOD - 1) // 2} AS BIGINT)"
-        f" AS w_milli "
-        f"FROM generate_series(0, {N_FEATURE_BUCKETS - 1}) AS g(i)"
+        f"SELECT bucket, w_milli FROM read_parquet('{weights_path()}')"
     )
 
 
@@ -115,11 +118,17 @@ def classifier_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(doc_id, n_feats, z_milli, keep): sum of the broadcast model's
-    milli-weights over the doc's hashed features. Integer-exact; the
-    probability is sigmoid(z_milli / (1000 * n_feats)) if a caller
-    wants it — kept out of the checked output so parity stays exact.
-    Features explode map-side; ONE shuffle (the per-doc sum)."""
+    """(doc_id, n_feats, z_milli, keep): the broadcast model's
+    milli-weights summed over the doc's hashed features, PLUS the
+    model's intercept (the reserved bucket -1 row — inert in the
+    feature join since real buckets are non-negative, read once
+    driver-side as model metadata at plan-build time). The intercept
+    is what lets a linear count model express count-threshold rules
+    (z without one grows monotonically with doc length). Integer-exact
+    end to end; features explode map-side; ONE shuffle (the per-doc
+    sum)."""
+    bias_rows = weights.filter(F.col("bucket") == -1).collect()
+    bias_milli = int(bias_rows[0]["w_milli"]) if bias_rows else 0
     feats = docs.select(
         F.col(id_col).alias("id"),
         F.explode(gram_features(text_col)).alias("g"),
@@ -129,7 +138,7 @@ def classifier_scores(
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_feats"),
-            F.sum("w_milli").alias("z_milli"),
+            (F.sum("w_milli") + F.lit(bias_milli)).alias("z_milli"),
         )
         .select(
             F.col("id").alias(id_col),
@@ -145,11 +154,13 @@ def sql_classifier_scores(
 ) -> str:
     return f"""
 WITH {sql_gram_features_cte(table, id_col, text_col)},
-w AS ({sql_weight_dim()})
+w AS ({sql_weight_dim()}),
+b AS (SELECT coalesce(
+        (SELECT w_milli FROM w WHERE bucket = -1), 0) AS w0)
 SELECT f.id AS {id_col},
        count(*) AS n_feats,
-       CAST(sum(w.w_milli) AS BIGINT) AS z_milli,
-       sum(w.w_milli) > 0 AS keep
+       CAST(sum(w.w_milli) + (SELECT w0 FROM b) AS BIGINT) AS z_milli,
+       sum(w.w_milli) + (SELECT w0 FROM b) > 0 AS keep
 FROM (SELECT id, {sql_feature_bucket('g')} AS bucket FROM feats) f
 JOIN w ON w.bucket = f.bucket
 GROUP BY f.id

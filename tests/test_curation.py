@@ -21,26 +21,76 @@ def test_gram_features_unigrams_and_bigrams(spark):
 
 
 def test_classifier_score_model(spark):
-    """z_milli equals the Python recomputation of the same closed-form
-    model over the same md5 buckets."""
-    rows = [(1, "x yy x"), (2, "zz")]
+    """z_milli equals the Python recomputation over the SAME baked
+    weight parquet (data/quality_weights.parquet) and the same md5
+    buckets — the scoring path is integer-exact end to end."""
+    import pyarrow.parquet as pq
+
+    rows = [(1, "x yy x"), (2, "zz"), (3, "the cat sat on the mat")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
         r.doc_id: (r.n_feats, r.z_milli, r.keep)
         for r in C.classifier_scores(df, C.weight_dim(spark)).collect()
     }
 
+    wt = pq.read_table(C.weights_path())
+    w_milli = dict(
+        zip(wt["bucket"].to_pylist(), wt["w_milli"].to_pylist())
+    )
+    # full dim (inner join keeps n_feats semantics: unseen buckets
+    # carry 0, not absence) + the intercept row at reserved bucket -1
+    assert len(w_milli) == C.N_FEATURE_BUCKETS + 1
+    assert -1 in w_milli
+
     def bucket(g: str) -> int:
         return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % C.N_FEATURE_BUCKETS
-
-    def w(b: int) -> int:
-        return (b * C._W_MULT) % C._W_MOD - (C._W_MOD - 1) // 2
 
     for doc_id, text in rows:
         words = text.split()
         grams = words + [f"{a} {b}" for a, b in zip(words, words[1:])]
-        z = sum(w(bucket(g)) for g in grams)
+        z = w_milli[-1] + sum(w_milli[bucket(g)] for g in grams)
         assert got[doc_id] == (len(grams), z, z > 0), doc_id
+
+
+def test_classifier_weights_are_trained_not_noise(spark, sf_dir):
+    """The baked weights must actually predict the Gopher heuristic they
+    distill (scripts/train_quality_weights.py): agreement on the
+    sf0.001 corpus well above the base rate proves a trained model
+    shipped, not a placeholder."""
+    import re
+
+    from hash_db_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = {
+        r.doc_id: r.keep
+        for r in C.classifier_scores(docs, C.weight_dim(spark)).collect()
+    }
+
+    def gopher(text: str) -> bool:
+        words = [w for w in re.split(r"\s+", text.strip()) if w]
+        n = len(words)
+        if n == 0:
+            return False
+        mean_wlen = round(len(re.sub(r"\s", "", text)) / n, 4)
+        alpha = len(re.findall(r"\b[a-zA-Z]+\b", text))
+        stop = len(re.findall(r"\b(?:the|a|of|and|to)\b", text))
+        return (
+            50 <= n <= 100_000
+            and 3.0 <= mean_wlen <= 10.0
+            and round(alpha / n, 4) >= 0.8
+            and stop >= 2
+        )
+
+    labels = {
+        r.doc_id: gopher(r.text)
+        for r in docs.select("doc_id", "text").collect()
+    }
+    agree = sum(scored[d] == labels[d] for d in labels) / len(labels)
+    pos = sum(labels.values()) / len(labels)
+    base = max(pos, 1 - pos)
+    assert agree >= 0.75, (agree, base)
+    assert agree > base, (agree, base)  # beats always-majority
 
 
 @settings(max_examples=10, deadline=None)
