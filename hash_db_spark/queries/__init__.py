@@ -74,7 +74,9 @@ def all_queries() -> dict[str, Query]:
     #   unpivot_measures (r03), bloom_decontaminate, cdc_scd2_history,
     #   cms_user_counts, fts_phrase, histo_quantiles, sim_topk_ivf_kmeans,
     #   stream_dedup_within_wm, stream_stream_join, zorder_values (r04);
-    #   plus the throttled stream_line_dedup_wm registration
+    #   plus semi_join (fresh green until r09's unhint of its
+    #   corpus-proportional customer broadcast tainted it) and the
+    #   throttled stream_line_dedup_wm registration
     #   (pipeline_queries.py r10 QUEUE comment).
     #
     # Registration throttle (VERDICT r08 #1): NO new registry entries

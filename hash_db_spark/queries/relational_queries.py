@@ -309,13 +309,16 @@ def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IN-subquery as left-semi join (subqueries absent in the reference)."""
+    """IN-subquery as left-semi join (subqueries absent in the
+    reference). The filtered customer side is corpus-proportional, so
+    the join carries no broadcast hint — the same rule as q3/q5: AQE
+    broadcasts it while it fits, shuffle-joins at scale."""
     orders = _t(spark, sf_dir, "orders")
     building = _t(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
     return orders.join(
-        F.broadcast(building),
+        building,
         orders.o_custkey == building.c_custkey,
         "left_semi",
     ).select("o_orderkey", "o_custkey", "o_totalprice")

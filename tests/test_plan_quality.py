@@ -505,6 +505,7 @@ def test_no_forced_broadcast_of_corpus_derived_frames():
         WQ.q_rank_weighted_caps: set(),
         HQ.q_crawl_frontier_schedule: set(),
         RQ.q3_top_orders: set(),
+        RQ.q_semi_join: set(),
         RQ.q5_local_revenue: {"sup", "nation", "region"},
         W.robots_url_filter: set(),
         W.fetch_schedule: set(),
