@@ -64,6 +64,11 @@ def q_classifier_sample_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = (
         docs.select("doc_id", "n_chars")
         .join(scored.filter("keep").select("doc_id"), "doc_id")
+        # weighted_sample consumes its input twice (scalar total +
+        # main scan); checkpoint the skinny survivor frame so the
+        # scoring plan (explode + 64k model join + per-doc sum) runs
+        # once, not per consumer.
+        .localCheckpoint(eager=True)
     )
     return C.weighted_sample(kept, "doc_id", "n_chars", SAMPLE_TARGET)
 
@@ -314,7 +319,14 @@ def q_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the oracle too), so the equijoin is bounded per key."""
     from hash_db_spark.queries.curation_queries import q_winnow_fingerprints
 
-    fps = q_winnow_fingerprints(spark, sf_dir)
+    # The fingerprint plan (posexplode + two windows) feeds THREE
+    # consumers — the hot set and both self-join sides — and Spark
+    # re-executes un-materialized subplans once per consumer:
+    # checkpoint the skinny (doc_id, fph) frame once (measured -38%
+    # wall at sf0.1 including the checkpoint build).
+    fps = q_winnow_fingerprints(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
     # Broadcast the HOT side, never the cold one: the set of
     # fingerprints with df > WINNOW_MAX_DF is bounded by
     # total_instances / WINNOW_MAX_DF (the house rule — lines.py,
