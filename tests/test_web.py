@@ -356,3 +356,74 @@ def test_crawl_prep_decodes_warc_exactly_once(spark, sf_dir):
         plan = formatted_plan(df)
         assert not re.findall(r"\(\d+\) MapInPandas", plan), fn.__name__
         assert df.count() > 0, fn.__name__
+
+
+def test_registrable_domain_referee_over_real_psl(spark):
+    """Property-style check of the full PSL algorithm against an
+    INDEPENDENT referee implementing the publicsuffix.org spec
+    (exception rule > longest literal/wildcard match > implicit '*')
+    over hosts composed from the REAL rule set: random rule keys with
+    wildcard slots filled and 0-2 extra subdomain labels prepended,
+    plus the bare rule itself (whole-host-is-a-suffix). Deterministic
+    seed, one Spark job."""
+    import random
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(W.psl_path())
+    rules = {}  # key -> (n_labels, kind)
+    for key, n, kind in zip(
+        tbl["key"].to_pylist(),
+        tbl["n_labels"].to_pylist(),
+        tbl["kind"].to_pylist(),
+    ):
+        rules[key] = (n, kind)
+
+    def referee(host: str) -> str | None:
+        labels = host.split(".")
+        n = len(labels)
+        best = None  # (kind, rule_label_count)
+        for k in range(1, n + 1):
+            cands = [".".join(labels[-k:])]
+            if k >= 2:
+                cands.append("*." + ".".join(labels[-(k - 1):]))
+            for c in cands:
+                if c in rules:
+                    rl, kind = rules[c]
+                    if best is None or (kind, rl) > best:
+                        best = (kind, rl)
+        if best is None:
+            k_ps = 1  # implicit '*'
+        elif best[0] == 1:
+            k_ps = best[1] - 1  # exception: minus leftmost label
+        else:
+            k_ps = best[1]
+        if n <= k_ps:
+            return None
+        return ".".join(labels[-(k_ps + 1):])
+
+    rng = random.Random(20260815)
+    keys = sorted(rules)
+    hosts = set()
+    while len(hosts) < 300:
+        key = rng.choice(keys)
+        base = key.replace("*", f"w{rng.randrange(50)}")
+        shape = rng.randrange(4)
+        if shape == 0:
+            hosts.add(base)  # the rule itself
+        elif shape == 1:
+            hosts.add(f"site{rng.randrange(99)}.{base}")
+        elif shape == 2:
+            hosts.add(f"a{rng.randrange(9)}.b{rng.randrange(9)}.{base}")
+        else:
+            hosts.add(f"x.unknown{rng.randrange(99)}")  # implicit '*'
+
+    df = spark.createDataFrame([(h,) for h in sorted(hosts)], ["host"])
+    got = {r.host: r.domain for r in W.registrable_domain(df).collect()}
+    want = {h: referee(h) for h in hosts}
+    bad = {h: (got[h], want[h]) for h in hosts if got[h] != want[h]}
+    assert not bad, dict(list(bad.items())[:5])
+    # the sample must actually exercise every rule class
+    assert any(rules[k][1] == 1 for k in keys)  # exceptions exist
+    assert any(v is None for v in want.values())  # bare-suffix hosts
+    assert any(v is not None for v in want.values())
