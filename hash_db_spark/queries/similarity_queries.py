@@ -172,3 +172,25 @@ QUERIES = {
         q_semdedup_drop, S.sql_semdedup(threshold=SEMDEDUP_T)
     ),
 }
+
+# r10 QUEUE (registration throttled per VERDICT r08 #1 — the r09 window
+# is fully subscribed by never-checked entries):
+#   "sim_topk_pq": Query(q_sim_topk_pq, _pq_oracle()),
+# Product-quantization ADC top-k (operators/pq.py): implemented +
+# oracle-parity-tested this round (tests/test_pq.py); the one-line
+# uncomment registers it once the r10 window has a slot.
+
+
+def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC top-k: 64-dim embeddings compressed to 4 one-byte codes,
+    queries scored against codes via exact-integer distance tables —
+    the memory-bounded ANN path for corpora whose vectors don't fit."""
+    from hash_db_spark.operators import pq
+
+    return pq.topk_pq(load_table(spark, sf_dir, "embeddings"), QUERY_IDS, k=K)
+
+
+def _pq_oracle() -> str:
+    from hash_db_spark.operators import pq
+
+    return pq.sql_topk_pq(QUERY_IDS, k=K)

@@ -1,0 +1,122 @@
+"""Product-quantization ANN: structural correctness on unambiguous
+synthetic clusters, exact-arithmetic parity vs the DuckDB oracle on the
+real fixture, and the compression/plan properties the 100 TB story
+rests on."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from hash_db_spark.operators import pq
+
+
+def _vec(angle: float, dim: int = 64) -> list[float]:
+    v = [0.0] * dim
+    v[0] = math.cos(angle)
+    v[1] = math.sin(angle)
+    return v
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    # Two tight clusters; 20 rows so ks=16 seeds exist.
+    rows = [(i, _vec(0.00 + 0.002 * i)) for i in range(10)] + [
+        (10 + i, _vec(1.57 + 0.002 * i)) for i in range(10)
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).cache()
+
+
+def test_pq_finds_cluster_neighbors(emb):
+    got = pq.topk_pq(emb, [0], k=3).collect()
+    assert len(got) == 3
+    # every neighbor comes from query 0's own cluster
+    assert {r.vec_id for r in got} <= set(range(1, 10))
+    assert all(r.qid == 0 for r in got)
+
+
+def test_pq_excludes_self_and_ranks_densely(emb):
+    got = sorted(pq.topk_pq(emb, [5], k=19).collect(), key=lambda r: r.rank)
+    assert 5 not in {r.vec_id for r in got}
+    assert [r.rank for r in got] == list(range(1, 20))
+    # d2 is monotone along the rank order (ties broken by vec_id)
+    d2s = [r.d2 for r in got]
+    assert d2s == sorted(d2s)
+
+
+def test_pq_codes_are_m_small_ints(emb):
+    """The compression claim: every vector encodes to m codeword ids
+    in 1..ks — at scale that is m bytes/vector, not dims*8."""
+    corpus = emb.selectExpr(
+        "vec_id", "transform(embedding, x -> cast(x as double)) AS v"
+    )
+    book = pq._fit_codebook(corpus, pq.PQ_M, pq.PQ_KS)
+    codes = pq._encode(corpus, book, pq.PQ_M).collect()
+    assert len(codes) == 20
+    for r in codes:
+        assert len(r.codes) == pq.PQ_M
+        assert all(1 <= c <= pq.PQ_KS for c in r.codes)
+
+
+def test_pq_oracle_parity_fixture(spark, sf_dir):
+    """Bit-exact vs DuckDB on the real embeddings fixture — the same
+    compare the driver gate runs (sorted columns, value grid)."""
+    from hash_db_spark.catalog import load_table
+
+    qids = list(range(8))
+    got = (
+        pq.topk_pq(load_table(spark, sf_dir, "embeddings"), qids, k=5)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    want = (
+        con.execute(pq.sql_topk_pq(qids, k=5))
+        .df()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    con.close()
+    assert len(got) == len(want) == 40
+    for col in ("qid", "vec_id", "rank", "d2"):
+        assert [int(x) for x in got[col]] == [int(x) for x in want[col]], col
+
+
+def test_pq_recall_vs_brute(spark, sf_dir):
+    """Recall floor on the noise fixture. Random 64-dim noise is PQ's
+    worst case (no cluster structure for the codebook to exploit — 4
+    codewords carry almost none of a noise vector's distance
+    information), so the meaningful recall check is the structured
+    two-cluster test above; here we pin only that ADC beats zero
+    overlap, deterministically."""
+    from hash_db_spark.catalog import load_table
+    from hash_db_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(8))
+    exact = {
+        (r.qid, r.vec_id)
+        for r in S.topk_bruteforce(emb, qids, k=5).collect()
+    }
+    approx = {
+        (r.qid, r.vec_id) for r in pq.topk_pq(emb, qids, k=5).collect()
+    }
+    assert len(exact & approx) >= 2  # deterministic: 3 at sf0.001
+
+
+def test_pq_plan_has_no_cartesian(spark, sf_dir):
+    """The ADC scan is literal-table lookups over the codes frame —
+    no join against the corpus, no cartesian product."""
+    from hash_db_spark.catalog import load_table
+
+    df = pq.topk_pq(load_table(spark, sf_dir, "embeddings"), [0, 1], k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
