@@ -186,6 +186,176 @@ def tfidf_top_terms(
     )
 
 
+TFIDF_QSCALE = 1 << 10  # weight quantization for exact-int dot/norms
+TFIDF_MAX_DF = 20  # hot-shingle cap: candidate join blowup <= max_df^2
+
+
+def _positional_shingles(col, n: int):
+    """n-token shingles at every position (repeats kept — the tf unit),
+    unlike dedup.shingles' distinct set. Guarded total: short docs
+    yield an empty array instead of a down-counting sequence."""
+    t = clean_tokens(col)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(t, i + F.lit(k)) for k in range(n)]
+    )
+    return F.when(
+        F.size(t) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(t) - (n - 1)), gram),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def sql_positional_shingles(col: str, n: int) -> str:
+    toks = sql_clean_tokens(col)
+    parts = " || ' ' || ".join(f"t.toks[i+{k}]" for k in range(n))
+    return (
+        f"(SELECT list_transform("
+        f"generate_series(1, len(t.toks)-{n - 1}), i -> {parts})"
+        f" FROM (SELECT {toks} AS toks) t)"
+    )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_df: int = TFIDF_MAX_DF,
+) -> DataFrame:
+    """(id_a, id_b, cos): near-duplicate pairs by TF-IDF-weighted
+    shingle cosine — the term-weight-aware complement to the unweighted
+    Jaccard/MinHash family (`operators/dedup.py`): boilerplate shingles
+    are downweighted by idf instead of counting equally, so two docs
+    that share only template text score low while docs sharing RARE
+    content score high.
+
+    Weighting is ltc (sublinear tf): w = (1 + ln(tf)) * ln(N/df),
+    quantized to ``floor(w * 2^10 + 0.5)`` so dot products and norms
+    accumulate as EXACT int64 (engine summation order can't matter —
+    the house parity discipline). Bounds: w <= (1+ln(1e5)) * ln(1e12)
+    ~= 350 -> qw < 2^19, so per-doc norms and dots stay under 2^56
+    even at 10^5 distinct shingles/doc and 10^12 docs.
+
+    Scale shape: vocabulary is df-capped at ``max_df`` BEFORE the
+    self-join — the measure is defined over the capped vocabulary
+    (hot/boilerplate shingles carry ~zero idf anyway), and every
+    shingle's posting list is <= max_df rows, so the candidate join's
+    per-key blowup is bounded by max_df^2 (the house hot-key cap; no
+    CartesianProduct, nothing corpus-sized broadcast). Norms ride ON
+    the posting rows (one id-join before the self-join), so scoring
+    adds no post-hoc corpus joins."""
+    n_frame = df.select(F.count(F.lit(1)).alias("__n"))
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_positional_shingles(col, n)).alias("tok"),
+    )
+    tf = sh.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tf.join(dft.filter(F.col("df") <= max_df), "tok")
+        .crossJoin(F.broadcast(n_frame))
+        .select(
+            "id",
+            "tok",
+            F.floor(
+                (F.lit(1.0) + F.log("tf"))
+                * F.log(F.col("__n").cast("double") / F.col("df"))
+                * TFIDF_QSCALE
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("qw"),
+        )
+    )
+    # w feeds BOTH the norm aggregation and the posting self-join, and
+    # wn feeds both join sides — without pinning, Spark re-derives the
+    # explode+tf+df pipeline once per consumer (4 corpus scans).
+    # localCheckpoint bounds it to one (the house multi-consumer rule,
+    # operators/bpe.py:19).
+    w = w.localCheckpoint(eager=True)
+    nrm = w.groupBy("id").agg(
+        F.sum(F.col("qw") * F.col("qw")).alias("n2")
+    )
+    wn = w.join(nrm, "id").localCheckpoint(eager=True)
+    a = wn.select(
+        F.col("id").alias("ida"),
+        "tok",
+        F.col("qw").alias("qa"),
+        F.col("n2").alias("n2a"),
+    )
+    b = wn.select(
+        F.col("id").alias("idb"),
+        "tok",
+        F.col("qw").alias("qb"),
+        F.col("n2").alias("n2b"),
+    )
+    return (
+        a.join(b, "tok")
+        .filter(F.col("ida") < F.col("idb"))
+        .groupBy("ida", "idb")
+        .agg(
+            F.sum(F.col("qa") * F.col("qb")).alias("dot"),
+            F.min("n2a").alias("n2a"),
+            F.min("n2b").alias("n2b"),
+        )
+        .select(
+            F.col("ida").alias("id_a"),
+            F.col("idb").alias("id_b"),
+            F.round(
+                F.col("dot")
+                / (F.sqrt(F.col("n2a")) * F.sqrt(F.col("n2b"))),
+                6,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def sql_tfidf_cosine_pairs(
+    table: str,
+    col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_df: int = TFIDF_MAX_DF,
+) -> str:
+    """DuckDB oracle: identical shingling, ltc quantization, exact-int
+    accumulation, and rounding."""
+    sh = sql_positional_shingles(col, n)
+    return f"""
+WITH sh AS (
+  SELECT {id_col} AS id, unnest({sh}) AS tok FROM {table}
+),
+tf AS (SELECT id, tok, count(*) AS tf FROM sh GROUP BY id, tok),
+dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+nn AS (SELECT count(*) AS n FROM {table}),
+w AS (
+  SELECT tf.id, tf.tok,
+         CAST(floor(
+           (1.0 + ln(tf.tf)) * ln(CAST(nn.n AS DOUBLE) / dft.df)
+           * {TFIDF_QSCALE} + 0.5
+         ) AS BIGINT) AS qw
+  FROM tf JOIN dft USING (tok) CROSS JOIN nn
+  WHERE dft.df <= {max_df}
+),
+nrm AS (SELECT id, CAST(sum(qw * qw) AS BIGINT) AS n2 FROM w GROUP BY id),
+wn AS (SELECT w.id, w.tok, w.qw, nrm.n2 FROM w JOIN nrm USING (id)),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(sum(a.qw * b.qw) AS BIGINT) AS dot,
+         min(a.n2) AS n2a, min(b.n2) AS n2b
+  FROM wn a JOIN wn b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       round(CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE))
+             * sqrt(CAST(n2b AS DOUBLE))), 6) AS cos
+FROM pairs
+WHERE round(CAST(dot AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE))
+            * sqrt(CAST(n2b AS DOUBLE))), 6) >= {threshold}
+"""
+
+
 def sql_tfidf_top_terms(
     table: str, col: str, id_col: str, topn: int = 3, min_df: int = 1
 ) -> str:

@@ -530,3 +530,24 @@ QUERIES = {
     "bpe_train_merges": Query(q_bpe_train_merges, _bpe_train_oracle()),
     "bpe_encode_corpus": Query(q_bpe_encode_corpus, _bpe_encode_oracle()),
 }
+
+# r10 QUEUE (registration throttled per VERDICT r08 #1):
+#   "dedup_tfidf_cosine": Query(q_dedup_tfidf_cosine, _tfidf_cosine_oracle()),
+# Implemented + oracle-parity-tested this round (operators/ranking.py
+# tfidf_cosine_pairs, tests/test_tfidf_pairs.py); one-line uncomment
+# once the r10 window has a slot.
+
+
+def q_dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by TF-IDF-weighted shingle cosine — the
+    term-weight-aware member of the dedup family: idf downweights
+    boilerplate shingles, so pairs score by shared RARE content."""
+    from hash_db_spark.operators import ranking as R
+
+    return R.tfidf_cosine_pairs(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def _tfidf_cosine_oracle() -> str:
+    from hash_db_spark.operators import ranking as R
+
+    return R.sql_tfidf_cosine_pairs("documents", "text", "doc_id")
