@@ -190,11 +190,15 @@ TFIDF_QSCALE = 1 << 10  # weight quantization for exact-int dot/norms
 TFIDF_MAX_DF = 20  # hot-shingle cap: candidate join blowup <= max_df^2
 
 
-def _positional_shingles(col, n: int):
+def _positional_shingles(tok_arr, n: int):
     """n-token shingles at every position (repeats kept — the tf unit),
-    unlike dedup.shingles' distinct set. Guarded total: short docs
+    unlike dedup.shingles' distinct set, over an ALREADY-PROJECTED
+    token-array column. The caller must materialize clean_tokens into
+    its own projection first: inlining it here makes every element_at
+    in the interpreted HOF re-run the split+filter (measured 7.6s vs
+    0.5s for the sf0.1 shingle explode). Guarded total: short docs
     yield an empty array instead of a down-counting sequence."""
-    t = clean_tokens(col)
+    t = tok_arr
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(t, i + F.lit(k)) for k in range(n)]
     )
@@ -245,14 +249,22 @@ def tfidf_cosine_pairs(
     the posting rows (one id-join before the self-join), so scoring
     adds no post-hoc corpus joins."""
     n_frame = df.select(F.count(F.lit(1)).alias("__n"))
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(_positional_shingles(col, n)).alias("tok"),
+    toked = df.select(
+        F.col(id_col).alias("id"), clean_tokens(col).alias("__t")
+    )
+    sh = toked.select(
+        "id",
+        F.explode(_positional_shingles(F.col("__t"), n)).alias("tok"),
     )
     tf = sh.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dft = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # df via a count window on the tf frame: one tok-keyed shuffle
+    # replaces the dft groupBy + join-back (the corpus_health_report
+    # fp-window pattern)
+    tfdf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("tok"))
+    )
     w = (
-        tf.join(dft.filter(F.col("df") <= max_df), "tok")
+        tfdf.filter(F.col("df") <= max_df)
         .crossJoin(F.broadcast(n_frame))
         .select(
             "id",

@@ -171,6 +171,20 @@ def main() -> int:
             f"sim_topk_ivf/{scale}",
             lambda: S.topk_ivf(emb, [1, 2, 3, 4, 5], k=5),
         )
+        # round-9 session 2: r10-queued operators (not yet registered,
+        # so driven directly)
+        timed(
+            f"dedup_tfidf_cosine/{scale}",
+            lambda: __import__(
+                "hash_db_spark.operators.ranking", fromlist=["x"]
+            ).tfidf_cosine_pairs(docs, "text", "doc_id"),
+        )
+        timed(
+            f"sim_topk_pq/{scale}",
+            lambda: __import__(
+                "hash_db_spark.operators.pq", fromlist=["x"]
+            ).topk_pq(emb, [1, 2, 3, 4, 5], k=5),
+        )
         # round-5 additions: the registry fns themselves, so the stress
         # times the exact driver-checked plans
         for entry in (
