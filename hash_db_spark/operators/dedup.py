@@ -2125,3 +2125,95 @@ WHERE {id_col} NOT IN (
   SELECT id FROM ({comp}) WHERE id <> cluster
 )
 """
+
+
+def keep_best_per_cluster(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score: Column,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """(keep_id, cluster, n_members, q): the highest-scoring member of
+    each duplicate cluster — production keep policy. apply_dedup_keep's
+    min-id rule is arbitrary; real pipelines keep the BEST copy of a
+    duplicated document (canonical URL, cleanest extraction, longest
+    text), so the keeper takes a quality column and ranks per cluster
+    by (score DESC, id ASC).
+
+    Plan: components over the paired docs only, one join back to the
+    corpus for the score column (clusters frame is dup-docs-sized, NOT
+    force-broadcast — AQE decides), one per-cluster window. Nothing
+    corpus-sized moves except the score projection's shuffle join.
+    """
+    clusters = connected_components(pairs, id_a, id_b)
+    scored = clusters.join(
+        df.select(F.col(id_col).alias("id"), score.alias("q")), "id"
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("q").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("id").alias("keep_id"),
+            "cluster",
+            F.col("n_members").cast("long").alias("n_members"),
+            "q",
+        )
+    )
+
+
+def apply_dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score: Column,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Corpus minus every clustered doc EXCEPT its best-scoring member
+    — apply_dedup_keep with the production keep policy. Same anti-join
+    shape (drop-list unhinted; AQE broadcasts when small)."""
+    clusters = connected_components(pairs, id_a, id_b)
+    scored = clusters.join(
+        df.select(F.col(id_col).alias("id"), score.alias("q")), "id"
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("q").desc(), F.col("id").asc()
+    )
+    drop = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
+def sql_keep_best_per_cluster(
+    table: str, id_col: str, pairs_sql: str, score_sql: str
+) -> str:
+    """Oracle: recursive-closure components + the same (score DESC,
+    id ASC) per-cluster rank."""
+    comp = sql_connected_components(pairs_sql)
+    return f"""
+WITH comp AS ({comp}),
+scored AS (
+  SELECT c.id, c.cluster, q.q,
+         row_number() OVER (
+           PARTITION BY c.cluster ORDER BY q.q DESC, c.id ASC
+         ) AS rn,
+         count(*) OVER (PARTITION BY c.cluster) AS n_members
+  FROM comp c
+  JOIN (SELECT {id_col} AS id, {score_sql} AS q FROM {table}) q
+    USING (id)
+)
+SELECT id AS keep_id, cluster, CAST(n_members AS BIGINT) AS n_members, q
+FROM scored WHERE rn = 1
+"""

@@ -684,4 +684,31 @@ QUERIES = {
     # Implemented + unit-tested (tests/test_streaming.py) this round;
     # registering it is the one-line uncomment once the r10 window has
     # a slot.
+    #   "dedup_keep_best": Query(q_dedup_keep_best, _keep_best_oracle()),
+    # Quality-aware cluster keeper (session 2, tests/test_dedup.py
+    # TestKeepBest) — same one-line-uncomment protocol.
 }
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production keep policy: per MinHash dup cluster, keep the
+    HIGHEST-quality member (quality_score_fast), not the min id —
+    (keep_id, cluster, n_members, q) per cluster."""
+    from hash_db_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
+    return D.keep_best_per_cluster(
+        docs, pairs, "doc_id", T.quality_score_fast("text")
+    )
+
+
+def _keep_best_oracle() -> str:
+    from hash_db_spark.functions import text as T
+
+    return D.sql_keep_best_per_cluster(
+        "documents",
+        "doc_id",
+        D.sql_minhash_lsh_pairs("documents", "text", "doc_id", threshold=0.5),
+        T.sql_quality_score_fast("text"),
+    )

@@ -535,3 +535,98 @@ def test_hamming_pairs_against_probe_cap_and_rescue(spark):
         (r.batch_id, r.corpus_id) for r in got2
         if r.corpus_id >= 100
     ] == []
+
+
+# --- quality-aware keep (round-9 session 2) --------------------------------
+
+
+class TestKeepBest:
+    @staticmethod
+    def _fixture(spark):
+        """Two dup clusters with known quality ordering + one singleton.
+
+        Quality (quality_score_fast) rises with lexical diversity, so
+        the repetitive member of each cluster scores lower.
+        """
+        from pyspark.sql import Row
+
+        rich = "the quick brown fox jumps over a lazy dog near the river"
+        poor = "the the the the the fox fox fox fox dog dog dog dog dog"
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=1, text=rich + " alpha"),
+                Row(doc_id=2, text=poor),
+                Row(doc_id=3, text=rich + " beta"),
+                Row(doc_id=9, text="a singleton document all alone here"),
+            ]
+        )
+        pairs = spark.createDataFrame(
+            [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3)]
+        )
+        return docs, pairs
+
+    def test_keeps_highest_quality_not_min_id(self, spark):
+        from hash_db_spark.functions import text as T
+        from hash_db_spark.operators import dedup as D
+
+        docs, pairs = self._fixture(spark)
+        got = D.keep_best_per_cluster(
+            docs, pairs, "doc_id", T.quality_score_fast("text")
+        ).collect()
+        assert len(got) == 1  # one transitive cluster {1,2,3}
+        r = got[0]
+        # min-id policy would keep 1; quality ties 1 vs 3 break to min
+        # id 1 — but the REPETITIVE doc 2 must never win
+        assert r.keep_id != 2
+        assert r.n_members == 3
+
+    def test_apply_keep_best_preserves_singletons(self, spark):
+        from hash_db_spark.functions import text as T
+        from hash_db_spark.operators import dedup as D
+
+        docs, pairs = self._fixture(spark)
+        kept = {
+            r.doc_id
+            for r in D.apply_dedup_keep_best(
+                docs, pairs, "doc_id", T.quality_score_fast("text")
+            ).collect()
+        }
+        assert 9 in kept  # unpaired doc survives
+        assert len(kept) == 2  # singleton + one cluster representative
+        assert 2 not in kept
+
+    def test_oracle_parity(self, spark, sf_dir):
+        import duckdb
+
+        from hash_db_spark.catalog import load_table
+        from hash_db_spark.functions import text as T
+        from hash_db_spark.operators import dedup as D
+
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = D.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
+        got = sorted(
+            (int(r.keep_id), int(r.cluster), int(r.n_members), float(r.q))
+            for r in D.keep_best_per_cluster(
+                docs, pairs, "doc_id", T.quality_score_fast("text")
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        want = sorted(
+            (int(a), int(b), int(c), float(d))
+            for a, b, c, d in con.execute(
+                D.sql_keep_best_per_cluster(
+                    "documents",
+                    "doc_id",
+                    D.sql_minhash_lsh_pairs(
+                        "documents", "text", "doc_id", threshold=0.5
+                    ),
+                    T.sql_quality_score_fast("text"),
+                )
+            ).fetchall()
+        )
+        con.close()
+        assert got == want and len(got) > 0
