@@ -84,3 +84,33 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_bloom_parquet(
+    df: DataFrame,
+    path: str,
+    bloom_cols: tuple[str, ...],
+    expected_ndv: int = 100_000,
+    fpp: float = 0.01,
+) -> None:
+    """Write parquet with per-column bloom filters — the point-lookup
+    complement to z-order: min/max row-group stats prune RANGE
+    predicates on clustered columns, but an equality probe on a
+    high-cardinality UNSORTED column (fingerprint, url hash, doc id in
+    arrival order) matches every row group's [min, max]. A bloom
+    filter per row group answers "definitely absent" for ~10 bits/key,
+    so a needle query on 100 TB skips the row groups (and their IO)
+    that stats can't exclude. Pure parquet-mr write options — the scan
+    side needs nothing from us (Spark's vectorized reader consults
+    footers on filter pushdown).
+
+    expected_ndv sizes the filter PER ROW GROUP; oversizing wastes
+    footer bytes, undersizing inflates the false-positive rate toward
+    reading everything (fail-safe: never wrong results, just no skip).
+    """
+    w = df.write.mode("overwrite")
+    for c in bloom_cols:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(expected_ndv)
+        ).option(f"parquet.bloom.filter.fpp#{c}", str(fpp))
+    w.parquet(path)

@@ -80,3 +80,56 @@ def test_sql_spread16_wide_values_match_spark(spark):
             f"CAST({b} AS INTEGER) b)"
         ).fetchone()
         assert z == got[(a, b)], (a, b)
+
+
+# --- parquet bloom filters (round-9 session 2) ------------------------------
+
+
+def test_bloom_write_lands_in_file(spark, sf_dir, tmp_path):
+    """The write options must actually produce bloom filters. Neither
+    this container's pyarrow (16.1) nor duckdb (1.0) exposes the
+    footer's bloom_filter_offset, so verify behaviorally: an identical
+    single-partition write WITH a bloom filter must be larger by
+    roughly the filter's size (ndv=1000 @ fpp 1% ~ 1.2 KB minimum,
+    parquet-mr rounds the bitset up to a power of two)."""
+    import glob
+    import os
+
+    from hash_db_spark.catalog import load_table
+    from hash_db_spark.operators.layout import write_bloom_parquet
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .coalesce(1)
+    )
+    plain_out = str(tmp_path / "plain")
+    bloom_out = str(tmp_path / "bloomed")
+    docs.write.mode("overwrite").parquet(plain_out)
+    write_bloom_parquet(docs, bloom_out, ("doc_id",), expected_ndv=1000)
+
+    plain = sum(
+        os.path.getsize(f) for f in glob.glob(f"{plain_out}/*.parquet")
+    )
+    bloomed = sum(
+        os.path.getsize(f) for f in glob.glob(f"{bloom_out}/*.parquet")
+    )
+    assert bloomed >= plain + 1024, (plain, bloomed)
+
+
+def test_bloom_point_lookup_correct_and_pushed(spark, sf_dir, tmp_path):
+    """Read-back correctness for a needle probe, with the equality
+    filter actually pushed to the parquet scan."""
+    from hash_db_spark.catalog import load_table
+    from hash_db_spark.operators.layout import write_bloom_parquet
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "bloomed2")
+    write_bloom_parquet(docs, out, ("doc_id",), expected_ndv=1000)
+
+    probe = spark.read.parquet(out).filter("doc_id = 42")
+    got = probe.collect()
+    want = docs.filter("doc_id = 42").collect()
+    assert [r.doc_id for r in got] == [r.doc_id for r in want]
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "doc_id" in plan
