@@ -533,9 +533,34 @@ QUERIES = {
 
 # r10 QUEUE (registration throttled per VERDICT r08 #1):
 #   "dedup_tfidf_cosine": Query(q_dedup_tfidf_cosine, _tfidf_cosine_oracle()),
+#   "retrieve_chunks_topk": Query(
+#       q_retrieve_chunks_topk, _retrieve_chunks_oracle()),
 # Implemented + oracle-parity-tested this round (operators/ranking.py
-# tfidf_cosine_pairs, tests/test_tfidf_pairs.py); one-line uncomment
-# once the r10 window has a slot.
+# tfidf_cosine_pairs, tests/test_tfidf_pairs.py; operators/retrieval.py
+# retrieve_chunks, tests/test_retrieval.py); one-line uncomment once
+# the r10 window has a slot.
+
+RETRIEVE_TERMS = ["spark", "query", "join"]
+RETRIEVE_K = 10
+
+
+def q_retrieve_chunks_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG serving shape: top-k corpus chunks by hashed-embedding
+    cosine against a bag-of-terms query — chunk, embed (feature
+    hashing), score, heap top-k."""
+    from hash_db_spark.operators import retrieval as RT
+
+    return RT.retrieve_chunks(
+        _docs(spark, sf_dir), "text", "doc_id", RETRIEVE_TERMS, k=RETRIEVE_K
+    )
+
+
+def _retrieve_chunks_oracle() -> str:
+    from hash_db_spark.operators import retrieval as RT
+
+    return RT.sql_retrieve_chunks(
+        "documents", "text", "doc_id", RETRIEVE_TERMS, k=RETRIEVE_K
+    )
 
 
 def q_dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,118 @@
+"""Hashed-embedding chunk retrieval: relevance ordering on known text,
+totality guards, oracle parity, and the no-join/top-k plan shape."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from hash_db_spark.operators import retrieval as RT
+
+TERMS = ["spark", "query", "join"]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "spark query join spark query join spark query join"),
+        (2, "spark table scan row filter batch window sort order"),
+        (3, "apple banana cherry date elderberry fig grape melon"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"]).cache()
+
+
+def test_most_relevant_chunk_ranks_first(docs):
+    got = sorted(
+        RT.retrieve_chunks(docs, "text", "doc_id", TERMS, k=3).collect(),
+        key=lambda r: r.rank,
+    )
+    assert got[0].id == 1  # the all-query-terms doc
+    assert got[0].cos > (got[1].cos if len(got) > 1 else -1)
+
+
+def test_irrelevant_chunks_score_low_or_absent(docs):
+    got = RT.retrieve_chunks(docs, "text", "doc_id", TERMS, k=10).collect()
+    by_id = {r.id: r.cos for r in got}
+    # fruit doc shares no term; any residual score is hash collision
+    # noise, strictly below the exact-match doc
+    assert by_id.get(3, 0.0) < by_id[1]
+
+
+def test_zero_vector_query_raises(docs):
+    # two tokens hashing to the same bucket with opposite signs would
+    # be data-dependent; an empty term list is the guaranteed zero
+    with pytest.raises(ValueError):
+        RT.retrieve_chunks(docs, "text", "doc_id", [], k=3)
+
+
+def test_driver_hash_matches_plan_hash(spark):
+    """The driver-side query hashing must equal the in-plan hashing —
+    hash the same tokens both ways."""
+    import pyspark.sql.functions as F
+
+    toks = ["spark", "query", "join", "zebra", "Ω-unicode"]
+    qv = RT._hash_query(toks, RT.RETR_DIMS)
+    rows = (
+        spark.createDataFrame([(t,) for t in toks], ["tok"])
+        .select(
+            RT._tok_dim(F.col("tok"), RT.RETR_DIMS).alias("dim"),
+            RT._tok_sign(F.col("tok")).alias("sign"),
+        )
+        .collect()
+    )
+    want: dict[int, int] = {}
+    for r in rows:
+        want[r.dim] = want.get(r.dim, 0) + r.sign
+    assert qv == want
+
+
+def test_oracle_parity_fixture(spark, sf_dir):
+    from hash_db_spark.catalog import load_table
+
+    got = (
+        RT.retrieve_chunks(
+            load_table(spark, sf_dir, "documents"),
+            "text",
+            "doc_id",
+            TERMS,
+            k=10,
+        )
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = (
+        con.execute(
+            RT.sql_retrieve_chunks(
+                "documents", "text", "doc_id", TERMS, k=10
+            )
+        )
+        .df()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    con.close()
+    assert len(got) == len(want) == 10
+    for c in ("id", "chunk_idx", "rank"):
+        assert [int(x) for x in got[c]] == [int(x) for x in want[c]], c
+    assert [round(float(x), 6) for x in got["cos"]] == [
+        round(float(x), 6) for x in want["cos"]
+    ]
+
+
+def test_plan_scores_without_joins_and_heap_topk(spark, sf_dir):
+    """Scoring is a literal-array projection (no join anywhere in the
+    plan) and the top-k is TakeOrderedAndProject, not a global sort."""
+    from hash_db_spark.catalog import load_table
+
+    df = RT.retrieve_chunks(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", TERMS, k=5
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
