@@ -390,3 +390,298 @@ SELECT qid, vec_id, d2, CAST(rank AS INT) AS rank FROM (
   ) AS rank FROM adc
 ) WHERE rank <= {k}
 """
+
+
+IVFPQ_CELLS = 8
+IVFPQ_NPROBE = 2
+
+
+def _encode_with_cells(corpus: DataFrame, book, m: int, cmat) -> DataFrame:
+    """(vec_id, codes array<int>, cell int) in ONE Arrow pass: PQ codes
+    (exact-int arithmetic, `_encode`) plus the nearest k-means cell
+    (cosine argmax with the clustering module's rounding discipline, so
+    the cell matches `clustering.kmeans_assign`'s oracle exactly)."""
+    import numpy as np
+
+    from hash_db_spark.functions.rounding import round_half_away
+    from hash_db_spark.operators.clustering import _norm_rows
+
+    dsub = len(book[0][0][1])
+    packed = {
+        s: (
+            np.array([j for j, _ in entries], dtype=np.int64),
+            np.array([c for _, c in entries], dtype=np.int64),
+        )
+        for s, entries in book.items()
+    }
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        (packed, _norm_rows(cmat))
+    )
+
+    def block(batches):
+        import pandas as pd
+
+        pk, ncm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            raw = np.array(list(pdf["v"]), dtype=np.float64)
+            cell = (
+                round_half_away(_norm_rows(raw) @ ncm.T, 6).argmax(axis=1)
+                + 1
+            )
+            qv = _norm_quant(raw)
+            sub = qv.reshape(len(qv), m, dsub)
+            codes = np.zeros((len(qv), m), dtype=np.int64)
+            for s in range(m):
+                idx, cm = pk[s]
+                x = sub[:, s, :]
+                d2 = (
+                    (x * x).sum(axis=1, keepdims=True)
+                    - 2 * (x @ cm.T)
+                    + (cm * cm).sum(axis=1)[None, :]
+                )
+                codes[:, s] = idx[d2.argmin(axis=1)]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "codes": list(codes),
+                    "cell": cell,
+                }
+            )
+
+    return corpus.mapInPandas(
+        block, "vec_id long, codes array<int>, cell int"
+    )
+
+
+def topk_ivf_pq(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    cells: int = IVFPQ_CELLS,
+    nprobe: int = IVFPQ_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: k-means cell pruning OVER PQ codes — the composition
+    that makes 100 TB ANN serveable. IVF alone still reads full vectors
+    in the probed cells; PQ alone scans every code. Together a query
+    reads ~(nprobe/cells) of the corpus as m-byte codes: at 100 TB and
+    these defaults that is 1/4 of 4-byte codes instead of 256-byte
+    vectors — ~256x less IO per query. Codes are of the RAW vectors
+    (the no-residual IVFPQ variant; residual encoding would couple the
+    codebook to the cells and is a data-quality knob, not a plan-shape
+    change).
+
+    One fused Arrow pass emits (codes, cell) per vector; the probe set
+    (query -> nprobe nearest cells) and ADC tables are driver-computed
+    literals, so the scan is a codegen filter+projection over the
+    codes frame — no corpus-sized join or shuffle before the final
+    per-query top-k window."""
+    import numpy as np
+
+    from hash_db_spark.functions.rounding import round_half_away
+    from hash_db_spark.operators.clustering import (
+        _centroid_mat,
+        _norm_rows,
+    )
+    from hash_db_spark.operators.similarity import _dvec
+
+    corpus = emb.select(
+        F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("v")
+    )
+    cmat = _centroid_mat(corpus, cells)
+    book = _fit_codebook(corpus, m, ks)
+    coded = _encode_with_cells(corpus, book, m, cmat)
+
+    qrows = corpus.filter(F.col("vec_id").isin(query_ids)).collect()
+    qraw = np.array([r["v"] for r in qrows], dtype=np.float64)
+    qids = [r["vec_id"] for r in qrows]
+    # probe cells: same rounding + (cos DESC, cell ASC) rank as the
+    # k-means assignment oracle
+    sims = round_half_away(_norm_rows(qraw) @ _norm_rows(cmat).T, 6)
+    qcells = {
+        qid: [
+            int(c) + 1
+            for c in sorted(
+                range(sims.shape[1]), key=lambda c: (-sims[qi, c], c)
+            )[:nprobe]
+        ]
+        for qi, qid in enumerate(qids)
+    }
+
+    qmat = _norm_quant(qraw)
+    dsub = qmat.shape[1] // m
+    qsub = qmat.reshape(len(qids), m, dsub)
+    dtab: dict[int, list[list[int]]] = {}
+    for qi, qid in enumerate(qids):
+        per_s = []
+        for s in range(m):
+            row = [0] * ks
+            for j, cvec in book[s]:
+                diff = qsub[qi, s, :] - cvec
+                row[j - 1] = int((diff * diff).sum())
+            per_s.append(row)
+        dtab[qid] = per_s
+
+    def adc_expr(qid):
+        total = sum(
+            (
+                F.element_at(
+                    F.array(
+                        *[F.lit(int(x)).cast("long") for x in dtab[qid][s]]
+                    ),
+                    F.col("codes")[s].cast("int"),
+                )
+                for s in range(m)
+            ),
+            start=F.lit(0).cast("long"),
+        )
+        return F.when(
+            F.col("cell").isin(qcells[qid]), total
+        ).otherwise(F.lit(None).cast("long"))
+
+    score_arr = F.array(*[adc_expr(qid) for qid in qids])
+    qid_arr = F.array(*[F.lit(int(q)).cast("long") for q in qids])
+    scored = (
+        coded.select(
+            "vec_id", F.posexplode(score_arr).alias("qi", "d2")
+        )
+        .filter(F.col("d2").isNotNull())
+        .select(
+            F.element_at(qid_arr, F.col("qi") + 1).alias("qid"),
+            "vec_id",
+            F.col("d2").cast("long").alias("d2"),
+        )
+        .filter(F.col("vec_id") != F.col("qid"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("d2").asc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def sql_topk_ivf_pq(
+    query_ids: list[int],
+    k: int = 5,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    cells: int = IVFPQ_CELLS,
+    nprobe: int = IVFPQ_NPROBE,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle: the PQ pipeline's CTEs plus the k-means cell
+    assignment/probe restriction (sql_kmeans_cents_ctes discipline)."""
+    from hash_db_spark.operators.clustering import sql_kmeans_cents_ctes
+
+    ids = ", ".join(str(i) for i in query_ids)
+    cents = sql_kmeans_cents_ctes(k=cells)
+    return f"""
+WITH corpus AS (
+  SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v FROM {table}
+),
+{cents},
+cellassign AS (
+  SELECT c.vec_id, x.cid AS cell,
+         row_number() OVER (
+           PARTITION BY c.vec_id
+           ORDER BY round(list_cosine_similarity(c.v, x.cv), 6) DESC,
+                    x.cid ASC
+         ) AS rn
+  FROM corpus c, cents x
+),
+vcells AS (SELECT vec_id, cell FROM cellassign WHERE rn = 1),
+qcells AS (
+  SELECT vec_id AS qid, cell FROM cellassign
+  WHERE rn <= {nprobe} AND vec_id IN ({ids})
+),
+normed AS (
+  SELECT vec_id,
+         CASE WHEN nrm = 0 THEN v
+              ELSE list_transform(v, x -> x / nrm) END AS nv
+  FROM (
+    SELECT vec_id, v,
+           sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+    FROM corpus
+  )
+),
+qcomps AS (
+  SELECT vec_id,
+         pos - 1 AS pos,
+         CAST(floor(val * {SCALE} + 0.5) AS BIGINT) AS qval,
+         CAST((pos - 1) // ((SELECT max(len(nv)) FROM normed) // {m}) AS INT) AS s
+  FROM (
+    SELECT vec_id, unnest(nv) AS val, generate_subscripts(nv, 1) AS pos
+    FROM normed
+  )
+),
+seeds AS (
+  SELECT vec_id AS sid,
+         row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         ) AS cidx
+  FROM corpus QUALIFY cidx <= {ks}
+),
+seedcomps AS (
+  SELECT s.cidx, q.pos, q.s, q.qval AS sval
+  FROM seeds s JOIN qcomps q ON q.vec_id = s.sid
+),
+d0 AS (
+  SELECT q.vec_id, q.s, sc.cidx,
+         sum((q.qval - sc.sval) * (q.qval - sc.sval)) AS d2
+  FROM qcomps q JOIN seedcomps sc ON sc.pos = q.pos
+  GROUP BY q.vec_id, q.s, sc.cidx
+),
+code0 AS (
+  SELECT vec_id, s, cidx AS code FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, s ORDER BY d2 ASC, cidx ASC
+    ) AS rn FROM d0
+  ) WHERE rn = 1
+),
+upd AS (
+  SELECT c0.s, c0.code, q.pos,
+         CAST(floor(CAST(sum(q.qval) AS DOUBLE) / count(*) + 0.5)
+              AS BIGINT) AS cq
+  FROM code0 c0 JOIN qcomps q ON q.vec_id = c0.vec_id AND q.s = c0.s
+  GROUP BY c0.s, c0.code, q.pos
+),
+d1 AS (
+  SELECT q.vec_id, q.s, u.code AS cidx,
+         sum((q.qval - u.cq) * (q.qval - u.cq)) AS d2
+  FROM qcomps q JOIN upd u ON u.pos = q.pos
+  GROUP BY q.vec_id, q.s, u.code
+),
+codes AS (
+  SELECT vec_id, s, cidx AS code FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, s ORDER BY d2 ASC, cidx ASC
+    ) AS rn FROM d1
+  ) WHERE rn = 1
+),
+dtab AS (
+  SELECT vec_id AS qid, s, cidx AS code, d2
+  FROM d1 WHERE vec_id IN ({ids})
+),
+adc AS (
+  SELECT t.qid, c.vec_id, CAST(sum(t.d2) AS BIGINT) AS d2
+  FROM codes c
+  JOIN vcells ce ON ce.vec_id = c.vec_id
+  JOIN qcells qc ON qc.cell = ce.cell
+  JOIN dtab t ON t.qid = qc.qid AND t.s = c.s AND t.code = c.code
+  WHERE c.vec_id <> t.qid
+  GROUP BY t.qid, c.vec_id
+)
+SELECT qid, vec_id, d2, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY d2 ASC, vec_id ASC
+  ) AS rank FROM adc
+) WHERE rank <= {k}
+"""

@@ -76,8 +76,13 @@ def all_queries() -> dict[str, Query]:
     #   stream_dedup_within_wm, stream_stream_join, zorder_values (r04);
     #   plus semi_join (fresh green until r09's unhint of its
     #   corpus-proportional customer broadcast tainted it) and the
-    #   throttled stream_line_dedup_wm registration
-    #   (pipeline_queries.py r10 QUEUE comment).
+    #   throttled registrations (one-line uncomments, each implemented
+    #   + oracle-parity-tested this round):
+    #     stream_line_dedup_wm   (pipeline_queries.py r10 QUEUE)
+    #     dedup_keep_best        (pipeline_queries.py r10 QUEUE)
+    #     sim_topk_pq            (similarity_queries.py r10 QUEUE)
+    #     dedup_tfidf_cosine     (text_queries.py r10 QUEUE)
+    #     retrieve_chunks_topk   (text_queries.py r10 QUEUE)
     #
     # Registration throttle (VERDICT r08 #1): NO new registry entries
     # this round — new operators land in code/tests and queue for r10.

@@ -176,9 +176,11 @@ QUERIES = {
 # r10 QUEUE (registration throttled per VERDICT r08 #1 — the r09 window
 # is fully subscribed by never-checked entries):
 #   "sim_topk_pq": Query(q_sim_topk_pq, _pq_oracle()),
-# Product-quantization ADC top-k (operators/pq.py): implemented +
-# oracle-parity-tested this round (tests/test_pq.py); the one-line
-# uncomment registers it once the r10 window has a slot.
+#   "sim_topk_ivf_pq": Query(q_sim_topk_ivf_pq, _ivf_pq_oracle()),
+# Product-quantization ADC top-k and its IVF-PQ composition
+# (operators/pq.py): implemented + oracle-parity-tested this round
+# (tests/test_pq.py); the one-line uncomments register them once the
+# r10 window has slots.
 
 
 def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -194,3 +196,20 @@ def _pq_oracle() -> str:
     from hash_db_spark.operators import pq
 
     return pq.sql_topk_pq(QUERY_IDS, k=K)
+
+
+def q_sim_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: k-means cell pruning over PQ codes — a query reads
+    ~nprobe/cells of the corpus as m-byte codes (the serveable-at-
+    100 TB ANN composition)."""
+    from hash_db_spark.operators import pq
+
+    return pq.topk_ivf_pq(
+        load_table(spark, sf_dir, "embeddings"), QUERY_IDS, k=K
+    )
+
+
+def _ivf_pq_oracle() -> str:
+    from hash_db_spark.operators import pq
+
+    return pq.sql_topk_ivf_pq(QUERY_IDS, k=K)

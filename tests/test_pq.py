@@ -120,3 +120,89 @@ def test_pq_plan_has_no_cartesian(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- IVF-PQ composition ------------------------------------------------------
+
+
+def test_ivf_pq_results_come_only_from_probed_cells(spark, sf_dir):
+    """Cell pruning is real: every returned neighbor sits in one of its
+    query's nprobe nearest cells."""
+    import numpy as np
+
+    from hash_db_spark.catalog import load_table
+    from hash_db_spark.functions.rounding import round_half_away
+    from hash_db_spark.operators.clustering import (
+        _centroid_mat,
+        _norm_rows,
+        kmeans_assign,
+    )
+    from hash_db_spark.operators.similarity import _dvec
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(4))
+    got = pq.topk_ivf_pq(emb, qids, k=5).collect()
+    cells = {
+        r.vec_id: r.cluster for r in kmeans_assign(emb, k=8).collect()
+    }
+    corpus = emb.select(
+        F.col("vec_id"), _dvec("embedding").alias("v")
+    )
+    cmat = _centroid_mat(
+        corpus.select("vec_id", "v"), 8
+    )
+    qrows = {r.vec_id: r.v for r in corpus.filter(
+        F.col("vec_id").isin(qids)).collect()}
+    for r in got:
+        qv = np.array([qrows[r.qid]], dtype=np.float64)
+        sims = round_half_away(_norm_rows(qv) @ _norm_rows(cmat).T, 6)
+        probed = {
+            c + 1
+            for c in sorted(
+                range(sims.shape[1]), key=lambda c: (-sims[0, c], c)
+            )[: pq.IVFPQ_NPROBE]
+        }
+        assert cells[r.vec_id] in probed, (r.qid, r.vec_id)
+
+
+def test_ivf_pq_oracle_parity_fixture(spark, sf_dir):
+    import duckdb
+
+    from hash_db_spark.catalog import load_table
+
+    qids = list(range(8))
+    got = (
+        pq.topk_ivf_pq(load_table(spark, sf_dir, "embeddings"), qids, k=5)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    want = (
+        con.execute(pq.sql_topk_ivf_pq(qids, k=5))
+        .df()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    con.close()
+    assert len(got) == len(want) == 40
+    for col in ("qid", "vec_id", "rank", "d2"):
+        assert [int(x) for x in got[col]] == [int(x) for x in want[col]], col
+
+
+def test_ivf_pq_plan_is_filter_projection(spark, sf_dir):
+    """The probed-cell ADC scan is a codegen filter+projection over the
+    coded frame — no join against the corpus."""
+    from hash_db_spark.catalog import load_table
+
+    df = pq.topk_ivf_pq(
+        load_table(spark, sf_dir, "embeddings"), [0, 1], k=3
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
