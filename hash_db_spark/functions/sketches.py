@@ -364,3 +364,184 @@ SELECT {key_col} FROM ({pc}) pc
 JOIN {bits_cte} b ON pc.bit = b.bit
 GROUP BY {key_col} HAVING count(DISTINCT i) = {k}
 """
+
+
+# --- KMV (k-minimum-values / theta-style) distinct sketches ------------------
+#
+# The set-operation gap in the sketch family: HLL registers union cleanly
+# but cannot INTERSECT; a KMV sketch (the k smallest hash values of a
+# set — Bar-Yossef et al. "Counting distinct elements in a data stream",
+# RANDOM 2002; the DataSketches theta-sketch family) supports
+# intersection estimates via the Jaccard share of the combined sketch.
+# Deterministic by construction here: the hash is the house md5 idiom,
+# so "k smallest hashes" is a pure function of the member set and both
+# engines agree exactly.
+
+KMV_K = 64
+KMV_M = 1 << 52  # 13 md5 nibbles -> uniform in [0, 2^52)
+
+
+def kmv_hash(key: Column | str) -> Column:
+    c = F.col(key) if isinstance(key, str) else key
+    return F.conv(
+        F.substring(F.md5(c.cast("string")), 1, 13), 16, 10
+    ).cast("long")
+
+
+def sql_kmv_hash(key_expr: str) -> str:
+    return (
+        f"(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 13))"
+        f"::BIGINT)"
+    )
+
+
+def kmv_sketch(
+    df: DataFrame, key: str, group_col: str, k: int = KMV_K
+) -> DataFrame:
+    """(grp, rank, h): each group's k smallest distinct key hashes.
+    Scale shape: one distinct shuffle on (grp, h), one per-group window
+    (partitions are per-group, parallel across groups); the output is
+    k rows per group — the thing you persist and merge, never the
+    member set."""
+    from pyspark.sql import Window
+
+    hframe = df.select(
+        F.col(group_col).alias("grp"), kmv_hash(key).alias("h")
+    ).distinct()
+    w = Window.partitionBy("grp").orderBy(F.col("h").asc())
+    return (
+        hframe.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
+    """(grp, est): distinct-count estimate per group — exact when the
+    sketch holds the whole set (n < k), else the KMV estimator
+    (k-1) * M / h_k."""
+    return sketch.groupBy("grp").agg(
+        F.round(
+            F.when(
+                F.count(F.lit(1)) < k,
+                F.count(F.lit(1)).cast("double"),
+            ).otherwise(
+                F.lit(float(k - 1))
+                * F.lit(float(KMV_M))
+                / F.max("h").cast("double")
+            ),
+            4,
+        ).alias("est")
+    )
+
+
+def kmv_pair_intersections(
+    sketch: DataFrame, k: int = KMV_K
+) -> DataFrame:
+    """(grp_a, grp_b, est_shared): estimated distinct-intersection size
+    for every group pair, from sketches alone — the query exact
+    count-distinct can't serve at 100 TB without a corpus-sized
+    self-join. Combined-sketch protocol: take the k smallest hashes of
+    the UNION of both sketches, measure the share present in both, and
+    scale the union estimate by that share. All frames here are
+    (groups x k)-sized."""
+    from pyspark.sql import Window
+
+    a = sketch.select(
+        F.col("grp").alias("grp_a"), F.col("h").alias("h")
+    )
+    b = sketch.select(
+        F.col("grp").alias("grp_b"), F.col("h").alias("h")
+    )
+    pairs = (
+        a.select("grp_a")
+        .distinct()
+        .crossJoin(b.select("grp_b").distinct())
+        .filter(F.col("grp_a") < F.col("grp_b"))
+    )
+    comb = (
+        pairs.join(a, "grp_a")
+        .select("grp_a", "grp_b", "h")
+        .union(pairs.join(b, "grp_b").select("grp_a", "grp_b", "h"))
+        .distinct()
+    )
+    w = Window.partitionBy("grp_a", "grp_b").orderBy(F.col("h").asc())
+    topk = comb.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    flagged = (
+        topk.join(
+            a.withColumn("in_a", F.lit(1)), ["grp_a", "h"], "left"
+        )
+        .join(b.withColumn("in_b", F.lit(1)), ["grp_b", "h"], "left")
+    )
+    return flagged.groupBy("grp_a", "grp_b").agg(
+        F.round(
+            (
+                F.sum(
+                    F.when(
+                        F.col("in_a").isNotNull()
+                        & F.col("in_b").isNotNull(),
+                        1,
+                    ).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            )
+            * F.when(
+                F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
+            ).otherwise(
+                F.lit(float(k - 1))
+                * F.lit(float(KMV_M))
+                / F.max("h").cast("double")
+            ),
+            4,
+        ).alias("est_shared")
+    )
+
+
+def sql_kmv_pair_intersections(
+    table: str, key_expr: str, group_col: str, k: int = KMV_K
+) -> str:
+    """Oracle: identical hashing, ranks, and estimator arithmetic."""
+    h = sql_kmv_hash(key_expr)
+    return f"""
+WITH hframe AS (
+  SELECT DISTINCT {group_col} AS grp, {h} AS h FROM {table}
+),
+sk AS (
+  SELECT grp, h,
+         row_number() OVER (PARTITION BY grp ORDER BY h ASC) AS rank
+  FROM hframe QUALIFY rank <= {k}
+),
+pairs AS (
+  SELECT a.grp AS grp_a, b.grp AS grp_b
+  FROM (SELECT DISTINCT grp FROM sk) a, (SELECT DISTINCT grp FROM sk) b
+  WHERE a.grp < b.grp
+),
+comb AS (
+  SELECT DISTINCT p.grp_a, p.grp_b, s.h
+  FROM pairs p JOIN sk s ON s.grp = p.grp_a OR s.grp = p.grp_b
+),
+topk AS (
+  SELECT grp_a, grp_b, h,
+         row_number() OVER (
+           PARTITION BY grp_a, grp_b ORDER BY h ASC
+         ) AS rn
+  FROM comb QUALIFY rn <= {k}
+),
+flagged AS (
+  SELECT t.grp_a, t.grp_b, t.h,
+         (sa.h IS NOT NULL) AS in_a, (sb.h IS NOT NULL) AS in_b
+  FROM topk t
+  LEFT JOIN sk sa ON sa.grp = t.grp_a AND sa.h = t.h
+  LEFT JOIN sk sb ON sb.grp = t.grp_b AND sb.h = t.h
+)
+SELECT grp_a, grp_b,
+       round(
+         (CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS DOUBLE)
+          / count(*))
+         * (CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+                 ELSE CAST({k - 1} AS DOUBLE) * CAST({KMV_M} AS DOUBLE)
+                      / CAST(max(h) AS DOUBLE) END),
+         4) AS est_shared
+FROM flagged GROUP BY grp_a, grp_b
+"""

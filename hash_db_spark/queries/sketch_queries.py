@@ -214,3 +214,28 @@ QUERIES = {
         q_cms_merge_heavy_hitters, CMS_MERGE_ORACLE
     ),
 }
+
+# r10 QUEUE (registration throttled per VERDICT r08 #1):
+#   "kmv_shared_users": Query(q_kmv_shared_users, _kmv_shared_oracle()),
+# KMV/theta-style distinct-intersection sketch (functions/sketches.py,
+# tests/test_sketches.py TestKMV) — the set operation HLL can't serve.
+# One-line uncomment once the r10 window has a slot.
+
+
+def q_kmv_shared_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated distinct shared users per event-type pair from KMV
+    sketches alone — the intersection query exact count-distinct needs
+    a corpus self-join for; sketches make it (groups x k)-sized."""
+    from hash_db_spark.catalog import load_table
+    from hash_db_spark.functions import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    return SK.kmv_pair_intersections(
+        SK.kmv_sketch(ev, "user_id", "event_type")
+    )
+
+
+def _kmv_shared_oracle() -> str:
+    from hash_db_spark.functions import sketches as SK
+
+    return SK.sql_kmv_pair_intersections("events", "user_id", "event_type")

@@ -185,6 +185,31 @@ def main() -> int:
                 "hash_db_spark.operators.pq", fromlist=["x"]
             ).topk_pq(emb, [1, 2, 3, 4, 5], k=5),
         )
+        timed(
+            f"sim_topk_ivf_pq/{scale}",
+            lambda: __import__(
+                "hash_db_spark.operators.pq", fromlist=["x"]
+            ).topk_ivf_pq(emb, [1, 2, 3, 4, 5], k=5),
+        )
+        timed(
+            f"retrieve_chunks/{scale}",
+            lambda: __import__(
+                "hash_db_spark.operators.retrieval", fromlist=["x"]
+            ).retrieve_chunks(
+                docs, "text", "doc_id", ["spark", "query", "join"], k=10
+            ),
+        )
+        timed(
+            f"dedup_keep_best/{scale}",
+            lambda: D.keep_best_per_cluster(
+                docs,
+                D.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5),
+                "doc_id",
+                __import__(
+                    "hash_db_spark.functions.text", fromlist=["x"]
+                ).quality_score_fast("text"),
+            ),
+        )
         # round-5 additions: the registry fns themselves, so the stress
         # times the exact driver-checked plans
         for entry in (

@@ -153,3 +153,87 @@ def test_cms_estimate_merges_sharded_cells(spark, sf_dir):
         for r in S.cms_estimate(sharded, probes, "user_id").collect()
     }
     assert direct == via_shards
+
+
+# --- KMV theta-style sketches (round-9 session 2) ---------------------------
+
+
+class TestKMV:
+    @staticmethod
+    def _events(spark):
+        """Three segments with KNOWN overlap: a={0..99}, b={50..149}
+        (|a&b|=50), c={200..299} (disjoint from both)."""
+        rows = (
+            [("a", u) for u in range(100)]
+            + [("b", u) for u in range(50, 150)]
+            + [("c", u) for u in range(200, 300)]
+        )
+        return spark.createDataFrame(rows, ["seg", "user_id"])
+
+    def test_exact_when_set_fits_in_sketch(self, spark):
+        from hash_db_spark.functions import sketches as SK
+
+        df = self._events(spark).filter("user_id < 30 or seg = 'c'")
+        sk = SK.kmv_sketch(df, "user_id", "seg", k=64)
+        est = {r.grp: r.est for r in SK.kmv_estimate(sk, k=64).collect()}
+        assert est["a"] == 30.0  # 30 < k: sketch holds the whole set
+        assert "b" not in est  # b's members are all filtered out
+        # c has 100 > k members: the estimator kicks in; k=64 keeps it
+        # within a tight band of the truth (deterministic value)
+        assert 60.0 <= est["c"] <= 160.0
+
+    def test_intersection_estimates_track_truth(self, spark):
+        from hash_db_spark.functions import sketches as SK
+
+        sk = SK.kmv_sketch(self._events(spark), "user_id", "seg", k=64)
+        got = {
+            (r.grp_a, r.grp_b): r.est_shared
+            for r in SK.kmv_pair_intersections(sk, k=64).collect()
+        }
+        # |a & b| = 50 of ~150 union; k=64 of 150 sampled -> expect
+        # the estimate within a generous +-40% band (deterministic
+        # value, band documents the k=64 resolution)
+        assert 30 <= got[("a", "b")] <= 70, got
+        # disjoint pairs estimate (near) zero
+        assert got[("a", "c")] < 10
+        assert got[("b", "c")] < 10
+
+    def test_oracle_parity_fixture(self, spark, sf_dir):
+        import duckdb
+
+        from hash_db_spark.catalog import load_table
+        from hash_db_spark.functions import sketches as SK
+
+        ev = load_table(spark, sf_dir, "events")
+        sk = SK.kmv_sketch(ev, "user_id", "event_type")
+        got = sorted(
+            (r.grp_a, r.grp_b, float(r.est_shared))
+            for r in SK.kmv_pair_intersections(sk).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS "
+            f"SELECT * FROM '{sf_dir}/events.parquet'"
+        )
+        want = sorted(
+            (a, b, float(x))
+            for a, b, x in con.execute(
+                SK.sql_kmv_pair_intersections(
+                    "events", "user_id", "event_type"
+                )
+            ).fetchall()
+        )
+        con.close()
+        assert got == want and len(got) > 0
+
+    def test_sketch_is_k_bounded(self, spark):
+        from hash_db_spark.functions import sketches as SK
+
+        sk = SK.kmv_sketch(self._events(spark), "user_id", "seg", k=16)
+        per_grp = {
+            r.grp: r.n
+            for r in sk.groupBy("grp").count().withColumnRenamed(
+                "count", "n"
+            ).collect()
+        }
+        assert all(n <= 16 for n in per_grp.values())
