@@ -496,8 +496,29 @@ def topk_ivf_pq(
     cmat = _centroid_mat(corpus, cells)
     book = _fit_codebook(corpus, m, ks)
     coded = _encode_with_cells(corpus, book, m, cmat)
-
     qrows = corpus.filter(F.col("vec_id").isin(query_ids)).collect()
+    return _adc_topk(coded, book, cmat, qrows, k, m, ks, nprobe)
+
+
+def _adc_topk(
+    coded: DataFrame,
+    book,
+    cmat,
+    qrows,
+    k: int,
+    m: int,
+    ks: int,
+    nprobe: int,
+) -> DataFrame:
+    """Serve top-k from a (vec_id, codes, cell) frame: probe-cell
+    ranking + literal ADC tables + the per-query top-k window. Shared
+    by the inline fit path (topk_ivf_pq) and the persisted-index path
+    (sources.writers.pq_index_topk) so they cannot drift."""
+    import numpy as np
+
+    from hash_db_spark.functions.rounding import round_half_away
+    from hash_db_spark.operators.clustering import _norm_rows
+
     qraw = np.array([r["v"] for r in qrows], dtype=np.float64)
     qids = [r["vec_id"] for r in qrows]
     # probe cells: same rounding + (cos DESC, cell ASC) rank as the
@@ -527,6 +548,11 @@ def topk_ivf_pq(
             per_s.append(row)
         dtab[qid] = per_s
 
+    # cell-pruning filter FIRST: on a cell-partitioned persisted index
+    # this compiles to PartitionFilters (only nprobe directories read)
+    all_cells = sorted({c for cs in qcells.values() for c in cs})
+    pruned = coded.filter(F.col("cell").isin(all_cells))
+
     def adc_expr(qid):
         total = sum(
             (
@@ -547,7 +573,7 @@ def topk_ivf_pq(
     score_arr = F.array(*[adc_expr(qid) for qid in qids])
     qid_arr = F.array(*[F.lit(int(q)).cast("long") for q in qids])
     scored = (
-        coded.select(
+        pruned.select(
             "vec_id", F.posexplode(score_arr).alias("qi", "d2")
         )
         .filter(F.col("d2").isNotNull())

@@ -177,10 +177,14 @@ QUERIES = {
 # is fully subscribed by never-checked entries):
 #   "sim_topk_pq": Query(q_sim_topk_pq, _pq_oracle()),
 #   "sim_topk_ivf_pq": Query(q_sim_topk_ivf_pq, _ivf_pq_oracle()),
-# Product-quantization ADC top-k and its IVF-PQ composition
-# (operators/pq.py): implemented + oracle-parity-tested this round
-# (tests/test_pq.py); the one-line uncomments register them once the
-# r10 window has slots.
+#   "sim_topk_pq_persisted": Query(q_sim_topk_pq_persisted, _ivf_pq_oracle()),
+# Product-quantization ADC top-k, its IVF-PQ composition, and the
+# persisted-index serving path (operators/pq.py, sources/writers.py):
+# implemented + oracle-parity-tested this round (tests/test_pq.py);
+# the one-line uncomments register them once the r10 window has slots.
+# sim_topk_pq_persisted shares _ivf_pq_oracle — result-identical to
+# the inline fit by the shared _adc_topk (the sim_topk_ivf_persisted
+# precedent).
 
 
 def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,3 +217,22 @@ def _ivf_pq_oracle() -> str:
     from hash_db_spark.operators import pq
 
     return pq.sql_topk_ivf_pq(QUERY_IDS, k=K)
+
+
+def q_sim_topk_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN served from the persisted IVF-PQ artifact (codes partitioned
+    by cell; a probe reads nprobe directories of 4-byte codes).
+    Deterministic per-sf path, overwritten in place — the
+    sim_topk_ivf_persisted leak-avoidance pattern."""
+    import hashlib
+    import tempfile
+
+    from hash_db_spark.sources.writers import pq_index_topk, write_pq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/hash_db_spark_pqidx_{tag}"
+    write_pq_index(emb, path)
+    return pq_index_topk(
+        spark, path, emb.filter(F.col("vec_id").isin(QUERY_IDS)), k=K
+    )

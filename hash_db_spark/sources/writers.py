@@ -497,3 +497,114 @@ def dhash_index_probe(
         .select("id", "dhash")
         .distinct()
     )
+
+
+def write_pq_index(
+    emb: DataFrame,
+    path: str,
+    m: int = 4,
+    ks: int = 16,
+    cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF-PQ serving artifact: codes/(vec_id, codes, cell)
+    PARTITIONED BY cell, book/(s, code, pos, cq), centroids/(cid, cv),
+    meta/(m, ks, cells). The corpus's raw vectors do NOT ship — the
+    index is ~m bytes/vector plus parameter-bounded sidecars, and a
+    query's scan reads only its nprobe cell directories
+    (PartitionFilters over 4-byte codes: the 100 TB serving shape).
+    Overwrite-only: PQ codebooks are corpus-fitted, so appending rows
+    coded against a DIFFERENT codebook would silently corrupt distances
+    (the modulus-mismatch lesson of write_dhash_index, hardened there);
+    rebuild instead."""
+    import pyspark.sql.functions as F
+
+    from hash_db_spark.operators.clustering import _centroid_mat
+    from hash_db_spark.operators.pq import (
+        _encode_with_cells,
+        _fit_codebook,
+    )
+    from hash_db_spark.operators.similarity import _dvec
+
+    spark = emb.sparkSession
+    corpus = emb.select(
+        F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("v")
+    )
+    cmat = _centroid_mat(corpus, cells)
+    book = _fit_codebook(corpus, m, ks)
+    coded = _encode_with_cells(corpus, book, m, cmat)
+    (
+        coded.repartition("cell")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(f"{path}/codes")
+    )
+    book_rows = [
+        (s, j, pos, int(cvec[pos]))
+        for s, entries in book.items()
+        for j, cvec in entries
+        for pos in range(len(cvec))
+    ]
+    spark.createDataFrame(
+        book_rows, "s int, code int, pos int, cq long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/book")
+    spark.createDataFrame(
+        [(i + 1, row.tolist()) for i, row in enumerate(cmat)],
+        "cid int, cv array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [(m, ks, cells)], "m int, ks int, cells int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def pq_index_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN served from the persisted IVF-PQ artifact: result-identical
+    to the inline `pq.topk_ivf_pq` over the same corpus (shared
+    `_adc_topk` scoring), but the corpus-side cost is the nprobe cell
+    directories of 4-byte codes. ``queries`` supplies raw query
+    vectors (the index doesn't store any); it must be
+    parameter-bounded — each row becomes literal ADC tables."""
+    import numpy as np
+
+    import pyspark.sql.functions as F
+
+    from hash_db_spark.operators.pq import _adc_topk
+    from hash_db_spark.operators.similarity import _dvec
+
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    book_rows = spark.read.parquet(f"{path}/book").collect()
+    book: dict[int, dict[int, dict[int, int]]] = {}
+    for r in book_rows:
+        book.setdefault(r["s"], {}).setdefault(r["code"], {})[
+            r["pos"]
+        ] = r["cq"]
+    packed = {
+        s: [
+            (j, np.array(
+                [jm[p] for p in sorted(jm)], dtype=np.int64
+            ))
+            for j, jm in sorted(codes.items())
+        ]
+        for s, codes in book.items()
+    }
+    cents = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r["cid"],
+    )
+    cmat = np.array([r["cv"] for r in cents], dtype=np.float64)
+    coded = spark.read.parquet(f"{path}/codes")
+    qrows = queries.select(
+        F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("v")
+    ).collect()
+    return _adc_topk(
+        coded, packed, cmat, qrows, k, meta["m"], meta["ks"], nprobe
+    )

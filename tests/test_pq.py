@@ -206,3 +206,61 @@ def test_ivf_pq_plan_is_filter_projection(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "Join" not in plan
+
+
+# --- persisted IVF-PQ index --------------------------------------------------
+
+
+def test_pq_index_serves_identical_results(spark, sf_dir, tmp_path):
+    import pyspark.sql.functions as F
+
+    from hash_db_spark.catalog import load_table
+    from hash_db_spark.sources.writers import pq_index_topk, write_pq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(8))
+    inline = sorted(
+        (r.qid, r.vec_id, r.d2, r.rank)
+        for r in pq.topk_ivf_pq(emb, qids, k=5).collect()
+    )
+    path = str(tmp_path / "pqidx")
+    write_pq_index(emb, path)
+    served = sorted(
+        (r.qid, r.vec_id, r.d2, r.rank)
+        for r in pq_index_topk(
+            spark, path, emb.filter(F.col("vec_id").isin(qids)), k=5
+        ).collect()
+    )
+    assert inline == served and len(served) == 40
+
+
+def test_pq_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The codes scan must read only the probed cell directories —
+    PartitionFilters on the cell column, not a full-index scan."""
+    import pyspark.sql.functions as F
+
+    from hash_db_spark.catalog import load_table
+    from hash_db_spark.sources.writers import pq_index_topk, write_pq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "pqidx2")
+    write_pq_index(emb, path)
+    df = pq_index_topk(
+        spark, path, emb.filter(F.col("vec_id").isin([0, 1])), k=3
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cell" in pf[0]
+
+
+def test_pq_index_ships_no_vectors(spark, sf_dir, tmp_path):
+    """The compression claim, enforced: the codes artifact must not
+    contain the embedding column."""
+    from hash_db_spark.catalog import load_table
+    from hash_db_spark.sources.writers import write_pq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "pqidx3")
+    write_pq_index(emb, path)
+    cols = set(spark.read.parquet(f"{path}/codes").columns)
+    assert cols == {"vec_id", "codes", "cell"}
