@@ -211,3 +211,194 @@ FROM scored
 WHERE n2 > 0
 QUALIFY rank <= {k}
 """
+
+
+# --- TextTiling-style topic segmentation -------------------------------------
+
+TILE_WIN = 20  # window tokens
+TILE_T = 0.15  # boundary threshold on consecutive-window cosine
+
+
+def text_tiling_segments(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    win: int = TILE_WIN,
+    threshold: float = TILE_T,
+    dims: int = RETR_DIMS,
+) -> DataFrame:
+    """(doc_id, seg, start_idx, end_idx, n_chunks): topic segments by
+    the TextTiling principle (Hearst, CL 1997; public) — cut where the
+    cosine between CONSECUTIVE token windows' term vectors dips below
+    ``threshold`` (vocabulary shift = topic shift). The term vectors
+    are the same hashed embeddings retrieval uses, so similarity is
+    exact-int dot / IEEE norms and the oracle matches bit-for-bit.
+
+    Complements doc_lang_segments (which cuts on language flips): this
+    cuts on CONTENT flips within a language — the pre-chunking pass
+    that keeps one training chunk from straddling two topics.
+
+    Scale shape: one groupBy builds window vectors, one (id, dim)
+    equi-join scores consecutive pairs (per-key fan-out bounded: a key
+    is one document's one hash bucket), one per-doc window for the
+    cumulative segment ids. Nothing corpus-sized is collected or
+    broadcast."""
+    from pyspark.sql import Window
+
+    from hash_db_spark.operators.chunking import token_chunks
+
+    ch = token_chunks(df, col, id_col, size=win, overlap=0)
+    tok = ch.select(
+        "id",
+        "chunk_idx",
+        F.explode(F.split("chunk_text", " ")).alias("tok"),
+    )
+    cv = (
+        tok.select(
+            "id",
+            "chunk_idx",
+            _tok_dim(F.col("tok"), dims).alias("dim"),
+            _tok_sign(F.col("tok")).alias("sign"),
+        )
+        .groupBy("id", "chunk_idx", "dim")
+        .agg(F.sum("sign").alias("val"))
+    ).localCheckpoint(eager=True)  # feeds norms + both join sides
+    n2 = cv.groupBy("id", "chunk_idx").agg(
+        F.sum(F.col("val") * F.col("val")).alias("n2")
+    )
+    a = cv.select("id", F.col("chunk_idx").alias("ci"), "dim",
+                  F.col("val").alias("va"))
+    b = cv.select("id", (F.col("chunk_idx") - 1).alias("ci"), "dim",
+                  F.col("val").alias("vb"))
+    dots = (
+        a.join(b, ["id", "ci", "dim"])
+        .groupBy("id", "ci")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    spine = (
+        ch.select("id", F.col("chunk_idx").alias("ci"))
+        .join(
+            ch.select("id", (F.col("chunk_idx") - 1).alias("ci")),
+            ["id", "ci"],
+            "inner",
+        )  # chunks with a successor
+        .join(dots, ["id", "ci"], "left")
+        .join(
+            n2.select("id", F.col("chunk_idx").alias("ci"),
+                      F.col("n2").alias("n2a")),
+            ["id", "ci"],
+        )
+        .join(
+            n2.select("id", (F.col("chunk_idx") - 1).alias("ci"),
+                      F.col("n2").alias("n2b")),
+            ["id", "ci"],
+        )
+        .select(
+            "id",
+            "ci",
+            F.round(
+                F.coalesce(F.col("dot"), F.lit(0)).cast("double")
+                / (F.sqrt("n2a") * F.sqrt("n2b")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    # boundary BEFORE chunk ci+1 when cos(ci, ci+1) < threshold
+    bnd = spine.select(
+        "id",
+        (F.col("ci") + 1).alias("chunk_idx"),
+        F.when(F.col("cos") < threshold, 1).otherwise(0).alias("is_b"),
+    )
+    w = Window.partitionBy("id").orderBy("chunk_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    segged = (
+        ch.select("id", "chunk_idx")
+        .join(bnd, ["id", "chunk_idx"], "left")
+        .withColumn(
+            "seg", F.sum(F.coalesce(F.col("is_b"), F.lit(0))).over(w)
+        )
+    )
+    return (
+        segged.groupBy("id", "seg")
+        .agg(
+            F.min("chunk_idx").alias("start_idx"),
+            F.max("chunk_idx").alias("end_idx"),
+            F.count(F.lit(1)).alias("n_chunks"),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("seg").cast("long").alias("seg"),
+            "start_idx",
+            "end_idx",
+            "n_chunks",
+        )
+    )
+
+
+def sql_text_tiling_segments(
+    table: str,
+    col: str,
+    id_col: str,
+    win: int = TILE_WIN,
+    threshold: float = TILE_T,
+    dims: int = RETR_DIMS,
+) -> str:
+    """DuckDB oracle: identical chunking, hashing, exact-int dot/norm,
+    rounding, and cumulative segmentation."""
+    from hash_db_spark.operators.chunking import sql_token_chunks
+
+    chunks = sql_token_chunks(table, col, id_col, win, 0)
+    return f"""
+WITH ch AS ({chunks}),
+tok AS (
+  SELECT id, chunk_idx, unnest(string_split(chunk_text, ' ')) AS t
+  FROM ch
+),
+cv AS (
+  SELECT id, chunk_idx, {_sql_tok_dim('t', dims)} AS dim,
+         CAST(sum({_sql_tok_sign('t')}) AS BIGINT) AS val
+  FROM tok GROUP BY id, chunk_idx, {_sql_tok_dim('t', dims)}
+),
+n2 AS (
+  SELECT id, chunk_idx, CAST(sum(val * val) AS BIGINT) AS n2
+  FROM cv GROUP BY id, chunk_idx
+),
+dots AS (
+  SELECT a.id, a.chunk_idx AS ci,
+         CAST(sum(a.val * b.val) AS BIGINT) AS dot
+  FROM cv a JOIN cv b
+    ON b.id = a.id AND b.chunk_idx = a.chunk_idx + 1
+   AND b.dim = a.dim
+  GROUP BY a.id, a.chunk_idx
+),
+spine AS (
+  SELECT c1.id, c1.chunk_idx AS ci,
+         round(CAST(coalesce(d.dot, 0) AS DOUBLE)
+               / (sqrt(CAST(na.n2 AS DOUBLE))
+                  * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cos
+  FROM ch c1
+  JOIN ch c2 ON c2.id = c1.id AND c2.chunk_idx = c1.chunk_idx + 1
+  LEFT JOIN dots d ON d.id = c1.id AND d.ci = c1.chunk_idx
+  JOIN n2 na ON na.id = c1.id AND na.chunk_idx = c1.chunk_idx
+  JOIN n2 nb ON nb.id = c1.id AND nb.chunk_idx = c1.chunk_idx + 1
+),
+bnd AS (
+  SELECT id, ci + 1 AS chunk_idx,
+         CASE WHEN cos < {threshold} THEN 1 ELSE 0 END AS is_b
+  FROM spine
+),
+segged AS (
+  SELECT c.id, c.chunk_idx,
+         sum(coalesce(b.is_b, 0)) OVER (
+           PARTITION BY c.id ORDER BY c.chunk_idx
+           ROWS UNBOUNDED PRECEDING
+         ) AS seg
+  FROM ch c LEFT JOIN bnd b
+    ON b.id = c.id AND b.chunk_idx = c.chunk_idx
+)
+SELECT id AS doc_id, CAST(seg AS BIGINT) AS seg,
+       min(chunk_idx) AS start_idx, max(chunk_idx) AS end_idx,
+       count(*) AS n_chunks
+FROM segged GROUP BY id, seg
+"""

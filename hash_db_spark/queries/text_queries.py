@@ -535,6 +535,8 @@ QUERIES = {
 #   "dedup_tfidf_cosine": Query(q_dedup_tfidf_cosine, _tfidf_cosine_oracle()),
 #   "retrieve_chunks_topk": Query(
 #       q_retrieve_chunks_topk, _retrieve_chunks_oracle()),
+#   "doc_topic_segments": Query(
+#       q_doc_topic_segments, _topic_segments_oracle()),
 # Implemented + oracle-parity-tested this round (operators/ranking.py
 # tfidf_cosine_pairs, tests/test_tfidf_pairs.py; operators/retrieval.py
 # retrieve_chunks, tests/test_retrieval.py); one-line uncomment once
@@ -561,6 +563,21 @@ def _retrieve_chunks_oracle() -> str:
     return RT.sql_retrieve_chunks(
         "documents", "text", "doc_id", RETRIEVE_TERMS, k=RETRIEVE_K
     )
+
+
+def q_doc_topic_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling topic segmentation: cut where consecutive token
+    windows' hashed-term-vector cosine dips — content-shift boundaries,
+    the complement to doc_lang_segments' language-shift boundaries."""
+    from hash_db_spark.operators import retrieval as RT
+
+    return RT.text_tiling_segments(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def _topic_segments_oracle() -> str:
+    from hash_db_spark.operators import retrieval as RT
+
+    return RT.sql_text_tiling_segments("documents", "text", "doc_id")
 
 
 def q_dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

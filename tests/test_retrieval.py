@@ -116,3 +116,63 @@ def test_plan_scores_without_joins_and_heap_topk(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+# --- TextTiling topic segmentation ------------------------------------------
+
+
+class TestTextTiling:
+    def test_topic_shift_splits_at_the_boundary(self, spark):
+        # 2 windows of fruit talk, then 2 windows of database talk
+        fruit = "apple banana cherry grape melon peach pear plum kiwi fig"
+        db = "query table index scan join filter sort merge hash batch"
+        text = " ".join([fruit] * 4 + [db] * 4)  # 80 tokens = 4 windows
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        got = sorted(
+            RT.text_tiling_segments(df, "text", "doc_id").collect(),
+            key=lambda r: r.start_idx,
+        )
+        assert len(got) == 2
+        assert (got[0].start_idx, got[0].end_idx) == (0, 1)
+        assert (got[1].start_idx, got[1].end_idx) == (2, 3)
+
+    def test_uniform_doc_is_one_segment(self, spark):
+        words = "query table index scan join filter sort merge hash batch"
+        df = spark.createDataFrame(
+            [(1, " ".join([words] * 8))], ["doc_id", "text"]
+        )
+        got = RT.text_tiling_segments(df, "text", "doc_id").collect()
+        assert len(got) == 1
+        assert got[0].n_chunks == 4
+
+    def test_short_doc_is_one_segment(self, spark):
+        df = spark.createDataFrame(
+            [(1, "just a few words"), (2, "x")], ["doc_id", "text"]
+        )
+        got = RT.text_tiling_segments(df, "text", "doc_id").collect()
+        assert {(r.doc_id, r.n_chunks) for r in got} == {(1, 1), (2, 1)}
+
+    def test_oracle_parity_fixture(self, spark, sf_dir):
+        import duckdb
+
+        from hash_db_spark.catalog import load_table
+
+        got = sorted(
+            tuple(int(x) for x in r)
+            for r in RT.text_tiling_segments(
+                load_table(spark, sf_dir, "documents"), "text", "doc_id"
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        want = sorted(
+            tuple(int(x) for x in row)
+            for row in con.execute(
+                RT.sql_text_tiling_segments("documents", "text", "doc_id")
+            ).fetchall()
+        )
+        con.close()
+        assert got == want and len(got) > 0
