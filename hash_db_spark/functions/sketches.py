@@ -545,3 +545,26 @@ SELECT grp_a, grp_b,
          4) AS est_shared
 FROM flagged GROUP BY grp_a, grp_b
 """
+
+
+def kmv_merge(
+    sketch_a: DataFrame, sketch_b: DataFrame, k: int = KMV_K
+) -> DataFrame:
+    """Union-merge two KMV sketch frames (grp, rank, h) into one: per
+    group, the k smallest distinct hashes across both — EXACTLY the
+    sketch of the unioned member sets, which is the property that makes
+    sketches shippable: per-partition/per-day sketches merge into
+    per-corpus ones without revisiting members. (k smallest of
+    (k smallest of A) ∪ (k smallest of B) = k smallest of A ∪ B.)"""
+    from pyspark.sql import Window
+
+    both = (
+        sketch_a.select("grp", "h")
+        .union(sketch_b.select("grp", "h"))
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("h").asc())
+    return (
+        both.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

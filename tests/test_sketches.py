@@ -237,3 +237,22 @@ class TestKMV:
             ).collect()
         }
         assert all(n <= 16 for n in per_grp.values())
+
+    def test_merge_equals_sketch_of_union(self, spark):
+        """Mergeability: merging per-batch sketches equals sketching
+        the unioned data — the property that lets daily sketches roll
+        up without revisiting members."""
+        from hash_db_spark.functions import sketches as SK
+
+        ev = self._events(spark)
+        batch1 = ev.filter("user_id % 2 = 0")
+        batch2 = ev.filter("user_id % 2 = 1")
+        merged = SK.kmv_merge(
+            SK.kmv_sketch(batch1, "user_id", "seg", k=32),
+            SK.kmv_sketch(batch2, "user_id", "seg", k=32),
+            k=32,
+        )
+        direct = SK.kmv_sketch(ev, "user_id", "seg", k=32)
+        got = sorted((r.grp, r.rank, r.h) for r in merged.collect())
+        want = sorted((r.grp, r.rank, r.h) for r in direct.collect())
+        assert got == want and len(got) > 0
