@@ -178,6 +178,7 @@ QUERIES = {
 #   "sim_topk_pq": Query(q_sim_topk_pq, _pq_oracle()),
 #   "sim_topk_ivf_pq": Query(q_sim_topk_ivf_pq, _ivf_pq_oracle()),
 #   "sim_topk_pq_persisted": Query(q_sim_topk_pq_persisted, _ivf_pq_oracle()),
+#   "stream_pq_probe": Query(q_stream_pq_probe, _ivf_pq_oracle()),
 # Product-quantization ADC top-k, its IVF-PQ composition, and the
 # persisted-index serving path (operators/pq.py, sources/writers.py):
 # implemented + oracle-parity-tested this round (tests/test_pq.py);
@@ -217,6 +218,37 @@ def _ivf_pq_oracle() -> str:
     from hash_db_spark.operators import pq
 
     return pq.sql_topk_ivf_pq(QUERY_IDS, k=K)
+
+
+def q_stream_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN: the query vectors arrive as a stream; each
+    micro-batch probes the persisted IVF-PQ index and appends its
+    top-k. availableNow single batch == the inline IVF-PQ result (the
+    shared oracle); at 100 TB the same query runs continuously with the
+    index as external state."""
+    import hashlib
+    import tempfile
+
+    import pyspark.sql.functions as F2
+
+    from hash_db_spark.sources.writers import write_pq_index
+    from hash_db_spark.streaming import windows as SW
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    index_path = f"{tempfile.gettempdir()}/hash_db_spark_pqidx_{tag}"
+    write_pq_index(emb, index_path)
+    queries = SW.read_embeddings_stream(spark, sf_dir).filter(
+        F2.col("vec_id").isin(QUERY_IDS)
+    )
+    # probe output/checkpoint are per-run scratch (40 rows); the INDEX
+    # is the deterministic reused artifact
+    scratch = tempfile.mkdtemp(prefix="pq_probe_")
+    q = SW.streaming_pq_probe(
+        queries, index_path, f"{scratch}/out", f"{scratch}/ckpt", k=K
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{scratch}/out")
 
 
 def q_sim_topk_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -532,3 +532,55 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
+
+
+def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings.parquet as a file-source stream (schema from a static
+    read; pathGlobFilter narrows the monitored dir to the one file)."""
+    static = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def streaming_pq_probe(
+    queries_stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    k: int = 5,
+    nprobe: int = 2,
+):
+    """Streaming ANN serving: per micro-batch of query vectors, probe
+    the PERSISTED IVF-PQ index (sources.writers.write_pq_index) and
+    append (qid, vec_id, d2, rank) to ``out_path``. The batch's ADC
+    tables are driver-computed per batch — bounded by the micro-batch,
+    never the index — and the codes scan reads only the probed cell
+    directories (PartitionFilters), so a 100 TB index serves each batch
+    from ~nprobe/cells of its 4-byte codes. Index state lives in
+    parquet, not stream state (shareable with batch probes, zero
+    executor-memory growth) — the same externalized-state design as
+    streaming_ingest_dedup.
+
+    Delivery: appends replay on checkpoint recovery (at-least-once at
+    the row level); readers dedup on (qid, vec_id) for exactly-once.
+
+    Returns the StreamingQuery (availableNow for tests/backfill)."""
+    from hash_db_spark.sources.writers import pq_index_topk
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = pq_index_topk(
+            batch_df.sparkSession, index_path, batch_df, k=k, nprobe=nprobe
+        )
+        res.write.mode("append").parquet(out_path)
+
+    return (
+        queries_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -264,3 +264,39 @@ def test_pq_index_ships_no_vectors(spark, sf_dir, tmp_path):
     write_pq_index(emb, path)
     cols = set(spark.read.parquet(f"{path}/codes").columns)
     assert cols == {"vec_id", "codes", "cell"}
+
+
+def test_streaming_pq_probe_matches_inline(spark, sf_dir, tmp_path):
+    """The streaming probe (availableNow single batch) must equal the
+    inline IVF-PQ result over the same corpus — externalized-index
+    state, no drift between serving paths."""
+    import pyspark.sql.functions as F
+
+    from hash_db_spark.catalog import load_table
+    from hash_db_spark.sources.writers import write_pq_index
+    from hash_db_spark.streaming import windows as SW
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(4))
+    inline = sorted(
+        (r.qid, r.vec_id, r.d2, r.rank)
+        for r in pq.topk_ivf_pq(emb, qids, k=5).collect()
+    )
+    index_path = str(tmp_path / "idx")
+    write_pq_index(emb, index_path)
+    queries = SW.read_embeddings_stream(spark, sf_dir).filter(
+        F.col("vec_id").isin(qids)
+    )
+    q = SW.streaming_pq_probe(
+        queries,
+        index_path,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        k=5,
+    )
+    q.awaitTermination()
+    served = sorted(
+        (r.qid, r.vec_id, r.d2, r.rank)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert inline == served and len(served) == 20
