@@ -81,8 +81,13 @@ def all_queries() -> dict[str, Query]:
     #     stream_line_dedup_wm   (pipeline_queries.py r10 QUEUE)
     #     dedup_keep_best        (pipeline_queries.py r10 QUEUE)
     #     sim_topk_pq            (similarity_queries.py r10 QUEUE)
+    #     sim_topk_ivf_pq        (similarity_queries.py r10 QUEUE)
+    #     sim_topk_pq_persisted  (similarity_queries.py r10 QUEUE)
+    #     stream_pq_probe        (similarity_queries.py r10 QUEUE)
     #     dedup_tfidf_cosine     (text_queries.py r10 QUEUE)
     #     retrieve_chunks_topk   (text_queries.py r10 QUEUE)
+    #     doc_topic_segments     (text_queries.py r10 QUEUE)
+    #     kmv_shared_users       (sketch_queries.py r10 QUEUE)
     #
     # Registration throttle (VERDICT r08 #1): NO new registry entries
     # this round — new operators land in code/tests and queue for r10.
