@@ -210,6 +210,28 @@ def main() -> int:
                 ).quality_score_fast("text"),
             ),
         )
+        timed(
+            f"doc_topic_segments/{scale}",
+            lambda: __import__(
+                "hash_db_spark.operators.retrieval", fromlist=["x"]
+            ).text_tiling_segments(docs, "text", "doc_id"),
+        )
+        timed(
+            f"kmv_shared_users/{scale}",
+            lambda: (
+                lambda SK: SK.kmv_pair_intersections(
+                    SK.kmv_sketch(
+                        load_table(spark, sf_dir, "events"),
+                        "user_id",
+                        "event_type",
+                    )
+                )
+            )(
+                __import__(
+                    "hash_db_spark.functions.sketches", fromlist=["x"]
+                )
+            ),
+        )
         # round-5 additions: the registry fns themselves, so the stress
         # times the exact driver-checked plans
         for entry in (
