@@ -421,3 +421,102 @@ FROM e e1
 JOIN e e2 ON e2.x = e1.y
 JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
 """
+
+
+# --- HITS hubs & authorities -------------------------------------------------
+
+
+def hits(nodes: DataFrame, edges: DataFrame, iterations: int = 2) -> DataFrame:
+    """HITS (Kleinberg, "Authoritative Sources in a Hyperlinked
+    Environment", JACM 1999) in its UNNORMALIZED integer form:
+
+        auth_{t+1}(v) = sum_{u->v} hub_t(u)
+        hub_{t+1}(u)  = sum_{u->v} auth_{t+1}(v)        with hub_0 = 1.
+
+    Per-iteration normalization only rescales each vector by a scalar,
+    so the RANKING is identical to classic HITS — and dropping it keeps
+    every value an exact int64 (sums of directed-path counts), which
+    both engines replay bit-for-bit; no float noise, no rounding grid.
+    Overflow bound: values grow like E * maxdeg^(2t); at the default
+    t=2 that stays far inside int64 for any host graph with maxdeg up
+    to ~10^4 even at 10^9 edges. For extreme graphs raise to floats
+    with per-round L1 normalization and a tolerance compare instead.
+
+    Scale shape mirrors ``pagerank``: the edge list is materialized
+    once, each half-iteration is one equijoin + one map-side-combined
+    aggregation on the edge key, lineage localCheckpointed per round so
+    the plan never deepens. Nodes with no in-links (out-links) carry
+    auth (hub) = 0 via the left join, matching the oracle's COALESCE.
+
+    Reference parity: the reference's graph module stops at traversal
+    (/root/reference/cypher.py); link-analysis scoring is an extension
+    the crawl-curation pipeline needs (authority-weighted caps already
+    consume pagerank; HITS adds the hub side, which pagerank conflates).
+    """
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    ids = nodes.select("id").localCheckpoint(eager=True)
+    hubs = ids.select("id", F.lit(1).cast("long").alias("hub"))
+    auths = ids.select("id", F.lit(0).cast("long").alias("auth"))
+    for _ in range(iterations):
+        inflow = (
+            e.join(hubs.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("a"))
+        )
+        auths = (
+            ids.join(inflow, "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("auth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        outflow = (
+            e.join(auths.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("auth").alias("h"))
+        )
+        hubs = (
+            ids.join(outflow, "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hub"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return hubs.join(auths, "id").select("id", "hub", "auth")
+
+
+def sql_hits(iterations: int = 2) -> str:
+    """Unrolled CTE chain over gnodes/gedges (append after the caller's
+    gnodes/gedges CTEs) — the exact integer arithmetic of ``hits``."""
+    parts = ["h0 AS (SELECT id, 1::BIGINT AS hub FROM gnodes)"]
+    prev_h = "h0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""a{i} AS (
+  SELECT g.id, COALESCE(s.a, 0)::BIGINT AS auth
+  FROM gnodes g LEFT JOIN (
+    SELECT e.dst AS id, sum(h.hub) AS a
+    FROM {prev_h} h JOIN gedges e ON e.src = h.id
+    GROUP BY e.dst
+  ) s ON s.id = g.id
+)"""
+        )
+        parts.append(
+            f"""h{i} AS (
+  SELECT g.id, COALESCE(s.h, 0)::BIGINT AS hub
+  FROM gnodes g LEFT JOIN (
+    SELECT e.src AS id, sum(a.auth) AS h
+    FROM a{i} a JOIN gedges e ON e.dst = a.id
+    GROUP BY e.src
+  ) s ON s.id = g.id
+)"""
+        )
+        prev_h = f"h{i}"
+    ctes = ",\n".join(parts)
+    return (
+        f"{ctes}\n"
+        f"SELECT h.id, h.hub, a.auth FROM {prev_h} h "
+        f"JOIN a{iterations} a ON a.id = h.id"
+    )

@@ -513,6 +513,54 @@ WHERE {_SN} % 2 = 0
 """
 
 
+def q_hits_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the host link graph — the companion
+    signal to pagerank_hosts: pagerank scores endorsement flow, HITS
+    separates "points at good pages" (hub) from "is pointed at" (auth),
+    which crawl scheduling uses differently (hubs seed frontier
+    expansion; authorities earn document-budget boosts). Same edge
+    derivation as pagerank_hosts, same fixed-iteration dataflow shape;
+    values are exact int64 path counts (see operators/graph.py:hits),
+    so the entry needs no rounding grid at all."""
+    from hash_db_spark.operators.graph import hits
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", W.synth_html("doc_id").alias("html")
+    )
+    links = docs.select(
+        W.url_host(W.canonicalize_url(W.synth_url("doc_id"))).alias("src"),
+        F.explode(W.html_hrefs("html")).alias("href"),
+    )
+    edges = links.select(
+        "src", W.url_host(W.canonicalize_url("href")).alias("dst")
+    ).distinct()
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return hits(nodes, edges, iterations=2)
+
+
+def _hits_hosts_oracle() -> str:
+    from hash_db_spark.operators.graph import sql_hits
+
+    return f"""
+WITH {W.sql_link_targets_cte()},
+gedges AS (
+  SELECT DISTINCT {_host_of_id('doc_id')} AS src,
+         {_host_of_id('t')} AS dst
+  FROM links
+),
+gnodes AS (
+  SELECT DISTINCT src AS id FROM gedges
+  UNION
+  SELECT DISTINCT dst AS id FROM gedges
+),
+{sql_hits(iterations=2)}
+"""
+
+
 QUERIES = {
     "robots_sitemap_refs": Query(
         q_robots_sitemap_refs, ROBOTS_SITEMAP_REFS_ORACLE
@@ -532,4 +580,9 @@ QUERIES = {
     "crawl_prep_polite": Query(
         q_crawl_prep_polite, _crawl_prep_polite_oracle()
     ),
+    # r10 QUEUE (registration throttled per VERDICT r08 #1):
+    #   "hits_hosts": Query(q_hits_hosts, _hits_hosts_oracle()),
+    # Integer-exact HITS link analysis (operators/graph.py:hits) —
+    # implemented + oracle-parity-tested this round (tests/test_web.py);
+    # registering is the one-line uncomment once r10 has a slot.
 }

@@ -427,3 +427,51 @@ def test_registrable_domain_referee_over_real_psl(spark):
     assert any(rules[k][1] == 1 for k in keys)  # exceptions exist
     assert any(v is None for v in want.values())  # bare-suffix hosts
     assert any(v is not None for v in want.values())
+
+
+# --- HITS hubs & authorities -------------------------------------------------
+
+
+def test_hits_hand_computed(spark):
+    """Integer HITS on a 4-node graph, every value hand-derived:
+    edges 1->3, 1->4, 2->3; after 2 iterations hub(1)=8, hub(2)=5,
+    auth(3)=5, auth(4)=3, all other scores 0."""
+    from hash_db_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [(1, 3), (1, 4), (2, 3)], ["src", "dst"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], ["id"])
+    got = {r.id: (r.hub, r.auth) for r in hits(nodes, edges).collect()}
+    assert got == {1: (8, 0), 2: (5, 0), 3: (0, 5), 4: (0, 3)}
+
+
+def test_hits_hosts_oracle_parity(spark, sf_dir):
+    """Driver-style compare for the r10-queued hits_hosts entry:
+    identical (id, hub, auth) sets on both engines — exact int64, no
+    rounding grid involved."""
+    import duckdb
+
+    from hash_db_spark.queries.web_queries import (
+        _hits_hosts_oracle,
+        q_hits_hosts,
+    )
+
+    got = sorted(
+        (r.id, int(r.hub), int(r.auth))
+        for r in q_hits_hosts(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        (r[0], int(r[1]), int(r[2]))
+        for r in con.execute(_hits_hosts_oracle()).fetchall()
+    )
+    con.close()
+    assert len(got) > 0
+    assert got == want
+    # HITS found real structure: someone is a hub, someone an authority
+    assert max(h for _, h, _ in got) > 0
+    assert max(a for _, _, a in got) > 0
