@@ -26,7 +26,7 @@ oracle cannot reproduce them.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
 from hash_db_spark.functions.text import fingerprint, sql_fingerprint
@@ -2216,4 +2216,93 @@ scored AS (
 )
 SELECT id AS keep_id, cluster, CAST(n_members AS BIGINT) AS n_members, q
 FROM scored WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# LSH parameter planner: the (bands x rows) S-curve
+# ---------------------------------------------------------------------------
+
+# Candidate configurations a 100 TB dedup run would choose between.
+# (num_hashes, rows_per_band) with rows | num_hashes; bands = n // rows.
+LSH_PLAN_GRID: tuple[tuple[int, int], ...] = (
+    (16, 1), (16, 2), (16, 4),
+    (32, 2), (32, 4),
+    (64, 2), (64, 4), (64, 8),
+    (128, 4), (128, 8),
+)
+LSH_PLAN_SIM_STEPS = 19  # s = 0.05 .. 0.95
+
+
+def lsh_s_curve(
+    spark: SparkSession,
+    grid: tuple[tuple[int, int], ...] = LSH_PLAN_GRID,
+    sim_steps: int = LSH_PLAN_SIM_STEPS,
+) -> DataFrame:
+    """The banded-LSH design table (Mining of Massive Datasets §3.4,
+    Leskovec/Rajaraman/Ullman — public): for each (num_hashes,
+    rows-per-band) candidate and each Jaccard similarity s on a 0.05
+    grid, the probability a dup pair lands in at least one shared band,
+
+        P(collide | s) = 1 - (1 - s^rows)^bands,
+
+    plus the curve's threshold (1/bands)^(1/rows) — the similarity
+    where collision probability inflects. This is the table you read
+    BEFORE launching a 100 TB dedup: pick the cheapest config whose
+    threshold sits just under your target Jaccard and whose P at the
+    target is ~1. Pure closed-form arithmetic on literal grids — no
+    corpus scan, identical cost at any data scale; the entry exists so
+    the planner the heavy jobs rely on is itself driver-verified.
+
+    Cross-engine floats: JVM Math.pow and DuckDB's libm pow agree to
+    <=1 ulp; results are rounded to 6dp, 10 orders of magnitude above
+    that noise, and the fixed grid makes the parity check exhaustive
+    (every cell is compared, data-independent).
+    """
+    cfg = spark.createDataFrame(
+        [(n, n // r, r) for n, r in grid],
+        ["num_hashes", "bands", "rows_per_band"],
+    )
+    s = spark.range(1, sim_steps + 1).select(
+        (F.col("id") / F.lit(20.0)).alias("s")
+    )
+    # literal-grid cross product: |grid| x sim_steps rows, planner-only
+    return cfg.crossJoin(s).select(
+        "num_hashes",
+        "bands",
+        "rows_per_band",
+        F.round("s", 2).alias("s"),
+        F.round(
+            F.lit(1.0)
+            - F.pow(
+                F.lit(1.0) - F.pow("s", F.col("rows_per_band")),
+                F.col("bands"),
+            ),
+            6,
+        ).alias("collide_p"),
+        F.round(
+            F.pow(
+                F.lit(1.0) / F.col("bands"),
+                F.lit(1.0) / F.col("rows_per_band"),
+            ),
+            6,
+        ).alias("threshold_s"),
+    )
+
+
+def sql_lsh_s_curve(
+    grid: tuple[tuple[int, int], ...] = LSH_PLAN_GRID,
+    sim_steps: int = LSH_PLAN_SIM_STEPS,
+) -> str:
+    """DuckDB twin of lsh_s_curve — same literal grids, same arithmetic."""
+    vals = ", ".join(f"({n}, {n // r}, {r})" for n, r in grid)
+    return f"""
+WITH cfg(num_hashes, bands, rows_per_band) AS (VALUES {vals}),
+sim AS (SELECT i / 20.0 AS s FROM range(1, {sim_steps + 1}) t(i))
+SELECT num_hashes, bands, rows_per_band,
+       round(s, 2) AS s,
+       round(1.0 - pow(1.0 - pow(s, rows_per_band), bands), 6)
+         AS collide_p,
+       round(pow(1.0 / bands, 1.0 / rows_per_band), 6) AS threshold_s
+FROM cfg CROSS JOIN sim
 """

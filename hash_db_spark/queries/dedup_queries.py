@@ -281,6 +281,14 @@ FROM paired
 """
 
 
+def q_lsh_param_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded-LSH design table (P(collide|s) S-curves + per-config
+    thresholds) every big dedup launch reads first — closed-form over
+    literal grids, so the entry is data-independent and exhaustively
+    compared cell-by-cell (operators/dedup.py:lsh_s_curve)."""
+    return D.lsh_s_curve(spark)
+
+
 QUERIES = {
     "dedup_exact_groups": Query(q_dedup_exact_groups, EXACT_GROUPS_ORACLE),
     "dedup_exact_keep": Query(q_dedup_exact_keep, EXACT_KEEP_ORACLE),
@@ -348,4 +356,9 @@ QUERIES = {
         q_dedup_embedding,
         D.sql_embedding_near_dup_pairs(threshold=COSINE_T),
     ),
+    # r10 QUEUE (registration throttled per VERDICT r08 #1):
+    #   "lsh_param_plan": Query(q_lsh_param_plan, D.sql_lsh_s_curve()),
+    # Banded-LSH S-curve planner — implemented + parity-tested this
+    # round (tests/test_dedup.py); one-line uncomment when r10 has a
+    # slot.
 }

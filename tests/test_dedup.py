@@ -630,3 +630,47 @@ class TestKeepBest:
         )
         con.close()
         assert got == want and len(got) > 0
+
+
+# --- LSH parameter planner ---------------------------------------------------
+
+
+def test_lsh_s_curve_known_values(spark):
+    """Textbook cell checks: b=8,r=2 at s=0.5 -> 1-(1-0.25)^8 = 0.899887...;
+    threshold (1/8)^(1/2) = 0.353553. And monotonicity in s per config."""
+    from hash_db_spark.operators.dedup import lsh_s_curve
+
+    rows = lsh_s_curve(spark).collect()
+    cell = {
+        (r.num_hashes, r.rows_per_band, r.s): (r.collide_p, r.threshold_s)
+        for r in rows
+    }
+    p, t = cell[(16, 2, 0.5)]
+    assert abs(p - 0.899887) < 1e-6
+    assert abs(t - 0.353553) < 1e-6
+    # wider bands push the threshold right: r=4 config is more selective
+    assert cell[(16, 4, 0.5)][1] > t
+    # S-curve is monotone nondecreasing in s for every config
+    by_cfg = {}
+    for r in rows:
+        by_cfg.setdefault((r.num_hashes, r.rows_per_band), []).append(
+            (r.s, r.collide_p)
+        )
+    for pts in by_cfg.values():
+        ps = [p for _, p in sorted(pts)]
+        assert ps == sorted(ps)
+
+
+def test_lsh_param_plan_oracle_parity(spark):
+    """Exhaustive cell-by-cell compare vs DuckDB (data-independent, so
+    this one test IS the full driver compare for the queued entry)."""
+    import duckdb
+
+    from hash_db_spark.operators.dedup import lsh_s_curve, sql_lsh_s_curve
+
+    got = sorted(tuple(r) for r in lsh_s_curve(spark).collect())
+    want = sorted(
+        tuple(r) for r in duckdb.connect().execute(sql_lsh_s_curve()).fetchall()
+    )
+    assert len(got) == 190
+    assert got == want
