@@ -351,3 +351,84 @@ def sql_bag_fingerprint(col: str) -> str:
         f"string_split(replace(lower({col}), ',', ''), ' '), x -> x != ''))), "
         f"'string_agg', ' '))"
     )
+
+
+# ---------------------------------------------------------------------------
+# Encoding quality (mojibake / control-char / replacement-char gate)
+# ---------------------------------------------------------------------------
+
+# UTF-8-decoded-as-Latin-1 tell-tales (the classic mojibake sequences:
+# curly quotes, accented Latin letters, dashes). Literal alternation --
+# kept regex-feature-free so Java regex (Spark) and RE2 (DuckDB) agree.
+MOJIBAKE_MARKERS: tuple[str, ...] = (
+    "\u00c3\u00a9",            # "A~(c)" pair  <- e-acute
+    "\u00c3\u00a8",            #               <- e-grave
+    "\u00c3\u00bc",            #               <- u-umlaut
+    "\u00c3\u00b1",            #               <- n-tilde
+    "\u00e2\u20ac\u2122",     # a-hat euro tm <- right single quote
+    "\u00e2\u20ac\u0153",     #               <- left double quote
+    "\u00e2\u20ac\u201c",     #               <- en dash
+)
+_MOJIBAKE_RE = "|".join(MOJIBAKE_MARKERS)
+# C0 controls except tab/newline/CR, plus DEL -- bytes that never belong
+# in decoded text.
+_CTRL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+_REPL_CHAR = "\ufffd"  # U+FFFD REPLACEMENT CHARACTER
+
+
+def _match_count(col: Column | str, pattern: str) -> Column:
+    """Occurrences of ``pattern`` -- split-and-count, which both engines
+    define identically (trailing empties kept), all codegen."""
+    return (F.size(F.split(col, pattern, -1)) - 1).cast("long")
+
+
+def _sql_match_count(col: str, pattern: str) -> str:
+    pat = pattern.replace("'", "''")
+    return f"(len(regexp_split_to_array({col}, '{pat}')) - 1)::BIGINT"
+
+
+def replacement_char_count(col: Column | str) -> Column:
+    """U+FFFD count -- each one is a byte sequence some decoder already
+    gave up on; any non-zero value means the document was transcoded
+    lossily upstream."""
+    return _match_count(col, _REPL_CHAR)
+
+
+def control_char_count(col: Column | str) -> Column:
+    """C0-control/DEL count (tab/newline/CR excluded)."""
+    return _match_count(col, _CTRL_RE)
+
+
+def mojibake_marker_count(col: Column | str) -> Column:
+    """Count of classic UTF-8-as-Latin-1 double-decode tell-tales."""
+    return _match_count(col, _MOJIBAKE_RE)
+
+
+def encoding_ok(col: Column | str) -> Column:
+    """The gate itself: no replacement chars, no mojibake markers, no
+    raw control bytes. Boolean column, all codegen."""
+    return (
+        (replacement_char_count(col) == 0)
+        & (control_char_count(col) == 0)
+        & (mojibake_marker_count(col) == 0)
+    )
+
+
+def sql_replacement_char_count(col: str) -> str:
+    return _sql_match_count(col, _REPL_CHAR)
+
+
+def sql_control_char_count(col: str) -> str:
+    return _sql_match_count(col, _CTRL_RE)
+
+
+def sql_mojibake_marker_count(col: str) -> str:
+    return _sql_match_count(col, _MOJIBAKE_RE)
+
+
+def sql_encoding_ok(col: str) -> str:
+    return (
+        f"({sql_replacement_char_count(col)} = 0 AND "
+        f"{sql_control_char_count(col)} = 0 AND "
+        f"{sql_mojibake_marker_count(col)} = 0)"
+    )

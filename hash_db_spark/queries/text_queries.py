@@ -499,6 +499,65 @@ def _ranking_oracles():
 _BM25_ORACLE, _TFIDF_ORACLE = _ranking_oracles()
 
 
+def _wire_text() -> "F.Column":
+    """Deterministic synthetic transport corruption (the synth-payload
+    discipline of the multimodal/web entries): the fixture text is clean
+    by construction, so the entry plants one corruption class per
+    residue family -- a mojibake e-acute on doc_id%7, a BEL control byte
+    on doc_id%11, a U+FFFD on doc_id%13 -- identically on both engines,
+    and the gate must flag exactly those rows."""
+    t = F.col("text")
+    return (
+        F.when(F.col("doc_id") % 7 == 0, F.concat(t, F.lit(" caf\u00c3\u00a9")))
+        .when(F.col("doc_id") % 11 == 0, F.concat(t, F.lit("\x07")))
+        .when(F.col("doc_id") % 13 == 0, F.concat(t, F.lit(" \ufffd")))
+        .otherwise(t)
+    )
+
+
+_SQL_WIRE = (
+    "(CASE WHEN doc_id % 7 = 0 THEN text || ' caf' || chr(195) || chr(169) "
+    "WHEN doc_id % 11 = 0 THEN text || chr(7) "
+    "WHEN doc_id % 13 = 0 THEN text || ' ' || chr(65533) "
+    "ELSE text END)"
+)
+
+
+def q_text_encoding_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-quality gate (the C4/CCNet-style cleanliness screen that
+    runs before any content analysis): per-document replacement-char,
+    control-byte, and mojibake-marker counts plus the boolean gate --
+    all codegen char-class counting, zero shuffles, a pure map at any
+    scale (functions/text.py:replacement_char_count ff)."""
+    docs = _docs(spark, sf_dir).select("doc_id", _wire_text().alias("wire"))
+    return docs.select(
+        "doc_id",
+        T.replacement_char_count("wire").alias("n_repl"),
+        T.control_char_count("wire").alias("n_ctrl"),
+        T.mojibake_marker_count("wire").alias("n_moji"),
+        T.encoding_ok("wire").alias("enc_ok"),
+    )
+
+
+TEXT_ENCODING_GATE_ORACLE = f"""
+SELECT doc_id,
+       {{n_repl}} AS n_repl,
+       {{n_ctrl}} AS n_ctrl,
+       {{n_moji}} AS n_moji,
+       {{enc_ok}} AS enc_ok
+FROM (SELECT doc_id, {_SQL_WIRE} AS wire FROM documents)
+"""
+
+
+def _text_encoding_gate_oracle() -> str:
+    return TEXT_ENCODING_GATE_ORACLE.format(
+        n_repl=T.sql_replacement_char_count("wire"),
+        n_ctrl=T.sql_control_char_count("wire"),
+        n_moji=T.sql_mojibake_marker_count("wire"),
+        enc_ok=T.sql_encoding_ok("wire"),
+    )
+
+
 QUERIES = {
     "fts_bm25_rank": Query(q_fts_bm25_rank, _BM25_ORACLE),
     "tfidf_top_terms": Query(q_tfidf_top_terms, _TFIDF_ORACLE),
@@ -532,6 +591,8 @@ QUERIES = {
 }
 
 # r10 QUEUE (registration throttled per VERDICT r08 #1):
+#   "text_encoding_gate": Query(
+#       q_text_encoding_gate, _text_encoding_gate_oracle()),
 #   "dedup_tfidf_cosine": Query(q_dedup_tfidf_cosine, _tfidf_cosine_oracle()),
 #   "retrieve_chunks_topk": Query(
 #       q_retrieve_chunks_topk, _retrieve_chunks_oracle()),

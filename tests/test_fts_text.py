@@ -125,3 +125,59 @@ def test_phrase_match_adjacency(spark):
     assert got == {1, 3, 4}
     single = {r.id for r in phrase_filter(df, "t", "quick").collect()}
     assert single == {1, 2, 3, 4, 5}
+
+
+# --- encoding-quality gate ---------------------------------------------------
+
+
+def test_encoding_gate_controlled_strings(spark):
+    """Each corruption class counted independently; clean text passes."""
+    from hash_db_spark.functions import text as T
+
+    rows = [
+        (1, "perfectly clean ascii text"),
+        (2, "lossy � decode � here"),
+        (3, "bell\x07 and null\x00 bytes"),
+        (4, "cafÃ© and qâ€™s mojibake"),
+        (5, "tabs\tand\nnewlines\rare fine"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    got = {
+        r.id: (r.nr, r.nc, r.nm, r.ok)
+        for r in df.select(
+            "id",
+            T.replacement_char_count("t").alias("nr"),
+            T.control_char_count("t").alias("nc"),
+            T.mojibake_marker_count("t").alias("nm"),
+            T.encoding_ok("t").alias("ok"),
+        ).collect()
+    }
+    assert got[1] == (0, 0, 0, True)
+    assert got[2] == (2, 0, 0, False)
+    assert got[3] == (0, 2, 0, False)
+    assert got[4] == (0, 0, 2, False)
+    assert got[5] == (0, 0, 0, True)
+
+
+def test_text_encoding_gate_oracle_parity(spark, sf_dir):
+    """Driver-style compare for the r10-queued text_encoding_gate entry."""
+    import duckdb
+
+    from hash_db_spark.queries.text_queries import (
+        _text_encoding_gate_oracle,
+        q_text_encoding_gate,
+    )
+
+    got = sorted(tuple(r) for r in q_text_encoding_gate(spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(_text_encoding_gate_oracle()).fetchall()
+    )
+    con.close()
+    assert got == want
+    # the synthetic corruption families are actually flagged
+    assert any(not ok for *_, ok in got)
+    assert any(ok for *_, ok in got)
