@@ -114,3 +114,104 @@ def write_bloom_parquet(
             f"parquet.bloom.filter.expected.ndv#{c}", str(expected_ndv)
         ).option(f"parquet.bloom.filter.fpp#{c}", str(fpp))
     w.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planning
+# ---------------------------------------------------------------------------
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    path_col: str = "path",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Assign every file in a manifest to a compaction output group of
+    ~``target_bytes`` — the maintenance pass every long-lived 100 TB
+    table needs (streaming sinks and per-partition writers leave
+    thousands of KB-scale files; scan cost is then dominated by footer
+    reads and task scheduling, not bytes). The Delta/Iceberg OPTIMIZE
+    bin-packing capability, engine-level.
+
+    Deterministic binning: files are totally ordered by path, each file
+    joins the bin its EXCLUSIVE byte-prefix falls in (``grp =
+    prefix_sum DIV target``) — the prefix axis is cut at target-width
+    marks, so every non-final bin's size is target ± one file (the
+    bin-crossing file overflows into the next bin's range), and an
+    oversized file occupies bins alone. The accumulate-until-full
+    variant is a sequential recurrence (not parallelizable); this
+    fixed-range formulation is the one a distributed compactor can
+    actually compute, with the same ~target output sizes. Not
+    first-fit-decreasing — an O(n log n) global optimization no
+    streaming compactor runs either.
+
+    Scale shape: the global prefix sum reuses rank._ranged_with_offsets
+    (range-partition on path + per-partition offsets) — NO single-task
+    window anywhere; the group-stats pass is one map-side-combined
+    groupBy on the bin id. Exact int64 arithmetic end to end.
+    """
+    from hash_db_spark.operators.rank import _ranged_with_offsets
+
+    ranged, _ = _ranged_with_offsets(
+        files, [F.col(path_col)], F.sum(bytes_col)
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(path_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = ranged.select(
+        path_col,
+        bytes_col,
+        (
+            (
+                F.col("__off")
+                + F.coalesce(F.sum(bytes_col).over(w), F.lit(0))
+            )
+            .cast("long")
+        ).alias("__prefix"),
+    ).withColumn(
+        "grp", F.expr(f"__prefix DIV {int(target_bytes)}").cast("long")
+    )
+    stats = assigned.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("grp_files"),
+        F.sum(bytes_col).alias("grp_bytes"),
+    )
+    return assigned.join(stats, "grp").select(
+        path_col, bytes_col, "grp", "grp_files", "grp_bytes"
+    )
+
+
+def sql_compaction_plan(
+    manifest_sql: str,
+    target_bytes: int,
+    path_col: str = "path",
+    bytes_col: str = "bytes",
+) -> str:
+    """DuckDB twin of compaction_plan over ``manifest_sql`` (a query
+    producing (path, bytes)) — plain window cumsum (the oracle needn't
+    be scalable), identical exclusive-prefix DIV binning."""
+    return f"""
+WITH m AS ({manifest_sql}),
+c AS (
+  SELECT {path_col}, {bytes_col},
+         COALESCE(sum({bytes_col}) OVER (
+           ORDER BY {path_col}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0)::BIGINT AS prefix
+  FROM m
+),
+a AS (
+  SELECT {path_col}, {bytes_col},
+         (prefix // {int(target_bytes)})::BIGINT AS grp
+  FROM c
+)
+SELECT a.{path_col}, a.{bytes_col}, a.grp, s.grp_files, s.grp_bytes
+FROM a JOIN (
+  SELECT grp, count(*) AS grp_files, sum({bytes_col})::BIGINT AS grp_bytes
+  FROM a GROUP BY grp
+) s USING (grp)
+"""

@@ -140,6 +140,40 @@ def q_warc_extract_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warc.warc_records(warc.synth_warc_media_gz(docs, "doc_id"))
 
 
+COMPACT_TARGET = 40_000  # stand-in bytes per output group
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan (operators/layout.py:compaction_plan)
+    over a manifest derived from documents (path = source/zero-padded
+    id, bytes = n_chars — the fixture's stand-in for a file listing;
+    a real run feeds the table's file-level metadata). Zero-padding
+    keeps the path order identical lexicographically on both engines."""
+    from hash_db_spark.operators.layout import compaction_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    manifest = docs.select(
+        F.concat(
+            F.col("source"),
+            F.lit("/"),
+            F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+            F.lit(".parquet"),
+        ).alias("path"),
+        F.col("n_chars").alias("bytes"),
+    )
+    return compaction_plan(manifest, COMPACT_TARGET)
+
+
+def _compaction_plan_oracle() -> str:
+    from hash_db_spark.operators.layout import sql_compaction_plan
+
+    manifest = (
+        "SELECT source || '/' || lpad(doc_id::VARCHAR, 8, '0') "
+        "|| '.parquet' AS path, n_chars AS bytes FROM documents"
+    )
+    return sql_compaction_plan(manifest, COMPACT_TARGET)
+
+
 QUERIES = {
     "csv_roundtrip": Query(q_csv_roundtrip, "SELECT * FROM supplier"),
     "jsonl_roundtrip": Query(q_jsonl_roundtrip, "SELECT * FROM orders"),
@@ -148,4 +182,8 @@ QUERIES = {
     "zorder_values": Query(q_zorder_values, _zorder_oracle()),
     "warc_extract": Query(q_warc_extract, _warc_oracle()),
     "warc_extract_gz": Query(q_warc_extract_gz, _warc_oracle()),
+    # r10 QUEUE (registration throttled per VERDICT r08 #1):
+    #   "compaction_plan": Query(q_compaction_plan, _compaction_plan_oracle()),
+    # Bin-packing compaction planner — implemented + parity-tested this
+    # round (tests/test_layout.py); one-line uncomment when r10 has a slot.
 }

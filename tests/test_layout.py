@@ -133,3 +133,63 @@ def test_bloom_point_lookup_correct_and_pushed(spark, sf_dir, tmp_path):
     assert [r.doc_id for r in got] == [r.doc_id for r in want]
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "doc_id" in plan
+
+
+# --- compaction planning -----------------------------------------------------
+
+
+def test_compaction_plan_bins_fill_to_target(spark):
+    """Controlled manifest: equal 10-byte files, target 35 -> exclusive
+    prefix DIV binning cuts the prefix axis at 35-byte marks: grp 0 gets
+    prefixes 0,10,20,30 (4 files, 40 bytes — overflows past the mark),
+    grp 1 gets 40,50,60 (3 files — the previous bin's overflow ate into
+    its range), grp 2 gets 70,80,90."""
+    from hash_db_spark.operators.layout import compaction_plan
+
+    files = spark.createDataFrame(
+        [(f"f{i:03d}", 10) for i in range(10)], ["path", "bytes"]
+    )
+    got = {
+        r.path: (r.grp, r.grp_files, r.grp_bytes)
+        for r in compaction_plan(files, 35).collect()
+    }
+    assert got["f000"] == (0, 4, 40)
+    assert got["f003"] == (0, 4, 40)
+    assert got["f004"] == (1, 3, 30)  # prefix 40 -> 40 DIV 35 = 1
+    assert got["f008"] == (2, 3, 30)  # prefixes 70,80,90
+    # oversized file occupies bins alone
+    big = spark.createDataFrame(
+        [("a", 100), ("b", 10), ("c", 10)], ["path", "bytes"]
+    )
+    gb = {r.path: r.grp for r in compaction_plan(big, 35).collect()}
+    assert gb["a"] == 0 and gb["b"] == 2 and gb["c"] == 3
+
+
+def test_compaction_plan_oracle_parity(spark, sf_dir):
+    """Driver-style compare for the r10-queued compaction_plan entry,
+    plus the invariant every non-final group reached the target."""
+    import duckdb
+
+    from hash_db_spark.queries.sources_queries import (
+        COMPACT_TARGET,
+        _compaction_plan_oracle,
+        q_compaction_plan,
+    )
+
+    got = sorted(tuple(r) for r in q_compaction_plan(spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(_compaction_plan_oracle()).fetchall()
+    )
+    con.close()
+    assert got == want and len(got) > 0
+    groups = sorted({(g, gf, gb) for _, _, g, gf, gb in got})
+    assert len(groups) > 1
+    # every group except the last covers a full target-width range of
+    # the prefix axis, so it undershoots by at most one file's bytes
+    max_file = max(b for _, b, *_ in got)
+    for _, _, gb in groups[:-1]:
+        assert gb > COMPACT_TARGET - max_file
