@@ -150,6 +150,79 @@ def _kmeans_oracle() -> str:
     return C.sql_kmeans_assign()
 
 
+TRUNC_DIMS = (16, 32)  # prefix widths audited against the full 64
+
+
+def q_sim_recall_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-dimension recall audit (the Matryoshka-representation
+    question, Kusupati et al. 2022, arXiv:2205.13147 — public): per
+    query, how many of the full-dimension exact top-k survive when
+    cosine runs on only the first 16 / 32 of 64 dims. This is the
+    measurement that decides whether an index can store prefix vectors
+    (2-4x less memory and IO at 100 TB) and rerank with full vectors.
+
+    Scale shape is the sampled-recall protocol of sim_recall_report:
+    every path scores ONLY the audit queries (broadcast-queries x
+    corpus projection), never corpus x corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = S.topk_bruteforce(emb, QUERY_IDS, k=K).select("qid", "vec_id")
+    out = exact
+    for d in TRUNC_DIMS:
+        t = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        tk = S.topk_bruteforce(t, QUERY_IDS, k=K).select(
+            "qid", "vec_id", F.lit(1).alias(f"__d{d}")
+        )
+        out = out.join(tk, ["qid", "vec_id"], "left")
+    return out.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        *[
+            F.sum(F.coalesce(f"__d{d}", F.lit(0)))
+            .cast("long")
+            .alias(f"d{d}_hits")
+            for d in TRUNC_DIMS
+        ],
+    )
+
+
+def _sim_recall_truncated_oracle() -> str:
+    trunc = {
+        d: S.sql_topk_bruteforce(
+            QUERY_IDS,
+            k=K,
+            table=(
+                f"(SELECT vec_id, embedding[1:{d}] AS embedding "
+                "FROM embeddings)"
+            ),
+        )
+        for d in TRUNC_DIMS
+    }
+    ctes = ",\n".join(
+        f"t{d} AS (SELECT qid, vec_id FROM ({sql}) x)"
+        for d, sql in trunc.items()
+    )
+    joins = "\n".join(
+        f"LEFT JOIN t{d} ON t{d}.qid = e.qid AND t{d}.vec_id = e.vec_id"
+        for d in TRUNC_DIMS
+    )
+    hits = ",\n       ".join(
+        f"CAST(count(t{d}.vec_id) AS BIGINT) AS d{d}_hits"
+        for d in TRUNC_DIMS
+    )
+    return f"""
+WITH exact AS (
+  SELECT qid, vec_id FROM ({S.sql_topk_bruteforce(QUERY_IDS, k=K)}) x
+),
+{ctes}
+SELECT e.qid, count(*) AS n_exact,
+       {hits}
+FROM exact e
+{joins}
+GROUP BY e.qid
+"""
+
+
 QUERIES = {
     "kmeans_clusters": Query(q_kmeans_clusters, _kmeans_oracle()),
     "sim_topk_brute": Query(
@@ -175,6 +248,8 @@ QUERIES = {
 
 # r10 QUEUE (registration throttled per VERDICT r08 #1 — the r09 window
 # is fully subscribed by never-checked entries):
+#   "sim_recall_truncated": Query(
+#       q_sim_recall_truncated, _sim_recall_truncated_oracle()),
 #   "sim_topk_pq": Query(q_sim_topk_pq, _pq_oracle()),
 #   "sim_topk_ivf_pq": Query(q_sim_topk_ivf_pq, _ivf_pq_oracle()),
 #   "sim_topk_pq_persisted": Query(q_sim_topk_pq_persisted, _ivf_pq_oracle()),

@@ -228,3 +228,34 @@ def test_topk_quantized_zero_vector_yields_null(spark):
     # NULL sorts last under desc ordering: the degenerate row ranks
     # below the genuine neighbor.
     assert by_id[2].rank < by_id[3].rank
+
+
+# --- truncated-dimension recall audit ----------------------------------------
+
+
+def test_sim_recall_truncated_oracle_parity(spark, sf_dir):
+    """Driver-style compare for the r10-queued sim_recall_truncated
+    entry, plus sanity: wider prefixes never recall less in aggregate,
+    and hits never exceed n_exact."""
+    import duckdb
+
+    from hash_db_spark.queries.similarity_queries import (
+        _sim_recall_truncated_oracle,
+        q_sim_recall_truncated,
+    )
+
+    got = sorted(
+        tuple(r) for r in q_sim_recall_truncated(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(_sim_recall_truncated_oracle()).fetchall()
+    )
+    con.close()
+    assert got == want and len(got) == 8
+    for _, n_exact, d16, d32 in got:
+        assert 0 <= d16 <= n_exact and 0 <= d32 <= n_exact
+    assert sum(r[3] for r in got) >= sum(r[2] for r in got)
