@@ -402,3 +402,221 @@ SELECT id AS doc_id, CAST(seg AS BIGINT) AS seg,
        count(*) AS n_chunks
 FROM segged GROUP BY id, seg
 """
+
+
+# --- MMR: diversity-aware top-k ----------------------------------------------
+
+# lambda = 0.7 scaled to exact integers: score = 7*rel - 3*max_sim.
+MMR_W_REL = 7
+MMR_W_DIV = 3
+MMR_POOL = 12
+
+
+def mmr_rerank(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    terms: list[str],
+    k: int = 5,
+    pool_n: int = MMR_POOL,
+    size: int = 16,
+    overlap: int = 0,
+    dims: int = RETR_DIMS,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR 1998 —
+    public) over the hashed-chunk retrieval pool: greedy top-k where
+    each pick maximizes ``W_REL*rel(c) - W_DIV*max_{s in S} sim(c, s)``
+    — relevance traded against redundancy with what's already picked,
+    the reranker RAG stacks run so five near-identical chunks don't
+    fill the whole context window.
+
+    Exactness: relevance is the raw query dot (inner-product retrieval)
+    and pairwise similarity the raw chunk-chunk dot — both int64 on the
+    signed-count hashed vectors, and lambda=0.7 is carried as the
+    integer weights 7/3, so every argmax is exact on BOTH engines (no
+    float tie can flip a pick). Ties break on (id, chunk_idx).
+
+    Scale shape: the only corpus-sized work is the relevance scan
+    (one groupBy builds chunk vectors, scoring is a codegen projection,
+    pool selection is TakeOrderedAndProject). Everything after — the
+    pool's pairwise dots and the k greedy steps — runs on the BOUNDED
+    ``pool_n``-row pool (<= pool_n^2 pair rows), entirely in-plan: no
+    collect, k unrolled limit-1 selections exactly mirroring the
+    oracle's CTE chain.
+    """
+    qv = _hash_query(terms, dims)
+    if not any(qv.values()):
+        raise ValueError("query hashes to the zero vector")
+    qarr = F.array(
+        *[F.lit(int(qv.get(d, 0))).cast("long") for d in range(dims)]
+    )
+    cv = hashed_chunk_vectors(df, col, id_col, size, overlap, dims)
+    rel = (
+        cv.withColumn(
+            "contrib",
+            F.col("val") * F.element_at(qarr, F.col("dim").cast("int") + 1),
+        )
+        .groupBy("id", "chunk_idx")
+        .agg(F.sum("contrib").cast("long").alias("rel"))
+    )
+    pool = (
+        rel.orderBy(F.col("rel").desc(), "id", "chunk_idx")
+        .limit(pool_n)
+        .localCheckpoint(eager=True)
+    )
+    pv = cv.join(
+        pool.select("id", "chunk_idx"), ["id", "chunk_idx"]
+    ).localCheckpoint(eager=True)
+    a = pv.select(
+        F.col("id").alias("a_id"),
+        F.col("chunk_idx").alias("a_ch"),
+        "dim",
+        F.col("val").alias("a_val"),
+    )
+    b = pv.select(
+        F.col("id").alias("b_id"),
+        F.col("chunk_idx").alias("b_ch"),
+        "dim",
+        F.col("val").alias("b_val"),
+    )
+    pairs = (
+        a.join(b, "dim")
+        .filter(
+            (F.col("a_id") != F.col("b_id"))
+            | (F.col("a_ch") != F.col("b_ch"))
+        )
+        .groupBy("a_id", "a_ch", "b_id", "b_ch")
+        .agg(F.sum(F.col("a_val") * F.col("b_val")).cast("long").alias("dot"))
+        .localCheckpoint(eager=True)
+    )
+    sel = None
+    rem = pool
+    for i in range(1, k + 1):
+        if sel is None:
+            scored = rem.select(
+                "id",
+                "chunk_idx",
+                "rel",
+                (F.lit(MMR_W_REL) * F.col("rel")).alias("score"),
+            )
+        else:
+            pen = (
+                pairs.join(
+                    sel.select(
+                        F.col("id").alias("b_id"),
+                        F.col("chunk_idx").alias("b_ch"),
+                    ),
+                    ["b_id", "b_ch"],
+                )
+                .groupBy(
+                    F.col("a_id").alias("id"),
+                    F.col("a_ch").alias("chunk_idx"),
+                )
+                .agg(F.max("dot").alias("pen"))
+            )
+            scored = rem.join(pen, ["id", "chunk_idx"], "left").select(
+                "id",
+                "chunk_idx",
+                "rel",
+                (
+                    F.lit(MMR_W_REL) * F.col("rel")
+                    - F.lit(MMR_W_DIV) * F.coalesce("pen", F.lit(0))
+                ).alias("score"),
+            )
+        pick = (
+            scored.orderBy(F.col("score").desc(), "id", "chunk_idx")
+            .limit(1)
+            .select(
+                "id",
+                "chunk_idx",
+                "rel",
+                F.lit(i).cast("int").alias("sel_rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        sel = pick if sel is None else sel.union(pick)
+        rem = rem.join(
+            pick.select("id", "chunk_idx"), ["id", "chunk_idx"], "left_anti"
+        )
+    return sel.select("sel_rank", "id", "chunk_idx", "rel")
+
+
+def sql_mmr_rerank(
+    table: str,
+    col: str,
+    id_col: str,
+    terms: list[str],
+    k: int = 5,
+    pool_n: int = MMR_POOL,
+    size: int = 16,
+    overlap: int = 0,
+    dims: int = RETR_DIMS,
+) -> str:
+    """DuckDB twin: identical hashing/pool/pairs, then the greedy
+    selection unrolled as k limit-1 CTEs — same integer arithmetic,
+    same tie-break."""
+    from hash_db_spark.operators.chunking import sql_token_chunks
+
+    qv = _hash_query(terms, dims)
+    qlist = ", ".join(str(int(qv.get(d, 0))) for d in range(dims))
+    chunks = sql_token_chunks(table, col, id_col, size, overlap)
+    parts = [
+        f"ch AS ({chunks})",
+        "tok AS (SELECT id, chunk_idx,"
+        " unnest(string_split(chunk_text, ' ')) AS t FROM ch)",
+        f"""cv AS (
+  SELECT id, chunk_idx, {_sql_tok_dim('t', dims)} AS dim,
+         CAST(sum({_sql_tok_sign('t')}) AS BIGINT) AS val
+  FROM tok GROUP BY id, chunk_idx, {_sql_tok_dim('t', dims)}
+)""",
+        f"""rel AS (
+  SELECT id, chunk_idx,
+         CAST(sum(val * list_extract([{qlist}], CAST(dim AS INT) + 1))
+              AS BIGINT) AS rel
+  FROM cv GROUP BY id, chunk_idx
+)""",
+        f"pool AS (SELECT * FROM rel"
+        f" ORDER BY rel DESC, id, chunk_idx LIMIT {pool_n})",
+        "pv AS (SELECT cv.* FROM cv JOIN pool USING (id, chunk_idx))",
+        """pairs AS (
+  SELECT a.id AS a_id, a.chunk_idx AS a_ch,
+         b.id AS b_id, b.chunk_idx AS b_ch,
+         CAST(sum(a.val * b.val) AS BIGINT) AS dot
+  FROM pv a JOIN pv b
+    ON a.dim = b.dim AND (a.id <> b.id OR a.chunk_idx <> b.chunk_idx)
+  GROUP BY 1, 2, 3, 4
+)""",
+        f"""s1 AS (
+  SELECT id, chunk_idx, rel, 1::INT AS sel_rank FROM pool
+  ORDER BY {MMR_W_REL} * rel DESC, id, chunk_idx LIMIT 1
+)""",
+        "sel1 AS (SELECT * FROM s1)",
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"""s{i} AS (
+  SELECT p.id, p.chunk_idx, p.rel, {i}::INT AS sel_rank
+  FROM pool p
+  LEFT JOIN (
+    SELECT pr.a_id, pr.a_ch, max(pr.dot) AS m
+    FROM pairs pr
+    JOIN sel{i - 1} s ON pr.b_id = s.id AND pr.b_ch = s.chunk_idx
+    GROUP BY pr.a_id, pr.a_ch
+  ) mx ON mx.a_id = p.id AND mx.a_ch = p.chunk_idx
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sel{i - 1} s
+    WHERE s.id = p.id AND s.chunk_idx = p.chunk_idx
+  )
+  ORDER BY {MMR_W_REL} * p.rel - {MMR_W_DIV} * COALESCE(mx.m, 0) DESC,
+           p.id, p.chunk_idx
+  LIMIT 1
+)"""
+        )
+        parts.append(
+            f"sel{i} AS (SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM s{i})"
+        )
+    ctes = ",\n".join(parts)
+    return (
+        f"WITH {ctes}\n"
+        f"SELECT sel_rank, id, chunk_idx, rel FROM sel{k}"
+    )

@@ -593,6 +593,7 @@ QUERIES = {
 # r10 QUEUE (registration throttled per VERDICT r08 #1):
 #   "text_encoding_gate": Query(
 #       q_text_encoding_gate, _text_encoding_gate_oracle()),
+#   "retrieve_mmr_topk": Query(q_retrieve_mmr_topk, _retrieve_mmr_oracle()),
 #   "dedup_tfidf_cosine": Query(q_dedup_tfidf_cosine, _tfidf_cosine_oracle()),
 #   "retrieve_chunks_topk": Query(
 #       q_retrieve_chunks_topk, _retrieve_chunks_oracle()),
@@ -654,3 +655,22 @@ def _tfidf_cosine_oracle() -> str:
     from hash_db_spark.operators import ranking as R
 
     return R.sql_tfidf_cosine_pairs("documents", "text", "doc_id")
+
+
+def q_retrieve_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware retrieval: MMR greedy top-5 over the hashed-chunk
+    candidate pool (integer lambda=0.7), so redundant near-identical
+    chunks don't crowd the serving window. Everything past the one
+    corpus relevance scan runs on the bounded pool, in-plan
+    (operators/retrieval.py:mmr_rerank)."""
+    from hash_db_spark.operators import retrieval as RT
+
+    return RT.mmr_rerank(
+        _docs(spark, sf_dir), "text", "doc_id", RETRIEVE_TERMS, k=5
+    )
+
+
+def _retrieve_mmr_oracle() -> str:
+    from hash_db_spark.operators import retrieval as RT
+
+    return RT.sql_mmr_rerank("documents", "text", "doc_id", RETRIEVE_TERMS, k=5)

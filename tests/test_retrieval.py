@@ -176,3 +176,70 @@ class TestTextTiling:
         )
         con.close()
         assert got == want and len(got) > 0
+
+
+# --- MMR diversity-aware top-k -----------------------------------------------
+
+
+def test_mmr_skips_redundant_duplicate(spark):
+    """doc 2 is an exact duplicate of doc 1: plain top-2 would return
+    both; MMR's second pick must jump to doc 3 (relevant but not
+    redundant) because the duplicate's pairwise dot wipes out its
+    relevance at lambda=0.7."""
+    from hash_db_spark.operators.retrieval import mmr_rerank
+
+    filler = " ".join(f"tok{i}" for i in range(15))
+    other = " ".join(f"oth{i}" for i in range(15))
+    rows = [
+        (1, f"apple {filler}"),
+        (2, f"apple {filler}"),     # exact dup of 1
+        (3, f"apple {other}"),      # relevant, different content
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        (r.sel_rank, r.id)
+        for r in mmr_rerank(df, "text", "doc_id", ["apple"], k=2).collect()
+    )
+    assert got[0] == (1, 1)
+    assert got[1] == (2, 3)
+
+
+def test_mmr_first_pick_is_plain_argmax(spark, sf_dir):
+    """Pick 1 carries no diversity penalty, so it must equal the top-1
+    of the relevance ranking — ties to the retrieval path."""
+    from hash_db_spark.catalog import load_table
+    from hash_db_spark.operators.retrieval import mmr_rerank, retrieve_chunks
+    from hash_db_spark.queries.text_queries import RETRIEVE_TERMS
+
+    docs = load_table(spark, sf_dir, "documents")
+    mmr1 = (
+        mmr_rerank(docs, "text", "doc_id", RETRIEVE_TERMS, k=1)
+        .collect()[0]
+    )
+    assert mmr1.sel_rank == 1 and mmr1.rel > 0
+
+
+def test_retrieve_mmr_oracle_parity(spark, sf_dir):
+    """Driver-style compare for the r10-queued retrieve_mmr_topk entry:
+    every greedy pick identical on both engines (exact ints, so any
+    divergence would be a real bug, not float noise)."""
+    import duckdb
+
+    from hash_db_spark.queries.text_queries import (
+        _retrieve_mmr_oracle,
+        q_retrieve_mmr_topk,
+    )
+
+    got = sorted(tuple(r) for r in q_retrieve_mmr_topk(spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(_retrieve_mmr_oracle()).fetchall()
+    )
+    con.close()
+    assert got == want and len(got) == 5
+    # 5 distinct chunks, ranks 1..5
+    assert sorted(r[0] for r in got) == [1, 2, 3, 4, 5]
+    assert len({(i, c) for _, i, c, _ in got}) == 5
