@@ -518,3 +518,48 @@ def test_no_forced_broadcast_of_corpus_derived_frames():
             f"{fn.__name__} force-broadcasts {hints - ok} — corpus-"
             "derived frames must stay unhinted"
         )
+
+
+def test_compaction_plan_no_global_window(spark, sf_dir):
+    """The manifest prefix sum must run through the range-partitioned
+    offsets machinery, never a SinglePartition window."""
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries.sources_queries import q_compaction_plan
+
+    plan = formatted_plan(q_compaction_plan(spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mmr_corpus_side_is_topk_only(spark, sf_dir):
+    """MMR's corpus-sized work must end at the pool's
+    TakeOrderedAndProject: the greedy stage runs on checkpointed
+    bounded frames, so the final plan contains no cartesian product
+    and no corpus-wide window."""
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries.text_queries import q_retrieve_mmr_topk
+
+    plan = formatted_plan(q_retrieve_mmr_topk(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hits_iteration_plan_is_flat(spark, sf_dir):
+    """Each HITS half-iteration is one equijoin + one hash aggregate on
+    checkpointed inputs — the final plan must not re-derive the edge
+    list (localCheckpoint keeps it a scan) nor contain a cartesian."""
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries.web_queries import q_hits_hosts
+
+    plan = formatted_plan(q_hits_hosts(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_encoding_gate_map_side_only(spark, sf_dir):
+    """The encoding gate is a pure projection: zero exchanges."""
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries.text_queries import q_text_encoding_gate
+
+    plan = formatted_plan(q_text_encoding_gate(spark, sf_dir))
+    assert "Exchange" not in plan
