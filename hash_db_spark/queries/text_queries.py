@@ -594,6 +594,8 @@ QUERIES = {
 #   "text_encoding_gate": Query(
 #       q_text_encoding_gate, _text_encoding_gate_oracle()),
 #   "retrieve_mmr_topk": Query(q_retrieve_mmr_topk, _retrieve_mmr_oracle()),
+#   "fts_serve_mixed": Query(
+#       q_fts_serve_mixed, _fts_oracle(FTS_MIXED, "doc_id")),
 #   "dedup_tfidf_cosine": Query(q_dedup_tfidf_cosine, _tfidf_cosine_oracle()),
 #   "retrieve_chunks_topk": Query(
 #       q_retrieve_chunks_topk, _retrieve_chunks_oracle()),
@@ -674,3 +676,21 @@ def _retrieve_mmr_oracle() -> str:
     from hash_db_spark.operators import retrieval as RT
 
     return RT.sql_mmr_rerank("documents", "text", "doc_id", RETRIEVE_TERMS, k=5)
+
+
+def q_fts_serve_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's mixed-mode FTS query served from the PERSISTED
+    posting-list index instead of a corpus scan — result-identical to
+    fts_mixed by construction, so it shares that oracle. Index lands at
+    a deterministic per-sf path and is overwritten in place (the
+    q_sim_topk_ivf_persisted discipline)."""
+    import hashlib
+    import tempfile
+
+    from hash_db_spark.operators.fts import fts_index_probe
+    from hash_db_spark.sources.writers import write_fts_index
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/hash_db_spark_fts_{tag}"
+    write_fts_index(_docs(spark, sf_dir), path)
+    return fts_index_probe(spark, path, FTS_MIXED)

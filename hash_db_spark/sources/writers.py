@@ -608,3 +608,55 @@ def pq_index_topk(
     return _adc_topk(
         coded, packed, cmat, qrows, k, meta["m"], meta["ks"], nprobe
     )
+
+
+def write_fts_index(
+    docs: DataFrame,
+    path: str,
+    col: str = "text",
+    id_col: str = "doc_id",
+    token_buckets: int = 64,
+) -> None:
+    """Persist the inverted index the FTS SERVING path consumes — the
+    index-once/probe-per-query complement to the scan-side
+    ``fts_filter`` (operators/fts.py module docstring): when the corpus
+    is static and queries are many, a probe should read only the query
+    terms' postings, never re-scan text.
+
+    Layout (the reference maintains the same structure as KV rows,
+    FTS.<table>.<field>.<token>.<rowid> — /root/reference/server.py:729-739;
+    here it's columnar): postings/(token, id) DISTINCT, partitioned by
+    a token hash bucket — bounded directory count at any vocabulary
+    size, and a probing term's equality predicate prunes to one bucket
+    (PartitionFilters). Tokenization is fts_tokens, identical to the
+    scan path, so serve and scan are result-identical by construction.
+    """
+    from hash_db_spark.operators.fts import fts_tokens
+
+    postings = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(fts_tokens(col)).alias("token"),
+        )
+        .distinct()
+        .withColumn(
+            "tok_bucket",
+            (
+                F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast(
+                    "long"
+                )
+                % token_buckets
+            ).cast("int"),
+        )
+    )
+    (
+        postings.repartition("tok_bucket")
+        .sortWithinPartitions("token", "id")
+        .write.partitionBy("tok_bucket")
+        .mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
+    meta = docs.sparkSession.createDataFrame(
+        [(int(token_buckets),)], "token_buckets int"
+    )
+    meta.write.mode("overwrite").parquet(f"{path}/meta")

@@ -181,3 +181,52 @@ def test_text_encoding_gate_oracle_parity(spark, sf_dir):
     # the synthetic corruption families are actually flagged
     assert any(not ok for *_, ok in got)
     assert any(ok for *_, ok in got)
+
+
+# --- posting-list FTS serving ------------------------------------------------
+
+
+def test_fts_index_probe_matches_scan(spark, sf_dir, tmp_path):
+    """Serve == scan on all three fold shapes, and the probe plan prunes
+    to the term buckets (PartitionFilters on tok_bucket)."""
+    from hash_db_spark.catalog import load_table
+    from hash_db_spark.operators.fts import fts_filter, fts_index_probe
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries.text_queries import FTS_AND, FTS_MIXED, FTS_OR
+    from hash_db_spark.sources.writers import write_fts_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "fts_idx")
+    write_fts_index(docs, path)
+    for q in (FTS_AND, FTS_OR, FTS_MIXED):
+        served = fts_index_probe(spark, path, q)
+        scanned = sorted(
+            r.doc_id for r in fts_filter(docs, "text", q).select("doc_id").collect()
+        )
+        assert sorted(r.doc_id for r in served.collect()) == scanned
+        assert len(scanned) > 0
+    plan = formatted_plan(fts_index_probe(spark, path, FTS_AND))
+    assert "PartitionFilters: [isnotnull(tok_bucket" in plan
+
+
+def test_fts_serve_mixed_oracle_parity(spark, sf_dir):
+    """Driver-style compare for the r10-queued fts_serve_mixed entry
+    (same oracle as the registered fts_mixed scan entry)."""
+    import duckdb
+
+    from hash_db_spark.queries.text_queries import (
+        FTS_MIXED,
+        _fts_oracle,
+        q_fts_serve_mixed,
+    )
+
+    got = sorted(r.doc_id for r in q_fts_serve_mixed(spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        r[0] for r in con.execute(_fts_oracle(FTS_MIXED, "doc_id")).fetchall()
+    )
+    con.close()
+    assert got == want and len(got) > 0
