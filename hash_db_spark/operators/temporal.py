@@ -578,3 +578,75 @@ SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day,
 FROM activity a JOIN firsts f USING (u)
 GROUP BY 1, 2
 """
+
+
+# --- event-transition matrix -------------------------------------------------
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: (from_type, to_type, n, p) where p = P(to | from) —
+    the behavioral fingerprint funnels/retention summarize away, used
+    for anomaly detection (a transition that never happens organically)
+    and simulation seeding. Order is (ts, event_id) so simultaneous
+    events sequence deterministically on both engines.
+
+    Scale shape: ONE shuffle on user_id for the lead() window (each
+    user's timeline is one partition's work — no global window), then a
+    map-side-combined groupBy whose output is |types|^2 rows; the
+    per-from normalization window runs on that tiny matrix, not the
+    corpus."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    nxt = (
+        events.select(user_col, ts_col, id_col, type_col)
+        .withColumn("to_type", F.lead(type_col).over(w))
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = nxt.groupBy(
+        F.col(type_col).alias("from_type"), "to_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wf = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wf).cast("double"),
+            6,
+        ).alias("p"),
+    )
+
+
+def sql_event_transitions(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    return f"""
+WITH nxt AS (
+  SELECT {type_col} AS from_type,
+         lead({type_col}) OVER (
+           PARTITION BY {user_col} ORDER BY {ts_col}, {id_col}
+         ) AS to_type
+  FROM {table}
+),
+c AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE),
+             6) AS p
+FROM c
+"""

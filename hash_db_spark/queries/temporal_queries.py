@@ -494,6 +494,13 @@ FROM events GROUP BY hour, event_type
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (operators/temporal.py:event_transitions) — one user
+    shuffle, |types|^2 output."""
+    return T.event_transitions(_events(spark, sf_dir))
+
+
 QUERIES = {
     "events_hourly_profile": Query(q_hourly_profile, HOURLY_PROFILE_ORACLE),
     "decayed_activity": Query(q_decayed_activity, DECAYED_ORACLE),
@@ -526,4 +533,9 @@ QUERIES = {
     ),
     "stream_mv_join": Query(q_stream_mv_join, STREAM_MV_ORACLE),
     "stream_stream_join": Query(q_stream_stream_join, STREAM_STREAM_ORACLE),
+    # r10 QUEUE (registration throttled per VERDICT r08 #1):
+    #   "event_transitions": Query(
+    #       q_event_transitions, T.sql_event_transitions()),
+    # Markov transition matrix — implemented + parity-tested this round
+    # (tests/test_temporal.py); one-line uncomment when r10 has a slot.
 }

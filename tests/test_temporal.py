@@ -412,3 +412,75 @@ def test_merge_intervals_edges(spark):
         ("a", dt(2024, 1, 1, 12, 0), dt(2024, 1, 1, 12, 10), 1),
         ("b", dt(2024, 1, 1, 9, 0), dt(2024, 1, 1, 10, 0), 2),
     ]
+
+
+# --- event-transition matrix -------------------------------------------------
+
+
+def test_event_transitions_hand_computed(spark):
+    """Two users, hand-derived matrix: u1 a->b->a, u2 a->b. Transitions:
+    a->b x2, b->a x1; P(b|a)=1.0, P(a|b)=0.5... wait u2 contributes
+    a->b only, u1 contributes a->b, b->a. So from a: 2x to b (p=1.0);
+    from b: 1x to a (p=1.0)."""
+    import datetime as dt
+
+    from hash_db_spark.operators.temporal import event_transitions
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, t0, 10, "a"),
+        (2, t0 + dt.timedelta(minutes=1), 10, "b"),
+        (3, t0 + dt.timedelta(minutes=2), 10, "a"),
+        (4, t0, 20, "a"),
+        (5, t0 + dt.timedelta(minutes=1), 20, "b"),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    )
+    got = {
+        (r.from_type, r.to_type): (r.n, r.p)
+        for r in event_transitions(ev).collect()
+    }
+    assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+
+
+def test_event_transitions_simultaneous_ties_deterministic(spark):
+    """Equal timestamps sequence by event_id — the cross-engine
+    determinism contract."""
+    import datetime as dt
+
+    from hash_db_spark.operators.temporal import event_transitions
+
+    t0 = dt.datetime(2026, 1, 1)
+    ev = spark.createDataFrame(
+        [(2, t0, 1, "b"), (1, t0, 1, "a"), (3, t0, 1, "c")],
+        ["event_id", "ts", "user_id", "event_type"],
+    )
+    got = {(r.from_type, r.to_type) for r in event_transitions(ev).collect()}
+    assert got == {("a", "b"), ("b", "c")}
+
+
+def test_event_transitions_oracle_parity(spark, sf_dir):
+    """Driver-style compare for the r10-queued event_transitions entry,
+    plus the stochastic-matrix law: each from-row's probabilities sum
+    to 1."""
+    import duckdb
+
+    from hash_db_spark.operators.temporal import sql_event_transitions
+    from hash_db_spark.queries.temporal_queries import q_event_transitions
+
+    got = sorted(tuple(r) for r in q_event_transitions(spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(sql_event_transitions()).fetchall()
+    )
+    con.close()
+    assert got == want and len(got) > 0
+    sums = {}
+    for f, _, _, p in got:
+        sums[f] = sums.get(f, 0.0) + p
+    for f, s in sums.items():
+        assert abs(s - 1.0) < 1e-4, (f, s)
