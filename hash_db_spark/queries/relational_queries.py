@@ -609,6 +609,63 @@ FROM supplier
 """
 
 
+# (child_table, fk_col, parent_table, pk_col) — the fixture's FK graph.
+FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every FK edge of the schema:
+    (edge, n_child, n_orphans) — the data-quality report a warehouse
+    runs after every load (parquet enforces nothing; orphans creep in
+    through partial loads and late-arriving dims). Healthy fixtures
+    score all zeros — that IS the assertion.
+
+    Scale shape: one left-anti join per edge, unhinted — AQE broadcasts
+    the parent key set while it fits (nation/region always; orders at
+    100 TB falls back to a shuffle join, which is the correct plan).
+    Output is |edges| rows built from map-side-combinable counts."""
+    out = None
+    for child, fk, parent, pk in FK_EDGES:
+        c = _t(spark, sf_dir, child).select(F.col(fk).alias("k"))
+        p = _t(spark, sf_dir, parent).select(F.col(pk).alias("k"))
+        row = (
+            c.agg(F.count(F.lit(1)).alias("n_child"))
+            .crossJoin(
+                c.join(p, "k", "left_anti").agg(
+                    F.count(F.lit(1)).alias("n_orphans")
+                )
+            )
+            .select(
+                F.lit(f"{child}.{fk}->{parent}.{pk}").alias("edge"),
+                "n_child",
+                "n_orphans",
+            )
+        )
+        out = row if out is None else out.union(row)
+    return out
+
+
+def _fk_integrity_oracle() -> str:
+    selects = [
+        f"""SELECT '{child}.{fk}->{parent}.{pk}' AS edge,
+       (SELECT count(*) FROM {child}) AS n_child,
+       (SELECT count(*) FROM {child} c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk}
+        )) AS n_orphans"""
+        for child, fk, parent, pk in FK_EDGES
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
 QUERIES = {
     "percentiles": Query(q_percentiles, PERCENTILES_ORACLE),
     "cdc_latest_view": Query(q_cdc_latest_view, CDC_ORACLE),
@@ -688,4 +745,10 @@ QUERIES = {
     ),
     "scalar_functions": Query(q_scalar_functions, SCALAR_FN_ORACLE),
     "agg_functions": Query(q_agg_functions, AGG_FN_ORACLE),
+    # r10 QUEUE (registration throttled per VERDICT r08 #1):
+    #   "fk_integrity_audit": Query(
+    #       q_fk_integrity_audit, _fk_integrity_oracle()),
+    # Referential-integrity audit — implemented + parity-tested this
+    # round (tests/test_relational.py); one-line uncomment when r10 has
+    # a slot.
 }

@@ -307,6 +307,26 @@ def main() -> int:
                 f"{entry}/{scale}",
                 lambda e=entry: reg[e].fn(spark, sf_dir),
             )
+        # round-9 session 3: r10-queued operators (driven through their
+        # query fns — identical plans to the future registry entries)
+        from hash_db_spark.queries.similarity_queries import (
+            q_sim_recall_truncated,
+        )
+        from hash_db_spark.queries.sources_queries import q_compaction_plan
+        from hash_db_spark.queries.text_queries import (
+            q_retrieve_mmr_topk,
+            q_text_encoding_gate,
+        )
+        from hash_db_spark.queries.web_queries import q_hits_hosts
+
+        for name, fn in (
+            ("hits_hosts", q_hits_hosts),
+            ("compaction_plan", q_compaction_plan),
+            ("retrieve_mmr_topk", q_retrieve_mmr_topk),
+            ("text_encoding_gate", q_text_encoding_gate),
+            ("sim_recall_truncated", q_sim_recall_truncated),
+        ):
+            timed(f"{name}/{scale}", lambda f=fn: f(spark, sf_dir))
     return 0
 
 
