@@ -88,6 +88,17 @@ def all_queries() -> dict[str, Query]:
     #     retrieve_chunks_topk   (text_queries.py r10 QUEUE)
     #     doc_topic_segments     (text_queries.py r10 QUEUE)
     #     kmv_shared_users       (sketch_queries.py r10 QUEUE)
+    #   session-3 additions (same discipline — implemented +
+    #   oracle-parity-tested + plan-shape-pinned this round):
+    #     hits_hosts             (web_queries.py r10 QUEUE)
+    #     lsh_param_plan         (dedup_queries.py r10 QUEUE)
+    #     text_encoding_gate     (text_queries.py r10 QUEUE)
+    #     retrieve_mmr_topk      (text_queries.py r10 QUEUE)
+    #     fts_serve_mixed        (text_queries.py r10 QUEUE)
+    #     compaction_plan        (sources_queries.py r10 QUEUE)
+    #     sim_recall_truncated   (similarity_queries.py r10 QUEUE)
+    #     event_transitions      (temporal_queries.py r10 QUEUE)
+    #     fk_integrity_audit     (relational_queries.py r10 QUEUE)
     #
     # Registration throttle (VERDICT r08 #1): NO new registry entries
     # this round — new operators land in code/tests and queue for r10.
