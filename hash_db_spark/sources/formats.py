@@ -71,3 +71,33 @@ def write_orc(df: DataFrame, path: str) -> None:
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row") -> None:
+    """XML sink (built into Spark 4 — the spark-xml package merged
+    upstream, SPARK-44265). ISO timestamps so the round-trip schema
+    read is exact."""
+    (
+        df.write.format("xml")
+        .option("rowTag", row_tag)
+        .option("timestampFormat", TS_FMT)
+        .mode("overwrite")
+        .save(path)
+    )
+
+
+def read_xml(
+    spark: SparkSession, path: str, schema, row_tag: str = "row"
+) -> DataFrame:
+    """XML source with an explicit schema (never inference — same
+    discipline as CSV/JSONL: inference re-scans and can narrow types);
+    column order is restored from the schema, since XML readers sort
+    discovered fields."""
+    df = (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .option("timestampFormat", TS_FMT)
+        .schema(schema)
+        .load(path)
+    )
+    return df.select(*[f.name for f in schema.fields])

@@ -192,3 +192,17 @@ def test_warc_gz_members_parse_identically():
     )
     (rec,) = warc.warc_parse(payload)
     assert rec["body"] == body
+
+
+def test_xml_roundtrip_lossless(spark, sf_dir):
+    """orders through the Spark 4 built-in XML source: every value
+    (timestamps, doubles, strings) survives, column order restored."""
+    from hash_db_spark.catalog import load_table
+    from hash_db_spark.queries.sources_queries import q_xml_roundtrip
+
+    orders = load_table(spark, sf_dir, "orders")
+    back = q_xml_roundtrip(spark, sf_dir)
+    assert back.columns == orders.columns
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, orders.collect())
+    )
