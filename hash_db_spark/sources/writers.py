@@ -616,6 +616,7 @@ def write_fts_index(
     col: str = "text",
     id_col: str = "doc_id",
     token_buckets: int = 64,
+    mode: str = "overwrite",
 ) -> None:
     """Persist the inverted index the FTS SERVING path consumes — the
     index-once/probe-per-query complement to the scan-side
@@ -630,8 +631,18 @@ def write_fts_index(
     size, and a probing term's equality predicate prunes to one bucket
     (PartitionFilters). Tokenization is fts_tokens, identical to the
     scan path, so serve and scan are result-identical by construction.
+
+    mode='append' adds a new batch's postings without touching existing
+    ones (the streaming-ingest shape); the bucket modulus is guarded by
+    ``_append_guard`` — a torn or mismatched index refuses the append
+    and demands a rebuild, exactly like the minhash/dhash indexes.
     """
     from hash_db_spark.operators.fts import fts_tokens
+
+    if mode == "append":
+        _append_guard(
+            docs.sparkSession, path, "token_buckets", token_buckets, "FTS"
+        )
 
     postings = (
         docs.select(
@@ -653,10 +664,11 @@ def write_fts_index(
         postings.repartition("tok_bucket")
         .sortWithinPartitions("token", "id")
         .write.partitionBy("tok_bucket")
-        .mode("overwrite")
+        .mode(mode)
         .parquet(f"{path}/postings")
     )
-    meta = docs.sparkSession.createDataFrame(
-        [(int(token_buckets),)], "token_buckets int"
-    )
-    meta.write.mode("overwrite").parquet(f"{path}/meta")
+    if mode != "append":
+        meta = docs.sparkSession.createDataFrame(
+            [(int(token_buckets),)], "token_buckets int"
+        )
+        meta.write.mode("overwrite").parquet(f"{path}/meta")

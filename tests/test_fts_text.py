@@ -230,3 +230,36 @@ def test_fts_serve_mixed_oracle_parity(spark, sf_dir):
     )
     con.close()
     assert got == want and len(got) > 0
+
+
+def test_fts_index_append_and_guard(spark, sf_dir, tmp_path):
+    """Appending a second batch makes its docs servable; a modulus
+    mismatch or torn index refuses the append (the minhash/dhash
+    append-guard discipline)."""
+    import pytest
+    import pyspark.sql.functions as F
+
+    from hash_db_spark.catalog import load_table
+    from hash_db_spark.operators.fts import fts_index_probe
+    from hash_db_spark.sources.writers import write_fts_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "fts_inc")
+    write_fts_index(first, path)
+    n1 = fts_index_probe(spark, path, "spark | query").count()
+    write_fts_index(second, path, mode="append")
+    n2 = fts_index_probe(spark, path, "spark | query").count()
+    assert n2 > n1
+    # full-index parity with a one-shot build
+    full_path = str(tmp_path / "fts_full")
+    write_fts_index(docs, full_path)
+    assert sorted(
+        r.doc_id for r in fts_index_probe(spark, path, "spark | query").collect()
+    ) == sorted(
+        r.doc_id
+        for r in fts_index_probe(spark, full_path, "spark | query").collect()
+    )
+    with pytest.raises(ValueError, match="token_buckets"):
+        write_fts_index(second, path, token_buckets=32, mode="append")
