@@ -140,38 +140,30 @@ def compile_fts_oracle(col: str, query: str) -> str:
     return pred
 
 
-def _probe_bucket(term: str, token_buckets: int) -> int:
-    """Driver-side twin of the index writer's token bucketing (md5 hex
-    first 8 nibbles, same as the in-plan conv(md5) idiom)."""
-    import hashlib
-
-    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % (
-        token_buckets
-    )
-
-
-def fts_index_probe(spark, path: str, query: str) -> DataFrame:
+def fts_index_query(spark, path: str, query: str) -> DataFrame:
     """Serve the reference's FTS fold semantics from the PERSISTED
-    posting-list index (sources/writers.py:write_fts_index): each
-    term's match set is one pruned posting read (the term's literal
-    bucket + token equality reach the scan as PartitionFilters +
-    PushedFilters), AND folds as a semi-join, OR as a distinct union —
-    left-to-right with mode switching, exactly compile_fts
-    (/root/reference/client.py:687-695 semantics).
+    inverted index (sources/writers.py:write_fts_index — the same
+    artifact BM25 serves from): each term's match set is one pruned
+    posting read (term bucket as PartitionFilters + pushed tok filter,
+    via writers.fts_index_probe), AND folds as a semi-join, OR as a
+    distinct union — left-to-right with mode switching, exactly
+    compile_fts (/root/reference/client.py:687-695 semantics).
 
-    Returns (id) — result-identical to filtering the corpus with
-    compile_fts and projecting the id, without touching the corpus:
-    probe IO is O(postings of the query's terms), the serving property
-    a 100 TB corpus needs when the same index answers millions of
-    queries."""
-    meta = spark.read.parquet(f"{path}/meta").collect()
-    buckets = int(meta[0]["token_buckets"])
-    postings = spark.read.parquet(f"{path}/postings")
+    Result-identical to filtering the corpus with compile_fts and
+    projecting the id (the index tokenizer clean_tokens is fts_tokens
+    minus empty strings — membership-equivalent for any non-empty
+    term), without touching corpus text: probe IO is O(postings of the
+    query's terms), the serving property a 100 TB corpus needs when one
+    index answers millions of queries.
+
+    Returns (doc_id)."""
+    from hash_db_spark.sources.writers import fts_index_probe, read_fts_index
+
+    postings, _doclens, buckets = read_fts_index(spark, path)
 
     def match_set(term: str) -> DataFrame:
-        return postings.filter(
-            (F.col("tok_bucket") == _probe_bucket(term, buckets))
-            & (F.col("token") == term)
+        return fts_index_probe(
+            postings, [term], token_buckets=buckets
         ).select("id")
 
     out: DataFrame | None = None

@@ -687,10 +687,10 @@ def q_fts_serve_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import tempfile
 
-    from hash_db_spark.operators.fts import fts_index_probe
+    from hash_db_spark.operators.fts import fts_index_query
     from hash_db_spark.sources.writers import write_fts_index
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     path = f"{tempfile.gettempdir()}/hash_db_spark_fts_{tag}"
     write_fts_index(_docs(spark, sf_dir), path)
-    return fts_index_probe(spark, path, FTS_MIXED)
+    return fts_index_query(spark, path, FTS_MIXED)

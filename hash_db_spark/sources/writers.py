@@ -31,7 +31,12 @@ def _fs_exists(spark: SparkSession, path: str) -> bool:
 
 
 def _append_guard(
-    spark: SparkSession, path: str, field: str, expected: int, label: str
+    spark: SparkSession,
+    path: str,
+    field: str,
+    expected: int,
+    label: str,
+    data_dir: str = "bands",
 ) -> None:
     """Refuse appends that would corrupt probe pruning — BEFORE any
     data lands (the caller must invoke this ahead of its writes).
@@ -54,9 +59,9 @@ def _append_guard(
     except AnalysisException as e:
         if "PATH_NOT_FOUND" not in str(e):
             raise
-        if _fs_exists(spark, f"{path}/bands"):
+        if _fs_exists(spark, f"{path}/{data_dir}"):
             raise ValueError(
-                f"{label} index at {path} has bands/ but no meta/ (torn "
+                f"{label} index at {path} has {data_dir}/ but no meta/ (torn "
                 "prior write): the existing bands were bucketed with an "
                 "unknown modulus. Rebuild the index (mode='overwrite') "
                 "or restore meta/ before appending."
@@ -212,6 +217,7 @@ def write_fts_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     token_buckets: int = 64,
+    mode: str = "overwrite",
 ) -> None:
     """Persist an inverted FTS index so term queries never rescan corpus
     text (reference: in-memory index_string_for_fts + intersection,
@@ -226,8 +232,25 @@ def write_fts_index(
 
     Build cost is one explode + one (tok, id) aggregate — the same work
     any single FTS query would do, paid once.
+
+    mode='append' adds a NEW batch's postings/doclens without touching
+    existing ones (the streaming-ingest shape; callers own batch-level
+    dedup — re-indexing the same doc id would double its postings). The
+    bucket modulus is guarded by ``_append_guard``: a torn or
+    mismatched index refuses the append and demands a rebuild, exactly
+    like the minhash/dhash indexes.
     """
     from hash_db_spark.operators.dedup import clean_tokens
+
+    if mode == "append":
+        _append_guard(
+            docs.sparkSession,
+            path,
+            "token_buckets",
+            token_buckets,
+            "FTS",
+            data_dir="postings",
+        )
 
     toks = docs.select(
         F.col(id_col).alias("id"), F.explode(clean_tokens(text_col)).alias("tok")
@@ -241,7 +264,7 @@ def write_fts_index(
         postings.repartition("tok_bucket")
         .sortWithinPartitions("tok")
         .write.partitionBy("tok_bucket")
-        .mode("overwrite")
+        .mode(mode)
         .parquet(f"{path}/postings")
     )
     (
@@ -249,9 +272,11 @@ def write_fts_index(
             F.col(id_col).alias("id"),
             F.size(clean_tokens(text_col)).alias("dl"),
         )
-        .write.mode("overwrite")
+        .write.mode(mode)
         .parquet(f"{path}/doclens")
     )
+    if mode == "append":
+        return  # meta already guarded-matching; never rewrite it mid-append
     # The bucket modulus is INDEX METADATA: a probe computed with a
     # different token_buckets maps terms to the wrong partitions and
     # silently returns empty/partial postings — persist it with the
@@ -608,67 +633,3 @@ def pq_index_topk(
     return _adc_topk(
         coded, packed, cmat, qrows, k, meta["m"], meta["ks"], nprobe
     )
-
-
-def write_fts_index(
-    docs: DataFrame,
-    path: str,
-    col: str = "text",
-    id_col: str = "doc_id",
-    token_buckets: int = 64,
-    mode: str = "overwrite",
-) -> None:
-    """Persist the inverted index the FTS SERVING path consumes — the
-    index-once/probe-per-query complement to the scan-side
-    ``fts_filter`` (operators/fts.py module docstring): when the corpus
-    is static and queries are many, a probe should read only the query
-    terms' postings, never re-scan text.
-
-    Layout (the reference maintains the same structure as KV rows,
-    FTS.<table>.<field>.<token>.<rowid> — /root/reference/server.py:729-739;
-    here it's columnar): postings/(token, id) DISTINCT, partitioned by
-    a token hash bucket — bounded directory count at any vocabulary
-    size, and a probing term's equality predicate prunes to one bucket
-    (PartitionFilters). Tokenization is fts_tokens, identical to the
-    scan path, so serve and scan are result-identical by construction.
-
-    mode='append' adds a new batch's postings without touching existing
-    ones (the streaming-ingest shape); the bucket modulus is guarded by
-    ``_append_guard`` — a torn or mismatched index refuses the append
-    and demands a rebuild, exactly like the minhash/dhash indexes.
-    """
-    from hash_db_spark.operators.fts import fts_tokens
-
-    if mode == "append":
-        _append_guard(
-            docs.sparkSession, path, "token_buckets", token_buckets, "FTS"
-        )
-
-    postings = (
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.explode(fts_tokens(col)).alias("token"),
-        )
-        .distinct()
-        .withColumn(
-            "tok_bucket",
-            (
-                F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast(
-                    "long"
-                )
-                % token_buckets
-            ).cast("int"),
-        )
-    )
-    (
-        postings.repartition("tok_bucket")
-        .sortWithinPartitions("token", "id")
-        .write.partitionBy("tok_bucket")
-        .mode(mode)
-        .parquet(f"{path}/postings")
-    )
-    if mode != "append":
-        meta = docs.sparkSession.createDataFrame(
-            [(int(token_buckets),)], "token_buckets int"
-        )
-        meta.write.mode("overwrite").parquet(f"{path}/meta")

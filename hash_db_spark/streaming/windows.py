@@ -584,3 +584,57 @@ def streaming_pq_probe(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_fts_ingest(
+    docs_stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    col: str = "text",
+    id_col: str = "doc_id",
+    token_buckets: int = 64,
+):
+    """Streaming full-text indexing: each micro-batch's postings append
+    to the PERSISTED inverted index (sources.writers.write_fts_index),
+    so FTS serving (operators.fts.fts_index_query / writers.bm25_from_index)
+    sees new documents
+    within one trigger without ever re-scanning the corpus. Index state
+    is parquet, not stream state — shareable with batch probes, zero
+    executor-memory growth (the streaming_ingest_dedup design); the
+    bucket-modulus append guard refuses a torn or mismatched index.
+
+    The first batch against an empty path bootstraps meta via a
+    one-time overwrite; later batches append postings only.
+
+    Delivery: appends replay on checkpoint recovery (at-least-once);
+    fts_index_query is insensitive to duplicate postings for AND terms
+    and dedups OR unions, so boolean probe RESULTS are exactly-once
+    anyway (BM25 tf/df shift on replays — rebuild for scoring exactness).
+
+    Returns the StreamingQuery (availableNow for tests/backfill)."""
+    from hash_db_spark.sources.writers import write_fts_index
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        try:
+            spark.read.parquet(f"{index_path}/meta")
+            mode = "append"
+        except Exception:
+            mode = "overwrite"
+        write_fts_index(
+            batch_df,
+            index_path,
+            text_col=col,
+            id_col=id_col,
+            token_buckets=token_buckets,
+            mode=mode,
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

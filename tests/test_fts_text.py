@@ -190,7 +190,7 @@ def test_fts_index_probe_matches_scan(spark, sf_dir, tmp_path):
     """Serve == scan on all three fold shapes, and the probe plan prunes
     to the term buckets (PartitionFilters on tok_bucket)."""
     from hash_db_spark.catalog import load_table
-    from hash_db_spark.operators.fts import fts_filter, fts_index_probe
+    from hash_db_spark.operators.fts import fts_filter, fts_index_query
     from hash_db_spark.plans.inspect import formatted_plan
     from hash_db_spark.queries.text_queries import FTS_AND, FTS_MIXED, FTS_OR
     from hash_db_spark.sources.writers import write_fts_index
@@ -199,14 +199,15 @@ def test_fts_index_probe_matches_scan(spark, sf_dir, tmp_path):
     path = str(tmp_path / "fts_idx")
     write_fts_index(docs, path)
     for q in (FTS_AND, FTS_OR, FTS_MIXED):
-        served = fts_index_probe(spark, path, q)
+        served = fts_index_query(spark, path, q)
         scanned = sorted(
             r.doc_id for r in fts_filter(docs, "text", q).select("doc_id").collect()
         )
         assert sorted(r.doc_id for r in served.collect()) == scanned
         assert len(scanned) > 0
-    plan = formatted_plan(fts_index_probe(spark, path, FTS_AND))
-    assert "PartitionFilters: [isnotnull(tok_bucket" in plan
+    plan = formatted_plan(fts_index_query(spark, path, FTS_AND))
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "tok_bucket" in pf  # term buckets prune partitions
 
 
 def test_fts_serve_mixed_oracle_parity(spark, sf_dir):
@@ -240,7 +241,7 @@ def test_fts_index_append_and_guard(spark, sf_dir, tmp_path):
     import pyspark.sql.functions as F
 
     from hash_db_spark.catalog import load_table
-    from hash_db_spark.operators.fts import fts_index_probe
+    from hash_db_spark.operators.fts import fts_index_query
     from hash_db_spark.sources.writers import write_fts_index
 
     docs = load_table(spark, sf_dir, "documents")
@@ -248,18 +249,52 @@ def test_fts_index_append_and_guard(spark, sf_dir, tmp_path):
     second = docs.filter(F.col("doc_id") % 2 == 1)
     path = str(tmp_path / "fts_inc")
     write_fts_index(first, path)
-    n1 = fts_index_probe(spark, path, "spark | query").count()
+    n1 = fts_index_query(spark, path, "spark | query").count()
     write_fts_index(second, path, mode="append")
-    n2 = fts_index_probe(spark, path, "spark | query").count()
+    n2 = fts_index_query(spark, path, "spark | query").count()
     assert n2 > n1
     # full-index parity with a one-shot build
     full_path = str(tmp_path / "fts_full")
     write_fts_index(docs, full_path)
     assert sorted(
-        r.doc_id for r in fts_index_probe(spark, path, "spark | query").collect()
+        r.doc_id for r in fts_index_query(spark, path, "spark | query").collect()
     ) == sorted(
         r.doc_id
-        for r in fts_index_probe(spark, full_path, "spark | query").collect()
+        for r in fts_index_query(spark, full_path, "spark | query").collect()
     )
     with pytest.raises(ValueError, match="token_buckets"):
         write_fts_index(second, path, token_buckets=32, mode="append")
+
+
+def test_streaming_fts_ingest_matches_batch_build(spark, sf_dir, tmp_path):
+    """Stream the corpus in 3 micro-batches through the foreachBatch
+    indexing loop: the final index must serve every fold shape exactly
+    like a one-shot batch build."""
+    from hash_db_spark.catalog import load_table
+    from hash_db_spark.operators.fts import fts_index_query
+    from hash_db_spark.queries.text_queries import FTS_MIXED, FTS_OR
+    from hash_db_spark.sources.writers import write_fts_index
+    from hash_db_spark.streaming import windows as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_parts")
+    docs.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    idx = str(tmp_path / "fts_stream_idx")
+    q = W.streaming_fts_ingest(
+        stream, index_path=idx, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    batch_idx = str(tmp_path / "fts_batch_idx")
+    write_fts_index(docs, batch_idx)
+    for query in (FTS_OR, FTS_MIXED):
+        got = sorted(r.doc_id for r in fts_index_query(spark, idx, query).collect())
+        want = sorted(
+            r.doc_id for r in fts_index_query(spark, batch_idx, query).collect()
+        )
+        assert got == want and len(got) > 0
