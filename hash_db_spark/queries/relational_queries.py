@@ -666,6 +666,79 @@ def _fk_integrity_oracle() -> str:
     return "\nUNION ALL\n".join(selects)
 
 
+def q_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact audit: for a subject set (here the
+    deterministic fixture subset c_custkey % 97 = 0), the rows each
+    table must erase — DIRECT hits (customer, orders, events) and the
+    FK-CASCADED hits (lineitem rows of the subjects' orders). This is
+    the report a governance pipeline produces before rewriting
+    partitions; parquet has no DELETE, so erasure is an anti-join
+    rewrite and this audit prices it.
+
+    Scale shape: the subject set stays a FRAME (millions of subjects at
+    scale — never a collected literal); every count is a semi-join +
+    map-side-combined count, unhinted so AQE broadcasts the subject set
+    while it fits."""
+    subjects = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 97 == 0)
+        .select(F.col("c_custkey").alias("sid"))
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("sid")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    ordk = orders.select(
+        F.col("o_custkey").alias("sid"), "o_orderkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("sid")
+    )
+
+    def count_of(df, label):
+        return df.join(subjects, "sid", "left_semi").agg(
+            F.count(F.lit(1)).alias("n_rows")
+        ).select(F.lit(label).alias("tbl"), "n_rows")
+
+    li_hit = (
+        li.join(
+            ordk.join(subjects, "sid", "left_semi").select("o_orderkey"),
+            "o_orderkey",
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit("lineitem").alias("tbl"), "n_rows")
+    )
+    return (
+        count_of(cust, "customer")
+        .union(count_of(ordk, "orders"))
+        .union(li_hit)
+        .union(count_of(ev, "events"))
+    )
+
+
+ERASURE_AUDIT_ORACLE = """
+SELECT 'customer' AS tbl, count(*) AS n_rows
+FROM customer WHERE c_custkey % 97 = 0
+UNION ALL
+SELECT 'orders', count(*) FROM orders WHERE o_custkey % 97 = 0
+  AND o_custkey IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'lineitem', count(*) FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey % 97 = 0
+    AND o_custkey IN (SELECT c_custkey FROM customer)
+)
+UNION ALL
+SELECT 'events', count(*) FROM events
+WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0)
+"""
+
+
 QUERIES = {
     "percentiles": Query(q_percentiles, PERCENTILES_ORACLE),
     "cdc_latest_view": Query(q_cdc_latest_view, CDC_ORACLE),
@@ -748,6 +821,7 @@ QUERIES = {
     # r10 QUEUE (registration throttled per VERDICT r08 #1):
     #   "fk_integrity_audit": Query(
     #       q_fk_integrity_audit, _fk_integrity_oracle()),
+    #   "erasure_audit": Query(q_erasure_audit, ERASURE_AUDIT_ORACLE),
     # Referential-integrity audit — implemented + parity-tested this
     # round (tests/test_relational.py); one-line uncomment when r10 has
     # a slot.

@@ -155,3 +155,33 @@ def test_fk_integrity_audit_oracle_parity(spark, sf_dir):
     con.close()
     assert got == want and len(got) == 7
     assert all(o == 0 for _, _, o in got)
+
+
+def test_erasure_audit_oracle_parity_and_cascade(spark, sf_dir):
+    """Driver-style compare for the r10-queued erasure_audit entry, plus
+    the cascade law: lineitem erasure >= orders erasure (every subject
+    order has >= 1 line item in TPC-H-shaped data)."""
+    import duckdb
+
+    from hash_db_spark.queries.relational_queries import (
+        ERASURE_AUDIT_ORACLE,
+        q_erasure_audit,
+    )
+
+    got = sorted(tuple(r) for r in q_erasure_audit(spark, sf_dir).collect())
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    want = sorted(
+        tuple(r) for r in con.execute(ERASURE_AUDIT_ORACLE).fetchall()
+    )
+    con.close()
+    assert got == want and len(got) == 4
+    by = dict(got)
+    assert by["customer"] > 0
+    assert by["lineitem"] >= by["orders"] > 0
