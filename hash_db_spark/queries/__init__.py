@@ -99,6 +99,12 @@ def all_queries() -> dict[str, Query]:
     #     sim_recall_truncated   (similarity_queries.py r10 QUEUE)
     #     event_transitions      (temporal_queries.py r10 QUEUE)
     #     fk_integrity_audit     (relational_queries.py r10 QUEUE)
+    #     erasure_audit          (relational_queries.py r10 QUEUE)
+    #     xml_roundtrip          (sources_queries.py r10 QUEUE)
+    #   Queue tally after session 3: ~40 candidates for the 50-slot
+    #   r10 window (10 + 12 throttled registrations, dup_cluster_
+    #   histogram, 17 stale-with-prior-facts) — further session-3
+    #   registrations STOP here so r10 taint keeps ~10 free slots.
     #
     # Registration throttle (VERDICT r08 #1): NO new registry entries
     # this round — new operators land in code/tests and queue for r10.
