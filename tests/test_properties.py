@@ -721,3 +721,91 @@ def test_line_containment_matches_model(spark, docs, cap):
         ).collect()
     }
     assert got == model
+
+
+@settings(**SETTINGS)
+@given(
+    sizes=st.lists(st.integers(1, 500), min_size=1, max_size=30),
+    target=st.integers(50, 1000),
+)
+def test_compaction_plan_properties(spark, sizes, target):
+    """Laws vs a pure-Python prefix-bin model: every file assigned
+    exactly once, group byte totals tile the manifest total, and the
+    bin id equals the exclusive prefix DIV target under path order."""
+    from hash_db_spark.operators.layout import compaction_plan
+
+    files = [(f"f{i:04d}", b) for i, b in enumerate(sizes)]
+    df = spark.createDataFrame(files, ["path", "bytes"])
+    got = {r.path: r for r in compaction_plan(df, target).collect()}
+    assert len(got) == len(files)
+    prefix = 0
+    bins = {}
+    for path, b in files:  # already path-ordered by construction
+        want_grp = prefix // target
+        assert got[path].grp == want_grp, path
+        bins[want_grp] = bins.get(want_grp, 0) + b
+        prefix += b
+    for path, b in files:
+        r = got[path]
+        assert r.grp_bytes == bins[r.grp]
+    # group totals tile the manifest exactly
+    assert sum(bins.values()) == sum(sizes)
+    assert {(r.grp, r.grp_bytes) for r in got.values()} == set(bins.items())
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(texts, min_size=1, max_size=8),
+    k=st.integers(1, 4),
+)
+def test_mmr_properties(spark, docs, k):
+    """Laws vs the greedy model: result size = min(k, #scorable
+    chunks), ranks dense from 1, picks distinct, and pick 1 maximizes
+    rel with (id, chunk) tie-break."""
+    from hash_db_spark.operators.retrieval import mmr_rerank
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = sorted(
+        (r.sel_rank, r.id, r.chunk_idx, r.rel)
+        for r in mmr_rerank(
+            df, "text", "doc_id", ["spark", "join"], k=k, size=4
+        ).collect()
+    )
+    n_chunks = sum(max(1, (len(t.split()) + 3) // 4) for t in docs)
+    assert len(out) == min(k, n_chunks)
+    assert [r[0] for r in out] == list(range(1, len(out) + 1))
+    assert len({(i, c) for _, i, c, _ in out}) == len(out)
+    # pick 1 is the relevance argmax under the tie-break
+    first = out[0]
+    assert all(
+        (first[3], -first[1], -first[2]) >= (r[3], -r[1], -r[2])
+        for r in out
+    )
+
+
+@settings(**SETTINGS)
+@given(a=texts, b=texts)
+def test_encoding_counters_additive(spark, a, b):
+    """count(a || b) == count(a) + count(b) for every counter when the
+    junction cannot form a marker (markers are multi-char; we join with
+    a space)."""
+    from hash_db_spark.functions import text as T
+
+    corrupted_a = a + " cafÃ© \x07"
+    df = spark.createDataFrame(
+        [(1, corrupted_a), (2, b), (3, corrupted_a + " " + b)],
+        ["i", "t"],
+    )
+    got = {
+        r.i: (r.nr, r.nc, r.nm)
+        for r in df.select(
+            "i",
+            T.replacement_char_count("t").alias("nr"),
+            T.control_char_count("t").alias("nc"),
+            T.mojibake_marker_count("t").alias("nm"),
+        ).collect()
+    }
+    assert tuple(
+        x + y for x, y in zip(got[1], got[2])
+    ) == got[3]
