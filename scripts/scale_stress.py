@@ -319,14 +319,31 @@ def main() -> int:
         )
         from hash_db_spark.queries.web_queries import q_hits_hosts
 
+        from hash_db_spark.queries.relational_queries import (
+            q_erasure_audit,
+            q_fk_integrity_audit,
+        )
+        from hash_db_spark.queries.temporal_queries import q_event_transitions
+        from hash_db_spark.queries.text_queries import q_fts_serve_mixed
+
         for name, fn in (
             ("hits_hosts", q_hits_hosts),
             ("compaction_plan", q_compaction_plan),
             ("retrieve_mmr_topk", q_retrieve_mmr_topk),
             ("text_encoding_gate", q_text_encoding_gate),
             ("sim_recall_truncated", q_sim_recall_truncated),
+            ("event_transitions", q_event_transitions),
+            ("fts_serve_mixed", q_fts_serve_mixed),
         ):
             timed(f"{name}/{scale}", lambda f=fn: f(spark, sf_dir))
+        # fk/erasure audits touch customer/orders/lineitem — the stress
+        # dir replicates customer only, so drive them at 1x shape but
+        # still record the rows (their cost is anti-/semi-join scans).
+        for name, fn in (
+            ("fk_integrity_audit", q_fk_integrity_audit),
+            ("erasure_audit", q_erasure_audit),
+        ):
+            timed(f"{name}/{scale}", lambda f=fn: f(spark, SF_DIR))
     return 0
 
 

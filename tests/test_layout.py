@@ -193,3 +193,14 @@ def test_compaction_plan_oracle_parity(spark, sf_dir):
     max_file = max(b for _, b, *_ in got)
     for _, _, gb in groups[:-1]:
         assert gb > COMPACT_TARGET - max_file
+
+
+def test_compaction_plan_single_file(spark):
+    """A one-file manifest compacts to one group regardless of size."""
+    from hash_db_spark.operators.layout import compaction_plan
+
+    for size in (1, 10_000_000):
+        df = spark.createDataFrame([("only", size)], ["path", "bytes"])
+        got = compaction_plan(df, 1000).collect()
+        assert len(got) == 1
+        assert got[0].grp == 0 and got[0].grp_bytes == size

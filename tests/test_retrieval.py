@@ -243,3 +243,49 @@ def test_retrieve_mmr_oracle_parity(spark, sf_dir):
     # 5 distinct chunks, ranks 1..5
     assert sorted(r[0] for r in got) == [1, 2, 3, 4, 5]
     assert len({(i, c) for _, i, c, _ in got}) == 5
+
+
+def test_mmr_quantitatively_diversifies(spark, sf_dir):
+    """The point of MMR, measured: mean pairwise similarity (exact-int
+    dot) inside the MMR top-5 must be <= that of the plain relevance
+    top-5 drawn from the same pool."""
+    from hash_db_spark.catalog import load_table
+    from hash_db_spark.operators.retrieval import (
+        hashed_chunk_vectors,
+        mmr_rerank,
+    )
+    from hash_db_spark.queries.text_queries import RETRIEVE_TERMS
+
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    cv = hashed_chunk_vectors(docs, "text", "doc_id", size=16, overlap=0)
+
+    def mean_pair_dot(members):  # bounded set: drive via one local join
+        rows = cv.join(
+            cv.sparkSession.createDataFrame(members, ["id", "chunk_idx"]),
+            ["id", "chunk_idx"],
+        ).collect()
+        vecs = {}
+        for r in rows:
+            vecs.setdefault((r.id, r.chunk_idx), {})[r.dim] = r.val
+        ks = list(vecs)
+        dots = [
+            sum(vecs[a].get(d, 0) * vecs[b][d] for d in vecs[b])
+            for i, a in enumerate(ks)
+            for b in ks[i + 1:]
+        ]
+        return sum(dots) / len(dots)
+
+    mmr = [
+        (r.id, r.chunk_idx)
+        for r in mmr_rerank(docs, "text", "doc_id", RETRIEVE_TERMS, k=5).collect()
+    ]
+    # plain = top-5 by rel from the same scoring (lambda -> all relevance)
+    plain = [
+        (r.id, r.chunk_idx)
+        for r in mmr_rerank(
+            docs, "text", "doc_id", RETRIEVE_TERMS, k=5, pool_n=5
+        ).collect()
+    ]  # pool of exactly 5 leaves greedy no choice: the relevance top-5
+    assert mean_pair_dot(mmr) <= mean_pair_dot(plain)

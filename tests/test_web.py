@@ -475,3 +475,14 @@ def test_hits_hosts_oracle_parity(spark, sf_dir):
     # HITS found real structure: someone is a hub, someone an authority
     assert max(h for _, h, _ in got) > 0
     assert max(a for _, _, a in got) > 0
+
+
+def test_hits_edgeless_nodes_score_zero(spark):
+    """Nodes with no edges: auth = hub = 0 (not NULL, not 1) after any
+    iteration — the left-join coalesce contract."""
+    from hash_db_spark.operators.graph import hits
+
+    nodes = spark.createDataFrame([(1,), (2,)], ["id"])
+    edges = spark.createDataFrame([], "src long, dst long")
+    got = {r.id: (r.hub, r.auth) for r in hits(nodes, edges).collect()}
+    assert got == {1: (0, 0), 2: (0, 0)}
