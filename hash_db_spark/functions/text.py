@@ -432,3 +432,43 @@ def sql_encoding_ok(col: str) -> str:
         f"{sql_control_char_count(col)} = 0 AND "
         f"{sql_mojibake_marker_count(col)} = 0)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Text normalization (the repair stage the encoding gate's flags feed)
+# ---------------------------------------------------------------------------
+
+# Unicode punctuation folded to ASCII before tokenization (C4/CCNet-style
+# cleaning): curly quotes, dashes, ellipsis, NBSP. Pairs of
+# (regex, replacement); every pattern is RE2-and-Java-safe.
+_NORM_FOLDS: tuple[tuple[str, str], ...] = (
+    ("[\u2018\u2019]", "'"),          # curly single quotes
+    ('[\u201c\u201d]', '"'),          # curly double quotes
+    ("[\u2013\u2014]", "-"),          # en/em dashes
+    ("\u2026", "..."),                 # ellipsis
+    ("\u00a0", " "),                   # NBSP
+)
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Single-line normal form: fold unicode punctuation to ASCII,
+    strip control bytes, collapse every whitespace run to one space,
+    trim. This is the REPAIR stage downstream of the encoding gate
+    (the gate flags, this fixes what is fixable) and the contract the
+    house tokenizers assume (clean_tokens splits on single spaces).
+    Idempotent by construction (pinned by property test); pure codegen
+    regexp chain, zero shuffles at any scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, rep in _NORM_FOLDS:
+        c = F.regexp_replace(c, pat, rep)
+    c = F.regexp_replace(c, _CTRL_RE, "")
+    c = F.regexp_replace(c, "\\s+", " ")
+    return F.trim(c)
+
+
+def sql_normalize_text(col: str) -> str:
+    expr = col
+    for pat, rep in _NORM_FOLDS + ((_CTRL_RE, ""), ("\\s+", " ")):
+        rep_sql = rep.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat}', '{rep_sql}', 'g')"
+    return f"trim({expr})"

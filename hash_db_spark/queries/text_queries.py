@@ -694,3 +694,23 @@ def q_fts_serve_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{tempfile.gettempdir()}/hash_db_spark_fts_{tag}"
     write_fts_index(_docs(spark, sf_dir), path)
     return fts_index_query(spark, path, FTS_MIXED)
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization over the same synthetic transport corruption the
+    encoding gate flags: control bytes stripped, unicode punctuation
+    folded, whitespace collapsed — the repair stage proven identical on
+    both engines character for character."""
+    docs = _docs(spark, sf_dir).select("doc_id", _wire_text().alias("wire"))
+    return docs.select("doc_id", T.normalize_text("wire").alias("norm"))
+
+
+def _text_normalize_oracle() -> str:
+    return (
+        f"SELECT doc_id, {T.sql_normalize_text('wire')} AS norm "
+        f"FROM (SELECT doc_id, {_SQL_WIRE} AS wire FROM documents)"
+    )
+
+
+# r11 QUEUE CANDIDATE (the r10 queue is closed at ~40 entries):
+#   "text_normalize": Query(q_text_normalize, _text_normalize_oracle()),

@@ -298,3 +298,56 @@ def test_streaming_fts_ingest_matches_batch_build(spark, sf_dir, tmp_path):
             r.doc_id for r in fts_index_query(spark, batch_idx, query).collect()
         )
         assert got == want and len(got) > 0
+
+
+# --- text normalization --------------------------------------------------
+
+
+def test_normalize_text_rules_and_idempotence(spark):
+    """Each fold rule on controlled strings; normalize(normalize(x)) ==
+    normalize(x); post-normalization the encoding gate's control
+    counter reads zero."""
+    from hash_db_spark.functions import text as T
+
+    rows = [
+        (1, "a‘b’ “q”  x–y—z… n b"),
+        (2, "ctl\x07 and\x00 null"),
+        (3, "  lots   of\t\twhitespace \n here  "),
+        (4, "already clean ascii"),
+    ]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    out = df.select(
+        "i",
+        T.normalize_text("t").alias("n1"),
+        T.normalize_text(T.normalize_text("t")).alias("n2"),
+        T.control_char_count(T.normalize_text("t")).alias("nc"),
+    )
+    got = {r.i: (r.n1, r.n2, r.nc) for r in out.collect()}
+    assert got[1][0] == 'a\'b\' "q" x-y-z... n b'
+    assert got[2][0] == "ctl and null"
+    assert got[3][0] == "lots of whitespace here"
+    assert got[4][0] == "already clean ascii"
+    for n1, n2, nc in got.values():
+        assert n1 == n2 and nc == 0
+
+
+def test_text_normalize_oracle_parity(spark, sf_dir):
+    """Character-for-character parity on the corrupted wire corpus for
+    the r11-candidate text_normalize entry."""
+    import duckdb
+
+    from hash_db_spark.queries.text_queries import (
+        _text_normalize_oracle,
+        q_text_normalize,
+    )
+
+    got = sorted(tuple(r) for r in q_text_normalize(spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(_text_normalize_oracle()).fetchall()
+    )
+    con.close()
+    assert got == want and len(got) == 500
