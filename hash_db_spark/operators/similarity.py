@@ -1276,3 +1276,50 @@ SELECT f.qid, f.j, f.neg_id,
          AS cos
 FROM fixed f JOIN embeddings e ON e.vec_id = f.neg_id
 """
+
+
+def hard_negatives(
+    emb: DataFrame,
+    query_ids: list[int],
+    n_pos: int = 2,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(qid, neg_id, cos, neg_rank): the k HARD negatives per query —
+    the nearest neighbors RANKED JUST BELOW the ``n_pos`` positives
+    (exact ranks n_pos+1 .. n_pos+k). The DPR recipe (Karpukhin et al.,
+    EMNLP 2020 — public): contrastive training needs negatives that
+    score almost as high as the positives; random draws
+    (``negative_samples``) are too easy and gradients vanish.
+
+    Composition, not new machinery: one ``topk_bruteforce`` at depth
+    n_pos+k, keep ranks > n_pos, re-rank densely. Inherits its sampled
+    protocol (broadcast-queries x corpus, never corpus x corpus) and
+    its determinism (6dp-rounded cosine, vec_id tie-break). Swap the
+    brute scorer for the IVF/PQ paths when mining at full corpus
+    scale."""
+    top = topk_bruteforce(
+        emb, query_ids, k=n_pos + k, id_col=id_col, vec_col=vec_col
+    )
+    return top.filter(F.col("rank") > n_pos).select(
+        "qid",
+        F.col("vec_id").alias("neg_id"),
+        "cos",
+        (F.col("rank") - n_pos).cast("int").alias("neg_rank"),
+    )
+
+
+def sql_hard_negatives(
+    query_ids: list[int],
+    n_pos: int = 2,
+    k: int = 3,
+    table: str = "embeddings",
+) -> str:
+    inner = sql_topk_bruteforce(query_ids, k=n_pos + k, table=table)
+    return f"""
+SELECT qid, vec_id AS neg_id, cos,
+       CAST(rank - {n_pos} AS INT) AS neg_rank
+FROM ({inner}) t
+WHERE rank > {n_pos}
+"""

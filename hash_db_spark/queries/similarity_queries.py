@@ -223,6 +223,15 @@ GROUP BY e.qid
 """
 
 
+def q_train_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPR-style hard-negative mining for contrastive training pairs:
+    per audit query, the 3 neighbors ranked just below the top-2
+    positives (operators/similarity.py:hard_negatives)."""
+    return S.hard_negatives(
+        load_table(spark, sf_dir, "embeddings"), QUERY_IDS, n_pos=2, k=3
+    )
+
+
 QUERIES = {
     "kmeans_clusters": Query(q_kmeans_clusters, _kmeans_oracle()),
     "sim_topk_brute": Query(
@@ -254,6 +263,9 @@ QUERIES = {
 #   "sim_topk_ivf_pq": Query(q_sim_topk_ivf_pq, _ivf_pq_oracle()),
 #   "sim_topk_pq_persisted": Query(q_sim_topk_pq_persisted, _ivf_pq_oracle()),
 #   "stream_pq_probe": Query(q_stream_pq_probe, _ivf_pq_oracle()),
+#   r11 QUEUE CANDIDATE (r10 queue closed):
+#     "train_hard_negatives": Query(
+#         q_train_hard_negatives, S.sql_hard_negatives(QUERY_IDS)),
 # Product-quantization ADC top-k, its IVF-PQ composition, and the
 # persisted-index serving path (operators/pq.py, sources/writers.py):
 # implemented + oracle-parity-tested this round (tests/test_pq.py);

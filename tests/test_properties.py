@@ -809,3 +809,29 @@ def test_encoding_counters_additive(spark, a, b):
     assert tuple(
         x + y for x, y in zip(got[1], got[2])
     ) == got[3]
+
+
+@settings(**SETTINGS)
+@given(
+    t=st.text(
+        alphabet="ab c\t\n‘’“”–… \x07.",
+        max_size=60,
+    )
+)
+def test_normalize_text_idempotent_and_tokenizer_stable(spark, t):
+    """normalize is idempotent on arbitrary text, output never contains
+    control bytes or multi-space runs, and re-tokenizing the normal
+    form is stable (split on single space yields no empties)."""
+    from hash_db_spark.functions import text as T
+
+    df = spark.createDataFrame([(t,)], ["t"])
+    r = df.select(
+        T.normalize_text("t").alias("n1"),
+        T.normalize_text(T.normalize_text("t")).alias("n2"),
+        T.control_char_count(T.normalize_text("t")).alias("nc"),
+    ).collect()[0]
+    assert r.n1 == r.n2
+    assert r.nc == 0
+    assert "  " not in r.n1
+    if r.n1:
+        assert all(tok for tok in r.n1.split(" "))

@@ -259,3 +259,35 @@ def test_sim_recall_truncated_oracle_parity(spark, sf_dir):
     for _, n_exact, d16, d32 in got:
         assert 0 <= d16 <= n_exact and 0 <= d32 <= n_exact
     assert sum(r[3] for r in got) >= sum(r[2] for r in got)
+
+
+def test_hard_negatives_are_the_next_ranks(spark, sf_dir):
+    """Hard negatives = exact brute ranks n_pos+1..n_pos+k, disjoint
+    from the positives, densely re-ranked; full oracle parity."""
+    import duckdb
+
+    from hash_db_spark.catalog import load_table
+    from hash_db_spark.operators import similarity as S
+    from hash_db_spark.queries.similarity_queries import QUERY_IDS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    neg = S.hard_negatives(emb, QUERY_IDS, n_pos=2, k=3)
+    got = sorted(tuple(r) for r in neg.collect())
+    pos = {
+        (r.qid, r.vec_id)
+        for r in S.topk_bruteforce(emb, QUERY_IDS, k=2).collect()
+    }
+    assert len(got) == len(QUERY_IDS) * 3
+    for qid, neg_id, _, neg_rank in got:
+        assert (qid, neg_id) not in pos
+        assert 1 <= neg_rank <= 3
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(S.sql_hard_negatives(QUERY_IDS)).fetchall()
+    )
+    con.close()
+    assert got == want
