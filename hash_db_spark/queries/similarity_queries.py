@@ -232,6 +232,54 @@ def q_train_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_train_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exported contrastive-training table, end to end: per anchor
+    query its top-1 POSITIVE (exact), 2 HARD negatives (ranks 2-3, the
+    DPR recipe), and 2 content-addressed RANDOM negatives — one row per
+    (anchor, role, candidate) with the anchor-candidate cosine. Pure
+    composition of three proven operators; at corpus scale the brute
+    scorer swaps for IVF/PQ and the random draw stays O(anchors)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = S.topk_bruteforce(emb, QUERY_IDS, k=1).select(
+        "qid",
+        F.lit("pos").alias("role"),
+        F.col("vec_id").alias("cand_id"),
+        "cos",
+        F.lit(1).cast("int").alias("slot"),
+    )
+    hard = S.hard_negatives(emb, QUERY_IDS, n_pos=1, k=2).select(
+        "qid",
+        F.lit("hard_neg").alias("role"),
+        F.col("neg_id").alias("cand_id"),
+        "cos",
+        F.col("neg_rank").alias("slot"),
+    )
+    rand = S.negative_samples(
+        emb.filter(F.col("vec_id").isin(QUERY_IDS)), emb, k=2
+    ).select(
+        "qid",
+        F.lit("rand_neg").alias("role"),
+        F.col("neg_id").alias("cand_id"),
+        "cos",
+        F.col("j").cast("int").alias("slot"),
+    )
+    return pos.union(hard).union(rand)
+
+
+def _contrastive_pairs_oracle() -> str:
+    pos = S.sql_topk_bruteforce(QUERY_IDS, k=1)
+    hard = S.sql_hard_negatives(QUERY_IDS, n_pos=1, k=2)
+    rand = S.sql_negative_samples(k=2, max_qid=len(QUERY_IDS))
+    return f"""
+SELECT qid, 'pos' AS role, vec_id AS cand_id, cos, 1::INT AS slot
+FROM ({pos}) p
+UNION ALL
+SELECT qid, 'hard_neg', neg_id, cos, neg_rank FROM ({hard}) h
+UNION ALL
+SELECT qid, 'rand_neg', neg_id, cos, j::INT FROM ({rand}) r
+"""
+
+
 QUERIES = {
     "kmeans_clusters": Query(q_kmeans_clusters, _kmeans_oracle()),
     "sim_topk_brute": Query(
@@ -266,6 +314,8 @@ QUERIES = {
 #   r11 QUEUE CANDIDATE (r10 queue closed):
 #     "train_hard_negatives": Query(
 #         q_train_hard_negatives, S.sql_hard_negatives(QUERY_IDS)),
+#     "train_contrastive_pairs": Query(
+#         q_train_contrastive_pairs, _contrastive_pairs_oracle()),
 # Product-quantization ADC top-k, its IVF-PQ composition, and the
 # persisted-index serving path (operators/pq.py, sources/writers.py):
 # implemented + oracle-parity-tested this round (tests/test_pq.py);

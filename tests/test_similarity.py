@@ -291,3 +291,40 @@ def test_hard_negatives_are_the_next_ranks(spark, sf_dir):
     )
     con.close()
     assert got == want
+
+
+def test_contrastive_pairs_composition(spark, sf_dir):
+    """Oracle parity for the r11-candidate train_contrastive_pairs,
+    plus the training-table laws: exactly 1 pos + 2 hard + 2 random
+    per anchor; the positive scores >= every hard negative; hard
+    negatives score >= the mean random negative per anchor."""
+    import duckdb
+
+    from hash_db_spark.queries.similarity_queries import (
+        QUERY_IDS,
+        _contrastive_pairs_oracle,
+        q_train_contrastive_pairs,
+    )
+
+    got = sorted(
+        tuple(r) for r in q_train_contrastive_pairs(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(_contrastive_pairs_oracle()).fetchall()
+    )
+    con.close()
+    assert got == want and len(got) == len(QUERY_IDS) * 5
+    by_anchor = {}
+    for qid, role, _, cos, _ in got:
+        by_anchor.setdefault(qid, {}).setdefault(role, []).append(cos)
+    for qid, roles in by_anchor.items():
+        assert len(roles["pos"]) == 1
+        assert len(roles["hard_neg"]) == 2
+        assert len(roles["rand_neg"]) == 2
+        assert roles["pos"][0] >= max(roles["hard_neg"])
+        assert min(roles["hard_neg"]) >= min(roles["rand_neg"]) - 1e-9 or \
+            sum(roles["hard_neg"]) / 2 >= sum(roles["rand_neg"]) / 2
