@@ -714,3 +714,43 @@ def _text_normalize_oracle() -> str:
 
 # r11 QUEUE CANDIDATE (the r10 queue is closed at ~40 entries):
 #   "text_normalize": Query(q_text_normalize, _text_normalize_oracle()),
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: subword tokens per whitespace
+    word (the budgeting number that converts corpus word counts into
+    model token counts, and the per-language fairness diagnostic — a
+    language with 2x fertility pays 2x context for the same text).
+    One map-side projection + one tiny groupBy; exact int sums with a
+    single rounded division."""
+    docs = _docs(spark, sf_dir)
+    per = docs.select(
+        "lang",
+        T.token_count("text").alias("words"),
+        T.bpe_token_count("text").alias("subwords"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("words").alias("words"),
+        F.sum("subwords").alias("subwords"),
+        F.round(
+            F.sum("subwords").cast("double") / F.sum("words").cast("double"),
+            6,
+        ).alias("fertility"),
+    )
+
+
+def _tokenizer_fertility_oracle() -> str:
+    return f"""
+SELECT lang, count(*) AS n_docs,
+       sum({T.sql_token_count('text')}) AS words,
+       sum({T.sql_bpe_token_count('text')}) AS subwords,
+       round(CAST(sum({T.sql_bpe_token_count('text')}) AS DOUBLE)
+             / CAST(sum({T.sql_token_count('text')}) AS DOUBLE), 6)
+         AS fertility
+FROM documents GROUP BY lang
+"""
+
+# r11 QUEUE CANDIDATE:
+#   "tokenizer_fertility": Query(
+#       q_tokenizer_fertility, _tokenizer_fertility_oracle()),

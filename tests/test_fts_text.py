@@ -351,3 +351,28 @@ def test_text_normalize_oracle_parity(spark, sf_dir):
     )
     con.close()
     assert got == want and len(got) == 500
+
+
+def test_tokenizer_fertility_oracle_parity(spark, sf_dir):
+    """Parity for the r11-candidate tokenizer_fertility, plus the
+    domain law: fertility >= 1 (a word is at least one subword)."""
+    import duckdb
+
+    from hash_db_spark.queries.text_queries import (
+        _tokenizer_fertility_oracle,
+        q_tokenizer_fertility,
+    )
+
+    got = sorted(tuple(r) for r in q_tokenizer_fertility(spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(_tokenizer_fertility_oracle()).fetchall()
+    )
+    con.close()
+    assert got == want and len(got) >= 3
+    for _, n_docs, words, subwords, fert in got:
+        assert n_docs > 0 and words > 0
+        assert subwords >= words and fert >= 1.0
