@@ -210,3 +210,112 @@ SELECT shard, CAST(off // {budget} AS BIGINT) AS seq_id,
        count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
 FROM offs GROUP BY shard, CAST(off // {budget} AS BIGINT)
 """
+
+
+# --- masked-LM training examples ---------------------------------------------
+
+MLM_MOD = 7  # mask positions where md5(doc#pos) % MOD == 0 (~14%)
+MLM_TOKEN = "[MASK]"
+
+
+def mlm_examples(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    mod: int = MLM_MOD,
+) -> DataFrame:
+    """(id, input_text, targets, n_masked): BERT-style masked-LM
+    example construction (Devlin et al. 2018 — public), with the mask
+    CONTENT-ADDRESSED: position i of document d masks iff
+    md5(d#i) % mod == 0, so examples are reproducible from the dataset
+    alone — across runs, engines, partitionings, and epochs (vary
+    ``mod``'s seed position upstream to resample). targets is the
+    recoverable supervision: 'pos:token' pairs, space-joined in
+    position order.
+
+    Scale shape: one pure-HOF projection — transform over the token
+    index sequence, no explode, no shuffle, no Python; the whole
+    builder is whole-stage codegen and at 100 TB costs exactly one
+    corpus scan."""
+    from hash_db_spark.operators.dedup import clean_tokens
+
+    toks = clean_tokens(col)
+    did = F.col(id_col).cast("string")
+
+    def masked(i):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(did, F.lit("#"), i.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % mod
+            == 0
+        )
+
+    idx = F.sequence(F.lit(1), F.size(toks))
+    inp = F.array_join(
+        F.transform(
+            idx,
+            lambda i: F.when(masked(i), F.lit(MLM_TOKEN)).otherwise(
+                F.element_at(toks, i)
+            ),
+        ),
+        " ",
+    )
+    tgt = F.array_join(
+        F.filter(
+            F.transform(
+                idx,
+                lambda i: F.when(
+                    masked(i),
+                    F.concat(
+                        i.cast("string"),
+                        F.lit(":"),
+                        F.element_at(toks, i),
+                    ),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        " ",
+    )
+    n_masked = F.size(
+        F.filter(idx, lambda i: masked(i))
+    ).cast("long")
+    return df.select(
+        F.col(id_col).alias("id"),
+        inp.alias("input_text"),
+        tgt.alias("targets"),
+        n_masked.alias("n_masked"),
+    ).filter(F.size(toks) > 0)
+
+
+def sql_mlm_examples(
+    table: str, col: str, id_col: str, mod: int = MLM_MOD
+) -> str:
+    """DuckDB twin — same md5 position addressing over the same
+    clean-token list."""
+    toks = (
+        f"list_filter(string_split(replace({col}, ',', ''), ' '),"
+        f" x -> x <> '')"
+    )
+    m = (
+        f"('0x' || substr(md5({id_col}::VARCHAR || '#' || i::VARCHAR),"
+        f" 1, 8))::BIGINT % {mod} = 0"
+    )
+    return f"""
+SELECT {id_col} AS id,
+  array_to_string(list_transform(range(1, len(t) + 1),
+    i -> CASE WHEN {m} THEN '{MLM_TOKEN}' ELSE t[i] END), ' ')
+    AS input_text,
+  COALESCE(array_to_string(list_filter(list_transform(
+    range(1, len(t) + 1),
+    i -> CASE WHEN {m} THEN i::VARCHAR || ':' || t[i] ELSE NULL END),
+    x -> x IS NOT NULL), ' '), '') AS targets,
+  len(list_filter(range(1, len(t) + 1), i -> {m}))::BIGINT AS n_masked
+FROM (SELECT {id_col}, {toks} AS t FROM {table})
+WHERE len(t) > 0
+"""

@@ -754,3 +754,22 @@ FROM documents GROUP BY lang
 # r11 QUEUE CANDIDATE:
 #   "tokenizer_fertility": Query(
 #       q_tokenizer_fertility, _tokenizer_fertility_oracle()),
+
+
+def q_mlm_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BERT-style masked-LM training examples with content-addressed
+    masking (operators/chunking.py:mlm_examples) — one pure-HOF
+    projection, reproducible from the dataset alone."""
+    from hash_db_spark.operators.chunking import mlm_examples
+
+    return mlm_examples(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def _mlm_examples_oracle() -> str:
+    from hash_db_spark.operators.chunking import sql_mlm_examples
+
+    return sql_mlm_examples("documents", "text", "doc_id")
+
+
+# r11 QUEUE CANDIDATE:
+#   "mlm_examples": Query(q_mlm_examples, _mlm_examples_oracle()),

@@ -322,3 +322,54 @@ def test_pack_unsharded_warns(spark):
         warnings.simplefilter("always")
         chunking.pack_chunks(chunks, budget=16, shard_col="lang")
     assert not w
+
+
+# --- masked-LM example construction ------------------------------------------
+
+
+def test_mlm_examples_reconstructable_and_parity(spark, sf_dir):
+    """The supervision law: substituting each target 'pos:token' back
+    into input_text at pos reconstructs the clean token stream exactly;
+    mask rate lands near 1/MLM_MOD; full oracle parity."""
+    import duckdb
+
+    from hash_db_spark.catalog import load_table
+    from hash_db_spark.operators.chunking import (
+        MLM_MOD,
+        MLM_TOKEN,
+        mlm_examples,
+        sql_mlm_examples,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = mlm_examples(docs, "text", "doc_id")
+    got = {r.id: r for r in out.collect()}
+    originals = {
+        r.doc_id: r.text.replace(",", "").split()
+        for r in docs.select("doc_id", "text").collect()
+    }
+    masked_total = tokens_total = 0
+    for i, r in got.items():
+        toks = r.input_text.split(" ")
+        for pair in (r.targets.split(" ") if r.targets else []):
+            pos, tok = pair.split(":", 1)
+            assert toks[int(pos) - 1] == MLM_TOKEN
+            toks[int(pos) - 1] = tok
+        assert toks == originals[i]
+        masked_total += r.n_masked
+        tokens_total += len(toks)
+    rate = masked_total / tokens_total
+    assert abs(rate - 1 / MLM_MOD) < 0.03, rate
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            sql_mlm_examples("documents", "text", "doc_id")
+        ).fetchall()
+    )
+    con.close()
+    assert sorted(tuple(r) for r in out.collect()) == want
