@@ -563,3 +563,13 @@ def test_encoding_gate_map_side_only(spark, sf_dir):
 
     plan = formatted_plan(q_text_encoding_gate(spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_mlm_examples_map_side_only(spark, sf_dir):
+    """MLM example construction is one pure-HOF projection: zero
+    exchanges — at 100 TB it costs exactly one corpus scan."""
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries.text_queries import q_mlm_examples
+
+    plan = formatted_plan(q_mlm_examples(spark, sf_dir))
+    assert "Exchange" not in plan
