@@ -1020,3 +1020,77 @@ QUERIES: dict[str, Query] = {
         q_classifier_sample_prep, _classifier_sample_oracle()
     ),
 }
+
+
+EPOCH_BUDGET_X = 4.0   # token budget = 4x the corpus (data-constrained)
+EPOCH_MAX_REPEATS = 3.5  # cap: diminishing returns past ~4 epochs
+
+
+def q_epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch planning (Muennighoff et al. 2023,
+    arXiv:2305.16264 — public: repeating data up to ~4 epochs is nearly
+    as good as fresh data): temperature-weighted per-language token
+    budgets against AVAILABLE tokens -> per-language repeat factors
+    (capped), achieved tokens, and the unfillable deficit the mixture
+    must redistribute. All arithmetic on the language dimension (a
+    few rows after one corpus aggregation); windows never touch the
+    corpus."""
+    from pyspark.sql import Window
+
+    from hash_db_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.sum(token_count("text")).alias("n_toks")
+    )
+    wall = Window.partitionBy()
+    share = F.col("n_toks") / F.sum("n_toks").over(wall)
+    raw = F.pow(share, 1.0 / MIX_TEMPERATURE)
+    w = raw / F.sum(raw).over(wall)
+    budget = F.lit(EPOCH_BUDGET_X) * F.sum("n_toks").over(wall)
+    desired = budget * w
+    repeat = F.least(F.lit(EPOCH_MAX_REPEATS), desired / F.col("n_toks"))
+    achieved = F.col("n_toks") * repeat
+    return per_lang.select(
+        "lang",
+        "n_toks",
+        F.round(desired, 2).alias("desired_toks"),
+        F.round(repeat, 4).alias("repeat_factor"),
+        F.round(achieved, 2).alias("achieved_toks"),
+        F.round(desired - achieved, 2).alias("deficit_toks"),
+    )
+
+
+def _epoch_repeat_plan_oracle() -> str:
+    from hash_db_spark.functions.text import sql_token_count
+
+    return f"""
+WITH per_lang AS (
+  SELECT lang, CAST(sum({sql_token_count('text')}) AS BIGINT) AS n_toks
+  FROM documents GROUP BY lang
+),
+shared AS (
+  SELECT lang, n_toks,
+         n_toks / sum(n_toks) OVER () AS share,
+         {EPOCH_BUDGET_X} * sum(n_toks) OVER () AS budget
+  FROM per_lang
+),
+raw AS (SELECT *, pow(share, {1.0 / 2.0}) AS rw FROM shared),
+wts AS (SELECT *, rw / sum(rw) OVER () AS w FROM raw),
+plan AS (
+  SELECT lang, n_toks, budget * w AS desired,
+         least({EPOCH_MAX_REPEATS}, (budget * w) / n_toks) AS rep
+  FROM wts
+)
+SELECT lang, n_toks,
+       round(desired, 2) AS desired_toks,
+       round(rep, 4) AS repeat_factor,
+       round(n_toks * rep, 2) AS achieved_toks,
+       round(desired - n_toks * rep, 2) AS deficit_toks
+FROM plan
+"""
+
+
+# r11 QUEUE CANDIDATE (the r10 queue is closed):
+#   "epoch_repeat_plan": Query(
+#       q_epoch_repeat_plan, _epoch_repeat_plan_oracle()),

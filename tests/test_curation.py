@@ -422,3 +422,42 @@ def test_boundary_overlap_hot_key_cap_drops_boilerplate(spark):
     assert (100, 0, 101, 0, False) in got
     # doc 200's adjacent chunks survive
     assert any(p[0] == 200 and p[2] == 200 and p[4] for p in got)
+
+
+# --- data-constrained epoch planning ------------------------------------------
+
+
+def test_epoch_repeat_plan_laws_and_parity(spark, sf_dir):
+    """Oracle parity plus the plan laws: repeat <= cap; a source at the
+    cap carries the deficit, a source under the cap fills its desired
+    budget exactly; achieved totals never exceed desired."""
+    import duckdb
+
+    from hash_db_spark.queries.curation_queries import (
+        EPOCH_MAX_REPEATS,
+        _epoch_repeat_plan_oracle,
+        q_epoch_repeat_plan,
+    )
+
+    got = sorted(tuple(r) for r in q_epoch_repeat_plan(spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(_epoch_repeat_plan_oracle()).fetchall()
+    )
+    con.close()
+    assert got == want and len(got) >= 3
+    capped = uncapped = 0
+    for _, n, desired, rep, achieved, deficit in got:
+        assert 0 < rep <= EPOCH_MAX_REPEATS
+        assert achieved <= desired + 0.01
+        if rep == EPOCH_MAX_REPEATS:
+            capped += 1
+            assert deficit > 0
+        else:
+            uncapped += 1
+            assert abs(deficit) < 0.01
+    # the fixture's skewed language mix exercises BOTH branches
+    assert capped >= 1 and uncapped >= 1
