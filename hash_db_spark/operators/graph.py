@@ -520,3 +520,104 @@ def sql_hits(iterations: int = 2) -> str:
         f"SELECT h.id, h.hub, a.auth FROM {prev_h} h "
         f"JOIN a{iterations} a ON a.id = h.id"
     )
+
+
+# --- label-propagation communities -------------------------------------------
+
+
+def lpa_communities(
+    nodes: DataFrame, edges: DataFrame, iterations: int = 3
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al., Phys. Rev. E
+    2007 — public) in a fully deterministic form: every node
+    simultaneously adopts the most frequent label among its neighbors
+    (ties -> smallest label; isolated nodes keep their own). Unlike
+    ``connected_components`` (reachability), LPA finds DENSE regions —
+    two cliques joined by one bridge edge stay two communities.
+
+    Classic LPA breaks ties randomly and updates asynchronously; this
+    variant is synchronous with min-label ties, so both engines replay
+    it exactly (integer labels, integer counts — no floats at all).
+    Fixed iteration count keeps the oracle an unrolled CTE chain.
+
+    Scale shape mirrors pagerank/hits: the doubled edge list is
+    materialized once; each iteration is one equijoin + one
+    map-side-combined (node, label) count + one per-node window whose
+    partitions are bounded by degree, localCheckpointed so the plan
+    never deepens."""
+    from pyspark.sql import Window
+
+    e2 = (
+        edges.select("src", "dst")
+        .union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    ids = nodes.select("id").localCheckpoint(eager=True)
+    labels = ids.select("id", F.col("id").alias("label"))
+    w = Window.partitionBy("id").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for _ in range(iterations):
+        nb = (
+            e2.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("label").alias("nlabel")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"), F.col("nlabel").alias("label"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        pick = (
+            nb.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", F.col("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(pick, "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("nlabel"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("id", F.col("label").alias("community"))
+
+
+def sql_lpa_communities(iterations: int = 3) -> str:
+    """Unrolled CTE chain over gnodes/gedges — identical synchronous
+    min-label-tie propagation."""
+    parts = [
+        "e2 AS (SELECT src, dst FROM gedges"
+        " UNION ALL SELECT dst, src FROM gedges)",
+        "l0 AS (SELECT id, id AS label FROM gnodes)",
+    ]
+    prev = "l0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""n{i} AS (
+  SELECT e.src AS id, l.label, count(*) AS c
+  FROM e2 e JOIN {prev} l ON l.id = e.dst
+  GROUP BY e.src, l.label
+)"""
+        )
+        parts.append(
+            f"""p{i} AS (
+  SELECT id, label FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY id ORDER BY c DESC, label ASC
+    ) AS rn FROM n{i}
+  ) WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"""l{i} AS (
+  SELECT l.id, COALESCE(p.label, l.label) AS label
+  FROM {prev} l LEFT JOIN p{i} p ON p.id = l.id
+)"""
+        )
+        prev = f"l{i}"
+    ctes = ",\n".join(parts)
+    return f"{ctes}\nSELECT id, label AS community FROM {prev}"

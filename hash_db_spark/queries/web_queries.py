@@ -561,6 +561,51 @@ gnodes AS (
 """
 
 
+def q_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense host neighborhoods by deterministic label propagation —
+    the crawl-side site-cluster signal (link farms and mirror networks
+    form dense communities long before they merge into one weak
+    component). Same edge derivation as pagerank/hits; integer-exact
+    (operators/graph.py:lpa_communities)."""
+    from hash_db_spark.operators.graph import lpa_communities
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", W.synth_html("doc_id").alias("html")
+    )
+    links = docs.select(
+        W.url_host(W.canonicalize_url(W.synth_url("doc_id"))).alias("src"),
+        F.explode(W.html_hrefs("html")).alias("href"),
+    )
+    edges = links.select(
+        "src", W.url_host(W.canonicalize_url("href")).alias("dst")
+    ).distinct()
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return lpa_communities(nodes, edges, iterations=3)
+
+
+def _host_communities_oracle() -> str:
+    from hash_db_spark.operators.graph import sql_lpa_communities
+
+    return f"""
+WITH {W.sql_link_targets_cte()},
+gedges AS (
+  SELECT DISTINCT {_host_of_id('doc_id')} AS src,
+         {_host_of_id('t')} AS dst
+  FROM links
+),
+gnodes AS (
+  SELECT DISTINCT src AS id FROM gedges
+  UNION
+  SELECT DISTINCT dst AS id FROM gedges
+),
+{sql_lpa_communities(iterations=3)}
+"""
+
+
 QUERIES = {
     "robots_sitemap_refs": Query(
         q_robots_sitemap_refs, ROBOTS_SITEMAP_REFS_ORACLE
@@ -582,6 +627,9 @@ QUERIES = {
     ),
     # r10 QUEUE (registration throttled per VERDICT r08 #1):
     #   "hits_hosts": Query(q_hits_hosts, _hits_hosts_oracle()),
+    #   r11 QUEUE CANDIDATE:
+    #     "host_communities": Query(
+    #         q_host_communities, _host_communities_oracle()),
     # Integer-exact HITS link analysis (operators/graph.py:hits) —
     # implemented + oracle-parity-tested this round (tests/test_web.py);
     # registering is the one-line uncomment once r10 has a slot.

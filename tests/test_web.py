@@ -486,3 +486,43 @@ def test_hits_edgeless_nodes_score_zero(spark):
     edges = spark.createDataFrame([], "src long, dst long")
     got = {r.id: (r.hub, r.auth) for r in hits(nodes, edges).collect()}
     assert got == {1: (0, 0), 2: (0, 0)}
+
+
+def test_lpa_two_triangles_bridge(spark):
+    """Hand-derived: two triangles joined by one bridge edge resolve to
+    exactly two communities — the density signal connected components
+    cannot give (components would merge them into one)."""
+    from hash_db_spark.operators.graph import lpa_communities
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        ["src", "dst"],
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], ["id"])
+    got = {r.id: r.community for r in lpa_communities(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+
+
+def test_host_communities_oracle_parity(spark, sf_dir):
+    """Driver-style compare for the r11-candidate host_communities."""
+    import duckdb
+
+    from hash_db_spark.queries.web_queries import (
+        _host_communities_oracle,
+        q_host_communities,
+    )
+
+    got = sorted(
+        (r.id, r.community) for r in q_host_communities(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        (r[0], r[1]) for r in con.execute(_host_communities_oracle()).fetchall()
+    )
+    con.close()
+    assert got == want and len(got) > 0
+    # LPA found non-trivial structure: fewer communities than nodes
+    assert len({c for _, c in got}) < len(got)
