@@ -344,6 +344,19 @@ def main() -> int:
             ("erasure_audit", q_erasure_audit),
         ):
             timed(f"{name}/{scale}", lambda f=fn: f(spark, SF_DIR))
+        # round-9 session 3, late: r11 queue candidates
+        from hash_db_spark.queries.text_queries import (
+            q_mlm_examples,
+            q_text_normalize,
+        )
+        from hash_db_spark.queries.web_queries import q_host_communities
+
+        for name, fn in (
+            ("mlm_examples", q_mlm_examples),
+            ("text_normalize", q_text_normalize),
+            ("host_communities", q_host_communities),
+        ):
+            timed(f"{name}/{scale}", lambda f=fn: f(spark, sf_dir))
     return 0
 
 
