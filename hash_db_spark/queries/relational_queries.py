@@ -826,3 +826,82 @@ QUERIES = {
     # round (tests/test_relational.py); one-line uncomment when r10 has
     # a slot.
 }
+
+
+JSE_RATE_NUM = 209715  # sample_u < NUM with M=2^20 -> ~20% key sample
+
+
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-statistics capability: estimate |orders JOIN customer
+    ON custkey| from a ~20% CONTENT-ADDRESSED key sample (the classic
+    key-sampling estimator: join size = sum_k n_orders(k)*n_cust(k);
+    sampling keys by hash keeps both sides' counts for a kept key
+    intact, so the scaled sample sum is unbiased). Emits the estimate
+    next to the exact value with the relative error — the number a
+    planner consults before choosing a join strategy, here made a
+    driver-checkable query (everything is deterministic: md5 sampling,
+    exact int sums, one float division).
+
+    Scale shape: two map-side-combined per-key counts, one equijoin on
+    the key dimension, no row-level join of the fact tables at all —
+    the whole point: estimating the join costs a fraction of running
+    it."""
+    from hash_db_spark.operators.curation import SAMPLE_M, sample_u
+
+    o = _t(spark, sf_dir, "orders").groupBy(
+        F.col("o_custkey").alias("k")
+    ).agg(F.count(F.lit(1)).alias("n_o"))
+    c = _t(spark, sf_dir, "customer").groupBy(
+        F.col("c_custkey").alias("k")
+    ).agg(F.count(F.lit(1)).alias("n_c"))
+    per_key = o.join(c, "k").select(
+        "k", (F.col("n_o") * F.col("n_c")).alias("m"),
+        sample_u(F.col("k")).alias("u"),
+    )
+    rate = JSE_RATE_NUM / SAMPLE_M
+    return per_key.agg(
+        F.round(
+            F.sum(F.when(F.col("u") < JSE_RATE_NUM, F.col("m"))).cast(
+                "double"
+            )
+            / F.lit(rate),
+            2,
+        ).alias("est_rows"),
+        F.sum("m").alias("exact_rows"),
+    ).select(
+        "est_rows",
+        "exact_rows",
+        F.round(
+            F.abs(F.col("est_rows") - F.col("exact_rows"))
+            / F.col("exact_rows"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+def _join_size_estimate_oracle() -> str:
+    from hash_db_spark.operators.curation import SAMPLE_M, sql_sample_u
+
+    rate = JSE_RATE_NUM / SAMPLE_M
+    return f"""
+WITH o AS (SELECT o_custkey AS k, count(*) AS n_o FROM orders GROUP BY 1),
+c AS (SELECT c_custkey AS k, count(*) AS n_c FROM customer GROUP BY 1),
+per_key AS (
+  SELECT o.k, o.n_o * c.n_c AS m, {sql_sample_u('o.k')} AS u
+  FROM o JOIN c USING (k)
+),
+agg AS (
+  SELECT round(CAST(sum(CASE WHEN u < {JSE_RATE_NUM} THEN m END) AS DOUBLE)
+               / {rate!r}, 2) AS est_rows,
+         sum(m) AS exact_rows
+  FROM per_key
+)
+SELECT est_rows, exact_rows,
+       round(abs(est_rows - exact_rows) / exact_rows, 6) AS rel_err
+FROM agg
+"""
+
+
+# r11 QUEUE CANDIDATE:
+#   "join_size_estimate": Query(
+#       q_join_size_estimate, _join_size_estimate_oracle()),

@@ -185,3 +185,35 @@ def test_erasure_audit_oracle_parity_and_cascade(spark, sf_dir):
     by = dict(got)
     assert by["customer"] > 0
     assert by["lineitem"] >= by["orders"] > 0
+
+
+def test_join_size_estimate_unbiased_enough(spark, sf_dir):
+    """Oracle parity for the r11-candidate join_size_estimate, plus the
+    estimator laws: exact equals the true row-level join count, and
+    the 20%-key-sample estimate lands within 10% of it on the
+    fixtures."""
+    import duckdb
+
+    from hash_db_spark.catalog import load_table
+    from hash_db_spark.queries.relational_queries import (
+        _join_size_estimate_oracle,
+        q_join_size_estimate,
+    )
+
+    row = q_join_size_estimate(spark, sf_dir).collect()[0]
+    true_join = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .count()
+    )
+    assert row.exact_rows == true_join
+    assert row.rel_err < 0.10, row
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    want = con.execute(_join_size_estimate_oracle()).fetchone()
+    con.close()
+    assert tuple(row) == want
