@@ -539,3 +539,66 @@ QUERIES = {
     # Markov transition matrix — implemented + parity-tested this round
     # (tests/test_temporal.py); one-line uncomment when r10 has a slot.
 }
+
+
+ANOM_Z = 3.5  # Iglewicz-Hoaglin modified-z cutoff
+
+
+def q_event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user activity anomaly screen: modified z-score
+    (Iglewicz & Hoaglin 1993 — public) of each user's event count
+    against the corpus median/MAD — median-based, so the outliers being
+    hunted cannot poison the baseline the way mean/stddev lets them.
+    Emits every user with the score and the flag (cutoff 3.5).
+
+    Scale shape: one map-side-combined per-user count; the median and
+    MAD are two corpus aggregates over that user-dimension frame whose
+    single-row results attach via broadcast-sized cross joins — no
+    corpus-wide window, no second scan of events."""
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    med = per_user.agg(
+        F.expr("percentile(n_events, 0.5)").alias("med")
+    )
+    mad = (
+        per_user.crossJoin(med)
+        .agg(
+            F.expr("percentile(abs(n_events - med), 0.5)").alias("mad"),
+            F.first("med").alias("med"),
+        )
+    )
+    rz = F.round(
+        F.lit(0.6745)
+        * (F.col("n_events") - F.col("med"))
+        / F.col("mad"),
+        6,
+    )
+    return per_user.crossJoin(mad).select(
+        "user_id",
+        "n_events",
+        rz.alias("rz"),
+        (F.abs(rz) > ANOM_Z).alias("is_anomaly"),
+    )
+
+
+EVENT_RATE_ANOM_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+),
+med AS (SELECT quantile_cont(n_events, 0.5) AS med FROM per_user),
+mad AS (
+  SELECT quantile_cont(abs(n_events - med), 0.5) AS mad, any_value(med) AS med
+  FROM per_user, med
+)
+SELECT user_id, n_events,
+       round(0.6745 * (n_events - med) / mad, 6) AS rz,
+       abs(round(0.6745 * (n_events - med) / mad, 6)) > {3.5} AS is_anomaly
+FROM per_user, mad
+"""
+
+
+# r11 QUEUE CANDIDATE:
+#   "event_rate_anomalies": Query(
+#       q_event_rate_anomalies, EVENT_RATE_ANOM_ORACLE),

@@ -484,3 +484,62 @@ def test_event_transitions_oracle_parity(spark, sf_dir):
         sums[f] = sums.get(f, 0.0) + p
     for f, s in sums.items():
         assert abs(s - 1.0) < 1e-4, (f, s)
+
+
+# --- robust event-rate anomaly screen -----------------------------------------
+
+
+def test_event_rate_anomalies_flags_planted_outlier(spark):
+    """20 ordinary users (4-6 events) + one bot (100 events): exactly
+    the bot flags, and the robust baseline (median/MAD) is NOT dragged
+    by the outlier the way a mean/stddev screen would be."""
+    import datetime as dt
+
+    from hash_db_spark.queries.temporal_queries import q_event_rate_anomalies
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(20):
+        for j in range(4 + u % 3):
+            rows.append((eid, t0, u, "click", 0.0, "{}"))
+            eid += 1
+    for j in range(100):
+        rows.append((eid, t0, 999, "click", 0.0, "{}"))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    import tempfile
+    from pathlib import Path
+
+    d = Path(tempfile.mkdtemp(prefix="anomfix"))
+    ev.write.mode("overwrite").parquet(str(d / "events.parquet"))
+    got = {r.user_id: r for r in q_event_rate_anomalies(spark, str(d)).collect()}
+    assert got[999].is_anomaly
+    assert all(not got[u].is_anomaly for u in range(20))
+
+
+def test_event_rate_anomalies_oracle_parity(spark, sf_dir):
+    """Driver-style compare for the r11-candidate event_rate_anomalies
+    (the uniform fixture legitimately flags nobody — rz still compares
+    value-exactly)."""
+    import duckdb
+
+    from hash_db_spark.queries.temporal_queries import (
+        EVENT_RATE_ANOM_ORACLE,
+        q_event_rate_anomalies,
+    )
+
+    got = sorted(
+        tuple(r) for r in q_event_rate_anomalies(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(EVENT_RATE_ANOM_ORACLE).fetchall()
+    )
+    con.close()
+    assert got == want and len(got) > 0
