@@ -373,3 +373,34 @@ def test_mlm_examples_reconstructable_and_parity(spark, sf_dir):
     )
     con.close()
     assert sorted(tuple(r) for r in out.collect()) == want
+
+
+def test_pack_efficiency_laws_and_parity(spark, sf_dir):
+    """Oracle parity for the r11-candidate pack_efficiency, plus the
+    packing laws: fill_rate in (0, 1]; n_seqs is exactly
+    ceil(total/budget); straddlers < n_chunks (a chunk shorter than the
+    budget can't straddle more than one boundary, and the first chunk
+    of every shard never straddles from start 0... it can — only
+    assert the count stays below the chunk count)."""
+    import duckdb
+    import math
+
+    from hash_db_spark.queries.pipeline_queries import (
+        _pack_efficiency_oracle,
+        q_pack_efficiency,
+    )
+
+    got = sorted(tuple(r) for r in q_pack_efficiency(spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(_pack_efficiency_oracle()).fetchall()
+    )
+    con.close()
+    assert got == want and len(got) >= 3
+    for _, n_chunks, total, n_seqs, fill, straddlers in got:
+        assert n_seqs == math.ceil(total / 64)
+        assert 0 < fill <= 1.0
+        assert 0 <= straddlers < n_chunks
