@@ -305,6 +305,33 @@ def bloom_bits(
     return df.select(coords).distinct()
 
 
+def bloom_member_pred(
+    bits: DataFrame, key, k: int = BLOOM_K, m: int = BLOOM_M
+):
+    """MAP-SIDE Bloom membership predicate over column ``key``: the bit
+    set collapses to one m-char '0'/'1' mask literal and membership is
+    k substring probes — no shuffle, no distinct, no join. This is the
+    runtime-filter shape: the fact table is filtered in its scan stage
+    (whole-stage codegen) and only the ~joining fraction (+ the bounded
+    false-positive tail) reaches the exact join.
+
+    The collect here is the FILTER, not the corpus: at most m (=8192)
+    single-int rows regardless of member-set or probe-set size — the
+    scale-invariant broadcast the technique exists to enable. Never
+    false-negative; callers must still exact-join to drop false
+    positives."""
+    if isinstance(key, str):
+        key = F.col(key)
+    set_bits = {int(r["bit"]) for r in bits.collect()}
+    mask = "".join("1" if i in set_bits else "0" for i in range(m))
+    pred = None
+    for i in range(k):
+        coord = _cms_coord(i, key, m)
+        hit = F.substring(F.lit(mask), (coord + 1).cast("int"), 1) == "1"
+        pred = hit if pred is None else (pred & hit)
+    return pred
+
+
 def bloom_candidates(
     bits: DataFrame,
     probes: DataFrame,

@@ -169,6 +169,11 @@ def fts_index_query(spark, path: str, query: str) -> DataFrame:
     out: DataFrame | None = None
     mode = "and"
     for tok in query.split(" "):
+        if not tok:
+            # Doubled/leading/trailing spaces: compile_fts skips empty
+            # tokens, so the index probe must too — probing '' would
+            # empty an AND fold that the corpus scan would not.
+            continue
         if tok == "&":
             mode = "and"
             continue

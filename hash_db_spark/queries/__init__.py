@@ -52,122 +52,74 @@ def all_queries() -> dict[str, Query]:
     # Module order matters: the driver verifies registry entries in order
     # and caps the run at the first 50.
     #
-    # ROUND-9 WINDOW, computed mechanically by scripts/compute_reverify.py
-    # at r09 HEAD (after this round's scale fixes landed, so every edited
-    # entry's FIRST driver fact is post-fix). Post-fix state: 297 entries,
-    # 47 never-checked, 20 stale (the r08 session-2/3/4 backlog plus the
-    # entries tainted by r09's broadcast/PSL/writer fixes). 67 candidates
-    # for 50 slots; installed here:
-    #   - 46 of the 47 never-checked (dup_cluster_histogram defers to the
-    #     r10 queue — its parent media_dup_clusters IS in-window and the
-    #     histogram is a thin consumer of it);
-    #   - the 4 r09-tainted entries VERDICT r08 #2-#4 explicitly wants
-    #     verified post-fix: q3_top_orders + q5_local_revenue (customer
-    #     unhinted), host_doc_caps (dim unhinted + real PSL),
-    #     url_host_domains (real PSL).
+    # ROUND-10 WINDOW, computed mechanically by scripts/compute_reverify.py
+    # at r10 HEAD (after this round's fixes landed, so every edited
+    # entry's FIRST driver fact is post-fix). State at computation: 319
+    # entries (297 + the 22 registrations queued under the r08 throttle,
+    # all uncommented this round), 23 never-checked (the 21 queued
+    # registrations + dup_cluster_histogram + xml_roundtrip), 21 stale —
+    # the VERDICT r09 #1 queue exactly, plus the entries tainted by this
+    # round's own fixes (bloom_prejoin rewrite, q5 supplier unhint,
+    # MIX_TEMPERATURE oracle interpolation -> mixture_temperature/
+    # mixture_temp_select). 44 candidates, all installed; 6 slots spare.
     #
-    # R10 QUEUE HEAD (17 + any r10 taint; never-checked first):
-    #   dup_cluster_histogram;
-    #   stale with prior green facts: dedup_image_in_video (r08 green,
-    #   r09 mkey removal), graph_degree_hist (r07), stratified_sample,
-    #   stream_sessions, stream_stateful_counter, top_ngrams_per_lang,
-    #   unpivot_measures (r03), bloom_decontaminate, cdc_scd2_history,
-    #   cms_user_counts, fts_phrase, histo_quantiles, sim_topk_ivf_kmeans,
-    #   stream_dedup_within_wm, stream_stream_join, zorder_values (r04);
-    #   plus semi_join (fresh green until r09's unhint of its
-    #   corpus-proportional customer broadcast tainted it) and the
-    #   throttled registrations (one-line uncomments, each implemented
-    #   + oracle-parity-tested this round):
-    #     stream_line_dedup_wm   (pipeline_queries.py r10 QUEUE)
-    #     dedup_keep_best        (pipeline_queries.py r10 QUEUE)
-    #     sim_topk_pq            (similarity_queries.py r10 QUEUE)
-    #     sim_topk_ivf_pq        (similarity_queries.py r10 QUEUE)
-    #     sim_topk_pq_persisted  (similarity_queries.py r10 QUEUE)
-    #     stream_pq_probe        (similarity_queries.py r10 QUEUE)
-    #     dedup_tfidf_cosine     (text_queries.py r10 QUEUE)
-    #     retrieve_chunks_topk   (text_queries.py r10 QUEUE)
-    #     doc_topic_segments     (text_queries.py r10 QUEUE)
-    #     kmv_shared_users       (sketch_queries.py r10 QUEUE)
-    #   session-3 additions (same discipline — implemented +
-    #   oracle-parity-tested + plan-shape-pinned this round):
-    #     hits_hosts             (web_queries.py r10 QUEUE)
-    #     lsh_param_plan         (dedup_queries.py r10 QUEUE)
-    #     text_encoding_gate     (text_queries.py r10 QUEUE)
-    #     retrieve_mmr_topk      (text_queries.py r10 QUEUE)
-    #     fts_serve_mixed        (text_queries.py r10 QUEUE)
-    #     compaction_plan        (sources_queries.py r10 QUEUE)
-    #     sim_recall_truncated   (similarity_queries.py r10 QUEUE)
-    #     event_transitions      (temporal_queries.py r10 QUEUE)
-    #     fk_integrity_audit     (relational_queries.py r10 QUEUE)
-    #     erasure_audit          (relational_queries.py r10 QUEUE)
-    #     xml_roundtrip          (sources_queries.py r10 QUEUE)
-    #   Queue tally after session 3: ~40 candidates for the 50-slot
-    #   r10 window (10 + 12 throttled registrations, dup_cluster_
-    #   histogram, 17 stale-with-prior-facts) — further session-3
-    #   registrations STOP here so r10 taint keeps ~10 free slots.
-    #
-    # Registration throttle (VERDICT r08 #1): NO new registry entries
-    # this round — new operators land in code/tests and queue for r10.
+    # Registration throttle (VERDICT r08 #1) stays: new operators built
+    # later this round land implemented + parity-tested with their
+    # registration commented as "r11 QUEUE CANDIDATE" — the 6 spare
+    # slots are reserved for late-round taint, not new claims.
     # Ordering: cheap codegen entries first to absorb the window's
-    # JVM/codegen warmup; heavy entries (pagerank, lang segments,
-    # winnowing, health report) interleaved, never clustered.
+    # JVM/codegen warmup; heavy entries (PQ fits, MMR, winnowing-scale
+    # iterative graph ops) interleaved, never clustered.
     priority = [
         # --- cheap openers (absorb warmup) --------------------------
-        "warc_extract",
-        "robots_rules",
-        "html_text_extract",
-        "weighted_doc_sample",
-        # --- never driver-checked (r08 s2/s3/s4 backlog) ------------
-        "line_dedup_docs",
-        "doc_lang_segments",
-        "line_boilerplate_strip",
-        "line_containment",
-        "pagerank_hosts",
-        "line_clean_prep",
-        "link_host_graph",
-        "rank_weighted_caps",
-        "robots_url_filter",
-        "corpus_health_report",
-        "fetch_schedule",
-        "winnow_fingerprints",
-        "stream_line_dedup",
-        "winnow_dup_pairs",
-        "crawl_prep",
-        "winnow_components",
-        "crawl_prep_polite",
-        "doc_boundary_overlap",
-        "warc_extract_gz",
-        "quality_classifier",
-        "html_anchor_texts",
-        "decontaminate_mask",
-        "sitemap_discover",
-        "html_corpus_prep",
-        "bpe_encode_corpus",
-        "classifier_sample_prep",
-        "lm_trigram_interp",
-        "stream_quality_gate",
-        "dedup_audio_pairs",
-        "crawl_frontier_schedule",
-        "dedup_image_incremental",
-        "embedding_dim_stats",
-        "dedup_audio_incremental",
-        "embedding_project_jl",
-        "media_dup_clusters",
-        "embedding_whiten_norms",
-        "source_dup_matrix",
-        "mixture_temperature",
-        "dedup_budget_select",
-        "gopher_quality_gate",
-        "mixture_temp_select",
-        "robots_sitemap_refs",
-        # --- r09-tainted, judge-mandated post-fix facts -------------
-        "q3_top_orders",
-        "q5_local_revenue",
-        "host_doc_caps",
-        "url_host_domains",
-        # 50 entries. NO further additions this round — a new entry
-        # would displace a slot and ship as an unverified claim; the
-        # r10 queue above is the place for it.
+        "xml_roundtrip",
+        "event_transitions",
+        "lsh_param_plan",
+        "fk_integrity_audit",
+        # --- never driver-checked (r09 throttled registrations) -----
+        "text_encoding_gate",
+        "sim_topk_pq",
+        "kmv_shared_users",
+        "dedup_tfidf_cosine",
+        "compaction_plan",
+        "hits_hosts",
+        "erasure_audit",
+        "retrieve_chunks_topk",
+        "stream_line_dedup_wm",
+        "sim_topk_ivf_pq",
+        "host_communities",
+        "doc_topic_segments",
+        "dedup_keep_best",
+        "sim_topk_pq_persisted",
+        "fts_serve_mixed",
+        "stream_pq_probe",
+        "retrieve_mmr_topk",
+        "sim_recall_truncated",
+        "dup_cluster_histogram",
+        # --- stale, VERDICT r09 #1 backlog (last-green round noted) --
+        "semi_join",           # r01 fact; r09 unhint needs post-fix fact
+        "stratified_sample",   # r03
+        "stream_sessions",     # r03
+        "stream_stateful_counter",  # r03
+        "top_ngrams_per_lang",  # r03
+        "unpivot_measures",    # r03
+        "bloom_decontaminate",  # r04
+        "cdc_scd2_history",    # r04
+        "cms_user_counts",     # r04
+        "fts_phrase",          # r04
+        "histo_quantiles",     # r04
+        "sim_topk_ivf_kmeans",  # r04
+        "stream_dedup_within_wm",  # r04
+        "stream_stream_join",  # r04
+        "zorder_values",       # r04
+        "graph_degree_hist",   # r07
+        "dedup_image_in_video",  # r08
+        # --- r10-tainted, post-fix facts (VERDICT r09 #2/#3, ADVICE) -
+        "bloom_prejoin",       # map-side runtime filter rewrite
+        "q5_local_revenue",    # supplier unhinted
+        "mixture_temperature",  # oracle MIX_TEMPERATURE interpolation
+        "mixture_temp_select",  # same
+        # 44 entries; 6 spare slots reserved for late-round taint.
     ]
     registry: dict[str, Query] = {}
     for mod in (

@@ -528,7 +528,7 @@ shared AS (
   SELECT lang, n_toks, n_toks / sum(n_toks) OVER () AS share
   FROM per_lang
 ),
-raw AS (SELECT *, pow(share, {1.0 / 2.0}) AS rw FROM shared)
+raw AS (SELECT *, pow(share, {1.0 / MIX_TEMPERATURE}) AS rw FROM shared)
 SELECT lang, n_toks,
        round(share, 4) AS share,
        round(rw / sum(rw) OVER (), 4) AS temp_weight
@@ -1075,7 +1075,7 @@ shared AS (
          {EPOCH_BUDGET_X} * sum(n_toks) OVER () AS budget
   FROM per_lang
 ),
-raw AS (SELECT *, pow(share, {1.0 / 2.0}) AS rw FROM shared),
+raw AS (SELECT *, pow(share, {1.0 / MIX_TEMPERATURE}) AS rw FROM shared),
 wts AS (SELECT *, rw / sum(rw) OVER () AS w FROM raw),
 plan AS (
   SELECT lang, n_toks, budget * w AS desired,

@@ -356,9 +356,6 @@ QUERIES = {
         q_dedup_embedding,
         D.sql_embedding_near_dup_pairs(threshold=COSINE_T),
     ),
-    # r10 QUEUE (registration throttled per VERDICT r08 #1):
-    #   "lsh_param_plan": Query(q_lsh_param_plan, D.sql_lsh_s_curve()),
-    # Banded-LSH S-curve planner — implemented + parity-tested this
-    # round (tests/test_dedup.py); one-line uncomment when r10 has a
-    # slot.
+    # registered r10 (queued r09 under the VERDICT r08 #1 throttle):
+    "lsh_param_plan": Query(q_lsh_param_plan, D.sql_lsh_s_curve()),
 }

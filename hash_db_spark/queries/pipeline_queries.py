@@ -600,6 +600,84 @@ FROM probes JOIN supplier ON levenshtein(probe_name, s_name) <= 2
 """
 
 
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production keep policy: per MinHash dup cluster, keep the
+    HIGHEST-quality member (quality_score_fast), not the min id —
+    (keep_id, cluster, n_members, q) per cluster."""
+    from hash_db_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
+    return D.keep_best_per_cluster(
+        docs, pairs, "doc_id", T.quality_score_fast("text")
+    )
+
+
+def _keep_best_oracle() -> str:
+    from hash_db_spark.functions import text as T
+
+    return D.sql_keep_best_per_cluster(
+        "documents",
+        "doc_id",
+        D.sql_minhash_lsh_pairs("documents", "text", "doc_id", threshold=0.5),
+        T.sql_quality_score_fast("text"),
+    )
+
+
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report over the loader manifest: per shard,
+    sequences used, capacity fill rate, and the chunks that STRADDLE a
+    sequence boundary (each straddler forces the loader to split its
+    attention span) — the number that decides whether the packing
+    budget fits the chunk-length distribution. Pure aggregation of the
+    proven pack_manifest placement (one window + one groupBy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunking.token_chunks(
+        docs, "text", "doc_id", size=CHUNK_SIZE, overlap=CHUNK_OVERLAP
+    )
+    with_lang = chunks.join(
+        docs.select(F.col("doc_id").alias("id"), "lang"), "id"
+    )
+    m = chunking.pack_manifest(with_lang, budget=64, shard_col="lang")
+    return m.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("total_toks"),
+        F.expr("(sum(n_tokens) + 63) DIV 64").cast("long").alias("n_seqs"),
+        F.round(
+            F.sum("n_tokens").cast("double")
+            / (F.expr("(sum(n_tokens) + 63) DIV 64") * F.lit(64.0)),
+            6,
+        ).alias("fill_rate"),
+        F.sum(
+            F.when(F.col("start_tok") + F.col("n_tokens") > 64, 1).otherwise(0)
+        ).cast("long").alias("n_straddlers"),
+    )
+
+
+def _pack_efficiency_oracle() -> str:
+    manifest = _pack_manifest_oracle()
+    return f"""
+SELECT shard,
+       count(*) AS n_chunks,
+       CAST(sum(n_tokens) AS BIGINT) AS total_toks,
+       ((sum(n_tokens) + 63) // 64)::BIGINT AS n_seqs,
+       round(CAST(sum(n_tokens) AS DOUBLE)
+             / (((sum(n_tokens) + 63) // 64) * 64.0), 6) AS fill_rate,
+       CAST(sum(CASE WHEN start_tok + n_tokens > 64 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_straddlers
+FROM ({manifest}) m
+GROUP BY shard
+"""
+
+
+# r11 QUEUE CANDIDATE:
+#   "pack_efficiency": Query(q_pack_efficiency, _pack_efficiency_oracle()),
+
+
+# The QUERIES literal lives at module tail so every registered fn is
+# already bound; compute_reverify explodes it per-entry either way.
 QUERIES = {
     "scrub_redact": Query(q_scrub_redact, SCRUB_REDACT_ORACLE),
     "fuzzy_name_match": Query(q_fuzzy_name_match, FUZZY_ORACLE),
@@ -677,88 +755,9 @@ QUERIES = {
     "stream_line_dedup": Query(
         q_stream_line_dedup, _stream_line_dedup_oracle()
     ),
-    # r10 QUEUE (registration throttled per VERDICT r08 #1 — the r09
-    # window is already oversubscribed with never-checked entries):
-    #   "stream_line_dedup_wm": Query(
-    #       q_stream_line_dedup_wm, _stream_line_dedup_oracle()),
-    # Implemented + unit-tested (tests/test_streaming.py) this round;
-    # registering it is the one-line uncomment once the r10 window has
-    # a slot.
-    #   "dedup_keep_best": Query(q_dedup_keep_best, _keep_best_oracle()),
-    # Quality-aware cluster keeper (session 2, tests/test_dedup.py
-    # TestKeepBest) — same one-line-uncomment protocol.
+    # registered r10 (queued r09 under the VERDICT r08 #1 throttle):
+    "stream_line_dedup_wm": Query(
+        q_stream_line_dedup_wm, _stream_line_dedup_oracle()
+    ),
+    "dedup_keep_best": Query(q_dedup_keep_best, _keep_best_oracle()),
 }
-
-
-def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production keep policy: per MinHash dup cluster, keep the
-    HIGHEST-quality member (quality_score_fast), not the min id —
-    (keep_id, cluster, n_members, q) per cluster."""
-    from hash_db_spark.functions import text as T
-
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
-    return D.keep_best_per_cluster(
-        docs, pairs, "doc_id", T.quality_score_fast("text")
-    )
-
-
-def _keep_best_oracle() -> str:
-    from hash_db_spark.functions import text as T
-
-    return D.sql_keep_best_per_cluster(
-        "documents",
-        "doc_id",
-        D.sql_minhash_lsh_pairs("documents", "text", "doc_id", threshold=0.5),
-        T.sql_quality_score_fast("text"),
-    )
-
-
-def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Packing-efficiency report over the loader manifest: per shard,
-    sequences used, capacity fill rate, and the chunks that STRADDLE a
-    sequence boundary (each straddler forces the loader to split its
-    attention span) — the number that decides whether the packing
-    budget fits the chunk-length distribution. Pure aggregation of the
-    proven pack_manifest placement (one window + one groupBy)."""
-    docs = load_table(spark, sf_dir, "documents")
-    chunks = chunking.token_chunks(
-        docs, "text", "doc_id", size=CHUNK_SIZE, overlap=CHUNK_OVERLAP
-    )
-    with_lang = chunks.join(
-        docs.select(F.col("doc_id").alias("id"), "lang"), "id"
-    )
-    m = chunking.pack_manifest(with_lang, budget=64, shard_col="lang")
-    return m.groupBy("shard").agg(
-        F.count(F.lit(1)).alias("n_chunks"),
-        F.sum("n_tokens").alias("total_toks"),
-        F.expr("(sum(n_tokens) + 63) DIV 64").cast("long").alias("n_seqs"),
-        F.round(
-            F.sum("n_tokens").cast("double")
-            / (F.expr("(sum(n_tokens) + 63) DIV 64") * F.lit(64.0)),
-            6,
-        ).alias("fill_rate"),
-        F.sum(
-            F.when(F.col("start_tok") + F.col("n_tokens") > 64, 1).otherwise(0)
-        ).cast("long").alias("n_straddlers"),
-    )
-
-
-def _pack_efficiency_oracle() -> str:
-    manifest = _pack_manifest_oracle()
-    return f"""
-SELECT shard,
-       count(*) AS n_chunks,
-       CAST(sum(n_tokens) AS BIGINT) AS total_toks,
-       ((sum(n_tokens) + 63) // 64)::BIGINT AS n_seqs,
-       round(CAST(sum(n_tokens) AS DOUBLE)
-             / (((sum(n_tokens) + 63) // 64) * 64.0), 6) AS fill_rate,
-       CAST(sum(CASE WHEN start_tok + n_tokens > 64 THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_straddlers
-FROM ({manifest}) m
-GROUP BY shard
-"""
-
-
-# r11 QUEUE CANDIDATE:
-#   "pack_efficiency": Query(q_pack_efficiency, _pack_efficiency_oracle()),

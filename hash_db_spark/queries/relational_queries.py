@@ -200,11 +200,13 @@ LIMIT 10
 
 
 def q5_local_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-table star join. TRUE dimensions (region/
-    nation/supplier) broadcast; customer is corpus-proportional so it
-    carries no hint — AQE broadcasts it while it fits and demotes to a
-    shuffle join at scale instead of OOMing on a forced multi-GB
-    ship."""
+    """TPC-H Q5 shape: 6-table star join. TRUE scale-invariant
+    dimensions (region/nation) broadcast; customer AND supplier are
+    corpus-proportional (1/10 and 1/100 of lineitem's rows at any SF)
+    so they carry no hint — AQE broadcasts them while they fit and
+    demotes to a shuffle join at scale instead of OOMing on a forced
+    multi-GB ship (supplier unhinted r10, finishing what the r09
+    customer unhint started)."""
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
@@ -213,7 +215,7 @@ def q5_local_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     joined = (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
             cust,
             (F.col("o_custkey") == F.col("c_custkey"))
@@ -818,13 +820,10 @@ QUERIES = {
     ),
     "scalar_functions": Query(q_scalar_functions, SCALAR_FN_ORACLE),
     "agg_functions": Query(q_agg_functions, AGG_FN_ORACLE),
-    # r10 QUEUE (registration throttled per VERDICT r08 #1):
-    #   "fk_integrity_audit": Query(
-    #       q_fk_integrity_audit, _fk_integrity_oracle()),
-    #   "erasure_audit": Query(q_erasure_audit, ERASURE_AUDIT_ORACLE),
-    # Referential-integrity audit — implemented + parity-tested this
-    # round (tests/test_relational.py); one-line uncomment when r10 has
-    # a slot.
+    # registered r10 (queued r09 under the VERDICT r08 #1 throttle):
+    "fk_integrity_audit": Query(
+        q_fk_integrity_audit, _fk_integrity_oracle()),
+    "erasure_audit": Query(q_erasure_audit, ERASURE_AUDIT_ORACLE),
 }
 
 

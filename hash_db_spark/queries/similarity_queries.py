@@ -280,49 +280,11 @@ SELECT qid, 'rand_neg', neg_id, cos, j::INT FROM ({rand}) r
 """
 
 
-QUERIES = {
-    "kmeans_clusters": Query(q_kmeans_clusters, _kmeans_oracle()),
-    "sim_topk_brute": Query(
-        q_sim_topk_brute, S.sql_topk_bruteforce(QUERY_IDS, k=K)
-    ),
-    "sim_topk_lsh": Query(q_sim_topk_lsh, S.sql_topk_lsh(QUERY_IDS, k=K)),
-    "negative_samples": Query(
-        q_negative_samples, S.sql_negative_samples(k=3, max_qid=20)
-    ),
-    "sim_topk_ivf": Query(q_sim_topk_ivf, S.sql_topk_ivf(QUERY_IDS, k=K)),
-    "sim_recall_report": Query(q_sim_recall_report, _sim_recall_oracle()),
-    "sim_topk_ivf_kmeans": Query(q_sim_topk_ivf_kmeans, _ivf_kmeans_oracle()),
-    "sim_topk_ivf_persisted": Query(
-        q_sim_topk_ivf_persisted, _ivf_kmeans_oracle()
-    ),
-    "sim_topk_quantized": Query(
-        q_sim_topk_quantized, S.sql_topk_quantized(QUERY_IDS, k=K)
-    ),
-    "semdedup_drop": Query(
-        q_semdedup_drop, S.sql_semdedup(threshold=SEMDEDUP_T)
-    ),
-}
-
-# r10 QUEUE (registration throttled per VERDICT r08 #1 — the r09 window
-# is fully subscribed by never-checked entries):
-#   "sim_recall_truncated": Query(
-#       q_sim_recall_truncated, _sim_recall_truncated_oracle()),
-#   "sim_topk_pq": Query(q_sim_topk_pq, _pq_oracle()),
-#   "sim_topk_ivf_pq": Query(q_sim_topk_ivf_pq, _ivf_pq_oracle()),
-#   "sim_topk_pq_persisted": Query(q_sim_topk_pq_persisted, _ivf_pq_oracle()),
-#   "stream_pq_probe": Query(q_stream_pq_probe, _ivf_pq_oracle()),
-#   r11 QUEUE CANDIDATE (r10 queue closed):
-#     "train_hard_negatives": Query(
-#         q_train_hard_negatives, S.sql_hard_negatives(QUERY_IDS)),
-#     "train_contrastive_pairs": Query(
-#         q_train_contrastive_pairs, _contrastive_pairs_oracle()),
-# Product-quantization ADC top-k, its IVF-PQ composition, and the
-# persisted-index serving path (operators/pq.py, sources/writers.py):
-# implemented + oracle-parity-tested this round (tests/test_pq.py);
-# the one-line uncomments register them once the r10 window has slots.
-# sim_topk_pq_persisted shares _ivf_pq_oracle — result-identical to
-# the inline fit by the shared _adc_topk (the sim_topk_ivf_persisted
-# precedent).
+# r11 QUEUE CANDIDATE (r10 window full):
+#   "train_hard_negatives": Query(
+#       q_train_hard_negatives, S.sql_hard_negatives(QUERY_IDS)),
+#   "train_contrastive_pairs": Query(
+#       q_train_contrastive_pairs, _contrastive_pairs_oracle()),
 
 
 def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -405,3 +367,42 @@ def q_sim_topk_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_index_topk(
         spark, path, emb.filter(F.col("vec_id").isin(QUERY_IDS)), k=K
     )
+
+
+# The QUERIES literal lives at module tail so every registered fn is
+# already bound; compute_reverify explodes it per-entry either way.
+QUERIES = {
+    "kmeans_clusters": Query(q_kmeans_clusters, _kmeans_oracle()),
+    "sim_topk_brute": Query(
+        q_sim_topk_brute, S.sql_topk_bruteforce(QUERY_IDS, k=K)
+    ),
+    "sim_topk_lsh": Query(q_sim_topk_lsh, S.sql_topk_lsh(QUERY_IDS, k=K)),
+    "negative_samples": Query(
+        q_negative_samples, S.sql_negative_samples(k=3, max_qid=20)
+    ),
+    "sim_topk_ivf": Query(q_sim_topk_ivf, S.sql_topk_ivf(QUERY_IDS, k=K)),
+    "sim_recall_report": Query(q_sim_recall_report, _sim_recall_oracle()),
+    "sim_topk_ivf_kmeans": Query(q_sim_topk_ivf_kmeans, _ivf_kmeans_oracle()),
+    "sim_topk_ivf_persisted": Query(
+        q_sim_topk_ivf_persisted, _ivf_kmeans_oracle()
+    ),
+    "sim_topk_quantized": Query(
+        q_sim_topk_quantized, S.sql_topk_quantized(QUERY_IDS, k=K)
+    ),
+    "semdedup_drop": Query(
+        q_semdedup_drop, S.sql_semdedup(threshold=SEMDEDUP_T)
+    ),
+    # registered r10 (queued r09 under the VERDICT r08 #1 throttle):
+    # PQ/ADC top-k, its IVF-PQ composition, the persisted-index serving
+    # path and the streaming probe (operators/pq.py, sources/writers.py).
+    # sim_topk_pq_persisted shares _ivf_pq_oracle — result-identical to
+    # the inline fit via the shared _adc_topk (the sim_topk_ivf_persisted
+    # precedent).
+    "sim_recall_truncated": Query(
+        q_sim_recall_truncated, _sim_recall_truncated_oracle()
+    ),
+    "sim_topk_pq": Query(q_sim_topk_pq, _pq_oracle()),
+    "sim_topk_ivf_pq": Query(q_sim_topk_ivf_pq, _ivf_pq_oracle()),
+    "sim_topk_pq_persisted": Query(q_sim_topk_pq_persisted, _ivf_pq_oracle()),
+    "stream_pq_probe": Query(q_stream_pq_probe, _ivf_pq_oracle()),
+}

@@ -105,7 +105,13 @@ def q_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — at 100 TB this is the difference between shuffling the whole
     fact table and shuffling the ~joining fraction. False positives
     survive the prefilter and are removed by the exact join, so the
-    result is bit-identical to the plain join (the oracle)."""
+    result is bit-identical to the plain join (the oracle).
+
+    The prefilter is applied MAP-SIDE (bloom_member_pred: the bit set
+    is a <=m-int collect folded into one mask literal) — no .distinct()
+    over the fact, no groupBy per probe key, no broadcast of any
+    corpus-derived candidate set; the only broadcast left is the
+    key-bounded dimension itself (c_custkey <= 100)."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
     dim = (
         load_table(spark, sf_dir, "customer")
@@ -113,11 +119,7 @@ def q_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_mktsegment")
     )
     bits = S.bloom_bits(dim, "c_custkey")
-    probe_keys = ev.select(F.col("user_id").alias("k")).distinct()
-    maybe = S.bloom_candidates(bits, probe_keys, "k").withColumnRenamed(
-        "k", "user_id"
-    )
-    pre = ev.join(F.broadcast(maybe), "user_id", "left_semi")
+    pre = ev.filter(S.bloom_member_pred(bits, "user_id"))
     return pre.join(
         F.broadcast(dim), pre.user_id == dim.c_custkey
     ).select("event_id", "user_id", "c_mktsegment")
@@ -203,23 +205,7 @@ WHERE est.est >= 25
 """
 
 
-QUERIES = {
-    "hll_distinct_users": Query(q_hll_distinct_users, HLL_USERS_ORACLE),
-    "stream_hll_users": Query(q_stream_hll_users, HLL_USERS_ORACLE),
-    "hll_merge_rollup": Query(q_hll_merge_rollup, HLL_ROLLUP_ORACLE),
-    "cms_user_counts": Query(q_cms_user_counts, CMS_USERS_ORACLE),
-    "stream_cms_users": Query(q_stream_cms_users, CMS_USERS_ORACLE),
-    "bloom_prejoin": Query(q_bloom_prejoin, BLOOM_PREJOIN_ORACLE),
-    "cms_merge_heavy_hitters": Query(
-        q_cms_merge_heavy_hitters, CMS_MERGE_ORACLE
-    ),
-}
 
-# r10 QUEUE (registration throttled per VERDICT r08 #1):
-#   "kmv_shared_users": Query(q_kmv_shared_users, _kmv_shared_oracle()),
-# KMV/theta-style distinct-intersection sketch (functions/sketches.py,
-# tests/test_sketches.py TestKMV) — the set operation HLL can't serve.
-# One-line uncomment once the r10 window has a slot.
 
 
 def q_kmv_shared_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,3 +225,22 @@ def _kmv_shared_oracle() -> str:
     from hash_db_spark.functions import sketches as SK
 
     return SK.sql_kmv_pair_intersections("events", "user_id", "event_type")
+
+
+# The QUERIES literal lives at module tail so every registered fn is
+# already bound; compute_reverify explodes it per-entry either way.
+QUERIES = {
+    "hll_distinct_users": Query(q_hll_distinct_users, HLL_USERS_ORACLE),
+    "stream_hll_users": Query(q_stream_hll_users, HLL_USERS_ORACLE),
+    "hll_merge_rollup": Query(q_hll_merge_rollup, HLL_ROLLUP_ORACLE),
+    "cms_user_counts": Query(q_cms_user_counts, CMS_USERS_ORACLE),
+    "stream_cms_users": Query(q_stream_cms_users, CMS_USERS_ORACLE),
+    "bloom_prejoin": Query(q_bloom_prejoin, BLOOM_PREJOIN_ORACLE),
+    "cms_merge_heavy_hitters": Query(
+        q_cms_merge_heavy_hitters, CMS_MERGE_ORACLE
+    ),
+    # registered r10 (queued r09 under the VERDICT r08 #1 throttle):
+    # KMV/theta-style distinct-intersection sketch — the set operation
+    # HLL can't serve.
+    "kmv_shared_users": Query(q_kmv_shared_users, _kmv_shared_oracle()),
+}

@@ -192,9 +192,7 @@ QUERIES = {
     "zorder_values": Query(q_zorder_values, _zorder_oracle()),
     "warc_extract": Query(q_warc_extract, _warc_oracle()),
     "warc_extract_gz": Query(q_warc_extract_gz, _warc_oracle()),
-    # r10 QUEUE (registration throttled per VERDICT r08 #1):
-    #   "compaction_plan": Query(q_compaction_plan, _compaction_plan_oracle()),
-    #   "xml_roundtrip": Query(q_xml_roundtrip, "SELECT * FROM orders"),
-    # Bin-packing compaction planner — implemented + parity-tested this
-    # round (tests/test_layout.py); one-line uncomment when r10 has a slot.
+    # registered r10 (queued r09 under the VERDICT r08 #1 throttle):
+    "compaction_plan": Query(q_compaction_plan, _compaction_plan_oracle()),
+    "xml_roundtrip": Query(q_xml_roundtrip, "SELECT * FROM orders"),
 }

@@ -533,11 +533,9 @@ QUERIES = {
     ),
     "stream_mv_join": Query(q_stream_mv_join, STREAM_MV_ORACLE),
     "stream_stream_join": Query(q_stream_stream_join, STREAM_STREAM_ORACLE),
-    # r10 QUEUE (registration throttled per VERDICT r08 #1):
-    #   "event_transitions": Query(
-    #       q_event_transitions, T.sql_event_transitions()),
-    # Markov transition matrix — implemented + parity-tested this round
-    # (tests/test_temporal.py); one-line uncomment when r10 has a slot.
+    # registered r10 (queued r09 under the VERDICT r08 #1 throttle):
+    "event_transitions": Query(
+        q_event_transitions, T.sql_event_transitions()),
 }
 
 

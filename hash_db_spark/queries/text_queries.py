@@ -558,53 +558,7 @@ def _text_encoding_gate_oracle() -> str:
     )
 
 
-QUERIES = {
-    "fts_bm25_rank": Query(q_fts_bm25_rank, _BM25_ORACLE),
-    "tfidf_top_terms": Query(q_tfidf_top_terms, _TFIDF_ORACLE),
-    "fts_and": Query(q_fts_and, _fts_oracle(FTS_AND, "doc_id, lang, source")),
-    "fts_or": Query(q_fts_or, _fts_oracle(FTS_OR, "doc_id, lang")),
-    "fts_mixed": Query(q_fts_mixed, _fts_oracle(FTS_MIXED, "doc_id")),
-    "fts_phrase": Query(q_fts_phrase, _fts_phrase_oracle()),
-    "fts_with_where": Query(
-        q_fts_with_where,
-        _fts_oracle(FTS_OR, "doc_id, lang, n_chars", " AND lang = 'en'"),
-    ),
-    "text_stats": Query(q_text_stats, TEXT_STATS_ORACLE),
-    "text_quality": Query(q_text_quality, TEXT_QUALITY_ORACLE),
-    "text_langid": Query(q_text_langid, TEXT_LANGID_ORACLE),
-    "langid_confusion": Query(
-        q_langid_confusion, LANGID_CONFUSION_ORACLE
-    ),
-    "text_fingerprint": Query(q_text_fingerprint, TEXT_FP_ORACLE),
-    "text_subword_tokens": Query(q_text_subword_tokens, TEXT_SUBWORD_ORACLE),
-    "text_repetition": Query(q_text_repetition, TEXT_REPETITION_ORACLE),
-    "contamination_check": Query(q_contamination_check, CONTAMINATION_ORACLE),
-    "bloom_decontaminate": Query(
-        q_bloom_decontaminate, _bloom_decontaminate_oracle()
-    ),
-    "top_ngrams_per_lang": Query(q_top_ngrams_per_lang, TOP_NGRAMS_ORACLE),
-    "bpe_merge_candidates": Query(
-        q_bpe_merge_candidates, _bpe_merge_oracle()
-    ),
-    "bpe_train_merges": Query(q_bpe_train_merges, _bpe_train_oracle()),
-    "bpe_encode_corpus": Query(q_bpe_encode_corpus, _bpe_encode_oracle()),
-}
 
-# r10 QUEUE (registration throttled per VERDICT r08 #1):
-#   "text_encoding_gate": Query(
-#       q_text_encoding_gate, _text_encoding_gate_oracle()),
-#   "retrieve_mmr_topk": Query(q_retrieve_mmr_topk, _retrieve_mmr_oracle()),
-#   "fts_serve_mixed": Query(
-#       q_fts_serve_mixed, _fts_oracle(FTS_MIXED, "doc_id")),
-#   "dedup_tfidf_cosine": Query(q_dedup_tfidf_cosine, _tfidf_cosine_oracle()),
-#   "retrieve_chunks_topk": Query(
-#       q_retrieve_chunks_topk, _retrieve_chunks_oracle()),
-#   "doc_topic_segments": Query(
-#       q_doc_topic_segments, _topic_segments_oracle()),
-# Implemented + oracle-parity-tested this round (operators/ranking.py
-# tfidf_cosine_pairs, tests/test_tfidf_pairs.py; operators/retrieval.py
-# retrieve_chunks, tests/test_retrieval.py); one-line uncomment once
-# the r10 window has a slot.
 
 RETRIEVE_TERMS = ["spark", "query", "join"]
 RETRIEVE_K = 10
@@ -681,17 +635,20 @@ def _retrieve_mmr_oracle() -> str:
 def q_fts_serve_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's mixed-mode FTS query served from the PERSISTED
     posting-list index instead of a corpus scan — result-identical to
-    fts_mixed by construction, so it shares that oracle. Index lands at
-    a deterministic per-sf path and is overwritten in place (the
-    q_sim_topk_ivf_persisted discipline)."""
+    fts_mixed by construction, so it shares that oracle. The index path
+    is keyed by sf_dir AND pid: two concurrent runs (parallel pytest /
+    bench alongside a driver check) must not share a path, or one
+    overwrites postings while the other probes — per-process isolation
+    keeps each run's write-then-read atomic from its own view."""
     import hashlib
+    import os
     import tempfile
 
     from hash_db_spark.operators.fts import fts_index_query
     from hash_db_spark.sources.writers import write_fts_index
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = f"{tempfile.gettempdir()}/hash_db_spark_fts_{tag}"
+    path = f"{tempfile.gettempdir()}/hash_db_spark_fts_{tag}_{os.getpid()}"
     write_fts_index(_docs(spark, sf_dir), path)
     return fts_index_query(spark, path, FTS_MIXED)
 
@@ -773,3 +730,49 @@ def _mlm_examples_oracle() -> str:
 
 # r11 QUEUE CANDIDATE:
 #   "mlm_examples": Query(q_mlm_examples, _mlm_examples_oracle()),
+
+
+# The QUERIES literal lives at module tail so every registered fn is
+# already bound; compute_reverify explodes it per-entry either way.
+QUERIES = {
+    "fts_bm25_rank": Query(q_fts_bm25_rank, _BM25_ORACLE),
+    "tfidf_top_terms": Query(q_tfidf_top_terms, _TFIDF_ORACLE),
+    "fts_and": Query(q_fts_and, _fts_oracle(FTS_AND, "doc_id, lang, source")),
+    "fts_or": Query(q_fts_or, _fts_oracle(FTS_OR, "doc_id, lang")),
+    "fts_mixed": Query(q_fts_mixed, _fts_oracle(FTS_MIXED, "doc_id")),
+    "fts_phrase": Query(q_fts_phrase, _fts_phrase_oracle()),
+    "fts_with_where": Query(
+        q_fts_with_where,
+        _fts_oracle(FTS_OR, "doc_id, lang, n_chars", " AND lang = 'en'"),
+    ),
+    "text_stats": Query(q_text_stats, TEXT_STATS_ORACLE),
+    "text_quality": Query(q_text_quality, TEXT_QUALITY_ORACLE),
+    "text_langid": Query(q_text_langid, TEXT_LANGID_ORACLE),
+    "langid_confusion": Query(
+        q_langid_confusion, LANGID_CONFUSION_ORACLE
+    ),
+    "text_fingerprint": Query(q_text_fingerprint, TEXT_FP_ORACLE),
+    "text_subword_tokens": Query(q_text_subword_tokens, TEXT_SUBWORD_ORACLE),
+    "text_repetition": Query(q_text_repetition, TEXT_REPETITION_ORACLE),
+    "contamination_check": Query(q_contamination_check, CONTAMINATION_ORACLE),
+    "bloom_decontaminate": Query(
+        q_bloom_decontaminate, _bloom_decontaminate_oracle()
+    ),
+    "top_ngrams_per_lang": Query(q_top_ngrams_per_lang, TOP_NGRAMS_ORACLE),
+    "bpe_merge_candidates": Query(
+        q_bpe_merge_candidates, _bpe_merge_oracle()
+    ),
+    "bpe_train_merges": Query(q_bpe_train_merges, _bpe_train_oracle()),
+    "bpe_encode_corpus": Query(q_bpe_encode_corpus, _bpe_encode_oracle()),
+    # registered r10 (queued r09 under the VERDICT r08 #1 throttle):
+    "text_encoding_gate": Query(
+        q_text_encoding_gate, _text_encoding_gate_oracle()),
+    "retrieve_mmr_topk": Query(q_retrieve_mmr_topk, _retrieve_mmr_oracle()),
+    "fts_serve_mixed": Query(
+        q_fts_serve_mixed, _fts_oracle(FTS_MIXED, "doc_id")),
+    "dedup_tfidf_cosine": Query(q_dedup_tfidf_cosine, _tfidf_cosine_oracle()),
+    "retrieve_chunks_topk": Query(
+        q_retrieve_chunks_topk, _retrieve_chunks_oracle()),
+    "doc_topic_segments": Query(
+        q_doc_topic_segments, _topic_segments_oracle()),
+}

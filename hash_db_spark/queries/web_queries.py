@@ -625,12 +625,10 @@ QUERIES = {
     "crawl_prep_polite": Query(
         q_crawl_prep_polite, _crawl_prep_polite_oracle()
     ),
-    # r10 QUEUE (registration throttled per VERDICT r08 #1):
-    #   "hits_hosts": Query(q_hits_hosts, _hits_hosts_oracle()),
-    #   r11 QUEUE CANDIDATE:
-    #     "host_communities": Query(
-    #         q_host_communities, _host_communities_oracle()),
-    # Integer-exact HITS link analysis (operators/graph.py:hits) —
-    # implemented + oracle-parity-tested this round (tests/test_web.py);
-    # registering is the one-line uncomment once r10 has a slot.
+    # registered r10 (queued r09 under the VERDICT r08 #1 throttle) —
+    # VERDICT r09 #4: the 100 TB host-graph curation pair.
+    "hits_hosts": Query(q_hits_hosts, _hits_hosts_oracle()),
+    "host_communities": Query(
+        q_host_communities, _host_communities_oracle()
+    ),
 }

@@ -618,10 +618,30 @@ def streaming_fts_ingest(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        # Bootstrap detection mirrors writers._append_guard: ONLY a
+        # truly-missing meta selects first-write overwrite. A transient
+        # FS/permission error must surface (a bare except here would
+        # silently replace the whole index with one micro-batch), and
+        # postings-without-meta is a torn prior write whose bands were
+        # bucketed with an unknown modulus — refuse, demand a rebuild.
+        from pyspark.errors import AnalysisException
+
+        from hash_db_spark.sources.writers import _fs_exists
+
         try:
             spark.read.parquet(f"{index_path}/meta")
             mode = "append"
-        except Exception:
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            if _fs_exists(spark, f"{index_path}/postings"):
+                raise ValueError(
+                    f"FTS index at {index_path} has postings/ but no "
+                    "meta/ (torn prior write): existing postings were "
+                    "bucketed with an unknown modulus. Rebuild the index "
+                    "(batch write_fts_index mode='overwrite') before "
+                    "streaming appends."
+                ) from e
             mode = "overwrite"
         write_fts_index(
             batch_df,

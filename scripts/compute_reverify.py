@@ -46,6 +46,7 @@ GATE_STATE = {
     6: "c7f6390^",
     7: "b11ac1b^",
     8: "31679e1^",
+    9: "011e29f^",
 }
 
 Sym = tuple[str, str]  # (module dotted name, symbol name)

@@ -83,6 +83,8 @@ def build(spark, replicas: int) -> None:
         # instead of every replica colliding on identical values
         (F.col("c_acctbal") + (F.col("rep") % 13).cast("double") * 0.01)
         .alias("c_acctbal"),
+        # bloom_prejoin's dimension payload column
+        "c_mktsegment",
     )
     big_cust.write.mode("overwrite").parquet(f"{OUT}/customer.parquet")
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
@@ -302,6 +304,8 @@ def main() -> int:
             "mixture_temp_select",
             "winnow_components",
             "dup_cluster_histogram",
+            # round-10: map-side bloom runtime filter (VERDICT r09 #2)
+            "bloom_prejoin",
         ):
             timed(
                 f"{entry}/{scale}",

@@ -506,7 +506,7 @@ def test_no_forced_broadcast_of_corpus_derived_frames():
         HQ.q_crawl_frontier_schedule: set(),
         RQ.q3_top_orders: set(),
         RQ.q_semi_join: set(),
-        RQ.q5_local_revenue: {"sup", "nation", "region"},
+        RQ.q5_local_revenue: {"nation", "region"},
         W.robots_url_filter: set(),
         W.fetch_schedule: set(),
     }
@@ -518,6 +518,35 @@ def test_no_forced_broadcast_of_corpus_derived_frames():
             f"{fn.__name__} force-broadcasts {hints - ok} — corpus-"
             "derived frames must stay unhinted"
         )
+
+
+def test_bloom_prejoin_fact_side_map_side(spark, sf_dir):
+    """VERDICT r09 'what's wrong' #1: the bloom runtime filter must be
+    applied in the fact's scan stage — no .distinct() over events, no
+    groupBy per probe key, no broadcast of a corpus-derived candidate
+    set. The prefiltered fact side is a pure Filter over the scan
+    (zero exchanges), and the whole query's only exchange-free
+    broadcast is the key-bounded dimension."""
+    import re
+
+    from hash_db_spark.catalog import load_table
+    from hash_db_spark.functions import sketches as S
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries.sketch_queries import q_bloom_prejoin
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 100)
+        .select("c_custkey")
+    )
+    pre = ev.filter(S.bloom_member_pred(S.bloom_bits(dim, "c_custkey"), "user_id"))
+    assert "Exchange" not in formatted_plan(pre)  # map-side prefilter
+
+    full = formatted_plan(q_bloom_prejoin(spark, sf_dir))
+    assert "HashAggregate" not in full  # no distinct / per-key groupBy
+    src = __import__("inspect").getsource(q_bloom_prejoin)
+    assert set(re.findall(r"F\.broadcast\((\w+)", src)) <= {"dim"}
 
 
 def test_compaction_plan_no_global_window(spark, sf_dir):
