@@ -186,6 +186,32 @@ HEADLINE: list[str] = [
     "mixture_temp_select",
     "winnow_components",
     "dup_cluster_histogram",
+    # round-10 registrations: PQ/ADC similarity family, persisted-index
+    # serving, RAG retrieval (chunks / MMR diversity / topic segments),
+    # host-graph analysis (HITS, LPA communities), referential audits,
+    # the map-side bloom runtime filter, and the r09-queued rest.
+    "sim_topk_pq",
+    "sim_topk_ivf_pq",
+    "sim_topk_pq_persisted",
+    "sim_recall_truncated",
+    "retrieve_chunks_topk",
+    "retrieve_mmr_topk",
+    "doc_topic_segments",
+    "dedup_tfidf_cosine",
+    "dedup_keep_best",
+    "hits_hosts",
+    "host_communities",
+    "fk_integrity_audit",
+    "erasure_audit",
+    "event_transitions",
+    "compaction_plan",
+    "text_encoding_gate",
+    "fts_serve_mixed",
+    "kmv_shared_users",
+    "lsh_param_plan",
+    "xml_roundtrip",
+    "stream_line_dedup_wm",
+    "bloom_prejoin",
 ]
 
 

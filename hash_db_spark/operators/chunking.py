@@ -319,3 +319,187 @@ SELECT {id_col} AS id,
 FROM (SELECT {id_col}, {toks} AS t FROM {table})
 WHERE len(t) > 0
 """
+
+
+# --- content-defined chunking (CDC) -----------------------------------------
+
+CDC_G = 8  # boundary when md5(token) % G == 0 -> expected chunk ~G tokens
+CDC_MIN_SHARED = 2  # chunk counts as deduplicable when seen in >= 2 docs
+
+
+def cdc_chunks(df: DataFrame, col: str, id_col: str) -> DataFrame:
+    """(id, chunk_idx, chunk_hash, n_toks): content-defined chunks — a
+    chunk boundary falls AFTER any token whose content hash is
+    0 mod CDC_G (the gear/Rabin-CDC idea at token granularity: FastCDC,
+    Xia et al., USENIX ATC 2016 — public). Because boundaries depend on
+    CONTENT, not positions, an edit near a doc's start re-synchronizes
+    within ~G tokens and the remaining chunks hash identically — the
+    property fixed-size chunking lacks and storage-level dedup of a
+    100 TB snapshot store needs (only changed chunks re-ship).
+
+    Plan: one per-doc window pass (running sum of boundary flags =
+    chunk index), one (id, chunk) aggregation ordered by position.
+    Exact-integer md5 arithmetic end to end — cross-engine stable."""
+    from pyspark.sql import Window
+
+    from hash_db_spark.operators.dedup import clean_tokens, md5_hash64
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(clean_tokens(col)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    # chunk index = boundaries strictly BEFORE this token
+    flagged = toks.withColumn(
+        "bdry", (md5_hash64(F.col("tok")) % CDC_G == 0).cast("int")
+    ).withColumn(
+        "chunk_idx",
+        F.coalesce(
+            F.sum("bdry").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("int"),
+    )
+    return (
+        flagged.groupBy("id", "chunk_idx")
+        .agg(
+            F.md5(
+                F.concat_ws(" ", F.array_sort(F.collect_list(F.struct("pos", "tok")))
+                            .getField("tok"))
+            ).alias("chunk_hash"),
+            F.count(F.lit(1)).alias("n_toks"),
+        )
+    )
+
+
+def cdc_dedup_report(df: DataFrame, col: str, id_col: str) -> DataFrame:
+    """(id, n_chunks, n_toks, shared_chunks, shared_toks): per document,
+    how much of it is made of chunks that also occur elsewhere in the
+    corpus (chunk hash seen in >= CDC_MIN_SHARED distinct docs) — the
+    storage-dedup yield estimate. One extra chunk-hash-keyed
+    aggregation + join over cdc_chunks."""
+    ch = cdc_chunks(df, col, id_col)
+    freq = ch.groupBy("chunk_hash").agg(
+        F.countDistinct("id").alias("n_docs_with")
+    )
+    return (
+        ch.join(freq, "chunk_hash")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_toks").cast("long").alias("n_toks"),
+            F.sum(
+                (F.col("n_docs_with") >= CDC_MIN_SHARED).cast("int")
+            ).cast("long").alias("shared_chunks"),
+            F.sum(
+                F.when(
+                    F.col("n_docs_with") >= CDC_MIN_SHARED, F.col("n_toks")
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("shared_toks"),
+        )
+    )
+
+
+def sql_cdc_dedup_report(table: str, col: str, id_col: str) -> str:
+    from hash_db_spark.operators.dedup import sql_clean_tokens, sql_md5_hash64
+
+    return f"""
+WITH lst AS (
+  SELECT {id_col} AS id, {sql_clean_tokens(col)} AS l FROM {table}
+),
+toks AS (
+  SELECT id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM lst
+),
+flagged AS (
+  SELECT id, pos, tok,
+         CASE WHEN {sql_md5_hash64('tok')} % {CDC_G} = 0 THEN 1 ELSE 0 END
+           AS bdry
+  FROM toks
+),
+idxed AS (
+  SELECT id, pos, tok,
+         CAST(coalesce(sum(bdry) OVER (
+           PARTITION BY id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS INT) AS chunk_idx
+  FROM flagged
+),
+chunks AS (
+  SELECT id, chunk_idx,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash,
+         count(*) AS n_toks
+  FROM idxed GROUP BY id, chunk_idx
+),
+freq AS (
+  SELECT chunk_hash, count(DISTINCT id) AS n_docs_with
+  FROM chunks GROUP BY chunk_hash
+)
+SELECT id,
+       count(*) AS n_chunks,
+       CAST(sum(n_toks) AS BIGINT) AS n_toks,
+       CAST(sum(CASE WHEN n_docs_with >= {CDC_MIN_SHARED} THEN 1 ELSE 0 END)
+            AS BIGINT) AS shared_chunks,
+       CAST(sum(CASE WHEN n_docs_with >= {CDC_MIN_SHARED} THEN n_toks
+                ELSE 0 END) AS BIGINT) AS shared_toks
+FROM chunks JOIN freq USING (chunk_hash)
+GROUP BY id
+"""
+
+
+# --- training loss masks -----------------------------------------------------
+
+MASK_TOKEN_RE = "<(EMAIL|IP|PHONE|NUM)>"
+
+
+def loss_mask_report(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    kinds: tuple[str, ...] = ("email", "ipv4", "number"),
+    size: int = 16,
+    overlap: int = 0,
+) -> DataFrame:
+    """(id, chunk_idx, n_tokens, n_masked): per training chunk, how many
+    tokens carry a PII redaction marker and must be EXCLUDED from the
+    loss (trained-on PII is a leak even when redacted text looks clean —
+    the mask is the artifact the data loader consumes alongside the
+    chunk). Composition of the proven pieces: scrub.redact ->
+    token_chunks -> a pure higher-order-function count per chunk. Fully
+    map-side on top of token_chunks' one explode — no extra shuffle."""
+    from hash_db_spark.functions import scrub
+
+    clean = df.select(
+        F.col(id_col).alias("__mid"), scrub.redact(col, kinds).alias("__clean")
+    )
+    ch = token_chunks(clean, "__clean", "__mid", size=size, overlap=overlap)
+    toks = F.split(F.col("chunk_text"), " ")
+    return ch.select(
+        "id",
+        "chunk_idx",
+        "n_tokens",
+        F.size(
+            F.filter(toks, lambda t: t.rlike(MASK_TOKEN_RE))
+        ).alias("n_masked"),
+    )
+
+
+def sql_loss_mask_report(
+    table: str,
+    col: str,
+    id_col: str,
+    kinds: tuple[str, ...] = ("email", "ipv4", "number"),
+    size: int = 16,
+    overlap: int = 0,
+) -> str:
+    from hash_db_spark.functions import scrub
+
+    clean = (
+        f"(SELECT {id_col} AS __mid, "
+        f"{scrub.sql_redact(col, kinds)} AS __clean FROM {table})"
+    )
+    inner = sql_token_chunks(clean, "__clean", "__mid", size=size, overlap=overlap)
+    return f"""
+SELECT id, chunk_idx, n_tokens,
+       CAST(len(list_filter(string_split(chunk_text, ' '),
+            x -> regexp_matches(x, '{MASK_TOKEN_RE}'))) AS INT) AS n_masked
+FROM ({inner})
+"""

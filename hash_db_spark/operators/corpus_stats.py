@@ -161,6 +161,98 @@ GROUP BY id
 """
 
 
+KN_DISCOUNT = 0.5  # exactly representable double: cross-engine-safe
+
+
+def doc_kneser_ney_logprob(df: DataFrame, col: str, id_col: str) -> DataFrame:
+    """(id, n_bigrams, kn_logprob): mean log10 probability under an
+    interpolated Kneser-Ney bigram model (Kneser & Ney 1995; the
+    smoothing KenLM-style pretraining filters use) built from the
+    corpus's own counts — the upgrade over raw-MLE doc_bigram_logprob:
+    unseen-history mass is redistributed by CONTINUATION counts (how
+    many distinct contexts a word follows), so boilerplate tokens that
+    appear everywhere in one context stop looking probable.
+
+        p(w|v) = max(c(v,w) - D, 0)/c(v)
+               + D * N1+(v,.)/c(v) * N1+(.,w)/N1+(..)
+
+    with fixed discount D = 0.5 (exactly representable, so both engines
+    compute bit-identical doubles in the same expression order).
+
+    Scale shape: doc_bigram_logprob's one per-doc window + token-keyed
+    aggregations, plus two more count-distinct aggregates (per-prefix
+    fanout, per-word continuation) and one 1-row broadcast (the global
+    bigram-type count). All joins are on Zipfian token keys — AQE
+    broadcast for normal vocabularies, salted shuffle beyond."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(clean_tokens(col)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    big = (
+        toks.withColumn("prev", F.lag("tok").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("id", "prev", "tok")
+    )
+    bf = big.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("bfreq"))
+    pf = big.groupBy("prev").agg(
+        F.count(F.lit(1)).alias("pfreq"),
+        F.countDistinct("tok").alias("n1p_prev"),
+    )
+    cont = bf.groupBy("tok").agg(F.count(F.lit(1)).alias("cfreq"))
+    ttypes = bf.agg(F.count(F.lit(1)).alias("ttypes"))
+    d = F.lit(KN_DISCOUNT)
+    p = (
+        F.greatest(F.col("bfreq") - d, F.lit(0.0)) / F.col("pfreq")
+        + (d * F.col("n1p_prev") / F.col("pfreq"))
+        * (F.col("cfreq") / F.col("ttypes"))
+    )
+    return (
+        big.join(bf, ["prev", "tok"])
+        .join(pf, "prev")
+        .join(cont, "tok")
+        .crossJoin(F.broadcast(ttypes))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log10(p)), 6).alias("kn_logprob"),
+        )
+    )
+
+
+def sql_doc_kneser_ney_logprob(table: str, col: str, id_col: str) -> str:
+    return f"""
+WITH lst AS (
+  SELECT {id_col} AS id, {sql_clean_tokens(col)} AS l FROM {table}
+),
+toks AS (
+  SELECT id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM lst
+),
+big AS (
+  SELECT id, prev, tok FROM (
+    SELECT id, tok, lag(tok) OVER (PARTITION BY id ORDER BY pos) AS prev
+    FROM toks
+  ) WHERE prev IS NOT NULL
+),
+bf AS (SELECT prev, tok, count(*) AS bfreq FROM big GROUP BY prev, tok),
+pf AS (
+  SELECT prev, count(*) AS pfreq, count(DISTINCT tok) AS n1p_prev
+  FROM big GROUP BY prev
+),
+cont AS (SELECT tok, count(*) AS cfreq FROM bf GROUP BY tok),
+tt AS (SELECT count(*) AS ttypes FROM bf)
+SELECT id, count(*) AS n_bigrams,
+       round(avg(log10(
+         greatest(bfreq - {KN_DISCOUNT!r}, 0.0) / pfreq
+         + ({KN_DISCOUNT!r} * n1p_prev / pfreq)
+           * (CAST(cfreq AS DOUBLE) / ttypes)
+       )), 6) AS kn_logprob
+FROM big JOIN bf USING (prev, tok) JOIN pf USING (prev)
+         JOIN cont USING (tok), tt
+GROUP BY id
+"""
+
+
 def lm_gate(
     df: DataFrame, col: str, id_col: str, drop_frac: float = 0.1
 ) -> DataFrame:

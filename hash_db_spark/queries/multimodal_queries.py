@@ -82,13 +82,58 @@ def _jpeg_decode_oracle() -> str:
     return C.sql_jpeg_stats("documents", "doc_id")
 
 
+def q_multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode: 4-bit IMA ADPCM payloads (4:1 vs
+    PCM16) decoded by the in-repo codec; loudness + quantization-error
+    stats vs a recursive-CTE oracle that replays the predictor
+    recurrence over the closed-form source — byte-free."""
+    from hash_db_spark.operators import codecs as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    return C.adpcm_stats(C.synth_adpcm_media(docs, "doc_id"))
+
+
+def _adpcm_decode_oracle() -> str:
+    from hash_db_spark.operators import codecs as C
+
+    return C.sql_adpcm_stats("documents", "doc_id")
+
+
 # r11 QUEUE CANDIDATE (the r10 window's spare slots are reserved for
 # late-round taint, per the VERDICT r08 #1 throttle):
 #   "multimodal_png_decode": Query(
 #       q_multimodal_png_decode, _png_decode_oracle()),
 #   "multimodal_jpeg_decode": Query(
 #       q_multimodal_jpeg_decode, _jpeg_decode_oracle()),
+#   "multimodal_adpcm_decode": Query(
+#       q_multimodal_adpcm_decode, _adpcm_decode_oracle()),
+#   "dedup_image_png": Query(q_dedup_image_png, _image_png_oracle()),
 # Implemented + oracle-parity-tested this round (tests/test_codecs.py).
+
+
+def q_dedup_image_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup over COMPRESSED images: real PNG decode
+    (operators/codecs.py) feeding the same 60-bit dHash + Hamming-band
+    machinery the PPM path proved — dedup now runs on the wire format a
+    crawl actually stores, not just raw rasters. Checkpoint pins the
+    Arrow decode to one execution (the q_dedup_image_phash trap)."""
+    from hash_db_spark.operators import codecs as C
+    from hash_db_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = C.image_dhash_decoded(
+        C.synth_png_media(docs, "doc_id")
+    ).localCheckpoint(eager=True)
+    return D.hamming_band_pairs(hashed, "dhash", max_hamming=3)
+
+
+def _image_png_oracle() -> str:
+    from hash_db_spark.operators import codecs as C
+    from hash_db_spark.operators.dedup import sql_hamming_band_pairs
+
+    return sql_hamming_band_pairs(
+        C.sql_image_dhash_png("documents", "doc_id"), max_hamming=3
+    )
 
 
 def q_multimodal_meta_filter(spark: SparkSession, sf_dir: str) -> DataFrame:

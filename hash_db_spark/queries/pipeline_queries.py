@@ -676,6 +676,52 @@ GROUP BY shard
 #   "pack_efficiency": Query(q_pack_efficiency, _pack_efficiency_oracle()),
 
 
+def q_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (the smoothing real
+    pretraining perplexity filters use) — continuation-count backoff
+    over the corpus's own counts, exact-double parity with the oracle
+    (operators/corpus_stats.py:doc_kneser_ney_logprob)."""
+    return corpus_stats.doc_kneser_ney_logprob(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+def q_cdc_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup yield: per doc, how many of its
+    CDC chunks (FastCDC idea at token granularity — boundaries follow
+    content, so edits re-synchronize) also occur in other documents.
+    The storage-dedup estimate for snapshot stores
+    (operators/chunking.py:cdc_dedup_report)."""
+    return chunking.cdc_dedup_report(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+# r11 QUEUE CANDIDATE (r10 window full; parity-tested this round,
+# tests/test_curation.py::test_kneser_ney_parity,
+# tests/test_pipeline_ops.py::TestCDCChunks):
+#   "lm_kneser_ney": Query(
+#       q_lm_kneser_ney,
+#       corpus_stats.sql_doc_kneser_ney_logprob(
+#           "documents", "text", "doc_id")),
+#   "cdc_dedup_report": Query(
+#       q_cdc_dedup_report,
+#       chunking.sql_cdc_dedup_report("documents", "text", "doc_id")),
+#   "train_loss_mask": Query(
+#       q_train_loss_mask,
+#       chunking.sql_loss_mask_report("events", "props", "event_id")),
+
+
+def q_train_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per training chunk, the count of PII-redaction tokens the loader
+    must exclude from the loss — scrub + chunk + pure HOF count, no
+    shuffle beyond the chunk explode (events.props is the fixture side
+    with real pattern hits, the scrub queries' convention)."""
+    return chunking.loss_mask_report(
+        load_table(spark, sf_dir, "events"), "props", "event_id"
+    )
+
+
 # The QUERIES literal lives at module tail so every registered fn is
 # already bound; compute_reverify explodes it per-entry either way.
 QUERIES = {

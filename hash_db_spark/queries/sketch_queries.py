@@ -227,6 +227,36 @@ def _kmv_shared_oracle() -> str:
     return SK.sql_kmv_pair_intersections("events", "user_id", "event_type")
 
 
+def q_stream_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The runtime-filter shape on a STREAM: each micro-batch of events
+    is prefiltered map-side by the broadcast bloom mask (the
+    bloom_member_pred literal — no state, no shuffle added to the
+    stream) before the stream-static exact join with the key-bounded
+    dimension. At 100 TB-scale ingest this drops non-joining events at
+    the source scan instead of carrying them into join state. Result is
+    bit-identical to the batch join, so it shares BLOOM_PREJOIN_ORACLE."""
+    from hash_db_spark.streaming import windows as W
+
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 100)
+        .select("c_custkey", "c_mktsegment")
+    )
+    bits = S.bloom_bits(dim, "c_custkey")
+    ev = W.read_events_stream(spark, sf_dir).select("event_id", "user_id")
+    pre = ev.filter(S.bloom_member_pred(bits, "user_id"))
+    joined = pre.join(
+        F.broadcast(dim), pre.user_id == dim.c_custkey
+    ).select("event_id", "user_id", "c_mktsegment")
+    return W.run_stream_to_memory(joined, output_mode="append")
+
+
+# r11 QUEUE CANDIDATE (r10 window full; implemented + parity-tested
+# this round, tests/test_sketches.py::TestStreamBloomPrejoin):
+#   "stream_bloom_prejoin": Query(q_stream_bloom_prejoin,
+#       BLOOM_PREJOIN_ORACLE),
+
+
 # The QUERIES literal lives at module tail so every registered fn is
 # already bound; compute_reverify explodes it per-entry either way.
 QUERIES = {

@@ -196,6 +196,49 @@ class TestDecodeImageDispatch:
             M.decode_image(b"RIFF....WEBP")
 
 
+class TestADPCM:
+    def test_roundtrip_matches_encoder_state(self):
+        """The decoder's predictor replay must equal the encoder's —
+        ADPCM is lossy vs the source but bit-exact vs its own state."""
+        for mid in (0, 1, 7, 63, 499):
+            n = 64 + mid % 64
+            rate, dec = C.adpcm_decode(C.adpcm_encode(mid, n))
+            assert rate == 8000 and len(dec) == n
+            pred, idx = 0, 0
+            exp = []
+            for s in C.adpcm_source_signal(mid, n):
+                _, pred, idx = C._adpcm_step(int(s), pred, idx)
+                exp.append(pred)
+            assert (dec == np.array(exp, dtype=np.int16)).all()
+
+    def test_four_to_one_compression(self):
+        n = 120
+        payload = C.adpcm_encode(11, n)
+        assert len(payload) <= 15 + (n + 1) // 2 + 1  # header + nibbles
+        assert len(payload) * 4 < n * 2 * 1.5  # ~4:1 vs PCM16
+
+    def test_clamps_survive_extremes(self):
+        """A constant full-scale step drives the predictor into the
+        int16 clamp and the index into its 88 ceiling without wrapping."""
+        pred, idx = 0, 0
+        for _ in range(200):
+            _, pred, idx = C._adpcm_step(32767, pred, idx)
+        # the predictor converges exactly, then the index decays to 0
+        # (code-0 samples step it down by 1 each)
+        assert pred == 32767 and idx == 0
+        # a full-swing alternating signal pins the index at its 88 cap
+        # while the predictor stays clamped inside int16
+        for k in range(100):
+            s = 32767 if k % 2 == 0 else -32768
+            _, pred, idx = C._adpcm_step(s, pred, idx)
+            assert -32768 <= pred <= 32767
+        assert idx == 88
+
+    def test_rejects_non_adpcm(self):
+        with pytest.raises(ValueError):
+            C.adpcm_decode(b"RIFFxxxx")
+
+
 class TestOracleParity:
     """The exact compare the driver gate runs (sorted columns, value
     grid) for the two r11-queued entries."""
@@ -240,3 +283,60 @@ class TestOracleParity:
         self._compare(
             spark, sf_dir, q_multimodal_jpeg_decode, _jpeg_decode_oracle()
         )
+
+    def test_adpcm_stats_parity(self, spark, sf_dir):
+        from hash_db_spark.queries.multimodal_queries import (
+            _adpcm_decode_oracle,
+            q_multimodal_adpcm_decode,
+        )
+
+        self._compare(
+            spark, sf_dir, q_multimodal_adpcm_decode, _adpcm_decode_oracle()
+        )
+
+
+class TestPngDedupIntegration:
+    def test_png_dhash_pairs_parity(self, spark, sf_dir):
+        """The compressed-format dedup entry: PNG decode -> dHash ->
+        Hamming band pairs, exact vs the closed-form DuckDB relation."""
+        import duckdb
+
+        from hash_db_spark.queries.multimodal_queries import (
+            _image_png_oracle,
+            q_dedup_image_png,
+        )
+
+        got = sorted(
+            tuple(r) for r in q_dedup_image_png(spark, sf_dir).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        want = sorted(tuple(r) for r in con.execute(_image_png_oracle()).fetchall())
+        con.close()
+        assert got == want and len(got) > 0
+
+    def test_decoded_dhash_matches_direct(self, spark):
+        """image_dhash_decoded over PNG payloads equals dHash computed
+        on the decoder's own pixel output — and grayscale JPEG payloads
+        go through the 2-D branch."""
+        import pandas as pd
+
+        from hash_db_spark.operators import codecs as C
+        from hash_db_spark.operators.multimodal import dhash_from_gray
+
+        ids = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+        png = C.synth_png_media(ids, "doc_id")
+        got = {r.id: r.dhash for r in C.image_dhash_decoded(png).collect()}
+        for i in range(6):
+            w, h = 5 + i % 5, 5 + i % 3
+            _, _, px = C.png_decode(C.png_encode(i, w, h))
+            gray = px.astype("int64").sum(axis=2) // 3
+            assert got[i] == dhash_from_gray(gray)
+        jm = C.synth_jpeg_media(ids, "doc_id")
+        jg = {r.id: r.dhash for r in C.image_dhash_decoded(jm).collect()}
+        for i in range(6):
+            w, h = 8 * (1 + i % 3), 8 * (1 + i % 2)
+            _, _, px = C.jpeg_decode(C.jpeg_encode(i, w, h))
+            assert jg[i] == dhash_from_gray(px.astype("int64"))

@@ -461,3 +461,67 @@ def test_epoch_repeat_plan_laws_and_parity(spark, sf_dir):
             assert abs(deficit) < 0.01
     # the fixture's skewed language mix exercises BOTH branches
     assert capped >= 1 and uncapped >= 1
+
+
+def test_kneser_ney_parity_and_smoothing_laws(spark, sf_dir):
+    """Interpolated KN bigram scoring: exact-double parity vs DuckDB,
+    plus finiteness (log10 of p in (0, 1] — smoothing never zeroes a
+    seen bigram)."""
+    import duckdb
+
+    from hash_db_spark.catalog import load_table
+    from hash_db_spark.operators import corpus_stats as CS
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = (
+        CS.doc_kneser_ney_logprob(docs, "text", "doc_id")
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = (
+        con.execute(
+            CS.sql_doc_kneser_ney_logprob("documents", "text", "doc_id")
+        )
+        .df()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    con.close()
+    assert len(got) == len(want) > 0
+    assert (got["n_bigrams"].values == want["n_bigrams"].values).all()
+    assert (got["kn_logprob"].values == want["kn_logprob"].values).all()
+    # log10 of p in (0,1]: scores are finite and non-positive
+    assert got["kn_logprob"].notna().all()
+    assert (got["kn_logprob"] <= 0).all()
+
+
+def test_kneser_ney_normalizes_per_context():
+    """The defining smoothing law: for every context v, p(.|v) sums to
+    1 over the continuation vocabulary — the discount taken from seen
+    bigrams is exactly the mass the continuation term redistributes.
+    Checked in pure Python against the same formula the operators
+    implement."""
+    from collections import Counter
+
+    from hash_db_spark.operators.corpus_stats import KN_DISCOUNT as D
+
+    corpus = "a b a b a c b c c a d a b".split()
+    bigs = list(zip(corpus, corpus[1:]))
+    bf = Counter(bigs)
+    pf = Counter(v for v, _ in bigs)
+    n1p = Counter(v for v, _ in set(bigs))
+    cont = Counter(w for _, w in set(bigs))
+    ttypes = len(set(bigs))
+    vocab_cont = set(w for _, w in bigs)
+    for v in pf:
+        total = sum(
+            max(bf.get((v, w), 0) - D, 0.0) / pf[v]
+            + (D * n1p[v] / pf[v]) * (cont[w] / ttypes)
+            for w in vocab_cont
+        )
+        assert abs(total - 1.0) < 1e-12, (v, total)

@@ -404,3 +404,131 @@ def test_pack_efficiency_laws_and_parity(spark, sf_dir):
         assert n_seqs == math.ceil(total / 64)
         assert 0 < fill <= 1.0
         assert 0 <= straddlers < n_chunks
+
+
+class TestCDCChunks:
+    def test_resyncs_after_prefix_edit(self, spark):
+        """The CDC property fixed-size chunking lacks: a prefix edit
+        shifts every token position, yet all chunks after the first
+        boundary re-synchronize and hash identically."""
+        from hash_db_spark.operators import chunking as CH
+
+        text = (
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon phi chi psi "
+            "omega one two three four five six"
+        )
+        both = spark.createDataFrame(
+            [(1, text), (2, "PREFIXA PREFIXB " + text)], ["doc_id", "text"]
+        )
+        ch = CH.cdc_chunks(both, "text", "doc_id").toPandas()
+        h1 = set(ch[ch.id == 1].chunk_hash)
+        h2 = set(ch[ch.id == 2].chunk_hash)
+        assert len(h1) >= 3
+        # every chunk except the edited head region survives
+        assert len(h1 & h2) >= len(h1) - 1
+
+    def test_chunks_partition_the_doc(self, spark, sf_dir):
+        """Chunk token counts sum to the doc's token count and chunk
+        indexes are dense from 0."""
+        import pyspark.sql.functions as F
+
+        from hash_db_spark.catalog import load_table
+        from hash_db_spark.functions.text import token_count
+        from hash_db_spark.operators import chunking as CH
+
+        docs = load_table(spark, sf_dir, "documents").limit(50)
+        ch = CH.cdc_chunks(docs, "text", "doc_id")
+        per_doc = ch.groupBy("id").agg(
+            F.sum("n_toks").alias("s"),
+            F.min("chunk_idx").alias("lo"),
+            F.max("chunk_idx").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        want = docs.select(
+            F.col("doc_id").alias("id"), token_count("text").alias("want_s")
+        )
+        rows = per_doc.join(want, "id").collect()
+        assert rows
+        for r in rows:
+            assert r.s == r.want_s
+            assert r.lo == 0 and r.hi == r.n - 1
+
+    def test_report_parity_with_duckdb(self, spark, sf_dir):
+        import duckdb
+
+        from hash_db_spark.operators import chunking as CH
+        from hash_db_spark.queries.pipeline_queries import q_cdc_dedup_report
+
+        got = (
+            q_cdc_dedup_report(spark, sf_dir)
+            .toPandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        want = (
+            con.execute(
+                CH.sql_cdc_dedup_report("documents", "text", "doc_id")
+            )
+            .df()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        con.close()
+        assert len(got) == len(want) > 0
+        for c in ("n_chunks", "n_toks", "shared_chunks", "shared_toks"):
+            assert (
+                got[c].astype("int64").values == want[c].astype("int64").values
+            ).all(), c
+
+
+class TestLossMask:
+    def test_parity_and_bounds(self, spark, sf_dir):
+        import duckdb
+
+        from hash_db_spark.operators import chunking as CH
+        from hash_db_spark.queries.pipeline_queries import q_train_loss_mask
+
+        got = (
+            q_train_loss_mask(spark, sf_dir)
+            .toPandas()
+            .sort_values(["id", "chunk_idx"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+        )
+        want = (
+            con.execute(
+                CH.sql_loss_mask_report("events", "props", "event_id")
+            )
+            .df()
+            .sort_values(["id", "chunk_idx"])
+            .reset_index(drop=True)
+        )
+        con.close()
+        assert len(got) == len(want) > 0
+        for c in ("chunk_idx", "n_tokens", "n_masked"):
+            assert (
+                got[c].astype("int64").values == want[c].astype("int64").values
+            ).all(), c
+        assert (got.n_masked <= got.n_tokens).all()
+        assert (got.n_masked > 0).any()  # the fixture has real hits
+
+    def test_counts_only_redaction_tokens(self, spark):
+        from hash_db_spark.operators import chunking as CH
+
+        df = spark.createDataFrame(
+            [(1, "mail me at bob@x.io or call 555-123-4567 today ok")],
+            ["doc_id", "text"],
+        )
+        rows = CH.loss_mask_report(
+            df, "text", "doc_id", kinds=("email", "phone", "number")
+        ).collect()
+        # "bob@x.io" -> <EMAIL>, "555-123-4567" -> <PHONE>: 2 masked
+        assert sum(r.n_masked for r in rows) == 2

@@ -256,3 +256,37 @@ class TestKMV:
         got = sorted((r.grp, r.rank, r.h) for r in merged.collect())
         want = sorted((r.grp, r.rank, r.h) for r in direct.collect())
         assert got == want and len(got) > 0
+
+
+class TestStreamBloomPrejoin:
+    def test_stream_matches_batch_join(self, spark, sf_dir):
+        """The streaming runtime-filter probe lands on exactly the
+        batch join's rows (bloom false positives die in the exact
+        stream-static join), and the map-side prefilter adds no
+        stream-side shuffle or state."""
+        from hash_db_spark.queries.sketch_queries import (
+            q_bloom_prejoin,
+            q_stream_bloom_prejoin,
+        )
+
+        got = sorted(
+            tuple(r) for r in q_stream_bloom_prejoin(spark, sf_dir).collect()
+        )
+        want = sorted(tuple(r) for r in q_bloom_prejoin(spark, sf_dir).collect())
+        assert got == want and len(got) > 0
+
+    def test_member_pred_is_shuffle_free(self, spark, sf_dir):
+        """bloom_member_pred on a static frame compiles to a pure
+        Filter over the scan — the property that makes it safe to bolt
+        onto a stream (no state, no exchange)."""
+        from hash_db_spark.catalog import load_table
+        from hash_db_spark.functions import sketches as SK
+        from hash_db_spark.plans.inspect import formatted_plan
+
+        dim = load_table(spark, sf_dir, "customer").filter(
+            "c_custkey <= 100"
+        )
+        bits = SK.bloom_bits(dim, "c_custkey")
+        ev = load_table(spark, sf_dir, "events")
+        pre = ev.filter(SK.bloom_member_pred(bits, "user_id"))
+        assert "Exchange" not in formatted_plan(pre)
