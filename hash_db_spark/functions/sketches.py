@@ -309,11 +309,14 @@ def bloom_member_pred(
     bits: DataFrame, key, k: int = BLOOM_K, m: int = BLOOM_M
 ):
     """MAP-SIDE Bloom membership predicate over column ``key``: the bit
-    set collapses to one m-char '0'/'1' mask literal and membership is
-    k substring probes — no shuffle, no distinct, no join. This is the
-    runtime-filter shape: the fact table is filtered in its scan stage
-    (whole-stage codegen) and only the ~joining fraction (+ the bounded
-    false-positive tail) reaches the exact join.
+    set collapses to one m-bit mask packed into an m/64-element int64
+    array LITERAL, and membership is k O(1) bit_get probes — no
+    shuffle, no distinct, no join. This is the runtime-filter shape:
+    the fact table is filtered in its scan stage (whole-stage codegen)
+    and only the ~joining fraction (+ the bounded false-positive tail)
+    reaches the exact join. (First cut used an m-char '0'/'1' string
+    literal + substring, which is O(position) per probe on a UTF8
+    string — 9x slower on the sf0.1 fact scan.)
 
     The collect here is the FILTER, not the corpus: at most m (=8192)
     single-int rows regardless of member-set or probe-set size — the
@@ -322,12 +325,19 @@ def bloom_member_pred(
     positives."""
     if isinstance(key, str):
         key = F.col(key)
-    set_bits = {int(r["bit"]) for r in bits.collect()}
-    mask = "".join("1" if i in set_bits else "0" for i in range(m))
+    words = [0] * ((m + 63) // 64)
+    for r in bits.collect():
+        b = int(r["bit"])
+        words[b >> 6] |= 1 << (b & 63)
+    # int64 literals are signed: fold bit 63 into the sign
+    arr = F.lit([w - (1 << 64) if w >= (1 << 63) else w for w in words])
     pred = None
     for i in range(k):
         coord = _cms_coord(i, key, m)
-        hit = F.substring(F.lit(mask), (coord + 1).cast("int"), 1) == "1"
+        word = F.element_at(
+            arr, (F.shiftright(coord, 6) + 1).cast("int")
+        )
+        hit = F.bit_get(word, coord.bitwiseAND(F.lit(63))) == 1
         pred = hit if pred is None else (pred & hit)
     return pred
 

@@ -359,3 +359,67 @@ QUERIES = {
     # registered r10 (queued r09 under the VERDICT r08 #1 throttle):
     "lsh_param_plan": Query(q_lsh_param_plan, D.sql_lsh_s_curve()),
 }
+
+
+# --- leakage-safe train/val split (r11 QUEUE CANDIDATE) ----------------------
+
+SPLIT_VAL_NUM = 209715  # sample_u(cluster) < NUM with M=2^20 -> ~20% val
+
+
+def q_train_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/validation split that cannot leak near-duplicates across
+    the boundary: the split key is the doc's DUP CLUSTER (MinHash pairs
+    -> connected components; unpaired docs are their own singleton
+    cluster), hashed content-addressed — so A~B never lands A in train
+    and B in val, the failure mode per-doc hash splits silently have.
+    Deterministic across runs/engines/partitionings.
+
+    Scale shape: the pair+component machinery is the proven dedup path;
+    the split itself adds one left join + a map-side hash threshold."""
+    from hash_db_spark.operators.curation import sample_u
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "text", "doc_id", threshold=JACCARD_T)
+    comp = D.connected_components(pairs).withColumnRenamed("id", "doc_id")
+    assigned = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster", F.col("doc_id")).alias("cluster"),
+        )
+    )
+    return assigned.select(
+        "doc_id",
+        "cluster",
+        F.when(sample_u(F.col("cluster")) < SPLIT_VAL_NUM, "val")
+        .otherwise("train")
+        .alias("split"),
+    )
+
+
+def _train_split_oracle() -> str:
+    from hash_db_spark.operators.curation import sql_sample_u
+
+    comps = D.sql_connected_components(
+        D.sql_minhash_lsh_pairs(
+            "documents", "text", "doc_id", threshold=JACCARD_T
+        )
+    )
+    return f"""
+WITH comps AS ({comps}),
+assigned AS (
+  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN comps c ON c.id = d.doc_id
+)
+SELECT doc_id, cluster,
+       CASE WHEN {sql_sample_u('cluster')} < {SPLIT_VAL_NUM}
+            THEN 'val' ELSE 'train' END AS split
+FROM assigned
+"""
+
+
+# r11 QUEUE CANDIDATE (r10 window full; parity + leakage law tested,
+# tests/test_dedup.py::TestLeakageSafeSplit):
+#   "train_split_leakage_safe": Query(
+#       q_train_split_leakage_safe, _train_split_oracle()),

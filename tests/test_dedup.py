@@ -674,3 +674,73 @@ def test_lsh_param_plan_oracle_parity(spark):
     )
     assert len(got) == 190
     assert got == want
+
+
+class TestLeakageSafeSplit:
+    def test_parity_and_no_cluster_straddles(self, spark, sf_dir):
+        """Cluster-keyed splitting: exact parity vs DuckDB, and the
+        leakage law — no dup cluster (hence no near-dup pair) spans the
+        train/val boundary."""
+        import duckdb
+
+        from hash_db_spark.queries.dedup_queries import (
+            _train_split_oracle,
+            q_train_split_leakage_safe,
+        )
+
+        got = (
+            q_train_split_leakage_safe(spark, sf_dir)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        want = (
+            con.execute(_train_split_oracle())
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con.close()
+        assert len(got) == len(want) > 0
+        assert (got.cluster.values == want.cluster.values).all()
+        assert (got.split.values == want.split.values).all()
+        assert (got.groupby("cluster").split.nunique() == 1).all()
+        # both splits are populated and at least one multi-doc cluster
+        # exercised the law
+        assert set(got.split) == {"train", "val"}
+        assert (got.groupby("cluster").size() > 1).any()
+
+    def test_pairs_never_straddle(self, spark, sf_dir):
+        from hash_db_spark.catalog import load_table
+        from hash_db_spark.operators import dedup as D
+        from hash_db_spark.queries.dedup_queries import (
+            JACCARD_T,
+            q_train_split_leakage_safe,
+        )
+
+        split = q_train_split_leakage_safe(spark, sf_dir).select(
+            "doc_id", "split"
+        )
+        pairs = D.minhash_lsh_pairs(
+            load_table(spark, sf_dir, "documents"),
+            "text",
+            "doc_id",
+            threshold=JACCARD_T,
+        )
+        a = split.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+            "split", "split_a"
+        )
+        b = split.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+            "split", "split_b"
+        )
+        straddle = (
+            pairs.join(a, "id_a")
+            .join(b, "id_b")
+            .filter("split_a != split_b")
+            .count()
+        )
+        assert straddle == 0
