@@ -340,6 +340,34 @@ def main() -> int:
             ("fts_serve_mixed", q_fts_serve_mixed),
         ):
             timed(f"{name}/{scale}", lambda f=fn: f(spark, sf_dir))
+        # round-10 r11 candidates (documents/events replicate, so these
+        # run at full stress shape)
+        from hash_db_spark.queries.dedup_queries import (
+            q_train_split_leakage_safe,
+        )
+        from hash_db_spark.queries.multimodal_queries import (
+            q_dedup_image_png,
+            q_multimodal_adpcm_decode,
+            q_multimodal_jpeg_decode,
+            q_multimodal_png_decode,
+        )
+        from hash_db_spark.queries.pipeline_queries import (
+            q_cdc_dedup_report,
+            q_lm_kneser_ney,
+            q_train_loss_mask,
+        )
+
+        for name, fn in (
+            ("cdc_dedup_report", q_cdc_dedup_report),
+            ("lm_kneser_ney", q_lm_kneser_ney),
+            ("train_split_leakage_safe", q_train_split_leakage_safe),
+            ("train_loss_mask", q_train_loss_mask),
+            ("multimodal_png_decode", q_multimodal_png_decode),
+            ("multimodal_jpeg_decode", q_multimodal_jpeg_decode),
+            ("multimodal_adpcm_decode", q_multimodal_adpcm_decode),
+            ("dedup_image_png", q_dedup_image_png),
+        ):
+            timed(f"{name}/{scale}", lambda f=fn: f(spark, sf_dir))
         # fk/erasure audits touch customer/orders/lineitem — the stress
         # dir replicates customer only, so drive them at 1x shape but
         # still record the rows (their cost is anti-/semi-join scans).

@@ -602,3 +602,52 @@ def test_mlm_examples_map_side_only(spark, sf_dir):
 
     plan = formatted_plan(q_mlm_examples(spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_loss_mask_map_side_only(spark, sf_dir):
+    """scrub -> chunk -> HOF count is one pure projection chain: zero
+    exchanges — at 100 TB it costs exactly one fact scan."""
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries.pipeline_queries import q_train_loss_mask
+
+    assert "Exchange" not in formatted_plan(q_train_loss_mask(spark, sf_dir))
+
+
+def test_cdc_report_no_global_window_or_cartesian(spark, sf_dir):
+    """CDC chunking's running boundary sum is a PER-DOC window — the
+    plan must never collapse to a SinglePartition window or cartesian."""
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries.pipeline_queries import q_cdc_dedup_report
+
+    plan = formatted_plan(q_cdc_dedup_report(spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan.split("HashAggregate")[0]
+    assert "CartesianProduct" not in plan
+
+
+def test_kneser_ney_no_cartesian(spark, sf_dir):
+    """KN scoring joins on token keys + one 1-row broadcast (the global
+    bigram-type count); no CartesianProduct may appear."""
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries.pipeline_queries import q_lm_kneser_ney
+
+    assert "CartesianProduct" not in formatted_plan(
+        q_lm_kneser_ney(spark, sf_dir)
+    )
+
+
+def test_codec_stats_map_side_only(spark, sf_dir):
+    """Each codec-stats pipeline is synth -> decode -> stats inside one
+    Arrow chain: zero exchanges."""
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries.multimodal_queries import (
+        q_multimodal_adpcm_decode,
+        q_multimodal_jpeg_decode,
+        q_multimodal_png_decode,
+    )
+
+    for fn in (
+        q_multimodal_png_decode,
+        q_multimodal_jpeg_decode,
+        q_multimodal_adpcm_decode,
+    ):
+        assert "Exchange" not in formatted_plan(fn(spark, sf_dir)), fn
