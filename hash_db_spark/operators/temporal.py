@@ -650,3 +650,68 @@ SELECT from_type, to_type, n,
              6) AS p
 FROM c
 """
+
+
+def session_paths(
+    events: DataFrame,
+    key: str,
+    time: str,
+    gap: str,
+    order_tiebreak: str,
+    step_col: str,
+) -> DataFrame:
+    """(key, session_id, path): each gap-based session's ordered step
+    sequence as a '>'-joined string — the sequence-mining primitive
+    (top paths, funnel discovery) over the same session definition
+    sessionize() aggregates. Order inside a session is total
+    (time, tiebreak), so the path string is deterministic.
+
+    Scale shape: one per-key window pass (the sessionize machinery) +
+    one (key, session) aggregation; the collect_list is per SESSION —
+    bounded by session length, never corpus-sized."""
+    w = Window.partitionBy(key).orderBy(
+        F.col(time).asc(), F.col(order_tiebreak).asc()
+    )
+    gap_i = F.expr(f"INTERVAL {gap}")
+    flagged = events.withColumn(
+        "__new",
+        F.when(
+            F.lag(time).over(w).isNull()
+            | (F.col(time) > F.lag(time).over(w) + gap_i),
+            1,
+        ).otherwise(0),
+    )
+    cum = Window.partitionBy(key).orderBy(
+        F.col(time).asc(), F.col(order_tiebreak).asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessioned = flagged.withColumn("session_id", F.sum("__new").over(cum))
+    steps = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(time), F.col(order_tiebreak), F.col(step_col))
+        )
+    )
+    return (
+        sessioned.groupBy(key, "session_id")
+        .agg(
+            F.array_join(steps.getField(step_col), ">").alias("path"),
+        )
+    )
+
+
+def session_paths_topk(
+    events: DataFrame,
+    key: str,
+    time: str,
+    gap: str,
+    order_tiebreak: str,
+    step_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k most common session paths (n desc, path asc tie-break) —
+    the 'what do users actually do' report. Ends in
+    TakeOrderedAndProject: no global sort."""
+    paths = session_paths(events, key, time, gap, order_tiebreak, step_col)
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    from hash_db_spark.operators.relational import top_k
+
+    return top_k(counts, [F.col("n").desc(), F.col("path").asc()], k)

@@ -904,3 +904,51 @@ FROM agg
 # r11 QUEUE CANDIDATE:
 #   "join_size_estimate": Query(
 #       q_join_size_estimate, _join_size_estimate_oracle()),
+
+
+# --- k-anonymity audit (r11 QUEUE CANDIDATE) ---------------------------------
+
+K_ANON_K = 5  # groups below this size are re-identification risks
+K_ANON_CHAR_BUCKET = 100  # n_chars coarsened to 100-char buckets
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the release quasi-identifiers (Sweeney
+    2002, the governance gate before a corpus ships): documents grouped
+    by (lang, source, coarsened length bucket); every equivalence class
+    smaller than k is a re-identification risk the release must
+    generalize or suppress. Output is the risk report — the risky
+    classes with their sizes and member count share.
+
+    Completes the governance trio: scrub (PII redaction),
+    erasure_audit (right-to-be-forgotten pricing), k-anonymity
+    (release-shape risk). One map-side bucket projection + one
+    map-combined aggregation; at 100 TB this is a single shuffle on
+    the (low-cardinality) quasi-identifier key."""
+    docs = _t(spark, sf_dir, "documents")
+    classes = (
+        docs.select(
+            "lang",
+            "source",
+            (F.floor(F.col("n_chars") / K_ANON_CHAR_BUCKET)
+             * K_ANON_CHAR_BUCKET).cast("long").alias("len_bucket"),
+        )
+        .groupBy("lang", "source", "len_bucket")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+    )
+    return classes.filter(F.col("class_size") < K_ANON_K)
+
+
+K_ANONYMITY_ORACLE = f"""
+SELECT lang, source,
+       CAST(floor(n_chars / {K_ANON_CHAR_BUCKET}) * {K_ANON_CHAR_BUCKET}
+            AS BIGINT) AS len_bucket,
+       count(*) AS class_size
+FROM documents
+GROUP BY lang, source, len_bucket
+HAVING count(*) < {K_ANON_K}
+"""
+
+# r11 QUEUE CANDIDATE (r10 window full; parity-tested this round,
+# tests/test_relational.py::test_k_anonymity_audit):
+#   "k_anonymity_audit": Query(q_k_anonymity_audit, K_ANONYMITY_ORACLE),

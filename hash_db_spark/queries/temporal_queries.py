@@ -600,3 +600,48 @@ FROM per_user, mad
 # r11 QUEUE CANDIDATE:
 #   "event_rate_anomalies": Query(
 #       q_event_rate_anomalies, EVENT_RATE_ANOM_ORACLE),
+
+
+# --- session path mining (r11 QUEUE CANDIDATE) -------------------------------
+
+def q_session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most common session event-type paths — the sequence
+    report behind funnel discovery, over the exact session definition
+    `sessionize` already proves (operators/temporal.py:session_paths)."""
+    return T.session_paths_topk(
+        _events(spark, sf_dir),
+        key="user_id", time="ts", gap="1 hour",
+        order_tiebreak="event_id", step_col="event_type", k=20,
+    )
+
+
+SESSION_PATHS_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts > lag(ts) OVER w + INTERVAL 1 HOUR
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sessions AS (
+  SELECT user_id, event_type, ts, event_id,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC,
+                               event_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+),
+paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts ASC, event_id ASC) AS path
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT path, count(*) AS n
+FROM paths GROUP BY path
+ORDER BY n DESC, path ASC
+LIMIT 20
+"""
+
+# r11 QUEUE CANDIDATE (r10 window full; parity-tested this round,
+# tests/test_temporal_paths.py):
+#   "session_paths_topk": Query(q_session_paths_topk, SESSION_PATHS_ORACLE),

@@ -217,3 +217,33 @@ def test_join_size_estimate_unbiased_enough(spark, sf_dir):
     want = con.execute(_join_size_estimate_oracle()).fetchone()
     con.close()
     assert tuple(row) == want
+
+
+def test_k_anonymity_audit(spark, sf_dir):
+    """Risk classes match DuckDB exactly; every reported class is
+    genuinely under k; and the audit's complement (classes >= k) plus
+    the risky classes partition the corpus."""
+    import duckdb
+
+    import pyspark.sql.functions as F
+
+    from hash_db_spark.queries.relational_queries import (
+        K_ANON_K,
+        K_ANONYMITY_ORACLE,
+        q_k_anonymity_audit,
+    )
+
+    got = sorted(tuple(r) for r in q_k_anonymity_audit(spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(K_ANONYMITY_ORACLE).fetchall())
+    con.close()
+    assert got == want and len(got) > 0
+    assert all(row[-1] < K_ANON_K for row in got)
+    from hash_db_spark.catalog import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    risky_members = sum(row[-1] for row in got)
+    assert 0 < risky_members < n_docs
