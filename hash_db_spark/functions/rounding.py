@@ -29,3 +29,18 @@ def round_half_away(x, decimals: int):
     — bit-matches Spark/DuckDB round() for float64 inputs."""
     scale = 10.0**decimals
     return np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+
+
+def round_half_away_col(c, decimals: int):
+    """The Column-expression form of round_half_away — the replacement
+    this module's docstring prescribes for F.round wherever a computed
+    double is hash-compared and a fixture hits the decimal-tie hazard
+    (first observed: quality_score_fast at sf0.1, doc 4719 — raw
+    0.27695 rounds 0.277 under Spark's HALF_UP-on-shortest-repr but
+    0.2769 under the scaled binary both DuckDB and this formula use).
+    floor() returns LONG, so keep operands within int64 after scaling
+    (true for every 0..1 score this repo rounds)."""
+    import pyspark.sql.functions as F
+
+    scale = 10.0 ** decimals
+    return F.signum(c) * F.floor(F.abs(c) * scale + F.lit(0.5)) / scale

@@ -80,11 +80,14 @@ def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Col
 def quality_score(col: Column | str) -> Column:
     """Composite 0..1 quality score: length band * diversity * (1 - excess
     stopword penalty). Deterministic, documented, SQL-renderable."""
+    from hash_db_spark.functions.rounding import round_half_away_col
+
     n = token_count(col)
     length_band = (
         F.when(n < 5, 0.2).when(n > 500, 0.5).otherwise(1.0)
     )
-    return F.round(
+    # same tie hazard as quality_score_fast: scaled-binary rounding
+    return round_half_away_col(
         length_band * lexical_diversity(col) * (1.0 - stopword_ratio(col) / 2),
         4,
     )
@@ -105,9 +108,14 @@ def quality_score_fast(col: Column | str) -> Column:
     replaced by stopword_ratio_fast — value-identical on comma-free
     \\w/space text (every other component is already native:
     array_distinct, size, split)."""
+    from hash_db_spark.functions.rounding import round_half_away_col
+
     n = token_count(col)
     length_band = F.when(n < 5, 0.2).when(n > 500, 0.5).otherwise(1.0)
-    return F.round(
+    # round_half_away_col, not F.round: the product lands on decimal
+    # ties (observed at sf0.1) where Spark's HALF_UP diverges from the
+    # scaled-binary round DuckDB applies (functions/rounding.py).
+    return round_half_away_col(
         length_band
         * lexical_diversity(col)
         * (1.0 - stopword_ratio_fast(col) / 2),

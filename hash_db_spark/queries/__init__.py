@@ -57,15 +57,19 @@ def all_queries() -> dict[str, Query]:
     # entry's FIRST driver fact is post-fix). State at computation: 319
     # entries (297 + the 22 registrations queued under the r08 throttle,
     # all uncommented this round), 23 never-checked (the 21 queued
-    # registrations + dup_cluster_histogram + xml_roundtrip), 21 stale —
+    # registrations + dup_cluster_histogram + xml_roundtrip), 25 stale —
     # the VERDICT r09 #1 queue exactly, plus the entries tainted by this
-    # round's own fixes (bloom_prejoin rewrite, q5 supplier unhint,
-    # MIX_TEMPERATURE oracle interpolation -> mixture_temperature/
-    # mixture_temp_select). 44 candidates, all installed; 6 slots spare.
+    # round's own fixes (bloom_prejoin rewrite + O(1) bit_get probe, q5
+    # supplier unhint, MIX_TEMPERATURE oracle interpolation ->
+    # mixture_temperature/mixture_temp_select, and the quality-score
+    # scaled-binary rounding fix -> text_quality/quality_gate/
+    # train_prep/corpus_health_report — the decimal-tie divergence a
+    # sf0.1 parity sweep caught in dedup_keep_best). 48 candidates, all
+    # installed; 2 slots spare.
     #
     # Registration throttle (VERDICT r08 #1) stays: new operators built
     # later this round land implemented + parity-tested with their
-    # registration commented as "r11 QUEUE CANDIDATE" — the 6 spare
+    # registration commented as "r11 QUEUE CANDIDATE" — the spare
     # slots are reserved for late-round taint, not new claims.
     # Ordering: cheap codegen entries first to absorb the window's
     # JVM/codegen warmup; heavy entries (PQ fits, MMR, winnowing-scale
@@ -119,7 +123,12 @@ def all_queries() -> dict[str, Query]:
         "q5_local_revenue",    # supplier unhinted
         "mixture_temperature",  # oracle MIX_TEMPERATURE interpolation
         "mixture_temp_select",  # same
-        # 44 entries; 6 spare slots reserved for late-round taint.
+        # --- quality-score scaled-binary rounding fix (session 5) ----
+        "text_quality",        # r01 fact; quality_score round fixed
+        "quality_gate",        # r03
+        "train_prep",          # r07
+        "corpus_health_report",  # r09
+        # 48 entries; 2 spare slots reserved for late-round taint.
     ]
     registry: dict[str, Query] = {}
     for mod in (
