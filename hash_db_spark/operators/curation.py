@@ -495,15 +495,20 @@ def embedding_dim_stats(
 ) -> DataFrame:
     """(dim, mu, sigma): per-dimension mean and population stddev of
     the corpus embeddings, rounded to 4dp on both engines (sum-order
-    low bits differ). posexplode + groupBy(dim): the map-side partial
-    aggregate reduces each partition to d rows before the shuffle, so
-    the exchange moves O(d * partitions), not O(n * d)."""
+    low bits differ). The ``+ 0.0`` folds IEEE negative zero into
+    positive zero on BOTH sides: a mean like -3e-6 rounds to -0.0,
+    whose repr diverges from 0.0 in the driver's value hash (caught by
+    the r10 sf0.1 sweep — sign of an epsilon mean is sum-order noise,
+    so canonicalizing it is semantically free). posexplode +
+    groupBy(dim): the map-side partial aggregate reduces each partition
+    to d rows before the shuffle, so the exchange moves
+    O(d * partitions), not O(n * d)."""
     return (
         emb.select(F.posexplode(vec_col).alias("dim", "v"))
         .groupBy("dim")
         .agg(
-            F.round(F.avg("v"), 4).alias("mu"),
-            F.round(F.stddev_pop("v"), 4).alias("sigma"),
+            (F.round(F.avg("v"), 4) + 0.0).alias("mu"),
+            (F.round(F.stddev_pop("v"), 4) + 0.0).alias("sigma"),
         )
     )
 
@@ -511,8 +516,8 @@ def embedding_dim_stats(
 def sql_embedding_dim_stats(table: str = "embeddings") -> str:
     return f"""
 SELECT i - 1 AS dim,
-       round(avg(embedding[i]), 4) AS mu,
-       round(stddev_pop(embedding[i]), 4) AS sigma
+       round(avg(embedding[i]), 4) + 0.0 AS mu,
+       round(stddev_pop(embedding[i]), 4) + 0.0 AS sigma
 FROM {table}, unnest(generate_series(1, len(embedding))) AS u(i)
 GROUP BY dim
 """

@@ -128,7 +128,9 @@ def all_queries() -> dict[str, Query]:
         "quality_gate",        # r03
         "train_prep",          # r07
         "corpus_health_report",  # r09
-        # 48 entries; 2 spare slots reserved for late-round taint.
+        # --- negative-zero canonicalization (session 5, sf0.1 sweep) -
+        "embedding_dim_stats",  # r09; mu/sigma fold -0.0 -> 0.0
+        # 49 entries; 1 spare slot reserved for late-round taint.
     ]
     registry: dict[str, Query] = {}
     for mod in (
