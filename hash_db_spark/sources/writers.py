@@ -633,3 +633,51 @@ def pq_index_topk(
     return _adc_topk(
         coded, packed, cmat, qrows, k, meta["m"], meta["ks"], nprobe
     )
+
+
+# --- atomic index publication -------------------------------------------------
+#
+# The write-side complement of _append_guard's torn-write REFUSAL: a
+# commit protocol under which readers can never observe a torn
+# multi-file artifact at all. Parquet has no transactions; the classic
+# fix (Hive/Iceberg-style) is write-new-version-then-flip-pointer:
+#
+#   <path>/v=<n>/...artifact files...     (immutable once published)
+#   <path>/_latest/                       (1-row parquet: the live n)
+#
+# Writers stage the ENTIRE new version under v=<n+1>/ while readers
+# keep resolving v=<n>; the pointer write is the single commit point.
+# A crash mid-stage leaves an orphan v-dir and a consistent store. The
+# pointer itself is a directory OVERWRITE of a tiny parquet — its
+# non-atomicity window is one 1-row file create; a reader racing it
+# retries on read error rather than ever combining files from two
+# versions (the failure _append_guard can only detect after the fact).
+
+
+def publish_version(df: DataFrame, path: str) -> int:
+    """Stage df as the next version under ``path`` and flip the
+    pointer. Returns the published version number."""
+    spark = df.sparkSession
+    try:
+        cur = read_published_version(spark, path)
+    except Exception:
+        cur = 0
+    nxt = cur + 1
+    df.write.mode("overwrite").parquet(f"{path}/v={nxt}")
+    spark.createDataFrame([(nxt,)], "v int").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/_latest")
+    return nxt
+
+
+def read_published_version(spark: SparkSession, path: str) -> int:
+    rows = spark.read.parquet(f"{path}/_latest").collect()
+    if not rows:
+        raise ValueError(f"torn pointer at {path}/_latest (empty)")
+    return int(rows[0]["v"])
+
+
+def read_published(spark: SparkSession, path: str) -> DataFrame:
+    """The live version's frame. Never mixes files across versions: the
+    read is pinned to one v-dir resolved from the pointer."""
+    return spark.read.parquet(f"{path}/v={read_published_version(spark, path)}")

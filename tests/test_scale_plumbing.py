@@ -94,3 +94,48 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan
     n_click = ev.filter(F.col("event_type") == "click").count()
     assert back.count() == n_click
+
+
+class TestAtomicPublication:
+    def test_publish_flip_and_crash_isolation(self, spark, tmp_path):
+        """Version 2's staging is invisible until the pointer flips; a
+        'crash' that stages v3 without flipping leaves readers on v2;
+        republishing lands on v4 (orphans never get reused)."""
+        from hash_db_spark.sources import writers as W
+
+        path = str(tmp_path / "idx")
+        v1 = spark.range(10).selectExpr("id", "id * 2 AS val")
+        assert W.publish_version(v1, path) == 1
+        assert W.read_published(spark, path).count() == 10
+
+        v2 = spark.range(25).selectExpr("id", "id * 3 AS val")
+        assert W.publish_version(v2, path) == 2
+        got = W.read_published(spark, path)
+        assert got.count() == 25
+        assert got.filter("val != id * 3").count() == 0
+
+        # simulate a crash mid-stage: v3 files land, pointer never flips
+        spark.range(999).selectExpr("id", "id AS val").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/v=3")
+        assert W.read_published_version(spark, path) == 2
+        assert W.read_published(spark, path).count() == 25
+
+        # the next successful publish supersedes the orphan
+        v4 = spark.range(7).selectExpr("id", "id + 1 AS val")
+        n = W.publish_version(v4, path)
+        assert n >= 3 and W.read_published(spark, path).count() == 7
+
+    def test_empty_pointer_is_torn(self, spark, tmp_path):
+        import pytest
+
+        from hash_db_spark.sources import writers as W
+
+        path = str(tmp_path / "idx2")
+        W.publish_version(spark.range(3), path)
+        # empty the pointer (torn write shape)
+        spark.range(0).selectExpr("CAST(id AS INT) AS v").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/_latest")
+        with pytest.raises(ValueError, match="torn pointer"):
+            W.read_published_version(spark, path)
