@@ -280,7 +280,33 @@ SELECT qid, 'rand_neg', neg_id, cos, j::INT FROM ({rand}) r
 """
 
 
+def q_sim_topk_ivf_published(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN served through the ATOMIC publication protocol
+    (sources/writers.py:publish_index): the IVF artifact stages as a
+    whole new version, the 1-row pointer flip is the commit point, and
+    the probe reads the pinned version dir — a rebuild can never leave
+    a prober combining cells and centroids from different builds.
+    Result-identical to sim_topk_ivf_persisted, so it shares that
+    oracle."""
+    import hashlib
+    import tempfile
+
+    from hash_db_spark.sources.writers import (
+        publish_index,
+        published_dir,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/hash_db_spark_ivfpub_{tag}"
+    publish_index(spark, path, lambda d: write_ivf_index(emb, d, k=8))
+    return S.topk_ivf_persisted(spark, published_dir(spark, path), QUERY_IDS, k=K)
+
+
 # r11 QUEUE CANDIDATE (r10 window full):
+#   "sim_topk_ivf_published": Query(
+#       q_sim_topk_ivf_published, _ivf_kmeans_oracle()),
 #   "train_hard_negatives": Query(
 #       q_train_hard_negatives, S.sql_hard_negatives(QUERY_IDS)),
 #   "train_contrastive_pairs": Query(

@@ -681,3 +681,27 @@ def read_published(spark: SparkSession, path: str) -> DataFrame:
     """The live version's frame. Never mixes files across versions: the
     read is pinned to one v-dir resolved from the pointer."""
     return spark.read.parquet(f"{path}/v={read_published_version(spark, path)}")
+
+
+def publish_index(spark: SparkSession, path: str, stage_fn) -> int:
+    """publish_version for MULTI-ARTIFACT indexes (IVF cells+centroids,
+    FTS postings+doclens+meta, minhash bands+shingles): ``stage_fn``
+    writes the complete artifact into the staged version dir it is
+    handed; only after it returns does the pointer flip. Same crash
+    story: a failed stage leaves an orphan v-dir, readers never see it."""
+    try:
+        cur = read_published_version(spark, path)
+    except Exception:
+        cur = 0
+    nxt = cur + 1
+    stage_fn(f"{path}/v={nxt}")
+    spark.createDataFrame([(nxt,)], "v int").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/_latest")
+    return nxt
+
+
+def published_dir(spark: SparkSession, path: str) -> str:
+    """The live version directory — hand this to the index readers
+    (read_ivf_index, read_fts_index, ...)."""
+    return f"{path}/v={read_published_version(spark, path)}"

@@ -139,3 +139,25 @@ class TestAtomicPublication:
         ).parquet(f"{path}/_latest")
         with pytest.raises(ValueError, match="torn pointer"):
             W.read_published_version(spark, path)
+
+
+def test_ivf_published_serving_parity(spark, sf_dir):
+    """The published-index serving path returns exactly what the plain
+    persisted path returns — and a second publish supersedes cleanly."""
+    from hash_db_spark.queries.similarity_queries import (
+        q_sim_topk_ivf_persisted,
+        q_sim_topk_ivf_published,
+    )
+
+    got = sorted(
+        tuple(r) for r in q_sim_topk_ivf_published(spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r) for r in q_sim_topk_ivf_persisted(spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
+    # republish: version advances, results unchanged
+    again = sorted(
+        tuple(r) for r in q_sim_topk_ivf_published(spark, sf_dir).collect()
+    )
+    assert again == want
