@@ -564,3 +564,175 @@ SELECT d.vec_id,
 FROM dims d JOIN stats s ON s.dim = d.dim
 GROUP BY d.vec_id
 """
+
+
+# --- DSIR: data selection via importance resampling ----------------------------
+
+
+DSIR_MICRO = 1_000_000  # micro-nat quantization of per-bucket log-ratios
+DSIR_GUMBEL_DENOM = SAMPLE_M + 1  # maps sample_u into the open (0,1)
+
+
+def micro_col(c: Column) -> Column:
+    """round-half-away(x * 1e6) as BIGINT — quantizes a per-row double
+    to integer micro-units so every downstream SUM is exact integer
+    arithmetic (associative, shuffle-order-independent in both
+    engines). The only cross-engine float op left is the single
+    expression that produced ``c`` for one row — never a float
+    aggregation."""
+    return (
+        F.signum(c) * F.floor(F.abs(c) * DSIR_MICRO + F.lit(0.5))
+    ).cast("long")
+
+
+def sql_micro(expr: str) -> str:
+    return (
+        f"CAST(sign({expr}) * floor(abs({expr}) * {DSIR_MICRO} + 0.5)"
+        f" AS BIGINT)"
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_feats, w_micro): per-document DSIR importance weight
+    (Xie et al., NeurIPS 2023, arXiv:2302.03169 — Data Selection via
+    Importance Resampling) in integer micro-nats.
+
+    Two hashed bag-of-ngrams unigram models are fit over the SAME
+    feature space the quality classifier uses (``gram_features`` →
+    ``feature_bucket``): the target distribution from the rows where
+    ``is_target`` holds and the raw distribution from every row. Each
+    bucket's Laplace-smoothed log-likelihood ratio
+
+        lr(b) = ln((cnt_t(b)+1)/(tot_t+B)) - ln((cnt_r(b)+1)/(tot_r+B))
+
+    is quantized to integer micro-nats ONCE per bucket; a document's
+    weight is the exact integer sum of lr over its feature
+    occurrences, so the per-doc aggregation is engine-portable by
+    construction (no float-sum order hazard).
+
+    Scale shape: the feature stream is exploded map-side twice (two
+    cheap columnar scans beat materializing a corpus-token-sized
+    checkpoint at 100 TB); the model dimension is groupBy(bucket) with
+    map-side partials and is HARD-BOUNDED at N_FEATURE_BUCKETS rows
+    regardless of corpus size (the weight_dim/HLL-register argument),
+    so broadcasting it is scale-invariant; corpus totals are a
+    documented-tiny driver collect (1 row off the bounded dim); the
+    only corpus-sized shuffle is the final per-doc sum.
+    """
+    feats = docs.select(
+        F.col(id_col).alias("id"),
+        is_target.alias("is_t"),
+        F.explode(gram_features(text_col)).alias("g"),
+    ).select("id", "is_t", feature_bucket(F.col("g")).alias("bucket"))
+    dim = (
+        feats.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt_r"),
+            F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("cnt_t"),
+        )
+        .localCheckpoint(eager=True)  # <= 65,536 skinny rows by construction
+    )
+    tot = dim.agg(
+        F.sum("cnt_r").alias("tot_r"), F.sum("cnt_t").alias("tot_t")
+    ).collect()[0]
+    b = float(N_FEATURE_BUCKETS)
+    lr = dim.select(
+        "bucket",
+        micro_col(
+            F.log((F.col("cnt_t") + F.lit(1.0)) / F.lit(float(tot.tot_t) + b))
+            - F.log((F.col("cnt_r") + F.lit(1.0)) / F.lit(float(tot.tot_r) + b))
+        ).alias("lr_micro"),
+    )
+    return (
+        feats.join(F.broadcast(lr), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("lr_micro").alias("w_micro"),
+        )
+        .select(F.col("id").alias(id_col), "n_feats", "w_micro")
+    )
+
+
+def dsir_resample(
+    weights: DataFrame, n: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_feats, w_micro, key_micro): the Gumbel-top-k
+    resample over DSIR weights — sampling WITHOUT replacement with
+    inclusion probability proportional to exp(w) is equivalent to
+    taking the top-n of w + Gumbel noise (Vieira 2014 gumbel-max
+    trick). The Gumbel draw is content-addressed (``sample_u`` md5
+    uniform, shifted into the open unit interval), so the selected set
+    is reproducible and append-stable; noise and weight are both
+    integer micro-nats, so the ranking key is exact. Top-n compiles to
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    u = (sample_u(F.col(id_col)) + F.lit(1.0)) / F.lit(
+        float(DSIR_GUMBEL_DENOM)
+    )
+    key = F.col("w_micro") + micro_col(-F.log(-F.log(u)))
+    return (
+        weights.withColumn("key_micro", key)
+        .orderBy(F.col("key_micro").desc(), F.col(id_col).asc())
+        .limit(n)
+    )
+
+
+def sql_dsir_weights(
+    target_pred: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle twin of dsir_weights: same grams, same buckets, same
+    Laplace literals, same micro-nat quantization point."""
+    b = float(N_FEATURE_BUCKETS)
+    return f"""
+WITH {sql_gram_features_cte(table, id_col, text_col)},
+fb AS (SELECT id, {sql_feature_bucket('g')} AS bucket FROM feats),
+flags AS (SELECT {id_col} AS id, ({target_pred}) AS is_t FROM {table}),
+occ AS (SELECT fb.id, fb.bucket, flags.is_t FROM fb JOIN flags USING (id)),
+dim AS (
+  SELECT bucket, count(*) AS cnt_r,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS cnt_t
+  FROM occ GROUP BY bucket
+),
+tot AS (SELECT sum(cnt_r) AS tot_r, sum(cnt_t) AS tot_t FROM dim),
+lr AS (
+  SELECT bucket,
+         {sql_micro(
+             f"ln((cnt_t + 1.0) / (tot_t + {b}))"
+             f" - ln((cnt_r + 1.0) / (tot_r + {b}))"
+         )} AS lr_micro
+  FROM dim CROSS JOIN tot
+)
+SELECT occ.id AS {id_col}, count(*) AS n_feats,
+       CAST(sum(lr.lr_micro) AS BIGINT) AS w_micro
+FROM occ JOIN lr USING (bucket)
+GROUP BY occ.id
+"""
+
+
+def sql_dsir_resample(
+    target_pred: str,
+    n: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    gumbel = (
+        f"-ln(-ln(({sql_sample_u(id_col)} + 1.0)"
+        f" / {float(DSIR_GUMBEL_DENOM)}))"
+    )
+    return f"""
+WITH w AS ({sql_dsir_weights(target_pred, table, id_col, text_col)})
+SELECT {id_col}, n_feats, w_micro,
+       w_micro + {sql_micro(gumbel)} AS key_micro
+FROM w
+ORDER BY key_micro DESC, {id_col} ASC
+LIMIT {n}
+"""

@@ -620,3 +620,118 @@ def sql_mmr_rerank(
         f"WITH {ctes}\n"
         f"SELECT sel_rank, id, chunk_idx, rel FROM sel{k}"
     )
+
+
+# --- hybrid lexical+semantic retrieval via reciprocal rank fusion -------------
+
+RRF_K = 60  # the standard fusion constant (Cormack et al. 2009)
+RRF_DOC_CHUNK = 1 << 20  # chunk size >> any doc => one whole-doc vector
+
+
+def hybrid_rrf(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    terms: list[str],
+    topn: int = 10,
+    per_ranker: int = 15,
+) -> DataFrame:
+    """(doc_id, lex_rank, sem_rank, rrf_micro, rank): reciprocal rank
+    fusion (Cormack, Clarke & Buettcher, SIGIR 2009) of the two house
+    rankers over the same bag-of-terms query —
+
+        lexical : Okapi BM25 (``ranking.bm25_rank``)
+        semantic: hashed-embedding cosine over whole-doc vectors
+                  (``retrieve_chunks`` with a doc-sized chunk)
+
+    fused as score(d) = sum_r 1/(RRF_K + rank_r(d)), each reciprocal
+    quantized to integer micro-units BEFORE the sum (the DSIR
+    discipline: integer sums are associative, so the fused key is
+    engine-exact; doubles never aggregate). Docs ranked by only one
+    ranker contribute the present term alone.
+
+    Scale shape: each ranker ends in its own TakeOrderedAndProject, so
+    the fusion inputs are <= per_ranker rows each — the outer join and
+    final rank window run on driver-scale data no matter the corpus
+    size. Cost is one BM25 posting shuffle + one chunk-vector shuffle.
+    """
+    from pyspark.sql import Window
+
+    from hash_db_spark.operators.curation import micro_col
+    from hash_db_spark.operators.ranking import bm25_rank
+
+    lex_w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    lex = (
+        bm25_rank(df, col, id_col, terms, topn=per_ranker)
+        # rank over <= per_ranker rows: the window's single partition
+        # holds only the TakeOrderedAndProject output, not the corpus
+        .withColumn("lex_rank", F.row_number().over(lex_w))
+        .select("id", "lex_rank")
+    )
+    sem = retrieve_chunks(
+        df, col, id_col, terms, k=per_ranker, size=RRF_DOC_CHUNK
+    ).select("id", F.col("rank").alias("sem_rank"))
+
+    def recip(rank_col: str) -> Column:
+        return F.coalesce(
+            micro_col(F.lit(1.0) / (F.lit(RRF_K) + F.col(rank_col))),
+            F.lit(0).cast("long"),
+        )
+
+    fused = (
+        lex.join(sem, "id", "full_outer")
+        .select(
+            F.col("id").alias("doc_id"),
+            "lex_rank",
+            "sem_rank",
+            (recip("lex_rank") + recip("sem_rank")).alias("rrf_micro"),
+        )
+    )
+    w = Window.orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topn)
+        .orderBy("rank")
+    )
+
+
+def sql_hybrid_rrf(
+    table: str,
+    col: str,
+    id_col: str,
+    terms: list[str],
+    topn: int = 10,
+    per_ranker: int = 15,
+) -> str:
+    """Oracle twin of hybrid_rrf: same rankers, same quantization
+    point, same tie-breaks."""
+    from hash_db_spark.operators.curation import sql_micro
+    from hash_db_spark.operators.ranking import sql_bm25_rank
+
+    bm25 = sql_bm25_rank(table, col, id_col, terms, topn=per_ranker)
+    sem = sql_retrieve_chunks(
+        table, col, id_col, terms, k=per_ranker, size=RRF_DOC_CHUNK
+    )
+    lex_r = sql_micro(f"1.0 / ({RRF_K} + lex_rank)")
+    sem_r = sql_micro(f"1.0 / ({RRF_K} + sem_rank)")
+    return f"""
+WITH lex AS (
+  SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS INT)
+           AS lex_rank
+  FROM ({bm25})
+),
+sem AS (
+  SELECT id, CAST(rank AS INT) AS sem_rank FROM ({sem})
+),
+fused AS (
+  SELECT coalesce(lex.id, sem.id) AS doc_id, lex_rank, sem_rank,
+         coalesce({lex_r}, 0) + coalesce({sem_r}, 0) AS rrf_micro
+  FROM lex FULL OUTER JOIN sem ON lex.id = sem.id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf_micro,
+       CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id ASC) AS INT)
+         AS rank
+FROM fused
+QUALIFY rank <= {topn}
+ORDER BY rank
+"""

@@ -1094,3 +1094,40 @@ FROM plan
 # r11 QUEUE CANDIDATE (the r10 queue is closed):
 #   "epoch_repeat_plan": Query(
 #       q_epoch_repeat_plan, _epoch_repeat_plan_oracle()),
+
+
+# --- DSIR importance resampling (Xie et al. 2023) -----------------------------
+
+
+DSIR_TARGET_PRED = "lang = 'en'"
+DSIR_SAMPLE_N = 64
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (arXiv:2302.03169): hashed-ngram unigram
+    models of the target (English) and raw corpus distributions; per-doc
+    log importance weight in exact integer micro-nats. The model dim is
+    hard-bounded at 65,536 rows (broadcast is scale-invariant); the only
+    corpus-sized shuffle is the per-doc sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    return C.dsir_weights(docs, F.col("lang") == "en")
+
+
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel-top-k DSIR resample: selects DSIR_SAMPLE_N docs with
+    probability proportional to their importance weight, via the exact
+    integer key w_micro + gumbel_micro (content-addressed noise, so the
+    draw is reproducible and append-stable). TakeOrderedAndProject —
+    no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return C.dsir_resample(
+        C.dsir_weights(docs, F.col("lang") == "en"), DSIR_SAMPLE_N
+    )
+
+
+# r11 QUEUE CANDIDATE (the r10 queue is closed):
+#   "dsir_weights": Query(
+#       q_dsir_weights, C.sql_dsir_weights(DSIR_TARGET_PRED)),
+#   "dsir_resample": Query(
+#       q_dsir_resample,
+#       C.sql_dsir_resample(DSIR_TARGET_PRED, DSIR_SAMPLE_N)),

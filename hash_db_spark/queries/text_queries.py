@@ -732,6 +732,30 @@ def _mlm_examples_oracle() -> str:
 #   "mlm_examples": Query(q_mlm_examples, _mlm_examples_oracle()),
 
 
+def q_retrieve_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval fused by reciprocal rank
+    fusion (Cormack et al., SIGIR 2009): BM25 top-15 and whole-doc
+    hashed-cosine top-15 joined on doc, fused key = integer micro sum
+    of 1/(60+rank). Each ranker ends in TakeOrderedAndProject, so the
+    fusion runs on <= 30 rows regardless of corpus size."""
+    from hash_db_spark.operators import retrieval as RT
+
+    return RT.hybrid_rrf(
+        _docs(spark, sf_dir), "text", "doc_id", RETRIEVE_TERMS
+    )
+
+
+def _hybrid_rrf_oracle() -> str:
+    from hash_db_spark.operators import retrieval as RT
+
+    return RT.sql_hybrid_rrf("documents", "text", "doc_id", RETRIEVE_TERMS)
+
+
+# r11 QUEUE CANDIDATE:
+#   "retrieve_hybrid_rrf": Query(
+#       q_retrieve_hybrid_rrf, _hybrid_rrf_oracle()),
+
+
 # The QUERIES literal lives at module tail so every registered fn is
 # already bound; compute_reverify explodes it per-entry either way.
 QUERIES = {

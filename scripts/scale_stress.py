@@ -389,6 +389,17 @@ def main() -> int:
             ("host_communities", q_host_communities),
         ):
             timed(f"{name}/{scale}", lambda f=fn: f(spark, sf_dir))
+        # round-10 session 7: r11 queue candidates
+        from hash_db_spark.queries.curation_queries import (
+            q_dsir_resample,
+            q_dsir_weights,
+        )
+
+        for name, fn in (
+            ("dsir_weights", q_dsir_weights),
+            ("dsir_resample", q_dsir_resample),
+        ):
+            timed(f"{name}/{scale}", lambda f=fn: f(spark, sf_dir))
     return 0
 
 

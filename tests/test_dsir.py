@@ -1,0 +1,128 @@
+"""DSIR importance resampling (operators/curation.py): structural laws
+on an unambiguous synthetic corpus, exact-integer parity vs the DuckDB
+oracle on the real fixture, and the plan shapes the 100 TB story rests
+on (bounded broadcast model dim, TakeOrderedAndProject resample)."""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+
+from hash_db_spark.operators import curation as C
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # Target docs (is_t) speak 'aurora'; raw-only docs speak 'quartz'.
+    # 'common' appears everywhere, so it carries no signal.
+    rows = (
+        [(i, "aurora common aurora", True) for i in range(6)]
+        + [(10 + i, "quartz common quartz", False) for i in range(6)]
+        + [(20, "aurora common quartz", False)]
+    )
+    return spark.createDataFrame(rows, ["doc_id", "text", "is_t"]).cache()
+
+
+def test_target_distinctive_docs_weigh_higher(corpus):
+    w = {
+        r.doc_id: r.w_micro
+        for r in C.dsir_weights(corpus, F.col("is_t")).collect()
+    }
+    # every aurora-speaking doc outweighs every quartz-speaking doc,
+    # and the mixed doc sits strictly between the two blocks
+    assert min(w[i] for i in range(6)) > w[20]
+    assert w[20] > max(w[10 + i] for i in range(6))
+
+
+def test_identical_text_identical_weight(corpus):
+    w = C.dsir_weights(corpus, F.col("is_t")).collect()
+    by_text = {}
+    texts = {
+        r.doc_id: r.text for r in corpus.select("doc_id", "text").collect()
+    }
+    for r in w:
+        by_text.setdefault(texts[r.doc_id], set()).add(
+            (r.n_feats, r.w_micro)
+        )
+    # weight is a pure function of the text (content-addressed features)
+    assert all(len(v) == 1 for v in by_text.values())
+
+
+def test_resample_is_subset_sized_and_deterministic(corpus):
+    w = C.dsir_weights(corpus, F.col("is_t"))
+    a = sorted(tuple(r) for r in C.dsir_resample(w, 5).collect())
+    b = sorted(tuple(r) for r in C.dsir_resample(w, 5).collect())
+    assert a == b
+    assert len(a) == 5
+    ids = {r[0] for r in a}
+    assert ids <= set(range(6)) | set(range(10, 16)) | {20}
+
+
+def test_resample_prefers_heavy_docs(corpus):
+    """With weights in the tens of nats, the Gumbel noise (O(1) nats)
+    cannot overturn the target block: a 6-of-13 draw lands mostly on
+    the aurora speakers."""
+    w = C.dsir_weights(corpus, F.col("is_t"))
+    picked = {r.doc_id for r in C.dsir_resample(w, 6).collect()}
+    assert len(picked & set(range(6))) >= 4
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    return con
+
+
+def test_weights_oracle_parity_fixture(spark, sf_dir):
+    from hash_db_spark.queries.curation_queries import q_dsir_weights
+
+    got = sorted(tuple(r) for r in q_dsir_weights(spark, sf_dir).collect())
+    con = _duck(sf_dir)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(C.sql_dsir_weights("lang = 'en'")).fetchall()
+    )
+    con.close()
+    assert got == want
+    assert len(got) > 0
+
+
+def test_resample_oracle_parity_fixture(spark, sf_dir):
+    from hash_db_spark.queries.curation_queries import (
+        DSIR_SAMPLE_N,
+        q_dsir_resample,
+    )
+
+    got = sorted(tuple(r) for r in q_dsir_resample(spark, sf_dir).collect())
+    con = _duck(sf_dir)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            C.sql_dsir_resample("lang = 'en'", DSIR_SAMPLE_N)
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+    assert len(got) == DSIR_SAMPLE_N
+
+
+def test_dsir_plan_shapes(spark, sf_dir):
+    """The model dim joins broadcast (it is hard-bounded at 64k rows);
+    nothing degenerates to a cartesian/nested-loop; the resample is
+    TakeOrderedAndProject, never a global sort."""
+    from hash_db_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = C.dsir_weights(docs, F.col("lang") == "en")
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    r = C.dsir_resample(w, 8)
+    rplan = r._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in rplan

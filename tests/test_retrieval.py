@@ -289,3 +289,72 @@ def test_mmr_quantitatively_diversifies(spark, sf_dir):
         ).collect()
     ]  # pool of exactly 5 leaves greedy no choice: the relevance top-5
     assert mean_pair_dot(mmr) <= mean_pair_dot(plain)
+
+
+# --- hybrid RRF fusion --------------------------------------------------------
+
+
+def test_rrf_fuses_both_rankers(spark):
+    """A doc that is #1 lexically and #1 semantically must out-rank a
+    doc strong in only one ranker; single-ranker docs still appear."""
+    from hash_db_spark.operators.retrieval import hybrid_rrf
+
+    rows = [
+        (1, "alpha beta alpha beta alpha beta"),  # strong both ways
+        (2, "alpha alpha gamma delta unrelated words here"),  # lexical-ish
+        (3, "zeta eta theta iota kappa"),  # matches nothing
+        (4, "beta beta beta other stuff padding text"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = hybrid_rrf(df, "text", "doc_id", ["alpha", "beta"], topn=4).collect()
+    assert got[0].doc_id == 1
+    assert got[0].rank == 1
+    by_id = {r.doc_id: r for r in got}
+    # doc 3 shares no query term: absent from BM25 (posting filter),
+    # but dense cosine still ranks it — strictly below the fused winner
+    assert by_id[3].lex_rank is None
+    assert by_id[3].rrf_micro < by_id[1].rrf_micro
+    # fused key is the exact integer sum of the two quantized terms
+    for r in got:
+        expect = 0
+        for rk in (r.lex_rank, r.sem_rank):
+            if rk is not None:
+                expect += int(1.0 / (60 + rk) * 1_000_000 + 0.5)
+        assert r.rrf_micro == expect
+
+
+def test_rrf_oracle_parity_fixture(spark, sf_dir):
+    import duckdb
+
+    from hash_db_spark.queries.text_queries import (
+        _hybrid_rrf_oracle,
+        q_retrieve_hybrid_rrf,
+    )
+
+    got = [tuple(r) for r in q_retrieve_hybrid_rrf(spark, sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = [tuple(r) for r in con.execute(_hybrid_rrf_oracle()).fetchall()]
+    con.close()
+    assert got == want
+    assert len(got) == 10
+
+
+def test_rrf_plan_is_bounded_after_rankers(spark, sf_dir):
+    """Both fusion inputs end in TakeOrderedAndProject (per-partition
+    heaps); no cartesian anywhere."""
+    from hash_db_spark.catalog import load_table
+    from hash_db_spark.operators.retrieval import hybrid_rrf
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        hybrid_rrf(docs, "text", "doc_id", ["spark", "query"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in plan
