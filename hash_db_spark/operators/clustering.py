@@ -263,3 +263,135 @@ def kmeans_fit(
         f"{id_col} long, {vec_col} array<double>",
     )
     return cents, _assign_pass(corpus, cmat, with_vec=False)
+
+
+# --- greedy k-center coreset selection -----------------------------------------
+
+KC_MICRO = 1_000_000  # micro quantization of squared distances
+
+
+def kcenter_select(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(sel_idx, vec_id, gap_micro): greedy k-center coreset selection
+    (farthest-point traversal — Gonzalez 1985; used for data-selection
+    coresets by Sener & Savarese, ICLR 2018). The seed is the
+    content-addressed minimum (md5(id), id) — the house seeding idiom;
+    each subsequent pick is the point farthest (max min-squared-
+    distance) from the chosen set, ties to the lowest id. ``gap_micro``
+    is the picked point's min-d2 in integer micro units (NULL for the
+    seed) — a monotone non-increasing sequence that doubles as the
+    coreset's covering-radius curve.
+
+    Determinism: d2 is folded sequentially (zip_with + aggregate) and
+    quantized to integer micro units per (point, center) pair; the
+    running min and the argmax compare integers only.
+
+    Scale shape: greedy k-center is inherently k sequential passes —
+    each iteration is ONE map-side projection (d2 against the newest
+    center, a literal array), a least() update, and a
+    TakeOrderedAndProject(1) argmax (per-partition heaps, 1-row driver
+    collect). Nothing corpus-sized shuffles, ever; the per-iteration
+    localCheckpoint pins the mind2 column so lineage stays O(1) deep
+    instead of O(k). Driver holds k vectors."""
+    corpus = emb.select(
+        F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("v")
+    )
+    seed = (
+        corpus.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(1)
+        .collect()[0]
+    )  # tiny: 1 row
+
+    def d2_micro(center_vec: list[float]) -> F.Column:
+        lit_c = F.array(*[F.lit(float(x)) for x in center_vec])
+        sq = F.zip_with("v", lit_c, lambda a, b: (a - b) * (a - b))
+        d2 = F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)
+        return F.floor(d2 * KC_MICRO + F.lit(0.5)).cast("long")
+
+    picked = [(1, int(seed["vec_id"]), None)]
+    cur = (
+        corpus.filter(F.col("vec_id") != int(seed["vec_id"]))
+        .withColumn("mind2", d2_micro(list(seed["v"])))
+        .localCheckpoint(eager=True)
+    )
+    for i in range(2, k + 1):
+        top = (
+            cur.orderBy(F.col("mind2").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()[0]
+        )  # tiny: 1 row
+        picked.append((i, int(top["vec_id"]), int(top["mind2"])))
+        if i == k:
+            break
+        cur = (
+            cur.filter(F.col("vec_id") != int(top["vec_id"]))
+            .withColumn(
+                "mind2", F.least("mind2", d2_micro(list(top["v"])))
+            )
+            .localCheckpoint(eager=True)
+        )
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        picked, "sel_idx int, vec_id long, gap_micro long"
+    )
+
+
+def sql_kcenter_select(
+    k: int = 8,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle: the same greedy traversal as k chained CTE
+    stages — identical seed, quantization point, and tie-breaks."""
+
+    def d2(p: str, c: str) -> str:
+        return (
+            f"CAST(floor((SELECT sum(({p}.v[u.i] - {c}.v[u.i])"
+            f" * ({p}.v[u.i] - {c}.v[u.i]))"
+            f" FROM unnest(generate_series(1, len({p}.v))) AS u(i))"
+            f" * {KC_MICRO} + 0.5) AS BIGINT)"
+        )
+
+    parts = [
+        f"""corpus AS (
+  SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v FROM {table}
+),
+c1 AS (
+  SELECT vec_id, v, CAST(NULL AS BIGINT) AS gap
+  FROM corpus ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1
+),
+d1 AS (
+  SELECT p.vec_id, p.v, {d2('p', 'c')} AS mind2
+  FROM corpus p CROSS JOIN c1 c WHERE p.vec_id <> c.vec_id
+)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f"""c{i} AS (
+  SELECT vec_id, v, mind2 AS gap FROM d{i - 1}
+  ORDER BY mind2 DESC, vec_id ASC LIMIT 1
+)"""
+        )
+        if i < k:
+            parts.append(
+                f"""d{i} AS (
+  SELECT p.vec_id, p.v, least(p.mind2, {d2('p', 'c')}) AS mind2
+  FROM d{i - 1} p CROSS JOIN c{i} c WHERE p.vec_id <> c.vec_id
+)"""
+            )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {i} AS sel_idx, vec_id, gap AS gap_micro FROM c{i}"
+        for i in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT CAST(sel_idx AS INT) AS sel_idx, vec_id, gap_micro"
+        f" FROM ({selects}) ORDER BY sel_idx"
+    )

@@ -432,3 +432,32 @@ QUERIES = {
     "sim_topk_pq_persisted": Query(q_sim_topk_pq_persisted, _ivf_pq_oracle()),
     "stream_pq_probe": Query(q_stream_pq_probe, _ivf_pq_oracle()),
 }
+
+
+# --- greedy k-center coreset (r11 QUEUE CANDIDATE) ----------------------------
+
+
+KCENTER_K = 8
+
+
+def q_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embeddings (Gonzalez 1985
+    farthest-point traversal; Sener & Savarese ICLR 2018 as a data-
+    selection coreset): k sequential map-side passes, each ending in a
+    TakeOrderedAndProject(1) — nothing corpus-sized ever shuffles. The
+    gap_micro column is the covering-radius curve."""
+    from hash_db_spark.operators import clustering as CL
+
+    return CL.kcenter_select(
+        load_table(spark, sf_dir, "embeddings"), k=KCENTER_K
+    )
+
+
+def _kcenter_oracle() -> str:
+    from hash_db_spark.operators import clustering as CL
+
+    return CL.sql_kcenter_select(KCENTER_K)
+
+
+# r11 QUEUE CANDIDATE (the r10 window is closed):
+#   "coreset_kcenter": Query(q_coreset_kcenter, _kcenter_oracle()),

@@ -395,9 +395,14 @@ def main() -> int:
             q_dsir_weights,
         )
 
+        from hash_db_spark.queries.similarity_queries import (
+            q_coreset_kcenter,
+        )
+
         for name, fn in (
             ("dsir_weights", q_dsir_weights),
             ("dsir_resample", q_dsir_resample),
+            ("coreset_kcenter", q_coreset_kcenter),
         ):
             timed(f"{name}/{scale}", lambda f=fn: f(spark, sf_dir))
     return 0

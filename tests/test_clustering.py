@@ -46,3 +46,83 @@ def test_kmeans_no_corpus_shuffle_in_assignment(spark, sf_dir):
     plan = formatted_plan(C.kmeans_assign(emb))
     for op in ("SortMergeJoin", "BroadcastHashJoin", "Exchange"):
         assert op not in plan, op
+
+
+# --- greedy k-center coreset ---------------------------------------------------
+
+
+def test_kcenter_picks_cluster_extremes(spark):
+    """Three tight, well-separated clusters: the first three picks must
+    land in three DIFFERENT clusters (the whole point of farthest-point
+    traversal), and the gap curve is monotone non-increasing."""
+    from hash_db_spark.operators import clustering as CL
+
+    def vec(base, eps):
+        v = [0.0] * 8
+        v[base] = 10.0
+        v[(base + 1) % 8] = eps
+        return v
+
+    rows = [(c * 10 + i, vec(c * 3, 0.01 * i)) for c in range(3) for i in range(4)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = CL.kcenter_select(emb, k=3).collect()
+    clusters = {r.vec_id // 10 for r in got}
+    assert clusters == {0, 1, 2}
+    gaps = [r.gap_micro for r in got if r.gap_micro is not None]
+    assert gaps == sorted(gaps, reverse=True)
+
+
+def test_kcenter_oracle_parity_fixture(spark, sf_dir):
+    import duckdb
+
+    from hash_db_spark.queries.similarity_queries import (
+        _kcenter_oracle,
+        q_coreset_kcenter,
+    )
+
+    got = [tuple(r) for r in q_coreset_kcenter(spark, sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    want = [tuple(r) for r in con.execute(_kcenter_oracle()).fetchall()]
+    con.close()
+    assert got == want
+    assert len(got) == 8
+    assert got[0][2] is None  # seed carries no gap
+
+
+def test_kcenter_gap_curve_is_covering_radius(spark, sf_dir):
+    """gap_micro at pick i equals the max over remaining points of the
+    min-d2 to the first i-1 centers — verified directly for pick 2."""
+    import pyspark.sql.functions as F
+
+    from hash_db_spark.catalog import load_table
+    from hash_db_spark.operators import clustering as CL
+    from hash_db_spark.operators.similarity import _dvec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sel = CL.kcenter_select(emb, k=2).collect()
+    seed_id, second = sel[0].vec_id, sel[1]
+    corpus = emb.select(
+        F.col("vec_id"), _dvec("embedding").alias("v")
+    )
+    seed_v = corpus.filter(F.col("vec_id") == seed_id).collect()[0]["v"]
+    lit_c = F.array(*[F.lit(float(x)) for x in seed_v])
+    d2 = F.aggregate(
+        F.zip_with("v", lit_c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    far = (
+        corpus.filter(F.col("vec_id") != seed_id)
+        .select(
+            "vec_id",
+            F.floor(d2 * CL.KC_MICRO + F.lit(0.5)).cast("long").alias("m"),
+        )
+        .orderBy(F.col("m").desc(), F.col("vec_id").asc())
+        .limit(1)
+        .collect()[0]
+    )
+    assert (far.vec_id, far.m) == (second.vec_id, second.gap_micro)
