@@ -1144,3 +1144,90 @@ SELECT media_id AS id,
        CAST(sum(bit * (1::BIGINT << j)) AS BIGINT) AS simhash
 FROM bits GROUP BY media_id
 """
+
+
+# ---------------------------------------------------------------------------
+# video shot-boundary (scene cut) detection over decoded Y4M luma
+# ---------------------------------------------------------------------------
+
+SCENE_CUT_MAD_MILLI = 21_000  # mean-abs-diff per pixel, milli-units
+
+SCENE_CUTS_SCHEMA = (
+    "media_id long, frame_no int, sad long, n_px int, is_cut boolean"
+)
+
+
+def y4m_scene_cuts(media: DataFrame) -> DataFrame:
+    """(media_id, frame_no, sad, n_px, is_cut): shot-boundary detection
+    by consecutive-frame luma SAD (sum of absolute differences) — the
+    classic pixel-domain scene-cut metric (e.g. Boreczky & Rowe 1996,
+    "Comparison of video shot boundary detection techniques"). Frame f
+    is a cut iff its mean abs diff vs frame f-1 exceeds
+    SCENE_CUT_MAD_MILLI/1000, compared in exact integer arithmetic
+    (sad * 1000 > thr * n_px — no float division, no rounding hazard).
+
+    One Arrow pass decodes each clip once and emits its n_frames-1
+    transition rows — per-clip work, embarrassingly parallel; nothing
+    shuffles (cf. y4m_stats). The closed-form oracle recomputes every
+    SAD from the generative luma formula without touching a byte —
+    independent evidence the decoder read the right pixels."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in ("media_id", "frame_no", "sad", "n_px", "is_cut")
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, frames = y4m_decode(bytes(payload))
+                for f in range(1, len(frames)):
+                    sad = int(
+                        np.abs(
+                            frames[f].astype(np.int64)
+                            - frames[f - 1].astype(np.int64)
+                        ).sum()
+                    )
+                    out["media_id"].append(mid)
+                    out["frame_no"].append(f)
+                    out["sad"].append(sad)
+                    out["n_px"].append(w * h)
+                    out["is_cut"].append(
+                        sad * 1000 > SCENE_CUT_MAD_MILLI * w * h
+                    )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, SCENE_CUTS_SCHEMA
+    )
+
+
+def sql_y4m_scene_cuts(table: str, id_col: str) -> str:
+    """Closed-form oracle over the synth_y4m_media generative formula:
+    lum(f, r, c) = (id*37 + f*11 + r*5 + c*3) % 256."""
+    lum_f = f"((media_id * 37 + f * 11 + r * 5 + c * 3) % 256)"
+    lum_p = f"((media_id * 37 + (f - 1) * 11 + r * 5 + c * 3) % 256)"
+    return f"""
+WITH m AS (
+  SELECT {id_col} AS media_id,
+         4 + 2 * ({id_col} % 3) AS width,
+         4 + 2 * ({id_col} % 2) AS height,
+         2 + {id_col} % 3 AS n_frames
+  FROM {table}
+),
+px AS (
+  SELECT m.media_id, m.width, m.height, f.f, r.r, c.c
+  FROM m,
+       LATERAL (SELECT unnest(generate_series(1, m.n_frames - 1)) AS f) f,
+       LATERAL (SELECT unnest(generate_series(0, m.height - 1)) AS r) r,
+       LATERAL (SELECT unnest(generate_series(0, m.width - 1)) AS c) c
+)
+SELECT media_id,
+       CAST(f AS INT) AS frame_no,
+       CAST(sum(abs({lum_f} - {lum_p})) AS BIGINT) AS sad,
+       CAST(width * height AS INT) AS n_px,
+       sum(abs({lum_f} - {lum_p})) * 1000
+         > {SCENE_CUT_MAD_MILLI} * width * height AS is_cut
+FROM px
+GROUP BY media_id, f, width, height
+"""

@@ -99,8 +99,20 @@ def _adpcm_decode_oracle() -> str:
     return C.sql_adpcm_stats("documents", "doc_id")
 
 
+def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection: consecutive-frame luma SAD over REAL
+    Y4M decode, cut verdict in exact integer arithmetic, checked
+    against the byte-free closed-form oracle. One Arrow pass per clip;
+    nothing shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.y4m_scene_cuts(M.synth_y4m_media(docs, "doc_id"))
+
+
 # r11 QUEUE CANDIDATE (the r10 window's spare slots are reserved for
 # late-round taint, per the VERDICT r08 #1 throttle):
+#   "video_scene_cuts": Query(
+#       q_video_scene_cuts,
+#       M.sql_y4m_scene_cuts("documents", "doc_id")),
 #   "multimodal_png_decode": Query(
 #       q_multimodal_png_decode, _png_decode_oracle()),
 #   "multimodal_jpeg_decode": Query(

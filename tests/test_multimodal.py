@@ -263,3 +263,57 @@ def test_audio_energy_dhash_gain_invariant(spark):
         [(9, bytearray(pcm16([])))], "media_id long, payload binary"
     )
     assert [r.dhash for r in M.audio_energy_dhash(empty).collect()] == [0]
+
+
+# --- scene cuts ----------------------------------------------------------------
+
+
+def test_scene_cuts_flag_synthetic_boundary(spark):
+    """A hand-built 3-frame clip: frame 1 identical to frame 0 (SAD 0,
+    no cut), frame 2 inverted (SAD huge, cut)."""
+    import numpy as np
+
+    from hash_db_spark.operators import multimodal as M
+
+    w, h = 4, 4
+    f0 = np.arange(w * h, dtype=np.uint8).reshape(h, w)
+    f2 = 255 - f0
+    chroma = np.full((w // 2) * (h // 2) * 2, 128, dtype=np.uint8)
+    payload = b"".join(
+        [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode()]
+        + [
+            b"FRAME\n" + f.tobytes() + chroma.tobytes()
+            for f in (f0, f0, f2)
+        ]
+    )
+    media = spark.createDataFrame(
+        [(7, bytearray(payload))], "media_id long, payload binary"
+    )
+    got = {r.frame_no: r for r in M.y4m_scene_cuts(media).collect()}
+    assert got[1].sad == 0 and not got[1].is_cut
+    assert got[2].sad == int(np.abs(f2.astype(int) - f0.astype(int)).sum())
+    assert got[2].is_cut
+
+
+def test_scene_cuts_oracle_parity(spark, sf_dir):
+    import duckdb
+
+    from hash_db_spark.operators import multimodal as M
+    from hash_db_spark.queries.multimodal_queries import q_video_scene_cuts
+
+    got = sorted(tuple(r) for r in q_video_scene_cuts(spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            M.sql_y4m_scene_cuts("documents", "doc_id")
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+    flags = {r[4] for r in got}
+    assert flags == {True, False}  # the threshold separates real clips
