@@ -184,6 +184,61 @@ def _compaction_plan_oracle() -> str:
     return sql_compaction_plan(manifest, COMPACT_TARGET)
 
 
+VACUUM_KEEP = 2
+
+
+def _vacuum_store() -> str:
+    """Per-process store path — the fts_serve_mixed race discipline
+    (parallel pytest/bench runs never share a store). NOT keyed by
+    sf_dir: the version/pointer layout the audit classifies is
+    identical at every SF, and the oracle string is built once at
+    registry time, so query and oracle must agree on the path at any
+    sweep SF."""
+    import os
+
+    return str(
+        Path(tempfile.gettempdir())
+        / f"hash_db_spark_vacuum_{os.getpid()}"
+    )
+
+
+def q_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention audit of the atomic publication protocol
+    (sources/writers.py:publish_version): four published versions plus
+    one crash-orphan staged ABOVE the pointer; vacuum classifies
+    live/retained/expired/orphan and emits the keep/delete decision
+    table. Pure metadata — one FS listing bounded by version count."""
+    import shutil
+
+    from hash_db_spark.sources import writers as W
+
+    store = _vacuum_store()
+    shutil.rmtree(store, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    for i in range(1, 5):
+        W.publish_version(
+            docs.filter(F.col("doc_id") < 10 * i)
+            .select("doc_id", "lang")
+            .coalesce(1),
+            store,
+        )
+    # a crashed publisher: staged v=5, pointer never flipped
+    docs.filter(F.col("doc_id") < 5).select("doc_id", "lang").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{store}/v=5")
+    return W.vacuum_plan(spark, store, keep=VACUUM_KEEP)
+
+
+def _vacuum_plan_oracle() -> str:
+    from hash_db_spark.sources import writers as W
+
+    return W.sql_vacuum_plan(_vacuum_store(), keep=VACUUM_KEEP)
+
+
+# r11 QUEUE CANDIDATE (the r10 window is closed):
+#   "vacuum_plan": Query(q_vacuum_plan, _vacuum_plan_oracle()),
+
+
 QUERIES = {
     "csv_roundtrip": Query(q_csv_roundtrip, "SELECT * FROM supplier"),
     "jsonl_roundtrip": Query(q_jsonl_roundtrip, "SELECT * FROM orders"),

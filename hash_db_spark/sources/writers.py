@@ -705,3 +705,87 @@ def published_dir(spark: SparkSession, path: str) -> str:
     """The live version directory — hand this to the index readers
     (read_ivf_index, read_fts_index, ...)."""
     return f"{path}/v={read_published_version(spark, path)}"
+
+
+def vacuum_plan(
+    spark: SparkSession, path: str, keep: int = 2
+) -> DataFrame:
+    """(version, n_files, status, action): the retention audit for a
+    ``publish_version``/``publish_index`` store — the Delta/Iceberg
+    VACUUM capability for the house publication protocol. Classifies
+    every staged version directory against the live pointer:
+
+        live      the pointer's version                     -> keep
+        retained  within the newest ``keep`` versions       -> keep
+        expired   older than the retention window           -> delete
+        orphan    staged ABOVE the pointer (a crashed
+                  publisher's leftovers, never visible
+                  to readers)                               -> delete
+
+    A production vacuum would age-gate orphan deletion (a concurrent
+    publisher mid-stage looks identical to a crash); the plan is the
+    decision table, not the deletion.
+
+    Scale shape: pure metadata — one Hadoop FileSystem listing bounded
+    by the version count (O(10)), never by data size; works for local
+    paths in tests and HDFS/S3 URIs in production (the _fs_exists
+    discipline). Returns a driver-built frame of one row per version.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    live = read_published_version(spark, path)
+    rows = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if not name.startswith("v="):
+            continue
+        version = int(name[2:])
+        n_files = 0
+        it = fs.listFiles(st.getPath(), True)
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n_files += 1
+        if version == live:
+            status = "live"
+        elif version > live:
+            status = "orphan"
+        elif version >= live - (keep - 1):
+            status = "retained"
+        else:
+            status = "expired"
+        action = "keep" if status in ("live", "retained") else "delete"
+        rows.append((version, n_files, status, action))
+    return spark.createDataFrame(
+        sorted(rows), "version int, n_files int, status string, action string"
+    )
+
+
+def sql_vacuum_plan(path: str, keep: int = 2) -> str:
+    """Oracle twin of vacuum_plan: DuckDB's glob() lists the same
+    version dirs; the pointer comes from the same _latest parquet."""
+    return f"""
+WITH files AS (
+  SELECT file FROM glob('{path}/v=*/*.parquet')
+  UNION
+  SELECT file FROM glob('{path}/v=*/**/*.parquet')
+),
+counted AS (
+  SELECT CAST(regexp_extract(file, 'v=(\\d+)', 1) AS INT) AS version,
+         count(*) AS n_files
+  FROM files GROUP BY 1
+),
+ptr AS (
+  SELECT CAST(v AS INT) AS live FROM read_parquet('{path}/_latest/*.parquet')
+)
+SELECT version,
+       CAST(n_files AS INT) AS n_files,
+       CASE WHEN version = live THEN 'live'
+            WHEN version > live THEN 'orphan'
+            WHEN version >= live - {keep - 1} THEN 'retained'
+            ELSE 'expired' END AS status,
+       CASE WHEN version <= live AND version >= live - {keep - 1}
+            THEN 'keep' ELSE 'delete' END AS action
+FROM counted CROSS JOIN ptr
+ORDER BY version
+"""

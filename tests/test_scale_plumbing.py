@@ -161,3 +161,62 @@ def test_ivf_published_serving_parity(spark, sf_dir):
         tuple(r) for r in q_sim_topk_ivf_published(spark, sf_dir).collect()
     )
     assert again == want
+
+
+class TestVacuumPlan:
+    def test_classification_table(self, spark, tmp_path):
+        """live/retained/expired/orphan land exactly where the
+        protocol says; orphans stay invisible to readers."""
+        from hash_db_spark.sources import writers as W
+
+        store = str(tmp_path / "store")
+        df = spark.range(3).selectExpr("id", "id * 2 AS x")
+        for _ in range(4):
+            W.publish_version(df.coalesce(1), store)
+        # crash mid-publish: staged, pointer not flipped
+        df.coalesce(1).write.parquet(f"{store}/v=5")
+        plan = {
+            r.version: (r.status, r.action)
+            for r in W.vacuum_plan(spark, store, keep=2).collect()
+        }
+        assert plan == {
+            1: ("expired", "delete"),
+            2: ("expired", "delete"),
+            3: ("retained", "keep"),
+            4: ("live", "keep"),
+            5: ("orphan", "delete"),
+        }
+        assert W.read_published_version(spark, store) == 4
+
+    def test_keep_window_widens(self, spark, tmp_path):
+        from hash_db_spark.sources import writers as W
+
+        store = str(tmp_path / "store")
+        df = spark.range(2)
+        for _ in range(3):
+            W.publish_version(df.coalesce(1), store)
+        plan = {
+            r.version: r.action
+            for r in W.vacuum_plan(spark, store, keep=3).collect()
+        }
+        assert plan == {1: "keep", 2: "keep", 3: "keep"}
+
+    def test_oracle_parity(self, spark, sf_dir):
+        import duckdb
+
+        from hash_db_spark.queries.sources_queries import (
+            _vacuum_plan_oracle,
+            q_vacuum_plan,
+        )
+
+        got = [tuple(r) for r in q_vacuum_plan(spark, sf_dir).collect()]
+        want = [
+            tuple(r)
+            for r in duckdb.connect()
+            .execute(_vacuum_plan_oracle())
+            .fetchall()
+        ]
+        assert got == want
+        assert [r[2] for r in got] == [
+            "expired", "expired", "retained", "live", "orphan",
+        ]
