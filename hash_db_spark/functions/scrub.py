@@ -82,3 +82,83 @@ def pattern_count(col: Column | str, kind: str) -> Column:
 
 def sql_pattern_count(col: str, kind: str) -> str:
     return f"len(regexp_extract_all({col}, '{_sql_pat(kind)}'))"
+
+
+# --- Luhn-validated PAN (payment-card number) scrubbing -----------------------
+#
+# The generic number pattern can't tell a card number from an order id of
+# the same length; the Luhn checksum (ISO/IEC 7812 mod-10, public) can —
+# validating candidates before redacting cuts the false-positive rate by
+# 10x (a random 13-16 digit run passes Luhn with p = 1/10). Candidates
+# that fail stay untouched; candidates that pass are replaced with a
+# digit-free token. Pure column expressions (nested higher-order
+# functions) — map-side, no shuffle, linear to 100 TB.
+
+PAN_PATTERN = r"\b[0-9]{13,16}\b"
+PAN_TOKEN = "<PAN>"
+
+
+def luhn_valid(c: Column) -> Column:
+    """True iff the all-digit string passes the Luhn mod-10 checksum:
+    from the RIGHT, double every second digit, subtract 9 from doubles
+    over 9, total divisible by 10. Requires a non-empty digit string
+    (the PAN_PATTERN guarantees 13-16 digits)."""
+    digits = F.split(c, "")
+    n = F.length(c)
+
+    def contrib(acc: Column, i: Column) -> Column:
+        d = F.element_at(digits, i).cast("int")
+        dbl = d * 2
+        return acc + F.when(
+            (n - i) % 2 == 1,
+            F.when(dbl > 9, dbl - 9).otherwise(dbl),
+        ).otherwise(d)
+
+    total = F.aggregate(F.sequence(F.lit(1), n), F.lit(0), contrib)
+    return total % 10 == 0
+
+
+def sql_luhn_valid(expr: str) -> str:
+    d = f"CAST(string_split({expr}, '')[i] AS INT)"
+    return (
+        f"(list_sum(list_transform(generate_series(1, len({expr})),"
+        f" i -> CASE WHEN (len({expr}) - i) % 2 = 1"
+        f" THEN CASE WHEN {d} * 2 > 9 THEN {d} * 2 - 9 ELSE {d} * 2 END"
+        f" ELSE {d} END)) % 10 = 0)"
+    )
+
+
+def pan_counts(col: Column | str) -> tuple[Column, Column]:
+    """(n_candidates, n_valid): PAN-shaped digit runs and the subset
+    passing Luhn."""
+    c = F.col(col) if isinstance(col, str) else col
+    cands = F.regexp_extract_all(c, F.lit(PAN_PATTERN), F.lit(0))
+    valid = F.filter(cands, luhn_valid)
+    return F.size(cands), F.size(valid)
+
+
+def redact_pan(col: Column | str) -> Column:
+    """Replace ONLY Luhn-valid PAN candidates with the digit-free token
+    (a later generic-number pass never rewrites it); invalid lookalikes
+    pass through. Fold over the validated list — exact string replace,
+    no second regex pass."""
+    c = F.col(col) if isinstance(col, str) else col
+    cands = F.regexp_extract_all(c, F.lit(PAN_PATTERN), F.lit(0))
+    valid = F.filter(cands, luhn_valid)
+    return F.aggregate(
+        valid, c, lambda acc, x: F.replace(acc, x, F.lit(PAN_TOKEN))
+    )
+
+
+def sql_pan_exprs(col: str) -> tuple[str, str, str]:
+    """(n_candidates, n_valid, redacted) oracle expressions over one
+    column — the exact twins of pan_counts/redact_pan."""
+    cands = f"regexp_extract_all({col}, '{PAN_PATTERN}')"
+    valid = f"list_filter({cands}, x -> {sql_luhn_valid('x')})"
+    n_c = f"len({cands})"
+    n_v = f"len({valid})"
+    red = (
+        f"list_reduce(list_prepend({col}, {valid}),"
+        f" (acc, x) -> replace(acc, x, '{PAN_TOKEN}'))"
+    )
+    return n_c, n_v, red

@@ -807,3 +807,65 @@ QUERIES = {
     ),
     "dedup_keep_best": Query(q_dedup_keep_best, _keep_best_oracle()),
 }
+
+
+# --- Luhn-validated PAN scrubbing (r11 QUEUE CANDIDATE) ------------------------
+#
+# The fixture corpus is digit-free, so PAN-shaped wire noise is injected
+# the way text_normalize injects transport corruption: 16 deterministic
+# digits per doc (15 from doc_id * 7919, one check digit doc_id % 10),
+# ~1 in 10 passing Luhn — the validator must accept exactly those.
+
+_PAN_BASE_MOD = 10**15
+
+
+def _pan_wire() -> F.Column:
+    base = F.lpad(
+        ((F.col("doc_id") * 7919) % F.lit(_PAN_BASE_MOD)).cast("string"),
+        15,
+        "0",
+    )
+    return F.concat(
+        F.col("text"),
+        F.lit(" card "),
+        base,
+        (F.col("doc_id") % 10).cast("string"),
+    )
+
+
+_SQL_PAN_WIRE = (
+    "text || ' card ' || lpad(CAST((doc_id * 7919) % "
+    f"{_PAN_BASE_MOD} AS VARCHAR), 15, '0') || CAST(doc_id % 10 AS VARCHAR)"
+)
+
+
+def q_scrub_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validated PII scrubbing: PAN-shaped digit runs are
+    redacted ONLY when they pass the Luhn mod-10 check (ISO/IEC 7812)
+    — a 10x false-positive cut over shape-only redaction. Pure nested
+    higher-order column expressions; map-side, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _pan_wire().alias("wire")
+    )
+    n_c, n_v = scrub.pan_counts("wire")
+    return docs.select(
+        "doc_id",
+        n_c.alias("n_candidates"),
+        n_v.alias("n_valid"),
+        scrub.redact_pan("wire").alias("redacted"),
+    )
+
+
+def _scrub_luhn_oracle() -> str:
+    n_c, n_v, red = scrub.sql_pan_exprs("wire")
+    return f"""
+SELECT doc_id,
+       CAST({n_c} AS INT) AS n_candidates,
+       CAST({n_v} AS INT) AS n_valid,
+       {red} AS redacted
+FROM (SELECT doc_id, {_SQL_PAN_WIRE} AS wire FROM documents)
+"""
+
+
+# r11 QUEUE CANDIDATE (the r10 window is closed):
+#   "scrub_luhn": Query(q_scrub_luhn, _scrub_luhn_oracle()),

@@ -399,10 +399,19 @@ def main() -> int:
             q_coreset_kcenter,
         )
 
+        from hash_db_spark.queries.multimodal_queries import (
+            q_video_scene_cuts,
+        )
+        from hash_db_spark.queries.pipeline_queries import q_scrub_luhn
+        from hash_db_spark.queries.text_queries import q_retrieve_hybrid_rrf
+
         for name, fn in (
             ("dsir_weights", q_dsir_weights),
             ("dsir_resample", q_dsir_resample),
             ("coreset_kcenter", q_coreset_kcenter),
+            ("scrub_luhn", q_scrub_luhn),
+            ("video_scene_cuts", q_video_scene_cuts),
+            ("retrieve_hybrid_rrf", q_retrieve_hybrid_rrf),
         ):
             timed(f"{name}/{scale}", lambda f=fn: f(spark, sf_dir))
     return 0

@@ -532,3 +532,65 @@ class TestLossMask:
         ).collect()
         # "bob@x.io" -> <EMAIL>, "555-123-4567" -> <PHONE>: 2 masked
         assert sum(r.n_masked for r in rows) == 2
+
+
+class TestLuhnScrub:
+    def test_known_checksums(self, spark):
+        """Textbook vectors: real test PANs pass, off-by-one fails."""
+        from hash_db_spark.functions import scrub
+
+        rows = [
+            (1, "4111111111111111", True),   # Visa test number
+            (2, "5500005555555559", True),   # MC test number
+            (3, "4111111111111112", False),  # last digit bumped
+            (4, "1234567890123456", False),
+        ]
+        df = spark.createDataFrame(rows, ["id", "pan", "expect"])
+        got = df.select(
+            "id", "expect", scrub.luhn_valid(df.pan).alias("ok")
+        ).collect()
+        assert all(r.ok == r.expect for r in got)
+
+    def test_redacts_only_valid(self, spark):
+        from hash_db_spark.functions import scrub
+
+        df = spark.createDataFrame(
+            [(1, "a 4111111111111111 b 4111111111111112 c")], ["id", "t"]
+        )
+        red = df.select(scrub.redact_pan("t").alias("r")).collect()[0].r
+        assert red == "a <PAN> b 4111111111111112 c"
+
+    def test_oracle_parity_fixture(self, spark, sf_dir):
+        import duckdb
+
+        from hash_db_spark.queries.pipeline_queries import (
+            _scrub_luhn_oracle,
+            q_scrub_luhn,
+        )
+
+        got = sorted(tuple(r) for r in q_scrub_luhn(spark, sf_dir).collect())
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        want = sorted(
+            tuple(r) for r in con.execute(_scrub_luhn_oracle()).fetchall()
+        )
+        con.close()
+        assert got == want
+        # ~1/10 of random check digits pass Luhn — both classes present
+        n_valid = sum(r[2] for r in got)
+        assert 0 < n_valid < len(got) / 5
+
+    def test_map_side_only(self, spark, sf_dir):
+        from hash_db_spark.catalog import load_table
+        from hash_db_spark.queries.pipeline_queries import q_scrub_luhn
+
+        plan = (
+            q_scrub_luhn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan  # pure projection, no shuffle
