@@ -624,6 +624,19 @@ def dsir_weights(
     documented-tiny driver collect (1 row off the bounded dim); the
     only corpus-sized shuffle is the final per-doc sum.
     """
+    lr = dsir_log_ratio_dim(docs, is_target, text_col, id_col)
+    return dsir_score(docs, lr, text_col, id_col)
+
+
+def dsir_log_ratio_dim(
+    docs: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(bucket, lr_micro): the fitted DSIR model dimension — the
+    publishable artifact (``sources.writers.publish_version``) a
+    streaming ingest gate probes without ever re-fitting."""
     feats = docs.select(
         F.col(id_col).alias("id"),
         is_target.alias("is_t"),
@@ -641,15 +654,31 @@ def dsir_weights(
         F.sum("cnt_r").alias("tot_r"), F.sum("cnt_t").alias("tot_t")
     ).collect()[0]
     b = float(N_FEATURE_BUCKETS)
-    lr = dim.select(
+    return dim.select(
         "bucket",
         micro_col(
             F.log((F.col("cnt_t") + F.lit(1.0)) / F.lit(float(tot.tot_t) + b))
             - F.log((F.col("cnt_r") + F.lit(1.0)) / F.lit(float(tot.tot_r) + b))
         ).alias("lr_micro"),
     )
+
+
+def dsir_score(
+    docs: DataFrame,
+    lr_dim: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_feats, w_micro): score documents against a fitted
+    (bucket, lr_micro) dimension — batch AND structured-streaming safe
+    (map-side explode, stream-static broadcast join, one per-doc
+    aggregation; no collect, no checkpoint)."""
+    feats = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(gram_features(text_col)).alias("g"),
+    ).select("id", feature_bucket(F.col("g")).alias("bucket"))
     return (
-        feats.join(F.broadcast(lr), "bucket")
+        feats.join(F.broadcast(lr_dim), "bucket")
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_feats"),

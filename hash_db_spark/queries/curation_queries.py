@@ -1131,3 +1131,65 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   "dsir_resample": Query(
 #       q_dsir_resample,
 #       C.sql_dsir_resample(DSIR_TARGET_PRED, DSIR_SAMPLE_N)),
+
+
+def q_stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DSIR ingest gate, fit-once / probe-per-batch: the
+    batch side fits the log-ratio dimension AND its operating point
+    (the fit corpus's total w_micro / total n_feats — the model's own
+    mean per-feature weight) and publishes both atomically
+    (publish_index — crash-safe, version-pinned); the stream side
+    probes the PUBLISHED artifact with a stream-static broadcast join
+    and keeps docs scoring above the shipped mean. The gate compares
+    by exact integer cross-multiplication (w*tot_f > tot_w*n), so
+    stream and batch agree bit-for-bit; at a 100 TB fit corpus the
+    artifact would ship the floor-divided mean instead (the product
+    would exceed int64). availableNow single batch == the batch filter
+    — the oracle. Store keyed by (sf, pid): the fts_serve_mixed race
+    discipline."""
+    import hashlib
+    import os
+    import tempfile
+
+    from hash_db_spark.sources.writers import publish_index, published_dir
+    from hash_db_spark.streaming import windows as SW
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    store = (
+        f"{tempfile.gettempdir()}/hash_db_spark_dsir_{tag}_{os.getpid()}"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+
+    def stage(d: str) -> None:
+        lr = C.dsir_log_ratio_dim(docs, F.col("lang") == "en")
+        lr.coalesce(1).write.parquet(f"{d}/dim")
+        C.dsir_score(docs, lr).agg(
+            F.sum("w_micro").alias("tot_w"),
+            F.sum("n_feats").alias("tot_f"),
+        ).coalesce(1).write.parquet(f"{d}/meta")
+
+    publish_index(spark, store, stage)
+    pdir = published_dir(spark, store)
+    dim = spark.read.parquet(f"{pdir}/dim")
+    meta = spark.read.parquet(f"{pdir}/meta").collect()[0]
+    stream = SW.read_documents_stream(spark, sf_dir)
+    gated = C.dsir_score(stream, dim).filter(
+        F.col("w_micro") * F.lit(int(meta.tot_f))
+        > F.lit(int(meta.tot_w)) * F.col("n_feats")
+    )
+    return SW.run_stream_to_memory(gated, output_mode="complete")
+
+
+def _stream_dsir_gate_oracle() -> str:
+    return f"""
+WITH w AS ({C.sql_dsir_weights(DSIR_TARGET_PRED)}),
+tot AS (SELECT sum(w_micro) AS tw, sum(n_feats) AS tf FROM w)
+SELECT doc_id, n_feats, w_micro
+FROM w CROSS JOIN tot
+WHERE w_micro * tf > tw * n_feats
+"""
+
+
+# r11 QUEUE CANDIDATE (the r10 window is closed):
+#   "stream_dsir_gate": Query(
+#       q_stream_dsir_gate, _stream_dsir_gate_oracle()),

@@ -126,3 +126,33 @@ def test_dsir_plan_shapes(spark, sf_dir):
     r = C.dsir_resample(w, 8)
     rplan = r._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in rplan
+
+
+def test_stream_gate_matches_batch_and_enriches_target(spark, sf_dir):
+    """The streaming gate (published dim + shipped operating point)
+    equals the batch filter exactly, and the kept set is
+    target-enriched: the en share above the gate exceeds the corpus en
+    share (the whole point of importance weighting)."""
+    import duckdb
+
+    from hash_db_spark.catalog import load_table
+    from hash_db_spark.queries.curation_queries import (
+        _stream_dsir_gate_oracle,
+        q_stream_dsir_gate,
+    )
+
+    got = sorted(
+        tuple(r) for r in q_stream_dsir_gate(spark, sf_dir).collect()
+    )
+    con = _duck(sf_dir)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(_stream_dsir_gate_oracle()).fetchall()
+    )
+    con.close()
+    assert got == want
+    docs = load_table(spark, sf_dir, "documents")
+    langs = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    kept_en = sum(1 for r in got if langs[r[0]] == "en") / len(got)
+    corpus_en = sum(1 for v in langs.values() if v == "en") / len(langs)
+    assert kept_en > corpus_en
