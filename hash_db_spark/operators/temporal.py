@@ -715,3 +715,94 @@ def session_paths_topk(
     from hash_db_spark.operators.relational import top_k
 
     return top_k(counts, [F.col("n").desc(), F.col("path").asc()], k)
+
+
+# --- EWMA control-chart anomaly alerts -----------------------------------------
+
+EWMA_ALPHA = 0.25
+EWMA_WINDOW = 16  # truncated-EWMA depth: 0.75^16 < 1% residual weight
+
+
+def ewma_alerts(
+    events: DataFrame,
+    alpha: float = EWMA_ALPHA,
+    w: int = EWMA_WINDOW,
+) -> DataFrame:
+    """(event_id, user_id, value, ewma_prev_micro, alert): per-user
+    EWMA control chart (Roberts 1959, the classic SPC smoother) over
+    event values, truncated to the last ``w`` observations — a
+    TRUNCATED ewma is a fixed linear combination of ``w`` lag columns,
+    so it is exactly expressible in both engines with a FIXED
+    evaluation order (no sequential recurrence, no prefix-power trick
+    whose decay^-n overflows on long histories; 0.75^16 leaves < 1%
+    residual weight, so truncation error is below the alert band).
+    ``ewma_prev`` smooths STRICTLY PRIOR events (lags 1..w,
+    renormalized over the lags that exist); an event alerts when it
+    departs its own forecast by the relative band
+    |x - ewma| > 1.5|ewma| + 1. First event per user never alerts.
+
+    Scale shape: ONE user-keyed shuffle (the lag window); the w lag
+    columns are a map-side projection after the sort — per-user
+    history length never matters."""
+    from pyspark.sql import Window
+
+    from hash_db_spark.operators.curation import micro_col
+
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(1, w + 1):
+        c = alpha * (1.0 - alpha) ** (j - 1)
+        lj = F.lag("value", j).over(win)
+        num = num + F.when(lj.isNotNull(), lj * F.lit(c)).otherwise(0.0)
+        den = den + F.when(lj.isNotNull(), F.lit(c)).otherwise(0.0)
+    ewma_prev = F.when(den > 0, num / den)
+    alert = F.when(
+        ewma_prev.isNull(), F.lit(False)
+    ).otherwise(
+        F.abs(F.col("value") - ewma_prev)
+        > F.lit(1.5) * F.abs(ewma_prev) + F.lit(1.0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "value",
+        micro_col(ewma_prev).alias("ewma_prev_micro"),
+        alert.alias("alert"),
+    )
+
+
+def sql_ewma_alerts(
+    table: str = "events",
+    alpha: float = EWMA_ALPHA,
+    w: int = EWMA_WINDOW,
+) -> str:
+    """Oracle twin: identical lag set, identical left-to-right term
+    order, identical micro quantization point."""
+    from hash_db_spark.operators.curation import sql_micro
+
+    win = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    num_terms = ["0.0"]
+    den_terms = ["0.0"]
+    for j in range(1, w + 1):
+        c = repr(alpha * (1.0 - alpha) ** (j - 1))
+        lj = f"lag(value, {j}) {win}"
+        num_terms.append(
+            f"CASE WHEN {lj} IS NOT NULL THEN {lj} * {c} ELSE 0.0 END"
+        )
+        den_terms.append(f"CASE WHEN {lj} IS NOT NULL THEN {c} ELSE 0.0 END")
+    num = " + ".join(num_terms)
+    den = " + ".join(den_terms)
+    return f"""
+WITH lagged AS (
+  SELECT event_id, user_id, value,
+         CASE WHEN ({den}) > 0 THEN ({num}) / ({den}) END AS ewma_prev
+  FROM {table}
+)
+SELECT event_id, user_id, value,
+       {sql_micro('ewma_prev')} AS ewma_prev_micro,
+       CASE WHEN ewma_prev IS NULL THEN FALSE
+            ELSE abs(value - ewma_prev) > 1.5 * abs(ewma_prev) + 1.0
+       END AS alert
+FROM lagged
+"""

@@ -645,3 +645,15 @@ LIMIT 20
 # r11 QUEUE CANDIDATE (r10 window full; parity-tested this round,
 # tests/test_temporal_paths.py):
 #   "session_paths_topk": Query(q_session_paths_topk, SESSION_PATHS_ORACLE),
+
+
+def q_ewma_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA control chart (Roberts 1959) over event values:
+    truncated-EWMA forecast from the previous 16 events (fixed linear
+    combination of lag columns — no recurrence, no overflow), alert on
+    a 1.5x relative departure. One user-keyed window shuffle."""
+    return T.ewma_alerts(load_table(spark, sf_dir, "events"))
+
+
+# r11 QUEUE CANDIDATE (the r10 window is closed):
+#   "ewma_alerts": Query(q_ewma_alerts, T.sql_ewma_alerts()),

@@ -543,3 +543,65 @@ def test_event_rate_anomalies_oracle_parity(spark, sf_dir):
     )
     con.close()
     assert got == want and len(got) > 0
+
+
+class TestEwmaAlerts:
+    def test_forecast_and_band(self, spark):
+        """Hand-checkable: constant series never alerts after warmup;
+        a 10x spike against a settled forecast does."""
+        from datetime import datetime
+
+        from hash_db_spark.operators import temporal as T
+
+        rows = [
+            (i, datetime(2024, 1, 1, 0, i), 1, "t", v, "")
+            for i, v in enumerate([10.0, 10.0, 10.0, 10.0, 100.0])
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        got = {r.event_id: r for r in T.ewma_alerts(ev).collect()}
+        assert got[0].ewma_prev_micro is None and not got[0].alert
+        # constant history: forecast == 10 exactly (weights renormalize)
+        assert got[3].ewma_prev_micro == 10_000_000
+        assert not got[3].alert
+        # spike: |100 - 10| > 1.5*10 + 1
+        assert got[4].alert
+
+    def test_oracle_parity_fixture(self, spark, sf_dir):
+        import duckdb
+
+        from hash_db_spark.catalog import load_table
+        from hash_db_spark.operators import temporal as T
+
+        got = sorted(
+            tuple(r)
+            for r in T.ewma_alerts(
+                load_table(spark, sf_dir, "events")
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS "
+            f"SELECT * FROM '{sf_dir}/events.parquet'"
+        )
+        want = sorted(
+            tuple(r) for r in con.execute(T.sql_ewma_alerts()).fetchall()
+        )
+        con.close()
+        assert got == want
+        flags = {r[4] for r in got}
+        assert flags == {True, False}
+
+    def test_single_shuffle(self, spark, sf_dir):
+        from hash_db_spark.catalog import load_table
+        from hash_db_spark.operators import temporal as T
+
+        plan = (
+            T.ewma_alerts(load_table(spark, sf_dir, "events"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") == 1  # the user-keyed window sort
