@@ -461,3 +461,20 @@ def _kcenter_oracle() -> str:
 
 # r11 QUEUE CANDIDATE (the r10 window is closed):
 #   "coreset_kcenter": Query(q_coreset_kcenter, _kcenter_oracle()),
+
+
+def q_embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Affine int8 compression report for the embedding column (the
+    ONNX/TFLite scale/zero-point convention): exact code checksum +
+    micro-quantized worst reconstruction error per vector. Map-side
+    only — the 8x storage cut costs no shuffle."""
+    from hash_db_spark.operators import pq
+
+    return pq.int8_quant_report(load_table(spark, sf_dir, "embeddings"))
+
+
+# r11 QUEUE CANDIDATE (the r10 window is closed):
+#   "embedding_int8_quant": Query(
+#       q_embedding_int8_quant, __import__(
+#           "hash_db_spark.operators.pq", fromlist=["x"]
+#       ).sql_int8_quant_report()),

@@ -414,6 +414,20 @@ def main() -> int:
             ("retrieve_hybrid_rrf", q_retrieve_hybrid_rrf),
         ):
             timed(f"{name}/{scale}", lambda f=fn: f(spark, sf_dir))
+        from hash_db_spark.queries.curation_queries import (
+            q_stream_dsir_gate,
+        )
+        from hash_db_spark.queries.similarity_queries import (
+            q_embedding_int8_quant,
+        )
+        from hash_db_spark.queries.temporal_queries import q_ewma_alerts
+
+        for name, fn in (
+            ("stream_dsir_gate", q_stream_dsir_gate),
+            ("ewma_alerts", q_ewma_alerts),
+            ("embedding_int8_quant", q_embedding_int8_quant),
+        ):
+            timed(f"{name}/{scale}", lambda f=fn: f(spark, sf_dir))
     return 0
 
 

@@ -300,3 +300,61 @@ def test_streaming_pq_probe_matches_inline(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     )
     assert inline == served and len(served) == 20
+
+
+# --- int8 affine quantization ---------------------------------------------------
+
+
+def test_int8_error_bound_and_constant_vectors(spark):
+    """max reconstruction error <= (max-min)/510 + 1 micro for every
+    vector; constant vectors quantize exactly."""
+    from hash_db_spark.operators import pq
+
+    rows = [
+        (1, [0.0, 1.0, 0.25, 0.75]),
+        (2, [5.0, 5.0, 5.0, 5.0]),       # constant
+        (3, [-2.0, 2.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r.vec_id: r for r in pq.int8_quant_report(emb).collect()}
+    assert got[2].code_sum == 0 and got[2].max_err_micro == 0
+    for vid, span in ((1, 1.0), (3, 4.0)):
+        assert got[vid].max_err_micro <= int(span / 510 * 1e6) + 1
+
+
+def test_int8_oracle_parity_fixture(spark, sf_dir):
+    import duckdb
+
+    from hash_db_spark.catalog import load_table
+    from hash_db_spark.operators import pq
+
+    got = sorted(
+        tuple(r)
+        for r in pq.int8_quant_report(
+            load_table(spark, sf_dir, "embeddings")
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(pq.sql_int8_quant_report()).fetchall()
+    )
+    con.close()
+    assert got == want
+
+
+def test_int8_map_side_only(spark, sf_dir):
+    from hash_db_spark.catalog import load_table
+    from hash_db_spark.operators import pq
+
+    plan = (
+        pq.int8_quant_report(load_table(spark, sf_dir, "embeddings"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
