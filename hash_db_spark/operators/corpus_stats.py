@@ -372,3 +372,89 @@ SELECT id, CAST(sum(c) AS BIGINT) AS n_tokens,
        round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS token_entropy
 FROM cnt GROUP BY id
 """
+
+
+# --- population-stability drift between two corpus snapshots -------------------
+
+PSI_BUCKETS = 10  # fixed-width feature buckets (also the Laplace B)
+
+
+def drift_psi(
+    ref: DataFrame, cur: DataFrame, bucket: Column
+) -> DataFrame:
+    """(bucket, n_ref, n_cur, psi_micro): Population Stability Index
+    between a reference and a current corpus snapshot over a bucketed
+    feature — the standard drift monitor (psi = sum over buckets of
+    (p - q) * ln(p / q), rule of thumb: > 0.1 drifting, > 0.25 major).
+    Laplace-smoothed so empty buckets never hit ln(0); each bucket's
+    contribution is micro-quantized from ONE expression (the DSIR
+    discipline — no float aggregation anywhere), and the appended
+    TOTAL row (bucket = -1) is the exact integer sum.
+
+    Scale shape: both snapshots reduce map-side to <= PSI_BUCKETS
+    partial-count rows before the single tiny shuffle; totals are a
+    broadcast crossJoin of a 1-row aggregate. Nothing corpus-sized
+    moves."""
+    from hash_db_spark.operators.curation import micro_col
+
+    tagged = ref.select(
+        bucket.alias("bucket"), F.lit(1).alias("is_ref")
+    ).unionAll(cur.select(bucket.alias("bucket"), F.lit(0).alias("is_ref")))
+    counts = tagged.groupBy("bucket").agg(
+        F.sum("is_ref").alias("n_ref"),
+        F.sum(1 - F.col("is_ref")).alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    b = float(PSI_BUCKETS)
+    p = (F.col("n_ref") + F.lit(1.0)) / (F.col("t_ref") + F.lit(b))
+    q = (F.col("n_cur") + F.lit(1.0)) / (F.col("t_cur") + F.lit(b))
+    per = counts.crossJoin(F.broadcast(tot)).select(
+        F.col("bucket").cast("int").alias("bucket"),
+        "n_ref",
+        "n_cur",
+        micro_col((p - q) * F.log(p / q)).alias("psi_micro"),
+    )
+    total = per.agg(
+        F.lit(-1).alias("bucket"),
+        F.sum("n_ref").alias("n_ref"),
+        F.sum("n_cur").alias("n_cur"),
+        F.sum("psi_micro").alias("psi_micro"),
+    )
+    return per.unionAll(total)
+
+
+def sql_drift_psi(ref_sql: str, cur_sql: str, bucket_expr: str) -> str:
+    """Oracle twin: ``ref_sql``/``cur_sql`` are row sources exposing the
+    columns ``bucket_expr`` needs."""
+    from hash_db_spark.operators.curation import sql_micro
+
+    b = float(PSI_BUCKETS)
+    p = "((n_ref + 1.0) / (t_ref + {b}))".format(b=b)
+    q = "((n_cur + 1.0) / (t_cur + {b}))".format(b=b)
+    contrib = f"({p} - {q}) * ln({p} / {q})"
+    return f"""
+WITH tagged AS (
+  SELECT {bucket_expr} AS bucket, 1 AS is_ref FROM ({ref_sql})
+  UNION ALL
+  SELECT {bucket_expr} AS bucket, 0 AS is_ref FROM ({cur_sql})
+),
+counts AS (
+  SELECT bucket, sum(is_ref) AS n_ref, sum(1 - is_ref) AS n_cur
+  FROM tagged GROUP BY bucket
+),
+tot AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM counts),
+per AS (
+  SELECT CAST(bucket AS INT) AS bucket,
+         CAST(n_ref AS BIGINT) AS n_ref,
+         CAST(n_cur AS BIGINT) AS n_cur,
+         {sql_micro(contrib)} AS psi_micro
+  FROM counts CROSS JOIN tot
+)
+SELECT * FROM per
+UNION ALL
+SELECT -1, CAST(sum(n_ref) AS BIGINT), CAST(sum(n_cur) AS BIGINT),
+       CAST(sum(psi_micro) AS BIGINT)
+FROM per
+"""

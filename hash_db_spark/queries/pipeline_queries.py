@@ -869,3 +869,45 @@ FROM (SELECT doc_id, {_SQL_PAN_WIRE} AS wire FROM documents)
 
 # r11 QUEUE CANDIDATE (the r10 window is closed):
 #   "scrub_luhn": Query(q_scrub_luhn, _scrub_luhn_oracle()),
+
+
+# --- corpus drift monitoring (r11 QUEUE CANDIDATE) -----------------------------
+
+PSI_BUCKET_W = 64  # n_chars bucket width (47..558 in the fixture -> ~9 buckets)
+_PSI_BUCKET_SQL = f"CAST(least(9, n_chars // {PSI_BUCKET_W}) AS INT)"
+
+
+def q_corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two corpus snapshots (stand-in:
+    the even/odd doc_id halves — a real run feeds two snapshot dirs)
+    over bucketed document length, plus the exact-integer TOTAL row
+    (bucket = -1). The even/odd split is the STABILITY BASELINE: psi
+    should sit far below the 0.1 drift rule of thumb, and the driver
+    fact pins the exact value. Map-side reduction to <= 10 bucket rows
+    before the only (tiny) shuffle."""
+    from hash_db_spark.operators import corpus_stats as CS
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.least(
+        F.lit(9), (F.col("n_chars") / PSI_BUCKET_W).cast("long")
+    ).cast("int")
+    return CS.drift_psi(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        bucket,
+    )
+
+
+def _corpus_drift_psi_oracle() -> str:
+    from hash_db_spark.operators import corpus_stats as CS
+
+    return CS.sql_drift_psi(
+        "SELECT * FROM documents WHERE doc_id % 2 = 0",
+        "SELECT * FROM documents WHERE doc_id % 2 = 1",
+        _PSI_BUCKET_SQL,
+    )
+
+
+# r11 QUEUE CANDIDATE (the r10 window is closed):
+#   "corpus_drift_psi": Query(
+#       q_corpus_drift_psi, _corpus_drift_psi_oracle()),

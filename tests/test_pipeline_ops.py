@@ -594,3 +594,55 @@ class TestLuhnScrub:
             .toString()
         )
         assert "Exchange" not in plan  # pure projection, no shuffle
+
+
+class TestDriftPsi:
+    def test_identical_populations_zero_psi(self, spark):
+        import pyspark.sql.functions as F
+
+        from hash_db_spark.operators import corpus_stats as CS
+
+        df = spark.createDataFrame(
+            [(i, 100 + i % 5) for i in range(50)], ["doc_id", "n_chars"]
+        )
+        bucket = (F.col("n_chars") % 5).cast("int")
+        rows = {r.bucket: r for r in CS.drift_psi(df, df, bucket).collect()}
+        assert rows[-1].psi_micro == 0  # identical dists -> psi == 0
+
+    def test_disjoint_populations_major_drift(self, spark):
+        import pyspark.sql.functions as F
+
+        from hash_db_spark.operators import corpus_stats as CS
+
+        ref = spark.createDataFrame([(i, 0) for i in range(40)], ["id", "b"])
+        cur = spark.createDataFrame([(i, 1) for i in range(40)], ["id", "b"])
+        rows = {
+            r.bucket: r
+            for r in CS.drift_psi(ref, cur, F.col("b").cast("int")).collect()
+        }
+        assert rows[-1].psi_micro > 250_000  # >> 0.25 rule of thumb
+
+    def test_oracle_parity_and_stability_baseline(self, spark, sf_dir):
+        import duckdb
+
+        from hash_db_spark.queries.pipeline_queries import (
+            _corpus_drift_psi_oracle,
+            q_corpus_drift_psi,
+        )
+
+        got = sorted(
+            tuple(r) for r in q_corpus_drift_psi(spark, sf_dir).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(_corpus_drift_psi_oracle()).fetchall()
+        )
+        con.close()
+        assert got == want
+        total = [r for r in got if r[0] == -1][0]
+        assert 0 <= total[3] < 100_000  # even/odd split: psi << 0.1
