@@ -1231,3 +1231,92 @@ SELECT media_id,
 FROM px
 GROUP BY media_id, f, width, height
 """
+
+
+# ---------------------------------------------------------------------------
+# voice-activity segmentation over the window-energy contour
+# ---------------------------------------------------------------------------
+
+VAD_THRESHOLD = 350_000  # mean-square-per-sample threshold (int16 domain)
+
+
+def wav_vad_segments(
+    media: DataFrame, win: int = 25, thr: int = VAD_THRESHOLD
+) -> DataFrame:
+    """(media_id, seg_idx, voiced, start_win, end_win, n_windows):
+    energy-threshold voice-activity detection — the classic first VAD
+    (windowed energy vs threshold, e.g. Rabiner & Sambur 1975) run-
+    length encoded into alternating voiced/unvoiced segments. A window
+    is voiced iff its mean square per sample exceeds ``thr``, compared
+    by exact integer cross-multiplication (sum_sq > thr * n); segment
+    boundaries come from a lag-change flag summed into segment ids —
+    one media-keyed window shuffle over the (already exploded) energy
+    contour, decode still touched exactly once (wav_window_energy)."""
+    from pyspark.sql import Window
+
+    e = wav_window_energy(media, win)
+    voiced = (F.col("sum_sq") > F.lit(thr) * F.col("n")).alias("voiced")
+    w = Window.partitionBy("media_id").orderBy("win")
+    flagged = e.select("media_id", "win", "n", "sum_sq", voiced).withColumn(
+        "new_seg",
+        F.when(
+            F.lag("voiced").over(w).isNull()
+            | (F.lag("voiced").over(w) != F.col("voiced")),
+            1,
+        ).otherwise(0),
+    )
+    segs = flagged.withColumn("seg_idx", F.sum("new_seg").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    ))
+    return (
+        segs.groupBy("media_id", "seg_idx")
+        .agg(
+            F.first("voiced").alias("voiced"),
+            F.min("win").alias("start_win"),
+            F.max("win").alias("end_win"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            "media_id",
+            F.col("seg_idx").cast("int").alias("seg_idx"),
+            "voiced",
+            "start_win",
+            "end_win",
+            F.col("n_windows").cast("int").alias("n_windows"),
+        )
+    )
+
+
+def sql_wav_vad_segments(
+    table: str, id_col: str, win: int = 25, thr: int = VAD_THRESHOLD
+) -> str:
+    """Oracle: the closed-form energy contour run through the identical
+    lag/cumsum segmentation."""
+    energy = sql_wav_window_energy(table, id_col, win)
+    return f"""
+WITH e AS ({energy}),
+flagged AS (
+  SELECT media_id, win, n, sum_sq,
+         (sum_sq > {thr} * n) AS voiced,
+         CASE WHEN lag(sum_sq > {thr} * n) OVER w IS NULL
+                OR lag(sum_sq > {thr} * n) OVER w <> (sum_sq > {thr} * n)
+              THEN 1 ELSE 0 END AS new_seg
+  FROM e
+  WINDOW w AS (PARTITION BY media_id ORDER BY win)
+),
+segs AS (
+  SELECT *, sum(new_seg) OVER (
+    PARTITION BY media_id ORDER BY win
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS seg_idx
+  FROM flagged
+)
+SELECT media_id,
+       CAST(seg_idx AS INT) AS seg_idx,
+       bool_and(voiced) AS voiced,
+       min(win) AS start_win,
+       max(win) AS end_win,
+       CAST(count(*) AS INT) AS n_windows
+FROM segs
+GROUP BY media_id, seg_idx
+"""

@@ -453,3 +453,18 @@ QUERIES = {
         "CAST(len(text) AS INT) AS n_chars FROM documents WHERE len(text) > 400",
     ),
 }
+
+
+def q_multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold voice-activity segments over REAL PCM16 decode
+    (Rabiner & Sambur 1975 shape): run-length encoded voiced/unvoiced
+    spans, integer-exact thresholding, one media-keyed shuffle after
+    the single-decode Arrow pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.wav_vad_segments(M.synth_wav_media(docs, "doc_id"))
+
+
+# r11 QUEUE CANDIDATE (the r10 window is closed):
+#   "multimodal_vad_segments": Query(
+#       q_multimodal_vad_segments,
+#       M.sql_wav_vad_segments("documents", "doc_id")),

@@ -422,10 +422,19 @@ def main() -> int:
         )
         from hash_db_spark.queries.temporal_queries import q_ewma_alerts
 
+        from hash_db_spark.queries.multimodal_queries import (
+            q_multimodal_vad_segments,
+        )
+        from hash_db_spark.queries.pipeline_queries import (
+            q_corpus_drift_psi,
+        )
+
         for name, fn in (
             ("stream_dsir_gate", q_stream_dsir_gate),
             ("ewma_alerts", q_ewma_alerts),
             ("embedding_int8_quant", q_embedding_int8_quant),
+            ("corpus_drift_psi", q_corpus_drift_psi),
+            ("multimodal_vad_segments", q_multimodal_vad_segments),
         ):
             timed(f"{name}/{scale}", lambda f=fn: f(spark, sf_dir))
     return 0

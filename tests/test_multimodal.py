@@ -317,3 +317,45 @@ def test_scene_cuts_oracle_parity(spark, sf_dir):
     assert got == want
     flags = {r[4] for r in got}
     assert flags == {True, False}  # the threshold separates real clips
+
+
+# --- VAD segments ----------------------------------------------------------------
+
+
+def test_vad_segments_runlength_laws(spark, sf_dir):
+    """Segments tile each clip's window axis exactly (no gaps, no
+    overlaps), alternate in kind, and agree with the DuckDB oracle."""
+    import duckdb
+
+    from hash_db_spark.catalog import load_table
+    from hash_db_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = sorted(
+        tuple(r)
+        for r in M.wav_vad_segments(
+            M.synth_wav_media(docs, "doc_id")
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            M.sql_wav_vad_segments("documents", "doc_id")
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+    by_clip = {}
+    for mid, seg, voiced, s, e, n in got:
+        assert e - s + 1 == n
+        by_clip.setdefault(mid, []).append((seg, voiced, s, e))
+    for segs in by_clip.values():
+        segs.sort()
+        for (s1, v1, _, e1), (s2, v2, st2, _) in zip(segs, segs[1:]):
+            assert s2 == s1 + 1 and st2 == e1 + 1  # tiling
+            assert v2 != v1  # alternation (else same segment)
