@@ -621,3 +621,102 @@ def sql_lpa_communities(iterations: int = 3) -> str:
         prev = f"l{i}"
     ctes = ",\n".join(parts)
     return f"{ctes}\nSELECT id, label AS community FROM {prev}"
+
+
+def personalized_pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Topic-sensitive / personalized PageRank (Haveliwala, WWW 2002):
+    the uniform teleport of ``pagerank`` is replaced by the seed
+    distribution e(v) = 1/|S| on the seed nodes, 0 elsewhere —
+    pr_{t+1}(v) = (1-d)·e(v) + d·Σ_{u→v} pr_t(u)/outdeg(u), started
+    from e. Ranks concentrate in the seeds' neighborhoods, which is
+    the crawl/curation question PageRank can't answer: authority
+    RELATIVE TO a trusted set (seed-biased sampling, TrustRank-style
+    spam damping). Same per-iteration shape as ``pagerank`` (one
+    equijoin + one aggregation, localCheckpoint per round); the seed
+    set is a documented-tiny collect (it IS the personalization
+    vector, driver-held by definition). Rounded once at the end."""
+    seed_ids = [
+        r.id for r in seeds.select("id").distinct().collect()
+    ]  # tiny: the personalization support
+    if not seed_ids:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    e = F.when(
+        F.col("id").isin(seed_ids), F.lit(1.0 / len(seed_ids))
+    ).otherwise(F.lit(0.0))
+    outdeg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    edeg = (
+        edges.select(F.col("src").alias("id"), "dst")
+        .join(outdeg, "id")
+        .localCheckpoint(eager=True)
+    )
+    ids = nodes.select("id").localCheckpoint(eager=True)
+    ranks = ids.select("id", e.alias("rank")).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(edeg, "id")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            ids.join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping) * e
+                    + F.lit(damping)
+                    * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+def sql_personalized_pagerank(
+    iterations: int = 5, damping: float = 0.85
+) -> str:
+    """Unrolled chain over gnodes/gedges/gseeds CTEs — the personalized
+    twin of sql_pagerank, identical arithmetic to the Spark loop."""
+    d = damping
+    parts = [
+        "outdeg AS (SELECT src AS id, count(*) AS deg FROM gedges GROUP BY src)",
+        "sdist AS (SELECT DISTINCT id FROM gseeds)",
+        "ns_cte AS (SELECT count(*) AS ns FROM sdist)",
+        """pers AS (
+  SELECT g.id,
+         CASE WHEN s.id IS NOT NULL
+              THEN 1.0 / (SELECT ns FROM ns_cte) ELSE 0.0 END AS e
+  FROM gnodes g LEFT JOIN sdist s ON s.id = g.id
+)""",
+        "r0 AS (SELECT id, e AS rank FROM pers)",
+    ]
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""r{i} AS (
+  SELECT p.id,
+         (1.0 - {d}) * p.e + {d} * COALESCE(s.inflow, 0.0) AS rank
+  FROM pers p LEFT JOIN (
+    SELECT e.dst AS id, sum(r.rank / o.deg) AS inflow
+    FROM {prev} r
+    JOIN outdeg o ON o.id = r.id
+    JOIN gedges e ON e.src = r.id
+    GROUP BY e.dst
+  ) s ON s.id = p.id
+)"""
+        )
+        prev = f"r{i}"
+    ctes = ",\n".join(parts)
+    return f"{ctes}\nSELECT id, round(rank, 6) AS rank FROM {prev}"

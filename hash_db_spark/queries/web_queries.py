@@ -632,3 +632,64 @@ QUERIES = {
         q_host_communities, _host_communities_oracle()
     ),
 }
+
+
+PPR_SEED_DOC_IDS = (0, 5)  # seed hosts = these docs' (canonical) hosts
+
+
+def q_ppr_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the host link graph (Haveliwala, WWW
+    2002): teleport concentrated on two trusted seed hosts — authority
+    RELATIVE TO a trust set, the TrustRank-style signal plain PageRank
+    can't give a crawl frontier. Same per-iteration join+agg shape as
+    pagerank_hosts."""
+    from hash_db_spark.operators.graph import personalized_pagerank
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", W.synth_html("doc_id").alias("html")
+    )
+    links = docs.select(
+        W.url_host(W.canonicalize_url(W.synth_url("doc_id"))).alias("src"),
+        F.explode(W.html_hrefs("html")).alias("href"),
+    )
+    edges = links.select(
+        "src", W.url_host(W.canonicalize_url("href")).alias("dst")
+    ).distinct()
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = spark.createDataFrame(
+        [(i,) for i in PPR_SEED_DOC_IDS], "doc_id long"
+    ).select(
+        W.url_host(W.canonicalize_url(W.synth_url("doc_id"))).alias("id")
+    )
+    return personalized_pagerank(nodes, edges, seeds, iterations=3)
+
+
+def _ppr_hosts_oracle() -> str:
+    from hash_db_spark.operators.graph import sql_personalized_pagerank
+
+    seed_vals = ", ".join(f"({i})" for i in PPR_SEED_DOC_IDS)
+    return f"""
+WITH {W.sql_link_targets_cte()},
+gedges AS (
+  SELECT DISTINCT {_host_of_id('doc_id')} AS src,
+         {_host_of_id('t')} AS dst
+  FROM links
+),
+gnodes AS (
+  SELECT DISTINCT src AS id FROM gedges
+  UNION
+  SELECT DISTINCT dst AS id FROM gedges
+),
+gseeds AS (
+  SELECT {_host_of_id('x')} AS id FROM (VALUES {seed_vals}) v(x)
+),
+{sql_personalized_pagerank(iterations=3)}
+"""
+
+
+# r11 QUEUE CANDIDATE (the r10 window is closed):
+#   "ppr_hosts": Query(q_ppr_hosts, _ppr_hosts_oracle()),

@@ -429,12 +429,15 @@ def main() -> int:
             q_corpus_drift_psi,
         )
 
+        from hash_db_spark.queries.web_queries import q_ppr_hosts
+
         for name, fn in (
             ("stream_dsir_gate", q_stream_dsir_gate),
             ("ewma_alerts", q_ewma_alerts),
             ("embedding_int8_quant", q_embedding_int8_quant),
             ("corpus_drift_psi", q_corpus_drift_psi),
             ("multimodal_vad_segments", q_multimodal_vad_segments),
+            ("ppr_hosts", q_ppr_hosts),
         ):
             timed(f"{name}/{scale}", lambda f=fn: f(spark, sf_dir))
     return 0
