@@ -71,6 +71,12 @@ def all_queries() -> dict[str, Query]:
     # later this round land implemented + parity-tested with their
     # registration commented as "r11 QUEUE CANDIDATE" — the spare
     # slots are reserved for late-round taint, not new claims.
+    #
+    # r11 QUEUE STATE (closed session 7): 34 candidates (grep
+    # '^#   "' under queries/). With the whole registry driver-fresh
+    # as of r10, 34 + expected taint fits the 50-slot r11 window —
+    # session 7 therefore STOPPED adding candidates; further new
+    # operators should queue for r12.
     # Ordering: cheap codegen entries first to absorb the window's
     # JVM/codegen warmup; heavy entries (PQ fits, MMR, winnowing-scale
     # iterative graph ops) interleaved, never clustered.
