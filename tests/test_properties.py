@@ -835,3 +835,122 @@ def test_normalize_text_idempotent_and_tokenizer_stable(spark, t):
     assert "  " not in r.n1
     if r.n1:
         assert all(tok for tok in r.n1.split(" "))
+
+
+# --- session-7 operator laws ----------------------------------------------------
+
+
+@settings(**SETTINGS)
+@given(digits=st.lists(st.integers(0, 9), min_size=12, max_size=15))
+def test_luhn_check_digit_law(spark, digits):
+    """For ANY digit prefix: exactly one of the ten possible check
+    digits passes Luhn (the model computes it); mutating it fails."""
+    from hash_db_spark.functions import scrub
+
+    prefix = "".join(map(str, digits))
+
+    def model_check(prefix: str) -> int:
+        total = 0
+        for i, ch in enumerate(reversed(prefix)):
+            d = int(ch)
+            if i % 2 == 0:  # positions odd-from-right AFTER appending check
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return (10 - total % 10) % 10
+
+    good = model_check(prefix)
+    cands = [(prefix + str(d), d == good) for d in range(10)]
+    df = spark.createDataFrame(cands, ["pan", "expect"])
+    got = df.select("expect", scrub.luhn_valid(F.col("pan")).alias("ok")).collect()
+    assert all(r.ok == r.expect for r in got)
+
+
+@settings(**SETTINGS)
+@given(
+    xs=st.lists(
+        st.floats(min_value=-1e3, max_value=1e3, allow_nan=False),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_micro_col_matches_numpy_round_half_away(spark, xs):
+    from hash_db_spark.functions.rounding import round_half_away
+    from hash_db_spark.operators.curation import micro_col
+
+    df = spark.createDataFrame([(i, float(x)) for i, x in enumerate(xs)], ["i", "x"])
+    got = {r.i: r.m for r in df.select("i", micro_col(F.col("x")).alias("m")).collect()}
+    for i, x in enumerate(xs):
+        assert got[i] == int(round_half_away(x * 1e6, 0) / 1)
+
+
+@settings(**SETTINGS)
+@given(
+    ref=st.lists(st.integers(0, 4), min_size=5, max_size=40),
+    cur=st.lists(st.integers(0, 4), min_size=5, max_size=40),
+)
+def test_psi_symmetry_and_nonnegativity(spark, ref, cur):
+    """PSI laws: psi(ref, cur) == psi(cur, ref) exactly (the summand is
+    symmetric), and the total is never negative."""
+    from hash_db_spark.operators import corpus_stats as CS
+
+    rdf = spark.createDataFrame([(i, b) for i, b in enumerate(ref)], ["id", "b"])
+    cdf = spark.createDataFrame([(i, b) for i, b in enumerate(cur)], ["id", "b"])
+    bucket = F.col("b").cast("int")
+    t1 = {r.bucket: r.psi_micro for r in CS.drift_psi(rdf, cdf, bucket).collect()}
+    t2 = {r.bucket: r.psi_micro for r in CS.drift_psi(cdf, rdf, bucket).collect()}
+    assert t1 == t2
+    assert t1[-1] >= 0
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.1, max_value=100, allow_nan=False),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_ewma_forecast_is_convex_combination(spark, vals):
+    """The truncated-EWMA forecast always lies within [min, max] of the
+    history (weights are positive and renormalized to 1)."""
+    from datetime import datetime
+
+    from hash_db_spark.operators import temporal as T
+
+    rows = [
+        (i, datetime(2024, 1, 1, 0, 0, i), 1, "t", float(v), "")
+        for i, v in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    got = sorted(T.ewma_alerts(ev).collect(), key=lambda r: r.event_id)
+    for i, r in enumerate(got):
+        if r.ewma_prev_micro is None:
+            continue
+        hist = vals[:i]
+        lo, hi = min(hist) * 1e6 - 1, max(hist) * 1e6 + 1
+        assert lo <= r.ewma_prev_micro <= hi
+
+
+@settings(**SETTINGS)
+@given(perm=st.permutations(list(range(12))))
+def test_kcenter_input_order_invariance(spark, perm):
+    """The greedy selection is a pure function of the SET of vectors —
+    row order never changes the picked ids or gaps."""
+    from hash_db_spark.operators import clustering as CL
+
+    base = [
+        (i, [float(i % 4), float(i // 4), 1.0, 0.0]) for i in range(12)
+    ]
+    shuffled = [base[i] for i in perm]
+    a = CL.kcenter_select(
+        spark.createDataFrame(base, ["vec_id", "embedding"]), k=4
+    ).collect()
+    b = CL.kcenter_select(
+        spark.createDataFrame(shuffled, ["vec_id", "embedding"]), k=4
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -358,3 +358,15 @@ def test_rrf_plan_is_bounded_after_rankers(spark, sf_dir):
     )
     assert plan.count("TakeOrderedAndProject") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_rrf_rejects_zero_vector_query(spark):
+    """Empty/unhashable term lists must fail loudly in BOTH rankers'
+    composition, not return an empty fused frame."""
+    import pytest
+
+    from hash_db_spark.operators.retrieval import hybrid_rrf
+
+    df = spark.createDataFrame([(1, "some text")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        hybrid_rrf(df, "text", "doc_id", [])

@@ -220,3 +220,16 @@ class TestVacuumPlan:
         assert [r[2] for r in got] == [
             "expired", "expired", "retained", "live", "orphan",
         ]
+
+
+def test_vacuum_plan_refuses_pointerless_store(spark, tmp_path):
+    """A store with staged v-dirs but NO pointer is indistinguishable
+    from a torn first publish — vacuum must refuse, not guess."""
+    import pytest
+
+    from hash_db_spark.sources import writers as W
+
+    store = str(tmp_path / "store")
+    spark.range(3).coalesce(1).write.parquet(f"{store}/v=1")
+    with pytest.raises(Exception):
+        W.vacuum_plan(spark, store)

@@ -84,3 +84,15 @@ def test_ppr_hosts_oracle_parity(spark, sf_dir):
     assert got == want
     top = max(got, key=lambda r: r[1])
     assert top[0] in ("site0.com", "www.site5.org")  # a seed leads
+
+
+def test_ppr_rejects_empty_seed_set(spark):
+    import pytest
+
+    from hash_db_spark.operators.graph import personalized_pagerank
+
+    nodes = spark.createDataFrame([("a",)], ["id"])
+    edges = spark.createDataFrame([("a", "a")], ["src", "dst"])
+    seeds = nodes.filter("id = 'nope'")
+    with pytest.raises(ValueError):
+        personalized_pagerank(nodes, edges, seeds)
