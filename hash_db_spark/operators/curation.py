@@ -765,3 +765,97 @@ FROM w
 ORDER BY key_micro DESC, {id_col} ASC
 LIMIT {n}
 """
+
+
+# --- classifier calibration (reliability table) ---------------------------------
+
+CALIB_BUCKETS = 10
+
+
+def calibration_report(
+    scored: DataFrame,
+    z_milli_col: str,
+    label_col: str,
+    n_buckets: int = CALIB_BUCKETS,
+) -> DataFrame:
+    """(bucket, n, n_pos, p_sum_micro, gap_mass_micro): the reliability
+    table behind Expected Calibration Error (Guo et al., ICML 2017) for
+    a logistic score against a binary reference label. Each row's
+    predicted probability p = sigmoid(z/1000) is micro-quantized from
+    ONE expression; its bucket comes from the integer p_micro (no
+    second float op); every aggregate is an exact integer sum. A
+    bucket's gap_mass_micro = |sum(p_micro) - n_pos * 1e6| is the
+    absolute calibration-error mass (divide by n for the mean gap, sum
+    over buckets / N for ECE — both derivable from the table). The
+    TOTAL row (bucket = -1) sums the masses. Map-side projection + one
+    <= n_buckets-row shuffle."""
+    z = F.col(z_milli_col).cast("double") / F.lit(1000.0)
+    p_micro = micro_col(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor(p_micro / F.lit(DSIR_MICRO // n_buckets)),
+    ).cast("int")
+    rows = scored.select(
+        bucket.alias("bucket"),
+        p_micro.alias("p_micro"),
+        F.col(label_col).cast("int").alias("y"),
+    )
+    per = (
+        rows.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("n_pos"),
+            F.sum("p_micro").alias("p_sum_micro"),
+        )
+        .select(
+            "bucket",
+            "n",
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.col("p_sum_micro").cast("long").alias("p_sum_micro"),
+            F.abs(
+                F.col("p_sum_micro") - F.col("n_pos") * F.lit(DSIR_MICRO)
+            ).cast("long").alias("gap_mass_micro"),
+        )
+    )
+    total = per.agg(
+        F.lit(-1).alias("bucket"),
+        F.sum("n").alias("n"),
+        F.sum("n_pos").alias("n_pos"),
+        F.sum("p_sum_micro").alias("p_sum_micro"),
+        F.sum("gap_mass_micro").alias("gap_mass_micro"),
+    )
+    return per.unionAll(total)
+
+
+def sql_calibration_report(
+    scored_sql: str,
+    z_milli_expr: str = "z_milli",
+    label_expr: str = "keep",
+    n_buckets: int = CALIB_BUCKETS,
+) -> str:
+    p = f"(1.0 / (1.0 + exp(-(CAST({z_milli_expr} AS DOUBLE) / 1000.0))))"
+    p_micro = sql_micro(p)
+    width = DSIR_MICRO // n_buckets
+    return f"""
+WITH rows_ AS (
+  SELECT least({n_buckets - 1}, CAST(floor({p_micro} / {width}) AS BIGINT))
+           AS bucket,
+         {p_micro} AS p_micro,
+         CAST({label_expr} AS INT) AS y
+  FROM ({scored_sql})
+),
+per AS (
+  SELECT CAST(bucket AS INT) AS bucket,
+         count(*) AS n,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum(p_micro) AS BIGINT) AS p_sum_micro,
+         CAST(abs(sum(p_micro) - sum(y) * {DSIR_MICRO}) AS BIGINT)
+           AS gap_mass_micro
+  FROM rows_ GROUP BY bucket
+)
+SELECT * FROM per
+UNION ALL
+SELECT -1, CAST(sum(n) AS BIGINT), CAST(sum(n_pos) AS BIGINT),
+       CAST(sum(p_sum_micro) AS BIGINT), CAST(sum(gap_mass_micro) AS BIGINT)
+FROM per
+"""

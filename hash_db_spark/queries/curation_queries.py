@@ -1193,3 +1193,33 @@ WHERE w_micro * tf > tw * n_feats
 # r11 QUEUE CANDIDATE (the r10 window is closed):
 #   "stream_dsir_gate": Query(
 #       q_stream_dsir_gate, _stream_dsir_gate_oracle()),
+
+
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table (ECE decomposition, Guo et al. ICML 2017) of
+    the trained quality classifier against the Gopher rule gate it was
+    distilled from: sigmoid scores micro-quantized once, bucketed by
+    the integer, every aggregate an exact integer sum, TOTAL row = the
+    calibration-error mass. The ML-ops answer to 'can I trust the
+    keep-probability as a probability?'. Two map-side projections + one
+    <= 10-row shuffle beyond the classifier's own."""
+    docs = load_table(spark, sf_dir, "documents")
+    gate = q_gopher_quality_gate(spark, sf_dir).select(
+        "doc_id", F.col("pass").alias("label")
+    )
+    scored = C.classifier_scores(docs, C.weight_dim(spark)).join(
+        gate, "doc_id"
+    )
+    return C.calibration_report(scored, "z_milli", "label")
+
+
+def _quality_calibration_oracle() -> str:
+    scored_sql = f"""SELECT s.doc_id, s.z_milli, g.pass AS label
+FROM ({C.sql_classifier_scores()}) s
+JOIN ({_gopher_oracle()}) g USING (doc_id)"""
+    return C.sql_calibration_report(scored_sql, "z_milli", "label")
+
+
+# r12 QUEUE CANDIDATE (the r11 queue closed at 34 — session 7):
+#   "quality_calibration": Query(
+#       q_quality_calibration, _quality_calibration_oracle()),

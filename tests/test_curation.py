@@ -525,3 +525,63 @@ def test_kneser_ney_normalizes_per_context():
             for w in vocab_cont
         )
         assert abs(total - 1.0) < 1e-12, (v, total)
+
+
+class TestCalibrationReport:
+    def test_bucket_bounds_and_total_tiling(self, spark, sf_dir):
+        """Each bucket's p-mass sits inside the bucket's probability
+        band; bucket counts tile the corpus; the TOTAL row is the exact
+        integer sum of the per-bucket rows."""
+        from hash_db_spark.queries.curation_queries import (
+            q_quality_calibration,
+        )
+
+        rows = q_quality_calibration(spark, sf_dir).collect()
+        per = [r for r in rows if r.bucket >= 0]
+        tot = [r for r in rows if r.bucket == -1][0]
+        assert sum(r.n for r in per) == tot.n
+        assert sum(r.gap_mass_micro for r in per) == tot.gap_mass_micro
+        for r in per:
+            assert r.bucket * 100_000 * r.n <= r.p_sum_micro
+            assert r.p_sum_micro <= (r.bucket + 1) * 100_000 * r.n
+            assert 0 <= r.n_pos <= r.n
+
+    def test_distilled_model_is_monotone_calibrated(self, spark, sf_dir):
+        """The observed positive rate must rise from the bottom bucket
+        to the top one — the weakest useful calibration claim, immune
+        to per-bucket noise."""
+        from hash_db_spark.queries.curation_queries import (
+            q_quality_calibration,
+        )
+
+        per = sorted(
+            (
+                (r.bucket, r.n_pos / r.n)
+                for r in q_quality_calibration(spark, sf_dir).collect()
+                if r.bucket >= 0 and r.n > 0
+            )
+        )
+        assert per[0][1] < per[-1][1]
+
+    def test_oracle_parity(self, spark, sf_dir):
+        import duckdb
+
+        from hash_db_spark.queries.curation_queries import (
+            _quality_calibration_oracle,
+            q_quality_calibration,
+        )
+
+        got = sorted(
+            tuple(r) for r in q_quality_calibration(spark, sf_dir).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(_quality_calibration_oracle()).fetchall()
+        )
+        con.close()
+        assert got == want
