@@ -1223,3 +1223,46 @@ JOIN ({_gopher_oracle()}) g USING (doc_id)"""
 # r12 QUEUE CANDIDATE (the r11 queue closed at 34 — session 7):
 #   "quality_calibration": Query(
 #       q_quality_calibration, _quality_calibration_oracle()),
+
+
+SOFT_DEDUP_TARGET = 150
+SOFT_DEDUP_W = 1_000_000  # weight numerator: w = W / dup_group_size
+
+
+def q_soft_dedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT deduplication: instead of deleting duplicates, downweight
+    them — each exact-duplicate group's members get sampling weight
+    1/group_size, so a group contributes ONE document's expected mass
+    to the sample no matter how many copies the crawl collected (the
+    reweight-don't-drop alternative the soft-dedup line of work
+    advocates; composition of the exact-dup census with the
+    integer-exact weighted Bernoulli sampler). One extra content-keyed
+    shuffle (the group census) before the one-scan sample."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    weighted = docs.select(
+        "doc_id",
+        (F.lit(SOFT_DEDUP_W) / F.count(F.lit(1)).over(w))
+        .cast("long")
+        .alias("w"),
+    )
+    return C.weighted_sample(weighted, "doc_id", "w", SOFT_DEDUP_TARGET)
+
+
+def _soft_dedup_oracle() -> str:
+    inner = f"""(
+  SELECT doc_id,
+         CAST({SOFT_DEDUP_W} // (count(*) OVER (PARTITION BY md5(text)))
+              AS BIGINT) AS w
+  FROM documents
+)"""
+    return C.sql_weighted_sample(
+        inner, "doc_id", "w", SOFT_DEDUP_TARGET, "doc_id, w"
+    )
+
+
+# r12 QUEUE CANDIDATE (the r11 queue closed at 34 — session 7):
+#   "soft_dedup_sample": Query(
+#       q_soft_dedup_sample, _soft_dedup_oracle()),

@@ -585,3 +585,55 @@ class TestCalibrationReport:
         )
         con.close()
         assert got == want
+
+
+class TestSoftDedup:
+    def test_group_mass_is_flat(self, spark):
+        """A text duplicated k times gets weight W/k per copy — every
+        duplicate GROUP carries the same total sampling mass as a
+        unique doc (the whole soft-dedup point)."""
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window
+
+        from hash_db_spark.queries.curation_queries import SOFT_DEDUP_W
+
+        rows = [(i, "copied text") for i in range(4)] + [(10, "unique one")]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        w = Window.partitionBy(F.md5("text"))
+        got = {
+            r.doc_id: r.w
+            for r in docs.select(
+                "doc_id",
+                (F.lit(SOFT_DEDUP_W) / F.count(F.lit(1)).over(w))
+                .cast("long")
+                .alias("w"),
+            ).collect()
+        }
+        assert all(got[i] == SOFT_DEDUP_W // 4 for i in range(4))
+        assert got[10] == SOFT_DEDUP_W
+        assert 4 * got[0] == got[10]
+
+    def test_oracle_parity_and_size(self, spark, sf_dir):
+        import duckdb
+
+        from hash_db_spark.queries.curation_queries import (
+            SOFT_DEDUP_TARGET,
+            _soft_dedup_oracle,
+            q_soft_dedup_sample,
+        )
+
+        got = sorted(
+            tuple(r) for r in q_soft_dedup_sample(spark, sf_dir).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        want = sorted(
+            tuple(r) for r in con.execute(_soft_dedup_oracle()).fetchall()
+        )
+        con.close()
+        assert got == want
+        # Bernoulli: expected size == target; allow wide slack
+        assert 0.5 * SOFT_DEDUP_TARGET < len(got) < 1.6 * SOFT_DEDUP_TARGET
