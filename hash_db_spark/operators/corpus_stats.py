@@ -458,3 +458,98 @@ SELECT -1, CAST(sum(n_ref) AS BIGINT), CAST(sum(n_cur) AS BIGINT),
        CAST(sum(psi_micro) AS BIGINT)
 FROM per
 """
+
+
+# --- term burstiness (variance-to-mean dispersion) ------------------------------
+
+BURST_MIN_DF = 5  # ignore terms in fewer docs (VMR of rare terms is noise)
+BURST_TOPN = 50
+
+
+def term_burstiness(
+    docs: DataFrame,
+    col: str,
+    id_col: str,
+    min_df: int = BURST_MIN_DF,
+    topn: int = BURST_TOPN,
+) -> DataFrame:
+    """(tok, df, total, vmr_micro, rank): the ``topn`` burstiest terms
+    by variance-to-mean ratio of per-document counts — Church & Gale's
+    dispersion diagnostic ("Poisson Mixtures", 1995): function words
+    arrive ~Poisson (VMR ~ 1), content/topical words arrive in bursts
+    (VMR >> 1). The signal a stopword-discovery or keyword stage reads
+    straight off corpus counts.
+
+    Over ALL N docs (zeros included): mean = total/N and
+    E[x^2] = sum_sq/N come from exact integer sums over only the
+    nonzero (doc, term) rows; VMR = (E[x^2] - mean^2)/mean is ONE
+    float expression micro-quantized per term. Rank by the integer.
+    Scale shape: one (doc, term) count shuffle, one term-keyed
+    reduction, TakeOrderedAndProject for the top-n."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(clean_tokens(col)).alias("tok")
+    )
+    n_docs = docs.count()  # scalar: plan literal, same role as pagerank's N
+    per = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    stats = per.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+    )
+    mean = F.col("total") / F.lit(float(n_docs))
+    ex2 = F.col("sum_sq") / F.lit(float(n_docs))
+    vmr = (ex2 - mean * mean) / mean
+    from hash_db_spark.operators.curation import micro_col
+
+    scored = stats.filter(F.col("df") >= min_df).select(
+        "tok",
+        "df",
+        F.col("total").cast("long").alias("total"),
+        micro_col(vmr).alias("vmr_micro"),
+    )
+    top = scored.orderBy(
+        F.col("vmr_micro").desc(), F.col("tok").asc()
+    ).limit(topn)
+    w = Window.orderBy(F.col("vmr_micro").desc(), F.col("tok").asc())
+    # rank over <= topn rows: the window sees only the TakeOrdered output
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def sql_term_burstiness(
+    table: str = "documents",
+    col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = BURST_MIN_DF,
+    topn: int = BURST_TOPN,
+) -> str:
+    from hash_db_spark.operators.curation import sql_micro
+
+    toks = sql_clean_tokens(col)
+    mean = "(CAST(total AS DOUBLE) / (SELECT n FROM n_cte))"
+    ex2 = "(CAST(sum_sq AS DOUBLE) / (SELECT n FROM n_cte))"
+    vmr = f"(({ex2} - {mean} * {mean}) / {mean})"
+    return f"""
+WITH n_cte AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM {table}),
+per AS (
+  SELECT {id_col} AS id, tok, count(*) AS c
+  FROM (SELECT {id_col}, unnest({toks}) AS tok FROM {table})
+  GROUP BY id, tok
+),
+stats AS (
+  SELECT tok, count(*) AS df, sum(c) AS total, sum(c * c) AS sum_sq
+  FROM per GROUP BY tok
+),
+scored AS (
+  SELECT tok, df, CAST(total AS BIGINT) AS total,
+         {sql_micro(vmr)} AS vmr_micro
+  FROM stats WHERE df >= {min_df}
+)
+SELECT tok, df, total, vmr_micro,
+       CAST(row_number() OVER (ORDER BY vmr_micro DESC, tok ASC) AS INT)
+         AS rank
+FROM scored
+ORDER BY vmr_micro DESC, tok ASC
+LIMIT {topn}
+"""

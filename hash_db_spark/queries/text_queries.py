@@ -800,3 +800,26 @@ QUERIES = {
     "doc_topic_segments": Query(
         q_doc_topic_segments, _topic_segments_oracle()),
 }
+
+
+def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 burstiest terms by variance-to-mean dispersion of
+    per-document counts (Church & Gale, "Poisson Mixtures", 1995):
+    content words burst, function words arrive ~Poisson — the
+    stopword/keyword discovery signal read straight off corpus counts.
+    Exact integer count moments; one micro-quantized VMR per term;
+    TakeOrderedAndProject top-n."""
+    from hash_db_spark.operators import corpus_stats as CS
+
+    return CS.term_burstiness(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def _term_burstiness_oracle() -> str:
+    from hash_db_spark.operators import corpus_stats as CS
+
+    return CS.sql_term_burstiness()
+
+
+# r12 QUEUE CANDIDATE (the r11 queue closed at 34 — session 7):
+#   "term_burstiness": Query(
+#       q_term_burstiness, _term_burstiness_oracle()),

@@ -376,3 +376,46 @@ def test_tokenizer_fertility_oracle_parity(spark, sf_dir):
     for _, n_docs, words, subwords, fert in got:
         assert n_docs > 0 and words > 0
         assert subwords >= words and fert >= 1.0
+
+
+class TestBurstiness:
+    def test_bursty_term_outranks_uniform_term(self, spark):
+        """'burst' appears 5x in each of 5 docs (of 25); 'flat' once in
+        every doc — same total mass, wildly different dispersion."""
+        from hash_db_spark.operators import corpus_stats as CS
+
+        rows = [
+            (i, ("burst " * 5 if i < 5 else "pad ") + "flat")
+            for i in range(25)
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            r.tok: r
+            for r in CS.term_burstiness(
+                docs, "text", "doc_id", min_df=5, topn=10
+            ).collect()
+        }
+        assert got["burst"].vmr_micro > got["flat"].vmr_micro
+        assert got["flat"].vmr_micro < 1_000_000  # under-dispersed
+        assert got["burst"].rank < got["flat"].rank
+
+    def test_oracle_parity_fixture(self, spark, sf_dir):
+        import duckdb
+
+        from hash_db_spark.queries.text_queries import (
+            _term_burstiness_oracle,
+            q_term_burstiness,
+        )
+
+        got = [tuple(r) for r in q_term_burstiness(spark, sf_dir).collect()]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        want = [
+            tuple(r)
+            for r in con.execute(_term_burstiness_oracle()).fetchall()
+        ]
+        con.close()
+        assert got == want and len(got) > 0
