@@ -806,3 +806,82 @@ SELECT event_id, user_id, value,
        END AS alert
 FROM lagged
 """
+
+
+def session_type_pmi(
+    events: DataFrame,
+    key: str,
+    time: str,
+    gap: str,
+    order_tiebreak: str,
+    type_col: str,
+) -> DataFrame:
+    """(type_a, type_b, n_ab, pmi_micro): pointwise mutual information
+    between event-type pairs co-occurring in the same gap-based session
+    (Church & Hanks 1990's association measure over the sessionize()
+    session definition) — which behaviors travel together, the signal
+    behind next-action suggestion and funnel discovery.
+
+    PMI(a,b) = ln(P(a,b) / (P(a)P(b))) over session-level presence:
+    all four counts (sessions, sessions-with-a, -with-b, -with-both)
+    are exact integers; the single ln runs once per surviving pair and
+    is micro-quantized. Pairs come from a session-keyed self-join of
+    the DISTINCT (session, type) presence rows — bounded by (session
+    count x type-alphabet^2), never by event count; a < b
+    deduplicates the symmetric pair.
+
+    Scale shape: one window pass for session labels, one distinct,
+    one session-keyed pair join, one tiny (type, type) reduction."""
+    w = Window.partitionBy(key).orderBy(
+        F.col(time).asc(), F.col(order_tiebreak).asc()
+    )
+    gap_i = F.expr(f"INTERVAL {gap}")
+    flagged = events.withColumn(
+        "__new",
+        F.when(
+            F.lag(time).over(w).isNull()
+            | (F.col(time) > F.lag(time).over(w) + gap_i),
+            1,
+        ).otherwise(0),
+    )
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    labeled = flagged.withColumn("session_id", F.sum("__new").over(cum))
+    pres = (
+        labeled.select(key, "session_id", F.col(type_col).alias("t"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds three counts + the pair join
+    )
+    n_sessions = pres.select(key, "session_id").distinct().count()
+    per_type = pres.groupBy("t").agg(F.count(F.lit(1)).alias("n_t"))
+    a = pres.select(key, "session_id", F.col("t").alias("ta"))
+    b = pres.select(key, "session_id", F.col("t").alias("tb"))
+    pairs = (
+        a.join(b, [key, "session_id"])
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    from hash_db_spark.operators.curation import micro_col
+
+    joined = (
+        pairs.join(
+            F.broadcast(per_type.select(F.col("t").alias("ta"),
+                                        F.col("n_t").alias("n_a"))),
+            "ta",
+        )
+        .join(
+            F.broadcast(per_type.select(F.col("t").alias("tb"),
+                                        F.col("n_t").alias("n_b"))),
+            "tb",
+        )
+    )
+    pmi = F.log(
+        (F.col("n_ab").cast("double") * F.lit(float(n_sessions)))
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    return joined.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.col("n_ab").cast("long").alias("n_ab"),
+        micro_col(pmi).alias("pmi_micro"),
+    ).orderBy("type_a", "type_b")

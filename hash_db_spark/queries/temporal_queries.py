@@ -657,3 +657,62 @@ def q_ewma_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # r11 QUEUE CANDIDATE (the r10 window is closed):
 #   "ewma_alerts": Query(q_ewma_alerts, T.sql_ewma_alerts()),
+
+
+SESSION_PMI_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts > lag(ts) OVER w + INTERVAL 1 HOUR
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sessions AS (
+  SELECT user_id, event_type,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC,
+                               event_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+),
+pres AS (SELECT DISTINCT user_id, session_id, event_type AS t FROM sessions),
+n_cte AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n
+  FROM (SELECT DISTINCT user_id, session_id FROM pres)
+),
+per_type AS (SELECT t, count(*) AS n_t FROM pres GROUP BY t),
+pairs AS (
+  SELECT a.t AS type_a, b.t AS type_b, count(*) AS n_ab
+  FROM pres a JOIN pres b
+    ON a.user_id = b.user_id AND a.session_id = b.session_id
+   AND a.t < b.t
+  GROUP BY a.t, b.t
+)
+SELECT p.type_a, p.type_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+       CAST(sign(x.v) * floor(abs(x.v) * 1000000 + 0.5) AS BIGINT)
+         AS pmi_micro
+FROM pairs p
+JOIN per_type ta ON ta.t = p.type_a
+JOIN per_type tb ON tb.t = p.type_b
+CROSS JOIN LATERAL (
+  SELECT ln((CAST(p.n_ab AS DOUBLE) * (SELECT n FROM n_cte))
+            / (CAST(ta.n_t AS DOUBLE) * CAST(tb.n_t AS DOUBLE))) AS v
+) x
+ORDER BY type_a, type_b
+"""
+
+
+def q_session_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type association inside gap sessions: PMI over exact
+    session-presence counts (Church & Hanks 1990), one ln per pair
+    micro-quantized. Bounded by the type alphabet squared — never by
+    event volume."""
+    return T.session_type_pmi(
+        load_table(spark, sf_dir, "events"),
+        key="user_id", time="ts", gap="1 hour",
+        order_tiebreak="event_id", type_col="event_type",
+    )
+
+
+# r12 QUEUE CANDIDATE (the r11 queue closed at 34 — session 7):
+#   "session_type_pmi": Query(q_session_type_pmi, SESSION_PMI_ORACLE),

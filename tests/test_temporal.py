@@ -605,3 +605,60 @@ class TestEwmaAlerts:
             .toString()
         )
         assert plan.count("Exchange") == 1  # the user-keyed window sort
+
+
+class TestSessionPmi:
+    def test_known_association(self, spark):
+        """Types that always co-occur get positive PMI; types that
+        never do are absent from the pair table."""
+        from datetime import datetime, timedelta
+
+        from hash_db_spark.operators import temporal as T
+
+        rows = []
+        eid = 0
+        # 4 sessions for user 1: {a,b} always together
+        for s in range(4):
+            base = datetime(2024, 1, 1 + s)
+            for t, off in (("a", 0), ("b", 1)):
+                rows.append((eid, base + timedelta(minutes=off), 1, t, 0.0, ""))
+                eid += 1
+        # 4 sessions for user 2: {c} alone
+        for s in range(4):
+            rows.append((eid, datetime(2024, 2, 1 + s), 2, "c", 0.0, ""))
+            eid += 1
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        got = {
+            (r.type_a, r.type_b): r
+            for r in T.session_type_pmi(
+                ev, "user_id", "ts", "1 hour", "event_id", "event_type"
+            ).collect()
+        }
+        assert set(got) == {("a", "b")}
+        r = got[("a", "b")]
+        # P(a,b)=4/8, P(a)=P(b)=4/8 -> pmi = ln(0.5/0.25) = ln 2
+        assert r.n_ab == 4
+        assert r.pmi_micro == 693147
+
+    def test_oracle_parity_fixture(self, spark, sf_dir):
+        import duckdb
+
+        from hash_db_spark.queries.temporal_queries import (
+            SESSION_PMI_ORACLE,
+            q_session_type_pmi,
+        )
+
+        got = [tuple(r) for r in q_session_type_pmi(spark, sf_dir).collect()]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS "
+            f"SELECT * FROM '{sf_dir}/events.parquet'"
+        )
+        want = [
+            tuple(r) for r in con.execute(SESSION_PMI_ORACLE).fetchall()
+        ]
+        con.close()
+        assert got == want and len(got) > 0
