@@ -175,18 +175,26 @@ def test_mutation_lineage_stays_flat(spark, monkeypatch):
 
     from hash_db_spark import api
 
+    import statistics
+
     monkeypatch.setattr(api, "_CHECKPOINT_EVERY", 8)
     db = HashDb(spark)
     window = 25
-    times = []
+    medians = []
     for w in range(4):
-        t0 = time.time()
+        per_set = []
         for i in range(w * window, (w + 1) * window):
+            t0 = time.time()
             db.set(f"pk{i % 5}", f"sk{i:04d}", f"v{i}")
-        times.append(time.time() - t0)
-    # Without the checkpoint the 4th window is ~4x the 1st and keeps
-    # growing; with it, windows are level (allow 2.5x for JVM noise).
-    assert times[3] < 2.5 * max(times[0], 1e-3), times
+            per_set.append(time.time() - t0)
+        medians.append(statistics.median(per_set))
+    # Without the checkpoint EVERY set in the 4th window is ~4x the
+    # 1st window's (lineage depth grows per mutation), so the window
+    # MEDIAN jumps; with it, medians are level. Compare medians, not
+    # sums: a single GC/stage-cleanup stall in a 450-stage-old shared
+    # session inflates one sample, which is noise, not lineage growth
+    # (observed flaking the sum form at suite position ~Stage 450+).
+    assert medians[3] < 2.5 * max(medians[0], 1e-3), medians
     assert db.get("pk1", "sk0096") == "v96"
     assert len(db.query_begins("pk2", "sk")) == 20
 
