@@ -478,3 +478,40 @@ def q_embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
 #       q_embedding_int8_quant, __import__(
 #           "hash_db_spark.operators.pq", fromlist=["x"]
 #       ).sql_int8_quant_report()),
+
+
+BITEXT_SRC_LANG = "en"
+BITEXT_DST_LANG = "fr"
+
+
+def q_bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-kNN bitext candidate mining (Artetxe & Schwenk, ACL 2019)
+    between the corpus's 'en' and 'fr' slices: for every English doc
+    vector its best French counterpart under the ratio margin, with the
+    mutual (forward-backward consistent) flag — the table a translation-
+    pair curation stage starts from. operators/bitext.py holds the
+    scale shape: target side guarded-broadcast, source side one
+    Arrow/BLAS pass, backward stats by map-side partial top-k."""
+    from hash_db_spark.operators import bitext as B
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    sides = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("v"),
+        "lang",
+    )
+    return B.margin_mine(
+        sides.filter(F.col("lang") == BITEXT_SRC_LANG).drop("lang"),
+        sides.filter(F.col("lang") == BITEXT_DST_LANG).drop("lang"),
+    )
+
+
+def _bitext_oracle() -> str:
+    from hash_db_spark.operators import bitext as B
+
+    return B.sql_margin_mine(BITEXT_SRC_LANG, BITEXT_DST_LANG)
+
+
+# r12 QUEUE CANDIDATE (the r11 queue closed at 34 — session 7):
+#   "bitext_margin_mine": Query(q_bitext_margin_mine, _bitext_oracle()),
