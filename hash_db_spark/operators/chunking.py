@@ -503,3 +503,132 @@ SELECT id, chunk_idx, n_tokens,
             x -> regexp_matches(x, '{MASK_TOKEN_RE}'))) AS INT) AS n_masked
 FROM ({inner})
 """
+
+
+CONTEXT_LENS = (16, 32, 64, 128)
+
+
+def context_fit_report(
+    df: DataFrame,
+    col: str,
+    lens: tuple[int, ...] = CONTEXT_LENS,
+) -> DataFrame:
+    """(context_len, n_docs, docs_truncated, tokens_total, tokens_lost,
+    lost_pct_micro, pad_pct_micro, packed_seqs, packed_pad_pct_micro):
+    the context-length planning table a training run reads before
+    choosing sequence length — for each candidate L, how many tokens
+    truncation throws away, how much of a naive one-doc-per-row batch
+    is padding, and what the padding floor is after ideal sequence
+    packing (ceil(kept/L) sequences — the bound pack_chunks approaches).
+
+    Scale shape: one map-side tokenize + per-row explode of the
+    len(lens) literal lengths, then ONE reduction keyed by L (4 groups,
+    map-side partial agg) — no joins, no second corpus pass. All
+    aggregates are exact integer sums; the three pct ratios are one
+    float expression each per L-row, micro-quantized (the
+    curation.micro_col discipline)."""
+    from hash_db_spark.operators.curation import micro_col
+
+    n = (
+        df.select(F.size(clean_tokens(col)).alias("n"))
+        .filter(F.col("n") > 0)
+        .select(
+            "n",
+            F.explode(
+                F.array(*[F.lit(int(s)) for s in lens])
+            ).alias("context_len"),
+        )
+    )
+    agg = n.groupBy("context_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n") > F.col("context_len")).cast("long")).alias(
+            "docs_truncated"
+        ),
+        F.sum("n").alias("tokens_total"),
+        F.sum(
+            F.greatest(F.col("n") - F.col("context_len"), F.lit(0))
+        ).alias("tokens_lost"),
+        F.sum(F.least(F.col("n"), F.col("context_len"))).alias("kept"),
+    )
+    L = F.col("context_len").cast("double")
+    kept = F.col("kept").cast("double")
+    packed = F.floor((kept + L - 1.0) / L).cast("long")
+    lost_pct = F.col("tokens_lost").cast("double") / F.col(
+        "tokens_total"
+    ).cast("double")
+    pad_pct = (F.col("n_docs").cast("double") * L - kept) / (
+        F.col("n_docs").cast("double") * L
+    )
+    packed_pad_pct = (
+        F.col("packed_seqs").cast("double") * L - kept
+    ) / (F.col("packed_seqs").cast("double") * L)
+    return (
+        agg.withColumn("packed_seqs", packed)
+        .select(
+            "context_len",
+            "n_docs",
+            "docs_truncated",
+            "tokens_total",
+            "tokens_lost",
+            micro_col(lost_pct).alias("lost_pct_micro"),
+            micro_col(pad_pct).alias("pad_pct_micro"),
+            "packed_seqs",
+            micro_col(packed_pad_pct).alias("packed_pad_pct_micro"),
+        )
+        .orderBy("context_len")
+    )
+
+
+def sql_context_fit_report(
+    table: str,
+    col: str,
+    lens: tuple[int, ...] = CONTEXT_LENS,
+) -> str:
+    from hash_db_spark.operators.curation import sql_micro
+
+    lit = ", ".join(str(int(s)) for s in lens)
+    lost_pct = "(CAST(tokens_lost AS DOUBLE) / CAST(tokens_total AS DOUBLE))"
+    pad_pct = (
+        "((CAST(n_docs AS DOUBLE) * CAST(context_len AS DOUBLE)"
+        " - CAST(kept AS DOUBLE))"
+        " / (CAST(n_docs AS DOUBLE) * CAST(context_len AS DOUBLE)))"
+    )
+    packed_pad_pct = (
+        "((CAST(packed_seqs AS DOUBLE) * CAST(context_len AS DOUBLE)"
+        " - CAST(kept AS DOUBLE))"
+        " / (CAST(packed_seqs AS DOUBLE) * CAST(context_len AS DOUBLE)))"
+    )
+    return f"""
+WITH n_tok AS (
+  SELECT CAST(len({sql_clean_tokens(col)}) AS BIGINT) AS n FROM {table}
+),
+fanned AS (
+  SELECT n, unnest([{lit}]) AS context_len FROM n_tok WHERE n > 0
+),
+agg AS (
+  SELECT context_len,
+         count(*) AS n_docs,
+         sum(CASE WHEN n > context_len THEN 1 ELSE 0 END) AS docs_truncated,
+         sum(n) AS tokens_total,
+         sum(greatest(n - context_len, 0)) AS tokens_lost,
+         sum(least(n, context_len)) AS kept
+  FROM fanned GROUP BY context_len
+),
+packed AS (
+  SELECT *,
+         CAST(floor((CAST(kept AS DOUBLE) + CAST(context_len AS DOUBLE)
+              - 1.0) / CAST(context_len AS DOUBLE)) AS BIGINT)
+           AS packed_seqs
+  FROM agg
+)
+SELECT CAST(context_len AS INT) AS context_len, n_docs,
+       CAST(docs_truncated AS BIGINT) AS docs_truncated,
+       CAST(tokens_total AS BIGINT) AS tokens_total,
+       CAST(tokens_lost AS BIGINT) AS tokens_lost,
+       {sql_micro(lost_pct)} AS lost_pct_micro,
+       {sql_micro(pad_pct)} AS pad_pct_micro,
+       packed_seqs,
+       {sql_micro(packed_pad_pct)} AS packed_pad_pct_micro
+FROM packed
+ORDER BY context_len
+"""

@@ -911,3 +911,23 @@ def _corpus_drift_psi_oracle() -> str:
 # r11 QUEUE CANDIDATE (the r10 window is closed):
 #   "corpus_drift_psi": Query(
 #       q_corpus_drift_psi, _corpus_drift_psi_oracle()),
+
+
+def q_context_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length planning table: per candidate sequence length L,
+    the tokens truncation loses, the padding share of a naive
+    doc-per-row batch, and the padding floor after ideal packing —
+    the table that decides L (and whether packing is worth wiring)
+    before a training run (operators/chunking.py:context_fit_report)."""
+    return chunking.context_fit_report(
+        load_table(spark, sf_dir, "documents"), "text"
+    )
+
+
+def _context_fit_oracle() -> str:
+    return chunking.sql_context_fit_report("documents", "text")
+
+
+# r12 QUEUE CANDIDATE (the r11 queue closed at 34 — session 7):
+#   "context_fit_report": Query(
+#       q_context_fit_report, _context_fit_oracle()),

@@ -646,3 +646,73 @@ class TestDriftPsi:
         assert got == want
         total = [r for r in got if r[0] == -1][0]
         assert 0 <= total[3] < 100_000  # even/odd split: psi << 0.1
+
+
+class TestContextFitReport:
+    def test_hand_computed_economics(self, spark):
+        """3 docs of 2/5/8 tokens at L=4: truncation loses (5-4)+(8-4)=5
+        of 15 tokens; naive padding wastes 12-10=2 of 12 slots; ideal
+        packing needs ceil(10/4)=3 sequences wasting 2 of 12."""
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, "a b c d e"), (3, "a b c d e f g h")],
+            ["doc_id", "text"],
+        )
+        rows = chunking.context_fit_report(docs, "text", lens=(4,)).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.context_len, r.n_docs, r.docs_truncated) == (4, 3, 2)
+        assert (r.tokens_total, r.tokens_lost) == (15, 5)
+        assert r.lost_pct_micro == 333333  # 5/15
+        assert r.pad_pct_micro == 166667  # 2/12
+        assert r.packed_seqs == 3
+        assert r.packed_pad_pct_micro == 166667  # 2/12
+
+    def test_empty_docs_excluded_and_lens_ordered(self, spark):
+        docs = spark.createDataFrame(
+            [(1, ""), (2, "x y z")], ["doc_id", "text"]
+        )
+        rows = chunking.context_fit_report(
+            docs, "text", lens=(8, 2)
+        ).collect()
+        assert [r.context_len for r in rows] == [2, 8]
+        assert all(r.n_docs == 1 for r in rows)
+        # L=8 fits everything: zero loss, ideal packing = 1 sequence
+        fit = rows[1]
+        assert fit.tokens_lost == 0 and fit.lost_pct_micro == 0
+        assert fit.packed_seqs == 1
+
+    def test_oracle_parity_fixture(self, spark, sf_dir):
+        import duckdb
+
+        from hash_db_spark.queries.pipeline_queries import (
+            _context_fit_oracle,
+            q_context_fit_report,
+        )
+
+        got = [tuple(r) for r in q_context_fit_report(spark, sf_dir).collect()]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        want = [
+            tuple(r) for r in con.execute(_context_fit_oracle()).fetchall()
+        ]
+        con.close()
+        assert got == want and len(got) == len(chunking.CONTEXT_LENS)
+        # packing never wastes more than naive padding; truncation loss
+        # decreases monotonically with L
+        for r_ in got:
+            assert r_[8] <= r_[6]
+        losses = [r_[5] for r_ in got]
+        assert losses == sorted(losses, reverse=True)
+
+    def test_single_shuffle_no_joins(self, spark, sf_dir):
+        from hash_db_spark.queries.pipeline_queries import q_context_fit_report
+
+        plan = q_context_fit_report(
+            spark, sf_dir
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan and "CartesianProduct" not in plan
+        # one reduction keyed by L plus the output ordering
+        assert plan.count("Exchange hashpartitioning") <= 1
