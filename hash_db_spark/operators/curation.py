@@ -859,3 +859,129 @@ SELECT -1, CAST(sum(n) AS BIGINT), CAST(sum(n_pos) AS BIGINT),
        CAST(sum(p_sum_micro) AS BIGINT), CAST(sum(gap_mass_micro) AS BIGINT)
 FROM per
 """
+
+
+ESS_MILLI = 1_000.0
+
+
+def ess_report(
+    weights: DataFrame,
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    w_col: str = "w_micro",
+) -> DataFrame:
+    """(source, n_docs, ess_milli, ess_ratio_micro, max_share_micro):
+    effective sample size of importance weights per corpus slice —
+    Kish's ESS = (sum w)^2 / sum w^2 (Kish, "Survey Sampling", 1965;
+    the standard degeneracy diagnostic for importance resampling, cf.
+    the DSIR paper's resampling stage). ess_ratio = ESS/n in [1/n, 1]:
+    near 1 means the slice resamples like uniform data; near 1/n means
+    a handful of documents dominate and the resample will collapse.
+    max_share is the heaviest single document's weight share — the
+    one-line "is one doc the whole sample" check.
+
+    ``weights`` carries log-weights in integer micro-nats (w_micro,
+    dsir_weights' output contract). Each row's linear weight is
+    quantized ONCE to integer milli-units (exp is the single
+    cross-engine float op, the micro_col discipline), so the three
+    aggregates are exact integer / decimal sums: sum_e (BIGINT),
+    sum_e2 (exact DECIMAL(38,0) — products are < 2^63 but their
+    corpus-scale SUM is not), max_e (BIGINT). The ESS / ratio / share
+    expressions are one float expression each per GROUP row, written
+    token-identically in the SQL oracle.
+
+    Scale shape: one id-keyed equijoin to attach the slice key (both
+    sides doc-keyed — co-partitioned at scale), then ONE group-keyed
+    reduction with map-side partials; group cardinality = number of
+    sources."""
+    keyed = weights.select(
+        F.col(id_col).alias("id"), F.col(w_col).alias("lw")
+    ).join(docs.select(F.col(id_col).alias("id"), F.col(group_col)), "id")
+    # two consumers (slice max, then the stabilized aggregate) — pin
+    # the 3-narrow-column frame instead of re-running the whole DSIR
+    # model fit per consumer; lazy: materializes on first use.
+    keyed = keyed.localCheckpoint(eager=False)
+    # ESS is invariant to scaling all weights by a constant, so shift
+    # each slice's log-weights by the slice max before exponentiating
+    # (log-sum-exp stabilization): the heaviest doc maps to e == 1000
+    # exactly and nothing representable underflows. The max dimension
+    # is one integer row per slice — scale-invariant broadcast.
+    mx = keyed.groupBy(group_col).agg(F.max("lw").alias("mx"))
+    e_milli = (
+        F.floor(
+            F.exp((F.col("lw") - F.col("mx")).cast("double") / DSIR_MICRO)
+            * ESS_MILLI
+            + F.lit(0.5)
+        )
+    ).cast("long")
+    joined = keyed.join(F.broadcast(mx), group_col).select(
+        group_col, e_milli.alias("e")
+    )
+    agg = joined.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("e").alias("sum_e"),
+        F.sum((F.col("e") * F.col("e")).cast("decimal(38,0)")).alias("sum_e2"),
+        F.max("e").alias("max_e"),
+    )
+    # all-underflowed slices (every e_milli == 0) have no defined ESS:
+    # NULL, not a DIVIDE_BY_ZERO abort under Spark 4's ANSI default —
+    # the same F.when guard cosine() uses.
+    ess = (
+        F.col("sum_e").cast("double") * F.col("sum_e").cast("double")
+    ) / F.when(F.col("sum_e2") != 0, F.col("sum_e2").cast("double"))
+    ratio = ess / F.col("n_docs").cast("double")
+    share = F.col("max_e").cast("double") / F.when(
+        F.col("sum_e") != 0, F.col("sum_e").cast("double")
+    )
+    return agg.select(
+        group_col,
+        "n_docs",
+        F.floor(ess * ESS_MILLI + F.lit(0.5)).cast("long").alias("ess_milli"),
+        micro_col(ratio).alias("ess_ratio_micro"),
+        micro_col(share).alias("max_share_micro"),
+    ).orderBy(group_col)
+
+
+def sql_ess_report(
+    target_pred: str,
+    table: str = "documents",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle twin of ess_report over sql_dsir_weights' output."""
+    ess = (
+        "(CAST(sum_e AS DOUBLE) * CAST(sum_e AS DOUBLE)"
+        " / CAST(NULLIF(sum_e2, 0) AS DOUBLE))"
+    )
+    ratio = f"({ess} / CAST(n_docs AS DOUBLE))"
+    share = "(CAST(max_e AS DOUBLE) / CAST(NULLIF(sum_e, 0) AS DOUBLE))"
+    return f"""
+WITH w AS ({sql_dsir_weights(target_pred, table, id_col)}),
+keyed AS (
+  SELECT w.{id_col} AS id, w.w_micro AS lw, t.{group_col}
+  FROM w JOIN {table} t ON w.{id_col} = t.{id_col}
+),
+mx AS (SELECT {group_col}, max(lw) AS mx FROM keyed GROUP BY {group_col}),
+lin AS (
+  SELECT k.{group_col},
+         CAST(floor(exp(CAST(k.lw - m.mx AS DOUBLE) / {DSIR_MICRO})
+              * {ESS_MILLI} + 0.5) AS BIGINT) AS e
+  FROM keyed k JOIN mx m USING ({group_col})
+),
+agg AS (
+  SELECT {group_col},
+         count(*) AS n_docs,
+         CAST(sum(e) AS BIGINT) AS sum_e,
+         sum(e * e) AS sum_e2,
+         CAST(max(e) AS BIGINT) AS max_e
+  FROM lin
+  GROUP BY {group_col}
+)
+SELECT {group_col}, n_docs,
+       CAST(floor({ess} * {ESS_MILLI} + 0.5) AS BIGINT) AS ess_milli,
+       {sql_micro(ratio)} AS ess_ratio_micro,
+       {sql_micro(share)} AS max_share_micro
+FROM agg
+ORDER BY {group_col}
+"""

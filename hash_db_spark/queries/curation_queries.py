@@ -1266,3 +1266,24 @@ def _soft_dedup_oracle() -> str:
 # r12 QUEUE CANDIDATE (the r11 queue closed at 34 — session 7):
 #   "soft_dedup_sample": Query(
 #       q_soft_dedup_sample, _soft_dedup_oracle()),
+
+
+def q_sampling_ess_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-sample-size diagnostics for the DSIR importance
+    weights, per source slice: Kish ESS, ESS/n, and the heaviest
+    document's weight share — the pre-flight check that an importance
+    RESAMPLE (dsir_resample) won't collapse onto a few documents
+    (operators/curation.py:ess_report)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return C.ess_report(
+        C.dsir_weights(docs, F.col("lang") == "en"), docs
+    )
+
+
+def _sampling_ess_oracle() -> str:
+    return C.sql_ess_report(DSIR_TARGET_PRED)
+
+
+# r12 QUEUE CANDIDATE (the r11 queue closed at 34 — session 7):
+#   "sampling_ess_report": Query(
+#       q_sampling_ess_report, _sampling_ess_oracle()),

@@ -156,3 +156,92 @@ def test_stream_gate_matches_batch_and_enriches_target(spark, sf_dir):
     kept_en = sum(1 for r in got if langs[r[0]] == "en") / len(got)
     corpus_en = sum(1 for v in langs.values() if v == "en") / len(langs)
     assert kept_en > corpus_en
+
+
+class TestEssReport:
+    """Kish ESS diagnostics (operators/curation.py:ess_report)."""
+
+    def _run(self, spark, rows):
+        import pyspark.sql.functions as F
+
+        from hash_db_spark.operators import curation as C
+
+        w = spark.createDataFrame(
+            [(i, lw) for i, (lw, _) in enumerate(rows)],
+            ["doc_id", "w_micro"],
+        )
+        d = spark.createDataFrame(
+            [(i, g) for i, (_, g) in enumerate(rows)], ["doc_id", "source"]
+        )
+        return {r.source: r for r in C.ess_report(w, d).collect()}
+
+    def test_uniform_weights_give_full_ess(self, spark):
+        """Equal log-weights: every e == 1000, ESS == n exactly."""
+        got = self._run(spark, [(500_000, "a")] * 4)
+        r = got["a"]
+        assert r.n_docs == 4
+        assert r.ess_milli == 4_000  # ESS = 4.0
+        assert r.ess_ratio_micro == 1_000_000
+        assert r.max_share_micro == 250_000  # 1/4
+
+    def test_peaked_weights_collapse_ess(self, spark):
+        """One doc ln(1000) nats above the rest: e = (1000, 1, 1, 1);
+        ESS = 1003^2/1000003 ~ 1.006 — the resample is one document."""
+        import math
+
+        lw = int(round(math.log(1000.0) * 1e6))
+        got = self._run(spark, [(lw, "a")] + [(0, "a")] * 3)
+        r = got["a"]
+        assert r.ess_milli == round(1003.0**2 / 1_000_003.0 * 1000)
+        assert r.ess_ratio_micro < 300_000  # far below uniform's 1.0
+        assert r.max_share_micro == round(1000.0 / 1003.0 * 1e6)
+
+    def test_shift_invariance_across_slices(self, spark):
+        """Adding a constant to a slice's log-weights must not change
+        its ESS (the stabilization IS that shift): two slices with the
+        same internal spread report identical diagnostics."""
+        got = self._run(
+            spark,
+            [(0, "a"), (-700_000, "a"), (-(10**9), "b"),
+             (-(10**9) - 700_000, "b")],
+        )
+        assert (got["a"].ess_milli, got["a"].max_share_micro) == (
+            got["b"].ess_milli, got["b"].max_share_micro
+        )
+
+    def test_oracle_parity_fixture(self, spark, sf_dir):
+        import duckdb
+
+        from hash_db_spark.queries.curation_queries import (
+            _sampling_ess_oracle,
+            q_sampling_ess_report,
+        )
+
+        got = [
+            tuple(r) for r in q_sampling_ess_report(spark, sf_dir).collect()
+        ]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        want = [
+            tuple(r) for r in con.execute(_sampling_ess_oracle()).fetchall()
+        ]
+        con.close()
+        assert got == want and len(got) > 0
+        for _, n, ess_milli, ratio, share in got:
+            # ESS in [1, n]; shares in (0, 1]
+            assert 1_000 <= ess_milli <= n * 1_000
+            assert 0 < share <= 1_000_000 and 0 < ratio <= 1_000_000
+
+    def test_plan_broadcasts_slice_max_only(self, spark, sf_dir):
+        from hash_db_spark.queries.curation_queries import (
+            q_sampling_ess_report,
+        )
+
+        plan = q_sampling_ess_report(
+            spark, sf_dir
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
