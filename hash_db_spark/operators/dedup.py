@@ -2306,3 +2306,159 @@ SELECT num_hashes, bands, rows_per_band,
        round(pow(1.0 / bands, 1.0 / rows_per_band), 6) AS threshold_s
 FROM cfg CROSS JOIN sim
 """
+
+
+CONTAIN_THRESHOLD = 0.8
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = CONTAIN_THRESHOLD,
+    max_doc_freq: int = NGRAM_MAX_DOC_FREQ,
+) -> DataFrame:
+    """Asymmetric near-duplicate pairs by shingle CONTAINMENT,
+    |A ∩ B| / min(|A|, |B|) — the subset/quote detector that symmetric
+    Jaccard structurally misses: a page quoting a short document wholesale
+    has containment ~1 while Jaccard ~|small|/|large| falls under any
+    dedup threshold (Broder's resemblance-vs-containment distinction,
+    "On the Resemblance and Containment of Documents", SEQUENCES 1997).
+
+    Returns (id_a, id_b, containment, jac, contained_id) with id_a <
+    id_b, both scores at 6dp, containment >= threshold;
+    ``contained_id`` is the smaller (quoted) side, ties to id_a. Pairs
+    with HIGH containment and LOW jac are the quote-inclusion set a
+    curation stage strips spans from (dedup_strip_spans) rather than
+    dropping whole documents.
+
+    Same candidate engine as ngram_jaccard_pairs — shingle equijoin
+    with the hot-postings doc-frequency cap and exact hot-set
+    correction, so the reported containment is TRUE containment
+    whenever the pair shares one non-hot shingle; a CANDIDATE
+    GENERATOR at 100 TB, composed into clustering/strip stages, never
+    persisted (the quadratic-pair-set argument in ngram_jaccard_pairs'
+    docstring applies verbatim).
+
+    Division of labor the cap implies: a pair whose EVERY shared
+    shingle is hot — a short document quoted wholesale by more than
+    max_doc_freq pages — is invisible here BY DESIGN: enumerating its
+    pairs is the exact quadratic blowup the cap exists to stop, and
+    that popular-boilerplate head is what repeated_ngram_spans +
+    dedup_strip_spans handle span-wise in linear work. This operator
+    owns the TAIL: inclusions shared by few documents, where pair
+    enumeration is cheap and exact."""
+    sh_arr = shingle_frame(df, col, id_col, n).filter(F.size("sh") > 0).cache()
+    posts = sh_arr.select(
+        "id", F.size("sh").alias("sz"), F.explode("sh").alias("s")
+    )
+    hot = (
+        posts.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .select("s")
+        .cache()
+    )
+    has_hot = hot.count() > 0
+    capped = (
+        posts.join(F.broadcast(hot), "s", "left_anti") if has_hot else posts
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    pair_inter = (
+        a.join(
+            b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id"))
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("inter_c"),
+            F.min("a.sz").alias("sz_a"),
+            F.min("b.sz").alias("sz_b"),
+        )
+    )
+    if has_hot:
+        hot_sets = (
+            posts.join(F.broadcast(hot), "s", "left_semi")
+            .groupBy("id")
+            .agg(F.collect_set("s").alias("hs"))
+        )
+        empty = F.array().cast("array<string>")
+        inter = F.col("inter_c") + F.size(
+            F.array_intersect(
+                F.coalesce(F.col("hs_a"), empty),
+                F.coalesce(F.col("hs_b"), empty),
+            )
+        )
+        pair_inter = pair_inter.join(
+            hot_sets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")),
+            "id_a",
+            "left",
+        ).join(
+            hot_sets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")),
+            "id_b",
+            "left",
+        )
+    else:
+        inter = F.col("inter_c")
+    scored = pair_inter.select(
+        "id_a",
+        "id_b",
+        F.round(
+            inter.cast("double") / F.least("sz_a", "sz_b"), 6
+        ).alias("containment"),
+        F.round(
+            inter.cast("double") / (F.col("sz_a") + F.col("sz_b") - inter), 6
+        ).alias("jac"),
+        F.when(F.col("sz_a") <= F.col("sz_b"), F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("contained_id"),
+    )
+    return scored.filter(F.col("containment") >= threshold)
+
+
+def sql_ngram_containment_pairs(
+    table: str,
+    col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = CONTAIN_THRESHOLD,
+    max_doc_freq: int = NGRAM_MAX_DOC_FREQ,
+) -> str:
+    cont = "round(CAST(i AS DOUBLE) / least(sz_a, sz_b), 6)"
+    return f"""
+WITH sh0 AS (
+  SELECT {id_col} AS id, {sql_shingles(col, n)} AS sh FROM {table}
+),
+nonempty AS (SELECT * FROM sh0 WHERE len(sh) > 0),
+posts AS (SELECT id, unnest(sh) AS s FROM nonempty),
+hot AS (
+  SELECT s FROM (SELECT s, count(*) AS df FROM posts GROUP BY s)
+  WHERE df > {max_doc_freq}
+),
+capped AS (SELECT * FROM posts WHERE s NOT IN (SELECT s FROM hot)),
+pair_inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter_c
+  FROM capped a JOIN capped b ON a.s = b.s AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+hot_sets AS (
+  SELECT id, list(s) AS hs FROM posts WHERE s IN (SELECT s FROM hot) GROUP BY id
+),
+sizes AS (SELECT id, len(sh) AS sz FROM nonempty),
+scored AS (
+  SELECT id_a, id_b,
+         inter_c + len(list_intersect(COALESCE(ha.hs, []), COALESCE(hb.hs, []))) AS i,
+         sa.sz AS sz_a, sb.sz AS sz_b
+  FROM pair_inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  LEFT JOIN hot_sets ha ON ha.id = id_a
+  LEFT JOIN hot_sets hb ON hb.id = id_b
+)
+SELECT id_a, id_b,
+       {cont} AS containment,
+       round(CAST(i AS DOUBLE) / (sz_a + sz_b - i), 6) AS jac,
+       CASE WHEN sz_a <= sz_b THEN id_a ELSE id_b END AS contained_id
+FROM scored
+WHERE {cont} >= {threshold}
+"""

@@ -423,3 +423,24 @@ FROM assigned
 # tests/test_dedup.py::TestLeakageSafeSplit):
 #   "train_split_leakage_safe": Query(
 #       q_train_split_leakage_safe, _train_split_oracle()),
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quote/subset detection: pairs whose shingle CONTAINMENT
+    |A∩B|/min(|A|,|B|) clears 0.8 — including the high-containment
+    low-Jaccard inclusions symmetric dedup misses (Broder 1997's
+    resemblance-vs-containment split); feeds span-strip curation
+    rather than whole-doc dropping
+    (operators/dedup.py:ngram_containment_pairs)."""
+    return D.ngram_containment_pairs(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", n=3
+    )
+
+
+def _dedup_containment_oracle() -> str:
+    return D.sql_ngram_containment_pairs("documents", "text", "doc_id", n=3)
+
+
+# r12 QUEUE CANDIDATE (the r11 queue closed at 34 — session 7):
+#   "dedup_containment": Query(
+#       q_dedup_containment, _dedup_containment_oracle()),

@@ -744,3 +744,140 @@ class TestLeakageSafeSplit:
             .count()
         )
         assert straddle == 0
+
+
+class TestContainmentPairs:
+    """Asymmetric containment |A∩B|/min(|A|,|B|)
+    (operators/dedup.py:ngram_containment_pairs)."""
+
+    def test_quote_inclusion_high_containment_low_jaccard(self, spark):
+        """Doc 2 contains doc 1 verbatim inside much more text:
+        containment = 1.0 (every small-doc shingle is shared) while
+        Jaccard stays low — the pair symmetric dedup misses."""
+        small = "alpha beta gamma delta epsilon"
+        big = (
+            "one two three four five six seven eight nine ten "
+            + small
+            + " eleven twelve thirteen fourteen fifteen sixteen"
+        )
+        docs = spark.createDataFrame(
+            [(1, small), (2, big)], ["doc_id", "text"]
+        )
+        from hash_db_spark.operators.dedup import ngram_containment_pairs
+
+        rows = ngram_containment_pairs(docs, "text", "doc_id", n=3).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.id_a, r.id_b, r.contained_id) == (1, 2, 1)
+        assert r.containment == 1.0
+        assert r.jac < 0.5
+
+    def test_threshold_excludes_partial_overlap(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "a b c x y z w q")],
+            ["doc_id", "text"],
+        )
+        from hash_db_spark.operators.dedup import ngram_containment_pairs
+
+        # shared shingles: only 'a b c' -> containment 1/4 < 0.8
+        assert (
+            ngram_containment_pairs(docs, "text", "doc_id", n=3).count() == 0
+        )
+
+    def test_hot_cap_correction_keeps_true_containment(self, spark):
+        """Universal boilerplate shingles are hot (dropped from
+        candidate generation) but corrected back exactly: scores match
+        an uncapped run. The quoted span itself stays under the cap,
+        so the candidate channel is the quote's own shingles — the
+        tail case this operator owns."""
+        from hash_db_spark.operators.dedup import ngram_containment_pairs
+
+        boiler = "terms of service apply here always"  # in ALL 8 docs
+        quoted = "red green blue cyan magenta"  # in 3 hosts + doc 99
+        rows = [
+            (i, f"{boiler} {quoted} filler{i} pad{i} more{i}")
+            for i in range(3)
+        ]
+        rows += [
+            (i, f"{boiler} unique{i} words{i} only{i} here{i} now{i}")
+            for i in range(3, 7)
+        ]
+        rows += [(99, f"{boiler} {quoted}")]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        # boiler shingles: df == 8 > 5 (hot); quoted shingles: df == 4
+        capped = {
+            (r.id_a, r.id_b): (r.containment, r.jac)
+            for r in ngram_containment_pairs(
+                docs, "text", "doc_id", n=3, max_doc_freq=5
+            ).collect()
+        }
+        uncapped = {
+            (r.id_a, r.id_b): (r.containment, r.jac)
+            for r in ngram_containment_pairs(
+                docs, "text", "doc_id", n=3, max_doc_freq=10**6
+            ).collect()
+        }
+        assert capped == uncapped and len(capped) > 0
+        # doc 99 (boiler+quote only) is contained in all three hosts
+        assert all((i, 99) in capped for i in range(3))
+        for i in range(3):
+            assert capped[(i, 99)][0] == 1.0
+
+    def test_all_hot_popular_quote_is_span_strip_territory(self, spark):
+        """A doc quoted wholesale by MORE than max_doc_freq pages has
+        only hot shingles: no pair emitted here (by design — that head
+        is repeated_ngram_spans/strip_spans'), while the span detector
+        sees the quote."""
+        from hash_db_spark.operators.dedup import (
+            ngram_containment_pairs,
+            repeated_ngram_spans,
+        )
+
+        quoted = "red green blue cyan magenta"
+        docs = spark.createDataFrame(
+            [(i, f"{quoted} filler{i} pad{i} more{i}") for i in range(5)]
+            + [(99, quoted)],
+            ["doc_id", "text"],
+        )
+        assert (
+            ngram_containment_pairs(
+                docs, "text", "doc_id", n=3, max_doc_freq=2
+            ).count()
+            == 0
+        )
+        spans = repeated_ngram_spans(docs, "text", "doc_id", n=3).collect()
+        assert any(s.n_docs == 6 for s in spans)
+
+    def test_oracle_parity_fixture(self, spark, sf_dir):
+        import duckdb
+
+        from hash_db_spark.queries.dedup_queries import (
+            _dedup_containment_oracle,
+            q_dedup_containment,
+        )
+
+        got = sorted(
+            tuple(r) for r in q_dedup_containment(spark, sf_dir).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(_dedup_containment_oracle()).fetchall()
+        )
+        con.close()
+        assert got == want and len(got) > 0
+        for _, _, cont, jac, _ in got:
+            assert cont >= 0.8 and jac <= cont  # jac never exceeds cont
+
+    def test_no_cartesian_in_plan(self, spark, sf_dir):
+        from hash_db_spark.queries.dedup_queries import q_dedup_containment
+
+        plan = q_dedup_containment(
+            spark, sf_dir
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
