@@ -395,3 +395,106 @@ d1 AS (
         + f"\nSELECT CAST(sel_idx AS INT) AS sel_idx, vec_id, gap_micro"
         f" FROM ({selects}) ORDER BY sel_idx"
     )
+
+
+OUTLIER_TOPN = 50
+
+
+def embedding_outliers(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    topn: int = OUTLIER_TOPN,
+) -> DataFrame:
+    """(vec_id, cluster, cos_micro, rank): the ``topn`` vectors FARTHEST
+    from their nearest k-means centroid (lowest best-cosine) — the
+    embedding-space garbage detector: OCR noise, wrong-modality rows,
+    and off-distribution documents sit in no cluster, so their best
+    centroid cosine is the corpus tail. The complement of semdedup_drop
+    (which prunes the over-dense cluster cores); together they trim
+    both ends of the density spectrum before training.
+
+    Same centroids as kmeans_assign (seeds, one assignment, one exact
+    integer update — _centroid_mat), so the oracle splices the proven
+    sql_kmeans_cents_ctes block. One extra Arrow/BLAS corpus pass
+    scoring best-centroid cosine in integer micro-units, then
+    TakeOrderedAndProject for the ascending top-n — per-partition
+    heaps, no global sort."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    corpus = emb.select(
+        F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("v")
+    )
+    cmat = _centroid_mat(corpus, k)
+    bc = corpus.sparkSession.sparkContext.broadcast(_norm_rows(cmat))
+
+    def block(batches):
+        import pandas as pd
+
+        cm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = _norm_rows(np.array(list(pdf["v"]), dtype=np.float64))
+            cos = v @ cm.T
+            # micro_col semantics, computed as integers directly
+            micro = (np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5)).astype(
+                np.int64
+            )
+            # first-max argmax == oracle's (cos_micro DESC, cidx ASC)
+            best = micro.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cluster": (best + 1).astype(np.int32),
+                    "cos_micro": micro[np.arange(len(best)), best],
+                }
+            )
+
+    scored = corpus.mapInPandas(
+        block, "vec_id long, cluster int, cos_micro long"
+    )
+    top = scored.orderBy(
+        F.col("cos_micro").asc(), F.col("vec_id").asc()
+    ).limit(topn)
+    w = Window.orderBy(F.col("cos_micro").asc(), F.col("vec_id").asc())
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def sql_embedding_outliers(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    topn: int = OUTLIER_TOPN,
+) -> str:
+    from hash_db_spark.operators.curation import sql_micro
+
+    cm = sql_micro("list_cosine_similarity(c.v, x.cv)")
+    return f"""
+WITH corpus AS (
+  SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v FROM {table}
+),
+{sql_kmeans_cents_ctes(k)},
+assign1 AS (
+  SELECT c.vec_id, x.cid, {cm} AS cos_micro,
+         row_number() OVER (
+           PARTITION BY c.vec_id
+           ORDER BY {cm} DESC, x.cid ASC
+         ) AS rn
+  FROM corpus c, cents x
+),
+best AS (
+  SELECT vec_id, CAST(cid AS INT) AS cluster, cos_micro
+  FROM assign1 WHERE rn = 1
+)
+SELECT vec_id, cluster, cos_micro,
+       CAST(row_number() OVER (ORDER BY cos_micro ASC, vec_id ASC) AS INT)
+         AS rank
+FROM best
+ORDER BY cos_micro ASC, vec_id ASC
+LIMIT {topn}
+"""

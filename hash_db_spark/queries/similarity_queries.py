@@ -515,3 +515,25 @@ def _bitext_oracle() -> str:
 
 # r12 QUEUE CANDIDATE (the r11 queue closed at 34 — session 7):
 #   "bitext_margin_mine": Query(q_bitext_margin_mine, _bitext_oracle()),
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space garbage detector: the 50 vectors farthest from
+    their nearest k-means centroid (lowest best-cosine) — the
+    off-distribution tail a curation stage drops before training; the
+    density complement of semdedup_drop
+    (operators/clustering.py:embedding_outliers)."""
+    from hash_db_spark.operators import clustering as CL
+
+    return CL.embedding_outliers(load_table(spark, sf_dir, "embeddings"))
+
+
+def _embedding_outliers_oracle() -> str:
+    from hash_db_spark.operators import clustering as CL
+
+    return CL.sql_embedding_outliers()
+
+
+# r12 QUEUE CANDIDATE (the r11 queue closed at 34 — session 7):
+#   "embedding_outliers": Query(
+#       q_embedding_outliers, _embedding_outliers_oracle()),

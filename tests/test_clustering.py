@@ -126,3 +126,65 @@ def test_kcenter_gap_curve_is_covering_radius(spark, sf_dir):
         .collect()[0]
     )
     assert (far.vec_id, far.m) == (second.vec_id, second.gap_micro)
+
+
+class TestEmbeddingOutliers:
+    """Distance-to-nearest-centroid tail
+    (operators/clustering.py:embedding_outliers)."""
+
+    def test_planted_orthogonal_outlier_ranks_first(self, spark):
+        """Two tight clusters along axes 0 and 1; one vector along
+        axis 3 belongs to neither — lowest best-cosine, rank 1."""
+        import random
+
+        from hash_db_spark.operators.clustering import embedding_outliers
+
+        rng = random.Random(7)
+        rows = []
+        for i in range(12):
+            base = [1.0, 0.0, 0.0, 0.0] if i % 2 else [0.0, 1.0, 0.0, 0.0]
+            rows.append(
+                (i, [b + rng.uniform(-0.05, 0.05) for b in base])
+            )
+        rows.append((99, [0.0, 0.0, 0.0, 1.0]))
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        got = embedding_outliers(emb, k=2, topn=5).collect()
+        assert got[0].vec_id == 99 and got[0].rank == 1
+        # ranking ascends with best-cosine
+        cs = [r.cos_micro for r in got]
+        assert cs == sorted(cs)
+
+    def test_oracle_parity_fixture(self, spark, sf_dir):
+        import duckdb
+
+        from hash_db_spark.queries.similarity_queries import (
+            _embedding_outliers_oracle,
+            q_embedding_outliers,
+        )
+
+        got = [
+            tuple(r) for r in q_embedding_outliers(spark, sf_dir).collect()
+        ]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS "
+            f"SELECT * FROM '{sf_dir}/embeddings.parquet'"
+        )
+        want = [
+            tuple(r)
+            for r in con.execute(_embedding_outliers_oracle()).fetchall()
+        ]
+        con.close()
+        assert got == want and len(got) == 50
+
+    def test_topn_is_heap_not_global_sort(self, spark, sf_dir):
+        from hash_db_spark.queries.similarity_queries import (
+            q_embedding_outliers,
+        )
+
+        plan = q_embedding_outliers(
+            spark, sf_dir
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
