@@ -553,3 +553,175 @@ FROM scored
 ORDER BY vmr_micro DESC, tok ASC
 LIMIT {topn}
 """
+
+
+HEAPS_LEVELS = 6  # nested 1/2^j hash-samples, j = 0..5
+
+
+def _heaps_depth(u, thresholds):
+    """Depth = (# nested thresholds passed) - 1; level 0 is the full
+    corpus. Same literal comparison chain in the SQL twin."""
+    d = F.lit(-1)
+    for t in thresholds:
+        d = d + (u < F.lit(t)).cast("int")
+    return d
+
+
+def vocab_heaps_fit(
+    docs: DataFrame,
+    col: str,
+    id_col: str,
+    levels: int = HEAPS_LEVELS,
+) -> DataFrame:
+    """(level, n_docs, n_tokens, vocab, beta_micro): Heaps'-law fit
+    V = K * N^beta of vocabulary growth against corpus size (Heaps,
+    "Information Retrieval", 1978) from ONE corpus pass — the dedup /
+    vocabulary-budget planning signal: beta near 1 means vocabulary
+    keeps exploding (unseen tokens dominate, dedup gains little);
+    beta well under 0.5 means the corpus is saturating.
+
+    The growth curve needs vocab at several corpus sizes WITHOUT
+    re-scanning per size: use nested content-addressed samples
+    (doc in level j iff sample_u(id) < M/2^j — level j+1 is exactly
+    half of level j in expectation, the KMV/bottom-k trick). A token's
+    deepest level is determined by the MIN doc-hash over its postings,
+    so one token-keyed reduction yields every level's exact distinct
+    count at once; docs explode to <= ``levels`` stat rows each.
+    The log-log regression runs over <= ``levels`` level rows with
+    exact integer micro sums (window over a 6-row frame); beta is one
+    float expression from those sums, micro-quantized — identical in
+    the oracle.
+
+    Scale: one token-keyed shuffle (min-hash per distinct token), one
+    6-group doc reduction, no joins bigger than the 6x6 level merge."""
+    from hash_db_spark.operators.curation import SAMPLE_M, micro_col, sample_u
+
+    thresholds = [SAMPLE_M >> j for j in range(levels)]
+    base = docs.select(
+        sample_u(F.col(id_col)).alias("u"),
+        F.size(clean_tokens(col)).alias("n_tok"),
+        clean_tokens(col).alias("toks"),
+    ).filter(F.col("n_tok") > 0)
+    base = base.withColumn("depth", _heaps_depth(F.col("u"), thresholds))
+    doc_stats = (
+        base.select(
+            "n_tok",
+            F.explode(F.sequence(F.lit(0), F.col("depth"))).alias("level"),
+        )
+        .groupBy("level")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+    tok_depth = (
+        base.select("u", F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("u").alias("mu"))
+        .withColumn("depth", _heaps_depth(F.col("mu"), thresholds))
+    )
+    vocab = (
+        tok_depth.select(
+            F.explode(F.sequence(F.lit(0), F.col("depth"))).alias("level")
+        )
+        .groupBy("level")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    pts = doc_stats.join(vocab, "level").select(
+        "level",
+        "n_docs",
+        "n_tokens",
+        "vocab",
+        micro_col(F.log("n_tokens")).alias("x"),
+        micro_col(F.log("vocab")).alias("y"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()  # <= `levels` rows: a deliberate tiny window
+    n = F.count(F.lit(1)).over(w).cast("long")
+    sx = F.sum("x").over(w)
+    sy = F.sum("y").over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    var = (n * sxx - sx * sx).cast("double")
+    beta = (n * sxy - sx * sy).cast("double") / F.when(
+        (n * sxx - sx * sx) != 0, var
+    )
+    return (
+        pts.select(
+            "level",
+            "n_docs",
+            "n_tokens",
+            "vocab",
+            micro_col(beta).alias("beta_micro"),
+        )
+        .orderBy("level")
+    )
+
+
+def sql_vocab_heaps_fit(
+    table: str = "documents",
+    col: str = "text",
+    id_col: str = "doc_id",
+    levels: int = HEAPS_LEVELS,
+) -> str:
+    from hash_db_spark.operators.curation import (
+        SAMPLE_M,
+        sql_micro,
+        sql_sample_u,
+    )
+
+    thresholds = [SAMPLE_M >> j for j in range(levels)]
+
+    def depth(u: str) -> str:
+        cmps = " + ".join(
+            f"(CASE WHEN {u} < {t} THEN 1 ELSE 0 END)" for t in thresholds
+        )
+        return f"({cmps} - 1)"
+
+    beta_num = "CAST(n * sxy - sx * sy AS DOUBLE)"
+    beta_den = "CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE)"
+    return f"""
+WITH base AS (
+  SELECT {sql_sample_u(id_col)} AS u,
+         CAST(len({sql_clean_tokens(col)}) AS BIGINT) AS n_tok,
+         {sql_clean_tokens(col)} AS toks
+  FROM {table}
+),
+nz AS (SELECT *, {depth('u')} AS depth FROM base WHERE n_tok > 0),
+doc_stats AS (
+  SELECT level, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM (SELECT n_tok, unnest(generate_series(0, depth)) AS level FROM nz)
+  GROUP BY level
+),
+tok_depth AS (
+  SELECT {depth('mu')} AS depth
+  FROM (
+    SELECT tok, min(u) AS mu
+    FROM (SELECT u, unnest(toks) AS tok FROM nz)
+    GROUP BY tok
+  )
+),
+vocab AS (
+  SELECT level, count(*) AS vocab
+  FROM (SELECT unnest(generate_series(0, depth)) AS level FROM tok_depth)
+  GROUP BY level
+),
+pts AS (
+  SELECT d.level, d.n_docs, d.n_tokens, v.vocab,
+         {sql_micro('ln(d.n_tokens)')} AS x,
+         {sql_micro('ln(v.vocab)')} AS y
+  FROM doc_stats d JOIN vocab v USING (level)
+),
+sums AS (
+  SELECT *,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         sum(x) OVER () AS sx, sum(y) OVER () AS sy,
+         sum(x * y) OVER () AS sxy, sum(x * x) OVER () AS sxx
+  FROM pts
+)
+SELECT CAST(level AS INT) AS level, n_docs, n_tokens, vocab,
+       {sql_micro(f'({beta_num} / {beta_den})')} AS beta_micro
+FROM sums
+ORDER BY level
+"""

@@ -931,3 +931,23 @@ def _context_fit_oracle() -> str:
 # r12 QUEUE CANDIDATE (the r11 queue closed at 34 — session 7):
 #   "context_fit_report": Query(
 #       q_context_fit_report, _context_fit_oracle()),
+
+
+def q_vocab_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit V = K*N^beta from nested
+    content-addressed half-samples (one corpus pass, KMV-style min-hash
+    per token) — the companion planning signal to vocab_zipf_fit:
+    Zipf describes the frequency head, Heaps' beta says whether more
+    data keeps buying new vocabulary
+    (operators/corpus_stats.py:vocab_heaps_fit)."""
+    return corpus_stats.vocab_heaps_fit(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+def _vocab_heaps_oracle() -> str:
+    return corpus_stats.sql_vocab_heaps_fit("documents", "text", "doc_id")
+
+
+# r12 QUEUE CANDIDATE (the r11 queue closed at 34 — session 7):
+#   "vocab_heaps_fit": Query(q_vocab_heaps_fit, _vocab_heaps_oracle()),

@@ -419,3 +419,73 @@ class TestBurstiness:
         ]
         con.close()
         assert got == want and len(got) > 0
+
+
+class TestHeapsFit:
+    def test_open_vocab_beta_near_one_closed_near_zero(self, spark):
+        """Every-token-unique corpus: vocab == tokens at every level,
+        so the log-log slope is exactly 1. Closed 3-word corpus:
+        vocab constant, slope 0."""
+        from hash_db_spark.operators import corpus_stats as CS
+
+        uniq = spark.createDataFrame(
+            [(i, f"w{i}a w{i}b w{i}c w{i}d") for i in range(64)],
+            ["doc_id", "text"],
+        )
+        rows = CS.vocab_heaps_fit(uniq, "text", "doc_id").collect()
+        assert len(rows) >= 4
+        assert all(r.beta_micro == 1_000_000 for r in rows)
+        assert all(r.vocab == r.n_tokens for r in rows)
+
+        closed = spark.createDataFrame(
+            [(i, "aa bb cc aa bb cc") for i in range(64)],
+            ["doc_id", "text"],
+        )
+        rows = CS.vocab_heaps_fit(closed, "text", "doc_id").collect()
+        assert all(r.vocab == 3 for r in rows)
+        assert all(r.beta_micro == 0 for r in rows)
+
+    def test_levels_are_nested_halvings(self, spark, sf_dir):
+        """Level j+1 is a subset of level j: docs/tokens/vocab all
+        non-increasing with depth, and level 0 is the full corpus."""
+        from hash_db_spark.catalog import load_table
+        from hash_db_spark.operators import corpus_stats as CS
+
+        docs = load_table(spark, sf_dir, "documents")
+        rows = CS.vocab_heaps_fit(docs, "text", "doc_id").collect()
+        assert rows[0].level == 0
+        total = docs.count()
+        assert rows[0].n_docs == total  # no empty docs in the fixture
+        for a, b in zip(rows, rows[1:]):
+            assert b.n_docs <= a.n_docs
+            assert b.n_tokens <= a.n_tokens
+            assert b.vocab <= a.vocab
+
+    def test_oracle_parity_fixture(self, spark, sf_dir):
+        import duckdb
+
+        from hash_db_spark.queries.pipeline_queries import (
+            _vocab_heaps_oracle,
+            q_vocab_heaps_fit,
+        )
+
+        got = [tuple(r) for r in q_vocab_heaps_fit(spark, sf_dir).collect()]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        want = [
+            tuple(r) for r in con.execute(_vocab_heaps_oracle()).fetchall()
+        ]
+        con.close()
+        assert got == want and len(got) > 0
+
+    def test_one_token_shuffle_no_big_joins(self, spark, sf_dir):
+        from hash_db_spark.queries.pipeline_queries import q_vocab_heaps_fit
+
+        plan = q_vocab_heaps_fit(
+            spark, sf_dir
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
