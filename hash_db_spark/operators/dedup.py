@@ -2462,3 +2462,149 @@ SELECT id_a, id_b,
 FROM scored
 WHERE {cont} >= {threshold}
 """
+
+
+def dedup_method_eval(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(method, n_pred, n_true, n_hit, precision_micro, recall_micro,
+    f1_micro): pair-retrieval quality of the sub-quadratic candidate
+    stages against exact n-gram Jaccard ground truth — the
+    method-selection table read before committing a 100 TB dedup run
+    to a banding scheme. Complements minhash_est_error (per-pair
+    sketch accuracy) and sim_recall_report (ANN recall): this scores
+    the END-TO-END pair sets the dedup pipelines actually consume.
+
+      minhash_lsh   banded MinHash, verified true-Jaccard >= threshold
+                    (precision ~1 by construction; the number under
+                    test is the banding stage's RECALL)
+      simhash_h3    hamming <= ``max_hamming`` on 60-bit SimHash — a
+                    DIFFERENT similarity; both its precision and
+                    recall vs Jaccard truth are the finding
+
+    F1 is computed as 2*hit/(pred+true) — one float expression from
+    exact integer counts, not from the two already-rounded ratios.
+
+    Protocol note for 100 TB: exact ground truth is quadratic-adjacent
+    work; run the eval on a content-addressed document sample
+    (hash_sample) — the standard sampled-eval protocol — and ship the
+    chosen method to the full corpus. At fixture scale the full corpus
+    IS the sample."""
+    spark = df.sparkSession
+    truth = (
+        ngram_jaccard_pairs(df, col, id_col, threshold=threshold)
+        .select("id_a", "id_b")
+        .cache()
+    )
+    n_true = truth.count()  # scalar: plan literal (one bounded job)
+    preds = (
+        minhash_lsh_pairs(df, col, id_col, threshold=threshold)
+        .select(F.lit("minhash_lsh").alias("method"), "id_a", "id_b")
+        .unionByName(
+            simhash_near_pairs(df, col, id_col, max_hamming=max_hamming)
+            .select(F.lit("simhash_h3").alias("method"), "id_a", "id_b")
+        )
+    )
+    pred_cnt = preds.groupBy("method").agg(F.count(F.lit(1)).alias("n_pred"))
+    hit_cnt = (
+        preds.join(truth, ["id_a", "id_b"])
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    # literal method anchor: a method that predicts NOTHING still gets
+    # its row (n_pred = 0, precision NULL) instead of vanishing
+    methods = spark.range(1).select(
+        F.explode(
+            F.array(F.lit("minhash_lsh"), F.lit("simhash_h3"))
+        ).alias("method")
+    )
+    from hash_db_spark.operators.curation import micro_col
+
+    base = (
+        methods.join(pred_cnt, "method", "left")
+        .join(hit_cnt, "method", "left")
+        .select(
+            "method",
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.lit(n_true).alias("n_true"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        )
+    )
+    precision = F.col("n_hit").cast("double") / F.when(
+        F.col("n_pred") != 0, F.col("n_pred").cast("double")
+    )
+    recall = F.col("n_hit").cast("double") / F.when(
+        F.col("n_true") != 0, F.col("n_true").cast("double")
+    )
+    f1 = (F.lit(2.0) * F.col("n_hit").cast("double")) / F.when(
+        (F.col("n_pred") + F.col("n_true")) != 0,
+        (F.col("n_pred") + F.col("n_true")).cast("double"),
+    )
+    return base.select(
+        "method",
+        "n_pred",
+        "n_true",
+        "n_hit",
+        micro_col(precision).alias("precision_micro"),
+        micro_col(recall).alias("recall_micro"),
+        micro_col(f1).alias("f1_micro"),
+    ).orderBy("method")
+
+
+def sql_dedup_method_eval(
+    table: str,
+    col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    max_hamming: int = 3,
+) -> str:
+    from hash_db_spark.operators.curation import sql_micro
+
+    precision = (
+        "(CAST(n_hit AS DOUBLE) / CAST(NULLIF(n_pred, 0) AS DOUBLE))"
+    )
+    recall = "(CAST(n_hit AS DOUBLE) / CAST(NULLIF(n_true, 0) AS DOUBLE))"
+    f1 = (
+        "(2.0 * CAST(n_hit AS DOUBLE)"
+        " / CAST(NULLIF(n_pred + n_true, 0) AS DOUBLE))"
+    )
+    return f"""
+WITH truth AS (
+  SELECT id_a, id_b FROM ({sql_ngram_jaccard_pairs(table, col, id_col, threshold=threshold)})
+),
+tcnt AS (SELECT count(*) AS n_true FROM truth),
+preds AS (
+  SELECT 'minhash_lsh' AS method, id_a, id_b
+  FROM ({sql_minhash_lsh_pairs(table, col, id_col, threshold=threshold)})
+  UNION ALL
+  SELECT 'simhash_h3', id_a, id_b
+  FROM ({sql_simhash_near_pairs(table, col, id_col, max_hamming=max_hamming)})
+),
+methods AS (SELECT 'minhash_lsh' AS method UNION ALL SELECT 'simhash_h3'),
+pred_cnt AS (SELECT method, count(*) AS n_pred FROM preds GROUP BY method),
+hit_cnt AS (
+  SELECT method, count(*) AS n_hit
+  FROM preds JOIN truth USING (id_a, id_b)
+  GROUP BY method
+),
+base AS (
+  SELECT m.method,
+         CAST(COALESCE(p.n_pred, 0) AS BIGINT) AS n_pred,
+         CAST(t.n_true AS BIGINT) AS n_true,
+         CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit
+  FROM methods m
+  LEFT JOIN pred_cnt p USING (method)
+  LEFT JOIN hit_cnt h USING (method)
+  CROSS JOIN tcnt t
+)
+SELECT method, n_pred, n_true, n_hit,
+       {sql_micro(precision)} AS precision_micro,
+       {sql_micro(recall)} AS recall_micro,
+       {sql_micro(f1)} AS f1_micro
+FROM base
+ORDER BY method
+"""

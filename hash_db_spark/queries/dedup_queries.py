@@ -444,3 +444,27 @@ def _dedup_containment_oracle() -> str:
 # r12 QUEUE CANDIDATE (the r11 queue closed at 34 — session 7):
 #   "dedup_containment": Query(
 #       q_dedup_containment, _dedup_containment_oracle()),
+
+
+def q_dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-retrieval precision/recall/F1 of the sub-quadratic dedup
+    candidate stages (banded MinHash, SimHash hamming<=3) against
+    exact n-gram Jaccard ground truth — the method-selection table
+    (operators/dedup.py:dedup_method_eval)."""
+    return D.dedup_method_eval(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        threshold=JACCARD_T,
+    )
+
+
+def _dedup_method_eval_oracle() -> str:
+    return D.sql_dedup_method_eval(
+        "documents", "text", "doc_id", threshold=JACCARD_T
+    )
+
+
+# r12 QUEUE CANDIDATE (the r11 queue closed at 34 — session 7):
+#   "dedup_method_eval": Query(
+#       q_dedup_method_eval, _dedup_method_eval_oracle()),

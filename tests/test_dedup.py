@@ -881,3 +881,74 @@ class TestContainmentPairs:
         )._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestDedupMethodEval:
+    """Pair-retrieval P/R/F1 vs exact Jaccard truth
+    (operators/dedup.py:dedup_method_eval)."""
+
+    def test_identical_docs_perfect_scores(self, spark):
+        from hash_db_spark.operators.dedup import dedup_method_eval
+
+        text = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = spark.createDataFrame(
+            [(1, text), (2, text), (3, "totally different words here now"),
+             (4, "yet another unrelated document text body")],
+            ["doc_id", "text"],
+        )
+        got = {r.method: r for r in dedup_method_eval(
+            docs, "text", "doc_id").collect()}
+        assert set(got) == {"minhash_lsh", "simhash_h3"}
+        for r in got.values():
+            assert (r.n_true, r.n_hit) == (1, 1)
+            assert r.recall_micro == 1_000_000
+            assert r.precision_micro == 1_000_000
+        assert got["minhash_lsh"].f1_micro == 1_000_000
+
+    def test_counts_are_consistent(self, spark, sf_dir):
+        from hash_db_spark.catalog import load_table
+        from hash_db_spark.operators.dedup import dedup_method_eval
+
+        rows = dedup_method_eval(
+            load_table(spark, sf_dir, "documents"), "text", "doc_id"
+        ).collect()
+        assert [r.method for r in rows] == ["minhash_lsh", "simhash_h3"]
+        for r in rows:
+            assert r.n_hit <= min(r.n_pred, r.n_true)
+            if r.n_pred and r.n_true:
+                assert 0 < r.f1_micro <= 1_000_000
+
+    def test_no_shingle_corpus_zero_rows_survive(self, spark):
+        """Docs too short to shingle: no truth, no predictions — both
+        method rows still present with zero counts and NULL ratios."""
+        from hash_db_spark.operators.dedup import dedup_method_eval
+
+        docs = spark.createDataFrame(
+            [(1, "one two"), (2, "three four")], ["doc_id", "text"]
+        )
+        rows = dedup_method_eval(docs, "text", "doc_id").collect()
+        assert len(rows) == 2
+        for r in rows:
+            assert (r.n_pred, r.n_true, r.n_hit) == (0, 0, 0)
+            assert r.precision_micro is None and r.recall_micro is None
+
+    def test_oracle_parity_fixture(self, spark, sf_dir):
+        import duckdb
+
+        from hash_db_spark.queries.dedup_queries import (
+            _dedup_method_eval_oracle,
+            q_dedup_method_eval,
+        )
+
+        got = [tuple(r) for r in q_dedup_method_eval(spark, sf_dir).collect()]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        want = [
+            tuple(r)
+            for r in con.execute(_dedup_method_eval_oracle()).fetchall()
+        ]
+        con.close()
+        assert got == want and len(got) == 2
