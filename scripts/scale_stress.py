@@ -440,6 +440,29 @@ def main() -> int:
             ("ppr_hosts", q_ppr_hosts),
         ):
             timed(f"{name}/{scale}", lambda f=fn: f(spark, sf_dir))
+        # round-10 session 8: r12 queue candidates
+        from hash_db_spark.queries.curation_queries import (
+            q_sampling_ess_report,
+        )
+        from hash_db_spark.queries.dedup_queries import q_dedup_containment
+        from hash_db_spark.queries.pipeline_queries import (
+            q_context_fit_report,
+            q_vocab_heaps_fit,
+        )
+        from hash_db_spark.queries.similarity_queries import (
+            q_bitext_margin_mine,
+            q_embedding_outliers,
+        )
+
+        for name, fn in (
+            ("bitext_margin_mine", q_bitext_margin_mine),
+            ("context_fit_report", q_context_fit_report),
+            ("sampling_ess_report", q_sampling_ess_report),
+            ("dedup_containment", q_dedup_containment),
+            ("embedding_outliers", q_embedding_outliers),
+            ("vocab_heaps_fit", q_vocab_heaps_fit),
+        ):
+            timed(f"{name}/{scale}", lambda f=fn: f(spark, sf_dir))
     return 0
 
 
