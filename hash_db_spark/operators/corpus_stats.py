@@ -725,3 +725,111 @@ SELECT CAST(level AS INT) AS level, n_docs, n_tokens, vocab,
 FROM sums
 ORDER BY level
 """
+
+
+OOV_VOCAB_SIZE = 20
+
+
+def vocab_oov_report(
+    docs: DataFrame,
+    col: str,
+    group_col: str = "lang",
+    train_group: str = "en",
+    vocab_size: int = OOV_VOCAB_SIZE,
+) -> DataFrame:
+    """(grp, n_tokens, oov_tokens, oov_pct_micro, n_types, oov_types,
+    type_oov_pct_micro): out-of-vocabulary rates every corpus slice
+    would see under a closed ``vocab_size``-entry vocabulary built
+    from the ``train_group`` slice's most frequent tokens — the
+    tokenizer-budget planning table (what a fixed word/subword budget
+    costs each language BEFORE training the tokenizer; cf. the
+    fertility report for the after picture).
+
+    Vocab selection is deterministic: top-``vocab_size`` by (freq
+    DESC, token ASC). The vocab frame is bounded by the literal
+    ``vocab_size`` regardless of corpus size, so force-broadcasting it
+    into the marking join is scale-invariant by construction — the
+    one corpus-sized operation is the per-slice reduction (token and
+    type counts, map-side partials)."""
+    from hash_db_spark.operators.curation import micro_col
+
+    toks = docs.select(
+        F.col(group_col).alias("grp"), F.explode(clean_tokens(col)).alias("tok")
+    )
+    vocab = (
+        toks.filter(F.col("grp") == train_group)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("in_v"))
+    )
+    marked = toks.join(F.broadcast(vocab), "tok", "left")
+    oov = F.col("in_v").isNull()
+    agg = marked.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(oov.cast("long")).alias("oov_tokens"),
+        F.countDistinct("tok").alias("n_types"),
+        F.countDistinct(F.when(oov, F.col("tok"))).alias("oov_types"),
+    )
+    tok_pct = F.col("oov_tokens").cast("double") / F.col("n_tokens").cast(
+        "double"
+    )
+    type_pct = F.col("oov_types").cast("double") / F.col("n_types").cast(
+        "double"
+    )
+    return agg.select(
+        "grp",
+        "n_tokens",
+        "oov_tokens",
+        micro_col(tok_pct).alias("oov_pct_micro"),
+        "n_types",
+        "oov_types",
+        micro_col(type_pct).alias("type_oov_pct_micro"),
+    ).orderBy("grp")
+
+
+def sql_vocab_oov_report(
+    table: str = "documents",
+    col: str = "text",
+    group_col: str = "lang",
+    train_group: str = "en",
+    vocab_size: int = OOV_VOCAB_SIZE,
+) -> str:
+    from hash_db_spark.operators.curation import sql_micro
+
+    tok_pct = "(CAST(oov_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE))"
+    type_pct = "(CAST(oov_types AS DOUBLE) / CAST(n_types AS DOUBLE))"
+    return f"""
+WITH toks AS (
+  SELECT {group_col} AS grp, unnest({sql_clean_tokens(col)}) AS tok
+  FROM {table}
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS freq
+    FROM toks WHERE grp = '{train_group}'
+    GROUP BY tok
+  )
+  ORDER BY freq DESC, tok ASC
+  LIMIT {vocab_size}
+),
+marked AS (
+  SELECT t.grp, t.tok, (v.tok IS NULL) AS oov
+  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+),
+agg AS (
+  SELECT grp,
+         count(*) AS n_tokens,
+         CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens,
+         count(DISTINCT tok) AS n_types,
+         count(DISTINCT CASE WHEN oov THEN tok END) AS oov_types
+  FROM marked GROUP BY grp
+)
+SELECT grp, n_tokens, oov_tokens,
+       {sql_micro(tok_pct)} AS oov_pct_micro,
+       n_types, oov_types,
+       {sql_micro(type_pct)} AS type_oov_pct_micro
+FROM agg
+ORDER BY grp
+"""

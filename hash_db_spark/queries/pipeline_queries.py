@@ -951,3 +951,22 @@ def _vocab_heaps_oracle() -> str:
 
 # r12 QUEUE CANDIDATE (the r11 queue closed at 34 — session 7):
 #   "vocab_heaps_fit": Query(q_vocab_heaps_fit, _vocab_heaps_oracle()),
+
+
+def q_vocab_oov_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-vocabulary OOV planning table: token- and type-level OOV
+    rates each language slice pays under a 20-entry vocab built from
+    the 'en' slice's frequency head — the before-tokenizer-training
+    companion to tokenizer_fertility
+    (operators/corpus_stats.py:vocab_oov_report)."""
+    return corpus_stats.vocab_oov_report(
+        load_table(spark, sf_dir, "documents"), "text"
+    )
+
+
+def _vocab_oov_oracle() -> str:
+    return corpus_stats.sql_vocab_oov_report("documents", "text")
+
+
+# r12 QUEUE CANDIDATE (the r11 queue closed at 34 — session 7):
+#   "vocab_oov_report": Query(q_vocab_oov_report, _vocab_oov_oracle()),

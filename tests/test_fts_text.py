@@ -489,3 +489,78 @@ class TestHeapsFit:
         )._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestVocabOovReport:
+    def test_known_and_unknown_slices(self, spark):
+        """Vocab = top-2 'en' tokens (freq desc, tok asc tie-break).
+        A slice speaking only vocab words reads 0 OOV; a disjoint
+        slice reads 100%."""
+        from hash_db_spark.operators import corpus_stats as CS
+
+        docs = spark.createDataFrame(
+            [
+                (1, "en", "aa aa aa bb bb cc"),   # freqs: aa 3, bb 2, cc 1
+                (2, "xx", "aa bb aa bb"),          # fully in vocab
+                (3, "yy", "zz qq zz"),             # fully OOV
+            ],
+            ["doc_id", "lang", "text"],
+        )
+        got = {
+            r.grp: r
+            for r in CS.vocab_oov_report(docs, "text", vocab_size=2).collect()
+        }
+        assert got["xx"].oov_tokens == 0
+        assert got["xx"].oov_pct_micro == 0
+        assert got["yy"].oov_pct_micro == 1_000_000
+        assert got["yy"].type_oov_pct_micro == 1_000_000
+        # 'en' itself pays for the budget: cc is out
+        assert got["en"].oov_tokens == 1 and got["en"].oov_types == 1
+
+    def test_tie_break_is_lexicographic(self, spark):
+        """bb and cc tie at freq 1 with budget for one of them: bb
+        (lexicographically first) enters the vocab."""
+        from hash_db_spark.operators import corpus_stats as CS
+
+        docs = spark.createDataFrame(
+            [(1, "en", "aa aa cc bb"), (2, "xx", "bb"), (3, "yy", "cc")],
+            ["doc_id", "lang", "text"],
+        )
+        got = {
+            r.grp: r
+            for r in CS.vocab_oov_report(docs, "text", vocab_size=2).collect()
+        }
+        assert got["xx"].oov_tokens == 0  # bb in vocab
+        assert got["yy"].oov_tokens == 1  # cc out
+
+    def test_oracle_parity_fixture(self, spark, sf_dir):
+        import duckdb
+
+        from hash_db_spark.queries.pipeline_queries import (
+            _vocab_oov_oracle,
+            q_vocab_oov_report,
+        )
+
+        got = [tuple(r) for r in q_vocab_oov_report(spark, sf_dir).collect()]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        want = [
+            tuple(r) for r in con.execute(_vocab_oov_oracle()).fetchall()
+        ]
+        con.close()
+        assert got == want and len(got) == 5  # the fixture's 5 langs
+        for _, n_tok, oov_tok, _, n_ty, oov_ty, _ in got:
+            assert 0 <= oov_tok <= n_tok and 0 <= oov_ty <= n_ty
+
+    def test_vocab_join_broadcasts(self, spark, sf_dir):
+        from hash_db_spark.queries.pipeline_queries import q_vocab_oov_report
+
+        plan = q_vocab_oov_report(
+            spark, sf_dir
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan  # the V-bounded vocab side
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
