@@ -833,3 +833,136 @@ SELECT grp, n_tokens, oov_tokens,
 FROM agg
 ORDER BY grp
 """
+
+
+COVERAGE_NS = (1, 2, 3, 4)
+
+
+def eval_ngram_coverage(
+    docs: DataFrame,
+    col: str,
+    id_col: str,
+    bench_pred,
+    ns: tuple[int, ...] = COVERAGE_NS,
+) -> DataFrame:
+    """(n, bench_grams, covered, coverage_pct_micro): what fraction of
+    a held-out benchmark's distinct word n-grams the training corpus
+    contains, for n = 1..4 — the memorization-risk spectrum behind
+    GPT-3-style n-gram decontamination (Brown et al. 2020, appendix C):
+    unigram coverage is inevitably ~1, and the n where coverage falls
+    off says how long an overlap a contamination filter must target.
+    Complements contamination_check (which flags corpus DOCS; this
+    scores the EVAL side).
+
+    One Arrow pass per side emits per-doc-distinct (n, gram) rows for
+    every n at once (tokenization identical to clean_tokens, the
+    shingle_frame discipline); the benchmark gram set is bounded by
+    the benchmark suite's size, so it broadcasts into the corpus
+    stream and only surviving grams reach the distinct — the corpus
+    is scanned once, never materialized per n."""
+    from hash_db_spark.operators.curation import micro_col
+    from hash_db_spark.operators.dedup import spread_for_cpu
+
+    def emitter(frame: DataFrame) -> DataFrame:
+        def block(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                out_n, out_g = [], []
+                for t in pdf[col]:
+                    if not isinstance(t, str):
+                        t = ""
+                    toks = [x for x in t.replace(",", "").split(" ") if x]
+                    for n in ns:
+                        if len(toks) < n:
+                            continue
+                        for g in dict.fromkeys(
+                            " ".join(toks[j : j + n])
+                            for j in range(len(toks) - n + 1)
+                        ):
+                            out_n.append(n)
+                            out_g.append(g)
+                yield pd.DataFrame({"n": out_n, "gram": out_g})
+
+        return (
+            spread_for_cpu(frame)
+            .select(col)
+            .mapInPandas(block, "n int, gram string")
+        )
+
+    bench_grams = emitter(docs.filter(bench_pred)).distinct()
+    corpus_grams = emitter(docs.filter(~bench_pred))
+    covered = (
+        corpus_grams.join(F.broadcast(bench_grams), ["n", "gram"])
+        .distinct()
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("covered"))
+    )
+    totals = bench_grams.groupBy("n").agg(
+        F.count(F.lit(1)).alias("bench_grams")
+    )
+    pct = F.col("covered").cast("double") / F.col("bench_grams").cast(
+        "double"
+    )
+    return (
+        totals.join(covered, "n", "left")
+        .select(
+            "n",
+            "bench_grams",
+            F.coalesce("covered", F.lit(0)).alias("covered"),
+            micro_col(
+                F.coalesce("covered", F.lit(0)).cast("double")
+                / F.col("bench_grams").cast("double")
+            ).alias("coverage_pct_micro"),
+        )
+        .orderBy("n")
+    )
+
+
+def sql_eval_ngram_coverage(
+    table: str = "documents",
+    col: str = "text",
+    id_col: str = "doc_id",
+    bench_pred: str = "doc_id < 10",
+    ns: tuple[int, ...] = COVERAGE_NS,
+) -> str:
+    from hash_db_spark.operators.curation import sql_micro
+    from hash_db_spark.operators.dedup import sql_shingles
+
+    bench_parts = "\n  UNION ALL\n".join(
+        f"  SELECT {n} AS n, unnest({sql_shingles(col, n)}) AS gram"
+        f" FROM {table} WHERE {bench_pred}"
+        for n in ns
+    )
+    corpus_parts = "\n  UNION ALL\n".join(
+        f"  SELECT {n} AS n, unnest({sql_shingles(col, n)}) AS gram"
+        f" FROM {table} WHERE NOT ({bench_pred})"
+        for n in ns
+    )
+    pct = (
+        "(CAST(COALESCE(c.covered, 0) AS DOUBLE)"
+        " / CAST(t.bench_grams AS DOUBLE))"
+    )
+    return f"""
+WITH bench AS (
+  SELECT DISTINCT n, gram FROM (
+{bench_parts}
+  )
+),
+corpus AS (
+  SELECT DISTINCT n, gram FROM (
+{corpus_parts}
+  )
+),
+cov AS (
+  SELECT n, count(*) AS covered
+  FROM bench JOIN corpus USING (n, gram)
+  GROUP BY n
+),
+tot AS (SELECT n, count(*) AS bench_grams FROM bench GROUP BY n)
+SELECT t.n, t.bench_grams,
+       CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered,
+       {sql_micro(pct)} AS coverage_pct_micro
+FROM tot t LEFT JOIN cov c ON t.n = c.n
+ORDER BY t.n
+"""

@@ -823,3 +823,29 @@ def _term_burstiness_oracle() -> str:
 # r12 QUEUE CANDIDATE (the r11 queue closed at 34 — session 7):
 #   "term_burstiness": Query(
 #       q_term_burstiness, _term_burstiness_oracle()),
+
+
+def q_eval_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization-risk spectrum: fraction of the held-out benchmark's
+    distinct n-grams (n = 1..4, same doc_id < 10 benchmark as
+    contamination_check) present anywhere in the training corpus —
+    the curve that picks the overlap length a decontamination filter
+    targets (operators/corpus_stats.py:eval_ngram_coverage)."""
+    from hash_db_spark.operators import corpus_stats as CS
+
+    return CS.eval_ngram_coverage(
+        _docs(spark, sf_dir), "text", "doc_id", F.col("doc_id") < 10
+    )
+
+
+def _eval_ngram_coverage_oracle() -> str:
+    from hash_db_spark.operators import corpus_stats as CS
+
+    return CS.sql_eval_ngram_coverage(
+        "documents", "text", "doc_id", "doc_id < 10"
+    )
+
+
+# r12 QUEUE CANDIDATE (the r11 queue closed at 34 — session 7):
+#   "eval_ngram_coverage": Query(
+#       q_eval_ngram_coverage, _eval_ngram_coverage_oracle()),

@@ -564,3 +564,71 @@ class TestVocabOovReport:
         assert "BroadcastHashJoin" in plan  # the V-bounded vocab side
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestEvalNgramCoverage:
+    def test_hand_computed_curve(self, spark):
+        """Bench doc 'a b c d'; corpus contains all its unigrams and
+        bigrams, one of two trigrams, no 4-gram."""
+        import pyspark.sql.functions as F
+
+        from hash_db_spark.operators import corpus_stats as CS
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d"),             # bench
+                (10, "a b c x"),            # covers 'a b c', bigrams a b/b c
+                (11, "c d y z"),            # covers 'c d'
+            ],
+            ["doc_id", "text"],
+        )
+        got = {
+            r.n: r
+            for r in CS.eval_ngram_coverage(
+                docs, "text", "doc_id", F.col("doc_id") < 10
+            ).collect()
+        }
+        assert (got[1].bench_grams, got[1].covered) == (4, 4)
+        assert (got[2].bench_grams, got[2].covered) == (3, 3)
+        assert (got[3].bench_grams, got[3].covered) == (2, 1)
+        assert got[3].coverage_pct_micro == 500_000
+        assert (got[4].bench_grams, got[4].covered) == (1, 0)
+        assert got[4].coverage_pct_micro == 0
+
+    def test_oracle_parity_fixture(self, spark, sf_dir):
+        import duckdb
+
+        from hash_db_spark.queries.text_queries import (
+            _eval_ngram_coverage_oracle,
+            q_eval_ngram_coverage,
+        )
+
+        got = [
+            tuple(r) for r in q_eval_ngram_coverage(spark, sf_dir).collect()
+        ]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        want = [
+            tuple(r)
+            for r in con.execute(_eval_ngram_coverage_oracle()).fetchall()
+        ]
+        con.close()
+        assert got == want and [r[0] for r in got] == [1, 2, 3, 4]
+        for _, bench, covered, pct in got:
+            assert 0 <= covered <= bench
+            assert 0 <= pct <= 1_000_000
+        # the fixture's closed vocab saturates unigrams
+        assert got[0][3] == 1_000_000
+
+    def test_bench_set_broadcasts_no_cartesian(self, spark, sf_dir):
+        from hash_db_spark.queries.text_queries import q_eval_ngram_coverage
+
+        plan = q_eval_ngram_coverage(
+            spark, sf_dir
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
