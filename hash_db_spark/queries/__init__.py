@@ -77,6 +77,14 @@ def all_queries() -> dict[str, Query]:
     # as of r10, 34 + expected taint fits the 50-slot r11 window —
     # session 7 therefore STOPPED adding candidates; further new
     # operators should queue for r12.
+    # r12 QUEUE STATE (session 8): 13 candidates — session 7d's 4
+    # (term_burstiness, session_type_pmi, quality_calibration,
+    # soft_dedup_sample) plus session 8's 9 (bitext_margin_mine,
+    # context_fit_report, sampling_ess_report, dedup_containment,
+    # dedup_method_eval, embedding_outliers, vocab_heaps_fit,
+    # vocab_oov_report, eval_ngram_coverage). 13 + r12 taint leaves
+    # slack in the 50-slot r12 window; keep new work queueing for r12
+    # until ~35, then switch to r13.
     # Ordering: cheap codegen entries first to absorb the window's
     # JVM/codegen warmup; heavy entries (PQ fits, MMR, winnowing-scale
     # iterative graph ops) interleaved, never clustered.
