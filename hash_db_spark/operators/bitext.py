@@ -58,7 +58,11 @@ def _collect_side(emb: DataFrame, id_col: str, vec_col: str):
         )
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
-    return ids, mat
+    # ascending id order: the scan's composite sort keys use the COLUMN
+    # INDEX as the (cos DESC, dst_id ASC) tie-break, which is only the
+    # id order because of this sort
+    order = np.argsort(ids)
+    return ids[order], mat[order]
 
 
 def margin_mine(
@@ -95,75 +99,134 @@ def margin_mine(
         bids, bmat, bnorm = bc.value
         nb = len(bids)
         kk = min(k, nb)
+        # bids are collected SORTED ascending, so the column index IS
+        # the dst_id tie-break order; (cos DESC, id ASC) then packs
+        # into one integer key per cell and every top-k below is a
+        # vectorized argpartition — the first (per-row lexsort loop)
+        # version cost O(rows * nb log nb) in Python and hung the 100x
+        # probe; this one is O(rows * nb) alongside the BLAS pass.
+        INVALID = -(1 << 31)  # NaN cosine -> sorts after every real cell
+        M0 = 2_000_001  # > max |micro|: keeps (M0 - micro) positive
+        shift_b = max(1, (nb - 1).bit_length())
+
+        def topk_rows(keys, kkk):
+            """Per-row ascending top-kkk of an int64 key matrix:
+            (indices, ordered keys)."""
+            part = np.argpartition(keys, kkk - 1, axis=1)[:, :kkk]
+            got = np.take_along_axis(keys, part, axis=1)
+            order = np.argsort(got, axis=1, kind="stable")
+            return np.take_along_axis(part, order, axis=1)
+
+        # running per-target backward top-k, merged across row blocks so
+        # the partition emits its backward candidates ONCE (fanout stays
+        # partitions x |dst| x k however many blocks stream through).
+        # Tie-break is (cos DESC, src_id ASC) via two stable argsorts.
+        ID_LAST = np.iinfo(np.int64).max
+        run_cos = np.full((nb, k), INVALID, dtype=np.int64)
+        run_src = np.full((nb, k), ID_LAST, dtype=np.int64)
+        # row-block size bounds the dense score block (~40 B/cell across
+        # the dot/cos/micro temporaries): 4M cells ~ 160 MB per worker —
+        # the unblocked version allocated batch_rows x |dst| and crashed
+        # the Python worker at the 100x probe.
+        rows_per_block = max(1, 4_000_000 // max(nb, 1))
+
+        def merge_bwd(sel_cos, sel_src):
+            nonlocal run_cos, run_src
+            cat_cos = np.hstack([run_cos, sel_cos])
+            cat_src = np.hstack([run_src, sel_src])
+            o1 = np.argsort(cat_src, axis=1, kind="stable")
+            cat_cos = np.take_along_axis(cat_cos, o1, axis=1)
+            cat_src = np.take_along_axis(cat_src, o1, axis=1)
+            o2 = np.argsort(-cat_cos, axis=1, kind="stable")
+            run_cos = np.take_along_axis(cat_cos, o2, axis=1)[:, :k]
+            run_src = np.take_along_axis(cat_src, o2, axis=1)[:, :k]
+
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            A = np.array(list(pdf[vec_col]), dtype=np.float64)
-            anorm = np.linalg.norm(A, axis=1)
-            dots = A @ bmat.T
-            denom = np.outer(anorm, bnorm)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                cos = np.where(denom == 0.0, np.nan, dots / denom)
-            # micro_col semantics: sign * floor(abs * 1e6 + 0.5)
-            micro = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5)
-            rid = pdf[id_col].to_numpy()
-            # forward rows: per source, top-k over ALL targets.
-            # order: cos_micro DESC, dst_id ASC — realized by sorting a
-            # composite key (micro is integer-valued, ids fit in the
-            # fractional slack of a float64 key at these magnitudes is
-            # NOT safe, so argsort lexicographically instead).
-            f_src, f_dst, f_cos, f_sum, f_n = [], [], [], [], []
-            b_dst, b_cos, b_src = [], [], []
-            for i in range(len(rid)):
-                row = micro[i]
-                ok = ~np.isnan(row)
-                if not ok.any():
+            rid_all = pdf[id_col].to_numpy()
+            for lo in range(0, len(rid_all), rows_per_block):
+                sl = slice(lo, lo + rows_per_block)
+                rid = rid_all[sl]
+                if len(rid) == 0:
                     continue
-                cand_ids = bids[ok]
-                cand = row[ok].astype(np.int64)
-                order = np.lexsort((cand_ids, -cand))[:kk]
-                f_src.append(rid[i])
-                f_dst.append(cand_ids[order[0]])
-                f_cos.append(cand[order[0]])
-                f_sum.append(int(cand[order].sum()))
-                f_n.append(len(order))
-            # backward rows: per target, this partition's top-k sources.
-            if len(rid):
-                for j in range(nb):
-                    col = micro[:, j]
-                    ok = ~np.isnan(col)
-                    if not ok.any():
-                        continue
-                    src_ids = rid[ok]
-                    cand = col[ok].astype(np.int64)
-                    order = np.lexsort((src_ids, -cand))[:kk]
-                    b_dst.extend([bids[j]] * len(order))
-                    b_cos.extend(cand[order])
-                    b_src.extend(src_ids[order])
+                A = np.array(list(pdf[vec_col].iloc[sl]), dtype=np.float64)
+                anorm = np.linalg.norm(A, axis=1)
+                dots = A @ bmat.T
+                denom = np.outer(anorm, bnorm)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos = np.where(denom == 0.0, np.nan, dots / denom)
+                # micro_col semantics: sign * floor(abs * 1e6 + 0.5)
+                microf = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5)
+                valid = ~np.isnan(microf)
+                micro = np.where(
+                    valid, np.nan_to_num(microf), INVALID
+                ).astype(np.int64)
+                nr = len(rid)
+                # forward: per source row, top-kk over all targets
+                key_f = ((M0 - micro) << shift_b) + np.arange(
+                    nb, dtype=np.int64
+                )
+                idx_f = topk_rows(key_f, kk)
+                top_cos = np.take_along_axis(micro, idx_f, axis=1)
+                top_ok = np.take_along_axis(valid, idx_f, axis=1)
+                n_fwd = top_ok.sum(axis=1).astype(np.int64)
+                keep = n_fwd > 0  # all-undefined rows drop
+                f_src = rid[keep]
+                # valid cells sort before INVALID: column 0 is the best
+                f_dst = bids[idx_f[keep, 0]]
+                f_cos = top_cos[keep, 0]
+                f_sum = np.where(top_ok, top_cos, 0).sum(axis=1)[keep]
+                f_n = n_fwd[keep]
+                if len(f_src):
+                    yield pd.DataFrame(
+                        {
+                            "kind": ["f"] * len(f_src),
+                            "src_id": f_src,
+                            "dst_id": f_dst,
+                            "cos_micro": f_cos,
+                            "fwd_sum": f_sum,
+                            "n_fwd": f_n.astype(np.int32),
+                        }
+                    )
+                # backward: block-local top-k per target, merged into
+                # the running per-partition top-k
+                rank = np.empty(nr, dtype=np.int64)
+                rank[np.argsort(rid)] = np.arange(nr, dtype=np.int64)
+                kk_r = min(k, nr)
+                shift_r = max(1, (nr - 1).bit_length())
+                key_b = ((M0 - micro.T) << shift_r) + rank[None, :]
+                idx_b = topk_rows(key_b, kk_r)  # nb x kk_r row indices
+                sel_cos = np.take_along_axis(micro.T, idx_b, axis=1)
+                sel_ok = np.take_along_axis(valid.T, idx_b, axis=1)
+                sel_src = np.where(sel_ok, rid[idx_b], ID_LAST)
+                merge_bwd(np.where(sel_ok, sel_cos, INVALID), sel_src)
+        mask = (run_cos != INVALID).ravel()
+        if mask.any():
             yield pd.DataFrame(
                 {
-                    "kind": ["f"] * len(f_src) + ["b"] * len(b_dst),
-                    "src_id": f_src + b_src,
-                    "dst_id": f_dst + b_dst,
-                    "cos_micro": f_cos + b_cos,
-                    "fwd_sum": f_sum + [0] * len(b_dst),
-                    "n_fwd": f_n + [0] * len(b_dst),
+                    "kind": ["b"] * int(mask.sum()),
+                    "src_id": run_src.ravel()[mask],
+                    "dst_id": np.repeat(bids, k)[mask],
+                    "cos_micro": run_cos.ravel()[mask],
+                    "fwd_sum": np.zeros(int(mask.sum()), dtype=np.int64),
+                    "n_fwd": np.zeros(int(mask.sum()), dtype=np.int32),
                 }
             )
 
-    # Keep the source's scan parallelism (it may be 100 TB); just never
-    # exceed the cluster's slots — fewer, fatter Arrow batches, and the
-    # backward-candidate fanout is partitions x |dst| x k, so gratuitous
-    # tiny partitions directly inflate the reduction input.
-    n_parts = max(
-        1,
-        min(
-            src.rdd.getNumPartitions(), spark.sparkContext.defaultParallelism
-        ),
-    )
+    # The scan is the quadratic part (|src| x |dst| exact cosines), so
+    # its parallelism decides the wall clock: spread an
+    # under-partitioned source across every slot (the 100x probe's
+    # 2-partition parquet ran 2 workers for 400s; the repartition
+    # shuffle of id+vector rows is noise next to that), and cap an
+    # over-partitioned one at the slot count for fat Arrow batches.
+    # Backward-candidate fanout stays partitions x |dst| x k TOTAL —
+    # the scan merges its per-target top-k across blocks and emits
+    # once per partition — so extra partitions cost only that.
+    slots = spark.sparkContext.defaultParallelism
+    cur = src.rdd.getNumPartitions()
+    sel = src.select(id_col, vec_col)
+    sel = sel.repartition(slots) if cur < slots else sel.coalesce(slots)
     scanned = (
-        src.select(id_col, vec_col)
-        .coalesce(n_parts)
+        sel
         .mapInPandas(
             scan,
             "kind string, src_id long, dst_id long, cos_micro long, "
