@@ -954,3 +954,73 @@ def test_kcenter_input_order_invariance(spark, perm):
         spark.createDataFrame(shuffled, ["vec_id", "embedding"]), k=4
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+@settings(**SETTINGS)
+@given(docs=st.lists(texts, min_size=1, max_size=8))
+def test_containment_pairs_match_model(spark, docs):
+    """ngram_containment_pairs vs a pure-Python model at threshold 0:
+    containment = inter/min, jac = inter/union, contained side = the
+    smaller shingle set (ties to the lower id)."""
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): (r.containment, r.jac, r.contained_id)
+        for r in D.ngram_containment_pairs(
+            df, "text", "doc_id", n=2, threshold=0.0
+        ).collect()
+    }
+
+    def sh(t):
+        toks = [x for x in t.replace(",", "").split(" ") if x]
+        return {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = sh(docs[i]), sh(docs[j])
+            inter = len(a & b)
+            if not a or not b or inter == 0:
+                assert (i, j) not in got
+                continue
+            cont, jac, small = got[(i, j)]
+            assert cont == round(inter / min(len(a), len(b)), 6)
+            assert jac == round(inter / len(a | b), 6)
+            assert small == (i if len(a) <= len(b) else j)
+            # laws: jac <= cont <= 1; cont == 1 iff subset relation
+            assert jac <= cont <= 1.0
+            assert (cont == 1.0) == (a <= b or b <= a)
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(texts, min_size=1, max_size=10),
+    lens=st.lists(st.integers(1, 16), min_size=1, max_size=3, unique=True),
+)
+def test_context_fit_matches_model(spark, docs, lens):
+    """context_fit_report vs a pure-Python model: exact token loss,
+    padding, and the ceil(kept/L) packing floor."""
+    import math
+
+    from hash_db_spark.operators import chunking
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    rows = {
+        r.context_len: r
+        for r in chunking.context_fit_report(
+            df, "text", lens=tuple(sorted(lens))
+        ).collect()
+    }
+    counts = [
+        len([x for x in t.replace(",", "").split(" ") if x]) for t in docs
+    ]
+    counts = [c for c in counts if c > 0]
+    for L in lens:
+        if not counts:
+            assert L not in rows
+            continue
+        r = rows[L]
+        kept = sum(min(c, L) for c in counts)
+        assert r.n_docs == len(counts)
+        assert r.docs_truncated == sum(1 for c in counts if c > L)
+        assert r.tokens_total == sum(counts)
+        assert r.tokens_lost == sum(max(c - L, 0) for c in counts)
+        assert r.packed_seqs == math.ceil(kept / L)
