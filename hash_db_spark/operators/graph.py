@@ -720,3 +720,224 @@ def sql_personalized_pagerank(
         prev = f"r{i}"
     ctes = ",\n".join(parts)
     return f"{ctes}\nSELECT id, round(rank, 6) AS rank FROM {prev}"
+
+
+# --- k-core decomposition ------------------------------------------------------
+
+
+def kcore(edges: DataFrame, k: int = 2, iterations: int = 6) -> DataFrame:
+    """(id, deg): nodes of the k-core — the maximal subgraph where every
+    node keeps degree >= k after iteratively peeling weaker nodes
+    (Seidman, Social Networks 1983 — public). On a host link graph the
+    2-/3-core separates densely interlinked site clusters (link farms,
+    mirror rings, genuine hub communities) from the long tail of
+    pendant hosts that PageRank alone ranks noisily; it's the classic
+    crawl-frontier prefilter.
+
+    Peeling runs a FIXED iteration count so the DuckDB oracle is an
+    unrolled CTE chain replaying the exact same rounds — both engines
+    agree even on a graph that hasn't converged yet (integer degrees,
+    no floats). Callers pick ``iterations`` >= the peel depth of their
+    graph; tests assert the fixpoint is reached on the fixture.
+
+    Scale shape: state is one canonical (a < b) edge list, halved vs a
+    doubled list; each round is one explode-degree census (map-side
+    combined) + two semi-joins, and the surviving edges are eagerly
+    localCheckpointed so the plan never deepens with rounds. Per-row
+    state never exceeds (edge) or (node, degree) — no neighbor lists
+    are ever materialized, so hub nodes cost nothing extra."""
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        deg = (
+            e.select(F.explode(F.array("a", "b")).alias("id"))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("id")
+        e = (
+            e.join(keep.withColumnRenamed("id", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("id", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.explode(F.array("a", "b")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") >= k)
+    )
+
+
+def sql_kcore(k: int = 2, iterations: int = 6) -> str:
+    """Unrolled peel over a ``gedges(src, dst)`` CTE — identical rounds."""
+    parts = [
+        """e0 AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM gedges WHERE src <> dst
+)"""
+    ]
+    prev = "e0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""k{i} AS (
+  SELECT id FROM (
+    SELECT id, count(*) AS deg FROM (
+      SELECT a AS id FROM {prev} UNION ALL SELECT b FROM {prev}
+    ) GROUP BY id
+  ) WHERE deg >= {k}
+)"""
+        )
+        parts.append(
+            f"""e{i} AS (
+  SELECT e.a, e.b FROM {prev} e
+  WHERE e.a IN (SELECT id FROM k{i}) AND e.b IN (SELECT id FROM k{i})
+)"""
+        )
+        prev = f"e{i}"
+    ctes = ",\n".join(parts)
+    return f"""{ctes}
+SELECT id, deg FROM (
+  SELECT id, count(*) AS deg FROM (
+    SELECT a AS id FROM {prev} UNION ALL SELECT b FROM {prev}
+  ) GROUP BY id
+) WHERE deg >= {k}"""
+
+
+# --- local clustering coefficient ----------------------------------------------
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """(id, deg, triangles, coef): per-node local clustering coefficient
+    c(v) = 2*T(v) / (deg(v) * (deg(v)-1)) over nodes with degree >= 2
+    (Watts & Strogatz, Nature 1998 — public). On a host graph, high-
+    degree low-coefficient hosts are navigational hubs; high-coefficient
+    clusters are tightly interlinked site families — a density signal
+    LPA/k-core complement rather than replace.
+
+    Triangles are enumerated once with the same degree-oriented
+    compact-forward trick as ``triangle_count`` (wedges materialize at
+    their lowest-degree vertex, O(m^1.5) candidate wedges), then each
+    closed triangle credits its three vertices via one explode —
+    integer counts, so the oracle's naive a<b<c enumeration agrees
+    exactly regardless of enumeration order. One eager localCheckpoint
+    pins the canonical edge list for the degree census + three join
+    branches."""
+    ce = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        ce.select(F.explode(F.array("u", "v")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient each edge from its lower-(degree, id) endpoint
+    e = (
+        ce.join(deg.withColumnRenamed("id", "u"), "u")
+        .withColumnRenamed("deg", "udeg")
+        .join(deg.withColumnRenamed("id", "v"), "v")
+        .withColumnRenamed("deg", "vdeg")
+        .select(
+            F.when(
+                F.struct(F.col("udeg"), F.col("u"))
+                < F.struct(F.col("vdeg"), F.col("v")),
+                F.struct(
+                    F.col("u").alias("lo"),
+                    F.col("v").alias("hi"),
+                    F.struct(
+                        F.col("vdeg").alias("d"), F.col("v").alias("n")
+                    ).alias("hikey"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("v").alias("lo"),
+                    F.col("u").alias("hi"),
+                    F.struct(
+                        F.col("udeg").alias("d"), F.col("u").alias("n")
+                    ).alias("hikey"),
+                )
+            )
+            .alias("o")
+        )
+        .select("o.lo", "o.hi", "o.hikey")
+    )
+    wa, wb = e.alias("wa"), e.alias("wb")
+    wedges = wa.join(
+        wb,
+        (F.col("wa.lo") == F.col("wb.lo"))
+        & (F.col("wa.hikey") < F.col("wb.hikey")),
+    ).select(
+        F.col("wa.lo").alias("c0"),
+        F.col("wa.hi").alias("x"),
+        F.col("wb.hi").alias("y"),
+    )
+    closing = e.select(F.col("lo").alias("cx"), F.col("hi").alias("cy"))
+    tri_nodes = (
+        wedges.join(
+            closing,
+            (F.col("x") == F.col("cx")) & (F.col("y") == F.col("cy")),
+        )
+        .select(F.explode(F.array("c0", "x", "y")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri_nodes, "id", "left")
+        .select(
+            "id",
+            "deg",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            F.round(
+                2.0
+                * F.coalesce("triangles", F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1.0)),
+                6,
+            ).alias("coef"),
+        )
+    )
+
+
+def sql_clustering_coefficient() -> str:
+    """Naive a<b<c triangle enumeration over a ``gedges(src, dst)``
+    CTE — integer-exact, so any Spark enumeration strategy matches."""
+    return """ce AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM gedges WHERE src <> dst
+),
+cdeg AS (
+  SELECT id, count(*) AS deg FROM (
+    SELECT a AS id FROM ce UNION ALL SELECT b FROM ce
+  ) GROUP BY id
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ce e1
+  JOIN ce e2 ON e2.a = e1.b
+  JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tcnt AS (
+  SELECT id, count(*) AS t FROM (
+    SELECT x AS id FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY id
+)
+SELECT d.id, d.deg, COALESCE(t.t, 0) AS triangles,
+       round(2.0 * COALESCE(t.t, 0) / (d.deg * (d.deg - 1.0)), 6) AS coef
+FROM cdeg d LEFT JOIN tcnt t ON t.id = d.id
+WHERE d.deg >= 2"""

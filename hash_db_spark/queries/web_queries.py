@@ -693,3 +693,82 @@ gseeds AS (
 
 # r11 QUEUE CANDIDATE (the r10 window is closed):
 #   "ppr_hosts": Query(q_ppr_hosts, _ppr_hosts_oracle()),
+
+
+def _host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct host-level edge list from the synthesized crawl —
+    the shared derivation pagerank/hits/LPA/k-core all start from."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", W.synth_html("doc_id").alias("html")
+    )
+    links = docs.select(
+        W.url_host(W.canonicalize_url(W.synth_url("doc_id"))).alias("src"),
+        F.explode(W.html_hrefs("html")).alias("href"),
+    )
+    return links.select(
+        "src", W.url_host(W.canonicalize_url("href")).alias("dst")
+    ).distinct()
+
+
+_HOST_GEDGES_CTE = """gedges AS (
+  SELECT DISTINCT {src} AS src, {dst} AS dst FROM links
+)"""
+
+
+def _host_gedges_cte() -> str:
+    return _HOST_GEDGES_CTE.format(
+        src=_host_of_id("doc_id"), dst=_host_of_id("t")
+    )
+
+
+def q_host_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the host link graph: peel pendant hosts until every
+    survivor keeps >= 2 distinct neighbors — the densely interlinked
+    site families (link farms, mirror rings, hub communities) that
+    deserve crawl-frontier priority and dup-scrutiny, separated from
+    the pendant tail PageRank ranks noisily
+    (operators/graph.py:kcore; fixed-round peel, integer-exact)."""
+    from hash_db_spark.operators.graph import kcore
+
+    return kcore(_host_edges(spark, sf_dir), k=2, iterations=4)
+
+
+def _host_kcore_oracle() -> str:
+    from hash_db_spark.operators.graph import sql_kcore
+
+    return f"""
+WITH {W.sql_link_targets_cte()},
+{_host_gedges_cte()},
+{sql_kcore(k=2, iterations=4)}
+"""
+
+
+# r12 QUEUE CANDIDATE (session 9):
+#   "host_kcore": Query(q_host_kcore, _host_kcore_oracle()),
+
+
+def q_host_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per host: 2*T(v)/(deg*(deg-1)) —
+    high-degree low-coefficient hosts are navigational hubs, high-
+    coefficient knots are tightly interlinked site families; the
+    density census that decides which k-core survivors are farms
+    vs hubs (operators/graph.py:clustering_coefficient, compact-
+    forward wedge enumeration)."""
+    from hash_db_spark.operators.graph import clustering_coefficient
+
+    return clustering_coefficient(_host_edges(spark, sf_dir))
+
+
+def _host_clustering_oracle() -> str:
+    from hash_db_spark.operators.graph import sql_clustering_coefficient
+
+    return f"""
+WITH {W.sql_link_targets_cte()},
+{_host_gedges_cte()},
+{sql_clustering_coefficient()}
+"""
+
+
+# r12 QUEUE CANDIDATE (session 9):
+#   "host_clustering_coef": Query(
+#       q_host_clustering_coef, _host_clustering_oracle()),
