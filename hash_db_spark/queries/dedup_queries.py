@@ -468,3 +468,34 @@ def _dedup_method_eval_oracle() -> str:
 # r12 QUEUE CANDIDATE (the r11 queue closed at 34 — session 7):
 #   "dedup_method_eval": Query(
 #       q_dedup_method_eval, _dedup_method_eval_oracle()),
+
+
+def q_dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive second opinion on the banded-LSH candidates:
+    normalized Levenshtein similarity over a fixed prefix confirms
+    which shingle-Jaccard pairs are true edit lineages (JVM-codegen
+    levenshtein on the capped candidate set only — the verification
+    stage that gates destructive dedup at corpus scale;
+    operators/dedup.py:edit_verify_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "text", "doc_id", threshold=JACCARD_T)
+    return D.edit_verify_pairs(
+        docs, pairs, "text", "doc_id", threshold=0.5
+    )
+
+
+def _dedup_edit_verify_oracle() -> str:
+    return D.sql_edit_verify_pairs(
+        "documents",
+        "text",
+        "doc_id",
+        D.sql_minhash_lsh_pairs(
+            "documents", "text", "doc_id", threshold=JACCARD_T
+        ),
+        threshold=0.5,
+    )
+
+
+# r12 QUEUE CANDIDATE (session 9):
+#   "dedup_edit_verify": Query(
+#       q_dedup_edit_verify, _dedup_edit_verify_oracle()),

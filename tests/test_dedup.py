@@ -952,3 +952,73 @@ class TestDedupMethodEval:
         ]
         con.close()
         assert got == want and len(got) == 2
+
+
+class TestEditVerify:
+    """Order-sensitive Levenshtein verification of candidate pairs
+    (operators/dedup.py:edit_verify_pairs)."""
+
+    def test_shuffled_twin_fails_edit_check(self, spark):
+        """Sentence-shuffled twins share all shingles locally but have
+        low edit similarity — the case the second opinion exists for."""
+        a = "alpha beta gamma delta epsilon zeta eta theta"
+        b = "theta eta zeta epsilon delta gamma beta alpha"
+        docs = spark.createDataFrame([(1, a), (2, b), (3, a + " iota")], ["doc_id", "text"])
+        pairs = spark.createDataFrame([(1, 2), (1, 3)], ["id_a", "id_b"])
+        got = {
+            (r.id_a, r.id_b): r.edit_sim
+            for r in D.edit_verify_pairs(
+                docs, pairs, "text", "doc_id", threshold=0.5
+            ).collect()
+        }
+        assert (1, 3) in got and got[(1, 3)] > 0.88
+        assert (1, 2) not in got  # reversal destroys edit lineage
+
+    def test_empty_edge_cases(self, spark):
+        docs = spark.createDataFrame(
+            [(1, ""), (2, ""), (3, "some text")], ["doc_id", "text"]
+        )
+        pairs = spark.createDataFrame([(1, 2), (1, 3)], ["id_a", "id_b"])
+        got = {
+            (r.id_a, r.id_b): r.edit_sim
+            for r in D.edit_verify_pairs(
+                docs, pairs, "text", "doc_id", threshold=0.0
+            ).collect()
+        }
+        assert got[(1, 2)] == 1.0  # empty vs empty
+        assert got[(1, 3)] == 0.0  # empty vs nonempty
+
+    def test_prefix_cap_bounds_the_dp(self, spark):
+        """Divergence past the prefix boundary is invisible — the cap is
+        the cost bound, applied identically on both engines."""
+        base = "x" * 400
+        docs = spark.createDataFrame(
+            [(1, base + "AAAA"), (2, base + "BBBB")], ["doc_id", "text"]
+        )
+        pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+        got = D.edit_verify_pairs(
+            docs, pairs, "text", "doc_id", threshold=0.9, prefix=400
+        ).collect()
+        assert len(got) == 1 and got[0].edit_sim == 1.0
+
+    def test_oracle_parity(self, spark, sf_dir):
+        import duckdb
+
+        from hash_db_spark.queries.dedup_queries import (
+            _dedup_edit_verify_oracle,
+            q_dedup_edit_verify,
+        )
+
+        got = sorted(tuple(r) for r in q_dedup_edit_verify(spark, sf_dir).collect())
+        assert len(got) > 0
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(_dedup_edit_verify_oracle()).fetchall()
+        )
+        con.close()
+        assert got == want
