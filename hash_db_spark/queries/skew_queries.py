@@ -57,6 +57,36 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew census over the three hottest shuffle keys in the
+    schema (lineitem's orderkey/suppkey, events' user_id): per-key-
+    distribution Gini, top-1/top-10 share, max multiplicity — the
+    numbers that decide salting vs AQE-split vs nothing BEFORE the
+    100 TB shuffle runs. Gini comes from the count-of-counts frame
+    (O(sqrt(n_rows)) rows), never a per-key global window
+    (operators/skew.py:key_skew_report)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        S.key_skew_report(li, "l_orderkey", "lineitem.l_orderkey")
+        .unionAll(S.key_skew_report(li, "l_suppkey", "lineitem.l_suppkey"))
+        .unionAll(S.key_skew_report(ev, "user_id", "events.user_id"))
+    )
+
+
+def _skew_key_report_oracle() -> str:
+    parts = [
+        S.sql_key_skew_report("lineitem", "l_orderkey", "lineitem.l_orderkey"),
+        S.sql_key_skew_report("lineitem", "l_suppkey", "lineitem.l_suppkey"),
+        S.sql_key_skew_report("events", "user_id", "events.user_id"),
+    ]
+    return " UNION ALL ".join(f"SELECT * FROM ({p})" for p in parts)
+
+
+# r12 QUEUE CANDIDATE (session 9):
+#   "skew_key_report": Query(q_skew_key_report, _skew_key_report_oracle()),
+
+
 QUERIES = {
     "salted_group_count": Query(
         q_salted_group_count,

@@ -233,3 +233,65 @@ def test_vacuum_plan_refuses_pointerless_store(spark, tmp_path):
     spark.range(3).coalesce(1).write.parquet(f"{store}/v=1")
     with pytest.raises(Exception):
         W.vacuum_plan(spark, store)
+
+
+class TestKeySkewReport:
+    """Gini-from-count-of-counts skew census
+    (operators/skew.py:key_skew_report)."""
+
+    def test_uniform_keys_gini_zero(self, spark):
+        from hash_db_spark.operators.skew import key_skew_report
+
+        df = spark.createDataFrame(
+            [(k, i) for k in range(8) for i in range(5)], ["k", "v"]
+        )
+        r = key_skew_report(df, "k", "uni").collect()[0]
+        assert r.n_rows == 40 and r.n_keys == 8 and r.max_key_rows == 5
+        assert r.gini == 0.0
+        assert r.top1_share == 0.125
+        assert r.top10_share == 1.0  # only 8 keys exist
+
+    def test_hand_computed_gini(self, spark):
+        """counts {a:1, b:1, c:2, d:4}: sorted x=(1,1,2,4), n=4, T=8,
+        S1 = 1*1+1*2+2*3+4*4 = 25, G = (2*25 - 5*8)/(4*8) = 10/32."""
+        from hash_db_spark.operators.skew import key_skew_report
+
+        rows = [("a",)] + [("b",)] + [("c",)] * 2 + [("d",)] * 4
+        df = spark.createDataFrame(rows, ["k"])
+        r = key_skew_report(df, "k", "h").collect()[0]
+        assert r.gini == round(10 / 32, 6)
+        assert r.top1_share == 0.5
+
+    def test_one_hot_key_dominates(self, spark):
+        """999 rows on one key + 1 each on 9 keys: gini near 1, top1
+        share ~0.99 — the melt-one-reducer shape the report flags."""
+        from hash_db_spark.operators.skew import key_skew_report
+
+        rows = [("hot",)] * 999 + [(f"k{i}",) for i in range(9)]
+        r = key_skew_report(
+            spark.createDataFrame(rows, ["k"]), "k", "hot"
+        ).collect()[0]
+        assert r.top1_share > 0.99
+        assert r.gini > 0.85
+
+    def test_oracle_parity(self, spark, sf_dir):
+        import duckdb
+
+        from hash_db_spark.queries.skew_queries import (
+            _skew_key_report_oracle,
+            q_skew_key_report,
+        )
+
+        got = sorted(tuple(r) for r in q_skew_key_report(spark, sf_dir).collect())
+        assert len(got) == 3
+        con = duckdb.connect()
+        for t in ("lineitem", "events"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(_skew_key_report_oracle()).fetchall()
+        )
+        con.close()
+        assert got == want
