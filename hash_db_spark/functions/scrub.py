@@ -162,3 +162,82 @@ def sql_pan_exprs(col: str) -> tuple[str, str, str]:
         f" (acc, x) -> replace(acc, x, '{PAN_TOKEN}'))"
     )
     return n_c, n_v, red
+
+
+# --- high-entropy secret (credential/API-key) scrubbing ------------------------
+#
+# Regex shape alone can't tell an API key from a long identifier; Shannon
+# entropy of the candidate's character distribution can (the detect-secrets /
+# truffleHog heuristic — public). Candidates are alphanumeric runs of 20-128
+# chars; those whose per-char entropy clears SECRET_ENTROPY_BITS (hex secrets
+# sit near log2(16) ~ 3.7-4.0 bits; English words and repeated filler sit
+# under 3) are redacted. Pure column expressions over nested higher-order
+# functions — map-side, no shuffle, linear to 100 TB. The 128-char cap bounds
+# the O(len^2) per-candidate entropy fold at ~16k char compares.
+
+SECRET_PATTERN = r"\b[A-Za-z0-9]{20,128}\b"
+SECRET_TOKEN = "<SECRET>"
+SECRET_ENTROPY_BITS = 3.0
+
+
+def shannon_entropy(c: Column) -> Column:
+    """Shannon entropy (bits/char) of a string's character distribution,
+    summed in STRING ORDER on both engines: H = -(1/L) * sum_over_
+    positions log2(count(char_at_pos)/L). Position-order summation
+    (rather than distinct-char order) is what makes the float fold
+    replay identically in DuckDB — list_distinct's order is not
+    specified there."""
+    cs = F.filter(F.split(c, ""), lambda x: x != F.lit(""))
+    n = F.size(cs)
+    s = F.aggregate(
+        cs,
+        F.lit(0.0),
+        lambda acc, ch: acc
+        + F.log2(F.size(F.filter(cs, lambda x: x == ch)) / n),
+    )
+    return -s / n
+
+
+def sql_shannon_entropy(expr: str) -> str:
+    cs = f"list_filter(string_split({expr}, ''), ch -> ch <> '')"
+    return (
+        f"(-list_sum(list_transform({cs}, ch -> "
+        f"log2(len(list_filter({cs}, x -> x = ch)) / len({cs})))) "
+        f"/ len({cs}))"
+    )
+
+
+def secret_exprs(col: Column | str) -> tuple[Column, Column, Column, Column]:
+    """(n_candidates, n_secrets, max_entropy, redacted) over one text
+    column. Only entropy-validated candidates are redacted — ordinary
+    long identifiers (low entropy) pass through untouched."""
+    c = F.col(col) if isinstance(col, str) else col
+    cands = F.regexp_extract_all(c, F.lit(SECRET_PATTERN), F.lit(0))
+    ents = F.transform(cands, lambda x: F.round(shannon_entropy(x), 6))
+    valid = F.filter(
+        cands,
+        lambda x: F.round(shannon_entropy(x), 6) >= SECRET_ENTROPY_BITS,
+    )
+    max_e = F.coalesce(F.array_max(ents), F.lit(0.0))
+    red = F.aggregate(
+        valid, c, lambda acc, x: F.replace(acc, x, F.lit(SECRET_TOKEN))
+    )
+    return F.size(cands), F.size(valid), max_e, red
+
+
+def sql_secret_exprs(col: str) -> tuple[str, str, str, str]:
+    cands = f"regexp_extract_all({col}, '{SECRET_PATTERN}')"
+    ent = sql_shannon_entropy("x")
+    ents = f"list_transform({cands}, x -> round({ent}, 6))"
+    valid = (
+        f"list_filter({cands}, x -> round({ent}, 6)"
+        f" >= {SECRET_ENTROPY_BITS})"
+    )
+    n_c = f"len({cands})"
+    n_v = f"len({valid})"
+    max_e = f"COALESCE(list_max({ents}), 0.0)"
+    red = (
+        f"list_reduce(list_prepend({col}, {valid}),"
+        f" (acc, x) -> replace(acc, x, '{SECRET_TOKEN}'))"
+    )
+    return n_c, n_v, max_e, red

@@ -970,3 +970,50 @@ def _vocab_oov_oracle() -> str:
 
 # r12 QUEUE CANDIDATE (the r11 queue closed at 34 — session 7):
 #   "vocab_oov_report": Query(q_vocab_oov_report, _vocab_oov_oracle()),
+
+
+def q_scrub_secrets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy-gated credential scrubbing (the detect-secrets heuristic):
+    alnum runs of 20+ chars are candidates; only those whose per-char
+    Shannon entropy clears 3.0 bits are redacted — a planted hex API
+    key goes, the equally-long repeated-filler decoy stays. The blob is
+    closed-form (text + md5 key + 'ab' filler), so the oracle re-derives
+    the same corpus and the checked surface is the entropy fold itself
+    (functions/scrub.py:secret_exprs; map-side HOFs, no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    blob = F.concat_ws(
+        " ",
+        F.col("text"),
+        F.lit("api_key"),
+        F.md5(F.col("doc_id").cast("string")),
+        F.lit("pad"),
+        F.repeat(F.lit("ab"), 12),
+    )
+    n_c, n_v, max_e, red = scrub.secret_exprs(blob)
+    return docs.select(
+        "doc_id",
+        n_c.alias("n_candidates"),
+        n_v.alias("n_secrets"),
+        max_e.alias("max_entropy"),
+        F.md5(red).alias("redacted_fp"),
+    )
+
+
+def _scrub_secrets_oracle() -> str:
+    blob = (
+        "concat_ws(' ', text, 'api_key', md5(CAST(doc_id AS VARCHAR)),"
+        " 'pad', repeat('ab', 12))"
+    )
+    n_c, n_v, max_e, red = scrub.sql_secret_exprs(blob)
+    return f"""
+SELECT doc_id,
+       {n_c} AS n_candidates,
+       {n_v} AS n_secrets,
+       {max_e} AS max_entropy,
+       md5({red}) AS redacted_fp
+FROM documents
+"""
+
+
+# r12 QUEUE CANDIDATE (session 9):
+#   "scrub_secrets": Query(q_scrub_secrets, _scrub_secrets_oracle()),

@@ -716,3 +716,80 @@ class TestContextFitReport:
         assert "Join" not in plan and "CartesianProduct" not in plan
         # one reduction keyed by L plus the output ordering
         assert plan.count("Exchange hashpartitioning") <= 1
+
+
+class TestSecretScrub:
+    """Entropy-gated credential scrubbing
+    (functions/scrub.py:secret_exprs)."""
+
+    def test_entropy_known_values(self, spark):
+        from hash_db_spark.functions.scrub import shannon_entropy
+
+        df = spark.createDataFrame(
+            [("aaaa",), ("abab",), ("abcd",)], ["s"]
+        )
+        got = {
+            r.s: r.h
+            for r in df.select(
+                "s", F.round(shannon_entropy("s"), 6).alias("h")
+            ).collect()
+        }
+        assert got["aaaa"] == 0.0
+        assert got["abab"] == 1.0
+        assert got["abcd"] == 2.0
+
+    def test_hex_key_caught_filler_spared(self, spark):
+        """An md5 hex key (entropy ~3.7+) is redacted; a 24-char 'ab'
+        filler (entropy 1.0) and normal words are untouched."""
+        import hashlib
+
+        from hash_db_spark.functions.scrub import secret_exprs
+
+        key = hashlib.md5(b"0").hexdigest()
+        txt = f"hello api_key {key} pad {'ab' * 12} world"
+        df = spark.createDataFrame([(1, txt)], ["id", "t"])
+        n_c, n_v, max_e, red = secret_exprs("t")
+        r = df.select(
+            n_c.alias("nc"), n_v.alias("nv"),
+            max_e.alias("me"), red.alias("red"),
+        ).collect()[0]
+        assert r.nc == 2  # key + filler are both candidate-shaped
+        assert r.nv == 1  # only the key clears the entropy gate
+        assert r.me > 3.0
+        assert key not in r.red and "<SECRET>" in r.red
+        assert "ab" * 12 in r.red  # decoy survives
+
+    def test_no_candidates_is_clean(self, spark):
+        from hash_db_spark.functions.scrub import secret_exprs
+
+        df = spark.createDataFrame([(1, "just short words here")], ["id", "t"])
+        n_c, n_v, max_e, red = secret_exprs("t")
+        r = df.select(
+            n_c.alias("nc"), n_v.alias("nv"),
+            max_e.alias("me"), red.alias("red"),
+        ).collect()[0]
+        assert (r.nc, r.nv, r.me) == (0, 0, 0.0)
+        assert r.red == "just short words here"
+
+    def test_oracle_parity(self, spark, sf_dir):
+        import duckdb
+
+        from hash_db_spark.queries.pipeline_queries import (
+            _scrub_secrets_oracle,
+            q_scrub_secrets,
+        )
+
+        got = sorted(tuple(r) for r in q_scrub_secrets(spark, sf_dir).collect())
+        assert len(got) > 0
+        assert all(r[2] >= 1 for r in got)  # every doc's planted key found
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(_scrub_secrets_oracle()).fetchall()
+        )
+        con.close()
+        assert got == want
