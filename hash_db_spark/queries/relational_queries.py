@@ -952,3 +952,63 @@ HAVING count(*) < {K_ANON_K}
 # r11 QUEUE CANDIDATE (r10 window full; parity-tested this round,
 # tests/test_relational.py::test_k_anonymity_audit):
 #   "k_anonymity_audit": Query(q_k_anonymity_audit, K_ANONYMITY_ORACLE),
+
+
+# --- l-diversity audit (session 9) --------------------------------------------
+
+L_DIVERSITY_L = 3  # distinct sensitive values every class must carry
+
+
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al., TKDD 2007 — the
+    homogeneity-attack fix k-anonymity misses): a class can be
+    k-anonymous yet leak its members' SENSITIVE value when everyone in
+    it shares one. Quasi-identifiers here are (lang, length bucket);
+    `source` plays the sensitive attribute. Reports every class of
+    k-anonymous size whose distinct-sensitive count is below l, with
+    the top sensitive share (1.0 = total homogeneity, the worst case).
+
+    Two stacked map-combined aggregations on low-cardinality keys —
+    (qi, sensitive) counts, then per-qi rollup — a single logical
+    shuffle chain at any corpus size; no windows, no joins."""
+    docs = _t(spark, sf_dir, "documents")
+    cell = (
+        docs.select(
+            "lang",
+            (F.floor(F.col("n_chars") / K_ANON_CHAR_BUCKET)
+             * K_ANON_CHAR_BUCKET).cast("long").alias("len_bucket"),
+            "source",
+        )
+        .groupBy("lang", "len_bucket", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    classes = cell.groupBy("lang", "len_bucket").agg(
+        F.sum("c").alias("class_size"),
+        F.count(F.lit(1)).alias("n_sensitive"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_sensitive_share"),
+    )
+    return classes.filter(
+        (F.col("class_size") >= K_ANON_K)
+        & (F.col("n_sensitive") < L_DIVERSITY_L)
+    )
+
+
+L_DIVERSITY_ORACLE = f"""
+WITH cell AS (
+  SELECT lang,
+         CAST(floor(n_chars / {K_ANON_CHAR_BUCKET}) * {K_ANON_CHAR_BUCKET}
+              AS BIGINT) AS len_bucket,
+         source, count(*) AS c
+  FROM documents
+  GROUP BY lang, len_bucket, source
+)
+SELECT lang, len_bucket, sum(c) AS class_size,
+       count(*) AS n_sensitive,
+       round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_sensitive_share
+FROM cell
+GROUP BY lang, len_bucket
+HAVING sum(c) >= {K_ANON_K} AND count(*) < {L_DIVERSITY_L}
+"""
+
+# r12 QUEUE CANDIDATE (session 9):
+#   "l_diversity_audit": Query(q_l_diversity_audit, L_DIVERSITY_ORACLE),

@@ -247,3 +247,61 @@ def test_k_anonymity_audit(spark, sf_dir):
     n_docs = load_table(spark, sf_dir, "documents").count()
     risky_members = sum(row[-1] for row in got)
     assert 0 < risky_members < n_docs
+
+
+def test_l_diversity_audit(spark, sf_dir):
+    """Homogeneity risk: every reported class is k-anonymous (size >= k)
+    yet carries fewer than l distinct sensitive values; shares are
+    consistent; DuckDB agrees exactly. Plus a planted-frame law: a
+    class where everyone shares one source is flagged with share 1.0."""
+    import duckdb
+
+    from hash_db_spark.queries.relational_queries import (
+        K_ANON_K,
+        L_DIVERSITY_L,
+        L_DIVERSITY_ORACLE,
+        q_l_diversity_audit,
+    )
+
+    got = sorted(tuple(r) for r in q_l_diversity_audit(spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(L_DIVERSITY_ORACLE).fetchall())
+    con.close()
+    assert got == want
+    for _lang, _lb, size, n_sens, share in got:
+        assert size >= K_ANON_K
+        assert n_sens < L_DIVERSITY_L
+        assert 1.0 / n_sens <= share <= 1.0
+
+    # planted homogeneous class: 10 docs, same QI cell, one source
+    import pyspark.sql.functions as F
+
+    from hash_db_spark.queries.relational_queries import K_ANON_CHAR_BUCKET
+
+    rows = [(i, "xx", "only-src", 50) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, n_chars long"
+    )
+    cell = (
+        df.select(
+            "lang",
+            (F.floor(F.col("n_chars") / K_ANON_CHAR_BUCKET)
+             * K_ANON_CHAR_BUCKET).cast("long").alias("len_bucket"),
+            "source",
+        )
+        .groupBy("lang", "len_bucket", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    flagged = (
+        cell.groupBy("lang", "len_bucket")
+        .agg(
+            F.sum("c").alias("class_size"),
+            F.count(F.lit(1)).alias("n_sensitive"),
+            F.round(F.max("c") / F.sum("c"), 6).alias("top_share"),
+        )
+        .collect()
+    )
+    assert flagged[0].n_sensitive == 1 and flagged[0].top_share == 1.0
