@@ -632,3 +632,162 @@ SELECT CAST(context_len AS INT) AS context_len, n_docs,
 FROM packed
 ORDER BY context_len
 """
+
+
+# --- T5 span corruption ---------------------------------------------------------
+
+T5_BLOCK = 8  # one candidate span per 8-token block
+T5_SPAN = 3  # corrupted span length (T5's mean span)
+T5_MOD = 3  # ~1/3 of blocks corrupt => ~12.5% of tokens
+
+
+def t5_span_examples(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    block: int = T5_BLOCK,
+    span: int = T5_SPAN,
+    mod: int = T5_MOD,
+) -> DataFrame:
+    """(id, input_text, targets, n_spans): T5-style span corruption
+    (Raffel et al., JMLR 2020 — public): contiguous token spans are
+    replaced by numbered sentinels '<extra_id_K>' in the input; the
+    target is the sentinel-delimited sequence of dropped spans — the
+    denoising objective's example builder.
+
+    T5 samples span starts sequentially (each start suppresses the
+    next few); sequential sampling doesn't replay across engines, so
+    spans here are BLOCK-ADDRESSED: the token stream is cut into
+    fixed ``block``-token blocks, and block b of document d corrupts
+    its first ``span`` tokens iff md5(d#sb) % mod == 0 and the span
+    fits. Spans can't overlap by construction, the mask is
+    reproducible from the dataset alone (same property as
+    mlm_examples), and the corruption rate is span/(block*mod).
+
+    Scale shape: one pure-HOF projection — block flags, sentinel
+    numbering (a prefix count over the flag list), input and target
+    assembly are all transform/filter/slice/flatten over the token
+    array; no explode, no shuffle, no Python. One corpus scan at any
+    size."""
+    from hash_db_spark.operators.dedup import clean_tokens
+
+    toks = clean_tokens(col)
+    did = F.col(id_col).cast("string")
+    n = F.size(toks)
+    nb = F.ceil(n / F.lit(block)).cast("int")
+
+    def selected(b):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(did, F.lit("#s"), b.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % mod
+            == 0
+        ) & (b * block + span <= n)
+
+    bidx = F.sequence(F.lit(0), nb - 1)
+    sel = F.transform(bidx, selected)
+
+    def k_of(b):
+        return F.size(F.filter(F.slice(sel, 1, b), lambda x: x))
+
+    def sentinel(b):
+        return F.concat(
+            F.lit("<extra_id_"), k_of(b).cast("string"), F.lit(">")
+        )
+
+    def blk_len(b):
+        return F.least(F.lit(block), n - b * block)
+
+    pieces = F.transform(
+        bidx,
+        lambda b: F.when(
+            F.element_at(sel, b + 1),
+            F.concat(
+                F.array(sentinel(b)),
+                F.slice(toks, b * block + span + 1, blk_len(b) - span),
+            ),
+        ).otherwise(F.slice(toks, b * block + 1, blk_len(b))),
+    )
+    inp = F.array_join(F.flatten(pieces), " ")
+    tgt = F.array_join(
+        F.filter(
+            F.transform(
+                bidx,
+                lambda b: F.when(
+                    F.element_at(sel, b + 1),
+                    F.concat(
+                        sentinel(b),
+                        F.lit(" "),
+                        F.array_join(
+                            F.slice(toks, b * block + 1, span), " "
+                        ),
+                    ),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        " ",
+    )
+    n_spans = F.size(F.filter(sel, lambda x: x)).cast("long")
+    return df.select(
+        F.col(id_col).alias("id"),
+        inp.alias("input_text"),
+        tgt.alias("targets"),
+        n_spans.alias("n_spans"),
+    ).filter(F.size(toks) > 0)
+
+
+def sql_t5_span_examples(
+    table: str,
+    col: str,
+    id_col: str,
+    block: int = T5_BLOCK,
+    span: int = T5_SPAN,
+    mod: int = T5_MOD,
+) -> str:
+    """DuckDB twin — same block addressing; list_slice is END-INDEXED
+    there (vs Spark's length-based slice), hence the (b+1)*block
+    bounds."""
+    toks = (
+        f"list_filter(string_split(replace({col}, ',', ''), ' '),"
+        f" x -> x <> '')"
+    )
+    seltest = (
+        f"(('0x' || substr(md5(id::VARCHAR || '#s' || b::VARCHAR),"
+        f" 1, 8))::BIGINT % {mod} = 0 AND b * {block} + {span} <= len(t))"
+    )
+    k_of = "len(list_filter(list_slice(sel, 1, b), x -> x))"
+    sentinel = f"'<extra_id_' || ({k_of})::VARCHAR || '>'"
+    return f"""
+SELECT id,
+  array_to_string(flatten(list_transform(bidx, b ->
+    CASE WHEN sel[b + 1] THEN
+      list_prepend({sentinel},
+        list_slice(t, b * {block} + {span} + 1,
+                   least((b + 1) * {block}, len(t))))
+    ELSE list_slice(t, b * {block} + 1,
+                    least((b + 1) * {block}, len(t)))
+    END)), ' ') AS input_text,
+  COALESCE(array_to_string(list_filter(list_transform(bidx, b ->
+    CASE WHEN sel[b + 1] THEN
+      {sentinel} || ' ' ||
+      array_to_string(list_slice(t, b * {block} + 1,
+                                 b * {block} + {span}), ' ')
+    ELSE NULL END), x -> x IS NOT NULL), ' '), '') AS targets,
+  len(list_filter(sel, x -> x))::BIGINT AS n_spans
+FROM (
+  SELECT id, t, bidx,
+         list_transform(bidx, b -> {seltest}) AS sel
+  FROM (
+    SELECT {id_col} AS id, t,
+           range(0, CAST(ceil(len(t) / {block}.0) AS INT)) AS bidx
+    FROM (SELECT {id_col}, {toks} AS t FROM {table})
+  )
+)
+WHERE len(t) > 0
+"""

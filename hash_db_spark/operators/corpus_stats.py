@@ -966,3 +966,69 @@ SELECT t.n, t.bench_grams,
 FROM tot t LEFT JOIN cov c ON t.n = c.n
 ORDER BY t.n
 """
+
+
+PPL_Q_LO = 1.0 / 3.0
+PPL_Q_HI = 2.0 / 3.0
+
+
+def ppl_tertile_buckets(
+    df: DataFrame, col: str, id_col: str, lang_col: str = "lang"
+) -> DataFrame:
+    """(id, lang, bigram_logprob, ppl_bucket): CCNet's head/middle/tail
+    split (Wenzek et al., LREC 2020 — public): per LANGUAGE, documents
+    are bucketed by LM score tertiles — 'head' is the most fluent third,
+    'tail' the least; downstream mixtures upsample head and hold tail
+    for contrast/filtering. The corpus's own bigram MLE stands in for
+    CCNet's external KenLM, as in ``lm_gate``.
+
+    Scale shape: NOT an ntile window over per-language partitions (one
+    task per language = a straggler per major language at 100 TB).
+    Instead the two tertile cutoffs per language are exact percentiles
+    over the (doc, score) frame — one double per document buffered at
+    the percentile, same budget as lm_gate — and the tiny (lang, q33,
+    q66) frame broadcasts back for a map-side comparison. Scores are
+    pre-rounded to 6dp on both engines, so cutoff comparisons replay."""
+    scores = doc_bigram_logprob(df, col, id_col).localCheckpoint(eager=True)
+    langs = df.select(F.col(id_col).alias("id"), F.col(lang_col).alias("lang"))
+    sl = scores.join(langs, "id")
+    cuts = sl.groupBy("lang").agg(
+        F.expr(f"percentile(bigram_logprob, {PPL_Q_LO!r})").alias("q33"),
+        F.expr(f"percentile(bigram_logprob, {PPL_Q_HI!r})").alias("q66"),
+    )
+    return (
+        sl.join(F.broadcast(cuts), "lang")
+        .select(
+            "id",
+            "lang",
+            "bigram_logprob",
+            F.when(F.col("bigram_logprob") >= F.col("q66"), "head")
+            .when(F.col("bigram_logprob") >= F.col("q33"), "middle")
+            .otherwise("tail")
+            .alias("ppl_bucket"),
+        )
+    )
+
+
+def sql_ppl_tertile_buckets(
+    table: str, col: str, id_col: str, lang_col: str = "lang"
+) -> str:
+    scores = sql_doc_bigram_logprob(table, col, id_col)
+    return f"""
+WITH scores AS ({scores}),
+sl AS (
+  SELECT s.id, d.{lang_col} AS lang, s.bigram_logprob
+  FROM scores s JOIN {table} d ON d.{id_col} = s.id
+),
+cuts AS (
+  SELECT lang,
+         quantile_cont(bigram_logprob, {PPL_Q_LO!r}) AS q33,
+         quantile_cont(bigram_logprob, {PPL_Q_HI!r}) AS q66
+  FROM sl GROUP BY lang
+)
+SELECT sl.id, sl.lang, sl.bigram_logprob,
+       CASE WHEN bigram_logprob >= q66 THEN 'head'
+            WHEN bigram_logprob >= q33 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM sl JOIN cuts USING (lang)
+"""

@@ -1017,3 +1017,20 @@ FROM documents
 
 # r12 QUEUE CANDIDATE (session 9):
 #   "scrub_secrets": Query(q_scrub_secrets, _scrub_secrets_oracle()),
+
+
+def q_ppl_tertile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail: per-language LM-score tertiles assign
+    every doc a fluency bucket — the upsample/hold/filter handles a
+    mixture planner consumes. Cutoffs are broadcast scalars per
+    language, never a per-language ntile window
+    (operators/corpus_stats.py:ppl_tertile_buckets)."""
+    return corpus_stats.ppl_tertile_buckets(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+# r12 QUEUE CANDIDATE (session 9):
+#   "ppl_tertile_buckets": Query(
+#       q_ppl_tertile_buckets,
+#       corpus_stats.sql_ppl_tertile_buckets("documents", "text", "doc_id")),

@@ -732,6 +732,27 @@ def _mlm_examples_oracle() -> str:
 #   "mlm_examples": Query(q_mlm_examples, _mlm_examples_oracle()),
 
 
+def q_t5_span_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption examples: block-addressed deterministic spans
+    replaced by numbered '<extra_id_K>' sentinels, targets carrying the
+    dropped spans — the denoising-objective twin of mlm_examples, same
+    reproducible-from-the-dataset masking property, same one-scan
+    pure-HOF shape (operators/chunking.py:t5_span_examples)."""
+    from hash_db_spark.operators.chunking import t5_span_examples
+
+    return t5_span_examples(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def _t5_span_oracle() -> str:
+    from hash_db_spark.operators.chunking import sql_t5_span_examples
+
+    return sql_t5_span_examples("documents", "text", "doc_id")
+
+
+# r12 QUEUE CANDIDATE (session 9):
+#   "t5_span_examples": Query(q_t5_span_examples, _t5_span_oracle()),
+
+
 def q_retrieve_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid lexical+semantic retrieval fused by reciprocal rank
     fusion (Cormack et al., SIGIR 2009): BM25 top-15 and whole-doc
@@ -849,3 +870,30 @@ def _eval_ngram_coverage_oracle() -> str:
 # r12 QUEUE CANDIDATE (the r11 queue closed at 34 — session 7):
 #   "eval_ngram_coverage": Query(
 #       q_eval_ngram_coverage, _eval_ngram_coverage_oracle()),
+
+
+def q_retrieve_prf_rocchio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-round retrieval with Rocchio pseudo-relevance feedback:
+    round 1's top chunks expand the query (alpha=1, beta=0.75,
+    integer-scaled so every dot product stays exact), round 2 serves
+    the expanded query — vocabulary the query never said but its best
+    answers share gets pulled in
+    (operators/retrieval.py:prf_rocchio_retrieve)."""
+    from hash_db_spark.operators import retrieval as RT
+
+    return RT.prf_rocchio_retrieve(
+        _docs(spark, sf_dir), "text", "doc_id", RETRIEVE_TERMS, k=RETRIEVE_K
+    )
+
+
+def _retrieve_prf_oracle() -> str:
+    from hash_db_spark.operators import retrieval as RT
+
+    return RT.sql_prf_rocchio_retrieve(
+        "documents", "text", "doc_id", RETRIEVE_TERMS, k=RETRIEVE_K
+    )
+
+
+# r12 QUEUE CANDIDATE (session 9):
+#   "retrieve_prf_rocchio": Query(
+#       q_retrieve_prf_rocchio, _retrieve_prf_oracle()),

@@ -793,3 +793,146 @@ class TestSecretScrub:
         )
         con.close()
         assert got == want
+
+
+class TestPplTertiles:
+    """CCNet head/middle/tail bucketing
+    (operators/corpus_stats.py:ppl_tertile_buckets)."""
+
+    def test_buckets_partition_and_order(self, spark):
+        """9 docs, one language, engineered score spread: tertiles are
+        3/3/3 and every head score >= every middle >= every tail."""
+        from hash_db_spark.operators.corpus_stats import ppl_tertile_buckets
+
+        # common bigram 'a b' is high-probability; rare suffixes lower
+        # a doc's mean logprob the more of them it has
+        rows = []
+        for i in range(9):
+            common = ["a b"] * (9 - i)
+            rare = [f"z{i} y{i}"] * (i + 1)
+            rows.append((i, "en", " ".join(common + rare)))
+        df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+        got = ppl_tertile_buckets(df, "text", "doc_id").collect()
+        by_bucket = {}
+        for r in got:
+            by_bucket.setdefault(r.ppl_bucket, []).append(r.bigram_logprob)
+        assert {k: len(v) for k, v in by_bucket.items()} == {
+            "head": 3, "middle": 3, "tail": 3,
+        }
+        assert min(by_bucket["head"]) >= max(by_bucket["middle"])
+        assert min(by_bucket["middle"]) >= max(by_bucket["tail"])
+
+    def test_per_language_cutoffs_are_independent(self, spark):
+        """A language whose docs all score identically lands entirely
+        in 'head' (score == both cutoffs) regardless of the other
+        language's spread."""
+        from hash_db_spark.operators.corpus_stats import ppl_tertile_buckets
+
+        rows = [(i, "xx", "a b a b a b") for i in range(4)]
+        rows += [(10 + i, "yy", " ".join([f"w{j}{i} v{j}{i}" for j in range(4)])) for i in range(4)]
+        df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+        got = ppl_tertile_buckets(df, "text", "doc_id").collect()
+        xx = [r for r in got if r.lang == "xx"]
+        assert xx and all(r.ppl_bucket == "head" for r in xx)
+
+    def test_oracle_parity(self, spark, sf_dir):
+        import duckdb
+
+        from hash_db_spark.operators import corpus_stats
+        from hash_db_spark.queries.pipeline_queries import (
+            q_ppl_tertile_buckets,
+        )
+
+        got = sorted(tuple(r) for r in q_ppl_tertile_buckets(spark, sf_dir).collect())
+        assert len(got) > 0
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                corpus_stats.sql_ppl_tertile_buckets(
+                    "documents", "text", "doc_id"
+                )
+            ).fetchall()
+        )
+        con.close()
+        assert got == want
+
+
+class TestT5SpanCorruption:
+    """Block-addressed span corruption
+    (operators/chunking.py:t5_span_examples)."""
+
+    def test_reconstruction_law(self, spark):
+        """Input + targets reconstruct the original: substituting each
+        sentinel's target span back into the input yields the clean
+        token stream — for every doc in a 30-doc corpus."""
+        from hash_db_spark.operators.chunking import t5_span_examples
+
+        rows = [
+            (i, " ".join(f"w{i}x{j}" for j in range(5 + (i * 7) % 23)))
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = t5_span_examples(df, "text", "doc_id").collect()
+        assert len(got) == 30
+        orig = dict(rows)
+        corrupted = 0
+        for r in got:
+            spans = {}
+            if r.targets:
+                parts = r.targets.split(" ")
+                cur = None
+                for p in parts:
+                    if p.startswith("<extra_id_"):
+                        cur = p
+                        spans[cur] = []
+                    else:
+                        spans[cur].append(p)
+            rebuilt = []
+            for tok in r.input_text.split(" "):
+                if tok.startswith("<extra_id_"):
+                    rebuilt.extend(spans[tok])
+                else:
+                    rebuilt.append(tok)
+            assert " ".join(rebuilt) == orig[r.id], r.id
+            assert r.n_spans == len(spans)
+            corrupted += r.n_spans
+        assert corrupted > 0  # the corpus actually exercises corruption
+
+    def test_sentinels_numbered_in_order(self, spark):
+        """Sentinels appear as <extra_id_0>, <extra_id_1>, ... in
+        stream order, identically numbered in input and targets."""
+        from hash_db_spark.operators.chunking import t5_span_examples
+
+        rows = [(1, " ".join(f"t{j}" for j in range(64)))]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        r = t5_span_examples(df, "text", "doc_id").collect()[0]
+        in_sents = [t for t in r.input_text.split(" ") if t.startswith("<extra")]
+        tgt_sents = [t for t in r.targets.split(" ") if t.startswith("<extra")]
+        assert in_sents == tgt_sents
+        assert in_sents == [f"<extra_id_{i}>" for i in range(len(in_sents))]
+
+    def test_oracle_parity(self, spark, sf_dir):
+        import duckdb
+
+        from hash_db_spark.queries.text_queries import (
+            _t5_span_oracle,
+            q_t5_span_examples,
+        )
+
+        got = sorted(tuple(r) for r in q_t5_span_examples(spark, sf_dir).collect())
+        assert len(got) > 0
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        want = sorted(
+            tuple(r) for r in con.execute(_t5_span_oracle()).fetchall()
+        )
+        con.close()
+        assert got == want
