@@ -735,3 +735,173 @@ FROM fused
 QUALIFY rank <= {topn}
 ORDER BY rank
 """
+
+
+# --- Rocchio pseudo-relevance feedback ----------------------------------------
+
+PRF_K0 = 5  # feedback depth: round-1 chunks assumed relevant
+
+
+def prf_rocchio_retrieve(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    terms: list[str],
+    k: int = 10,
+    k0: int = PRF_K0,
+    size: int = 16,
+    overlap: int = 0,
+    dims: int = RETR_DIMS,
+) -> DataFrame:
+    """(id, chunk_idx, cos, rank): two-round retrieval with Rocchio
+    pseudo-relevance feedback (Rocchio, SMART 1971 — public): round 1
+    retrieves the top-k0 chunks for the literal query; the expanded
+    query q' = alpha*q + beta*centroid(feedback chunks) with the
+    classic alpha=1, beta=0.75 then scores the corpus again. Vocabulary
+    the query never mentioned but its best answers share gets pulled
+    in — the zero-training query-expansion step.
+
+    Parity trick: cosine is scale-invariant, so q' is used in the
+    INTEGER form Q = 4*n_fb*q + 3*sum(feedback vals) (multiply through
+    by 4*n_fb) — dot products and norms stay exact integers on both
+    engines, no float-summation-order divergence; the only float is
+    the final rounded division.
+
+    Scale shape: chunk vectors materialize once (eager localCheckpoint
+    feeds both rounds); each round is one map-side-combined groupBy on
+    (id, chunk_idx) + a TakeOrdered top-k; the feedback aggregate and
+    the expanded query are <= dims rows, broadcast. Nothing is
+    collected to the driver."""
+    from pyspark.sql import Window
+
+    qv = _hash_query(terms, dims)
+    if sum(v * v for v in qv.values()) == 0:
+        raise ValueError("query hashes to the zero vector")
+    spark = df.sparkSession
+    qlit = spark.createDataFrame(
+        [(d, int(qv.get(d, 0))) for d in range(dims)], "dim int, qd long"
+    )
+    cv = hashed_chunk_vectors(df, col, id_col, size, overlap, dims)
+    cv = cv.withColumn("dim", F.col("dim").cast("int")).localCheckpoint(
+        eager=True
+    )
+
+    def topk(scored: DataFrame, n: int) -> DataFrame:
+        return scored.orderBy(
+            F.col("cos").desc(), F.col("id").asc(), F.col("chunk_idx").asc()
+        ).limit(n)
+
+    def score(qframe: DataFrame) -> DataFrame:
+        qn2 = qframe.agg(F.sum(F.col("qd") * F.col("qd")).alias("qn2"))
+        return (
+            cv.join(F.broadcast(qframe), "dim")
+            .groupBy("id", "chunk_idx")
+            .agg(
+                F.sum(F.col("val") * F.col("qd")).alias("dot"),
+                F.sum(F.col("val") * F.col("val")).alias("n2"),
+            )
+            .filter(F.col("n2") > 0)
+            .crossJoin(F.broadcast(qn2))
+            .select(
+                "id",
+                "chunk_idx",
+                F.round(
+                    F.col("dot")
+                    / (F.sqrt(F.col("n2")) * F.sqrt(F.col("qn2"))),
+                    6,
+                ).alias("cos"),
+            )
+        )
+
+    r1 = topk(score(qlit), k0).select("id", "chunk_idx")
+    fb_sum = (
+        cv.join(r1, ["id", "chunk_idx"], "left_semi")
+        .groupBy("dim")
+        .agg(F.sum("val").alias("s"))
+    )
+    n_fb = r1.agg(F.count(F.lit(1)).alias("n_fb"))
+    q2 = (
+        qlit.join(F.broadcast(fb_sum), "dim", "left")
+        .crossJoin(F.broadcast(n_fb))
+        .select(
+            "dim",
+            (
+                4 * F.col("n_fb") * F.col("qd")
+                + 3 * F.coalesce(F.col("s"), F.lit(0))
+            ).alias("qd"),
+        )
+    )
+    top = topk(score(q2), k)
+    w = Window.orderBy(
+        F.col("cos").desc(), F.col("id").asc(), F.col("chunk_idx").asc()
+    )
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def sql_prf_rocchio_retrieve(
+    table: str,
+    col: str,
+    id_col: str,
+    terms: list[str],
+    k: int = 10,
+    k0: int = PRF_K0,
+    size: int = 16,
+    overlap: int = 0,
+    dims: int = RETR_DIMS,
+) -> str:
+    from hash_db_spark.operators.chunking import sql_token_chunks
+
+    qv = _hash_query(terms, dims)
+    qvals = ", ".join(f"({d}, {int(qv.get(d, 0))})" for d in range(dims))
+    chunks = sql_token_chunks(table, col, id_col, size, overlap)
+    order = "ORDER BY cos DESC, id ASC, chunk_idx ASC"
+    return f"""
+WITH ch AS ({chunks}),
+tok AS (
+  SELECT id, chunk_idx, unnest(string_split(chunk_text, ' ')) AS t
+  FROM ch
+),
+cv AS (
+  SELECT id, chunk_idx, CAST({_sql_tok_dim('t', dims)} AS INT) AS dim,
+         CAST(sum({_sql_tok_sign('t')}) AS BIGINT) AS val
+  FROM tok GROUP BY id, chunk_idx, {_sql_tok_dim('t', dims)}
+),
+qlit AS (SELECT * FROM (VALUES {qvals}) v(dim, qd)),
+qn2a AS (SELECT sum(qd * qd) AS qn2 FROM qlit),
+s1 AS (
+  SELECT id, chunk_idx,
+         round(CAST(sum(val * qd) AS DOUBLE)
+               / (sqrt(CAST(sum(val * val) AS DOUBLE))
+                  * sqrt(CAST((SELECT qn2 FROM qn2a) AS DOUBLE))), 6)
+           AS cos,
+         sum(val * val) AS n2
+  FROM cv JOIN qlit USING (dim) GROUP BY id, chunk_idx
+),
+r1 AS (
+  SELECT id, chunk_idx FROM s1 WHERE n2 > 0 {order} LIMIT {k0}
+),
+fb AS (
+  SELECT dim, sum(val) AS s
+  FROM cv JOIN r1 USING (id, chunk_idx) GROUP BY dim
+),
+nfb AS (SELECT count(*) AS n_fb FROM r1),
+q2 AS (
+  SELECT q.dim,
+         4 * (SELECT n_fb FROM nfb) * q.qd + 3 * COALESCE(f.s, 0) AS qd
+  FROM qlit q LEFT JOIN fb f USING (dim)
+),
+qn2b AS (SELECT sum(qd * qd) AS qn2 FROM q2),
+s2 AS (
+  SELECT id, chunk_idx,
+         round(CAST(sum(val * qd) AS DOUBLE)
+               / (sqrt(CAST(sum(val * val) AS DOUBLE))
+                  * sqrt(CAST((SELECT qn2 FROM qn2b) AS DOUBLE))), 6)
+           AS cos,
+         sum(val * val) AS n2
+  FROM cv JOIN q2 USING (dim) GROUP BY id, chunk_idx
+)
+SELECT id, chunk_idx, cos,
+       CAST(row_number() OVER ({order}) AS INT) AS rank
+FROM s2 WHERE n2 > 0
+{order} LIMIT {k}
+"""

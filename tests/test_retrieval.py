@@ -370,3 +370,74 @@ def test_rrf_rejects_zero_vector_query(spark):
     df = spark.createDataFrame([(1, "some text")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         hybrid_rrf(df, "text", "doc_id", [])
+
+
+# --- Rocchio pseudo-relevance feedback -------------------------------------------
+
+
+def test_prf_pulls_in_cooccurring_vocabulary(spark):
+    """The expansion effect itself: doc 20 shares NO query term but
+    shares the feedback docs' co-occurring vocabulary; round 1 can't
+    rank it, Rocchio round 2 must."""
+    rows = [
+        # feedback set: query terms + a co-occurring word, 16+ tokens
+        (1, " ".join(["spark query join shuffle"] * 4)),
+        (2, " ".join(["spark query join shuffle"] * 4)),
+        # expansion target: only the co-occurring word, repeated
+        (20, " ".join(["shuffle"] * 16)),
+        # distractor: unrelated vocabulary
+        (30, " ".join(["apple banana cherry date"] * 4)),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    r1 = {
+        (r.id, r.chunk_idx): r.cos
+        for r in RT.retrieve_chunks(docs, "text", "doc_id", TERMS, k=10).collect()
+    }
+    r2rows = RT.prf_rocchio_retrieve(
+        docs, "text", "doc_id", TERMS, k=10, k0=2
+    ).collect()
+    r2 = {(r.id, r.chunk_idx): r.cos for r in r2rows}
+    ranks = {(r.id, r.chunk_idx): r.rank for r in r2rows}
+    doc20_r2 = [k for k in r2 if k[0] == 20]
+    assert doc20_r2, "expansion failed to retrieve the co-occurring doc"
+    # round 2: doc 20 must STRICTLY outrank the unrelated distractor
+    d20 = min(ranks[k] for k in doc20_r2)
+    assert all(d20 < ranks[k] for k in ranks if k[0] == 30)
+    # and the expansion must have grown doc 20's margin over doc 30:
+    # round 1 scores them (near-)equal (neither matches the query),
+    # round 2 separates them by the feedback vocabulary
+    m1 = max(r1.get(k, 0.0) for k in doc20_r2) - max(
+        (r1[k] for k in r1 if k[0] == 30), default=0.0
+    )
+    m2 = max(r2[k] for k in doc20_r2) - max(
+        (r2[k] for k in r2 if k[0] == 30), default=0.0
+    )
+    assert m2 > m1 + 0.1, (m1, m2)
+
+
+def test_prf_zero_query_raises(spark):
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        RT.prf_rocchio_retrieve(docs, "text", "doc_id", [], k=3)
+
+
+def test_prf_oracle_parity(spark, sf_dir):
+    from hash_db_spark.queries.text_queries import (
+        _retrieve_prf_oracle,
+        q_retrieve_prf_rocchio,
+    )
+
+    got = sorted(tuple(r) for r in q_retrieve_prf_rocchio(spark, sf_dir).collect())
+    assert len(got) > 0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(_retrieve_prf_oracle()).fetchall()
+    )
+    con.close()
+    assert got == want
