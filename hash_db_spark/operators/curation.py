@@ -985,3 +985,71 @@ SELECT {group_col}, n_docs,
 FROM agg
 ORDER BY {group_col}
 """
+
+
+# --- differentially-private count release ---------------------------------------
+
+DP_EPSILON = 1.0
+DP_SEED = "dp-r1"
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_col: str,
+    epsilon: float = DP_EPSILON,
+    seed: str = DP_SEED,
+) -> DataFrame:
+    """(group, noisy_count): Laplace-mechanism count release (Dwork,
+    McSherry, Nissim, Smith, TCC 2006 — public): each group's count is
+    published with Laplace(1/epsilon) noise, the calibrated mechanism
+    for sensitivity-1 counting queries. The corpus-stats release gate
+    when per-group counts are themselves sensitive (per-author,
+    per-host contribution tallies).
+
+    The noise is drawn by inverse CDF from a CONTENT-ADDRESSED uniform
+    (md5 of seed#group): u in (-0.5, 0.5), noise = -(1/eps)*sgn(u)*
+    ln(1-2|u|). Deterministic-per-(seed, group) noise is a feature,
+    not a shortcut: re-running the same release replays the SAME noise,
+    so repeated publication doesn't average the noise away (the
+    standard fixed-noise re-release practice); rotating ``seed`` is
+    what spends fresh budget. The +0.5 offset keeps u strictly inside
+    the open interval — ln(0) can't occur. One map-combined groupBy;
+    noise math is map-side column arithmetic, identical on both
+    engines."""
+    cnt = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    u = (
+        (sample_u(F.concat(F.lit(seed), F.lit("#"), F.col("grp"))) + 0.5)
+        / float(SAMPLE_M)
+        - 0.5
+    )
+    noise = (
+        -(1.0 / epsilon)
+        * F.signum(u)
+        * F.log(1.0 - 2.0 * F.abs(u))
+    )
+    return cnt.select(
+        F.col("grp").alias(group_col),
+        F.round(F.col("c") + noise, 6).alias("noisy_count"),
+    )
+
+
+def sql_dp_noisy_counts(
+    table: str,
+    group_col: str,
+    epsilon: float = DP_EPSILON,
+    seed: str = DP_SEED,
+) -> str:
+    key_expr = f"'{seed}#' || {group_col}"
+    u = (
+        f"(({sql_sample_u(key_expr)} + 0.5)"
+        f" / {float(SAMPLE_M)!r} - 0.5)"
+    )
+    return f"""
+SELECT {group_col},
+       round(count(*) + (-(1.0 / {epsilon!r}) * sign({u})
+             * ln(1.0 - 2.0 * abs({u}))), 6) AS noisy_count
+FROM {table}
+GROUP BY {group_col}
+"""

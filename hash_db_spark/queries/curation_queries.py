@@ -1287,3 +1287,22 @@ def _sampling_ess_oracle() -> str:
 # r12 QUEUE CANDIDATE (the r11 queue closed at 34 — session 7):
 #   "sampling_ess_report": Query(
 #       q_sampling_ess_report, _sampling_ess_oracle()),
+
+
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism release of per-source contribution counts:
+    the privacy-preserving publication shape for per-contributor
+    tallies — noise is content-addressed per (seed, group) so a replay
+    of the same release replays the same noise instead of averaging it
+    away (operators/curation.py:dp_noisy_counts)."""
+    return C.dp_noisy_counts(
+        load_table(spark, sf_dir, "documents"), "source"
+    )
+
+
+def _dp_noisy_counts_oracle() -> str:
+    return C.sql_dp_noisy_counts("documents", "source")
+
+
+# r12 QUEUE CANDIDATE (session 9):
+#   "dp_noisy_counts": Query(q_dp_noisy_counts, _dp_noisy_counts_oracle()),
