@@ -498,3 +498,87 @@ FROM best
 ORDER BY cos_micro ASC, vec_id ASC
 LIMIT {topn}
 """
+
+
+# --- cluster-balanced (diversity) sampling --------------------------------------
+
+CB_SQRT_SCALE = 1000  # milli-sqrt quantization for integer quota math
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    target: int = 200,
+) -> DataFrame:
+    """(vec_id, cluster): a diversity-aware subsample — documents are
+    k-means-clustered in embedding space, then the ``target`` budget is
+    allocated ACROSS clusters proportional to sqrt(cluster size), the
+    temperature-style allocation (same math as multilingual sqrt
+    sampling, Devlin et al. 2019) that downweights mega-clusters
+    (boilerplate, template families) and protects the long tail —
+    embedding-space curation one notch softer than semdedup_drop's
+    hard pruning.
+
+    Everything after the k-means pass is integer-exact: per-cluster
+    milli-sqrt s_c = floor(sqrt(sz)*1000) (one IEEE sqrt per CLUSTER,
+    order-free), quotas q_c = target*s_c div sum(s), membership u(id) <
+    q_c*M div sz_c — content-addressed Bernoulli, so the kept set is
+    reproducible and append-stable, no per-cluster window, no sort.
+    The quota frame is k rows, broadcast; one extra scan of the
+    assignment."""
+    from hash_db_spark.operators.curation import SAMPLE_M, sample_u
+
+    assign = kmeans_assign(emb, id_col, vec_col, k).localCheckpoint(
+        eager=True
+    )
+    sizes = assign.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("sz")
+    ).withColumn(
+        "s",
+        F.floor(F.sqrt(F.col("sz")) * CB_SQRT_SCALE).cast("long"),
+    )
+    tot = sizes.agg(F.sum("s").alias("stot"))
+    quota = (
+        sizes.crossJoin(F.broadcast(tot))
+        .withColumn("q", F.expr(f"CAST({int(target)} * s div stot AS BIGINT)"))
+        .withColumn(
+            "thresh", F.expr(f"CAST(q * {SAMPLE_M} div sz AS BIGINT)")
+        )
+        .select("cluster", "thresh")
+    )
+    return (
+        assign.join(F.broadcast(quota), "cluster")
+        .filter(sample_u(F.col("vec_id")) < F.col("thresh"))
+        .select("vec_id", "cluster")
+    )
+
+
+def sql_cluster_balanced_sample(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    target: int = 200,
+) -> str:
+    from hash_db_spark.operators.curation import SAMPLE_M, sql_sample_u
+
+    ka = sql_kmeans_assign(table, id_col, vec_col, k)
+    return f"""
+WITH ka AS ({ka}),
+sizes AS (
+  SELECT cluster, count(*) AS sz,
+         CAST(floor(sqrt(count(*)) * {CB_SQRT_SCALE}) AS BIGINT) AS s
+  FROM ka GROUP BY cluster
+),
+quota AS (
+  SELECT cluster,
+         (({int(target)} * s) // (SELECT sum(s) FROM sizes)
+          * {SAMPLE_M}) // sz AS thresh
+  FROM sizes
+)
+SELECT ka.vec_id, ka.cluster
+FROM ka JOIN quota USING (cluster)
+WHERE {sql_sample_u('ka.vec_id')} < thresh
+"""

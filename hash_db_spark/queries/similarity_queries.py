@@ -537,3 +537,27 @@ def _embedding_outliers_oracle() -> str:
 # r12 QUEUE CANDIDATE (the r11 queue closed at 34 — session 7):
 #   "embedding_outliers": Query(
 #       q_embedding_outliers, _embedding_outliers_oracle()),
+
+
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware subsampling: sqrt-of-cluster-size budget
+    allocation over k-means embedding clusters — downweights template
+    mega-clusters, protects the tail; integer-exact quotas and
+    content-addressed membership after one Lloyd pass
+    (operators/clustering.py:cluster_balanced_sample)."""
+    from hash_db_spark.operators import clustering as C
+
+    return C.cluster_balanced_sample(
+        load_table(spark, sf_dir, "embeddings"), target=200
+    )
+
+
+def _cluster_balanced_oracle() -> str:
+    from hash_db_spark.operators import clustering as C
+
+    return C.sql_cluster_balanced_sample(target=200)
+
+
+# r12 QUEUE CANDIDATE (session 9):
+#   "cluster_balanced_sample": Query(
+#       q_cluster_balanced_sample, _cluster_balanced_oracle()),

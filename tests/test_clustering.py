@@ -188,3 +188,68 @@ class TestEmbeddingOutliers:
         assert "TakeOrderedAndProject" in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestClusterBalancedSample:
+    """Sqrt-allocation diversity sampling
+    (operators/clustering.py:cluster_balanced_sample)."""
+
+    def test_sqrt_allocation_flattens_imbalance(self, spark):
+        """Two tight clusters, 180 vs 20 members: proportional
+        allocation would split a 60-budget 54/6; sqrt allocation gives
+        the small cluster ~2.25x its proportional share. Bernoulli
+        realization is content-addressed, so just check the kept
+        PROPORTIONS land near the sqrt quotas, and reproducibility."""
+        import math
+
+        from hash_db_spark.operators.clustering import (
+            cluster_balanced_sample,
+        )
+
+        rows = []
+        for i in range(180):
+            rows.append((i, [10.0 + (i % 7) * 0.01, 0.1, 0.0, 0.0]))
+        for i in range(20):
+            rows.append((1000 + i, [0.0, 0.0, 9.0 + (i % 5) * 0.01, 0.3]))
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        got = cluster_balanced_sample(emb, k=2, target=60).collect()
+        again = cluster_balanced_sample(emb, k=2, target=60).collect()
+        assert sorted(r.vec_id for r in got) == sorted(r.vec_id for r in again)
+        by_cl = {}
+        for r in got:
+            by_cl.setdefault(r.vec_id >= 1000, 0)
+            by_cl[r.vec_id >= 1000] += 1
+        s_big, s_small = math.sqrt(180), math.sqrt(20)
+        q_big = int(60 * math.floor(s_big * 1000)
+                    // (math.floor(s_big * 1000) + math.floor(s_small * 1000)))
+        q_small = int(60 * math.floor(s_small * 1000)
+                      // (math.floor(s_big * 1000) + math.floor(s_small * 1000)))
+        # Bernoulli noise: allow +-60% of quota but assert the ORDER
+        # and that the small cluster beat its proportional share (6)
+        assert abs(by_cl[False] - q_big) <= 0.6 * q_big
+        assert abs(by_cl[True] - q_small) <= 0.6 * q_small + 2
+        assert by_cl[True] > 6  # sqrt > proportional for the minority
+
+    def test_oracle_parity(self, spark, sf_dir):
+        import duckdb
+
+        from hash_db_spark.queries.similarity_queries import (
+            _cluster_balanced_oracle,
+            q_cluster_balanced_sample,
+        )
+
+        got = sorted(
+            tuple(r) for r in q_cluster_balanced_sample(spark, sf_dir).collect()
+        )
+        assert len(got) > 0
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS "
+            f"SELECT * FROM '{sf_dir}/embeddings.parquet'"
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(_cluster_balanced_oracle()).fetchall()
+        )
+        con.close()
+        assert got == want
