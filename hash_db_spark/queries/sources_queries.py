@@ -251,3 +251,68 @@ QUERIES = {
     "compaction_plan": Query(q_compaction_plan, _compaction_plan_oracle()),
     "xml_roundtrip": Query(q_xml_roundtrip, "SELECT * FROM orders"),
 }
+
+
+BUCKETS = 16
+
+
+def q_bucketed_join_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join end-to-end: orders and lineitem are written as
+    hash-BUCKETED tables on the join key, then joined straight from
+    storage — Spark's outputPartitioning contract means NO shuffle
+    exchange on either side (tests/test_plan_quality.py pins the plan:
+    sort-merge join, zero Exchange). At 100 TB this is the difference
+    between re-shuffling both fact tables on every join and paying the
+    layout cost ONCE at ingest — the Spark answer to the reference's
+    insert-join-partners-next-to-rows materialized join
+    (reference server.py:806-894). Result: revenue by order priority —
+    the oracle recomputes it with a plain join, identity of results
+    being the correctness statement (the bucketing is pure layout).
+
+    Table names carry pid + a dir tag so concurrent runs never collide
+    (same discipline as fts_serve_mixed)."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    pid = os.getpid()
+    t_o, t_l = f"hdbs_bkt_o_{tag}_{pid}", f"hdbs_bkt_l_{tag}_{pid}"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    (
+        orders.write.bucketBy(BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable(t_o)
+    )
+    (
+        li.withColumnRenamed("l_orderkey", "o_orderkey")
+        .write.bucketBy(BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable(t_l)
+    )
+    joined = spark.table(t_o).join(spark.table(t_l), "o_orderkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+BUCKETED_JOIN_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+# r12 QUEUE CANDIDATE (session 9):
+#   "bucketed_join_serve": Query(
+#       q_bucketed_join_serve, BUCKETED_JOIN_ORACLE),

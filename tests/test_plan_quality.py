@@ -651,3 +651,44 @@ def test_codec_stats_map_side_only(spark, sf_dir):
         q_multimodal_adpcm_decode,
     ):
         assert "Exchange" not in formatted_plan(fn(spark, sf_dir)), fn
+
+
+def test_bucketed_join_serve_no_exchange(spark, sf_dir):
+    """The bucketed-serve query's join must read both bucketed tables
+    WITHOUT a shuffle exchange (broadcast suppressed to force the
+    sort-merge path a 100 TB fact-fact join would take)."""
+    import hashlib
+    import os
+
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries.sources_queries import q_bucketed_join_serve
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = q_bucketed_join_serve(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "SortMergeJoin" in plan, plan
+        # the only exchange allowed is the final groupBy's — never one
+        # on the join key feeding the join
+        assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        pid = os.getpid()
+        spark.sql(f"DROP TABLE IF EXISTS hdbs_bkt_o_{tag}_{pid}")
+        spark.sql(f"DROP TABLE IF EXISTS hdbs_bkt_l_{tag}_{pid}")
+
+
+def test_skew_key_report_no_per_key_window(spark, sf_dir):
+    """Gini must come from the count-of-counts frame: the only window
+    in the plan runs AFTER two aggregations (frame size O(sqrt(n)),
+    never over per-key rows."""
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries.skew_queries import q_skew_key_report
+
+    plan = formatted_plan(q_skew_key_report(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # TakeOrdered for top-10, not a global Sort+Exchange over keys
+    assert "TakeOrderedAndProject" in plan

@@ -206,3 +206,25 @@ def test_xml_roundtrip_lossless(spark, sf_dir):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, orders.collect())
     )
+
+
+def test_bucketed_join_serve_oracle_parity(spark, sf_dir):
+    import duckdb
+
+    from hash_db_spark.queries.sources_queries import (
+        BUCKETED_JOIN_ORACLE,
+        q_bucketed_join_serve,
+    )
+
+    got = sorted(tuple(r) for r in q_bucketed_join_serve(spark, sf_dir).collect())
+    assert len(got) > 0
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    want = sorted(
+        tuple(r) for r in con.execute(BUCKETED_JOIN_ORACLE).fetchall()
+    )
+    con.close()
+    assert got == want
