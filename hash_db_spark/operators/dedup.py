@@ -2635,30 +2635,40 @@ def edit_verify_pairs(
     span-stripping (it's what near-dup eval suites like Mou et al.'s
     use as ground truth when shingles disagree).
 
-    Scale shape: Levenshtein is O(prefix^2) per pair but JVM-codegen
-    (pyspark.sql.functions.levenshtein — no Python), and it runs only
-    on the CANDIDATE set, whose size the banded-LSH hot-bucket caps
-    already bound; the two id equijoins ship (id, prefix-chars) rows
-    only. The prefix cap is what keeps a 100 MB outlier doc from
-    turning one pair into a 10^16-cell DP — both engines cut at the
-    same boundary so parity is exact. Empty-vs-empty scores 1.0 (the
-    max(len,1) guard); empty-vs-nonempty correctly scores 0.0."""
+    Scale shape: this stage is OUTPUT-BOUND — cost is linear in the
+    CANDIDATE PAIR count, which grows quadratically in duplicate-
+    cluster sizes (measured: 10x corpus -> ~100x pairs -> ~150x wall;
+    ~1.5x per unit of output). Budget the candidate set upstream (LSH
+    threshold, hot-bucket caps) before spending prefix^2 DP cells per
+    pair. Per pair the Levenshtein is JVM-codegen (no Python) and the
+    prefix cap bounds the DP — a 100 MB outlier doc can't turn one
+    pair into a 10^16-cell problem; both engines cut at the same
+    boundary so parity is exact. A length-difference prefilter applies
+    the exact bound lev >= |len_a - len_b| first, skipping the DP for
+    pairs whose sizes already rule them out (free on near-dup inputs,
+    decisive when candidates come from looser generators). The two id
+    equijoins ship (id, prefix-chars) rows only. Empty-vs-empty scores
+    1.0 (the max(len,1) guard); empty-vs-nonempty scores 0.0."""
     t = df.select(
         F.col(id_col).alias("id"),
         F.substring(F.col(col), 1, prefix).alias("t"),
     )
+    la, lb = F.length("ta"), F.length("tb")
+    denom = F.greatest(la, lb, F.lit(1))
+    # exact pruning bound: lev >= |la - lb|  =>  sim <= 1 - |la-lb|/max;
+    # round() is monotone, so filtering on the rounded bound never
+    # drops a pair the rounded similarity would keep
+    bound = F.round(1.0 - F.abs(la - lb) / denom, 6)
     return (
         pairs.select("id_a", "id_b")
         .join(t.withColumnRenamed("id", "id_a").withColumnRenamed("t", "ta"), "id_a")
         .join(t.withColumnRenamed("id", "id_b").withColumnRenamed("t", "tb"), "id_b")
+        .filter(bound >= threshold)
         .select(
             "id_a",
             "id_b",
             F.round(
-                1.0
-                - F.levenshtein("ta", "tb")
-                / F.greatest(F.length("ta"), F.length("tb"), F.lit(1)),
-                6,
+                1.0 - F.levenshtein("ta", "tb") / denom, 6
             ).alias("edit_sim"),
         )
         .filter(F.col("edit_sim") >= threshold)
@@ -2677,13 +2687,20 @@ def sql_edit_verify_pairs(
 WITH cand AS ({pairs_sql}),
 txt AS (
   SELECT {id_col} AS id, substring({col}, 1, {prefix}) AS t FROM {table}
+),
+pruned AS (
+  SELECT c.id_a, c.id_b, a.t AS ta, b.t AS tb,
+         greatest(length(a.t), length(b.t), 1) AS denom
+  FROM cand c
+  JOIN txt a ON a.id = c.id_a
+  JOIN txt b ON b.id = c.id_b
+  WHERE round(1.0 - abs(length(a.t) - length(b.t))
+        / greatest(length(a.t), length(b.t), 1), 6) >= {threshold}
 )
-SELECT c.id_a, c.id_b,
-       round(1.0 - levenshtein(a.t, b.t)
-             / greatest(length(a.t), length(b.t), 1), 6) AS edit_sim
-FROM cand c
-JOIN txt a ON a.id = c.id_a
-JOIN txt b ON b.id = c.id_b
-WHERE round(1.0 - levenshtein(a.t, b.t)
-      / greatest(length(a.t), length(b.t), 1), 6) >= {threshold}
+SELECT id_a, id_b, edit_sim FROM (
+  SELECT id_a, id_b,
+         round(1.0 - levenshtein(ta, tb) / denom, 6) AS edit_sim
+  FROM pruned
+)
+WHERE edit_sim >= {threshold}
 """

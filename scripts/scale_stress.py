@@ -463,6 +463,47 @@ def main() -> int:
             ("vocab_heaps_fit", q_vocab_heaps_fit),
         ):
             timed(f"{name}/{scale}", lambda f=fn: f(spark, sf_dir))
+        # round-10 session 9: r12 queue candidates
+        from hash_db_spark.queries.curation_queries import q_dp_noisy_counts
+        from hash_db_spark.queries.dedup_queries import q_dedup_edit_verify
+        from hash_db_spark.queries.pipeline_queries import (
+            q_ppl_tertile_buckets,
+            q_scrub_secrets,
+        )
+        from hash_db_spark.queries.relational_queries import (
+            q_l_diversity_audit,
+        )
+        from hash_db_spark.queries.similarity_queries import (
+            q_cluster_balanced_sample,
+        )
+        from hash_db_spark.queries.skew_queries import q_skew_key_report
+        from hash_db_spark.queries.sources_queries import (
+            q_bucketed_join_serve,
+        )
+        from hash_db_spark.queries.text_queries import (
+            q_retrieve_prf_rocchio,
+            q_t5_span_examples,
+        )
+        from hash_db_spark.queries.web_queries import (
+            q_host_clustering_coef,
+            q_host_kcore,
+        )
+
+        for name, fn in (
+            ("host_kcore", q_host_kcore),
+            ("host_clustering_coef", q_host_clustering_coef),
+            ("dedup_edit_verify", q_dedup_edit_verify),
+            ("skew_key_report", q_skew_key_report),
+            ("scrub_secrets", q_scrub_secrets),
+            ("l_diversity_audit", q_l_diversity_audit),
+            ("ppl_tertile_buckets", q_ppl_tertile_buckets),
+            ("retrieve_prf_rocchio", q_retrieve_prf_rocchio),
+            ("t5_span_examples", q_t5_span_examples),
+            ("dp_noisy_counts", q_dp_noisy_counts),
+            ("cluster_balanced_sample", q_cluster_balanced_sample),
+            ("bucketed_join_serve", q_bucketed_join_serve),
+        ):
+            timed(f"{name}/{scale}", lambda f=fn: f(spark, sf_dir))
     return 0
 
 
