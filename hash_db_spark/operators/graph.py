@@ -941,3 +941,87 @@ SELECT d.id, d.deg, COALESCE(t.t, 0) AS triangles,
        round(2.0 * COALESCE(t.t, 0) / (d.deg * (d.deg - 1.0)), 6) AS coef
 FROM cdeg d LEFT JOIN tcnt t ON t.id = d.id
 WHERE d.deg >= 2"""
+
+
+# --- Adamic-Adar link prediction -------------------------------------------------
+
+AA_MAX_DEG = 64  # wedge centers above this degree are excluded
+
+
+def adamic_adar_pairs(edges: DataFrame, max_deg: int = AA_MAX_DEG) -> DataFrame:
+    """(id_a, id_b, aa): Adamic-Adar link-prediction score for node
+    pairs sharing >= 1 neighbor, aa = sum over common neighbors z of
+    1/ln(deg z) (Adamic & Adar, Social Networks 2003 — public). On a
+    host graph, high-AA NON-edges are mirror/farm candidates that k-core
+    and clustering coefficient (node-local views) can't see: two hosts
+    that never link each other but share many low-degree neighbors.
+
+    The wedge join is the quadratic hazard: a hub neighbor of degree d
+    emits d^2 pairs while contributing the LEAST signal (1/ln d -> 0 —
+    the whole point of the weighting). Wedge centers above ``max_deg``
+    are therefore excluded outright — same hot-cap discipline as the
+    shingle pair generators, and here the cap is PRINCIPLED: AA's own
+    weight says hubs are noise. Remaining work is one degree census +
+    one self-join on the capped center set, both map-combined shuffles.
+    Centers need deg >= 2 (a degree-1 node forms no wedge). Each term
+    1/ln(deg) is the identical IEEE double on both engines; per-pair
+    sums are few-term (common-neighbor counts), so the 6dp rounding
+    absorbs any summation-order ulp — the same float discipline as the
+    pagerank/hits iterations."""
+    e2 = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    und = e2.select(F.col("a").alias("z"), F.col("b").alias("n")).unionAll(
+        e2.select(F.col("b").alias("z"), F.col("a").alias("n"))
+    )
+    deg = und.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
+    centers = und.join(
+        deg.filter(
+            (F.col("deg") >= 2) & (F.col("deg") <= max_deg)
+        ),
+        "z",
+    )
+    wa, wb = centers.alias("wa"), centers.alias("wb")
+    return (
+        wa.join(
+            wb,
+            (F.col("wa.z") == F.col("wb.z"))
+            & (F.col("wa.n") < F.col("wb.n")),
+        )
+        .select(
+            F.col("wa.n").alias("id_a"),
+            F.col("wb.n").alias("id_b"),
+            (1.0 / F.log(F.col("wa.deg"))).alias("w"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.round(F.sum("w"), 6).alias("aa"),
+        )
+    )
+
+
+def sql_adamic_adar_pairs(max_deg: int = AA_MAX_DEG) -> str:
+    """Over a ``gedges(src, dst)`` CTE — identical cap and weighting."""
+    return f"""ce AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM gedges WHERE src <> dst
+),
+und AS (
+  SELECT a AS z, b AS n FROM ce UNION ALL SELECT b AS z, a AS n FROM ce
+),
+adeg AS (SELECT z, count(*) AS deg FROM und GROUP BY z),
+centers AS (
+  SELECT u.z, u.n, d.deg FROM und u JOIN adeg d ON d.z = u.z
+  WHERE d.deg >= 2 AND d.deg <= {max_deg}
+)
+SELECT wa.n AS id_a, wb.n AS id_b, count(*) AS common,
+       round(sum(1.0 / ln(wa.deg)), 6) AS aa
+FROM centers wa JOIN centers wb ON wa.z = wb.z AND wa.n < wb.n
+GROUP BY wa.n, wb.n"""
