@@ -229,3 +229,58 @@ def test_host_clustering_oracle_parity(spark, sf_dir):
     )
     con.close()
     assert got == want
+
+
+# --- Adamic-Adar link prediction ----------------------------------------------------
+
+
+def test_adamic_adar_known_values(spark):
+    """Square 0-1-2-3 (no diagonals): opposite corners share exactly
+    two degree-2 neighbors -> aa = 2/ln(2); adjacent corners share
+    none. Plus the hub cap: a 100-degree center contributes nothing."""
+    import math
+
+    from hash_db_spark.operators.graph import adamic_adar_pairs
+
+    sq = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    got = {
+        (r.id_a, r.id_b): (r.common, r.aa)
+        for r in adamic_adar_pairs(_edges(spark, sq)).collect()
+    }
+    assert got == {
+        (0, 2): (2, round(2 / math.log(2), 6)),
+        (1, 3): (2, round(2 / math.log(2), 6)),
+    }
+
+    hub = [(100, i) for i in range(50)] + sq
+    capped = {
+        (r.id_a, r.id_b)
+        for r in adamic_adar_pairs(_edges(spark, hub), max_deg=10).collect()
+    }
+    # pairs through the hub (e.g. (5, 6)) are absent; the square's
+    # wedges survive (corner degrees grew to 3, still <= 10)
+    assert (5, 6) not in capped
+    assert (0, 2) in capped
+
+
+def test_host_adamic_adar_oracle_parity(spark, sf_dir):
+    import duckdb
+
+    from hash_db_spark.queries.web_queries import (
+        _host_adamic_adar_oracle,
+        q_host_adamic_adar,
+    )
+
+    got = sorted(tuple(r) for r in q_host_adamic_adar(spark, sf_dir).collect())
+    assert len(got) > 0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(_host_adamic_adar_oracle()).fetchall()
+    )
+    con.close()
+    assert got == want
