@@ -772,3 +772,28 @@ WITH {W.sql_link_targets_cte()},
 # r12 QUEUE CANDIDATE (session 9):
 #   "host_clustering_coef": Query(
 #       q_host_clustering_coef, _host_clustering_oracle()),
+
+
+def q_host_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the host graph: non-adjacent
+    host pairs sharing many LOW-degree neighbors (mirror/farm
+    candidates) — hub wedge-centers excluded by AA's own weighting
+    (operators/graph.py:adamic_adar_pairs)."""
+    from hash_db_spark.operators.graph import adamic_adar_pairs
+
+    return adamic_adar_pairs(_host_edges(spark, sf_dir))
+
+
+def _host_adamic_adar_oracle() -> str:
+    from hash_db_spark.operators.graph import sql_adamic_adar_pairs
+
+    return f"""
+WITH {W.sql_link_targets_cte()},
+{_host_gedges_cte()},
+{sql_adamic_adar_pairs()}
+"""
+
+
+# r12 QUEUE CANDIDATE (session 9):
+#   "host_adamic_adar": Query(
+#       q_host_adamic_adar, _host_adamic_adar_oracle()),
