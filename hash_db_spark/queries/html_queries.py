@@ -300,3 +300,99 @@ QUERIES: dict[str, Query] = {
     ),
     "html_corpus_prep": Query(q_html_corpus_prep, _html_corpus_prep_oracle()),
 }
+
+
+PREFIX_CHARS = 80  # positive/negative passage prefix length
+
+
+def q_anchor_query_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph supervision for retrieval training (the anchor-text
+    pretraining task of Chang et al., ICLR 2020 — public): every anchor
+    becomes a (query, positive passage) pair — the anchor TEXT is the
+    query, the linked-to document's leading passage is the positive —
+    plus one content-addressed random negative (hash of src#anchor,
+    bumped off the positive on collision). The zero-annotation
+    contrastive set a web corpus gives away for free.
+
+    Scale shape: anchor extraction is exploded map-side (one codegen
+    regexp pass); the positive and negative lookups are two equijoins
+    of the pair stream against the documents table on its key — plain
+    co-partitioned shuffle joins, nothing corpus-sized is broadcast or
+    collected. The modulo negative assumes the fixture's dense doc_id
+    space; a sparse id space drops identical rows on both engines (the
+    joins are inner on both sides)."""
+    from hash_db_spark.operators.curation import sample_u
+
+    pairs = H.anchor_pairs(_pages(spark, sf_dir))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, PREFIX_CHARS).alias("prefix")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    x = pairs.select(
+        "src_doc",
+        "anchor",
+        F.regexp_extract("anchor", r"ref ([0-9]+)", 1)
+        .cast("long")
+        .alias("pos_id"),
+    ).crossJoin(F.broadcast(n))
+    neg0 = sample_u(
+        F.concat(F.col("src_doc").cast("string"), F.lit("#"), F.col("anchor"))
+    ) % F.col("n_docs")
+    x = x.withColumn(
+        "neg_id",
+        F.when(neg0 == F.col("pos_id"), (neg0 + 1) % F.col("n_docs"))
+        .otherwise(neg0),
+    )
+    return (
+        x.join(
+            docs.withColumnRenamed("doc_id", "pos_id").withColumnRenamed(
+                "prefix", "pos_prefix"
+            ),
+            "pos_id",
+        )
+        .join(
+            docs.withColumnRenamed("doc_id", "neg_id").withColumnRenamed(
+                "prefix", "neg_prefix"
+            ),
+            "neg_id",
+        )
+        .select(
+            "src_doc", "anchor", "pos_id", "neg_id",
+            "pos_prefix", "neg_prefix",
+        )
+    )
+
+
+def _anchor_query_pairs_oracle() -> str:
+    from hash_db_spark.operators.curation import sql_sample_u
+
+    u = sql_sample_u("src_doc::VARCHAR || '#' || anchor")
+    return f"""
+WITH {H.sql_anchor_pairs_cte(f'({_SQL_PAGE})')},
+n AS (SELECT count(*) AS n_docs FROM documents),
+x AS (
+  SELECT src_doc, anchor,
+         CAST(regexp_extract(anchor, 'ref ([0-9]+)', 1) AS BIGINT)
+           AS pos_id,
+         {u} % (SELECT n_docs FROM n) AS neg0
+  FROM anchors
+),
+z AS (
+  SELECT src_doc, anchor, pos_id,
+         CASE WHEN neg0 = pos_id
+              THEN (neg0 + 1) % (SELECT n_docs FROM n)
+              ELSE neg0 END AS neg_id
+  FROM x
+)
+SELECT z.src_doc, z.anchor, z.pos_id, z.neg_id,
+       substring(p.text, 1, {PREFIX_CHARS}) AS pos_prefix,
+       substring(ng.text, 1, {PREFIX_CHARS}) AS neg_prefix
+FROM z
+JOIN documents p ON p.doc_id = z.pos_id
+JOIN documents ng ON ng.doc_id = z.neg_id
+"""
+
+
+# r12 QUEUE CANDIDATE (session 9):
+#   "anchor_query_pairs": Query(
+#       q_anchor_query_pairs, _anchor_query_pairs_oracle()),

@@ -194,3 +194,39 @@ def test_frontier_schedule_politeness(spark, sf_dir):
         r.n_new for r in q_sitemap_discover(spark, sf_dir).collect()
     )
     assert 0 < len(rows) <= n_new
+
+
+class TestAnchorQueryPairs:
+    """Link-graph contrastive pairs
+    (queries/html_queries.py:q_anchor_query_pairs)."""
+
+    def test_pairs_shape_and_negatives_differ(self, spark, sf_dir):
+        from hash_db_spark.queries.html_queries import q_anchor_query_pairs
+
+        rows = q_anchor_query_pairs(spark, sf_dir).collect()
+        assert len(rows) > 0
+        for r in rows[:50]:
+            assert r.anchor == f"ref {r.pos_id}"
+            assert r.neg_id != r.pos_id
+            assert r.pos_prefix and r.neg_prefix
+
+    def test_oracle_parity(self, spark, sf_dir):
+        import duckdb
+
+        from hash_db_spark.queries.html_queries import (
+            _anchor_query_pairs_oracle,
+            q_anchor_query_pairs,
+        )
+
+        got = sorted(tuple(r) for r in q_anchor_query_pairs(spark, sf_dir).collect())
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(_anchor_query_pairs_oracle()).fetchall()
+        )
+        con.close()
+        assert got == want and len(got) > 0
