@@ -1034,3 +1034,135 @@ def q_ppl_tertile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   "ppl_tertile_buckets": Query(
 #       q_ppl_tertile_buckets,
 #       corpus_stats.sql_ppl_tertile_buckets("documents", "text", "doc_id")),
+
+
+def q_curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline-observability twin of train_prep: per-STAGE survivor
+    counts for the gate cascade (raw -> quality gate -> near-dup keep),
+    with each stage's drop — the funnel chart every curation run ships
+    alongside its output so a silently over-aggressive gate is caught
+    by eyeball, not by a degraded model three weeks later. Same
+    predicates and dedup parameters as train_prep, so the funnel
+    EXPLAINS that entry's output size.
+
+    Scale shape: three scalar aggregates over successive refinements of
+    one lazy plan (the gated frame feeds both its own count and the
+    dedup stage), unioned into a 3-row result — counts only, nothing
+    wide ever aggregates."""
+    from hash_db_spark.functions.text import quality_score, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    gated = docs.filter(
+        (quality_score("text") >= 0.5)
+        & F.col("lang").isin("en", "de", "fr")
+        & token_count("text").between(10, 200)
+    )
+    pairs = D.minhash_lsh_pairs(
+        gated, "text", "doc_id", threshold=0.5, num_hashes=32
+    )
+    kept = D.apply_dedup_keep(gated, pairs, "doc_id")
+
+    def stage(idx: int, name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+
+    funnel = (
+        stage(0, "raw", docs)
+        .unionAll(stage(1, "quality_gate", gated))
+        .unionAll(stage(2, "near_dup_keep", kept))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("stage_idx")
+    return funnel.select(
+        "stage_idx",
+        "stage",
+        "n_docs",
+        (F.coalesce(F.lag("n_docs").over(w), F.col("n_docs"))
+         - F.col("n_docs")).alias("n_dropped"),
+    )
+
+
+def _curation_funnel_oracle() -> str:
+    from hash_db_spark.functions.text import sql_quality_score, sql_token_count
+
+    gate = (
+        "SELECT * FROM documents "
+        f"WHERE {sql_quality_score('text')} >= 0.5 "
+        "AND lang IN ('en', 'de', 'fr') "
+        f"AND {sql_token_count('text')} BETWEEN 10 AND 200"
+    )
+    pairs_sql = D.sql_minhash_lsh_pairs(
+        f"({gate}) gdocs", "text", "doc_id", threshold=0.5, num_hashes=32
+    )
+    kept_sql = D.sql_apply_dedup_keep(
+        f"({gate}) gdocs", "doc_id", pairs_sql, "SELECT *"
+    )
+    return f"""
+WITH gated AS MATERIALIZED ({gate}),
+kept AS ({kept_sql.replace(f'({gate}) gdocs', 'gated')}),
+funnel AS (
+  SELECT 0 AS stage_idx, 'raw' AS stage, count(*) AS n_docs
+  FROM documents
+  UNION ALL
+  SELECT 1, 'quality_gate', count(*) FROM gated
+  UNION ALL
+  SELECT 2, 'near_dup_keep', count(*) FROM kept
+)
+SELECT stage_idx, stage, n_docs,
+       COALESCE(lag(n_docs) OVER (ORDER BY stage_idx), n_docs) - n_docs
+         AS n_dropped
+FROM funnel
+"""
+
+
+# r12 QUEUE CANDIDATE (session 9):
+#   "curation_funnel_report": Query(
+#       q_curation_funnel_report, _curation_funnel_oracle()),
+
+
+def q_stream_secret_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming governance gate: documents stream through the entropy-
+    gated credential scrub — per-batch map-side HOFs, no state store at
+    all (stateless projection), so the same plan runs unchanged on a
+    real continuous source; availableNow single batch makes the batch
+    scrub the exact oracle (functions/scrub.py:secret_exprs)."""
+    from hash_db_spark.streaming import windows as SW
+
+    docs = SW.read_documents_stream(spark, sf_dir)
+    blob = F.concat_ws(
+        " ",
+        F.col("text"),
+        F.lit("api_key"),
+        F.md5(F.col("doc_id").cast("string")),
+        F.lit("pad"),
+        F.repeat(F.lit("ab"), 12),
+    )
+    n_c, n_v, max_e, red = scrub.secret_exprs(blob)
+    flagged = docs.select(
+        "doc_id",
+        n_v.alias("n_secrets"),
+        F.md5(red).alias("redacted_fp"),
+    ).filter(F.col("n_secrets") > 0)
+    return SW.run_stream_to_memory(flagged, output_mode="append")
+
+
+def _stream_secret_scrub_oracle() -> str:
+    blob = (
+        "concat_ws(' ', text, 'api_key', md5(CAST(doc_id AS VARCHAR)),"
+        " 'pad', repeat('ab', 12))"
+    )
+    _n_c, n_v, _max_e, red = scrub.sql_secret_exprs(blob)
+    return f"""
+SELECT doc_id, {n_v} AS n_secrets, md5({red}) AS redacted_fp
+FROM documents
+WHERE {n_v} > 0
+"""
+
+
+# r12 QUEUE CANDIDATE (session 9):
+#   "stream_secret_scrub": Query(
+#       q_stream_secret_scrub, _stream_secret_scrub_oracle()),

@@ -936,3 +936,75 @@ class TestT5SpanCorruption:
         )
         con.close()
         assert got == want
+
+
+class TestCurationFunnel:
+    """Gate-cascade survivor funnel
+    (queries/pipeline_queries.py:q_curation_funnel_report)."""
+
+    def test_funnel_is_monotone_and_consistent(self, spark, sf_dir):
+        from hash_db_spark.queries.pipeline_queries import (
+            q_curation_funnel_report,
+        )
+
+        rows = sorted(
+            q_curation_funnel_report(spark, sf_dir).collect(),
+            key=lambda r: r.stage_idx,
+        )
+        assert [r.stage for r in rows] == [
+            "raw", "quality_gate", "near_dup_keep",
+        ]
+        assert rows[0].n_dropped == 0
+        for prev, cur in zip(rows, rows[1:]):
+            assert cur.n_docs <= prev.n_docs
+            assert cur.n_dropped == prev.n_docs - cur.n_docs
+        assert rows[1].n_dropped > 0  # the quality gate bites
+
+    def test_oracle_parity(self, spark, sf_dir):
+        import duckdb
+
+        from hash_db_spark.queries.pipeline_queries import (
+            _curation_funnel_oracle,
+            q_curation_funnel_report,
+        )
+
+        got = sorted(
+            tuple(r) for r in q_curation_funnel_report(spark, sf_dir).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(_curation_funnel_oracle()).fetchall()
+        )
+        con.close()
+        assert got == want
+
+
+def test_stream_secret_scrub_matches_batch(spark, sf_dir):
+    """The streaming scrub (stateless projection, availableNow) must
+    equal the batch oracle exactly — and flag every doc (each carries
+    a planted key)."""
+    import duckdb
+
+    from hash_db_spark.queries.pipeline_queries import (
+        _stream_secret_scrub_oracle,
+        q_stream_secret_scrub,
+    )
+
+    got = sorted(tuple(r) for r in q_stream_secret_scrub(spark, sf_dir).collect())
+    assert len(got) > 0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(_stream_secret_scrub_oracle()).fetchall()
+    )
+    con.close()
+    assert got == want
