@@ -885,3 +885,42 @@ def session_type_pmi(
         F.col("n_ab").cast("long").alias("n_ab"),
         micro_col(pmi).alias("pmi_micro"),
     ).orderBy("type_a", "type_b")
+
+
+def user_type_entropy(
+    events: DataFrame, key: str = "user_id", type_col: str = "event_type"
+) -> DataFrame:
+    """(user_id, n_events, n_types, type_entropy): Shannon entropy
+    (bits) of each user's event-type distribution — the behavioral-
+    diversity census. Scripted/bot traffic collapses to near-zero
+    entropy (one action repeated); engaged users spread mass across
+    types. The log-domain identity H = log2(n) - sum(c*log2(c))/n
+    keeps everything one pass over (user, type) counts — two stacked
+    map-combined aggregations, no windows, no joins; the same shape
+    at 10^9 users as at 10^3."""
+    cnt = events.groupBy(
+        F.col(key).alias("user_id"), F.col(type_col).alias("t")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(
+            F.log2(F.sum("c"))
+            - F.sum(F.col("c") * F.log2("c")) / F.sum("c"),
+            6,
+        ).alias("type_entropy"),
+    )
+
+
+def sql_user_type_entropy(
+    table: str = "events", key: str = "user_id", type_col: str = "event_type"
+) -> str:
+    return f"""
+SELECT user_id, sum(c) AS n_events, count(*) AS n_types,
+       round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS type_entropy
+FROM (
+  SELECT {key} AS user_id, {type_col} AS t, count(*) AS c
+  FROM {table} GROUP BY 1, 2
+)
+GROUP BY user_id
+"""

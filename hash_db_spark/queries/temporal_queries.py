@@ -716,3 +716,16 @@ def q_session_type_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # r12 QUEUE CANDIDATE (the r11 queue closed at 34 — session 7):
 #   "session_type_pmi": Query(q_session_type_pmi, SESSION_PMI_ORACLE),
+
+
+def q_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral entropy over event types: the bot/script
+    screen (near-zero entropy = one action on repeat) and engagement
+    spread census, one stacked pair of map-combined aggregations
+    (operators/temporal.py:user_type_entropy)."""
+    return T.user_type_entropy(load_table(spark, sf_dir, "events"))
+
+
+# r12 QUEUE CANDIDATE (session 9):
+#   "user_type_entropy": Query(
+#       q_user_type_entropy, T.sql_user_type_entropy()),

@@ -662,3 +662,48 @@ class TestSessionPmi:
         ]
         con.close()
         assert got == want and len(got) > 0
+
+
+class TestUserTypeEntropy:
+    """Behavioral entropy census
+    (operators/temporal.py:user_type_entropy)."""
+
+    def test_known_values(self, spark):
+        from hash_db_spark.operators.temporal import user_type_entropy
+
+        rows = (
+            [(1, "click")] * 8  # bot: one action -> H = 0
+            + [(2, "a"), (2, "b"), (2, "c"), (2, "d")]  # uniform 4 -> H = 2
+            + [(3, "x")] * 3 + [(3, "y")]  # 3:1 -> H = 2 - 3*log2(3)/4
+        )
+        df = spark.createDataFrame(rows, ["user_id", "event_type"])
+        got = {
+            r.user_id: (r.n_events, r.n_types, r.type_entropy)
+            for r in user_type_entropy(df).collect()
+        }
+        import math
+
+        assert got[1] == (8, 1, 0.0)
+        assert got[2] == (4, 4, 2.0)
+        assert got[3] == (4, 2, round(2 - 3 * math.log2(3) / 4, 6))
+
+    def test_oracle_parity(self, spark, sf_dir):
+        import duckdb
+
+        from hash_db_spark.operators.temporal import sql_user_type_entropy
+        from hash_db_spark.queries.temporal_queries import (
+            q_user_type_entropy,
+        )
+
+        got = sorted(tuple(r) for r in q_user_type_entropy(spark, sf_dir).collect())
+        assert len(got) > 0
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(sql_user_type_entropy()).fetchall()
+        )
+        con.close()
+        assert got == want
