@@ -1306,3 +1306,85 @@ def _dp_noisy_counts_oracle() -> str:
 
 # r12 QUEUE CANDIDATE (session 9):
 #   "dp_noisy_counts": Query(q_dp_noisy_counts, _dp_noisy_counts_oracle()),
+
+
+def q_score_quantile_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signal fusion for heterogeneous quality scores: the heuristic
+    quality score and the corpus-LM logprob live on incompatible
+    scales, so each is rank-normalized to its exact percent-rank
+    (distributed — operators/rank.py range partitioning, no
+    single-task window) and blended 50/50 — the quantile-normalization
+    trick that makes any two per-doc signals combinable without
+    calibration. Output: both percent-ranks + the blend per doc."""
+    from hash_db_spark.functions.text import quality_score_fast
+    from hash_db_spark.operators.corpus_stats import doc_bigram_logprob
+    from hash_db_spark.operators.rank import ntile_global
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select("doc_id", quality_score_fast("text").alias("q"))
+    lm = doc_bigram_logprob(docs, "text", "doc_id").select(
+        F.col("id").alias("doc_id"), "bigram_logprob"
+    )
+    both = q.join(lm, "doc_id")
+    rq = ntile_global(
+        both,
+        [F.col("q").asc(), F.col("doc_id").asc()],
+        n=2,
+        out="__b1",
+        prank_col="q_prank",
+    ).select("doc_id", "q", "bigram_logprob", "q_prank")
+    rl = ntile_global(
+        rq,
+        [F.col("bigram_logprob").asc(), F.col("doc_id").asc()],
+        n=2,
+        out="__b2",
+        prank_col="lm_prank",
+    ).select("doc_id", "q_prank", "lm_prank")
+    # round_half_away_col, not F.round: blend lands on exact decimal
+    # ties ((a+b)/2 of two (rn-1)/(n-1) ratios), where Spark's
+    # HALF_UP-on-shortest-repr and DuckDB's scaled-binary round diverge
+    # (functions/rounding.py — the dedup_keep_best fix pattern)
+    from hash_db_spark.functions.rounding import round_half_away_col
+
+    return rl.select(
+        "doc_id",
+        round_half_away_col(F.col("q_prank"), 6).alias("q_prank"),
+        round_half_away_col(F.col("lm_prank"), 6).alias("lm_prank"),
+        round_half_away_col(
+            (F.col("q_prank") + F.col("lm_prank")) / 2.0, 6
+        ).alias("blend"),
+    )
+
+
+def _score_quantile_blend_oracle() -> str:
+    from hash_db_spark.functions.text import sql_quality_score_fast
+    from hash_db_spark.operators.corpus_stats import sql_doc_bigram_logprob
+
+    lm = sql_doc_bigram_logprob("documents", "text", "doc_id")
+    return f"""
+WITH lm AS ({lm}),
+qb AS (
+  SELECT d.doc_id, {sql_quality_score_fast('d.text')} AS q,
+         l.bigram_logprob
+  FROM documents d JOIN lm l ON l.id = d.doc_id
+),
+pr AS (
+  SELECT doc_id,
+         percent_rank() OVER (ORDER BY q ASC, doc_id ASC) AS q_prank,
+         percent_rank() OVER (ORDER BY bigram_logprob ASC, doc_id ASC)
+           AS lm_prank
+  FROM qb
+)
+SELECT doc_id, q_prank, lm_prank,
+       round((q_prank + lm_prank) / 2.0, 6) AS blend
+FROM (
+  SELECT doc_id, round(q_prank, 6) AS q_prank,
+         round(lm_prank, 6) AS lm_prank
+  FROM pr
+)
+"""
+
+
+# r12 QUEUE CANDIDATE (session 9):
+#   "score_quantile_blend": Query(
+#       q_score_quantile_blend, _score_quantile_blend_oracle()),

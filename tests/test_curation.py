@@ -698,3 +698,47 @@ class TestDpNoisyCounts:
         )
         con.close()
         assert got == want
+
+
+class TestScoreQuantileBlend:
+    """Percent-rank normalization fusion
+    (queries/curation_queries.py:q_score_quantile_blend)."""
+
+    def test_blend_bounds_and_monotone(self, spark, sf_dir):
+        from hash_db_spark.queries.curation_queries import (
+            q_score_quantile_blend,
+        )
+
+        rows = q_score_quantile_blend(spark, sf_dir).collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert 0.0 <= r.q_prank <= 1.0
+            assert 0.0 <= r.lm_prank <= 1.0
+            # blend is rounded from the UNROUNDED pranks, so recomputing
+            # from the displayed 6dp values can differ in the last digit
+            assert abs(r.blend - (r.q_prank + r.lm_prank) / 2) < 1e-5
+        # the ranks actually spread (not all collapsed)
+        assert len({r.blend for r in rows}) > 10
+
+    def test_oracle_parity(self, spark, sf_dir):
+        import duckdb
+
+        from hash_db_spark.queries.curation_queries import (
+            _score_quantile_blend_oracle,
+            q_score_quantile_blend,
+        )
+
+        got = sorted(
+            tuple(r) for r in q_score_quantile_blend(spark, sf_dir).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(_score_quantile_blend_oracle()).fetchall()
+        )
+        con.close()
+        assert got == want
