@@ -85,6 +85,15 @@ def all_queries() -> dict[str, Query]:
     # vocab_oov_report, eval_ngram_coverage). 13 + r12 taint leaves
     # slack in the 50-slot r12 window; keep new work queueing for r12
     # until ~35, then switch to r13.
+    # r12 QUEUE STATE (session 9): 31 candidates — the 13 above plus
+    # session 9's 18 (host_kcore, host_clustering_coef,
+    # host_adamic_adar, dedup_edit_verify, skew_key_report,
+    # scrub_secrets, stream_secret_scrub, l_diversity_audit,
+    # ppl_tertile_buckets, retrieve_prf_rocchio, t5_span_examples,
+    # dp_noisy_counts, cluster_balanced_sample, bucketed_join_serve,
+    # anchor_query_pairs, curation_funnel_report, user_type_entropy,
+    # score_quantile_blend). 31 + r12 taint ~ fills the 50-slot
+    # window: the r12 queue is CLOSED — new operators queue for r13.
     # Ordering: cheap codegen entries first to absorb the window's
     # JVM/codegen warmup; heavy entries (PQ fits, MMR, winnowing-scale
     # iterative graph ops) interleaved, never clustered.

@@ -692,3 +692,62 @@ def test_skew_key_report_no_per_key_window(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # TakeOrdered for top-10, not a global Sort+Exchange over keys
     assert "TakeOrderedAndProject" in plan
+
+
+def test_scrub_secrets_map_side_only(spark, sf_dir):
+    """The entropy-gated scrub is one pure-HOF projection: zero
+    exchanges — one corpus scan at any size."""
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries.pipeline_queries import q_scrub_secrets
+
+    plan = formatted_plan(q_scrub_secrets(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_t5_span_examples_map_side_only(spark, sf_dir):
+    """Span corruption is one pure-HOF projection: zero exchanges."""
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries.text_queries import q_t5_span_examples
+
+    plan = formatted_plan(q_t5_span_examples(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_ppl_tertiles_no_per_lang_window(spark, sf_dir):
+    """The tertile cutoffs must come from broadcast per-lang scalars —
+    the only Window in the plan is the per-DOC bigram adjacency lag
+    (partitioned by id), never a per-language ntile: no ntile/
+    percent_rank window function appears, and the cuts join is a
+    broadcast."""
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries.pipeline_queries import q_ppl_tertile_buckets
+
+    plan = formatted_plan(q_ppl_tertile_buckets(spark, sf_dir))
+    # cutoffs via aggregate percentiles (map-combined), not a window
+    assert "partial_percentile" in plan
+    assert "percent_rank" not in plan
+    # the only Window is the per-doc lag — every Window operator in the
+    # plan must be partitioned (no SinglePartition funnel)
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dp_noisy_counts_single_shuffle(spark, sf_dir):
+    """One map-combined groupBy; the noise is map-side arithmetic —
+    exactly one exchange in the whole plan."""
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries.curation_queries import q_dp_noisy_counts
+
+    plan = formatted_plan(q_dp_noisy_counts(spark, sf_dir))
+    assert plan.count("+- Exchange") == 1  # exactly one shuffle in the tree
+    assert "partial_count" in plan  # map-side combine before it
+    assert "CartesianProduct" not in plan
+
+
+def test_adamic_adar_no_cartesian_and_capped(spark, sf_dir):
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries.web_queries import q_host_adamic_adar
+
+    plan = formatted_plan(q_host_adamic_adar(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
