@@ -102,6 +102,32 @@ def build(spark, replicas: int) -> None:
         "props",
     )
     big_ev.write.mode("overwrite").parquet(f"{OUT}/events.parquet")
+    # lineitem/orders for the fact-side probes (skew census, bucketed
+    # join): orderkey shifts per replica so per-order multiplicity — the
+    # skew structure — replicates instead of multiplying one order's
+    # line count by the replica factor.
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    n_ok = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
+    big_li = li.crossJoin(reps).select(
+        (F.col("l_orderkey") + F.col("rep") * n_ok).alias("l_orderkey"),
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    )
+    big_li.write.mode("overwrite").parquet(f"{OUT}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    big_ord = orders.crossJoin(reps).select(
+        (F.col("o_orderkey") + F.col("rep") * n_ok).alias("o_orderkey"),
+        *[c for c in orders.columns if c != "o_orderkey"],
+    )
+    big_ord.write.mode("overwrite").parquet(f"{OUT}/orders.parquet")
 
 
 def main() -> int:
