@@ -2613,7 +2613,7 @@ ORDER BY method
 # --- edit-distance verification of candidate pairs -----------------------------
 
 EDIT_SIM_T = 0.8
-EDIT_PREFIX = 400
+EDIT_PREFIX = 256
 
 
 def edit_verify_pairs(
@@ -2659,7 +2659,19 @@ def edit_verify_pairs(
     # round() is monotone, so filtering on the rounded bound never
     # drops a pair the rounded similarity would keep
     bound = F.round(1.0 - F.abs(la - lb) / denom, 6)
-    return (
+    # banded DP: lev above max_dist can't pass the threshold for ANY
+    # pair (lev <= max(len) = denom <= prefix, so lev > (1-T)*prefix
+    # => lev/denom > 1-T => sim < T), so the 3-arg levenshtein's -1
+    # early-exit is EXACT — it only drops pairs the threshold filter
+    # would drop. DP cost falls from prefix^2 to prefix*max_dist.
+    # ceil, not floor: if (1-T)*prefix computes a hair under an integer
+    # value, flooring could drop a pair sitting exactly AT the
+    # threshold; one extra band row is free
+    import math as _math
+
+    max_dist = int(_math.ceil((1.0 - threshold) * prefix))
+    lev = F.levenshtein("ta", "tb", max_dist)
+    scored = (
         pairs.select("id_a", "id_b")
         .join(t.withColumnRenamed("id", "id_a").withColumnRenamed("t", "ta"), "id_a")
         .join(t.withColumnRenamed("id", "id_b").withColumnRenamed("t", "tb"), "id_b")
@@ -2667,11 +2679,20 @@ def edit_verify_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(
-                1.0 - F.levenshtein("ta", "tb") / denom, 6
-            ).alias("edit_sim"),
+            F.when(lev < 0, F.lit(-1.0))
+            .otherwise(F.round(1.0 - lev / denom, 6))
+            .alias("edit_sim"),
         )
-        .filter(F.col("edit_sim") >= threshold)
+    )
+    # LAZY checkpoint between scoring and filtering: pushing the
+    # edit_sim filter through the projection would substitute the
+    # levenshtein expression into the predicate and re-evaluate the DP
+    # up to 4x per row (measured: 224s -> ~50s on 250k pairs at 10x).
+    # The checkpointed frame is 2 longs + 1 double per CANDIDATE —
+    # negligible next to the DP it prevents re-running; lazy, so no
+    # work happens until the caller's first action.
+    return scored.localCheckpoint(eager=False).filter(
+        F.col("edit_sim") >= threshold
     )
 
 

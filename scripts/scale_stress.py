@@ -530,6 +530,29 @@ def main() -> int:
             ("bucketed_join_serve", q_bucketed_join_serve),
         ):
             timed(f"{name}/{scale}", lambda f=fn: f(spark, sf_dir))
+        # round-10 session 9, late additions
+        from hash_db_spark.queries.curation_queries import (
+            q_score_quantile_blend,
+        )
+        from hash_db_spark.queries.html_queries import q_anchor_query_pairs
+        from hash_db_spark.queries.pipeline_queries import (
+            q_curation_funnel_report,
+            q_stream_secret_scrub,
+        )
+        from hash_db_spark.queries.temporal_queries import (
+            q_user_type_entropy,
+        )
+        from hash_db_spark.queries.web_queries import q_host_adamic_adar
+
+        for name, fn in (
+            ("host_adamic_adar", q_host_adamic_adar),
+            ("anchor_query_pairs", q_anchor_query_pairs),
+            ("curation_funnel_report", q_curation_funnel_report),
+            ("user_type_entropy", q_user_type_entropy),
+            ("stream_secret_scrub", q_stream_secret_scrub),
+            ("score_quantile_blend", q_score_quantile_blend),
+        ):
+            timed(f"{name}/{scale}", lambda f=fn: f(spark, sf_dir))
     return 0
 
 
