@@ -778,8 +778,12 @@ def kcore(edges: DataFrame, k: int = 2, iterations: int = 6) -> DataFrame:
 
 def sql_kcore(k: int = 2, iterations: int = 6) -> str:
     """Unrolled peel over a ``gedges(src, dst)`` CTE — identical rounds."""
+    # MATERIALIZED throughout: e_{i-1} is referenced twice per round
+    # (degree census + survivor filter); inlined CTEs would re-expand
+    # the whole upstream chain 2^iterations times (measured: 89s -> <1s
+    # on the sf0.01 host graph).
     parts = [
-        """e0 AS (
+        """e0 AS MATERIALIZED (
   SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
   FROM gedges WHERE src <> dst
 )"""
@@ -787,7 +791,7 @@ def sql_kcore(k: int = 2, iterations: int = 6) -> str:
     prev = "e0"
     for i in range(1, iterations + 1):
         parts.append(
-            f"""k{i} AS (
+            f"""k{i} AS MATERIALIZED (
   SELECT id FROM (
     SELECT id, count(*) AS deg FROM (
       SELECT a AS id FROM {prev} UNION ALL SELECT b FROM {prev}
@@ -796,7 +800,7 @@ def sql_kcore(k: int = 2, iterations: int = 6) -> str:
 )"""
         )
         parts.append(
-            f"""e{i} AS (
+            f"""e{i} AS MATERIALIZED (
   SELECT e.a, e.b FROM {prev} e
   WHERE e.a IN (SELECT id FROM k{i}) AND e.b IN (SELECT id FROM k{i})
 )"""

@@ -964,9 +964,11 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     homogeneity-attack fix k-anonymity misses): a class can be
     k-anonymous yet leak its members' SENSITIVE value when everyone in
     it shares one. Quasi-identifiers here are (lang, length bucket);
-    `source` plays the sensitive attribute. Reports every class of
-    k-anonymous size whose distinct-sensitive count is below l, with
-    the top sensitive share (1.0 = total homogeneity, the worst case).
+    `source` plays the sensitive attribute. Reports EVERY
+    k-anonymous class with its distinct-sensitive count, top sensitive
+    share (1.0 = total homogeneity, the worst case), and the
+    below-l violation flag — the audit table a release review reads,
+    whether or not anything is currently violating.
 
     Two stacked map-combined aggregations on low-cardinality keys —
     (qi, sensitive) counts, then per-qi rollup — a single logical
@@ -987,9 +989,8 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sensitive"),
         F.round(F.max("c") / F.sum("c"), 6).alias("top_sensitive_share"),
     )
-    return classes.filter(
-        (F.col("class_size") >= K_ANON_K)
-        & (F.col("n_sensitive") < L_DIVERSITY_L)
+    return classes.filter(F.col("class_size") >= K_ANON_K).withColumn(
+        "low_diversity", F.col("n_sensitive") < L_DIVERSITY_L
     )
 
 
@@ -1004,10 +1005,11 @@ WITH cell AS (
 )
 SELECT lang, len_bucket, sum(c) AS class_size,
        count(*) AS n_sensitive,
-       round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_sensitive_share
+       round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_sensitive_share,
+       count(*) < {L_DIVERSITY_L} AS low_diversity
 FROM cell
 GROUP BY lang, len_bucket
-HAVING sum(c) >= {K_ANON_K} AND count(*) < {L_DIVERSITY_L}
+HAVING sum(c) >= {K_ANON_K}
 """
 
 # r12 QUEUE CANDIDATE (session 9):
