@@ -1024,3 +1024,157 @@ def test_context_fit_matches_model(spark, docs, lens):
         assert r.tokens_total == sum(counts)
         assert r.tokens_lost == sum(max(c - L, 0) for c in counts)
         assert r.packed_seqs == math.ceil(kept / L)
+
+
+# --- session 9: k-core vs pure-Python peel ------------------------------------
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=25,
+    ),
+    k=st.integers(2, 3),
+)
+def test_kcore_matches_model(spark, edges, k):
+    """Fixed-round Spark peel vs a run-to-fixpoint Python model: with
+    iterations >= node count the bounded peel must have converged, so
+    the two agree exactly on any graph."""
+    from hash_db_spark.operators.graph import kcore
+
+    simple = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not simple:
+        return
+    es = set(simple)
+    while True:
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        nxt = {(a, b) for a, b in es if a in keep and b in keep}
+        if nxt == es:
+            break
+        es = nxt
+    want = {}
+    for a, b in es:
+        want[a] = want.get(a, 0) + 1
+        want[b] = want.get(b, 0) + 1
+    want = {n: d for n, d in want.items() if d >= k}
+
+    df = spark.createDataFrame(sorted(simple), "src long, dst long")
+    got = {r.id: r.deg for r in kcore(df, k=k, iterations=10).collect()}
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1,
+        max_size=20,
+    ),
+)
+def test_clustering_coef_matches_model(spark, edges):
+    from hash_db_spark.operators.graph import clustering_coefficient
+
+    simple = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not simple:
+        return
+    adj = {}
+    for a, b in simple:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for n, nb in adj.items():
+        d = len(nb)
+        if d < 2:
+            continue
+        t = sum(
+            1
+            for i in nb
+            for j in nb
+            if i < j and j in adj.get(i, set())
+        )
+        want[n] = (d, t, round(2.0 * t / (d * (d - 1)), 6))
+    df = spark.createDataFrame(sorted(simple), "src long, dst long")
+    got = {
+        r.id: (r.deg, r.triangles, r.coef)
+        for r in clustering_coefficient(df).collect()
+    }
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    counts=st.lists(st.integers(1, 30), min_size=1, max_size=12),
+)
+def test_skew_gini_matches_model(spark, counts):
+    """Count-of-counts Gini vs the textbook sorted-rank formula."""
+    from hash_db_spark.operators.skew import key_skew_report
+
+    rows = [(f"k{i}",) for i, c in enumerate(counts) for _ in range(c)]
+    df = spark.createDataFrame(rows, ["k"])
+    r = key_skew_report(df, "k", "x").collect()[0]
+    xs = sorted(counts)
+    n, t = len(xs), sum(xs)
+    s1 = sum((i + 1) * x for i, x in enumerate(xs))
+    gini = (2.0 * s1 - (n + 1) * t) / (n * t)
+    assert r.n_rows == t and r.n_keys == n and r.max_key_rows == max(xs)
+    assert abs(r.gini - round(gini, 6)) < 2e-6
+    top10 = sum(sorted(counts, reverse=True)[:10])
+    assert r.top10_share == round(top10 / t, 6)
+
+
+@settings(**SETTINGS)
+@given(
+    s=st.text(alphabet="abcdefgh01", min_size=1, max_size=24),
+)
+def test_shannon_entropy_matches_model(spark, s):
+    import math
+    from collections import Counter
+
+    from hash_db_spark.functions.scrub import shannon_entropy
+
+    df = spark.createDataFrame([(s,)], ["t"])
+    got = df.select(F.round(shannon_entropy("t"), 6).alias("h")).collect()[0].h
+    n = len(s)
+    want = -sum(
+        (c / n) * math.log2(c / n) for c in Counter(s).values()
+    )
+    assert abs(got - round(want, 6)) < 2e-6
+
+
+@settings(**SETTINGS)
+@given(
+    toks=st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_t5_reconstruction_law_random(spark, toks):
+    """Input + targets reconstruct the clean token stream for ANY
+    document (the round-trip law, randomized)."""
+    from hash_db_spark.operators.chunking import t5_span_examples
+
+    text = " ".join(toks)
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    r = t5_span_examples(df, "text", "doc_id").collect()[0]
+    spans, cur = {}, None
+    if r.targets:
+        for p in r.targets.split(" "):
+            if p.startswith("<extra_id_"):
+                cur = p
+                spans[cur] = []
+            else:
+                spans[cur].append(p)
+    rebuilt = []
+    for tok in r.input_text.split(" "):
+        if tok.startswith("<extra_id_"):
+            rebuilt.extend(spans[tok])
+        else:
+            rebuilt.append(tok)
+    assert rebuilt == toks
