@@ -797,3 +797,100 @@ WITH {W.sql_link_targets_cte()},
 # r12 QUEUE CANDIDATE (session 9):
 #   "host_adamic_adar": Query(
 #       q_host_adamic_adar, _host_adamic_adar_oracle()),
+
+
+def q_host_graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE host table a crawl planner serves: one row per host joining
+    every graph-curation signal this engine computes — PageRank
+    authority, undirected degree, 2-core membership, local clustering
+    coefficient, LPA community — so downstream policy (fetch budget,
+    spam review, dup scrutiny) reads ONE dimension instead of five
+    operator outputs. Each signal is the already-verified operator;
+    this entry proves they COMPOSE on a shared edge derivation.
+
+    Scale shape: the edge list derives once (eager localCheckpoint —
+    five consumers would otherwise re-run the href extraction five
+    times); each signal keeps its own audited plan; the final assembly
+    is four left joins on the host key — host tables are dimension-
+    sized next to the corpora that produce them."""
+    from hash_db_spark.operators.graph import (
+        clustering_coefficient,
+        kcore,
+        lpa_communities,
+        pagerank,
+    )
+
+    edges = _host_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    pr = pagerank(nodes, edges, iterations=3)
+    deg = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .select(F.explode(F.array("a", "b")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    core = kcore(edges, k=2, iterations=4).select(
+        "id", F.lit(True).alias("in_core2")
+    )
+    coef = clustering_coefficient(edges).select("id", "coef")
+    comm = lpa_communities(nodes, edges, iterations=3)
+    return (
+        pr.join(deg, "id", "left")
+        .join(core, "id", "left")
+        .join(coef, "id", "left")
+        .join(comm, "id", "left")
+        .select(
+            F.col("id").alias("host"),
+            "rank",
+            F.coalesce("deg", F.lit(0)).alias("deg"),
+            F.coalesce("in_core2", F.lit(False)).alias("in_core2"),
+            "coef",
+            "community",
+        )
+    )
+
+
+def _host_graph_profile_oracle() -> str:
+    """Assembled from the component wrapper oracles as parenthesized
+    WITH-subqueries — no CTE-name collisions between the components'
+    internal chains (kcore's e1..e4 vs LPA's e2 would clash inline)."""
+    deg_sql = f"""
+WITH {W.sql_link_targets_cte()},
+gedges AS (
+  SELECT DISTINCT {_host_of_id('doc_id')} AS src,
+         {_host_of_id('t')} AS dst
+  FROM links
+),
+ce AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM gedges WHERE src <> dst
+)
+SELECT id, count(*) AS deg FROM (
+  SELECT a AS id FROM ce UNION ALL SELECT b FROM ce
+) GROUP BY id
+"""
+    return f"""
+SELECT pr.id AS host, pr.rank,
+       COALESCE(d.deg, 0) AS deg,
+       kc.id IS NOT NULL AS in_core2,
+       cf.coef,
+       cm.community
+FROM ({_pagerank_hosts_oracle()}) pr
+LEFT JOIN ({deg_sql}) d ON d.id = pr.id
+LEFT JOIN ({_host_kcore_oracle()}) kc ON kc.id = pr.id
+LEFT JOIN ({_host_clustering_oracle()}) cf ON cf.id = pr.id
+LEFT JOIN ({_host_communities_oracle()}) cm ON cm.id = pr.id
+"""
+
+
+# r13 QUEUE CANDIDATE (session 9; the r12 queue is closed):
+#   "host_graph_profile": Query(
+#       q_host_graph_profile, _host_graph_profile_oracle()),

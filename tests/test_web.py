@@ -526,3 +526,43 @@ def test_host_communities_oracle_parity(spark, sf_dir):
     assert got == want and len(got) > 0
     # LPA found non-trivial structure: fewer communities than nodes
     assert len({c for _, c in got}) < len(got)
+
+
+class TestHostGraphProfile:
+    """The five-signal host dimension
+    (queries/web_queries.py:q_host_graph_profile)."""
+
+    def test_oracle_parity_and_signal_consistency(self, spark, sf_dir):
+        import duckdb
+
+        from hash_db_spark.queries.web_queries import (
+            _host_graph_profile_oracle,
+            q_host_graph_profile,
+        )
+
+        rows = q_host_graph_profile(spark, sf_dir).collect()
+        assert len(rows) > 0
+        got = sorted(tuple(r) for r in rows)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(_host_graph_profile_oracle()).fetchall()
+        )
+        con.close()
+        assert got == want
+        # cross-signal laws: every 2-core member has degree >= 2;
+        # every host with a coefficient has degree >= 2; every host
+        # belongs to a community; ranks are positive and sum to ~1
+        by = {r.host: r for r in rows}
+        for r in rows:
+            if r.in_core2:
+                assert r.deg >= 2
+            if r.coef is not None:
+                assert r.deg >= 2
+            assert r.community is not None
+            assert r.rank > 0
+        assert abs(sum(r.rank for r in rows) - 1.0) < 0.05
