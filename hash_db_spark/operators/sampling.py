@@ -262,3 +262,39 @@ def sql_training_order(
         f"SELECT {cols}, md5('{seed}' || '#' || CAST({key_expr} AS VARCHAR))"
         f" AS ord FROM {table}"
     )
+
+
+KFOLD_SEED = "kf1"
+
+
+def kfold_assign(
+    df: DataFrame, key: str, k: int = 5, seed: str = KFOLD_SEED
+) -> DataFrame:
+    """Add a ``fold`` column in [0, k): content-addressed k-fold CV
+    assignment — fold membership is a pure function of (seed, key), so
+    folds are reproducible across runs/engines/partitionings and
+    append-stable (new rows never move old rows between folds, the
+    property rank-based balancing schemes lack). Rotating ``seed``
+    draws fresh folds. Map-side, no shuffle.
+
+    Balance is statistical, not exact (hash-uniform ~ multinomial);
+    pair with a per-stratum balance report so a pathological key
+    distribution is caught, never assumed away."""
+    from hash_db_spark.operators.curation import sample_u
+
+    return df.withColumn(
+        "fold",
+        (
+            sample_u(
+                F.concat(F.lit(seed), F.lit("#"), F.col(key).cast("string"))
+            )
+            % k
+        ).cast("int"),
+    )
+
+
+def sql_kfold_assign(key: str, k: int = 5, seed: str = KFOLD_SEED) -> str:
+    from hash_db_spark.operators.curation import sql_sample_u
+
+    u = sql_sample_u(f"'{seed}#' || CAST({key} AS VARCHAR)")
+    return f"CAST({u} % {k} AS INT)"

@@ -345,3 +345,40 @@ QUERIES = {
     "grouping_sets": Query(q_grouping_sets, GROUPING_SETS_SQL),
     "gap_fill": Query(q_gap_fill, GAP_FILL_ORACLE),
 }
+
+
+def q_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified k-fold audit: content-addressed fold assignment plus
+    the per-(lang, fold) census with each fold's within-stratum share —
+    the eval-protocol artifact that catches a pathological key
+    distribution before a cross-validation run trusts it
+    (operators/sampling.py:kfold_assign)."""
+    docs = SM.kfold_assign(
+        load_table(spark, sf_dir, "documents"), "doc_id", k=5
+    )
+    cnt = docs.groupBy("lang", "fold").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    return cnt.join(tot, "lang").select(
+        "lang",
+        "fold",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("n_lang"), 6).alias("share"),
+    )
+
+
+def _kfold_balance_oracle() -> str:
+    fold = SM.sql_kfold_assign("doc_id", k=5)
+    return f"""
+WITH assigned AS (SELECT lang, {fold} AS fold FROM documents),
+cnt AS (
+  SELECT lang, fold, count(*) AS n_docs FROM assigned GROUP BY lang, fold
+),
+tot AS (SELECT lang, count(*) AS n_lang FROM assigned GROUP BY lang)
+SELECT c.lang, c.fold, c.n_docs,
+       round(CAST(c.n_docs AS DOUBLE) / t.n_lang, 6) AS share
+FROM cnt c JOIN tot t ON t.lang = c.lang
+"""
+
+
+# r13 QUEUE CANDIDATE (session 9; the r12 queue is closed):
+#   "kfold_balance": Query(q_kfold_balance, _kfold_balance_oracle()),

@@ -82,3 +82,60 @@ def test_training_order_deterministic_and_seed_sensitive(spark):
     assert sorted(o1) == list(range(100))  # a permutation
     assert o1 != o3                      # new seed -> new order
     assert o1 != list(range(100))        # actually shuffled
+
+
+class TestKfoldAssign:
+    """Content-addressed k-fold CV assignment
+    (operators/sampling.py:kfold_assign)."""
+
+    def test_append_stability_and_determinism(self, spark):
+        from hash_db_spark.operators.sampling import kfold_assign
+
+        base = spark.createDataFrame(
+            [(i,) for i in range(200)], ["doc_id"]
+        )
+        a = {r.doc_id: r.fold for r in kfold_assign(base, "doc_id").collect()}
+        bigger = spark.createDataFrame(
+            [(i,) for i in range(300)], ["doc_id"]
+        )
+        b = {r.doc_id: r.fold for r in kfold_assign(bigger, "doc_id").collect()}
+        assert all(b[i] == a[i] for i in a)  # appends never move rows
+        assert set(a.values()) <= set(range(5))
+        # rough balance: every fold populated, none > 2x expected
+        from collections import Counter
+
+        c = Counter(a.values())
+        assert len(c) == 5 and max(c.values()) < 80
+
+    def test_seed_rotation_redraws(self, spark):
+        from hash_db_spark.operators.sampling import kfold_assign
+
+        df = spark.createDataFrame([(i,) for i in range(100)], ["doc_id"])
+        a = {r.doc_id: r.fold for r in kfold_assign(df, "doc_id").collect()}
+        b = {
+            r.doc_id: r.fold
+            for r in kfold_assign(df, "doc_id", seed="kf2").collect()
+        }
+        assert a != b
+
+    def test_oracle_parity(self, spark, sf_dir):
+        import duckdb
+
+        from hash_db_spark.queries.sampling_queries import (
+            _kfold_balance_oracle,
+            q_kfold_balance,
+        )
+
+        got = sorted(tuple(r) for r in q_kfold_balance(spark, sf_dir).collect())
+        assert len(got) > 0
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(_kfold_balance_oracle()).fetchall()
+        )
+        con.close()
+        assert got == want
