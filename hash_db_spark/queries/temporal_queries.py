@@ -729,3 +729,94 @@ def q_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r12 QUEUE CANDIDATE (session 9):
 #   "user_type_entropy": Query(
 #       q_user_type_entropy, T.sql_user_type_entropy()),
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (Hughes 1994 — the classic behavioral triage):
+    per user, recency (days since last event, against the corpus max),
+    frequency (event count), monetary (value sum), each quartile-scored
+    1-4 — '444' is the most-recent/most-active/highest-value cell.
+    Quartiles are EXACT global ntiles over total orders computed with
+    the distributed range-partition ranker (operators/rank.py), never a
+    single-task window; the corpus max timestamp is one broadcast
+    scalar."""
+    from hash_db_spark.operators.rank import ntile_global
+
+    ev = load_table(spark, sf_dir, "events")
+    cmax = ev.agg(F.max(F.to_date("ts")).alias("cmax"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(cmax))
+        .select(
+            "user_id",
+            F.datediff("cmax", "last_day").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    r = ntile_global(
+        per_user,
+        [F.col("recency_days").desc(), F.col("user_id").asc()],
+        n=4,
+        out="r_q",
+    )
+    f = ntile_global(
+        r,
+        [F.col("frequency").asc(), F.col("user_id").asc()],
+        n=4,
+        out="f_q",
+    )
+    m = ntile_global(
+        f,
+        [F.col("monetary").asc(), F.col("user_id").asc()],
+        n=4,
+        out="m_q",
+    )
+    return m.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_q",
+        "f_q",
+        "m_q",
+        F.concat(
+            F.col("r_q").cast("string"),
+            F.col("f_q").cast("string"),
+            F.col("m_q").cast("string"),
+        ).alias("segment"),
+    )
+
+
+RFM_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         date_diff('day', max(CAST(ts AS DATE)),
+                   (SELECT max(CAST(ts AS DATE)) FROM events))
+           AS recency_days,
+         count(*) AS frequency,
+         round(sum(value), 2) AS monetary
+  FROM events GROUP BY user_id
+)
+SELECT user_id, recency_days, frequency, monetary,
+       CAST(ntile(4) OVER (ORDER BY recency_days DESC, user_id ASC) AS INT)
+         AS r_q,
+       CAST(ntile(4) OVER (ORDER BY frequency ASC, user_id ASC) AS INT)
+         AS f_q,
+       CAST(ntile(4) OVER (ORDER BY monetary ASC, user_id ASC) AS INT)
+         AS m_q,
+       CAST(ntile(4) OVER (ORDER BY recency_days DESC, user_id ASC) AS VARCHAR)
+       || CAST(ntile(4) OVER (ORDER BY frequency ASC, user_id ASC) AS VARCHAR)
+       || CAST(ntile(4) OVER (ORDER BY monetary ASC, user_id ASC) AS VARCHAR)
+         AS segment
+FROM per_user
+"""
+
+
+# r13 QUEUE CANDIDATE (session 9; the r12 queue is closed):
+#   "rfm_segments": Query(q_rfm_segments, RFM_ORACLE),

@@ -707,3 +707,35 @@ class TestUserTypeEntropy:
         )
         con.close()
         assert got == want
+
+
+def test_rfm_segments_oracle_parity_and_laws(spark, sf_dir):
+    """Exact-quartile RFM: DuckDB parity plus the quartile laws —
+    each score column is 1..4 with near-equal cell counts, and the
+    best-recency quartile's members have recency <= the worst's."""
+    import duckdb
+
+    from hash_db_spark.queries.temporal_queries import (
+        RFM_ORACLE,
+        q_rfm_segments,
+    )
+
+    rows = q_rfm_segments(spark, sf_dir).collect()
+    assert len(rows) > 0
+    got = sorted(tuple(r) for r in rows)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(RFM_ORACLE).fetchall())
+    con.close()
+    assert got == want
+    from collections import Counter
+
+    for col in ("r_q", "f_q", "m_q"):
+        c = Counter(getattr(r, col) for r in rows)
+        assert set(c) == {1, 2, 3, 4}
+        assert max(c.values()) - min(c.values()) <= 1  # SQL NTILE law
+    best = [r.recency_days for r in rows if r.r_q == 4]
+    worst = [r.recency_days for r in rows if r.r_q == 1]
+    assert max(best) <= min(worst)
