@@ -553,6 +553,17 @@ def main() -> int:
             ("score_quantile_blend", q_score_quantile_blend),
         ):
             timed(f"{name}/{scale}", lambda f=fn: f(spark, sf_dir))
+        # round-10 session 9: r13 queue candidates
+        from hash_db_spark.queries.sampling_queries import q_kfold_balance
+        from hash_db_spark.queries.temporal_queries import q_rfm_segments
+        from hash_db_spark.queries.web_queries import q_host_graph_profile
+
+        for name, fn in (
+            ("host_graph_profile", q_host_graph_profile),
+            ("kfold_balance", q_kfold_balance),
+            ("rfm_segments", q_rfm_segments),
+        ):
+            timed(f"{name}/{scale}", lambda f=fn: f(spark, sf_dir))
     return 0
 
 
