@@ -604,3 +604,26 @@ def fetch_schedule(
             (F.col("slot").cast("long") * F.col("delay")).alias("fetch_at"),
         )
     )
+
+
+def url_path(url: Column | str) -> Column:
+    """Path component of a canonical URL ('' when absent)."""
+    u = F.col(url) if isinstance(url, str) else url
+    return F.regexp_extract(u, r"^[a-z]+://[^/?#]+([^?#]*)", 1)
+
+
+def sql_url_path(expr: str) -> str:
+    return f"regexp_extract({expr}, '^[a-z]+://[^/?#]+([^?#]*)', 1)"
+
+
+def path_template(path: Column | str) -> Column:
+    """Digit runs collapsed to '{d}': '/a/17/x' -> '/a/{d}/x' — the
+    URL-template key crawl planners group by to spot parameterized
+    (calendar/pagination/session-id) spaces that would otherwise be
+    crawled forever."""
+    p = F.col(path) if isinstance(path, str) else path
+    return F.regexp_replace(p, "[0-9]+", "{d}")
+
+
+def sql_path_template(expr: str) -> str:
+    return f"regexp_replace({expr}, '[0-9]+', '{{d}}', 'g')"

@@ -894,3 +894,50 @@ LEFT JOIN ({_host_communities_oracle()}) cm ON cm.id = pr.id
 # r13 QUEUE CANDIDATE (session 9; the r12 queue is closed):
 #   "host_graph_profile": Query(
 #       q_host_graph_profile, _host_graph_profile_oracle()),
+
+
+def q_url_path_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-space census: canonical URLs grouped by (host, digit-
+    collapsed path template) with concrete-path fan-out — a template
+    whose distinct-path count keeps growing is a parameterized space
+    (pagination, calendars, session ids) that a frontier must cap
+    rather than exhaust. One codegen projection + one map-combined
+    groupBy; no joins (operators/web.py:path_template)."""
+    docs = _docs(spark, sf_dir)
+    u = W.canonicalize_url(W.synth_url("doc_id"))
+    rows = docs.select(
+        W.url_host(u).alias("host"),
+        W.url_path(u).alias("path"),
+    )
+    return (
+        rows.select(
+            "host", "path", W.path_template("path").alias("template")
+        )
+        .groupBy("host", "template")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("path").alias("n_paths"),
+            F.min("path").alias("sample_path"),
+        )
+    )
+
+
+def _url_path_templates_oracle() -> str:
+    u = W.sql_canonicalize_url(W.sql_synth_url("doc_id"))
+    return f"""
+WITH rows AS (
+  SELECT {W.sql_url_host(u)} AS host, {W.sql_url_path(u)} AS path
+  FROM documents
+)
+SELECT host, {W.sql_path_template('path')} AS template,
+       count(*) AS n_urls,
+       count(DISTINCT path) AS n_paths,
+       min(path) AS sample_path
+FROM rows
+GROUP BY host, template
+"""
+
+
+# r13 QUEUE CANDIDATE (session 9):
+#   "url_path_templates": Query(
+#       q_url_path_templates, _url_path_templates_oracle()),

@@ -566,3 +566,48 @@ class TestHostGraphProfile:
             assert r.community is not None
             assert r.rank > 0
         assert abs(sum(r.rank for r in rows) - 1.0) < 0.05
+
+
+class TestUrlPathTemplates:
+    """Digit-collapsed path templating
+    (operators/web.py:path_template)."""
+
+    def test_template_collapses_digit_runs(self, spark):
+        import pyspark.sql.functions as F
+
+        from hash_db_spark.operators.web import path_template
+
+        df = spark.createDataFrame(
+            [("/a/17/x",), ("/a/9/x",), ("/p2024/d05/",), ("/plain",)],
+            ["p"],
+        )
+        got = [r.t for r in df.select(path_template("p").alias("t")).collect()]
+        assert got == ["/a/{d}/x", "/a/{d}/x", "/p{d}/d{d}/", "/plain"]
+
+    def test_oracle_parity_and_fanout(self, spark, sf_dir):
+        import duckdb
+
+        from hash_db_spark.queries.web_queries import (
+            _url_path_templates_oracle,
+            q_url_path_templates,
+        )
+
+        rows = q_url_path_templates(spark, sf_dir).collect()
+        assert len(rows) > 0
+        got = sorted(tuple(r) for r in rows)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf_dir}/documents.parquet'"
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(_url_path_templates_oracle()).fetchall()
+        )
+        con.close()
+        assert got == want
+        # the synthetic corpus is parameterized by construction: at
+        # least one template fans out to multiple concrete paths
+        assert any(r.n_paths > 1 for r in rows)
+        for r in rows:
+            assert r.n_paths <= r.n_urls
