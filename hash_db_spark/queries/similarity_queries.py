@@ -561,3 +561,100 @@ def _cluster_balanced_oracle() -> str:
 # r12 QUEUE CANDIDATE (session 9):
 #   "cluster_balanced_sample": Query(
 #       q_cluster_balanced_sample, _cluster_balanced_oracle()),
+
+
+BITEXT_LOG_DEV_MAX = 0.4  # |ln(ratio) - ln(median ratio)| acceptance band
+
+
+def q_bitext_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-ratio verification of the margin-mined bitext candidates
+    (the Gale & Church 1993 signal, used as the standard post-mining
+    cleaning rule in WMT/CCMatrix-style pipelines): translations'
+    lengths correlate, so a pair whose char-length ratio deviates from
+    the corpus's own MEDIAN ratio by more than BITEXT_LOG_DEV_MAX in
+    log space is flagged misaligned. Output: every candidate pair with
+    its ratio, log deviation, and the aligned verdict.
+
+    Scale shape: the candidate set is already mined (margin_mine's
+    audited plan); this adds two equijoins against (id, n_chars) —
+    skinny columns — and ONE broadcast scalar (the exact median ratio,
+    same percentile budget as lm_gate: one double per candidate
+    pair)."""
+    from hash_db_spark.operators import bitext as B
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    sides = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("v"),
+        "lang",
+    )
+    cand = B.margin_mine(
+        sides.filter(F.col("lang") == BITEXT_SRC_LANG).drop("lang"),
+        sides.filter(F.col("lang") == BITEXT_DST_LANG).drop("lang"),
+    ).select("src_id", "dst_id")
+    lens = docs.select(F.col("doc_id"), F.col("n_chars"))
+    scored = (
+        cand.join(
+            lens.withColumnRenamed("doc_id", "src_id").withColumnRenamed(
+                "n_chars", "src_chars"
+            ),
+            "src_id",
+        )
+        .join(
+            lens.withColumnRenamed("doc_id", "dst_id").withColumnRenamed(
+                "n_chars", "dst_chars"
+            ),
+            "dst_id",
+        )
+        .withColumn(
+            "len_ratio",
+            F.round(F.col("src_chars") / F.col("dst_chars"), 6),
+        )
+    )
+    med = scored.agg(
+        F.expr("percentile(len_ratio, 0.5)").alias("med_ratio")
+    )
+    return (
+        scored.crossJoin(F.broadcast(med))
+        .withColumn(
+            "log_dev",
+            F.round(F.abs(F.log("len_ratio") - F.log("med_ratio")), 6),
+        )
+        .select(
+            "src_id",
+            "dst_id",
+            "len_ratio",
+            "log_dev",
+            (F.col("log_dev") <= BITEXT_LOG_DEV_MAX).alias("aligned"),
+        )
+    )
+
+
+def _bitext_length_oracle() -> str:
+    from hash_db_spark.operators import bitext as B
+
+    inner = B.sql_margin_mine(BITEXT_SRC_LANG, BITEXT_DST_LANG)
+    return f"""
+WITH scored AS MATERIALIZED (
+  SELECT c.src_id, c.dst_id,
+         round(CAST(a.n_chars AS DOUBLE) / b.n_chars, 6) AS len_ratio
+  FROM ({inner}) c
+  JOIN documents a ON a.doc_id = c.src_id
+  JOIN documents b ON b.doc_id = c.dst_id
+),
+med AS (SELECT quantile_cont(len_ratio, 0.5) AS med_ratio FROM scored)
+SELECT src_id, dst_id, len_ratio,
+       round(abs(ln(len_ratio) - ln((SELECT med_ratio FROM med))), 6)
+         AS log_dev,
+       round(abs(ln(len_ratio) - ln((SELECT med_ratio FROM med))), 6)
+         <= {BITEXT_LOG_DEV_MAX} AS aligned
+FROM scored
+"""
+
+
+# r13 QUEUE CANDIDATE (session 9):
+#   "bitext_length_filter": Query(
+#       q_bitext_length_filter, _bitext_length_oracle()),

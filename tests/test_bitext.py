@@ -114,3 +114,40 @@ def test_scan_plan_has_no_join_operators(spark, sf_dir):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestBitextLengthFilter:
+    """Gale-Church length-ratio verification
+    (queries/similarity_queries.py:q_bitext_length_filter)."""
+
+    def test_oracle_parity_and_band_law(self, spark, sf_dir):
+        import math
+
+        import duckdb
+
+        from hash_db_spark.queries.similarity_queries import (
+            BITEXT_LOG_DEV_MAX,
+            _bitext_length_oracle,
+            q_bitext_length_filter,
+        )
+
+        rows = q_bitext_length_filter(spark, sf_dir).collect()
+        assert len(rows) > 0
+        got = sorted(tuple(r) for r in rows)
+        con = duckdb.connect()
+        for t in ("documents", "embeddings"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(_bitext_length_oracle()).fetchall()
+        )
+        con.close()
+        assert got == want
+        # band law: aligned <=> log_dev within the band; the median
+        # pair itself always passes (log_dev 0 exists or near)
+        for r in rows:
+            assert r.aligned == (r.log_dev <= BITEXT_LOG_DEV_MAX)
+            assert r.log_dev >= 0.0
+        assert min(r.log_dev for r in rows) < 0.05
