@@ -94,9 +94,10 @@ def all_queries() -> dict[str, Query]:
     # anchor_query_pairs, curation_funnel_report, user_type_entropy,
     # score_quantile_blend). 31 + r12 taint ~ fills the 50-slot
     # window: the r12 queue is CLOSED — new operators queue for r13.
-    # r13 QUEUE STATE (session 9): 3 candidates so far —
+    # r13 QUEUE STATE (session 9): 5 candidates so far —
     # host_graph_profile (the five-signal host dimension),
-    # kfold_balance, rfm_segments.
+    # kfold_balance, rfm_segments, url_path_templates,
+    # bitext_length_filter.
     # Ordering: cheap codegen entries first to absorb the window's
     # JVM/codegen warmup; heavy entries (PQ fits, MMR, winnowing-scale
     # iterative graph ops) interleaved, never clustered.
