@@ -558,10 +558,17 @@ def main() -> int:
         from hash_db_spark.queries.temporal_queries import q_rfm_segments
         from hash_db_spark.queries.web_queries import q_host_graph_profile
 
+        from hash_db_spark.queries.similarity_queries import (
+            q_bitext_length_filter,
+        )
+        from hash_db_spark.queries.web_queries import q_url_path_templates
+
         for name, fn in (
             ("host_graph_profile", q_host_graph_profile),
             ("kfold_balance", q_kfold_balance),
             ("rfm_segments", q_rfm_segments),
+            ("url_path_templates", q_url_path_templates),
+            ("bitext_length_filter", q_bitext_length_filter),
         ):
             timed(f"{name}/{scale}", lambda f=fn: f(spark, sf_dir))
     return 0
