@@ -277,6 +277,17 @@ def q_bucketed_join_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     pid = os.getpid()
     t_o, t_l = f"hdbs_bkt_o_{tag}_{pid}", f"hdbs_bkt_l_{tag}_{pid}"
+    # best-effort sweep of PRIOR processes' tables (same prefix, other
+    # pid): each driver run would otherwise leave two managed tables in
+    # the warehouse forever. Current-pid tables are reused via
+    # mode=overwrite, so the steady state is exactly two.
+    for t in spark.catalog.listTables():
+        name = t.name
+        if name.startswith("hdbs_bkt_") and not name.endswith(f"_{pid}"):
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
+            except Exception:
+                pass  # concurrent run owns it; leave it
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
