@@ -987,35 +987,50 @@ ORDER BY {group_col}
 """
 
 
-# --- differentially-private count release ---------------------------------------
+# --- Laplace-shaped noisy count release ------------------------------------------
 
 DP_EPSILON = 1.0
-DP_SEED = "dp-r1"
+# PUBLIC demo seed for oracle-replayable fixtures and tests. A release
+# keyed by it is DETERMINISTIC JITTER, not a privacy mechanism — anyone
+# with the source can recompute and subtract the noise. Real releases
+# must supply their own secret seed (see dp_noisy_counts docstring).
+DEMO_JITTER_SEED = "dp-r1"
 
 
 def dp_noisy_counts(
     df: DataFrame,
     group_col: str,
     epsilon: float = DP_EPSILON,
-    seed: str = DP_SEED,
+    *,
+    seed: str,
 ) -> DataFrame:
-    """(group, noisy_count): Laplace-mechanism count release (Dwork,
-    McSherry, Nissim, Smith, TCC 2006 — public): each group's count is
-    published with Laplace(1/epsilon) noise, the calibrated mechanism
-    for sensitivity-1 counting queries. The corpus-stats release gate
-    when per-group counts are themselves sensitive (per-author,
-    per-host contribution tallies).
+    """(group, noisy_count): Laplace-shaped count release (mechanism
+    form from Dwork, McSherry, Nissim, Smith, TCC 2006 — public): each
+    group's count is published with inverse-CDF Laplace(1/epsilon)
+    noise, the calibrated shape for sensitivity-1 counting queries.
 
-    The noise is drawn by inverse CDF from a CONTENT-ADDRESSED uniform
-    (md5 of seed#group): u in (-0.5, 0.5), noise = -(1/eps)*sgn(u)*
-    ln(1-2|u|). Deterministic-per-(seed, group) noise is a feature,
-    not a shortcut: re-running the same release replays the SAME noise,
-    so repeated publication doesn't average the noise away (the
-    standard fixed-noise re-release practice); rotating ``seed`` is
-    what spends fresh budget. The +0.5 offset keeps u strictly inside
-    the open interval — ln(0) can't occur. One map-combined groupBy;
-    noise math is map-side column arithmetic, identical on both
-    engines."""
+    PRIVACY CONTRACT — the differential-privacy guarantee holds ONLY
+    when ``seed`` is SECRET, HIGH-ENTROPY, PER-RELEASE material held by
+    the curator (which is why the parameter is keyword-only with no
+    default): the noise is a deterministic function of (seed, group),
+    so a public or low-entropy seed lets anyone recompute and subtract
+    it, making epsilon effectively infinite. ``DEMO_JITTER_SEED`` is
+    public by construction — releases keyed by it (the registered
+    driver fixture, the tests) demonstrate the mechanism's plumbing and
+    replay law, nothing more. Even with a secret seed the 2^20-grid
+    uniform truncates the Laplace tail at ln(2^20)/eps ~ 13.86/eps, so
+    the guarantee is (eps, delta)-DP with delta ~ 2^-20 rather than
+    pure eps-DP — acceptable for count releases, stated here so nobody
+    claims the pure form.
+
+    Mechanics: content-addressed uniform (md5 of seed#group) mapped to
+    u in (-0.5, 0.5); noise = -(1/eps)*sgn(u)*ln(1-2|u|). Fixing the
+    noise per (seed, group) is the standard fixed-noise re-release
+    practice: replaying the same release replays the SAME noise instead
+    of averaging it away; rotating ``seed`` is what spends fresh
+    budget. The +0.5 offset keeps u strictly inside the open interval —
+    ln(0) can't occur. One map-combined groupBy; noise math is map-side
+    column arithmetic, identical on both engines."""
     cnt = df.groupBy(F.col(group_col).alias("grp")).agg(
         F.count(F.lit(1)).alias("c")
     )
@@ -1039,7 +1054,8 @@ def sql_dp_noisy_counts(
     table: str,
     group_col: str,
     epsilon: float = DP_EPSILON,
-    seed: str = DP_SEED,
+    *,
+    seed: str,
 ) -> str:
     key_expr = f"'{seed}#' || {group_col}"
     u = (

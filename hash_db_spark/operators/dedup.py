@@ -2653,12 +2653,17 @@ def edit_verify_pairs(
         F.col(id_col).alias("id"),
         F.substring(F.col(col), 1, prefix).alias("t"),
     )
+    from hash_db_spark.functions.rounding import round_half_away_col
+
     la, lb = F.length("ta"), F.length("tb")
     denom = F.greatest(la, lb, F.lit(1))
     # exact pruning bound: lev >= |la - lb|  =>  sim <= 1 - |la-lb|/max;
     # round() is monotone, so filtering on the rounded bound never
-    # drops a pair the rounded similarity would keep
-    bound = F.round(1.0 - F.abs(la - lb) / denom, 6)
+    # drops a pair the rounded similarity would keep.
+    # round_half_away_col, not F.round: the bound gates the SAME pairs
+    # the oracle's DuckDB round() gates, and edit_sim is hash-compared —
+    # decimal-tie doubles diverge under F.round (functions/rounding.py)
+    bound = round_half_away_col(1.0 - F.abs(la - lb) / denom, 6)
     # banded DP: lev above max_dist can't pass the threshold for ANY
     # pair (lev <= max(len) = denom <= prefix, so lev > (1-T)*prefix
     # => lev/denom > 1-T => sim < T), so the 3-arg levenshtein's -1
@@ -2680,7 +2685,7 @@ def edit_verify_pairs(
             "id_a",
             "id_b",
             F.when(lev < 0, F.lit(-1.0))
-            .otherwise(F.round(1.0 - lev / denom, 6))
+            .otherwise(round_half_away_col(1.0 - lev / denom, 6))
             .alias("edit_sim"),
         )
     )

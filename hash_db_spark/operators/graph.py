@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from hash_db_spark.catalog import load_table
+from hash_db_spark.functions.rounding import round_half_away_col
 
 
 def graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1006,7 +1007,10 @@ def adamic_adar_pairs(edges: DataFrame, max_deg: int = AA_MAX_DEG) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(
             F.count(F.lit(1)).alias("common"),
-            F.round(F.sum("w"), 6).alias("aa"),
+            # round_half_away_col, not F.round: aa is a hash-compared
+            # computed double (functions/rounding.py prescribes this
+            # for the decimal-tie case)
+            round_half_away_col(F.sum("w"), 6).alias("aa"),
         )
     )
 

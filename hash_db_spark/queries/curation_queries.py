@@ -1290,18 +1290,25 @@ def _sampling_ess_oracle() -> str:
 
 
 def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Laplace-mechanism release of per-source contribution counts:
-    the privacy-preserving publication shape for per-contributor
-    tallies — noise is content-addressed per (seed, group) so a replay
-    of the same release replays the same noise instead of averaging it
-    away (operators/curation.py:dp_noisy_counts)."""
+    """Laplace-SHAPED noisy release of per-source contribution counts —
+    the publication plumbing for per-contributor tallies. Registered
+    with the PUBLIC demo seed so the DuckDB oracle can replay it, which
+    makes THIS fixture deterministic jitter, not a privacy guarantee:
+    the DP contract requires secret per-release seed material supplied
+    by the caller (operators/curation.py:dp_noisy_counts documents the
+    conditions, including the (eps, delta~2^-20) tail-truncation
+    caveat)."""
     return C.dp_noisy_counts(
-        load_table(spark, sf_dir, "documents"), "source"
+        load_table(spark, sf_dir, "documents"),
+        "source",
+        seed=C.DEMO_JITTER_SEED,
     )
 
 
 def _dp_noisy_counts_oracle() -> str:
-    return C.sql_dp_noisy_counts("documents", "source")
+    return C.sql_dp_noisy_counts(
+        "documents", "source", seed=C.DEMO_JITTER_SEED
+    )
 
 
 # r12 QUEUE CANDIDATE (session 9):

@@ -984,10 +984,16 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "len_bucket", "source")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    from hash_db_spark.functions.rounding import round_half_away_col
+
     classes = cell.groupBy("lang", "len_bucket").agg(
         F.sum("c").alias("class_size"),
         F.count(F.lit(1)).alias("n_sensitive"),
-        F.round(F.max("c") / F.sum("c"), 6).alias("top_sensitive_share"),
+        # round_half_away_col, not F.round: hash-compared computed
+        # double (functions/rounding.py decimal-tie prescription)
+        round_half_away_col(F.max("c") / F.sum("c"), 6).alias(
+            "top_sensitive_share"
+        ),
     )
     return classes.filter(F.col("class_size") >= K_ANON_K).withColumn(
         "low_diversity", F.col("n_sensitive") < L_DIVERSITY_L

@@ -8,6 +8,7 @@ so a hash match proves the round-trip is lossless for every value
 
 from __future__ import annotations
 
+import os
 import tempfile
 from pathlib import Path
 
@@ -20,7 +21,14 @@ from hash_db_spark.sources import formats
 
 
 def _tmp(name: str) -> str:
-    return str(Path(tempfile.gettempdir()) / "hash_db_spark_fmt" / name)
+    # pid-keyed like the FTS index path (text_queries.py): a concurrent
+    # pytest + driver check must never interleave write/read on the same
+    # fixture directory.
+    return str(
+        Path(tempfile.gettempdir())
+        / f"hash_db_spark_fmt_{os.getpid()}"
+        / name
+    )
 
 
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -255,6 +263,19 @@ QUERIES = {
 
 BUCKETS = 16
 
+# Per-session token for managed-table names: pid alone collides when the
+# OS reuses pids across runs (ADVICE r10). Computed once per process.
+_SESSION_TOKEN: str | None = None
+
+
+def _session_token() -> str:
+    global _SESSION_TOKEN
+    if _SESSION_TOKEN is None:
+        import uuid
+
+        _SESSION_TOKEN = uuid.uuid4().hex[:8]
+    return _SESSION_TOKEN
+
 
 def q_bucketed_join_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located join end-to-end: orders and lineitem are written as
@@ -269,25 +290,45 @@ def q_bucketed_join_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle recomputes it with a plain join, identity of results
     being the correctness statement (the bucketing is pure layout).
 
-    Table names carry pid + a dir tag so concurrent runs never collide
-    (same discipline as fts_serve_mixed)."""
+    Table names carry pid + a per-session token + a dir tag so
+    concurrent runs (and pid reuse across reboots) never collide; the
+    sweep of leftover tables only drops ones whose owning process is
+    provably dead."""
     import hashlib
     import os
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     pid = os.getpid()
-    t_o, t_l = f"hdbs_bkt_o_{tag}_{pid}", f"hdbs_bkt_l_{tag}_{pid}"
-    # best-effort sweep of PRIOR processes' tables (same prefix, other
-    # pid): each driver run would otherwise leave two managed tables in
-    # the warehouse forever. Current-pid tables are reused via
-    # mode=overwrite, so the steady state is exactly two.
+    tok = _session_token()
+    t_o = f"hdbs_bkt_o_{tag}_{pid}_{tok}"
+    t_l = f"hdbs_bkt_l_{tag}_{pid}_{tok}"
+    # best-effort sweep of DEAD processes' tables: each driver run would
+    # otherwise leave two managed tables in the warehouse forever.
+    # A table is swept only when its embedded pid no longer exists —
+    # never a live concurrent run's (os.kill(pid, 0) raises
+    # ProcessLookupError only for dead pids). Same-session tables are
+    # reused via mode=overwrite, so the steady state is exactly two.
     for t in spark.catalog.listTables():
         name = t.name
-        if name.startswith("hdbs_bkt_") and not name.endswith(f"_{pid}"):
+        if not name.startswith("hdbs_bkt_") or name.endswith(f"_{tok}"):
+            continue
+        parts = name.split("_")
+        try:
+            owner = int(parts[4])
+        except (IndexError, ValueError):
+            owner = None  # legacy name without a token — sweep it
+        if owner is not None:
             try:
-                spark.sql(f"DROP TABLE IF EXISTS {name}")
-            except Exception:
-                pass  # concurrent run owns it; leave it
+                os.kill(owner, 0)
+                continue  # owner alive: its run may be mid-join
+            except ProcessLookupError:
+                pass  # owner dead: safe to sweep
+            except PermissionError:
+                continue  # alive but other user: leave it
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        except Exception:
+            pass  # raced with another sweeper; leave it
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )

@@ -640,6 +640,22 @@ class TestSoftDedup:
 
 
 class TestDpNoisyCounts:
+    def test_seed_is_mandatory_and_keyword_only(self):
+        """ADVICE r10: no public default seed — the DP guarantee needs
+        secret per-release seed material, so the caller must supply it
+        explicitly (keyword-only, no default) on both engine twins."""
+        import inspect
+
+        from hash_db_spark.operators.curation import (
+            dp_noisy_counts,
+            sql_dp_noisy_counts,
+        )
+
+        for fn in (dp_noisy_counts, sql_dp_noisy_counts):
+            p = inspect.signature(fn).parameters["seed"]
+            assert p.default is inspect.Parameter.empty, fn
+            assert p.kind is inspect.Parameter.KEYWORD_ONLY, fn
+
     """Laplace count release with content-addressed noise
     (operators/curation.py:dp_noisy_counts)."""
 
@@ -651,8 +667,14 @@ class TestDpNoisyCounts:
 
         rows = [(f"g{i % 5}",) for i in range(1000)]
         df = spark.createDataFrame(rows, ["g"])
-        a = {r.g: r.noisy_count for r in dp_noisy_counts(df, "g").collect()}
-        b = {r.g: r.noisy_count for r in dp_noisy_counts(df, "g").collect()}
+        a = {
+            r.g: r.noisy_count
+            for r in dp_noisy_counts(df, "g", seed="dp-r1").collect()
+        }
+        b = {
+            r.g: r.noisy_count
+            for r in dp_noisy_counts(df, "g", seed="dp-r1").collect()
+        }
         assert a == b  # replay law
         for g, v in a.items():
             assert abs(v - 200) <= 14.0, (g, v)
@@ -671,7 +693,8 @@ class TestDpNoisyCounts:
         rows = [(f"grp{i}",) for i in range(400)]
         df = spark.createDataFrame(rows, ["g"])
         noises = sorted(
-            r.noisy_count - 1 for r in dp_noisy_counts(df, "g").collect()
+            r.noisy_count - 1
+            for r in dp_noisy_counts(df, "g", seed="dp-r1").collect()
         )
         assert noises[0] < 0 < noises[-1]
         med = noises[len(noises) // 2]

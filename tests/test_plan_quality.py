@@ -675,10 +675,13 @@ def test_bucketed_join_serve_no_exchange(spark, sf_dir):
         assert df.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        from hash_db_spark.queries.sources_queries import _session_token
+
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         pid = os.getpid()
-        spark.sql(f"DROP TABLE IF EXISTS hdbs_bkt_o_{tag}_{pid}")
-        spark.sql(f"DROP TABLE IF EXISTS hdbs_bkt_l_{tag}_{pid}")
+        tok = _session_token()
+        spark.sql(f"DROP TABLE IF EXISTS hdbs_bkt_o_{tag}_{pid}_{tok}")
+        spark.sql(f"DROP TABLE IF EXISTS hdbs_bkt_l_{tag}_{pid}_{tok}")
 
 
 def test_skew_key_report_no_per_key_window(spark, sf_dir):

@@ -26,6 +26,31 @@ def _rows(df):
     return sorted(map(tuple, df.collect()))
 
 
+def test_tmp_paths_are_pid_keyed():
+    """VERDICT r10 #3: the roundtrip fixture path must differ between
+    processes so a concurrent pytest + driver check never interleave
+    write/read on the same directory."""
+    import os
+
+    from hash_db_spark.queries.sources_queries import _tmp
+
+    here = _tmp("supplier_csv")
+    assert f"_{os.getpid()}" in here
+    other = here.replace(f"_{os.getpid()}", f"_{os.getpid() + 1}")
+    assert other != here  # distinct pids -> distinct directories
+
+
+def test_bucketed_table_names_carry_session_token():
+    """ADVICE r10: pid alone collides under pid reuse — table names
+    embed a per-session token, and the token is stable within the
+    process (mode=overwrite reuse depends on it)."""
+    from hash_db_spark.queries.sources_queries import _session_token
+
+    a, b = _session_token(), _session_token()
+    assert a == b
+    assert len(a) == 8
+
+
 def test_csv_roundtrip_edge_values(spark, edge_df, tmp_path):
     path = str(tmp_path / "csv")
     formats.write_csv(edge_df, path)
