@@ -52,111 +52,96 @@ def all_queries() -> dict[str, Query]:
     # Module order matters: the driver verifies registry entries in order
     # and caps the run at the first 50.
     #
-    # ROUND-10 WINDOW, computed mechanically by scripts/compute_reverify.py
-    # at r10 HEAD (after this round's fixes landed, so every edited
-    # entry's FIRST driver fact is post-fix). State at computation: 319
-    # entries (297 + the 22 registrations queued under the r08 throttle,
-    # all uncommented this round), 23 never-checked (the 21 queued
-    # registrations + dup_cluster_histogram + xml_roundtrip), 25 stale —
-    # the VERDICT r09 #1 queue exactly, plus the entries tainted by this
-    # round's own fixes (bloom_prejoin rewrite + O(1) bit_get probe, q5
-    # supplier unhint, MIX_TEMPERATURE oracle interpolation ->
-    # mixture_temperature/mixture_temp_select, and the quality-score
-    # scaled-binary rounding fix -> text_quality/quality_gate/
-    # train_prep/corpus_health_report — the decimal-tie divergence a
-    # sf0.1 parity sweep caught in dedup_keep_best). 48 candidates, all
-    # installed; 2 slots spare.
+    # ROUND-11 WINDOW, computed mechanically by scripts/compute_reverify.py
+    # at r11 HEAD. State at computation: 353 entries (319 + the 34
+    # registrations queued under the r10 throttle, all uncommented this
+    # round — the full r11 queue, VERDICT r10 #1), 34 never-checked (the
+    # queued registrations), 5 stale (csv/jsonl/orc/xml_roundtrip +
+    # hive_partition_prune — all tainted by the pid-keyed _tmp fix,
+    # VERDICT r10 what's-wrong #1). 39 slots consumed; the remaining 11
+    # start the VERDICT r10 #2 staleness rotation: 10 go to the oldest
+    # driver facts (the r01 KV/relational core — 28 entries whose only
+    # fact predates 9 rounds of refactoring), 1 spare for late taint.
     #
     # Registration throttle (VERDICT r08 #1) stays: new operators built
-    # later this round land implemented + parity-tested with their
-    # registration commented as "r11 QUEUE CANDIDATE" — the spare
-    # slots are reserved for late-round taint, not new claims.
+    # this round land implemented + parity-tested with their
+    # registration commented as "r13 QUEUE CANDIDATE" — r12's queue is
+    # already closed at 31.
     #
-    # r11 QUEUE STATE (closed session 7): 34 candidates (grep
-    # '^#   "' under queries/). With the whole registry driver-fresh
-    # as of r10, 34 + expected taint fits the 50-slot r11 window —
-    # session 7 therefore STOPPED adding candidates; further new
-    # operators should queue for r12.
-    # r12 QUEUE STATE (session 8): 13 candidates — session 7d's 4
-    # (term_burstiness, session_type_pmi, quality_calibration,
-    # soft_dedup_sample) plus session 8's 9 (bitext_margin_mine,
-    # context_fit_report, sampling_ess_report, dedup_containment,
-    # dedup_method_eval, embedding_outliers, vocab_heaps_fit,
-    # vocab_oov_report, eval_ngram_coverage). 13 + r12 taint leaves
-    # slack in the 50-slot r12 window; keep new work queueing for r12
-    # until ~35, then switch to r13.
-    # r12 QUEUE STATE (session 9): 31 candidates — the 13 above plus
-    # session 9's 18 (host_kcore, host_clustering_coef,
-    # host_adamic_adar, dedup_edit_verify, skew_key_report,
-    # scrub_secrets, stream_secret_scrub, l_diversity_audit,
-    # ppl_tertile_buckets, retrieve_prf_rocchio, t5_span_examples,
-    # dp_noisy_counts, cluster_balanced_sample, bucketed_join_serve,
-    # anchor_query_pairs, curation_funnel_report, user_type_entropy,
-    # score_quantile_blend). 31 + r12 taint ~ fills the 50-slot
-    # window: the r12 queue is CLOSED — new operators queue for r13.
-    # r13 QUEUE STATE (session 9): 5 candidates so far —
-    # host_graph_profile (the five-signal host dimension),
-    # kfold_balance, rfm_segments, url_path_templates,
-    # bitext_length_filter.
+    # r12 QUEUE STATE (carried from r10): 31 candidates (grep '^#   "'
+    # under queries/) — session 7d's 4 (term_burstiness,
+    # session_type_pmi, quality_calibration, soft_dedup_sample),
+    # session 8's 9 (bitext_margin_mine, context_fit_report,
+    # sampling_ess_report, dedup_containment, dedup_method_eval,
+    # embedding_outliers, vocab_heaps_fit, vocab_oov_report,
+    # eval_ngram_coverage), session 9's 18 (host_kcore,
+    # host_clustering_coef, host_adamic_adar, dedup_edit_verify,
+    # skew_key_report, scrub_secrets, stream_secret_scrub,
+    # l_diversity_audit, ppl_tertile_buckets, retrieve_prf_rocchio,
+    # t5_span_examples, dp_noisy_counts, cluster_balanced_sample,
+    # bucketed_join_serve, anchor_query_pairs, curation_funnel_report,
+    # user_type_entropy, score_quantile_blend). CLOSED — new work
+    # queues for r13.
+    # r13 QUEUE STATE (carried from r10): 5 candidates —
+    # host_graph_profile, kfold_balance, rfm_segments,
+    # url_path_templates, bitext_length_filter.
     # Ordering: cheap codegen entries first to absorb the window's
-    # JVM/codegen warmup; heavy entries (PQ fits, MMR, winnowing-scale
-    # iterative graph ops) interleaved, never clustered.
+    # JVM/codegen warmup; heavy entries (codec decodes, kneser-ney,
+    # session paths) interleaved, never clustered.
     priority = [
-        # --- cheap openers (absorb warmup) --------------------------
-        "xml_roundtrip",
-        "event_transitions",
-        "lsh_param_plan",
-        "fk_integrity_audit",
-        # --- never driver-checked (r09 throttled registrations) -----
-        "text_encoding_gate",
-        "sim_topk_pq",
-        "kmv_shared_users",
-        "dedup_tfidf_cosine",
-        "compaction_plan",
-        "hits_hosts",
-        "erasure_audit",
-        "retrieve_chunks_topk",
-        "stream_line_dedup_wm",
-        "sim_topk_ivf_pq",
-        "host_communities",
-        "doc_topic_segments",
-        "dedup_keep_best",
-        "sim_topk_pq_persisted",
-        "fts_serve_mixed",
-        "stream_pq_probe",
-        "retrieve_mmr_topk",
-        "sim_recall_truncated",
-        "dup_cluster_histogram",
-        # --- stale, VERDICT r09 #1 backlog (last-green round noted) --
-        "semi_join",           # r01 fact; r09 unhint needs post-fix fact
-        "stratified_sample",   # r03
-        "stream_sessions",     # r03
-        "stream_stateful_counter",  # r03
-        "top_ngrams_per_lang",  # r03
-        "unpivot_measures",    # r03
-        "bloom_decontaminate",  # r04
-        "cdc_scd2_history",    # r04
-        "cms_user_counts",     # r04
-        "fts_phrase",          # r04
-        "histo_quantiles",     # r04
-        "sim_topk_ivf_kmeans",  # r04
-        "stream_dedup_within_wm",  # r04
-        "stream_stream_join",  # r04
-        "zorder_values",       # r04
-        "graph_degree_hist",   # r07
-        "dedup_image_in_video",  # r08
-        # --- r10-tainted, post-fix facts (VERDICT r09 #2/#3, ADVICE) -
-        "bloom_prejoin",       # map-side runtime filter rewrite
-        "q5_local_revenue",    # supplier unhinted
-        "mixture_temperature",  # oracle MIX_TEMPERATURE interpolation
-        "mixture_temp_select",  # same
-        # --- quality-score scaled-binary rounding fix (session 5) ----
-        "text_quality",        # r01 fact; quality_score round fixed
-        "quality_gate",        # r03
-        "train_prep",          # r07
-        "corpus_health_report",  # r09
-        # --- negative-zero canonicalization (session 5, sf0.1 sweep) -
-        "embedding_dim_stats",  # r09; mu/sigma fold -0.0 -> 0.0
+        # --- cheap openers (absorb warmup; r01 rotation members) -----
+        "kv_query_begins",     # r01 fact — staleness rotation
+        "kv_get",              # r01
+        "kv_between",          # r01
+        "select_where_eq",     # r01
+        # --- never driver-checked (the full r11 queue, 34) -----------
+        "text_normalize",
+        "vacuum_plan",
+        "multimodal_png_decode",
+        "tokenizer_fertility",
+        "scrub_luhn",
+        "multimodal_jpeg_decode",
+        "join_size_estimate",
+        "mlm_examples",
+        "multimodal_adpcm_decode",
+        "k_anonymity_audit",
+        "video_scene_cuts",
+        "embedding_int8_quant",
+        "multimodal_vad_segments",
+        "pack_efficiency",
+        "dedup_image_png",
+        "train_loss_mask",
+        "lm_kneser_ney",
+        "corpus_drift_psi",
+        "cdc_dedup_report",
+        "event_rate_anomalies",
+        "train_split_leakage_safe",
+        "session_paths_topk",
+        "dsir_weights",
+        "ewma_alerts",
+        "dsir_resample",
+        "epoch_repeat_plan",
+        "stream_dsir_gate",
+        "ppr_hosts",
+        "sim_topk_ivf_published",
+        "coreset_kcenter",
+        "train_hard_negatives",
+        "retrieve_hybrid_rrf",
+        "train_contrastive_pairs",
+        "stream_bloom_prejoin",
+        # --- stale: pid-keyed _tmp fix taint (VERDICT r10 wrong #1) --
+        "csv_roundtrip",       # r02 fact
+        "jsonl_roundtrip",     # r03
+        "orc_roundtrip",       # r03
+        "hive_partition_prune",  # r04
+        "xml_roundtrip",       # r10
+        # --- staleness rotation, oldest r01 facts (VERDICT r10 #2) ---
+        "kv_both_between",     # r01
+        "kv_query_begins_desc",  # r01
+        "kv_pk_sk_begins",     # r01
+        "kv_before_than",      # r01
+        "kv_greater_than",     # r01
+        "q1_pricing_summary",  # r01
         # 49 entries; 1 spare slot reserved for late-round taint.
     ]
     registry: dict[str, Query] = {}

@@ -953,73 +953,6 @@ GROUP BY source
 """
 
 
-QUERIES: dict[str, Query] = {
-    "corpus_health_report": Query(
-        q_corpus_health_report, _corpus_health_oracle()
-    ),
-    "dedup_budget_select": Query(
-        q_dedup_budget_select, _dedup_budget_oracle()
-    ),
-    "doc_lang_segments": Query(
-        q_doc_lang_segments, _doc_lang_segments_oracle()
-    ),
-    "decontaminate_mask": Query(
-        q_decontaminate_mask, _decontaminate_mask_oracle()
-    ),
-    "lm_trigram_interp": Query(
-        q_lm_trigram_interp,
-        C.sql_trigram_interp_logprob("doc_id % 2 = 0", "doc_id % 2 = 1"),
-    ),
-    "stream_quality_gate": Query(
-        q_stream_quality_gate, _stream_quality_gate_oracle()
-    ),
-    "quality_classifier": Query(
-        q_quality_classifier, C.sql_classifier_scores()
-    ),
-    "weighted_doc_sample": Query(
-        q_weighted_doc_sample,
-        C.sql_weighted_sample(
-            "documents",
-            "doc_id",
-            "n_chars",
-            SAMPLE_TARGET,
-            select="doc_id, n_chars",
-        ),
-    ),
-    "embedding_dim_stats": Query(
-        q_embedding_dim_stats, C.sql_embedding_dim_stats()
-    ),
-    "embedding_project_jl": Query(
-        q_embedding_project_jl, C.sql_embedding_project_jl()
-    ),
-    "embedding_whiten_norms": Query(
-        q_embedding_whiten_norms, C.sql_embedding_whiten_norms()
-    ),
-    "mixture_temperature": Query(
-        q_mixture_temperature, _mixture_temperature_oracle()
-    ),
-    "mixture_temp_select": Query(
-        q_mixture_temp_select, _mixture_temp_select_oracle()
-    ),
-    "gopher_quality_gate": Query(q_gopher_quality_gate, _gopher_oracle()),
-    "source_dup_matrix": Query(
-        q_source_dup_matrix, _source_dup_matrix_oracle()
-    ),
-    "winnow_fingerprints": Query(q_winnow_fingerprints, _winnow_oracle()),
-    "winnow_dup_pairs": Query(q_winnow_dup_pairs, _winnow_pairs_oracle()),
-    "doc_boundary_overlap": Query(
-        q_doc_boundary_overlap, _boundary_overlap_oracle()
-    ),
-    "winnow_components": Query(
-        q_winnow_components, _winnow_components_oracle()
-    ),
-    "dup_cluster_histogram": Query(
-        q_dup_cluster_histogram, _dup_cluster_histogram_oracle()
-    ),
-    "classifier_sample_prep": Query(
-        q_classifier_sample_prep, _classifier_sample_oracle()
-    ),
-}
 
 
 EPOCH_BUDGET_X = 4.0   # token budget = 4x the corpus (data-constrained)
@@ -1091,11 +1024,6 @@ FROM plan
 """
 
 
-# r11 QUEUE CANDIDATE (the r10 queue is closed):
-#   "epoch_repeat_plan": Query(
-#       q_epoch_repeat_plan, _epoch_repeat_plan_oracle()),
-
-
 # --- DSIR importance resampling (Xie et al. 2023) -----------------------------
 
 
@@ -1123,14 +1051,6 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.dsir_resample(
         C.dsir_weights(docs, F.col("lang") == "en"), DSIR_SAMPLE_N
     )
-
-
-# r11 QUEUE CANDIDATE (the r10 queue is closed):
-#   "dsir_weights": Query(
-#       q_dsir_weights, C.sql_dsir_weights(DSIR_TARGET_PRED)),
-#   "dsir_resample": Query(
-#       q_dsir_resample,
-#       C.sql_dsir_resample(DSIR_TARGET_PRED, DSIR_SAMPLE_N)),
 
 
 def q_stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1188,11 +1108,6 @@ SELECT doc_id, n_feats, w_micro
 FROM w CROSS JOIN tot
 WHERE w_micro * tf > tw * n_feats
 """
-
-
-# r11 QUEUE CANDIDATE (the r10 window is closed):
-#   "stream_dsir_gate": Query(
-#       q_stream_dsir_gate, _stream_dsir_gate_oracle()),
 
 
 def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1395,3 +1310,88 @@ FROM (
 # r12 QUEUE CANDIDATE (session 9):
 #   "score_quantile_blend": Query(
 #       q_score_quantile_blend, _score_quantile_blend_oracle()),
+
+
+# The QUERIES literal lives at module tail so every registered fn is
+# already bound; compute_reverify explodes it per-entry either way.
+QUERIES: dict[str, Query] = {
+    "corpus_health_report": Query(
+        q_corpus_health_report, _corpus_health_oracle()
+    ),
+    "dedup_budget_select": Query(
+        q_dedup_budget_select, _dedup_budget_oracle()
+    ),
+    "doc_lang_segments": Query(
+        q_doc_lang_segments, _doc_lang_segments_oracle()
+    ),
+    "decontaminate_mask": Query(
+        q_decontaminate_mask, _decontaminate_mask_oracle()
+    ),
+    "lm_trigram_interp": Query(
+        q_lm_trigram_interp,
+        C.sql_trigram_interp_logprob("doc_id % 2 = 0", "doc_id % 2 = 1"),
+    ),
+    "stream_quality_gate": Query(
+        q_stream_quality_gate, _stream_quality_gate_oracle()
+    ),
+    "quality_classifier": Query(
+        q_quality_classifier, C.sql_classifier_scores()
+    ),
+    "weighted_doc_sample": Query(
+        q_weighted_doc_sample,
+        C.sql_weighted_sample(
+            "documents",
+            "doc_id",
+            "n_chars",
+            SAMPLE_TARGET,
+            select="doc_id, n_chars",
+        ),
+    ),
+    "embedding_dim_stats": Query(
+        q_embedding_dim_stats, C.sql_embedding_dim_stats()
+    ),
+    "embedding_project_jl": Query(
+        q_embedding_project_jl, C.sql_embedding_project_jl()
+    ),
+    "embedding_whiten_norms": Query(
+        q_embedding_whiten_norms, C.sql_embedding_whiten_norms()
+    ),
+    "mixture_temperature": Query(
+        q_mixture_temperature, _mixture_temperature_oracle()
+    ),
+    "mixture_temp_select": Query(
+        q_mixture_temp_select, _mixture_temp_select_oracle()
+    ),
+    "gopher_quality_gate": Query(q_gopher_quality_gate, _gopher_oracle()),
+    "source_dup_matrix": Query(
+        q_source_dup_matrix, _source_dup_matrix_oracle()
+    ),
+    "winnow_fingerprints": Query(q_winnow_fingerprints, _winnow_oracle()),
+    "winnow_dup_pairs": Query(q_winnow_dup_pairs, _winnow_pairs_oracle()),
+    "doc_boundary_overlap": Query(
+        q_doc_boundary_overlap, _boundary_overlap_oracle()
+    ),
+    "winnow_components": Query(
+        q_winnow_components, _winnow_components_oracle()
+    ),
+    "dup_cluster_histogram": Query(
+        q_dup_cluster_histogram, _dup_cluster_histogram_oracle()
+    ),
+    "classifier_sample_prep": Query(
+        q_classifier_sample_prep, _classifier_sample_oracle()
+    ),
+    # registered r11 (queued r10 under the VERDICT r08 #1 throttle):
+    "epoch_repeat_plan": Query(
+        q_epoch_repeat_plan, _epoch_repeat_plan_oracle()
+    ),
+    "dsir_weights": Query(
+        q_dsir_weights, C.sql_dsir_weights(DSIR_TARGET_PRED)
+    ),
+    "dsir_resample": Query(
+        q_dsir_resample,
+        C.sql_dsir_resample(DSIR_TARGET_PRED, DSIR_SAMPLE_N),
+    ),
+    "stream_dsir_gate": Query(
+        q_stream_dsir_gate, _stream_dsir_gate_oracle()
+    ),
+}

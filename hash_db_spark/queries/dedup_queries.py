@@ -289,79 +289,9 @@ def q_lsh_param_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_s_curve(spark)
 
 
-QUERIES = {
-    "dedup_exact_groups": Query(q_dedup_exact_groups, EXACT_GROUPS_ORACLE),
-    "dedup_exact_keep": Query(q_dedup_exact_keep, EXACT_KEEP_ORACLE),
-    "dedup_ngram_jaccard": Query(
-        q_dedup_ngram_jaccard,
-        D.sql_ngram_jaccard_pairs(
-            "documents", "text", "doc_id", n=3, threshold=JACCARD_T
-        ),
-    ),
-    "dedup_minhash_lsh": Query(
-        q_dedup_minhash_lsh,
-        D.sql_minhash_lsh_pairs(
-            "documents", "text", "doc_id", threshold=JACCARD_T
-        ),
-    ),
-    "dedup_incremental": Query(
-        q_dedup_incremental,
-        D.sql_minhash_pairs_against(
-            "documents", "text", "doc_id",
-            new_pred="doc_id % 10 = 0",
-            corpus_pred="doc_id % 10 <> 0",
-            threshold=JACCARD_T,
-        ),
-    ),
-    "dedup_embedding_lsh": Query(
-        q_dedup_embedding_lsh,
-        S.sql_lsh_near_dup_pairs(threshold=COSINE_T),
-    ),
-    "dedup_components": Query(
-        q_dedup_components,
-        D.sql_connected_components(
-            D.sql_minhash_lsh_pairs(
-                "documents", "text", "doc_id", threshold=JACCARD_T
-            )
-        ),
-    ),
-    "dedup_rate_report": Query(q_dedup_rate_report, _dedup_rate_oracle()),
-    "minhash_est_error": Query(
-        q_minhash_est_error, _minhash_est_error_oracle()
-    ),
-    "dedup_embedding_incremental": Query(
-        q_dedup_embedding_incremental,
-        S.sql_lsh_pairs_against(
-            "vec_id % 10 = 0", "vec_id % 10 != 0", threshold=COSINE_T
-        ),
-    ),
-    "dedup_components_star": Query(
-        q_dedup_components_star,
-        D.sql_connected_components(
-            D.sql_minhash_lsh_pairs(
-                "documents", "text", "doc_id", threshold=JACCARD_T
-            )
-        ),
-    ),
-    "dedup_simhash": Query(
-        q_dedup_simhash, D.sql_simhash("documents", "text", "doc_id")
-    ),
-    "dedup_simhash_pairs": Query(
-        q_dedup_simhash_pairs,
-        D.sql_simhash_near_pairs(
-            "documents", "text", "doc_id", max_hamming=MAX_HAMMING
-        ),
-    ),
-    "dedup_embedding": Query(
-        q_dedup_embedding,
-        D.sql_embedding_near_dup_pairs(threshold=COSINE_T),
-    ),
-    # registered r10 (queued r09 under the VERDICT r08 #1 throttle):
-    "lsh_param_plan": Query(q_lsh_param_plan, D.sql_lsh_s_curve()),
-}
 
 
-# --- leakage-safe train/val split (r11 QUEUE CANDIDATE) ----------------------
+# --- leakage-safe train/val split ---------------------------------------------
 
 SPLIT_VAL_NUM = 209715  # sample_u(cluster) < NUM with M=2^20 -> ~20% val
 
@@ -417,12 +347,6 @@ SELECT doc_id, cluster,
             THEN 'val' ELSE 'train' END AS split
 FROM assigned
 """
-
-
-# r11 QUEUE CANDIDATE (r10 window full; parity + leakage law tested,
-# tests/test_dedup.py::TestLeakageSafeSplit):
-#   "train_split_leakage_safe": Query(
-#       q_train_split_leakage_safe, _train_split_oracle()),
 
 
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -499,3 +423,81 @@ def _dedup_edit_verify_oracle() -> str:
 # r12 QUEUE CANDIDATE (session 9):
 #   "dedup_edit_verify": Query(
 #       q_dedup_edit_verify, _dedup_edit_verify_oracle()),
+
+
+# The QUERIES literal lives at module tail so every registered fn is
+# already bound; compute_reverify explodes it per-entry either way.
+QUERIES = {
+    "dedup_exact_groups": Query(q_dedup_exact_groups, EXACT_GROUPS_ORACLE),
+    "dedup_exact_keep": Query(q_dedup_exact_keep, EXACT_KEEP_ORACLE),
+    "dedup_ngram_jaccard": Query(
+        q_dedup_ngram_jaccard,
+        D.sql_ngram_jaccard_pairs(
+            "documents", "text", "doc_id", n=3, threshold=JACCARD_T
+        ),
+    ),
+    "dedup_minhash_lsh": Query(
+        q_dedup_minhash_lsh,
+        D.sql_minhash_lsh_pairs(
+            "documents", "text", "doc_id", threshold=JACCARD_T
+        ),
+    ),
+    "dedup_incremental": Query(
+        q_dedup_incremental,
+        D.sql_minhash_pairs_against(
+            "documents", "text", "doc_id",
+            new_pred="doc_id % 10 = 0",
+            corpus_pred="doc_id % 10 <> 0",
+            threshold=JACCARD_T,
+        ),
+    ),
+    "dedup_embedding_lsh": Query(
+        q_dedup_embedding_lsh,
+        S.sql_lsh_near_dup_pairs(threshold=COSINE_T),
+    ),
+    "dedup_components": Query(
+        q_dedup_components,
+        D.sql_connected_components(
+            D.sql_minhash_lsh_pairs(
+                "documents", "text", "doc_id", threshold=JACCARD_T
+            )
+        ),
+    ),
+    "dedup_rate_report": Query(q_dedup_rate_report, _dedup_rate_oracle()),
+    "minhash_est_error": Query(
+        q_minhash_est_error, _minhash_est_error_oracle()
+    ),
+    "dedup_embedding_incremental": Query(
+        q_dedup_embedding_incremental,
+        S.sql_lsh_pairs_against(
+            "vec_id % 10 = 0", "vec_id % 10 != 0", threshold=COSINE_T
+        ),
+    ),
+    "dedup_components_star": Query(
+        q_dedup_components_star,
+        D.sql_connected_components(
+            D.sql_minhash_lsh_pairs(
+                "documents", "text", "doc_id", threshold=JACCARD_T
+            )
+        ),
+    ),
+    "dedup_simhash": Query(
+        q_dedup_simhash, D.sql_simhash("documents", "text", "doc_id")
+    ),
+    "dedup_simhash_pairs": Query(
+        q_dedup_simhash_pairs,
+        D.sql_simhash_near_pairs(
+            "documents", "text", "doc_id", max_hamming=MAX_HAMMING
+        ),
+    ),
+    "dedup_embedding": Query(
+        q_dedup_embedding,
+        D.sql_embedding_near_dup_pairs(threshold=COSINE_T),
+    ),
+    # registered r10 (queued r09 under the VERDICT r08 #1 throttle):
+    "lsh_param_plan": Query(q_lsh_param_plan, D.sql_lsh_s_curve()),
+    # registered r11 (queued r10 under the VERDICT r08 #1 throttle):
+    "train_split_leakage_safe": Query(
+        q_train_split_leakage_safe, _train_split_oracle()
+    ),
+}

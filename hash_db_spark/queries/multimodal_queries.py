@@ -108,21 +108,6 @@ def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.y4m_scene_cuts(M.synth_y4m_media(docs, "doc_id"))
 
 
-# r11 QUEUE CANDIDATE (the r10 window's spare slots are reserved for
-# late-round taint, per the VERDICT r08 #1 throttle):
-#   "video_scene_cuts": Query(
-#       q_video_scene_cuts,
-#       M.sql_y4m_scene_cuts("documents", "doc_id")),
-#   "multimodal_png_decode": Query(
-#       q_multimodal_png_decode, _png_decode_oracle()),
-#   "multimodal_jpeg_decode": Query(
-#       q_multimodal_jpeg_decode, _jpeg_decode_oracle()),
-#   "multimodal_adpcm_decode": Query(
-#       q_multimodal_adpcm_decode, _adpcm_decode_oracle()),
-#   "dedup_image_png": Query(q_dedup_image_png, _image_png_oracle()),
-# Implemented + oracle-parity-tested this round (tests/test_codecs.py).
-
-
 def q_dedup_image_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-dup over COMPRESSED images: real PNG decode
     (operators/codecs.py) feeding the same 60-bit dHash + Hamming-band
@@ -384,6 +369,17 @@ def _audio_pairs_oracle() -> str:
     )
 
 
+
+
+def q_multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold voice-activity segments over REAL PCM16 decode
+    (Rabiner & Sambur 1975 shape): run-length encoded voiced/unvoiced
+    spans, integer-exact thresholding, one media-keyed shuffle after
+    the single-decode Arrow pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.wav_vad_segments(M.synth_wav_media(docs, "doc_id"))
+
+
 QUERIES = {
     "dedup_image_phash": Query(q_dedup_image_phash, _image_phash_oracle()),
     "dedup_video_frames": Query(
@@ -452,19 +448,23 @@ QUERIES = {
         "SELECT doc_id AS media_id, 'image/fake' AS kind, "
         "CAST(len(text) AS INT) AS n_chars FROM documents WHERE len(text) > 400",
     ),
+    # registered r11 (queued r10 under the VERDICT r08 #1 throttle):
+    "video_scene_cuts": Query(
+        q_video_scene_cuts,
+        M.sql_y4m_scene_cuts("documents", "doc_id"),
+    ),
+    "multimodal_png_decode": Query(
+        q_multimodal_png_decode, _png_decode_oracle()
+    ),
+    "multimodal_jpeg_decode": Query(
+        q_multimodal_jpeg_decode, _jpeg_decode_oracle()
+    ),
+    "multimodal_adpcm_decode": Query(
+        q_multimodal_adpcm_decode, _adpcm_decode_oracle()
+    ),
+    "dedup_image_png": Query(q_dedup_image_png, _image_png_oracle()),
+    "multimodal_vad_segments": Query(
+        q_multimodal_vad_segments,
+        M.sql_wav_vad_segments("documents", "doc_id"),
+    ),
 }
-
-
-def q_multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Energy-threshold voice-activity segments over REAL PCM16 decode
-    (Rabiner & Sambur 1975 shape): run-length encoded voiced/unvoiced
-    spans, integer-exact thresholding, one media-keyed shuffle after
-    the single-decode Arrow pass."""
-    docs = load_table(spark, sf_dir, "documents")
-    return M.wav_vad_segments(M.synth_wav_media(docs, "doc_id"))
-
-
-# r11 QUEUE CANDIDATE (the r10 window is closed):
-#   "multimodal_vad_segments": Query(
-#       q_multimodal_vad_segments,
-#       M.sql_wav_vad_segments("documents", "doc_id")),

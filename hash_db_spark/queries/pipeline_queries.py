@@ -672,10 +672,6 @@ GROUP BY shard
 """
 
 
-# r11 QUEUE CANDIDATE:
-#   "pack_efficiency": Query(q_pack_efficiency, _pack_efficiency_oracle()),
-
-
 def q_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram scoring (the smoothing real
     pretraining perplexity filters use) — continuation-count backoff
@@ -697,21 +693,6 @@ def q_cdc_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# r11 QUEUE CANDIDATE (r10 window full; parity-tested this round,
-# tests/test_curation.py::test_kneser_ney_parity,
-# tests/test_pipeline_ops.py::TestCDCChunks):
-#   "lm_kneser_ney": Query(
-#       q_lm_kneser_ney,
-#       corpus_stats.sql_doc_kneser_ney_logprob(
-#           "documents", "text", "doc_id")),
-#   "cdc_dedup_report": Query(
-#       q_cdc_dedup_report,
-#       chunking.sql_cdc_dedup_report("documents", "text", "doc_id")),
-#   "train_loss_mask": Query(
-#       q_train_loss_mask,
-#       chunking.sql_loss_mask_report("events", "props", "event_id")),
-
-
 def q_train_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per training chunk, the count of PII-redaction tokens the loader
     must exclude from the loss — scrub + chunk + pure HOF count, no
@@ -724,92 +705,9 @@ def q_train_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The QUERIES literal lives at module tail so every registered fn is
 # already bound; compute_reverify explodes it per-entry either way.
-QUERIES = {
-    "scrub_redact": Query(q_scrub_redact, SCRUB_REDACT_ORACLE),
-    "fuzzy_name_match": Query(q_fuzzy_name_match, FUZZY_ORACLE),
-    "dedup_apply_keep": Query(q_dedup_apply_keep, _apply_keep_oracle()),
-    "vocab_top_share": Query(
-        q_vocab_top_share,
-        corpus_stats.sql_vocab_top_share("documents", "text", topn=10),
-    ),
-    "pack_sequences": Query(q_pack_sequences, _pack_oracle()),
-    "pack_manifest": Query(q_pack_manifest, _pack_manifest_oracle()),
-    "vocab_zipf_fit": Query(
-        q_vocab_zipf_fit,
-        corpus_stats.sql_vocab_zipf_fit("documents", "text"),
-    ),
-    "quality_gate": Query(q_quality_gate, _quality_gate_oracle()),
-    "train_prep": Query(q_train_prep, _train_prep_oracle()),
-    "scrub_pattern_counts": Query(q_scrub_pattern_counts, SCRUB_COUNTS_ORACLE),
-    "chunk_tokens": Query(
-        q_chunk_tokens,
-        chunking.sql_token_chunks(
-            "documents", "text", "doc_id", CHUNK_SIZE, CHUNK_OVERLAP
-        ),
-    ),
-    "doc_logfreq": Query(
-        q_doc_logfreq,
-        corpus_stats.sql_doc_logfreq_score("documents", "text", "doc_id"),
-    ),
-    "doc_bigram_logprob": Query(
-        q_doc_bigram_logprob,
-        corpus_stats.sql_doc_bigram_logprob("documents", "text", "doc_id"),
-    ),
-    "lm_perplexity_gate": Query(
-        q_lm_perplexity_gate,
-        corpus_stats.sql_lm_gate("documents", "text", "doc_id"),
-    ),
-    "select_token_budget": Query(
-        q_select_token_budget, _token_budget_oracle()
-    ),
-    "mixture_token_budget": Query(
-        q_mixture_token_budget, _mixture_budget_oracle()
-    ),
-    "text_token_entropy": Query(
-        lambda spark, sf_dir: corpus_stats.token_entropy(
-            load_table(spark, sf_dir, "documents"), "text", "doc_id"
-        ),
-        corpus_stats.sql_token_entropy("documents", "text", "doc_id"),
-    ),
-    "dedup_span_grams": Query(
-        q_dedup_span_grams,
-        D.sql_repeated_ngram_spans("documents", "text", "doc_id", n=SPAN_N),
-    ),
-    "dedup_strip_spans": Query(
-        q_dedup_strip_spans,
-        D.sql_strip_hot_spans("documents", "text", "doc_id", n=SPAN_N),
-    ),
-    "stream_stateful_counter": Query(q_stream_stateful_counter, STATEFUL_ORACLE),
-    "stream_sessions": Query(q_stream_sessions, STREAM_SESSIONS_ORACLE),
-    "line_dedup_docs": Query(
-        q_line_dedup_docs, lines.sql_line_dedup_docs(_lines_cte())
-    ),
-    "line_boilerplate_strip": Query(
-        q_line_boilerplate_strip,
-        lines.sql_strip_boilerplate_docs(_lines_cte(), BOILERPLATE_DF),
-    ),
-    "line_containment": Query(
-        q_line_containment,
-        lines.sql_line_containment_pairs(
-            _lines_cte(), CONTAIN_THRESHOLD, CONTAIN_MAX_DF
-        ),
-    ),
-    "line_clean_prep": Query(
-        q_line_clean_prep,
-        lines.sql_line_clean_prep(_lines_cte(), BOILERPLATE_DF, min_lines=2),
-    ),
-    "stream_line_dedup": Query(
-        q_stream_line_dedup, _stream_line_dedup_oracle()
-    ),
-    # registered r10 (queued r09 under the VERDICT r08 #1 throttle):
-    "stream_line_dedup_wm": Query(
-        q_stream_line_dedup_wm, _stream_line_dedup_oracle()
-    ),
-    "dedup_keep_best": Query(q_dedup_keep_best, _keep_best_oracle()),
-}
 
 
-# --- Luhn-validated PAN scrubbing (r11 QUEUE CANDIDATE) ------------------------
+# --- Luhn-validated PAN scrubbing ------------------------------------------------
 #
 # The fixture corpus is digit-free, so PAN-shaped wire noise is injected
 # the way text_normalize injects transport corruption: 16 deterministic
@@ -867,11 +765,7 @@ FROM (SELECT doc_id, {_SQL_PAN_WIRE} AS wire FROM documents)
 """
 
 
-# r11 QUEUE CANDIDATE (the r10 window is closed):
-#   "scrub_luhn": Query(q_scrub_luhn, _scrub_luhn_oracle()),
-
-
-# --- corpus drift monitoring (r11 QUEUE CANDIDATE) -----------------------------
+# --- corpus drift monitoring ---------------------------------------------------
 
 PSI_BUCKET_W = 64  # n_chars bucket width (47..558 in the fixture -> ~9 buckets)
 _PSI_BUCKET_SQL = f"CAST(least(9, n_chars // {PSI_BUCKET_W}) AS INT)"
@@ -906,11 +800,6 @@ def _corpus_drift_psi_oracle() -> str:
         "SELECT * FROM documents WHERE doc_id % 2 = 1",
         _PSI_BUCKET_SQL,
     )
-
-
-# r11 QUEUE CANDIDATE (the r10 window is closed):
-#   "corpus_drift_psi": Query(
-#       q_corpus_drift_psi, _corpus_drift_psi_oracle()),
 
 
 def q_context_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1166,3 +1055,110 @@ WHERE {n_v} > 0
 # r12 QUEUE CANDIDATE (session 9):
 #   "stream_secret_scrub": Query(
 #       q_stream_secret_scrub, _stream_secret_scrub_oracle()),
+
+
+# The QUERIES literal lives at module tail so every registered fn is
+# already bound; compute_reverify explodes it per-entry either way.
+QUERIES = {
+    "scrub_redact": Query(q_scrub_redact, SCRUB_REDACT_ORACLE),
+    "fuzzy_name_match": Query(q_fuzzy_name_match, FUZZY_ORACLE),
+    "dedup_apply_keep": Query(q_dedup_apply_keep, _apply_keep_oracle()),
+    "vocab_top_share": Query(
+        q_vocab_top_share,
+        corpus_stats.sql_vocab_top_share("documents", "text", topn=10),
+    ),
+    "pack_sequences": Query(q_pack_sequences, _pack_oracle()),
+    "pack_manifest": Query(q_pack_manifest, _pack_manifest_oracle()),
+    "vocab_zipf_fit": Query(
+        q_vocab_zipf_fit,
+        corpus_stats.sql_vocab_zipf_fit("documents", "text"),
+    ),
+    "quality_gate": Query(q_quality_gate, _quality_gate_oracle()),
+    "train_prep": Query(q_train_prep, _train_prep_oracle()),
+    "scrub_pattern_counts": Query(q_scrub_pattern_counts, SCRUB_COUNTS_ORACLE),
+    "chunk_tokens": Query(
+        q_chunk_tokens,
+        chunking.sql_token_chunks(
+            "documents", "text", "doc_id", CHUNK_SIZE, CHUNK_OVERLAP
+        ),
+    ),
+    "doc_logfreq": Query(
+        q_doc_logfreq,
+        corpus_stats.sql_doc_logfreq_score("documents", "text", "doc_id"),
+    ),
+    "doc_bigram_logprob": Query(
+        q_doc_bigram_logprob,
+        corpus_stats.sql_doc_bigram_logprob("documents", "text", "doc_id"),
+    ),
+    "lm_perplexity_gate": Query(
+        q_lm_perplexity_gate,
+        corpus_stats.sql_lm_gate("documents", "text", "doc_id"),
+    ),
+    "select_token_budget": Query(
+        q_select_token_budget, _token_budget_oracle()
+    ),
+    "mixture_token_budget": Query(
+        q_mixture_token_budget, _mixture_budget_oracle()
+    ),
+    "text_token_entropy": Query(
+        lambda spark, sf_dir: corpus_stats.token_entropy(
+            load_table(spark, sf_dir, "documents"), "text", "doc_id"
+        ),
+        corpus_stats.sql_token_entropy("documents", "text", "doc_id"),
+    ),
+    "dedup_span_grams": Query(
+        q_dedup_span_grams,
+        D.sql_repeated_ngram_spans("documents", "text", "doc_id", n=SPAN_N),
+    ),
+    "dedup_strip_spans": Query(
+        q_dedup_strip_spans,
+        D.sql_strip_hot_spans("documents", "text", "doc_id", n=SPAN_N),
+    ),
+    "stream_stateful_counter": Query(q_stream_stateful_counter, STATEFUL_ORACLE),
+    "stream_sessions": Query(q_stream_sessions, STREAM_SESSIONS_ORACLE),
+    "line_dedup_docs": Query(
+        q_line_dedup_docs, lines.sql_line_dedup_docs(_lines_cte())
+    ),
+    "line_boilerplate_strip": Query(
+        q_line_boilerplate_strip,
+        lines.sql_strip_boilerplate_docs(_lines_cte(), BOILERPLATE_DF),
+    ),
+    "line_containment": Query(
+        q_line_containment,
+        lines.sql_line_containment_pairs(
+            _lines_cte(), CONTAIN_THRESHOLD, CONTAIN_MAX_DF
+        ),
+    ),
+    "line_clean_prep": Query(
+        q_line_clean_prep,
+        lines.sql_line_clean_prep(_lines_cte(), BOILERPLATE_DF, min_lines=2),
+    ),
+    "stream_line_dedup": Query(
+        q_stream_line_dedup, _stream_line_dedup_oracle()
+    ),
+    # registered r10 (queued r09 under the VERDICT r08 #1 throttle):
+    "stream_line_dedup_wm": Query(
+        q_stream_line_dedup_wm, _stream_line_dedup_oracle()
+    ),
+    "dedup_keep_best": Query(q_dedup_keep_best, _keep_best_oracle()),
+    # registered r11 (queued r10 under the VERDICT r08 #1 throttle):
+    "pack_efficiency": Query(q_pack_efficiency, _pack_efficiency_oracle()),
+    "lm_kneser_ney": Query(
+        q_lm_kneser_ney,
+        corpus_stats.sql_doc_kneser_ney_logprob(
+            "documents", "text", "doc_id"
+        ),
+    ),
+    "cdc_dedup_report": Query(
+        q_cdc_dedup_report,
+        chunking.sql_cdc_dedup_report("documents", "text", "doc_id"),
+    ),
+    "train_loss_mask": Query(
+        q_train_loss_mask,
+        chunking.sql_loss_mask_report("events", "props", "event_id"),
+    ),
+    "scrub_luhn": Query(q_scrub_luhn, _scrub_luhn_oracle()),
+    "corpus_drift_psi": Query(
+        q_corpus_drift_psi, _corpus_drift_psi_oracle()
+    ),
+}

@@ -741,6 +741,195 @@ WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0)
 """
 
 
+
+
+JSE_RATE_NUM = 209715  # sample_u < NUM with M=2^20 -> ~20% key sample
+
+
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-statistics capability: estimate |orders JOIN customer
+    ON custkey| from a ~20% CONTENT-ADDRESSED key sample (the classic
+    key-sampling estimator: join size = sum_k n_orders(k)*n_cust(k);
+    sampling keys by hash keeps both sides' counts for a kept key
+    intact, so the scaled sample sum is unbiased). Emits the estimate
+    next to the exact value with the relative error — the number a
+    planner consults before choosing a join strategy, here made a
+    driver-checkable query (everything is deterministic: md5 sampling,
+    exact int sums, one float division).
+
+    Scale shape: two map-side-combined per-key counts, one equijoin on
+    the key dimension, no row-level join of the fact tables at all —
+    the whole point: estimating the join costs a fraction of running
+    it."""
+    from hash_db_spark.operators.curation import SAMPLE_M, sample_u
+
+    o = _t(spark, sf_dir, "orders").groupBy(
+        F.col("o_custkey").alias("k")
+    ).agg(F.count(F.lit(1)).alias("n_o"))
+    c = _t(spark, sf_dir, "customer").groupBy(
+        F.col("c_custkey").alias("k")
+    ).agg(F.count(F.lit(1)).alias("n_c"))
+    per_key = o.join(c, "k").select(
+        "k", (F.col("n_o") * F.col("n_c")).alias("m"),
+        sample_u(F.col("k")).alias("u"),
+    )
+    rate = JSE_RATE_NUM / SAMPLE_M
+    return per_key.agg(
+        F.round(
+            F.sum(F.when(F.col("u") < JSE_RATE_NUM, F.col("m"))).cast(
+                "double"
+            )
+            / F.lit(rate),
+            2,
+        ).alias("est_rows"),
+        F.sum("m").alias("exact_rows"),
+    ).select(
+        "est_rows",
+        "exact_rows",
+        F.round(
+            F.abs(F.col("est_rows") - F.col("exact_rows"))
+            / F.col("exact_rows"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+def _join_size_estimate_oracle() -> str:
+    from hash_db_spark.operators.curation import SAMPLE_M, sql_sample_u
+
+    rate = JSE_RATE_NUM / SAMPLE_M
+    return f"""
+WITH o AS (SELECT o_custkey AS k, count(*) AS n_o FROM orders GROUP BY 1),
+c AS (SELECT c_custkey AS k, count(*) AS n_c FROM customer GROUP BY 1),
+per_key AS (
+  SELECT o.k, o.n_o * c.n_c AS m, {sql_sample_u('o.k')} AS u
+  FROM o JOIN c USING (k)
+),
+agg AS (
+  SELECT round(CAST(sum(CASE WHEN u < {JSE_RATE_NUM} THEN m END) AS DOUBLE)
+               / {rate!r}, 2) AS est_rows,
+         CAST(sum(m) AS BIGINT) AS exact_rows
+  FROM per_key
+)
+SELECT est_rows, exact_rows,
+       round(abs(est_rows - exact_rows) / exact_rows, 6) AS rel_err
+FROM agg
+"""
+
+
+# --- k-anonymity audit ----------------------------------------------------------
+
+K_ANON_K = 5  # groups below this size are re-identification risks
+K_ANON_CHAR_BUCKET = 100  # n_chars coarsened to 100-char buckets
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the release quasi-identifiers (Sweeney
+    2002, the governance gate before a corpus ships): documents grouped
+    by (lang, source, coarsened length bucket); every equivalence class
+    smaller than k is a re-identification risk the release must
+    generalize or suppress. Output is the risk report — the risky
+    classes with their sizes and member count share.
+
+    Completes the governance trio: scrub (PII redaction),
+    erasure_audit (right-to-be-forgotten pricing), k-anonymity
+    (release-shape risk). One map-side bucket projection + one
+    map-combined aggregation; at 100 TB this is a single shuffle on
+    the (low-cardinality) quasi-identifier key."""
+    docs = _t(spark, sf_dir, "documents")
+    classes = (
+        docs.select(
+            "lang",
+            "source",
+            (F.floor(F.col("n_chars") / K_ANON_CHAR_BUCKET)
+             * K_ANON_CHAR_BUCKET).cast("long").alias("len_bucket"),
+        )
+        .groupBy("lang", "source", "len_bucket")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+    )
+    return classes.filter(F.col("class_size") < K_ANON_K)
+
+
+K_ANONYMITY_ORACLE = f"""
+SELECT lang, source,
+       CAST(floor(n_chars / {K_ANON_CHAR_BUCKET}) * {K_ANON_CHAR_BUCKET}
+            AS BIGINT) AS len_bucket,
+       count(*) AS class_size
+FROM documents
+GROUP BY lang, source, len_bucket
+HAVING count(*) < {K_ANON_K}
+"""
+
+# --- l-diversity audit (session 9) --------------------------------------------
+
+L_DIVERSITY_L = 3  # distinct sensitive values every class must carry
+
+
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al., TKDD 2007 — the
+    homogeneity-attack fix k-anonymity misses): a class can be
+    k-anonymous yet leak its members' SENSITIVE value when everyone in
+    it shares one. Quasi-identifiers here are (lang, length bucket);
+    `source` plays the sensitive attribute. Reports EVERY
+    k-anonymous class with its distinct-sensitive count, top sensitive
+    share (1.0 = total homogeneity, the worst case), and the
+    below-l violation flag — the audit table a release review reads,
+    whether or not anything is currently violating.
+
+    Two stacked map-combined aggregations on low-cardinality keys —
+    (qi, sensitive) counts, then per-qi rollup — a single logical
+    shuffle chain at any corpus size; no windows, no joins."""
+    docs = _t(spark, sf_dir, "documents")
+    cell = (
+        docs.select(
+            "lang",
+            (F.floor(F.col("n_chars") / K_ANON_CHAR_BUCKET)
+             * K_ANON_CHAR_BUCKET).cast("long").alias("len_bucket"),
+            "source",
+        )
+        .groupBy("lang", "len_bucket", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from hash_db_spark.functions.rounding import round_half_away_col
+
+    classes = cell.groupBy("lang", "len_bucket").agg(
+        F.sum("c").alias("class_size"),
+        F.count(F.lit(1)).alias("n_sensitive"),
+        # round_half_away_col, not F.round: hash-compared computed
+        # double (functions/rounding.py decimal-tie prescription)
+        round_half_away_col(F.max("c") / F.sum("c"), 6).alias(
+            "top_sensitive_share"
+        ),
+    )
+    return classes.filter(F.col("class_size") >= K_ANON_K).withColumn(
+        "low_diversity", F.col("n_sensitive") < L_DIVERSITY_L
+    )
+
+
+L_DIVERSITY_ORACLE = f"""
+WITH cell AS (
+  SELECT lang,
+         CAST(floor(n_chars / {K_ANON_CHAR_BUCKET}) * {K_ANON_CHAR_BUCKET}
+              AS BIGINT) AS len_bucket,
+         source, count(*) AS c
+  FROM documents
+  GROUP BY lang, len_bucket, source
+)
+SELECT lang, len_bucket, sum(c) AS class_size,
+       count(*) AS n_sensitive,
+       round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_sensitive_share,
+       count(*) < {L_DIVERSITY_L} AS low_diversity
+FROM cell
+GROUP BY lang, len_bucket
+HAVING sum(c) >= {K_ANON_K}
+"""
+
+# r12 QUEUE CANDIDATE (session 9):
+#   "l_diversity_audit": Query(q_l_diversity_audit, L_DIVERSITY_ORACLE),
+
+
+# The QUERIES literal lives at module tail so every registered fn is
+# already bound; compute_reverify explodes it per-entry either way.
 QUERIES = {
     "percentiles": Query(q_percentiles, PERCENTILES_ORACLE),
     "cdc_latest_view": Query(q_cdc_latest_view, CDC_ORACLE),
@@ -824,199 +1013,9 @@ QUERIES = {
     "fk_integrity_audit": Query(
         q_fk_integrity_audit, _fk_integrity_oracle()),
     "erasure_audit": Query(q_erasure_audit, ERASURE_AUDIT_ORACLE),
+    # registered r11 (queued r10 under the VERDICT r08 #1 throttle):
+    "join_size_estimate": Query(
+        q_join_size_estimate, _join_size_estimate_oracle()
+    ),
+    "k_anonymity_audit": Query(q_k_anonymity_audit, K_ANONYMITY_ORACLE),
 }
-
-
-JSE_RATE_NUM = 209715  # sample_u < NUM with M=2^20 -> ~20% key sample
-
-
-def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Optimizer-statistics capability: estimate |orders JOIN customer
-    ON custkey| from a ~20% CONTENT-ADDRESSED key sample (the classic
-    key-sampling estimator: join size = sum_k n_orders(k)*n_cust(k);
-    sampling keys by hash keeps both sides' counts for a kept key
-    intact, so the scaled sample sum is unbiased). Emits the estimate
-    next to the exact value with the relative error — the number a
-    planner consults before choosing a join strategy, here made a
-    driver-checkable query (everything is deterministic: md5 sampling,
-    exact int sums, one float division).
-
-    Scale shape: two map-side-combined per-key counts, one equijoin on
-    the key dimension, no row-level join of the fact tables at all —
-    the whole point: estimating the join costs a fraction of running
-    it."""
-    from hash_db_spark.operators.curation import SAMPLE_M, sample_u
-
-    o = _t(spark, sf_dir, "orders").groupBy(
-        F.col("o_custkey").alias("k")
-    ).agg(F.count(F.lit(1)).alias("n_o"))
-    c = _t(spark, sf_dir, "customer").groupBy(
-        F.col("c_custkey").alias("k")
-    ).agg(F.count(F.lit(1)).alias("n_c"))
-    per_key = o.join(c, "k").select(
-        "k", (F.col("n_o") * F.col("n_c")).alias("m"),
-        sample_u(F.col("k")).alias("u"),
-    )
-    rate = JSE_RATE_NUM / SAMPLE_M
-    return per_key.agg(
-        F.round(
-            F.sum(F.when(F.col("u") < JSE_RATE_NUM, F.col("m"))).cast(
-                "double"
-            )
-            / F.lit(rate),
-            2,
-        ).alias("est_rows"),
-        F.sum("m").alias("exact_rows"),
-    ).select(
-        "est_rows",
-        "exact_rows",
-        F.round(
-            F.abs(F.col("est_rows") - F.col("exact_rows"))
-            / F.col("exact_rows"),
-            6,
-        ).alias("rel_err"),
-    )
-
-
-def _join_size_estimate_oracle() -> str:
-    from hash_db_spark.operators.curation import SAMPLE_M, sql_sample_u
-
-    rate = JSE_RATE_NUM / SAMPLE_M
-    return f"""
-WITH o AS (SELECT o_custkey AS k, count(*) AS n_o FROM orders GROUP BY 1),
-c AS (SELECT c_custkey AS k, count(*) AS n_c FROM customer GROUP BY 1),
-per_key AS (
-  SELECT o.k, o.n_o * c.n_c AS m, {sql_sample_u('o.k')} AS u
-  FROM o JOIN c USING (k)
-),
-agg AS (
-  SELECT round(CAST(sum(CASE WHEN u < {JSE_RATE_NUM} THEN m END) AS DOUBLE)
-               / {rate!r}, 2) AS est_rows,
-         sum(m) AS exact_rows
-  FROM per_key
-)
-SELECT est_rows, exact_rows,
-       round(abs(est_rows - exact_rows) / exact_rows, 6) AS rel_err
-FROM agg
-"""
-
-
-# r11 QUEUE CANDIDATE:
-#   "join_size_estimate": Query(
-#       q_join_size_estimate, _join_size_estimate_oracle()),
-
-
-# --- k-anonymity audit (r11 QUEUE CANDIDATE) ---------------------------------
-
-K_ANON_K = 5  # groups below this size are re-identification risks
-K_ANON_CHAR_BUCKET = 100  # n_chars coarsened to 100-char buckets
-
-
-def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-anonymity audit over the release quasi-identifiers (Sweeney
-    2002, the governance gate before a corpus ships): documents grouped
-    by (lang, source, coarsened length bucket); every equivalence class
-    smaller than k is a re-identification risk the release must
-    generalize or suppress. Output is the risk report — the risky
-    classes with their sizes and member count share.
-
-    Completes the governance trio: scrub (PII redaction),
-    erasure_audit (right-to-be-forgotten pricing), k-anonymity
-    (release-shape risk). One map-side bucket projection + one
-    map-combined aggregation; at 100 TB this is a single shuffle on
-    the (low-cardinality) quasi-identifier key."""
-    docs = _t(spark, sf_dir, "documents")
-    classes = (
-        docs.select(
-            "lang",
-            "source",
-            (F.floor(F.col("n_chars") / K_ANON_CHAR_BUCKET)
-             * K_ANON_CHAR_BUCKET).cast("long").alias("len_bucket"),
-        )
-        .groupBy("lang", "source", "len_bucket")
-        .agg(F.count(F.lit(1)).alias("class_size"))
-    )
-    return classes.filter(F.col("class_size") < K_ANON_K)
-
-
-K_ANONYMITY_ORACLE = f"""
-SELECT lang, source,
-       CAST(floor(n_chars / {K_ANON_CHAR_BUCKET}) * {K_ANON_CHAR_BUCKET}
-            AS BIGINT) AS len_bucket,
-       count(*) AS class_size
-FROM documents
-GROUP BY lang, source, len_bucket
-HAVING count(*) < {K_ANON_K}
-"""
-
-# r11 QUEUE CANDIDATE (r10 window full; parity-tested this round,
-# tests/test_relational.py::test_k_anonymity_audit):
-#   "k_anonymity_audit": Query(q_k_anonymity_audit, K_ANONYMITY_ORACLE),
-
-
-# --- l-diversity audit (session 9) --------------------------------------------
-
-L_DIVERSITY_L = 3  # distinct sensitive values every class must carry
-
-
-def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """l-diversity audit (Machanavajjhala et al., TKDD 2007 — the
-    homogeneity-attack fix k-anonymity misses): a class can be
-    k-anonymous yet leak its members' SENSITIVE value when everyone in
-    it shares one. Quasi-identifiers here are (lang, length bucket);
-    `source` plays the sensitive attribute. Reports EVERY
-    k-anonymous class with its distinct-sensitive count, top sensitive
-    share (1.0 = total homogeneity, the worst case), and the
-    below-l violation flag — the audit table a release review reads,
-    whether or not anything is currently violating.
-
-    Two stacked map-combined aggregations on low-cardinality keys —
-    (qi, sensitive) counts, then per-qi rollup — a single logical
-    shuffle chain at any corpus size; no windows, no joins."""
-    docs = _t(spark, sf_dir, "documents")
-    cell = (
-        docs.select(
-            "lang",
-            (F.floor(F.col("n_chars") / K_ANON_CHAR_BUCKET)
-             * K_ANON_CHAR_BUCKET).cast("long").alias("len_bucket"),
-            "source",
-        )
-        .groupBy("lang", "len_bucket", "source")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    from hash_db_spark.functions.rounding import round_half_away_col
-
-    classes = cell.groupBy("lang", "len_bucket").agg(
-        F.sum("c").alias("class_size"),
-        F.count(F.lit(1)).alias("n_sensitive"),
-        # round_half_away_col, not F.round: hash-compared computed
-        # double (functions/rounding.py decimal-tie prescription)
-        round_half_away_col(F.max("c") / F.sum("c"), 6).alias(
-            "top_sensitive_share"
-        ),
-    )
-    return classes.filter(F.col("class_size") >= K_ANON_K).withColumn(
-        "low_diversity", F.col("n_sensitive") < L_DIVERSITY_L
-    )
-
-
-L_DIVERSITY_ORACLE = f"""
-WITH cell AS (
-  SELECT lang,
-         CAST(floor(n_chars / {K_ANON_CHAR_BUCKET}) * {K_ANON_CHAR_BUCKET}
-              AS BIGINT) AS len_bucket,
-         source, count(*) AS c
-  FROM documents
-  GROUP BY lang, len_bucket, source
-)
-SELECT lang, len_bucket, sum(c) AS class_size,
-       count(*) AS n_sensitive,
-       round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_sensitive_share,
-       count(*) < {L_DIVERSITY_L} AS low_diversity
-FROM cell
-GROUP BY lang, len_bucket
-HAVING sum(c) >= {K_ANON_K}
-"""
-
-# r12 QUEUE CANDIDATE (session 9):
-#   "l_diversity_audit": Query(q_l_diversity_audit, L_DIVERSITY_ORACLE),

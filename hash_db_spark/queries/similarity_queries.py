@@ -304,15 +304,6 @@ def q_sim_topk_ivf_published(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.topk_ivf_persisted(spark, published_dir(spark, path), QUERY_IDS, k=K)
 
 
-# r11 QUEUE CANDIDATE (r10 window full):
-#   "sim_topk_ivf_published": Query(
-#       q_sim_topk_ivf_published, _ivf_kmeans_oracle()),
-#   "train_hard_negatives": Query(
-#       q_train_hard_negatives, S.sql_hard_negatives(QUERY_IDS)),
-#   "train_contrastive_pairs": Query(
-#       q_train_contrastive_pairs, _contrastive_pairs_oracle()),
-
-
 def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ/ADC top-k: 64-dim embeddings compressed to 4 one-byte codes,
     queries scored against codes via exact-integer distance tables —
@@ -397,44 +388,9 @@ def q_sim_topk_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The QUERIES literal lives at module tail so every registered fn is
 # already bound; compute_reverify explodes it per-entry either way.
-QUERIES = {
-    "kmeans_clusters": Query(q_kmeans_clusters, _kmeans_oracle()),
-    "sim_topk_brute": Query(
-        q_sim_topk_brute, S.sql_topk_bruteforce(QUERY_IDS, k=K)
-    ),
-    "sim_topk_lsh": Query(q_sim_topk_lsh, S.sql_topk_lsh(QUERY_IDS, k=K)),
-    "negative_samples": Query(
-        q_negative_samples, S.sql_negative_samples(k=3, max_qid=20)
-    ),
-    "sim_topk_ivf": Query(q_sim_topk_ivf, S.sql_topk_ivf(QUERY_IDS, k=K)),
-    "sim_recall_report": Query(q_sim_recall_report, _sim_recall_oracle()),
-    "sim_topk_ivf_kmeans": Query(q_sim_topk_ivf_kmeans, _ivf_kmeans_oracle()),
-    "sim_topk_ivf_persisted": Query(
-        q_sim_topk_ivf_persisted, _ivf_kmeans_oracle()
-    ),
-    "sim_topk_quantized": Query(
-        q_sim_topk_quantized, S.sql_topk_quantized(QUERY_IDS, k=K)
-    ),
-    "semdedup_drop": Query(
-        q_semdedup_drop, S.sql_semdedup(threshold=SEMDEDUP_T)
-    ),
-    # registered r10 (queued r09 under the VERDICT r08 #1 throttle):
-    # PQ/ADC top-k, its IVF-PQ composition, the persisted-index serving
-    # path and the streaming probe (operators/pq.py, sources/writers.py).
-    # sim_topk_pq_persisted shares _ivf_pq_oracle — result-identical to
-    # the inline fit via the shared _adc_topk (the sim_topk_ivf_persisted
-    # precedent).
-    "sim_recall_truncated": Query(
-        q_sim_recall_truncated, _sim_recall_truncated_oracle()
-    ),
-    "sim_topk_pq": Query(q_sim_topk_pq, _pq_oracle()),
-    "sim_topk_ivf_pq": Query(q_sim_topk_ivf_pq, _ivf_pq_oracle()),
-    "sim_topk_pq_persisted": Query(q_sim_topk_pq_persisted, _ivf_pq_oracle()),
-    "stream_pq_probe": Query(q_stream_pq_probe, _ivf_pq_oracle()),
-}
 
 
-# --- greedy k-center coreset (r11 QUEUE CANDIDATE) ----------------------------
+# --- greedy k-center coreset ---------------------------------------------------
 
 
 KCENTER_K = 8
@@ -459,8 +415,10 @@ def _kcenter_oracle() -> str:
     return CL.sql_kcenter_select(KCENTER_K)
 
 
-# r11 QUEUE CANDIDATE (the r10 window is closed):
-#   "coreset_kcenter": Query(q_coreset_kcenter, _kcenter_oracle()),
+def _int8_quant_oracle() -> str:
+    from hash_db_spark.operators import pq
+
+    return pq.sql_int8_quant_report()
 
 
 def q_embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -471,13 +429,6 @@ def q_embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hash_db_spark.operators import pq
 
     return pq.int8_quant_report(load_table(spark, sf_dir, "embeddings"))
-
-
-# r11 QUEUE CANDIDATE (the r10 window is closed):
-#   "embedding_int8_quant": Query(
-#       q_embedding_int8_quant, __import__(
-#           "hash_db_spark.operators.pq", fromlist=["x"]
-#       ).sql_int8_quant_report()),
 
 
 BITEXT_SRC_LANG = "en"
@@ -658,3 +609,56 @@ FROM scored
 # r13 QUEUE CANDIDATE (session 9):
 #   "bitext_length_filter": Query(
 #       q_bitext_length_filter, _bitext_length_oracle()),
+
+
+# The QUERIES literal lives at module tail so every registered fn is
+# already bound; compute_reverify explodes it per-entry either way.
+QUERIES = {
+    "kmeans_clusters": Query(q_kmeans_clusters, _kmeans_oracle()),
+    "sim_topk_brute": Query(
+        q_sim_topk_brute, S.sql_topk_bruteforce(QUERY_IDS, k=K)
+    ),
+    "sim_topk_lsh": Query(q_sim_topk_lsh, S.sql_topk_lsh(QUERY_IDS, k=K)),
+    "negative_samples": Query(
+        q_negative_samples, S.sql_negative_samples(k=3, max_qid=20)
+    ),
+    "sim_topk_ivf": Query(q_sim_topk_ivf, S.sql_topk_ivf(QUERY_IDS, k=K)),
+    "sim_recall_report": Query(q_sim_recall_report, _sim_recall_oracle()),
+    "sim_topk_ivf_kmeans": Query(q_sim_topk_ivf_kmeans, _ivf_kmeans_oracle()),
+    "sim_topk_ivf_persisted": Query(
+        q_sim_topk_ivf_persisted, _ivf_kmeans_oracle()
+    ),
+    "sim_topk_quantized": Query(
+        q_sim_topk_quantized, S.sql_topk_quantized(QUERY_IDS, k=K)
+    ),
+    "semdedup_drop": Query(
+        q_semdedup_drop, S.sql_semdedup(threshold=SEMDEDUP_T)
+    ),
+    # registered r10 (queued r09 under the VERDICT r08 #1 throttle):
+    # PQ/ADC top-k, its IVF-PQ composition, the persisted-index serving
+    # path and the streaming probe (operators/pq.py, sources/writers.py).
+    # sim_topk_pq_persisted shares _ivf_pq_oracle — result-identical to
+    # the inline fit via the shared _adc_topk (the sim_topk_ivf_persisted
+    # precedent).
+    "sim_recall_truncated": Query(
+        q_sim_recall_truncated, _sim_recall_truncated_oracle()
+    ),
+    "sim_topk_pq": Query(q_sim_topk_pq, _pq_oracle()),
+    "sim_topk_ivf_pq": Query(q_sim_topk_ivf_pq, _ivf_pq_oracle()),
+    "sim_topk_pq_persisted": Query(q_sim_topk_pq_persisted, _ivf_pq_oracle()),
+    "stream_pq_probe": Query(q_stream_pq_probe, _ivf_pq_oracle()),
+    # registered r11 (queued r10 under the VERDICT r08 #1 throttle):
+    "sim_topk_ivf_published": Query(
+        q_sim_topk_ivf_published, _ivf_kmeans_oracle()
+    ),
+    "train_hard_negatives": Query(
+        q_train_hard_negatives, S.sql_hard_negatives(QUERY_IDS)
+    ),
+    "train_contrastive_pairs": Query(
+        q_train_contrastive_pairs, _contrastive_pairs_oracle()
+    ),
+    "coreset_kcenter": Query(q_coreset_kcenter, _kcenter_oracle()),
+    "embedding_int8_quant": Query(
+        q_embedding_int8_quant, _int8_quant_oracle()
+    ),
+}

@@ -251,12 +251,6 @@ def q_stream_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.run_stream_to_memory(joined, output_mode="append")
 
 
-# r11 QUEUE CANDIDATE (r10 window full; implemented + parity-tested
-# this round, tests/test_sketches.py::TestStreamBloomPrejoin):
-#   "stream_bloom_prejoin": Query(q_stream_bloom_prejoin,
-#       BLOOM_PREJOIN_ORACLE),
-
-
 # The QUERIES literal lives at module tail so every registered fn is
 # already bound; compute_reverify explodes it per-entry either way.
 QUERIES = {
@@ -273,4 +267,8 @@ QUERIES = {
     # KMV/theta-style distinct-intersection sketch — the set operation
     # HLL can't serve.
     "kmv_shared_users": Query(q_kmv_shared_users, _kmv_shared_oracle()),
+    # registered r11 (queued r10 under the VERDICT r08 #1 throttle):
+    "stream_bloom_prejoin": Query(
+        q_stream_bloom_prejoin, BLOOM_PREJOIN_ORACLE
+    ),
 }

@@ -243,10 +243,6 @@ def _vacuum_plan_oracle() -> str:
     return W.sql_vacuum_plan(_vacuum_store(), keep=VACUUM_KEEP)
 
 
-# r11 QUEUE CANDIDATE (the r10 window is closed):
-#   "vacuum_plan": Query(q_vacuum_plan, _vacuum_plan_oracle()),
-
-
 QUERIES = {
     "csv_roundtrip": Query(q_csv_roundtrip, "SELECT * FROM supplier"),
     "jsonl_roundtrip": Query(q_jsonl_roundtrip, "SELECT * FROM orders"),
@@ -258,6 +254,8 @@ QUERIES = {
     # registered r10 (queued r09 under the VERDICT r08 #1 throttle):
     "compaction_plan": Query(q_compaction_plan, _compaction_plan_oracle()),
     "xml_roundtrip": Query(q_xml_roundtrip, "SELECT * FROM orders"),
+    # registered r11 (queued r10 under the VERDICT r08 #1 throttle):
+    "vacuum_plan": Query(q_vacuum_plan, _vacuum_plan_oracle()),
 }
 
 

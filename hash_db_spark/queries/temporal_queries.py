@@ -501,42 +501,6 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.event_transitions(_events(spark, sf_dir))
 
 
-QUERIES = {
-    "events_hourly_profile": Query(q_hourly_profile, HOURLY_PROFILE_ORACLE),
-    "decayed_activity": Query(q_decayed_activity, DECAYED_ORACLE),
-    "funnel_stages": Query(q_funnel_stages, T.sql_funnel(FUNNEL_STEPS)),
-    "cohort_retention": Query(q_cohort_retention, T.sql_cohort_retention()),
-    "asof_join": Query(q_asof_join, ASOF_ORACLE),
-    "asof_tolerance": Query(q_asof_tolerance, ASOF_TOL_ORACLE),
-    "asof_forward": Query(q_asof_forward, ASOF_FWD_ORACLE),
-    "asof_nearest": Query(q_asof_nearest, ASOF_NEAREST_ORACLE),
-    "interval_merge": Query(q_interval_merge, INTERVAL_MERGE_ORACLE),
-    "interval_coverage": Query(
-        q_interval_coverage, INTERVAL_COVERAGE_ORACLE
-    ),
-    "range_join": Query(q_range_join, RANGE_ORACLE),
-    "interval_bin_join": Query(q_interval_bin_join, INTERVAL_BIN_ORACLE),
-    "ts_similar_users": Query(
-        q_ts_similar_users, T.sql_similar_activity_users(probe_user=42, k=10)
-    ),
-    "sessionize": Query(q_sessionize, SESSIONIZE_ORACLE),
-    "tumbling_daily": Query(q_tumbling_daily, TUMBLING_ORACLE),
-    "sliding_2d": Query(q_sliding_2d, SLIDING_ORACLE),
-    "stream_tumbling_daily": Query(q_stream_tumbling_daily, TUMBLING_ORACLE),
-    "stream_dedup": Query(
-        q_stream_dedup,
-        "SELECT DISTINCT user_id, event_type FROM events",
-    ),
-    "stream_dedup_within_wm": Query(
-        q_stream_dedup_within_wm,
-        "SELECT DISTINCT user_id, event_type FROM events",
-    ),
-    "stream_mv_join": Query(q_stream_mv_join, STREAM_MV_ORACLE),
-    "stream_stream_join": Query(q_stream_stream_join, STREAM_STREAM_ORACLE),
-    # registered r10 (queued r09 under the VERDICT r08 #1 throttle):
-    "event_transitions": Query(
-        q_event_transitions, T.sql_event_transitions()),
-}
 
 
 ANOM_Z = 3.5  # Iglewicz-Hoaglin modified-z cutoff
@@ -597,12 +561,7 @@ FROM per_user, mad
 """
 
 
-# r11 QUEUE CANDIDATE:
-#   "event_rate_anomalies": Query(
-#       q_event_rate_anomalies, EVENT_RATE_ANOM_ORACLE),
-
-
-# --- session path mining (r11 QUEUE CANDIDATE) -------------------------------
+# --- session path mining -----------------------------------------------------
 
 def q_session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 most common session event-type paths — the sequence
@@ -642,21 +601,12 @@ ORDER BY n DESC, path ASC
 LIMIT 20
 """
 
-# r11 QUEUE CANDIDATE (r10 window full; parity-tested this round,
-# tests/test_temporal_paths.py):
-#   "session_paths_topk": Query(q_session_paths_topk, SESSION_PATHS_ORACLE),
-
-
 def q_ewma_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA control chart (Roberts 1959) over event values:
     truncated-EWMA forecast from the previous 16 events (fixed linear
     combination of lag columns — no recurrence, no overflow), alert on
     a 1.5x relative departure. One user-keyed window shuffle."""
     return T.ewma_alerts(load_table(spark, sf_dir, "events"))
-
-
-# r11 QUEUE CANDIDATE (the r10 window is closed):
-#   "ewma_alerts": Query(q_ewma_alerts, T.sql_ewma_alerts()),
 
 
 SESSION_PMI_ORACLE = """
@@ -820,3 +770,49 @@ FROM per_user
 
 # r13 QUEUE CANDIDATE (session 9; the r12 queue is closed):
 #   "rfm_segments": Query(q_rfm_segments, RFM_ORACLE),
+
+
+# The QUERIES literal lives at module tail so every registered fn is
+# already bound; compute_reverify explodes it per-entry either way.
+QUERIES = {
+    "events_hourly_profile": Query(q_hourly_profile, HOURLY_PROFILE_ORACLE),
+    "decayed_activity": Query(q_decayed_activity, DECAYED_ORACLE),
+    "funnel_stages": Query(q_funnel_stages, T.sql_funnel(FUNNEL_STEPS)),
+    "cohort_retention": Query(q_cohort_retention, T.sql_cohort_retention()),
+    "asof_join": Query(q_asof_join, ASOF_ORACLE),
+    "asof_tolerance": Query(q_asof_tolerance, ASOF_TOL_ORACLE),
+    "asof_forward": Query(q_asof_forward, ASOF_FWD_ORACLE),
+    "asof_nearest": Query(q_asof_nearest, ASOF_NEAREST_ORACLE),
+    "interval_merge": Query(q_interval_merge, INTERVAL_MERGE_ORACLE),
+    "interval_coverage": Query(
+        q_interval_coverage, INTERVAL_COVERAGE_ORACLE
+    ),
+    "range_join": Query(q_range_join, RANGE_ORACLE),
+    "interval_bin_join": Query(q_interval_bin_join, INTERVAL_BIN_ORACLE),
+    "ts_similar_users": Query(
+        q_ts_similar_users, T.sql_similar_activity_users(probe_user=42, k=10)
+    ),
+    "sessionize": Query(q_sessionize, SESSIONIZE_ORACLE),
+    "tumbling_daily": Query(q_tumbling_daily, TUMBLING_ORACLE),
+    "sliding_2d": Query(q_sliding_2d, SLIDING_ORACLE),
+    "stream_tumbling_daily": Query(q_stream_tumbling_daily, TUMBLING_ORACLE),
+    "stream_dedup": Query(
+        q_stream_dedup,
+        "SELECT DISTINCT user_id, event_type FROM events",
+    ),
+    "stream_dedup_within_wm": Query(
+        q_stream_dedup_within_wm,
+        "SELECT DISTINCT user_id, event_type FROM events",
+    ),
+    "stream_mv_join": Query(q_stream_mv_join, STREAM_MV_ORACLE),
+    "stream_stream_join": Query(q_stream_stream_join, STREAM_STREAM_ORACLE),
+    # registered r10 (queued r09 under the VERDICT r08 #1 throttle):
+    "event_transitions": Query(
+        q_event_transitions, T.sql_event_transitions()),
+    # registered r11 (queued r10 under the VERDICT r08 #1 throttle):
+    "event_rate_anomalies": Query(
+        q_event_rate_anomalies, EVENT_RATE_ANOM_ORACLE
+    ),
+    "session_paths_topk": Query(q_session_paths_topk, SESSION_PATHS_ORACLE),
+    "ewma_alerts": Query(q_ewma_alerts, T.sql_ewma_alerts()),
+}

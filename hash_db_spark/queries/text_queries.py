@@ -669,10 +669,6 @@ def _text_normalize_oracle() -> str:
     )
 
 
-# r11 QUEUE CANDIDATE (the r10 queue is closed at ~40 entries):
-#   "text_normalize": Query(q_text_normalize, _text_normalize_oracle()),
-
-
 def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility per language: subword tokens per whitespace
     word (the budgeting number that converts corpus word counts into
@@ -700,18 +696,13 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _tokenizer_fertility_oracle() -> str:
     return f"""
 SELECT lang, count(*) AS n_docs,
-       sum({T.sql_token_count('text')}) AS words,
-       sum({T.sql_bpe_token_count('text')}) AS subwords,
+       CAST(sum({T.sql_token_count('text')}) AS BIGINT) AS words,
+       CAST(sum({T.sql_bpe_token_count('text')}) AS BIGINT) AS subwords,
        round(CAST(sum({T.sql_bpe_token_count('text')}) AS DOUBLE)
              / CAST(sum({T.sql_token_count('text')}) AS DOUBLE), 6)
          AS fertility
 FROM documents GROUP BY lang
 """
-
-# r11 QUEUE CANDIDATE:
-#   "tokenizer_fertility": Query(
-#       q_tokenizer_fertility, _tokenizer_fertility_oracle()),
-
 
 def q_mlm_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BERT-style masked-LM training examples with content-addressed
@@ -726,10 +717,6 @@ def _mlm_examples_oracle() -> str:
     from hash_db_spark.operators.chunking import sql_mlm_examples
 
     return sql_mlm_examples("documents", "text", "doc_id")
-
-
-# r11 QUEUE CANDIDATE:
-#   "mlm_examples": Query(q_mlm_examples, _mlm_examples_oracle()),
 
 
 def q_t5_span_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -770,11 +757,6 @@ def _hybrid_rrf_oracle() -> str:
     from hash_db_spark.operators import retrieval as RT
 
     return RT.sql_hybrid_rrf("documents", "text", "doc_id", RETRIEVE_TERMS)
-
-
-# r11 QUEUE CANDIDATE:
-#   "retrieve_hybrid_rrf": Query(
-#       q_retrieve_hybrid_rrf, _hybrid_rrf_oracle()),
 
 
 # The QUERIES literal lives at module tail so every registered fn is
@@ -820,6 +802,15 @@ QUERIES = {
         q_retrieve_chunks_topk, _retrieve_chunks_oracle()),
     "doc_topic_segments": Query(
         q_doc_topic_segments, _topic_segments_oracle()),
+    # registered r11 (queued r10 under the VERDICT r08 #1 throttle):
+    "text_normalize": Query(q_text_normalize, _text_normalize_oracle()),
+    "tokenizer_fertility": Query(
+        q_tokenizer_fertility, _tokenizer_fertility_oracle()
+    ),
+    "mlm_examples": Query(q_mlm_examples, _mlm_examples_oracle()),
+    "retrieve_hybrid_rrf": Query(
+        q_retrieve_hybrid_rrf, _hybrid_rrf_oracle()
+    ),
 }
 
 

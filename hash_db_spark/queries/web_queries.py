@@ -606,32 +606,6 @@ gnodes AS (
 """
 
 
-QUERIES = {
-    "robots_sitemap_refs": Query(
-        q_robots_sitemap_refs, ROBOTS_SITEMAP_REFS_ORACLE
-    ),
-    "url_dedup": Query(q_url_dedup, URL_DEDUP_ORACLE),
-    "url_host_domains": Query(q_url_host_domains, URL_HOST_DOMAINS_ORACLE),
-    "host_doc_caps": Query(q_host_doc_caps, _host_doc_caps_oracle()),
-    "crawl_prep": Query(q_crawl_prep, _crawl_prep_oracle()),
-    "link_host_graph": Query(q_link_host_graph, _link_host_graph_oracle()),
-    "pagerank_hosts": Query(q_pagerank_hosts, _pagerank_hosts_oracle()),
-    "robots_rules": Query(q_robots_rules, ROBOTS_RULES_ORACLE),
-    "robots_url_filter": Query(q_robots_url_filter, ROBOTS_FILTER_ORACLE),
-    "fetch_schedule": Query(q_fetch_schedule, FETCH_SCHEDULE_ORACLE),
-    "rank_weighted_caps": Query(
-        q_rank_weighted_caps, _rank_weighted_caps_oracle()
-    ),
-    "crawl_prep_polite": Query(
-        q_crawl_prep_polite, _crawl_prep_polite_oracle()
-    ),
-    # registered r10 (queued r09 under the VERDICT r08 #1 throttle) —
-    # VERDICT r09 #4: the 100 TB host-graph curation pair.
-    "hits_hosts": Query(q_hits_hosts, _hits_hosts_oracle()),
-    "host_communities": Query(
-        q_host_communities, _host_communities_oracle()
-    ),
-}
 
 
 PPR_SEED_DOC_IDS = (0, 5)  # seed hosts = these docs' (canonical) hosts
@@ -689,10 +663,6 @@ gseeds AS (
 ),
 {sql_personalized_pagerank(iterations=3)}
 """
-
-
-# r11 QUEUE CANDIDATE (the r10 window is closed):
-#   "ppr_hosts": Query(q_ppr_hosts, _ppr_hosts_oracle()),
 
 
 def _host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -941,3 +911,35 @@ GROUP BY host, template
 # r13 QUEUE CANDIDATE (session 9):
 #   "url_path_templates": Query(
 #       q_url_path_templates, _url_path_templates_oracle()),
+
+
+# The QUERIES literal lives at module tail so every registered fn is
+# already bound; compute_reverify explodes it per-entry either way.
+QUERIES = {
+    "robots_sitemap_refs": Query(
+        q_robots_sitemap_refs, ROBOTS_SITEMAP_REFS_ORACLE
+    ),
+    "url_dedup": Query(q_url_dedup, URL_DEDUP_ORACLE),
+    "url_host_domains": Query(q_url_host_domains, URL_HOST_DOMAINS_ORACLE),
+    "host_doc_caps": Query(q_host_doc_caps, _host_doc_caps_oracle()),
+    "crawl_prep": Query(q_crawl_prep, _crawl_prep_oracle()),
+    "link_host_graph": Query(q_link_host_graph, _link_host_graph_oracle()),
+    "pagerank_hosts": Query(q_pagerank_hosts, _pagerank_hosts_oracle()),
+    "robots_rules": Query(q_robots_rules, ROBOTS_RULES_ORACLE),
+    "robots_url_filter": Query(q_robots_url_filter, ROBOTS_FILTER_ORACLE),
+    "fetch_schedule": Query(q_fetch_schedule, FETCH_SCHEDULE_ORACLE),
+    "rank_weighted_caps": Query(
+        q_rank_weighted_caps, _rank_weighted_caps_oracle()
+    ),
+    "crawl_prep_polite": Query(
+        q_crawl_prep_polite, _crawl_prep_polite_oracle()
+    ),
+    # registered r10 (queued r09 under the VERDICT r08 #1 throttle) —
+    # VERDICT r09 #4: the 100 TB host-graph curation pair.
+    "hits_hosts": Query(q_hits_hosts, _hits_hosts_oracle()),
+    "host_communities": Query(
+        q_host_communities, _host_communities_oracle()
+    ),
+    # registered r11 (queued r10 under the VERDICT r08 #1 throttle):
+    "ppr_hosts": Query(q_ppr_hosts, _ppr_hosts_oracle()),
+}

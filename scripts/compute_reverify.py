@@ -47,6 +47,7 @@ GATE_STATE = {
     7: "b11ac1b^",
     8: "31679e1^",
     9: "011e29f^",
+    10: "f8b2ced^",
 }
 
 Sym = tuple[str, str]  # (module dotted name, symbol name)
