@@ -352,3 +352,347 @@ FROM scored
 ORDER BY margin_micro DESC, src_id ASC
 LIMIT {topn}
 """
+
+
+# --- IVF-composed margin mining (the 100 TB headline path) --------------------
+#
+# Beyond the broadcast cap, candidate generation becomes coarse-quantized
+# IVF (the FAISS/CCMatrix shape): a small centroid dimension partitions
+# both language slices into cells, candidates are the per-cell cross of
+# source probes x target inverted list, and the SAME Artetxe-Schwenk
+# margin rescoring runs over candidates only. Nothing corpus-sized is
+# ever collected or broadcast — the only collect is the centroid
+# dimension (strided target subset, capped like topk_ivf's).
+
+BITEXT_IVF_STRIDE = 8  # centroids = dst ids with id % stride == 0
+BITEXT_IVF_NPROBE = 2
+BITEXT_CELL_CAP = 4096  # inverted-list truncation (FAISS list cap)
+
+
+def _centroid_dim(dst: DataFrame, id_col: str, vec_col: str, stride: int):
+    """Strided centroid dimension off the TARGET side — deterministic,
+    oracle-replayable, and bounded: limit(cap+1) bounds the collect
+    itself (the topk_ivf discipline, operators/similarity.py)."""
+    import numpy as np
+
+    from hash_db_spark.operators.similarity import MAX_IVF_CENTROIDS
+
+    rows = (
+        dst.filter(F.col(id_col) % stride == 0)
+        .select(id_col, vec_col)
+        .limit(MAX_IVF_CENTROIDS + 1)
+        .collect()
+    )
+    if len(rows) > MAX_IVF_CENTROIDS:
+        raise ValueError(
+            f"centroid set exceeds the broadcastable bound "
+            f"({MAX_IVF_CENTROIDS}); raise `stride` or pass an offline "
+            "k-means artifact"
+        )
+    if not rows:
+        raise ValueError(
+            "no centroid ids at this stride; lower `stride` so the "
+            "target slice hits at least one id % stride == 0"
+        )
+    rows = sorted(rows, key=lambda r: r[0])
+    cids = np.array([r[0] for r in rows], dtype=np.int64)
+    cmat = np.array([r[1] for r in rows], dtype=np.float64)
+    return cids, cmat, np.linalg.norm(cmat, axis=1)
+
+
+def _assign_cells(
+    side: DataFrame, bc, nprobe: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(cell, id, v): each row tagged with its `nprobe` nearest centroid
+    cells — one Arrow pass, map-side only. Micro-quantized cosines with
+    (cos DESC, cid ASC) ties, exactly the SQL twin's row_number order;
+    zero-norm rows (undefined cosine everywhere) drop, matching the
+    oracle's IS NOT NULL."""
+    import numpy as np
+
+    def block(batches):
+        import pandas as pd
+
+        cids, cmat, cnorm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            vn = np.linalg.norm(V, axis=1)
+            denom = np.outer(vn, cnorm)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = np.where(denom == 0.0, np.nan, (V @ cmat.T) / denom)
+            micro = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5)
+            valid = ~np.isnan(micro)
+            key = np.where(valid, micro, -np.inf)
+            # stable argsort on -key: ties keep ascending column order,
+            # and columns are cid-ascending (sorted at collect)
+            order = np.argsort(-key, axis=1, kind="stable")[
+                :, : min(nprobe, len(cids))
+            ]
+            ok = np.take_along_axis(valid, order, axis=1)
+            ri, pi = np.nonzero(ok)
+            if len(ri) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "cell": cids[order[ri, pi]],
+                    "id": ids[ri],
+                    "v": pdf[vec_col].to_numpy()[ri],
+                }
+            )
+
+    return side.select(id_col, vec_col).mapInPandas(
+        block, "cell long, id long, v array<double>"
+    )
+
+
+def ivf_candidate_pairs(
+    src: DataFrame,
+    dst: DataFrame,
+    stride: int = BITEXT_IVF_STRIDE,
+    nprobe: int = BITEXT_IVF_NPROBE,
+    cell_cap: int = BITEXT_CELL_CAP,
+    id_col: str = "id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """(src_id, dst_id, cos_micro): the IVF candidate generator —
+    coarse cells off the strided target subset, source probes its
+    ``nprobe`` nearest cells, target inverted lists truncated at
+    ``cell_cap`` (deterministically by id), pairs scored by one
+    cogrouped Arrow/BLAS block per cell. Exposed separately so the
+    plan test can pin the cogroup stage (margin_mine_ivf's lazy
+    checkpoint hides upstream operators from the final plan)."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    spark = src.sparkSession
+    bc = spark.sparkContext.broadcast(
+        _centroid_dim(dst, id_col, vec_col, stride)
+    )
+    a_cells = _assign_cells(src, bc, nprobe, id_col, vec_col)
+    b_cells = _assign_cells(dst, bc, 1, id_col, vec_col)
+    wcap = Window.partitionBy("cell").orderBy(F.col("id").asc())
+    b_cells = (
+        b_cells.withColumn("lr", F.row_number().over(wcap))
+        .filter(F.col("lr") <= cell_cap)
+        .drop("lr")
+    )
+
+    def score(left, right):
+        import pandas as pd
+
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {"src_id": [], "dst_id": [], "cos_micro": []}
+            ).astype({"src_id": "int64", "dst_id": "int64",
+                      "cos_micro": "int64"})
+        A = np.array(list(left["v"]), dtype=np.float64)
+        Bm = np.array(list(right["v"]), dtype=np.float64)
+        an, bn = np.linalg.norm(A, axis=1), np.linalg.norm(Bm, axis=1)
+        denom = np.outer(an, bn)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = np.where(denom == 0.0, np.nan, (A @ Bm.T) / denom)
+        micro = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5)
+        ri, ci = np.nonzero(~np.isnan(micro))
+        return pd.DataFrame(
+            {
+                "src_id": left["id"].to_numpy()[ri],
+                "dst_id": right["id"].to_numpy()[ci],
+                "cos_micro": micro[ri, ci].astype(np.int64),
+            }
+        )
+
+    return (
+        a_cells.groupBy("cell")
+        .cogroup(b_cells.groupBy("cell"))
+        .applyInPandas(
+            score, "src_id long, dst_id long, cos_micro long"
+        )
+    )
+
+
+def margin_mine_ivf(
+    src: DataFrame,
+    dst: DataFrame,
+    k: int = BITEXT_KNN,
+    topn: int = BITEXT_TOPN,
+    stride: int = BITEXT_IVF_STRIDE,
+    nprobe: int = BITEXT_IVF_NPROBE,
+    cell_cap: int = BITEXT_CELL_CAP,
+    id_col: str = "id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """margin_mine's output contract over IVF-generated candidates —
+    the shape that scales past the exact baseline's broadcast cap
+    (VERDICT r10 #5): candidate pairs are the per-cell cross of source
+    probes (nprobe cells each) x the target inverted list (truncated
+    at ``cell_cap`` rows per cell, deterministically by id — the FAISS
+    list-cap idea, and the house hot-key rule for this pair emitter),
+    scored by ONE cogrouped Arrow/BLAS block per cell. The margin's
+    kNN normalizers run over the candidate set (the standard IVF
+    approximation: CCMatrix mines this way).
+
+    Plan shape at 100 TB: two map-side assignment passes, one
+    cell-keyed cogroup shuffle (each side shuffles ONCE on cell), the
+    per-src / per-dst top-k windows over candidates, and a join of two
+    candidate-bounded stat frames. No corpus-sized broadcast or
+    collect anywhere — the centroid dimension is the only driver-held
+    object (tests/test_bitext.py pins the plan)."""
+    from pyspark.sql import Window
+
+    from hash_db_spark.operators.curation import micro_col
+
+    pairs = ivf_candidate_pairs(
+        src, dst, stride, nprobe, cell_cap, id_col, vec_col
+    )
+    # two window consumers (fwd + bwd) — pin the cogroup to one run
+    pairs = pairs.localCheckpoint(eager=False)
+    wf = Window.partitionBy("src_id").orderBy(
+        F.col("cos_micro").desc(), F.col("dst_id").asc()
+    )
+    fwd = (
+        pairs.withColumn("r", F.row_number().over(wf))
+        .filter(F.col("r") <= k)
+        .groupBy("src_id")
+        .agg(
+            F.max(F.when(F.col("r") == 1, F.col("dst_id"))).alias("dst_id"),
+            F.max(F.when(F.col("r") == 1, F.col("cos_micro"))).alias(
+                "cos_micro"
+            ),
+            F.sum("cos_micro").alias("fwd_sum"),
+            F.count(F.lit(1)).alias("n_fwd"),
+        )
+    )
+    wb = Window.partitionBy("dst_id").orderBy(
+        F.col("cos_micro").desc(), F.col("src_id").asc()
+    )
+    bwd = (
+        pairs.withColumn("r", F.row_number().over(wb))
+        .filter(F.col("r") <= k)
+        .groupBy("dst_id")
+        .agg(
+            F.max(F.when(F.col("r") == 1, F.col("src_id"))).alias(
+                "best_src"
+            ),
+            F.sum("cos_micro").alias("bwd_sum"),
+            F.count(F.lit(1)).alias("n_bwd"),
+        )
+    )
+    margin = F.col("cos_micro").cast("double") / (
+        (
+            F.col("fwd_sum").cast("double") / F.col("n_fwd").cast("double")
+            + F.col("bwd_sum").cast("double") / F.col("n_bwd").cast("double")
+        )
+        / 2.0
+    )
+    scored = fwd.join(bwd, "dst_id").select(
+        "src_id",
+        "dst_id",
+        "cos_micro",
+        micro_col(margin).alias("margin_micro"),
+        (F.col("best_src") == F.col("src_id")).alias("mutual"),
+    )
+    top = scored.orderBy(
+        F.col("margin_micro").desc(), F.col("src_id").asc()
+    ).limit(topn)
+    w = Window.orderBy(F.col("margin_micro").desc(), F.col("src_id").asc())
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def sql_margin_mine_ivf(
+    src_lang: str,
+    dst_lang: str,
+    k: int = BITEXT_KNN,
+    topn: int = BITEXT_TOPN,
+    stride: int = BITEXT_IVF_STRIDE,
+    nprobe: int = BITEXT_IVF_NPROBE,
+    cell_cap: int = BITEXT_CELL_CAP,
+) -> str:
+    """DuckDB twin of margin_mine_ivf: the IVF assignment replayed as
+    explicit row_number CTEs, the margin tail identical to
+    sql_margin_mine's."""
+    from hash_db_spark.operators.curation import sql_micro
+
+    asn_cos = sql_micro("list_cosine_similarity(s.v, c.cv)")
+    margin = (
+        "CAST(f.best_cos AS DOUBLE) / ("
+        "(CAST(f.fwd_sum AS DOUBLE) / CAST(f.n_fwd AS DOUBLE)"
+        " + CAST(b.bwd_sum AS DOUBLE) / CAST(b.n_bwd AS DOUBLE)) / 2.0)"
+    )
+    return f"""
+WITH sides AS (
+  SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v, d.lang
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+),
+a AS (SELECT id, v FROM sides WHERE lang = '{src_lang}'),
+b AS (SELECT id, v FROM sides WHERE lang = '{dst_lang}'),
+cent AS (SELECT id AS cid, v AS cv FROM b WHERE id % {stride} = 0),
+a_asn AS (
+  SELECT id, v, cid FROM (
+    SELECT s.id, s.v, c.cid,
+           row_number() OVER (PARTITION BY s.id
+             ORDER BY {asn_cos} DESC, c.cid ASC) AS r
+    FROM a s, cent c
+    WHERE list_cosine_similarity(s.v, c.cv) IS NOT NULL
+  ) WHERE r <= {nprobe}
+),
+b_asn0 AS (
+  SELECT id, v, cid FROM (
+    SELECT s.id, s.v, c.cid,
+           row_number() OVER (PARTITION BY s.id
+             ORDER BY {asn_cos} DESC, c.cid ASC) AS r
+    FROM b s, cent c
+    WHERE list_cosine_similarity(s.v, c.cv) IS NOT NULL
+  ) WHERE r = 1
+),
+b_asn AS (
+  SELECT id, v, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY cid ORDER BY id ASC) AS lr
+    FROM b_asn0
+  ) WHERE lr <= {cell_cap}
+),
+pairs AS (
+  SELECT x.id AS src_id, y.id AS dst_id,
+         {sql_micro('list_cosine_similarity(x.v, y.v)')} AS cos_micro
+  FROM a_asn x JOIN b_asn y USING (cid)
+  WHERE list_cosine_similarity(x.v, y.v) IS NOT NULL
+),
+rkf AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY src_id ORDER BY cos_micro DESC, dst_id ASC) AS r
+  FROM pairs
+),
+fwd AS (
+  SELECT src_id,
+         max(CASE WHEN r = 1 THEN dst_id END) AS dst_id,
+         max(CASE WHEN r = 1 THEN cos_micro END) AS best_cos,
+         sum(cos_micro) AS fwd_sum, count(*) AS n_fwd
+  FROM rkf WHERE r <= {k} GROUP BY src_id
+),
+rkb AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY dst_id ORDER BY cos_micro DESC, src_id ASC) AS r
+  FROM pairs
+),
+bwd AS (
+  SELECT dst_id,
+         max(CASE WHEN r = 1 THEN src_id END) AS best_src,
+         sum(cos_micro) AS bwd_sum, count(*) AS n_bwd
+  FROM rkb WHERE r <= {k} GROUP BY dst_id
+),
+scored AS (
+  SELECT f.src_id, f.dst_id, f.best_cos AS cos_micro,
+         {sql_micro(margin)} AS margin_micro,
+         (b.best_src = f.src_id) AS mutual
+  FROM fwd f JOIN bwd b ON f.dst_id = b.dst_id
+)
+SELECT src_id, dst_id, cos_micro, margin_micro, mutual,
+       CAST(row_number() OVER (
+            ORDER BY margin_micro DESC, src_id ASC) AS INT) AS rank
+FROM scored
+ORDER BY margin_micro DESC, src_id ASC
+LIMIT {topn}
+"""

@@ -435,16 +435,7 @@ BITEXT_SRC_LANG = "en"
 BITEXT_DST_LANG = "fr"
 
 
-def q_bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Margin-kNN bitext candidate mining (Artetxe & Schwenk, ACL 2019)
-    between the corpus's 'en' and 'fr' slices: for every English doc
-    vector its best French counterpart under the ratio margin, with the
-    mutual (forward-backward consistent) flag — the table a translation-
-    pair curation stage starts from. operators/bitext.py holds the
-    scale shape: target side guarded-broadcast, source side one
-    Arrow/BLAS pass, backward stats by map-side partial top-k."""
-    from hash_db_spark.operators import bitext as B
-
+def _bitext_sides(spark: SparkSession, sf_dir: str):
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     sides = emb.join(docs, emb.vec_id == docs.doc_id).select(
@@ -452,19 +443,37 @@ def q_bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("v"),
         "lang",
     )
-    return B.margin_mine(
+    return (
         sides.filter(F.col("lang") == BITEXT_SRC_LANG).drop("lang"),
         sides.filter(F.col("lang") == BITEXT_DST_LANG).drop("lang"),
     )
 
 
+def q_bitext_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-kNN bitext candidate mining (Artetxe & Schwenk, ACL 2019)
+    between the corpus's 'en' and 'fr' slices: for every English doc
+    vector its best French counterpart under the ratio margin, with the
+    mutual (forward-backward consistent) flag — the table a translation-
+    pair curation stage starts from. Registered as the IVF-COMPOSED
+    form (VERDICT r10 #5): coarse-quantized candidate generation +
+    margin rescore, no corpus-sized broadcast or collect anywhere
+    (operators/bitext.py:margin_mine_ivf; the broadcast-exact
+    margin_mine stays as the small-side baseline, still exercised by
+    bitext_length_filter and tests/test_bitext.py)."""
+    from hash_db_spark.operators import bitext as B
+
+    src, dst = _bitext_sides(spark, sf_dir)
+    return B.margin_mine_ivf(src, dst)
+
+
 def _bitext_oracle() -> str:
     from hash_db_spark.operators import bitext as B
 
-    return B.sql_margin_mine(BITEXT_SRC_LANG, BITEXT_DST_LANG)
+    return B.sql_margin_mine_ivf(BITEXT_SRC_LANG, BITEXT_DST_LANG)
 
 
-# r12 QUEUE CANDIDATE (the r11 queue closed at 34 — session 7):
+# r12 QUEUE CANDIDATE (the r11 queue closed at 34 — session 7;
+# headline switched to the IVF composition per VERDICT r10 #5):
 #   "bitext_margin_mine": Query(q_bitext_margin_mine, _bitext_oracle()),
 
 

@@ -151,3 +151,104 @@ class TestBitextLengthFilter:
             assert r.aligned == (r.log_dev <= BITEXT_LOG_DEV_MAX)
             assert r.log_dev >= 0.0
         assert min(r.log_dev for r in rows) < 0.05
+
+
+class TestMarginMineIVF:
+    """IVF-composed margin mining (operators/bitext.py:margin_mine_ivf)
+    — the registered headline per VERDICT r10 #5."""
+
+    def test_full_probe_equals_exact_baseline(self, spark, sf_dir):
+        """With nprobe >= the number of cells and no list truncation,
+        the candidate set is every (src, dst) pair, so the IVF form
+        must reproduce the broadcast-exact margin_mine row for row —
+        the approximation's only degree of freedom is candidate
+        coverage, never the margin math."""
+        src, dst = _fixture_sides(spark, sf_dir)
+        exact = sorted(map(tuple, B.margin_mine(src, dst).collect()))
+        ivf = sorted(
+            map(
+                tuple,
+                B.margin_mine_ivf(
+                    src, dst, stride=1, nprobe=10_000_000
+                ).collect(),
+            )
+        )
+        assert ivf == exact
+
+    def test_oracle_parity(self, spark, sf_dir):
+        import duckdb
+
+        got = sorted(
+            map(
+                tuple,
+                B.margin_mine_ivf(
+                    _fixture_sides(spark, sf_dir)[0],
+                    _fixture_sides(spark, sf_dir)[1],
+                ).collect(),
+            )
+        )
+        assert len(got) > 0
+        con = duckdb.connect()
+        for t in ("documents", "embeddings"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                B.sql_margin_mine_ivf("en", "fr")
+            ).fetchall()
+        )
+        con.close()
+        assert got == want
+
+    def test_plan_no_corpus_broadcast(self, spark, sf_dir):
+        """VERDICT r10 #5's done-condition: the plan's candidate
+        generation is the cogrouped per-cell scorer, with no cartesian
+        or broadcast-nested-loop operator anywhere."""
+        from hash_db_spark.plans.inspect import formatted_plan
+
+        src, dst = _fixture_sides(spark, sf_dir)
+        # the candidate generator (pre-checkpoint, so the full lineage
+        # is visible): per-cell cogrouped scorer, no pair cross-product
+        cand_plan = formatted_plan(B.ivf_candidate_pairs(src, dst))
+        assert "FlatMapCoGroupsInPandas" in cand_plan, cand_plan
+        assert "CartesianProduct" not in cand_plan, cand_plan
+        assert "BroadcastNestedLoop" not in cand_plan, cand_plan
+        # the full miner's rescore tail: still no cartesian/BNL
+        plan = formatted_plan(B.margin_mine_ivf(src, dst))
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoop" not in plan, plan
+
+    def test_cell_cap_truncates_deterministically(self, spark):
+        """The inverted-list cap keeps the LOWEST ids per cell (the
+        deterministic FAISS-style truncation the oracle replays): with
+        one cell and cap=2, only the two lowest dst ids can appear."""
+        src, dst = _sides(spark, HUB_SRCS, [(0, [1.0, 0, 0, 0]),
+                                            (8, [0, 1.0, 0, 0]),
+                                            (9, [0, 0, 1.0, 0]),
+                                            (16, [1.0, 1.0, 0, 0])])
+        rows = B.margin_mine_ivf(
+            src, dst, stride=1000, nprobe=1, cell_cap=2
+        ).collect()
+        # stride=1000 -> only id 0 is a centroid -> one cell; cap keeps
+        # dst ids {0, 8}
+        assert rows and {r.dst_id for r in rows} <= {0, 8}
+
+
+def _fixture_sides(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from hash_db_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    sides = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("v"),
+        "lang",
+    )
+    return (
+        sides.filter(F.col("lang") == "en").drop("lang"),
+        sides.filter(F.col("lang") == "fr").drop("lang"),
+    )
