@@ -212,6 +212,41 @@ HEADLINE: list[str] = [
     "xml_roundtrip",
     "stream_line_dedup_wm",
     "bloom_prejoin",
+    # registered r11 (the drained r10 queue)
+    "text_normalize",
+    "vacuum_plan",
+    "multimodal_png_decode",
+    "tokenizer_fertility",
+    "scrub_luhn",
+    "multimodal_jpeg_decode",
+    "join_size_estimate",
+    "mlm_examples",
+    "multimodal_adpcm_decode",
+    "k_anonymity_audit",
+    "video_scene_cuts",
+    "embedding_int8_quant",
+    "multimodal_vad_segments",
+    "pack_efficiency",
+    "dedup_image_png",
+    "train_loss_mask",
+    "lm_kneser_ney",
+    "corpus_drift_psi",
+    "cdc_dedup_report",
+    "event_rate_anomalies",
+    "train_split_leakage_safe",
+    "session_paths_topk",
+    "dsir_weights",
+    "ewma_alerts",
+    "dsir_resample",
+    "epoch_repeat_plan",
+    "stream_dsir_gate",
+    "ppr_hosts",
+    "sim_topk_ivf_published",
+    "coreset_kcenter",
+    "train_hard_negatives",
+    "retrieve_hybrid_rrf",
+    "train_contrastive_pairs",
+    "stream_bloom_prejoin",
 ]
 
 
