@@ -1178,3 +1178,82 @@ def test_t5_reconstruction_law_random(spark, toks):
         else:
             rebuilt.append(tok)
     assert rebuilt == toks
+
+
+# --- IVF candidate generation model check (operators/bitext.py) ---------------
+
+vec4 = st.lists(
+    st.integers(min_value=-3, max_value=3).map(float), min_size=4, max_size=4
+)
+
+
+def _ivf_python_model(srcs, dsts, stride, nprobe, cell_cap):
+    """Pure-Python replay of ivf_candidate_pairs: strided centroids off
+    the target side, micro-quantized cosine assignment with
+    (cos DESC, cid ASC) ties, nprobe probes per source, single cell per
+    target, per-cell list truncation by ascending id, micro cosine per
+    candidate pair (NaN pairs dropped)."""
+    import math
+
+    def micro(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        if na == 0 or nb == 0:
+            return None
+        c = sum(x * y for x, y in zip(a, b)) / (na * nb)
+        return int(math.copysign(math.floor(abs(c) * 1e6 + 0.5), c))
+
+    cents = sorted((i, v) for i, v in dsts if i % stride == 0)
+    if not cents:
+        return None  # operator raises; model skips
+
+    def probes(v, n):
+        scored = [
+            (m, cid)
+            for cid, cv in cents
+            if (m := micro(v, cv)) is not None
+        ]
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        return [cid for _, cid in scored[:n]]
+
+    lists: dict[int, list] = {}
+    for i, v in sorted(dsts):
+        cells = probes(v, 1)
+        if cells:
+            lists.setdefault(cells[0], []).append((i, v))
+    for c in lists:
+        lists[c] = lists[c][:cell_cap]
+    out = set()
+    for i, v in srcs:
+        for c in probes(v, nprobe):
+            for j, w in lists.get(c, []):
+                m = micro(v, w)
+                if m is not None:
+                    out.add((i, j, m))
+    return out
+
+
+@settings(**SETTINGS)
+@given(
+    srcs=st.lists(vec4, min_size=1, max_size=6),
+    dsts=st.lists(vec4, min_size=1, max_size=6),
+    nprobe=st.integers(min_value=1, max_value=3),
+    cell_cap=st.integers(min_value=1, max_value=4),
+)
+def test_ivf_candidate_pairs_match_model(spark, srcs, dsts, nprobe, cell_cap):
+    from hash_db_spark.operators import bitext as B
+
+    src_rows = [(i, v) for i, v in enumerate(srcs)]
+    dst_rows = [(100 + i, v) for i, v in enumerate(dsts)]
+    model = _ivf_python_model(src_rows, dst_rows, 2, nprobe, cell_cap)
+    if model is None:
+        return  # no centroid at this stride; operator's error path
+    src = spark.createDataFrame(src_rows, ["id", "v"])
+    dst = spark.createDataFrame(dst_rows, ["id", "v"])
+    got = {
+        (r.src_id, r.dst_id, r.cos_micro)
+        for r in B.ivf_candidate_pairs(
+            src, dst, stride=2, nprobe=nprobe, cell_cap=cell_cap
+        ).collect()
+    }
+    assert got == model
