@@ -369,25 +369,36 @@ BITEXT_IVF_NPROBE = 2
 BITEXT_CELL_CAP = 4096  # inverted-list truncation (FAISS list cap)
 
 
-def _centroid_dim(dst: DataFrame, id_col: str, vec_col: str, stride: int):
-    """Strided centroid dimension off the TARGET side — deterministic,
-    oracle-replayable, and bounded: limit(cap+1) bounds the collect
-    itself (the topk_ivf discipline, operators/similarity.py)."""
+def _centroid_dim(
+    dst: DataFrame,
+    id_col: str,
+    vec_col: str,
+    stride: int,
+    centroids: DataFrame | None = None,
+):
+    """Centroid dimension — deterministic, oracle-replayable, and
+    bounded: limit(cap+1) bounds the collect itself (the topk_ivf
+    discipline, operators/similarity.py). The default strided target
+    subset keeps the DuckDB twin exact but GROWS with the corpus
+    (assignment cost O(N * N/stride) — visible at the 100x probe);
+    production passes a fixed-size offline k-means artifact via
+    ``centroids`` (e.g. clustering.kmeans_fit's centroid frame), which
+    makes assignment O(N * k) and the whole miner linear."""
     import numpy as np
 
     from hash_db_spark.operators.similarity import MAX_IVF_CENTROIDS
 
-    rows = (
-        dst.filter(F.col(id_col) % stride == 0)
-        .select(id_col, vec_col)
-        .limit(MAX_IVF_CENTROIDS + 1)
-        .collect()
+    source = (
+        centroids.select(id_col, vec_col)
+        if centroids is not None
+        else dst.filter(F.col(id_col) % stride == 0).select(id_col, vec_col)
     )
+    rows = source.limit(MAX_IVF_CENTROIDS + 1).collect()
     if len(rows) > MAX_IVF_CENTROIDS:
         raise ValueError(
             f"centroid set exceeds the broadcastable bound "
             f"({MAX_IVF_CENTROIDS}); raise `stride` or pass an offline "
-            "k-means artifact"
+            "k-means artifact via `centroids`"
         )
     if not rows:
         raise ValueError(
@@ -456,6 +467,7 @@ def ivf_candidate_pairs(
     cell_cap: int = BITEXT_CELL_CAP,
     id_col: str = "id",
     vec_col: str = "v",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """(src_id, dst_id, cos_micro): the IVF candidate generator —
     coarse cells off the strided target subset, source probes its
@@ -470,7 +482,7 @@ def ivf_candidate_pairs(
 
     spark = src.sparkSession
     bc = spark.sparkContext.broadcast(
-        _centroid_dim(dst, id_col, vec_col, stride)
+        _centroid_dim(dst, id_col, vec_col, stride, centroids)
     )
     a_cells = _assign_cells(src, bc, nprobe, id_col, vec_col)
     b_cells = _assign_cells(dst, bc, 1, id_col, vec_col)
@@ -524,6 +536,7 @@ def margin_mine_ivf(
     cell_cap: int = BITEXT_CELL_CAP,
     id_col: str = "id",
     vec_col: str = "v",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """margin_mine's output contract over IVF-generated candidates —
     the shape that scales past the exact baseline's broadcast cap
@@ -546,7 +559,7 @@ def margin_mine_ivf(
     from hash_db_spark.operators.curation import micro_col
 
     pairs = ivf_candidate_pairs(
-        src, dst, stride, nprobe, cell_cap, id_col, vec_col
+        src, dst, stride, nprobe, cell_cap, id_col, vec_col, centroids
     )
     # two window consumers (fwd + bwd) — pin the cogroup to one run
     pairs = pairs.localCheckpoint(eager=False)

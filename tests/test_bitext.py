@@ -252,3 +252,27 @@ def _fixture_sides(spark, sf_dir):
         sides.filter(F.col("lang") == "en").drop("lang"),
         sides.filter(F.col("lang") == "fr").drop("lang"),
     )
+
+
+def test_ivf_offline_centroids_escape_hatch(spark):
+    """Past the strided default's growth, a fixed offline centroid
+    frame (the kmeans_fit artifact shape) drives assignment — same
+    candidate semantics, centroid ids taken from the supplied frame."""
+    src, dst = _sides(spark, HUB_SRCS, HUB_DSTS)
+    cents = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        ["id", "v"],
+    )
+    got = B.ivf_candidate_pairs(
+        src, dst, nprobe=1, centroids=cents
+    ).collect()
+    assert got  # every side assigns to one of the two supplied cells
+    # and the strided default on a target with NO id%stride hit raises
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no centroid ids"):
+        B.ivf_candidate_pairs(
+            src,
+            dst.filter("id = 101"),
+            stride=1000,
+        ).collect()
