@@ -965,6 +965,9 @@ def q_curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # global window over EXACTLY 3 rows (the unioned scalar aggregates):
+    # the WindowExec single-partition warning is intrinsic and harmless
+    # here — the input is stage-count-sized, never corpus-sized
     w = Window.orderBy("stage_idx")
     return funnel.select(
         "stage_idx",

@@ -754,3 +754,225 @@ def test_adamic_adar_no_cartesian_and_capped(spark, sf_dir):
     plan = formatted_plan(q_host_adamic_adar(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- r12/r13 queue: plan pins authored ahead of registration ------------------
+# (stream_secret_scrub is exercised by its streaming test — a memory-sink
+# stream executes eagerly, so there is no unexecuted batch plan to pin;
+# dedup_edit_verify's final frame reads the eagerly-materialized candidate
+# checkpoint, so its plan is a bare RDD scan with nothing to pin.)
+
+
+def test_quality_calibration_broadcast_dims(spark, sf_dir):
+    """The classifier weight dim and the gate join stay broadcast; the
+    report aggregates are map-combined; nothing cross-joins."""
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries.curation_queries import q_quality_calibration
+
+    plan = formatted_plan(q_quality_calibration(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_soft_dedup_sample_partitioned_census(spark, sf_dir):
+    """The dup-group census window is content-partitioned (md5 key) —
+    no single-partition window ever sees the corpus; the only nested-
+    loop join is the 1-row total-weight broadcast of the sampler."""
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries.curation_queries import q_soft_dedup_sample
+
+    plan = formatted_plan(q_soft_dedup_sample(spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_score_quantile_blend_no_single_task_rank(spark, sf_dir):
+    """Exact percent-ranks come from the distributed rank operator —
+    no SinglePartition exchange, no percent_rank window function."""
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries.curation_queries import q_score_quantile_blend
+
+    plan = formatted_plan(q_score_quantile_blend(spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan
+    assert "percent_rank" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_method_eval_no_nested_loops(spark, sf_dir):
+    """Three candidate generators + exact ground truth compose through
+    equijoins only — a quadratic fallback would show up here first."""
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries.dedup_queries import q_dedup_method_eval
+
+    plan = formatted_plan(q_dedup_method_eval(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_anchor_query_pairs_equijoin_lookups(spark, sf_dir):
+    """Positive/negative passage lookups are key equijoins against the
+    documents table; the only nested-loop join is the 1-row doc-count
+    broadcast for the modulo negative."""
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries.html_queries import q_anchor_query_pairs
+
+    plan = formatted_plan(q_anchor_query_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_curation_funnel_three_map_combined_counts(spark, sf_dir):
+    """Three scalar stage counts, each map-side combined; the lag
+    window runs over exactly the 3-row union, and nothing
+    cross-joins."""
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries.pipeline_queries import q_curation_funnel_report
+
+    plan = formatted_plan(q_curation_funnel_report(spark, sf_dir))
+    assert plan.count("partial_count") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_l_diversity_audit_aggregation_only(spark, sf_dir):
+    """Two-level aggregation over the release frame — no joins of any
+    kind in the plan."""
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries.relational_queries import q_l_diversity_audit
+
+    plan = formatted_plan(q_l_diversity_audit(spark, sf_dir))
+    assert "Join" not in plan
+    assert "partial_count" in plan
+
+
+def test_kfold_balance_broadcast_fold_table(spark, sf_dir):
+    """The per-fold expectation table is fold-count-sized and must
+    broadcast against the per-fold observed aggregate."""
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries.sampling_queries import q_kfold_balance
+
+    plan = formatted_plan(q_kfold_balance(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cluster_balanced_sample_no_cartesian(spark, sf_dir):
+    """Per-cluster quota sampling: the quota table broadcasts and the
+    membership filter is content-addressed — no cartesian, no
+    single-partition funnel."""
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries.similarity_queries import q_cluster_balanced_sample
+
+    plan = formatted_plan(q_cluster_balanced_sample(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_bitext_length_filter_topk_no_cartesian(spark, sf_dir):
+    """The length-ratio acceptance band composes with the miner's
+    top-k: TakeOrdered stays, nothing cross-joins."""
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries.similarity_queries import q_bitext_length_filter
+
+    plan = formatted_plan(q_bitext_length_filter(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_session_type_pmi_equijoin_pairs(spark, sf_dir):
+    """Type-pair co-occurrence joins on the session key — an equijoin,
+    never a nested loop over event pairs."""
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries.temporal_queries import q_session_type_pmi
+
+    plan = formatted_plan(q_session_type_pmi(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_user_type_entropy_aggregation_only(spark, sf_dir):
+    """Per-user type entropy is two aggregation levels — no joins."""
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries.temporal_queries import q_user_type_entropy
+
+    plan = formatted_plan(q_user_type_entropy(spark, sf_dir))
+    assert "Join" not in plan
+
+
+def test_rfm_segments_no_single_task_window(spark, sf_dir):
+    """Exact quartiles come from broadcast cutoffs, not a global
+    ntile: no SinglePartition exchange anywhere in the plan."""
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries.temporal_queries import q_rfm_segments
+
+    plan = formatted_plan(q_rfm_segments(spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_term_burstiness_topk_bounded_rank(spark, sf_dir):
+    """VMR ranking ends in TakeOrdered; the rank window sees only the
+    <= topn TakeOrdered output (bounded by construction)."""
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries.text_queries import q_term_burstiness
+
+    plan = formatted_plan(q_term_burstiness(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_prf_rocchio_two_rounds_codegen(spark, sf_dir):
+    """Both retrieval rounds end in TakeOrdered; scoring stays
+    JVM-codegen (no Python workers); the only nested-loop joins are
+    the 1-row qn2/n_fb aggregate broadcasts."""
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries.text_queries import q_retrieve_prf_rocchio
+
+    plan = formatted_plan(q_retrieve_prf_rocchio(spark, sf_dir))
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_host_kcore_materialized_peel(spark, sf_dir):
+    """The iterative peel materializes each round eagerly — the final
+    frame is one aggregation over the materialized survivor set, with
+    no join re-derivation in its plan."""
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries.web_queries import q_host_kcore
+
+    plan = formatted_plan(q_host_kcore(spark, sf_dir))
+    assert "Join" not in plan
+    assert "partial_count" in plan
+
+
+def test_host_clustering_coef_no_nested_loops(spark, sf_dir):
+    """Wedge counting composes hub-capped equijoins — no cartesian,
+    no nested loop."""
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries.web_queries import q_host_clustering_coef
+
+    plan = formatted_plan(q_host_clustering_coef(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_host_graph_profile_no_nested_loops(spark, sf_dir):
+    """Five signals served from one edge derivation — equijoins only."""
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries.web_queries import q_host_graph_profile
+
+    plan = formatted_plan(q_host_graph_profile(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_url_path_templates_aggregation_only(spark, sf_dir):
+    """Template mining is two aggregation levels over the parsed URL
+    stream — no joins."""
+    from hash_db_spark.plans.inspect import formatted_plan
+    from hash_db_spark.queries.web_queries import q_url_path_templates
+
+    plan = formatted_plan(q_url_path_templates(spark, sf_dir))
+    assert "Join" not in plan
+    assert "partial_count" in plan
