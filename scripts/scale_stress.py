@@ -571,6 +571,29 @@ def main() -> int:
             ("bitext_length_filter", q_bitext_length_filter),
         ):
             timed(f"{name}/{scale}", lambda f=fn: f(spark, sf_dir))
+        # round-11 session: the last 7 queued candidates without probes
+        from hash_db_spark.queries.curation_queries import (
+            q_quality_calibration,
+            q_soft_dedup_sample,
+        )
+        from hash_db_spark.queries.dedup_queries import q_dedup_method_eval
+        from hash_db_spark.queries.pipeline_queries import q_vocab_oov_report
+        from hash_db_spark.queries.temporal_queries import q_session_type_pmi
+        from hash_db_spark.queries.text_queries import (
+            q_eval_ngram_coverage,
+            q_term_burstiness,
+        )
+
+        for name, fn in (
+            ("quality_calibration", q_quality_calibration),
+            ("soft_dedup_sample", q_soft_dedup_sample),
+            ("dedup_method_eval", q_dedup_method_eval),
+            ("vocab_oov_report", q_vocab_oov_report),
+            ("term_burstiness", q_term_burstiness),
+            ("eval_ngram_coverage", q_eval_ngram_coverage),
+            ("session_type_pmi", q_session_type_pmi),
+        ):
+            timed(f"{name}/{scale}", lambda f=fn: f(spark, sf_dir))
     return 0
 
 
