@@ -85,6 +85,17 @@ def all_queries() -> dict[str, Query]:
     # r13 QUEUE STATE (carried from r10): 5 candidates —
     # host_graph_profile, kfold_balance, rfm_segments,
     # url_path_templates, bitext_length_filter.
+    #
+    # r12 WINDOW PLAN (written at r11 end for the next session): after
+    # CORRECTNESS_r11 lands, uncomment the 31 r12 candidates (-> 384
+    # entries) and re-run compute_reverify; expected need-set = 31
+    # never-checked + any taint, leaving ~15 rotation slots for the
+    # oldest facts (18 r01 entries remain after the r11 window, then
+    # the 34-entry r02 dialect/Cypher cohort — oldest first). Every
+    # r12/r13 candidate already carries, as of the r11 session: a
+    # DuckDB oracle, parity green at sf0.001/0.01/0.1, a plan-shape
+    # pin in tests/test_plan_quality.py (or a documented exception),
+    # and a 10x scale probe — registration is a pure slot operation.
     # Ordering: cheap codegen entries first to absorb the window's
     # JVM/codegen warmup; heavy entries (codec decodes, kneser-ney,
     # session paths) interleaved, never clustered.

@@ -10,6 +10,13 @@ import pyspark.sql.functions as F
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+# SPARK_GRAFT_HYP_EXAMPLES overrides the per-test example budget for an
+# extended fuzz pass (0/unset keeps the defaults) — same knob as
+# tests/test_properties.py.
+import os
+
+_HYP_EXAMPLES = int(os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "0"))
+
 from hash_db_spark.operators import curation as C
 
 
@@ -93,7 +100,7 @@ def test_classifier_weights_are_trained_not_noise(spark, sf_dir):
     assert agree > base, (agree, base)  # beats always-majority
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=_HYP_EXAMPLES or 10, deadline=None)
 @given(
     st.lists(
         st.tuples(st.integers(0, 10**6), st.integers(1, 5000)),
@@ -362,7 +369,7 @@ def test_jl_projection_matches_numpy(spark, sf_dir):
             )
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=_HYP_EXAMPLES or 15, deadline=None)
 @given(
     st.lists(st.sampled_from("abcdefgh"), min_size=6, max_size=6).map(" ".join),
     st.lists(st.sampled_from("pqrstuvw"), min_size=4, max_size=12),

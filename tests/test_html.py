@@ -10,6 +10,13 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+# SPARK_GRAFT_HYP_EXAMPLES overrides the per-test example budget for an
+# extended fuzz pass (0/unset keeps the defaults) — same knob as
+# tests/test_properties.py.
+import os
+
+_HYP_EXAMPLES = int(os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "0"))
+
 from hash_db_spark.operators import html as H
 
 
@@ -86,7 +93,7 @@ TEXTS = st.text(
 ).map(lambda s: s.strip())
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=_HYP_EXAMPLES or 30, deadline=None)
 @given(st.lists(st.tuples(st.integers(0, 10_000), TEXTS),
                 min_size=1, max_size=8))
 def test_generator_extraction_matches_model(spark, cases):

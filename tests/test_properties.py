@@ -13,10 +13,17 @@ from hash_db_spark.operators import kv as K
 from hash_db_spark.operators.fts import fts_filter
 from hash_db_spark.operators import dedup as D
 
+# SPARK_GRAFT_HYP_EXAMPLES raises the per-test example budget for an
+# extended fuzz pass (each example is a Spark round-trip, so the default
+# stays small); SPARK_GRAFT_HYP_RANDOM=1 disables derandomize so repeated
+# fuzz passes explore fresh inputs (hypothesis prints any failing example,
+# which is all a repro needs).
+import os
+
 SETTINGS = dict(
-    max_examples=10,
+    max_examples=int(os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "10")),
     deadline=None,
-    derandomize=True,
+    derandomize=os.environ.get("SPARK_GRAFT_HYP_RANDOM", "") == "",
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
