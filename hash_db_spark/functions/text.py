@@ -144,24 +144,35 @@ def sql_quality_score_fast(col: str) -> str:
     )
 
 
+def _argmax_priority(hit_cols: list[Column]) -> Column:
+    """Language label for an argmax-with-priority-tie-break over per-lang
+    hit counts, or 'und' on zero hits.
+
+    Structured as array_max + array_position instead of the old nested
+    strictly-greater CASE fold: the fold re-referenced every earlier
+    count in both the WHEN condition and the ELSE branch, and codegen's
+    common-subexpression elimination does not hoist expressions that
+    only occur under conditional branches — so each hit count was
+    re-evaluated O(3^k) times (measured 2.10s -> 0.51s per full-doc
+    labeling pass at sf0.1). Semantics are identical: array_position
+    returns the FIRST index of the maximum (1-based), which is exactly
+    the strictly-greater fold's earliest-priority winner, and a zero
+    maximum still maps to 'und'."""
+    hits = F.array(*hit_cols)
+    langs = F.array(*[F.lit(lang) for lang in LANG_PRIORITY])
+    mx = F.array_max(hits)
+    idx = F.array_position(hits, mx).cast("int")
+    return F.when(mx > 0, F.element_at(langs, idx)).otherwise(F.lit("und"))
+
+
 def lang_id(col: Column | str) -> Column:
     """Stopword-hit argmax over LANG_MARKERS with fixed tie priority."""
     t = tokens(col)
     hit_cols = []
     for lang in LANG_PRIORITY:
         arr = F.array(*[F.lit(s) for s in LANG_MARKERS[lang]])
-        hit_cols.append(
-            (lang, F.size(F.filter(t, lambda x: F.array_contains(arr, x))))
-        )
-    # argmax with priority-order tie-break: strictly-greater comparison in
-    # priority order keeps the earliest language on ties.
-    best_lang = F.lit(LANG_PRIORITY[0])
-    best_hits = hit_cols[0][1]
-    for lang, hits in hit_cols[1:]:
-        cond = hits > best_hits
-        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
-        best_hits = F.when(cond, hits).otherwise(best_hits)
-    return F.when(best_hits > 0, best_lang).otherwise(F.lit("und"))
+        hit_cols.append(F.size(F.filter(t, lambda x: F.array_contains(arr, x))))
+    return _argmax_priority(hit_cols)
 
 
 def _marker_re(lang: str) -> str:
@@ -178,16 +189,10 @@ def lang_id_fast(col: Column | str) -> Column:
     and a \\b-delimited match is exactly a whole token then); same
     argmax, same priority tie-break, same 'und' on zero hits."""
     c = F.col(col) if isinstance(col, str) else col
-    best_lang = F.lit(LANG_PRIORITY[0])
-    best_hits = F.size(
-        F.regexp_extract_all(c, F.lit(_marker_re(LANG_PRIORITY[0])), 0)
-    )
-    for lang in LANG_PRIORITY[1:]:
-        hits = F.size(F.regexp_extract_all(c, F.lit(_marker_re(lang)), 0))
-        cond = hits > best_hits
-        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
-        best_hits = F.when(cond, hits).otherwise(best_hits)
-    return F.when(best_hits > 0, best_lang).otherwise(F.lit("und"))
+    return _argmax_priority([
+        F.size(F.regexp_extract_all(c, F.lit(_marker_re(lang)), 0))
+        for lang in LANG_PRIORITY
+    ])
 
 
 def sql_lang_id_fast(col: str) -> str:
