@@ -43,6 +43,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
 
 # ---------------------------------------------------------------- PNG
 
@@ -510,6 +511,24 @@ def jpeg_decode(payload: bytes):
 
 # ------------------------------------------------- Spark-side plumbing
 
+def spread_ids(df: DataFrame, id_col: str) -> DataFrame:
+    """id-only projection hash-repartitioned across the session's full
+    parallelism before an expensive per-row synth/decode pass.
+
+    A small parquet fixture is one input split (single row group), so a
+    map-only synth+decode pipeline would otherwise run on ONE core of
+    local[N]. Repartitioning the id column is the guide-§2.3 'shuffle
+    keys, not payloads' move: the exchange carries only the 8-byte ids
+    (payloads are synthesized AFTER it), costs O(ids) at any scale, and
+    buys full parallelism for the expensive stage. Hash-partitioned on
+    the id, not round-robin: deterministic under task retry and no
+    sort-before-repartition pass (guide §2.5 / SPARK-23207)."""
+    sc = df.sparkSession.sparkContext
+    return df.select(id_col).repartition(
+        sc.defaultParallelism, F.col(id_col)
+    )
+
+
 PNG_STATS_SCHEMA = (
     "media_id long, width int, height int, sum_r bigint, sum_g bigint, "
     "sum_b bigint"
@@ -536,7 +555,7 @@ def synth_png_media(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(
+    return spread_ids(df, id_col).mapInPandas(
         run, "media_id long, kind string, payload binary"
     )
 
@@ -613,7 +632,7 @@ def synth_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(
+    return spread_ids(df, id_col).mapInPandas(
         run, "media_id long, kind string, payload binary"
     )
 
@@ -748,6 +767,127 @@ def adpcm_encode(media_id: int, n_samples: int, sample_rate: int = 8000) -> byte
     )
 
 
+_ADPCM_STEPS_ARR = np.array(ADPCM_STEPS, dtype=np.int64)
+_ADPCM_INDEX_ARR = np.array(ADPCM_INDEX, dtype=np.int64)
+
+
+def adpcm_encode_batch(
+    media_ids: np.ndarray, n_samples: np.ndarray, sample_rate: int = 8000
+) -> list[bytes]:
+    """Batched ``adpcm_encode``: one vectorized recurrence step per
+    SAMPLE POSITION across every clip in the batch (max-length
+    iterations of numpy mask arithmetic) instead of a pure-Python
+    inner loop per sample per clip — byte-identical output (all
+    arithmetic is exact int64 with the same shifts/clamps; see
+    test_codecs batch-parity tests). The recurrence itself is
+    inherently sequential per clip, so across-clip SIMD is the only
+    axis available (guide §4.2)."""
+    ids = np.asarray(media_ids, dtype=np.int64)
+    ns = np.asarray(n_samples, dtype=np.int64)
+    b, n_max = len(ids), int(ns.max()) if len(ns) else 0
+    t = np.arange(n_max, dtype=np.int64)
+    src = (ids[:, None] * 37 + t[None, :] * 131) % 4001 - 2000
+    codes = np.zeros((b, n_max), dtype=np.int64)
+    pred = np.zeros(b, dtype=np.int64)
+    idx = np.zeros(b, dtype=np.int64)
+    for i in range(n_max):
+        active = ns > i
+        step = _ADPCM_STEPS_ARR[idx]
+        diff = src[:, i] - pred
+        neg = diff < 0
+        diff = np.abs(diff)
+        c4 = diff >= step
+        diff -= np.where(c4, step, 0)
+        c2 = diff >= step >> 1
+        diff -= np.where(c2, step >> 1, 0)
+        c1 = diff >= step >> 2
+        code = (
+            np.where(neg, 8, 0)
+            + np.where(c4, 4, 0)
+            + np.where(c2, 2, 0)
+            + np.where(c1, 1, 0)
+        )
+        diffq = (
+            (step >> 3)
+            + np.where(c4, step, 0)
+            + np.where(c2, step >> 1, 0)
+            + np.where(c1, step >> 2, 0)
+        )
+        new_pred = np.clip(np.where(neg, pred - diffq, pred + diffq),
+                           -32768, 32767)
+        new_idx = np.clip(idx + _ADPCM_INDEX_ARR[code & 7], 0, 88)
+        pred = np.where(active, new_pred, pred)
+        idx = np.where(active, new_idx, idx)
+        codes[:, i] = np.where(active, code, 0)
+    # pack nibbles (low first); odd counts pad one zero nibble, exactly
+    # like the scalar encoder
+    out: list[bytes] = []
+    for j in range(b):
+        n = int(ns[j])
+        cj = codes[j, :n]
+        if n % 2:
+            cj = np.concatenate([cj, np.zeros(1, dtype=np.int64)])
+        packed = ((cj[0::2] & 0xF) | ((cj[1::2] & 0xF) << 4)).astype(
+            np.uint8
+        ).tobytes()
+        out.append(
+            _ADPCM_MAGIC
+            + struct.pack("<IIhB", n, sample_rate, 0, 0)
+            + packed
+        )
+    return out
+
+
+def adpcm_decode_batch(payloads: list[bytes]):
+    """Batched ``adpcm_decode``: same across-clip vectorization as
+    ``adpcm_encode_batch``. Returns (rates: ndarray, decoded:
+    list[ndarray[int16]]) — per-clip results identical to the scalar
+    decoder (exact int64 arithmetic, same clamps)."""
+    b = len(payloads)
+    ns = np.empty(b, dtype=np.int64)
+    rates = np.empty(b, dtype=np.int64)
+    pred = np.empty(b, dtype=np.int64)
+    idx = np.empty(b, dtype=np.int64)
+    nibbles = []
+    for j, payload in enumerate(payloads):
+        if not payload.startswith(_ADPCM_MAGIC):
+            raise ValueError("not an ADPCM payload")
+        n, rate, p0, i0 = struct.unpack_from("<IIhB", payload, 4)
+        ns[j], rates[j], pred[j], idx[j] = n, rate, p0, i0
+        data = np.frombuffer(payload, dtype=np.uint8, offset=4 + 11)
+        lo = data & 0xF
+        hi = data >> 4
+        inter = np.empty(2 * len(data), dtype=np.int64)
+        inter[0::2] = lo
+        inter[1::2] = hi
+        nibbles.append(inter[:n])
+    n_max = int(ns.max()) if b else 0
+    codes = np.zeros((b, n_max), dtype=np.int64)
+    for j, nj in enumerate(nibbles):
+        codes[j, : len(nj)] = nj
+    out = np.zeros((b, n_max), dtype=np.int64)
+    for i in range(n_max):
+        active = ns > i
+        step = _ADPCM_STEPS_ARR[idx]
+        code = codes[:, i]
+        diffq = (
+            (step >> 3)
+            + np.where(code & 4, step, 0)
+            + np.where(code & 2, step >> 1, 0)
+            + np.where(code & 1, step >> 2, 0)
+        )
+        new_pred = np.clip(
+            np.where(code & 8, pred - diffq, pred + diffq), -32768, 32767
+        )
+        new_idx = np.clip(idx + _ADPCM_INDEX_ARR[code & 7], 0, 88)
+        pred = np.where(active, new_pred, pred)
+        idx = np.where(active, new_idx, idx)
+        out[:, i] = pred
+    return rates, [
+        out[j, : int(ns[j])].astype(np.int16) for j in range(b)
+    ]
+
+
 def adpcm_decode(payload: bytes):
     """Real IMA ADPCM decode: unpack nibbles, replay the predictor
     recurrence. Returns (sample_rate, ndarray[int16])."""
@@ -785,18 +925,18 @@ def synth_adpcm_media(df: DataFrame, id_col: str) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids = pdf[id_col].astype("int64")
+            ids = pdf[id_col].astype("int64").to_numpy()
             yield pd.DataFrame(
                 {
                     "media_id": ids,
                     "kind": "audio/adpcm",
-                    "payload": [
-                        adpcm_encode(int(i), 64 + int(i) % 64) for i in ids
-                    ],
+                    # batch encoder: one vectorized recurrence over the
+                    # whole Arrow batch, byte-identical to adpcm_encode
+                    "payload": adpcm_encode_batch(ids, 64 + ids % 64),
                 }
             )
 
-    return df.select(id_col).mapInPandas(
+    return spread_ids(df, id_col).mapInPandas(
         run, "media_id long, kind string, payload binary"
     )
 
@@ -808,16 +948,28 @@ def adpcm_stats(media: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k: [] for k in ("media_id", "n_samples", "sum_abs", "sum_err")}
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                _, dec = adpcm_decode(bytes(payload))
-                src = adpcm_source_signal(int(mid), len(dec))
-                out["media_id"].append(mid)
-                out["n_samples"].append(len(dec))
-                out["sum_abs"].append(int(np.abs(dec.astype(np.int64)).sum()))
-                out["sum_err"].append(
-                    int(np.abs(dec.astype(np.int64) - src).sum())
-                )
+            mids = pdf["media_id"].astype("int64").to_numpy()
+            # batch decoder: one vectorized recurrence per Arrow batch
+            # (decoded samples identical to the scalar adpcm_decode)
+            _, decs = adpcm_decode_batch(
+                [bytes(p) for p in pdf["payload"]]
+            )
+            out = {
+                "media_id": mids,
+                "n_samples": [len(d) for d in decs],
+                "sum_abs": [
+                    int(np.abs(d.astype(np.int64)).sum()) for d in decs
+                ],
+                "sum_err": [
+                    int(
+                        np.abs(
+                            d.astype(np.int64)
+                            - adpcm_source_signal(int(m), len(d))
+                        ).sum()
+                    )
+                    for m, d in zip(mids, decs)
+                ],
+            }
             yield pd.DataFrame(out)
 
     return media.select("media_id", "payload").mapInPandas(

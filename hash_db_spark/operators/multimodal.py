@@ -32,6 +32,8 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+
+from hash_db_spark.operators.codecs import spread_ids
 import pyspark.sql.functions as F
 
 try:  # the real codec path, absent in this container
@@ -293,7 +295,7 @@ def synth_ppm_media(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(
+    return spread_ids(df, id_col).mapInPandas(
         run, "media_id long, kind string, payload binary"
     )
 
@@ -425,7 +427,7 @@ def synth_wav_media(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(
+    return spread_ids(df, id_col).mapInPandas(
         run, "media_id long, kind string, payload binary"
     )
 
@@ -618,7 +620,7 @@ def synth_y4m_media(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    return df.select(id_col).mapInPandas(
+    return spread_ids(df, id_col).mapInPandas(
         run, "media_id long, kind string, payload binary"
     )
 

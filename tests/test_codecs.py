@@ -340,3 +340,54 @@ class TestPngDedupIntegration:
             w, h = 8 * (1 + i % 3), 8 * (1 + i % 2)
             _, _, px = C.jpeg_decode(C.jpeg_encode(i, w, h))
             assert jg[i] == dhash_from_gray(px.astype("int64"))
+
+
+class TestAdpcmBatchParity:
+    """The r11 optimization replaced the per-clip Python recurrence in
+    the ADPCM Arrow passes with across-clip vectorized batch codecs —
+    these pins prove the batch forms are BIT-identical to the scalar
+    reference implementations (which stay as the spec)."""
+
+    def test_encode_batch_byte_identical(self):
+        import numpy as np
+
+        from hash_db_spark.operators import codecs as C
+
+        ids = np.arange(0, 200, dtype=np.int64)
+        ns = 64 + ids % 64
+        batch = C.adpcm_encode_batch(ids, ns)
+        for i in range(len(ids)):
+            assert batch[i] == C.adpcm_encode(int(ids[i]), int(ns[i]))
+
+    def test_decode_batch_identical(self):
+        import numpy as np
+
+        from hash_db_spark.operators import codecs as C
+
+        ids = np.arange(7, 150, dtype=np.int64)
+        ns = 64 + ids % 64
+        payloads = [
+            C.adpcm_encode(int(i), int(n)) for i, n in zip(ids, ns)
+        ]
+        rates, decs = C.adpcm_decode_batch(payloads)
+        for i, p in enumerate(payloads):
+            r, d = C.adpcm_decode(p)
+            assert r == rates[i]
+            assert np.array_equal(d, decs[i])
+
+    def test_batch_handles_mixed_lengths_and_clipping(self):
+        """Clips of different lengths in one batch (mask correctness)
+        and a clip long enough to exercise the int16 clamp."""
+        import numpy as np
+
+        from hash_db_spark.operators import codecs as C
+
+        ids = np.array([0, 1, 999999], dtype=np.int64)
+        ns = np.array([1, 127, 500], dtype=np.int64)
+        batch = C.adpcm_encode_batch(ids, ns)
+        for i in range(3):
+            assert batch[i] == C.adpcm_encode(int(ids[i]), int(ns[i]))
+        _, decs = C.adpcm_decode_batch(batch)
+        for i, p in enumerate(batch):
+            _, d = C.adpcm_decode(p)
+            assert np.array_equal(d, decs[i])

@@ -635,9 +635,14 @@ def test_kneser_ney_no_cartesian(spark, sf_dir):
     )
 
 
-def test_codec_stats_map_side_only(spark, sf_dir):
+def test_codec_stats_single_id_exchange(spark, sf_dir):
     """Each codec-stats pipeline is synth -> decode -> stats inside one
-    Arrow chain: zero exchanges."""
+    Arrow chain, with exactly ONE exchange: the id-only spread_ids
+    repartition that parallelizes the expensive synth+decode over every
+    core (optimization r11 — a single-row-group fixture scan is one
+    split, so without it the whole Python pipeline runs on one task).
+    The exchange must carry only the 8-byte id column — payload bytes
+    are synthesized AFTER it and must never cross a shuffle."""
     from hash_db_spark.plans.inspect import formatted_plan
     from hash_db_spark.queries.multimodal_queries import (
         q_multimodal_adpcm_decode,
@@ -650,7 +655,11 @@ def test_codec_stats_map_side_only(spark, sf_dir):
         q_multimodal_jpeg_decode,
         q_multimodal_adpcm_decode,
     ):
-        assert "Exchange" not in formatted_plan(fn(spark, sf_dir)), fn
+        plan = formatted_plan(fn(spark, sf_dir))
+        assert plan.count("+- Exchange") == 1, fn
+        # hash on the id (deterministic, no round-robin sort pass); the
+        # id is the scan's ONLY column, so payload bytes cannot cross
+        assert "hashpartitioning(doc_id" in plan, fn
 
 
 def test_bucketed_join_serve_no_exchange(spark, sf_dir):
