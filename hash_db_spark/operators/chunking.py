@@ -384,8 +384,17 @@ def cdc_dedup_report(df: DataFrame, col: str, id_col: str) -> DataFrame:
     how much of it is made of chunks that also occur elsewhere in the
     corpus (chunk hash seen in >= CDC_MIN_SHARED distinct docs) — the
     storage-dedup yield estimate. One extra chunk-hash-keyed
-    aggregation + join over cdc_chunks."""
-    ch = cdc_chunks(df, col, id_col)
+    aggregation + join over cdc_chunks.
+
+    The chunk table is materialized once (eager localCheckpoint —
+    optimization r11): it feeds BOTH the chunk-hash frequency
+    aggregation and the join-back, and without the checkpoint the whole
+    tokenize -> window -> chunk-assembly chain executed twice (measured
+    build+exec 2.2s -> 1.6s at sf0.1). At 100 TB the chunk store is the
+    operator's natural persisted artifact anyway (storage dedup ships
+    only new chunk hashes), same precedent as simhash(materialize=True)
+    and the trigram-LM count checkpoint."""
+    ch = cdc_chunks(df, col, id_col).localCheckpoint(eager=True)
     freq = ch.groupBy("chunk_hash").agg(
         F.countDistinct("id").alias("n_docs_with")
     )

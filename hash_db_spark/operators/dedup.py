@@ -1787,21 +1787,27 @@ def embedding_near_dup_pairs(
 
     # The guard collect told us the exact row count, so size the scan-side
     # parallelism to the data instead of inheriting the source's partition
-    # count: ~4096 vectors per Python worker keeps the BLAS blocks fat.
-    # At bench scale (2k vectors over 32 parquet partitions) this collapses
-    # 32 near-empty Arrow worker round-trips into one; at the 200k
-    # broadcast cap it still yields ~49 tasks. coalesce, not repartition —
-    # no shuffle, just fewer scan tasks.
+    # count. REPARTITION, not coalesce (optimization r11): the fixture
+    # parquet is a single split, so the old coalesce(ceil(rows/4096))
+    # collapsed to ONE task and the whole O(rows x corpus) cosine block
+    # ran on one Python worker — measured 0.6-4.0s/run under suite load
+    # (a single straggler worker's GC pause is the whole query) vs a
+    # stable ~0.7s for 32-way repartition. The shuffle this adds is
+    # bounded by the MAX_BROADCAST_VECTORS guard above (this operator
+    # never sees more than cap rows), so it is O(cap x dim) bytes at ANY
+    # corpus scale — the banded-LSH path remains the unbounded route.
+    # ~64 vectors per task keeps every core busy at bench scale while
+    # the per-task Arrow round-trip (~10ms) stays amortized.
     import math
 
     k = max(
         1,
         min(
             emb.sparkSession.sparkContext.defaultParallelism,
-            math.ceil(len(rows) / 4096),
+            math.ceil(len(rows) / 64),
         ),
     )
-    return emb.select(id_col, vec_col).coalesce(k).mapInPandas(
+    return emb.select(id_col, vec_col).repartition(k, F.col(id_col)).mapInPandas(
         block, "id_a long, id_b long, cos double"
     )
 
