@@ -743,17 +743,34 @@ def ewma_alerts(
 
     Scale shape: ONE user-keyed shuffle (the lag window); the w lag
     columns are a map-side projection after the sort — per-user
-    history length never matters."""
+    history length never matters.
+
+    The lags are NAMED intermediate columns on purpose: Catalyst does not
+    deduplicate repeated ``lag(...).over(...)`` subtrees, so inlining
+    ``ewma_prev`` (which references every lag twice) at each of its ~5 use
+    sites exploded the Window operator to 320 frame processors per row
+    (20x the work and a 324-column window buffer). Naming the lags pins
+    the Window node at exactly ``w`` expressions; the arithmetic keeps the
+    identical left-to-right term order, so results are bit-identical."""
     from pyspark.sql import Window
 
     from hash_db_spark.operators.curation import micro_col
 
     win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = events.select(
+        "event_id",
+        "user_id",
+        "value",
+        *[
+            F.lag("value", j).over(win).alias(f"_lag{j}")
+            for j in range(1, w + 1)
+        ],
+    )
     num = F.lit(0.0)
     den = F.lit(0.0)
     for j in range(1, w + 1):
         c = alpha * (1.0 - alpha) ** (j - 1)
-        lj = F.lag("value", j).over(win)
+        lj = F.col(f"_lag{j}")
         num = num + F.when(lj.isNotNull(), lj * F.lit(c)).otherwise(0.0)
         den = den + F.when(lj.isNotNull(), F.lit(c)).otherwise(0.0)
     ewma_prev = F.when(den > 0, num / den)
@@ -763,7 +780,7 @@ def ewma_alerts(
         F.abs(F.col("value") - ewma_prev)
         > F.lit(1.5) * F.abs(ewma_prev) + F.lit(1.0)
     )
-    return events.select(
+    return lagged.select(
         "event_id",
         "user_id",
         "value",
