@@ -511,22 +511,39 @@ def jpeg_decode(payload: bytes):
 
 # ------------------------------------------------- Spark-side plumbing
 
+# Target bytes of id projection per synth task: ~a few hundred ids. The
+# fan-out must NOT be a flat defaultParallelism — at bench scale that
+# splits ~60 ids per task and the per-task Python/Arrow setup dominates
+# (interleaved A/B at sf0.1: 32-way 0.65-0.67s vs 14-16-way 0.40-0.44s
+# exec for png/jpeg/adpcm). Deriving the count from the plan-statistics
+# size (guide §2: scale-adaptive partitioning, derive from input size)
+# keeps small inputs coarse while TB-scale scans still clamp up to the
+# session's full parallelism.
+SPREAD_TARGET_BYTES = 8 * 1024
+
+
 def spread_ids(df: DataFrame, id_col: str) -> DataFrame:
-    """id-only projection hash-repartitioned across the session's full
-    parallelism before an expensive per-row synth/decode pass.
+    """id-only projection hash-repartitioned before an expensive per-row
+    synth/decode pass, fan-out derived from the input's estimated size.
 
     A small parquet fixture is one input split (single row group), so a
     map-only synth+decode pipeline would otherwise run on ONE core of
     local[N]. Repartitioning the id column is the guide-§2.3 'shuffle
     keys, not payloads' move: the exchange carries only the 8-byte ids
     (payloads are synthesized AFTER it), costs O(ids) at any scale, and
-    buys full parallelism for the expensive stage. Hash-partitioned on
+    buys parallelism for the expensive stage. Hash-partitioned on
     the id, not round-robin: deterministic under task retry and no
-    sort-before-repartition pass (guide §2.5 / SPARK-23207)."""
+    sort-before-repartition pass (guide §2.5 / SPARK-23207). The
+    partition count comes from Catalyst's sizeInBytes estimate — a
+    driver-side statistic, no extra job — clamped to [1,
+    defaultParallelism]; AQE cannot make this call for us because it
+    coalesces on post-shuffle BYTES, and the bytes here are tiny while
+    the downstream per-row Python cost is not."""
     sc = df.sparkSession.sparkContext
-    return df.select(id_col).repartition(
-        sc.defaultParallelism, F.col(id_col)
-    )
+    ids = df.select(id_col)
+    est = int(ids._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    n = max(1, min(sc.defaultParallelism, -(-est // SPREAD_TARGET_BYTES)))
+    return ids.repartition(n, F.col(id_col))
 
 
 PNG_STATS_SCHEMA = (
