@@ -233,10 +233,16 @@ def q_html_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gate is a map-side filter on the extracted column. Two
     shuffles total (inlink groupBy + join)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Stage the synthesized page as a NAMED column (the _pages idiom):
+    # inlining synth_page into both extractors evaluates the whole
+    # page-construction expression twice per row — Catalyst does not CSE
+    # across projection items (the ewma/lang-id lesson).
     extracted = docs.select(
+        "doc_id", H.synth_page("doc_id", "text").alias("page")
+    ).select(
         "doc_id",
-        H.html_title(H.synth_page("doc_id", "text")).alias("title"),
-        H.html_main_text(H.synth_page("doc_id", "text")).alias("main_text"),
+        H.html_title("page").alias("title"),
+        H.html_main_text("page").alias("main_text"),
     ).select(
         "doc_id",
         "title",

@@ -125,13 +125,12 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang column (synthetic text shares one vocab, so the value of this
     query is determinism of the rule, not linguistic accuracy)."""
     docs = _docs(spark, sf_dir)
-    guess = T.lang_id("text").alias("lang_guess")
+    # Stage the guess as a named column: inlining lang_id twice (guess +
+    # agrees) evaluates the interpreted stopword-count argmax twice per
+    # row — Catalyst does not CSE across projection items.
     return docs.select(
-        "doc_id",
-        "lang",
-        guess,
-        (T.lang_id("text") == F.col("lang")).alias("agrees"),
-    )
+        "doc_id", "lang", T.lang_id("text").alias("lang_guess")
+    ).withColumn("agrees", F.col("lang_guess") == F.col("lang"))
 
 
 TEXT_LANGID_ORACLE = f"""
