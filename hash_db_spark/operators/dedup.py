@@ -36,16 +36,33 @@ from hash_db_spark.functions.text import fingerprint, sql_fingerprint
 # ---------------------------------------------------------------------------
 
 
+# Target payload bytes per CPU-bound Python task. A flat
+# defaultParallelism fan-out over-splits bench-scale corpora into tasks
+# whose Python/Arrow setup rivals the work: interleaved A/B at sf0.1
+# measured 32-way vs ~10-16-way exec as 0.93/0.74 (ngram_jaccard),
+# 0.90/0.61 (top_ngrams), 1.14/0.80 (contamination), 0.75/0.61
+# (minhash). Deriving the count from the plan-statistics size keeps
+# small inputs coarse; TB-scale scans still clamp to full parallelism.
+SPREAD_CPU_TARGET_BYTES = 64 * 1024
+
+
 def spread_for_cpu(df: DataFrame) -> DataFrame:
     """Round-robin repartition when the source has fewer splits than the
-    cluster has cores. Shingling/hashing is CPU-bound; a compact columnar
-    source (one small parquet split) would otherwise serialize the whole
-    derivation on one task. No-op when the scan is already parallel (the
+    CPU-bound stage wants. Shingling/hashing is CPU-bound; a compact
+    columnar source (one small parquet split) would otherwise serialize
+    the whole derivation on one task. The fan-out comes from Catalyst's
+    sizeInBytes estimate (driver-side statistic, no extra job), clamped
+    to [1, defaultParallelism] — AQE cannot size this exchange because
+    it coalesces on post-shuffle bytes while the cost here is per-row
+    Python CPU. No-op when the scan is already parallel enough (the
     100 TB case — thousands of splits), so the raw text is not shuffled
-    for nothing. Measured 2.6x on the minhash pipeline at sf0.1."""
+    for nothing. Measured 2.6x on the minhash pipeline at sf0.1 vs no
+    spread at all."""
     want = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
-        return df.repartition(want)
+    est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    n = max(1, min(want, -(-est // SPREAD_CPU_TARGET_BYTES)))
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
     return df
 
 
