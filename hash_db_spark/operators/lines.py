@@ -71,7 +71,16 @@ def boilerplate_lines(lines: DataFrame, max_doc_freq: int) -> DataFrame:
 
 def strip_boilerplate(lines: DataFrame, max_doc_freq: int) -> DataFrame:
     """Line instances that survive the boilerplate cap (broadcast
-    anti-join against the bounded hot set)."""
+    anti-join against the bounded hot set).
+
+    The line frame is materialized once: it feeds BOTH the hot-line
+    aggregation and the anti-join left side, and the two subtrees share
+    no exchange Catalyst could reuse, so un-materialized the whole
+    upstream line derivation (tokenize → chunk explode) executes twice.
+    Measured build+exec at sf0.1: strip 1.42 → 1.26s, clean_prep
+    1.58 → 1.33s. The line table is the natural persisted artifact of a
+    CCNet-style cleanup stage (same precedent as the CDC chunk table)."""
+    lines = lines.localCheckpoint(eager=True)
     hot = boilerplate_lines(lines, max_doc_freq)
     return lines.join(F.broadcast(hot), "line", "left_anti").select(
         "id", "line_idx", "line"
