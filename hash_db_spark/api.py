@@ -43,6 +43,8 @@ from hash_db_spark.operators import kv as K
 from hash_db_spark.operators.documents import shred_infer
 from hash_db_spark.sql import SqlEngine
 
+from hash_db_spark.localframe import local_frame
+
 _KV_SCHEMA = "pk string, sk string, value string"
 _NODES_SCHEMA = "id string, label string, name string, attrs map<string,string>"
 _EDGES_SCHEMA = "src string, dst string, rel string"
@@ -84,7 +86,7 @@ class HashDb:
     # -- KV (K1-K9) ---------------------------------------------------------
 
     def set(self, pk: str, sk: str, value: str) -> None:
-        row = self.spark.createDataFrame([(pk, sk, str(value))], _KV_SCHEMA)
+        row = local_frame(self.spark, [(pk, sk, str(value))], _KV_SCHEMA)
         self.kv = K.kv_set(self.kv, row)
         self._trim_kv_lineage()
 
@@ -192,7 +194,8 @@ class HashDb:
         SQL view so `~path[]~leaf` dialect queries work (the reference
         shreds + co-inserts for the same effect, server.py:289-331)."""
         self._docs.setdefault(collection, {})[str(doc_id)] = json.dumps(obj)
-        raw = self.spark.createDataFrame(
+        raw = local_frame(
+            self.spark,
             [(i, j) for i, j in self._docs[collection].items()],
             "doc_id string, json string",
         )

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
+from hash_db_spark.localframe import local_frame
+
 
 def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """(column, n_rows, n_nulls, n_distinct) per profiled column.
@@ -159,8 +161,8 @@ def histogram_quantiles(
         .agg(F.sum("cnt2").alias("cum"))
     )
     total = hist.agg(F.sum("cnt").alias("total"))
-    probe = hist.sparkSession.createDataFrame(
-        [(float(p),) for p in probs], "p double"
+    probe = local_frame(
+        hist.sparkSession, [(float(p),) for p in probs], "p double"
     )
     hit = (
         cum.crossJoin(F.broadcast(total))

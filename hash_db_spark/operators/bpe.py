@@ -28,6 +28,8 @@ import pyspark.sql.functions as F
 
 from hash_db_spark.operators.dedup import clean_tokens, sql_clean_tokens
 
+from hash_db_spark.localframe import local_frame
+
 
 def merge_pair_greedy(tokens: list[str], a: str, b: str) -> list[str]:
     """Greedy left-to-right non-overlapping merge of (a, b) -> 'a b'."""
@@ -116,7 +118,7 @@ def bpe_train_merges(
             cur = _merge_pass(cur, row["a"], row["b"]).localCheckpoint(
                 eager=True
             )
-    return spark.createDataFrame(merges, "round int, pair string, n long")
+    return local_frame(spark, merges, "round int, pair string, n long")
 
 
 def bpe_train_encode(

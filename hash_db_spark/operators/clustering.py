@@ -36,6 +36,8 @@ import pyspark.sql.functions as F
 
 from hash_db_spark.operators.similarity import _dvec
 
+from hash_db_spark.localframe import local_frame
+
 SCALE = 1_048_576  # 2^20 component quantization for exact centroid sums
 
 
@@ -258,7 +260,8 @@ def kmeans_fit(
         F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("v")
     )
     cmat = _centroid_mat(corpus, k)
-    cents = emb.sparkSession.createDataFrame(
+    cents = local_frame(
+        emb.sparkSession,
         [(i + 1, row.tolist()) for i, row in enumerate(cmat)],
         f"{id_col} long, {vec_col} array<double>",
     )
@@ -336,8 +339,8 @@ def kcenter_select(
             .localCheckpoint(eager=True)
         )
     spark = emb.sparkSession
-    return spark.createDataFrame(
-        picked, "sel_idx int, vec_id long, gap_micro long"
+    return local_frame(
+        spark, picked, "sel_idx int, vec_id long, gap_micro long"
     )
 
 

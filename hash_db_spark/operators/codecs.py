@@ -877,6 +877,13 @@ def adpcm_decode_batch(payloads: list[bytes]):
         inter = np.empty(2 * len(data), dtype=np.int64)
         inter[0::2] = lo
         inter[1::2] = hi
+        if len(inter) < n:
+            # Scalar adpcm_decode fails loudly (IndexError) on a payload
+            # whose nibble data is shorter than the header's n; the batch
+            # path must not silently zero-fill instead (parity).
+            raise ValueError(
+                f"ADPCM payload truncated: header n={n}, nibbles={len(inter)}"
+            )
         nibbles.append(inter[:n])
     n_max = int(ns.max()) if b else 0
     codes = np.zeros((b, n_max), dtype=np.int64)

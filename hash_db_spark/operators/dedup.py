@@ -31,6 +31,8 @@ import pyspark.sql.functions as F
 
 from hash_db_spark.functions.text import fingerprint, sql_fingerprint
 
+from hash_db_spark.localframe import local_frame
+
 # ---------------------------------------------------------------------------
 # shared hash helpers (Spark Column + DuckDB SQL renderings)
 # ---------------------------------------------------------------------------
@@ -59,8 +61,26 @@ def spread_for_cpu(df: DataFrame) -> DataFrame:
     for nothing. Measured 2.6x on the minhash pipeline at sf0.1 vs no
     spread at all."""
     want = df.sparkSession.sparkContext.defaultParallelism
-    est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    n = max(1, min(want, -(-est // SPREAD_CPU_TARGET_BYTES)))
+    # _jdf.queryExecution() is private API (pyspark-version-fragile);
+    # acceptable here because a stats failure must never fail the query —
+    # fall back to full parallelism, the pre-r11 behavior.
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        est = int(stats.sizeInBytes())
+        n = max(1, min(want, -(-est // SPREAD_CPU_TARGET_BYTES)))
+        # sizeInBytes can badly undershoot for non-scan inputs (e.g. a
+        # one-row-estimated subplan); when the row count IS known, floor
+        # the fan-out so a bad size estimate cannot collapse the
+        # CPU-bound Python stage onto ~1 task (ADVICE r11).
+        rc = stats.rowCount()
+        if rc.isDefined():
+            n = max(n, min(want, int(rc.get().longValue()) // 2048))
+    except Exception:
+        n = want
+    if n <= 1:
+        # repartition(1) can never be needed; skip the RDD conversion
+        # (getNumPartitions forces physical planning on the driver).
+        return df
     if df.rdd.getNumPartitions() < n:
         return df.repartition(n)
     return df
@@ -82,13 +102,13 @@ def clean_tokens(col: Column | str) -> Column:
     )
 
 
-def adjacent_token_pairs(col: Column | str) -> Column:
-    """'tok_i tok_i+1' strings for every ADJACENT token position —
-    positional (repeats count), unlike the distinct shingles() used for
-    dedup. The BPE merge-candidate unit; shared by the registry query
-    and its property test so they can't drift apart. Guarded: Spark's
-    sequence/slice would count DOWN on a sub-2-token doc."""
-    toks = clean_tokens(col)
+def adjacent_pairs_from_tokens(toks: Column) -> Column:
+    """adjacent_token_pairs over an ALREADY-tokenized array column.
+    Callers that can stage the token array as a named projection column
+    should use this form: the when/slice/zip_with tree references its
+    input five times, and conditionally-evaluated subtrees escape
+    codegen CSE (the lang-id/ewma class, optimization r11), so an
+    inlined clean_tokens would re-tokenize up to five times per row."""
     return F.when(
         F.size(toks) >= 2,
         F.zip_with(
@@ -97,6 +117,15 @@ def adjacent_token_pairs(col: Column | str) -> Column:
             lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def adjacent_token_pairs(col: Column | str) -> Column:
+    """'tok_i tok_i+1' strings for every ADJACENT token position —
+    positional (repeats count), unlike the distinct shingles() used for
+    dedup. The BPE merge-candidate unit; shared by the registry query
+    and its property test so they can't drift apart. Guarded: Spark's
+    sequence/slice would count DOWN on a sub-2-token doc."""
+    return adjacent_pairs_from_tokens(clean_tokens(col))
 
 
 def sql_clean_tokens(col: str) -> str:
@@ -2282,9 +2311,10 @@ def lsh_s_curve(
     that noise, and the fixed grid makes the parity check exhaustive
     (every cell is compared, data-independent).
     """
-    cfg = spark.createDataFrame(
+    cfg = local_frame(
+        spark,
         [(n, n // r, r) for n, r in grid],
-        ["num_hashes", "bands", "rows_per_band"],
+        "num_hashes bigint, bands bigint, rows_per_band bigint",
     )
     s = spark.range(1, sim_steps + 1).select(
         (F.col("id") / F.lit(20.0)).alias("s")

@@ -40,6 +40,8 @@ import pyspark.sql.functions as F
 from hash_db_spark.catalog import load_table
 from hash_db_spark.functions.rounding import round_half_away_col
 
+from hash_db_spark.localframe import local_frame
+
 
 def graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation_region = load_table(spark, sf_dir, "nation").join(
@@ -176,7 +178,7 @@ def n_hop_reach(
         e = e.filter(F.col("rel").isin(rels))
     e = e.select("a", "b").distinct().localCheckpoint(eager=True)
 
-    frontier = spark.createDataFrame([(start_id, 0)], "id string, hops int")
+    frontier = local_frame(spark, [(start_id, 0)], "id string, hops int")
     visited = frontier.localCheckpoint(eager=True)
     for h in range(1, max_hops + 1):
         nxt = (

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
 
+from hash_db_spark.localframe import local_frame
+
 
 def _ranged_with_offsets(
     df: DataFrame, order_cols: list[Column], per_part_agg: Column
@@ -56,8 +58,10 @@ def _ranged_with_offsets(
     for pid, v in per_part:
         offsets.append((pid, acc))
         acc += v or 0  # agg is NULL for an all-null-input partition
-    off_df = ranged.sparkSession.createDataFrame(
-        offsets, f"__pid int, __off {'double' if is_float else 'long'}"
+    off_df = local_frame(
+        ranged.sparkSession,
+        offsets,
+        f"__pid int, __off {'double' if is_float else 'long'}",
     )
     return ranged.join(F.broadcast(off_df), "__pid"), acc
 

@@ -41,22 +41,76 @@ def bm25_rank(
 ) -> DataFrame:
     """(id, score): top ``topn`` documents for the bag-of-terms query by
     Okapi BM25 (idf = ln((N-df+0.5)/(df+0.5) + 1), the Lucene form).
-    Deterministic: 6dp rounding, id tiebreak."""
-    toks = df.select(
-        F.col(id_col).alias("id"), F.explode(clean_tokens(col)).alias("tok")
+    Deterministic: 6dp rounding, id tiebreak.
+
+    Scale shape (optimization r12, guide §2.1/§6.2): ONE corpus scan and
+    ZERO corpus shuffles. The previous form tokenized the corpus twice
+    (posting explode + doc-length projection), shuffled the matching
+    postings (groupBy id,tok) and joined doc lengths back by id. For a
+    literal bag-of-terms query the per-term tf is computable per ROW —
+    size(filter(toks, = term)) per query term over one named tokenize —
+    so dl rides in the same projection, N/avgdl/df all come from one
+    scalar aggregate over it, and scoring is a map-side expression under
+    the broadcast of that single stats row. The only remaining exchanges
+    carry the one-row stats frame and the final top-k
+    (TakeOrderedAndProject). Scores are bit-compatible: a term with tf=0
+    contributes exactly 0.0 (norm's numerator is tf), so the fixed-order
+    per-term sum equals the posting-row sum the oracle computes."""
+    if not terms:
+        # the pre-r12 explode form returned an empty (id, score) frame
+        # for an empty query; keep that contract
+        return df.select(
+            F.col(id_col).alias("id"), F.lit(0.0).alias("score")
+        ).filter(F.lit(False))
+    toked = df.select(
+        F.col(id_col).alias("id"), clean_tokens(col).alias("__t")
     )
-    dl = df.select(
-        F.col(id_col).alias("id"), F.size(clean_tokens(col)).alias("dl")
+    def _count_of(term: str):
+        # one-arg lambda: a two-arg lambda would be read by pyspark as
+        # the (element, index) form and receive the index column
+        return F.size(F.filter(F.col("__t"), lambda x: x == F.lit(term)))
+
+    per = toked.select(
+        "id",
+        F.size("__t").alias("dl"),
+        *[_count_of(t).alias(f"__tf{i}") for i, t in enumerate(terms)],
     )
-    scalars = dl.agg(
-        F.count(F.lit(1)).alias("__n"), F.avg("dl").alias("__avgdl")
+    stats = per.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("dl").alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+            for i in range(len(terms))
+        ],
     )
-    tf = (
-        toks.filter(F.col("tok").isin(terms))
-        .groupBy("id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
+
+    def term_score(i: int):
+        tf = F.col(f"__tf{i}")
+        dft = F.col(f"__df{i}")
+        idf = F.log(
+            (F.col("__n") - dft + F.lit(0.5)) / (dft + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        norm = tf * (k1 + 1) / (
+            tf + k1 * (1 - b + b * F.col("dl") / F.col("__avgdl"))
+        )
+        return idf * norm
+
+    matched = per.filter(
+        sum(
+            (F.col(f"__tf{i}") > 0).cast("int") for i in range(len(terms))
+        )
+        > 0
     )
-    return _score_bm25(tf, dl, scalars, k1, b, topn)
+    score = term_score(0)
+    for i in range(1, len(terms)):
+        score = score + term_score(i)
+    return (
+        matched.crossJoin(F.broadcast(stats))
+        .select("id", F.round(score, 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(topn)
+    )
 
 
 def _score_bm25(

@@ -38,6 +38,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
+from hash_db_spark.localframe import local_frame
+
 RETR_DIMS = 64  # hashed-embedding buckets
 
 
@@ -778,8 +780,8 @@ def prf_rocchio_retrieve(
     if sum(v * v for v in qv.values()) == 0:
         raise ValueError("query hashes to the zero vector")
     spark = df.sparkSession
-    qlit = spark.createDataFrame(
-        [(d, int(qv.get(d, 0))) for d in range(dims)], "dim int, qd long"
+    qlit = local_frame(
+        spark, [(d, int(qv.get(d, 0))) for d in range(dims)], "dim int, qd long"
     )
     cv = hashed_chunk_vectors(df, col, id_col, size, overlap, dims)
     cv = cv.withColumn("dim", F.col("dim").cast("int")).localCheckpoint(

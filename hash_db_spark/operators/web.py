@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
+from hash_db_spark.localframe import local_frame
+
 # Public-suffix snippet (offline stand-in for the full Mozilla PSL —
 # the operator is data-driven, so swapping in the real list is a data
 # change, not a code change). Longest-match-wins, like the PSL.
@@ -189,8 +191,8 @@ def suffix_table(spark, suffixes: tuple[str, ...] | None = None) -> DataFrame:
             "key", "n_labels", "kind"
         )
     rows = [parse_suffix_rule(s) for s in suffixes]
-    return spark.createDataFrame(
-        rows, "key string, n_labels int, kind int"
+    return local_frame(
+        spark, rows, "key string, n_labels int, kind int"
     )
 
 

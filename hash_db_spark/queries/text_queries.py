@@ -362,12 +362,21 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: pure map-side explode (pairs per doc = tokens - 1)
     into one partial-aggregated groupBy; the top-k is
-    TakeOrderedAndProject, not a global sort."""
-    from hash_db_spark.operators.dedup import adjacent_token_pairs
+    TakeOrderedAndProject, not a global sort. The token array is staged
+    as a named column (optimization r12): the pair expression references
+    its input five times inside a when() branch, which escapes codegen
+    CSE, so an inlined clean_tokens re-tokenized per reference."""
+    from hash_db_spark.operators.dedup import (
+        adjacent_pairs_from_tokens,
+        clean_tokens,
+    )
 
     return (
         _docs(spark, sf_dir)
-        .select(F.explode(adjacent_token_pairs("text")).alias("pair"))
+        .select(clean_tokens("text").alias("__t"))
+        .select(
+            F.explode(adjacent_pairs_from_tokens(F.col("__t"))).alias("pair")
+        )
         .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("pair").asc())

@@ -13,6 +13,8 @@ from hash_db_spark.catalog import load_table
 from hash_db_spark.operators import web as W
 from hash_db_spark.queries import Query
 
+from hash_db_spark.localframe import local_frame
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
@@ -634,8 +636,8 @@ def q_ppr_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
-    seeds = spark.createDataFrame(
-        [(i,) for i in PPR_SEED_DOC_IDS], "doc_id long"
+    seeds = local_frame(
+        spark, [(i,) for i in PPR_SEED_DOC_IDS], "doc_id long"
     ).select(
         W.url_host(W.canonicalize_url(W.synth_url("doc_id"))).alias("id")
     )

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
+from hash_db_spark.localframe import local_frame
+
 
 def _fs_exists(spark: SparkSession, path: str) -> bool:
     """Scheme-aware existence probe via the Hadoop FileSystem API —
@@ -168,8 +170,8 @@ def write_minhash_index(
         .write.mode(mode)
         .parquet(f"{path}/shingles")
     )
-    spark.createDataFrame(
-        [(int(key_buckets),)], "key_buckets int"
+    local_frame(
+        spark, [(int(key_buckets),)], "key_buckets int"
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -282,8 +284,8 @@ def write_fts_index(
     # silently returns empty/partial postings — persist it with the
     # index so readers can't diverge.
     spark = docs.sparkSession
-    spark.createDataFrame(
-        [(int(token_buckets),)], "token_buckets int"
+    local_frame(
+        spark, [(int(token_buckets),)], "token_buckets int"
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -469,8 +471,8 @@ def write_dhash_index(
         .mode(mode)
         .parquet(f"{path}/bands")
     )
-    spark.createDataFrame(
-        [(int(byte_buckets),)], "byte_buckets int"
+    local_frame(
+        spark, [(int(byte_buckets),)], "byte_buckets int"
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -571,15 +573,16 @@ def write_pq_index(
         for j, cvec in entries
         for pos in range(len(cvec))
     ]
-    spark.createDataFrame(
-        book_rows, "s int, code int, pos int, cq long"
+    local_frame(
+        spark, book_rows, "s int, code int, pos int, cq long"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/book")
-    spark.createDataFrame(
+    local_frame(
+        spark,
         [(i + 1, row.tolist()) for i, row in enumerate(cmat)],
         "cid int, cv array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    spark.createDataFrame(
-        [(m, ks, cells)], "m int, ks int, cells int"
+    local_frame(
+        spark, [(m, ks, cells)], "m int, ks int, cells int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -664,7 +667,7 @@ def publish_version(df: DataFrame, path: str) -> int:
         cur = 0
     nxt = cur + 1
     df.write.mode("overwrite").parquet(f"{path}/v={nxt}")
-    spark.createDataFrame([(nxt,)], "v int").coalesce(1).write.mode(
+    local_frame(spark, [(nxt,)], "v int").coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{path}/_latest")
     return nxt
@@ -695,7 +698,7 @@ def publish_index(spark: SparkSession, path: str, stage_fn) -> int:
         cur = 0
     nxt = cur + 1
     stage_fn(f"{path}/v={nxt}")
-    spark.createDataFrame([(nxt,)], "v int").coalesce(1).write.mode(
+    local_frame(spark, [(nxt,)], "v int").coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{path}/_latest")
     return nxt
@@ -756,8 +759,10 @@ def vacuum_plan(
             status = "expired"
         action = "keep" if status in ("live", "retained") else "delete"
         rows.append((version, n_files, status, action))
-    return spark.createDataFrame(
-        sorted(rows), "version int, n_files int, status string, action string"
+    return local_frame(
+        spark,
+        sorted(rows),
+        "version int, n_files int, status string, action string",
     )
 
 

@@ -34,6 +34,6 @@ for name in bench.HEADLINE:
     out.append((name, wes, wfuncs, exch, py, scans))
 print(f"{'query':32s} wexpr wfn exch py scans")
 for name, wes, wf, e, p, sc in sorted(out, key=lambda r: -(r[1]-r[2])):
-    if wes>0 or e>=5 or p>=6:
+    if wes>wf or e>=5 or p>=6:
         print(f"{name:32s} {wes:4d} {wf:3d} {e:3d} {p:3d} {sc:3d}")
 spark.stop()

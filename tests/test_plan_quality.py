@@ -5,6 +5,8 @@ bugs even when results stay correct."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 import pyspark.sql.functions as F
 
@@ -659,7 +661,7 @@ def test_codec_stats_single_id_exchange(spark, sf_dir):
         assert plan.count("+- Exchange") == 1, fn
         # hash on the id (deterministic, no round-robin sort pass); the
         # id is the scan's ONLY column, so payload bytes cannot cross
-        assert "hashpartitioning(doc_id" in plan, fn
+        assert re.search(r"hashpartitioning\(doc_id#\d+", plan), fn
 
 
 def test_bucketed_join_serve_no_exchange(spark, sf_dir):
