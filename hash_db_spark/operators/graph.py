@@ -220,11 +220,62 @@ FROM reach WHERE hops > 0 AND id != '{start_id}' GROUP BY id
 """
 
 
+# Driver fast-path bound for the fixed-iteration graph loops (pagerank,
+# personalized_pagerank, hits, lpa_communities): below this many nodes
+# AND edges the graph is collected and iterated in plain Python — the
+# connected_components driver_threshold precedent. Each distributed
+# round costs 1-3 whole jobs of scheduler/codegen overhead, which
+# dominates end-to-end latency for host graphs (hundreds to thousands
+# of nodes) while the Python loop runs in microseconds. 100k rows of
+# (string, string) is a few MB on the driver — far under any collect
+# budget; bigger graphs take the distributed loop unchanged.
+GRAPH_DRIVER_MAX_ROWS = 100_000
+
+
+def _small_graph(
+    nodes: DataFrame | None, edges_df: DataFrame, cap: int
+) -> tuple[list, list] | None:
+    """(ids, edge_pairs) collected when the relations fit under ``cap``
+    rows, else None (limit(cap+1) guard — the house bounded-collect
+    discipline; never an unbounded collect). ``nodes=None`` means the
+    node set IS the union of edge endpoints (the host-graph consumers'
+    shape): ids derive from the one collected edge list, so the
+    corpus-side link extraction runs exactly once."""
+    if cap <= 0:
+        return None
+    e_rows = edges_df.limit(cap + 1).collect()
+    if len(e_rows) > cap:
+        return None
+    epairs = [(r[0], r[1]) for r in e_rows]
+    if nodes is None:
+        ids = list(
+            dict.fromkeys(
+                [s for s, _ in epairs] + [d for _, d in epairs]
+            )
+        )
+        return ids, epairs
+    id_rows = nodes.select("id").limit(cap + 1).collect()
+    if len(id_rows) > cap:
+        return None
+    return [r[0] for r in id_rows], epairs
+
+
+def _derived_nodes(edges_ck: DataFrame) -> DataFrame:
+    """nodes = distinct union of edge endpoints, from an already-
+    materialized edge relation (the distributed twin of nodes=None)."""
+    return (
+        edges_ck.select(F.col("src").alias("id"))
+        .union(edges_ck.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
 def pagerank(
-    nodes: DataFrame,
+    nodes: DataFrame | None,
     edges: DataFrame,
     iterations: int = 5,
     damping: float = 0.85,
+    driver_cap: int = GRAPH_DRIVER_MAX_ROWS,
 ) -> DataFrame:
     """PageRank (simplified power iteration, no dangling redistribution —
     the form both engines can replay exactly): pr_{t+1}(v) = (1-d)/N +
@@ -237,7 +288,45 @@ def pagerank(
     so cross-engine float noise (~1e-14 after a few iterations) stays far
     under the rounding grid. Fixed iteration count (not convergence
     detection) keeps the oracle an unrolled CTE chain.
+
+    Hybrid execution (optimization r12, connected_components
+    precedent): under ``driver_cap`` nodes+edges the graph collects and
+    the power iteration runs in Python — identical arithmetic per term
+    (same double divisions/multiplications; only the summation order of
+    inflow differs, which is nondeterministic in the distributed
+    aggregation too and sits ~1e-14 under the 6dp grid) — and the
+    result re-enters Spark UNROUNDED so the final F.round is the same
+    engine rounding as the distributed path. Set driver_cap=0 to force
+    the distributed loop (tests pin both paths).
     """
+    small = _small_graph(nodes, edges.select("src", "dst"), driver_cap)
+    if small is not None:
+        ids, e = small
+        n = len(ids)
+        rank = {i: 1.0 / n for i in ids}
+        outdeg: dict = {}
+        for s, _d in e:
+            outdeg[s] = outdeg.get(s, 0) + 1
+        base = (1.0 - damping) / n
+        for _ in range(iterations):
+            inflow: dict = {}
+            for s, d in e:
+                r = rank.get(s)
+                if r is not None:
+                    inflow[d] = inflow.get(d, 0.0) + r / outdeg[s]
+            rank = {
+                i: base + damping * inflow.get(i, 0.0) for i in ids
+            }
+        id_type = dict(edges.dtypes)["src"]
+        out = local_frame(
+            edges.sparkSession,
+            [(i, rank[i]) for i in ids],
+            f"id {id_type}, rank double",
+        )
+        return out.select("id", F.round("rank", 6).alias("rank"))
+    if nodes is None:
+        edges = edges.select("src", "dst").localCheckpoint(eager=True)
+        nodes = _derived_nodes(edges)
     n = nodes.count()
     outdeg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("deg")
@@ -429,7 +518,12 @@ JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
 # --- HITS hubs & authorities -------------------------------------------------
 
 
-def hits(nodes: DataFrame, edges: DataFrame, iterations: int = 2) -> DataFrame:
+def hits(
+    nodes: DataFrame | None,
+    edges: DataFrame,
+    iterations: int = 2,
+    driver_cap: int = GRAPH_DRIVER_MAX_ROWS,
+) -> DataFrame:
     """HITS (Kleinberg, "Authoritative Sources in a Hyperlinked
     Environment", JACM 1999) in its UNNORMALIZED integer form:
 
@@ -455,8 +549,39 @@ def hits(nodes: DataFrame, edges: DataFrame, iterations: int = 2) -> DataFrame:
     (/root/reference/cypher.py); link-analysis scoring is an extension
     the crawl-curation pipeline needs (authority-weighted caps already
     consume pagerank; HITS adds the hub side, which pagerank conflates).
+
+    Hybrid execution (optimization r12): under ``driver_cap`` the loop
+    runs in Python over the collected graph — EXACT, order-free int64
+    sums, so the driver path is bit-identical to the distributed one by
+    construction. driver_cap=0 forces the distributed loop.
     """
+    small = _small_graph(nodes, edges.select("src", "dst"), driver_cap)
+    if small is not None:
+        ids_l, epairs = small
+        hub = {i: 1 for i in ids_l}
+        auth = {i: 0 for i in ids_l}
+        for _ in range(iterations):
+            a: dict = {}
+            for s, d in epairs:
+                h = hub.get(s)
+                if h is not None:
+                    a[d] = a.get(d, 0) + h
+            auth = {i: a.get(i, 0) for i in ids_l}
+            hh: dict = {}
+            for s, d in epairs:
+                av = auth.get(d)
+                if av is not None:
+                    hh[s] = hh.get(s, 0) + av
+            hub = {i: hh.get(i, 0) for i in ids_l}
+        id_type = dict(edges.dtypes)["src"]
+        return local_frame(
+            edges.sparkSession,
+            [(i, hub[i], auth[i]) for i in ids_l],
+            f"id {id_type}, hub long, auth long",
+        )
     e = edges.select("src", "dst").localCheckpoint(eager=True)
+    if nodes is None:
+        nodes = _derived_nodes(e)
     ids = nodes.select("id").localCheckpoint(eager=True)
     hubs = ids.select("id", F.lit(1).cast("long").alias("hub"))
     auths = ids.select("id", F.lit(0).cast("long").alias("auth"))
@@ -529,7 +654,10 @@ def sql_hits(iterations: int = 2) -> str:
 
 
 def lpa_communities(
-    nodes: DataFrame, edges: DataFrame, iterations: int = 3
+    nodes: DataFrame | None,
+    edges: DataFrame,
+    iterations: int = 3,
+    driver_cap: int = GRAPH_DRIVER_MAX_ROWS,
 ) -> DataFrame:
     """Synchronous label propagation (Raghavan et al., Phys. Rev. E
     2007 — public) in a fully deterministic form: every node
@@ -547,9 +675,48 @@ def lpa_communities(
     materialized once; each iteration is one equijoin + one
     map-side-combined (node, label) count + one per-node window whose
     partitions are bounded by degree, localCheckpointed so the plan
-    never deepens."""
+    never deepens.
+
+    Hybrid execution (optimization r12): under ``driver_cap`` the loop
+    runs in Python — integer labels, integer counts, min-label ties:
+    fully deterministic, so the driver path is exact by construction.
+    driver_cap=0 forces the distributed loop."""
     from pyspark.sql import Window
 
+    small = _small_graph(nodes, edges.select("src", "dst"), driver_cap)
+    if small is not None:
+        ids_l, epairs = small
+        # the distributed form doubles the edge list (union ALL — edge
+        # multiplicity counts) before joining neighbor labels
+        e2 = epairs + [(d, s) for s, d in epairs]
+        labels = {i: i for i in ids_l}
+        for _ in range(iterations):
+            cnt: dict = {}
+            for s, d in e2:
+                lbl = labels.get(d)
+                if lbl is not None:
+                    c = cnt.setdefault(s, {})
+                    c[lbl] = c.get(lbl, 0) + 1
+            labels = {
+                i: (
+                    min(
+                        cnt[i].items(), key=lambda kv: (-kv[1], kv[0])
+                    )[0]
+                    if i in cnt
+                    else labels[i]
+                )
+                for i in ids_l
+            }
+        id_type = dict(edges.dtypes)["src"]
+        return local_frame(
+            edges.sparkSession,
+            [(i, labels[i]) for i in ids_l],
+            f"id {id_type}, community {id_type}",
+        )
+
+    if nodes is None:
+        edges = edges.select("src", "dst").localCheckpoint(eager=True)
+        nodes = _derived_nodes(edges)
     e2 = (
         edges.select("src", "dst")
         .union(
@@ -627,11 +794,12 @@ def sql_lpa_communities(iterations: int = 3) -> str:
 
 
 def personalized_pagerank(
-    nodes: DataFrame,
+    nodes: DataFrame | None,
     edges: DataFrame,
     seeds: DataFrame,
     iterations: int = 5,
     damping: float = 0.85,
+    driver_cap: int = GRAPH_DRIVER_MAX_ROWS,
 ) -> DataFrame:
     """Topic-sensitive / personalized PageRank (Haveliwala, WWW 2002):
     the uniform teleport of ``pagerank`` is replaced by the seed
@@ -649,6 +817,39 @@ def personalized_pagerank(
     ]  # tiny: the personalization support
     if not seed_ids:
         raise ValueError("personalized_pagerank needs a non-empty seed set")
+    # Hybrid execution (optimization r12): same driver fast-path and
+    # float-noise argument as pagerank; the personalization vector is
+    # already driver-held. driver_cap=0 forces the distributed loop.
+    small = _small_graph(nodes, edges.select("src", "dst"), driver_cap)
+    if small is not None:
+        ids_l, epairs = small
+        sset = set(seed_ids)
+        ev = {i: (1.0 / len(seed_ids) if i in sset else 0.0) for i in ids_l}
+        rank = dict(ev)
+        outdeg: dict = {}
+        for s, _d in epairs:
+            outdeg[s] = outdeg.get(s, 0) + 1
+        for _ in range(iterations):
+            inflow: dict = {}
+            for s, d in epairs:
+                r = rank.get(s)
+                if r is not None:
+                    inflow[d] = inflow.get(d, 0.0) + r / outdeg[s]
+            rank = {
+                i: (1.0 - damping) * ev[i]
+                + damping * inflow.get(i, 0.0)
+                for i in ids_l
+            }
+        id_type = dict(edges.dtypes)["src"]
+        out = local_frame(
+            edges.sparkSession,
+            [(i, rank[i]) for i in ids_l],
+            f"id {id_type}, rank double",
+        )
+        return out.select("id", F.round("rank", 6).alias("rank"))
+    if nodes is None:
+        edges = edges.select("src", "dst").localCheckpoint(eager=True)
+        nodes = _derived_nodes(edges)
     e = F.when(
         F.col("id").isin(seed_ids), F.lit(1.0 / len(seed_ids))
     ).otherwise(F.lit(0.0))

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from hash_db_spark.catalog import load_table
+from hash_db_spark.operators import codecs as C
 from hash_db_spark.operators import multimodal as M
 from hash_db_spark.queries import Query
 
@@ -118,9 +119,9 @@ def q_dedup_image_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hash_db_spark.operators import dedup as D
 
     docs = load_table(spark, sf_dir, "documents")
-    hashed = C.image_dhash_decoded(
-        C.synth_png_media(docs, "doc_id")
-    ).localCheckpoint(eager=True)
+    hashed = C.compact_hashes(
+        C.image_dhash_decoded(C.synth_png_media(docs, "doc_id"))
+    )
     return D.hamming_band_pairs(hashed, "dhash", max_hamming=3)
 
 
@@ -208,9 +209,7 @@ def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint the Arrow PPM decode runs once PER consumer. The
     # checkpointed frame is the skinny (id, dhash) set, tiny next to
     # the rasters. Same trap/fix as the crawl_prep WARC decode.
-    hashed = M.image_dhash(M.synth_ppm_media(docs, "doc_id")).localCheckpoint(
-        eager=True
-    )
+    hashed = C.compact_hashes(M.image_dhash(M.synth_ppm_media(docs, "doc_id")))
     return D.hamming_band_pairs(hashed, "dhash", max_hamming=3)
 
 
@@ -222,9 +221,7 @@ def q_dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 9 == 0
     )
     # checkpoint: one Y4M decode, not one per containment-join branch
-    frames = M.frame_dhash(
-        M.synth_y4m_media(docs, "doc_id")
-    ).localCheckpoint(eager=True)
+    frames = C.compact_hashes(M.frame_dhash(M.synth_y4m_media(docs, "doc_id")))
     return M.video_dup_pairs(frames)
 
 
@@ -237,9 +234,9 @@ def q_dedup_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     # checkpoint: one PCM decode, not one per band-join branch
-    hashed = M.audio_energy_dhash(
-        M.synth_wav_media(docs, "doc_id")
-    ).localCheckpoint(eager=True)
+    hashed = C.compact_hashes(
+        M.audio_energy_dhash(M.synth_wav_media(docs, "doc_id"))
+    )
     return D.hamming_band_pairs(hashed, "dhash", max_hamming=3)
 
 
@@ -255,9 +252,7 @@ def q_dedup_image_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # checkpoint: batch + corpus + band/exact-rescue branches would
     # each re-run the PPM decode otherwise
-    hashed = M.image_dhash(M.synth_ppm_media(docs, "doc_id")).localCheckpoint(
-        eager=True
-    )
+    hashed = C.compact_hashes(M.image_dhash(M.synth_ppm_media(docs, "doc_id")))
     batch = hashed.filter(F.col("id") % 10 == 0)
     corpus = hashed.filter(F.col("id") % 10 != 0)
     return D.hamming_pairs_against(batch, corpus, "dhash", max_hamming=3)
@@ -283,9 +278,9 @@ def q_dedup_audio_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     # checkpoint: one PCM decode across batch/corpus/rescue branches
-    hashed = M.audio_energy_dhash(
-        M.synth_wav_media(docs, "doc_id")
-    ).localCheckpoint(eager=True)
+    hashed = C.compact_hashes(
+        M.audio_energy_dhash(M.synth_wav_media(docs, "doc_id"))
+    )
     batch = hashed.filter(F.col("id") % 10 == 0)
     corpus = hashed.filter(F.col("id") % 10 != 0)
     return D.hamming_pairs_against(batch, corpus, "dhash", max_hamming=3)
@@ -312,9 +307,7 @@ def q_media_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     # checkpoint: one PPM decode under the band join + union-find loop
-    hashed = M.image_dhash(M.synth_ppm_media(docs, "doc_id")).localCheckpoint(
-        eager=True
-    )
+    hashed = C.compact_hashes(M.image_dhash(M.synth_ppm_media(docs, "doc_id")))
     pairs = D.hamming_band_pairs(hashed, "dhash", max_hamming=3)
     return D.connected_components(pairs)
 
@@ -341,12 +334,8 @@ def q_dedup_image_in_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     vids = docs.filter(F.col("doc_id") % 9 == 0)
     # checkpoints: the containment join + hot-split fans BOTH sides
     # into many branches (24 decode replays without them)
-    images = M.image_dhash(
-        M.synth_ppm_media(docs, "doc_id")
-    ).localCheckpoint(eager=True)
-    frames = M.frame_dhash(
-        M.synth_y4m_media(vids, "doc_id")
-    ).localCheckpoint(eager=True)
+    images = C.compact_hashes(M.image_dhash(M.synth_ppm_media(docs, "doc_id")))
+    frames = C.compact_hashes(M.frame_dhash(M.synth_y4m_media(vids, "doc_id")))
     return M.image_in_video(images, frames)
 
 

@@ -304,12 +304,10 @@ def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = links.select(
         "src", W.url_host(W.canonicalize_url("href")).alias("dst")
     ).distinct()
-    nodes = (
-        edges.select(F.col("src").alias("id"))
-        .union(edges.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    return pagerank(nodes, edges, iterations=3)
+    # nodes = union of edge endpoints: pass None so the operator
+    # derives them from ONE materialized edge relation (r12 — the
+    # two-collect form re-ran the href extraction per relation)
+    return pagerank(None, edges, iterations=3)
 
 
 def _pagerank_hosts_oracle() -> str:
@@ -536,12 +534,8 @@ def q_hits_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = links.select(
         "src", W.url_host(W.canonicalize_url("href")).alias("dst")
     ).distinct()
-    nodes = (
-        edges.select(F.col("src").alias("id"))
-        .union(edges.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    return hits(nodes, edges, iterations=2)
+    # nodes derived from the one materialized edge relation (r12)
+    return hits(None, edges, iterations=2)
 
 
 def _hits_hosts_oracle() -> str:
@@ -581,12 +575,8 @@ def q_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = links.select(
         "src", W.url_host(W.canonicalize_url("href")).alias("dst")
     ).distinct()
-    nodes = (
-        edges.select(F.col("src").alias("id"))
-        .union(edges.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    return lpa_communities(nodes, edges, iterations=3)
+    # nodes derived from the one materialized edge relation (r12)
+    return lpa_communities(None, edges, iterations=3)
 
 
 def _host_communities_oracle() -> str:
@@ -631,17 +621,13 @@ def q_ppr_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = links.select(
         "src", W.url_host(W.canonicalize_url("href")).alias("dst")
     ).distinct()
-    nodes = (
-        edges.select(F.col("src").alias("id"))
-        .union(edges.select(F.col("dst").alias("id")))
-        .distinct()
-    )
+    # nodes derived from the one materialized edge relation (r12)
     seeds = local_frame(
         spark, [(i,) for i in PPR_SEED_DOC_IDS], "doc_id long"
     ).select(
         W.url_host(W.canonicalize_url(W.synth_url("doc_id"))).alias("id")
     )
-    return personalized_pagerank(nodes, edges, seeds, iterations=3)
+    return personalized_pagerank(None, edges, seeds, iterations=3)
 
 
 def _ppr_hosts_oracle() -> str:
