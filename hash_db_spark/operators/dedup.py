@@ -1915,12 +1915,15 @@ def connected_components(
     fwd = pairs.select(
         F.col(id_a).alias("a"), F.col(id_b).alias("b")
     ).localCheckpoint(eager=True)
-    edges = (
-        fwd.unionByName(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    if edges.count() <= driver_threshold:
+    # Driver-path probe straight off the checkpoint (optimization r12):
+    # the previous shape paid a mirrored-distinct second checkpoint, a
+    # count job, AND a collect before union-find — three whole jobs over
+    # an already-tiny relation. A limit-guarded collect of the forward
+    # pairs decides and feeds the union-find in ONE job; mirroring and
+    # distinct are irrelevant to union-find (same components either
+    # way), so only the distributed path pays for the doubled relation.
+    rows = fwd.limit(driver_threshold + 1).collect() if driver_threshold else []
+    if driver_threshold and len(rows) <= driver_threshold:
         parent: dict = {}
 
         def find(x):
@@ -1929,7 +1932,6 @@ def connected_components(
                 x = parent[x]
             return x
 
-        rows = edges.collect()
         for r in rows:
             parent.setdefault(r.a, r.a)
             parent.setdefault(r.b, r.b)
@@ -1950,6 +1952,11 @@ def connected_components(
             pd.DataFrame(out, columns=["id", "cluster"]),
             schema=f"id {id_type}, cluster {id_type}",
         )
+    edges = (
+        fwd.unionByName(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         edges.select("a")
         .distinct()

@@ -32,9 +32,23 @@ from pyspark.sql import DataFrame, SparkSession
 TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
 
+def _spread_for_write(df: DataFrame) -> DataFrame:
+    """Round-robin repartition before a row-format write when the source
+    has fewer splits than text serialization wants (optimization r12,
+    guide §6): the roundtrip queries read a single-split parquet fixture,
+    so the whole CSV/JSONL/XML serialization would otherwise run on ONE
+    task. Content is partition-invariant (the roundtrip oracle compares
+    full read-back, row order canonicalized); a TB-scale input already
+    has thousands of splits and this is a no-op there. Reuses the
+    stats-derived CPU spread (64 KiB/task, clamp [1, parallelism])."""
+    from hash_db_spark.operators.dedup import spread_for_cpu
+
+    return spread_for_cpu(df)
+
+
 def write_csv(df: DataFrame, path: str) -> None:
     (
-        df.write.option("header", True)
+        _spread_for_write(df).write.option("header", True)
         .option("timestampFormat", TS_FMT)
         .mode("overwrite")
         .csv(path)
@@ -56,7 +70,9 @@ def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
 
 
 def write_jsonl(df: DataFrame, path: str) -> None:
-    df.write.option("timestampFormat", TS_FMT).mode("overwrite").json(path)
+    _spread_for_write(df).write.option("timestampFormat", TS_FMT).mode(
+        "overwrite"
+    ).json(path)
 
 
 def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
@@ -66,7 +82,7 @@ def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
 
 
 def write_orc(df: DataFrame, path: str) -> None:
-    df.write.mode("overwrite").orc(path)
+    _spread_for_write(df).write.mode("overwrite").orc(path)
 
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
@@ -78,7 +94,7 @@ def write_xml(df: DataFrame, path: str, row_tag: str = "row") -> None:
     upstream, SPARK-44265). ISO timestamps so the round-trip schema
     read is exact."""
     (
-        df.write.format("xml")
+        _spread_for_write(df).write.format("xml")
         .option("rowTag", row_tag)
         .option("timestampFormat", TS_FMT)
         .mode("overwrite")

@@ -32,6 +32,7 @@ def read_events_stream(
     NANOS arrives as long under nanosAsLong — converted exactly like
     catalog.load_table)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _stash_state_partitions(spark, f"{sf_dir}/events.parquet")
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     # The file stream source monitors a *directory*; narrow it to the one
     # fixture file with pathGlobFilter.
@@ -190,6 +191,41 @@ def stream_interval_join(
     )
 
 
+# State-store partition sizing for the one-shot streams (optimization
+# r12, guide §2 scale-adaptive partitioning): a NEW streaming query
+# bakes spark.sql.shuffle.partitions into its checkpoint as the state
+# partition count, and every micro-batch then opens/commits that many
+# state stores. At the session default (CPU count) over a KB-scale
+# fixture that is pure overhead — interleaved A/B at sf0.1: the line
+# dedup stream ran 10.4/17.7s at 32 state partitions vs 5.1/4.7s at 2.
+# The readers stash a SOURCE-SIZE-derived count under a custom conf key
+# (~64 MiB of source per state partition, clamped to the configured
+# shuffle partitions so TB-scale sources keep full state parallelism);
+# run_stream_to_memory applies it only for the duration of the run.
+STREAM_STATE_TARGET_BYTES = 64 * 1024 * 1024
+_STATE_PARTITIONS_KEY = "hash_db_spark.stream.statePartitions"
+
+
+def _stash_state_partitions(spark: SparkSession, *paths: str) -> None:
+    """Derive and stash the state-partition count for the next
+    run_stream_to_memory on this session. Local-path sizes only (the
+    fixtures); any failure leaves the session default in force."""
+    import os
+
+    total = 0
+    for p in paths:
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return
+    try:
+        want = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return
+    n = max(1, min(want, -(-total // STREAM_STATE_TARGET_BYTES)))
+    spark.conf.set(_STATE_PARTITIONS_KEY, str(n))
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, output_mode: str = "complete"
 ) -> DataFrame:
@@ -203,17 +239,29 @@ def run_stream_to_memory(
     maxFilesPerTrigger on the source — the shape every registry entry
     uses). A multi-batch update-mode caller must reduce to the last row
     per key itself."""
+    spark = stream_df.sparkSession
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    with tempfile.TemporaryDirectory() as ckpt:
-        q = (
-            stream_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    stash = spark.conf.get(_STATE_PARTITIONS_KEY, None)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if stash is not None:
+        # one-shot: consume the stash so a later stream without a
+        # reader-derived size falls back to the session default
+        spark.conf.unset(_STATE_PARTITIONS_KEY)
+        if int(stash) < int(prev):
+            spark.conf.set("spark.sql.shuffle.partitions", stash)
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                stream_df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return stream_df.sparkSession.table(name)
 
 
@@ -526,6 +574,7 @@ def streaming_media_ingest_dedup(
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet as a file-source stream (schema from a static
     read; pathGlobFilter narrows the monitored dir to the one file)."""
+    _stash_state_partitions(spark, f"{sf_dir}/documents.parquet")
     static = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (
         spark.readStream.schema(static.schema)
@@ -537,6 +586,7 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings.parquet as a file-source stream (schema from a static
     read; pathGlobFilter narrows the monitored dir to the one file)."""
+    _stash_state_partitions(spark, f"{sf_dir}/embeddings.parquet")
     static = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return (
         spark.readStream.schema(static.schema)
