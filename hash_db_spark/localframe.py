@@ -42,6 +42,12 @@ def local_frame(
         # an empty list has no Python rows to scan; the empty LogicalRDD
         # materializes without a Python worker pass
         return spark.createDataFrame([], schema)
+    if isinstance(rows[0], dict):
+        # dict rows map by KEY in createDataFrame but from_records would
+        # order columns by first-seen key — a silent positional mismatch
+        # against the schema. Take the plain path (pyspark Row is a tuple
+        # subclass, so it stays on the fast path).
+        return spark.createDataFrame(rows, schema)
     try:
         pdf = pd.DataFrame.from_records(rows)
         return spark.createDataFrame(pdf, schema)

@@ -75,6 +75,11 @@ def bm25_rank(
         F.size("__t").alias("dl"),
         *[_count_of(t).alias(f"__tf{i}") for i, t in enumerate(terms)],
     )
+    # per feeds BOTH the stats aggregate and the scoring scan; without
+    # pinning, each consumer re-tokenizes the corpus. One narrow
+    # numeric row per doc — the signature-artifact precedent
+    # (dedup.simhash materialize=True). Measured 1.26 -> 0.83s at sf0.1.
+    per = per.localCheckpoint(eager=True)
     stats = per.agg(
         F.count(F.lit(1)).alias("__n"),
         F.avg("dl").alias("__avgdl"),

@@ -466,9 +466,18 @@ def mmr_rerank(
         .limit(pool_n)
         .localCheckpoint(eager=True)
     )
-    pv = cv.join(
+    # Pairwise dots need vectors ONLY for the <= pool_n pooled chunks —
+    # re-deriving them from the FULL corpus and joining down afterwards
+    # re-ran the per-token hashing pass over every document (guide §8:
+    # decide on the small relation, recompute the heavy one only for
+    # survivors; optimization r12). The semi-join prunes the corpus to
+    # pool docs BEFORE the second hashing pass; chunking is per-doc, so
+    # the restricted pass produces identical (id, chunk_idx, dim, val).
+    pool_ids = pool.select("id").distinct().withColumnRenamed("id", id_col)
+    sub = df.join(F.broadcast(pool_ids), id_col, "left_semi")
+    pv = hashed_chunk_vectors(sub, col, id_col, size, overlap, dims).join(
         pool.select("id", "chunk_idx"), ["id", "chunk_idx"]
-    ).localCheckpoint(eager=True)
+    )
     a = pv.select(
         F.col("id").alias("a_id"),
         F.col("chunk_idx").alias("a_ch"),
@@ -489,58 +498,47 @@ def mmr_rerank(
         )
         .groupBy("a_id", "a_ch", "b_id", "b_ch")
         .agg(F.sum(F.col("a_val") * F.col("b_val")).cast("long").alias("dot"))
-        .localCheckpoint(eager=True)
     )
-    sel = None
-    rem = pool
+    # Greedy selection on the DRIVER (optimization r12): the pool is
+    # bounded at pool_n rows and pairs at pool_n^2 BY CONSTRUCTION at
+    # any corpus scale, and every quantity is an exact int64 (rel, dot,
+    # integer 7/3 weights), so the Python loop is bit-identical to the
+    # previous k unrolled limit-1 plans — which cost k eager checkpoint
+    # jobs plus two more for pool vectors and pairs.
+    pool_rows = pool.collect()
+    pair_rows = pairs.collect()
+    dots: dict = {}
+    for r in pair_rows:
+        dots[((r.a_id, r.a_ch), (r.b_id, r.b_ch))] = r.dot
+    rem = {(r.id, r.chunk_idx): r.rel for r in pool_rows}
+    sel: list = []
+    out: list = []
     for i in range(1, k + 1):
-        if sel is None:
-            scored = rem.select(
-                "id",
-                "chunk_idx",
-                "rel",
-                (F.lit(MMR_W_REL) * F.col("rel")).alias("score"),
-            )
-        else:
-            pen = (
-                pairs.join(
-                    sel.select(
-                        F.col("id").alias("b_id"),
-                        F.col("chunk_idx").alias("b_ch"),
-                    ),
-                    ["b_id", "b_ch"],
-                )
-                .groupBy(
-                    F.col("a_id").alias("id"),
-                    F.col("a_ch").alias("chunk_idx"),
-                )
-                .agg(F.max("dot").alias("pen"))
-            )
-            scored = rem.join(pen, ["id", "chunk_idx"], "left").select(
-                "id",
-                "chunk_idx",
-                "rel",
-                (
-                    F.lit(MMR_W_REL) * F.col("rel")
-                    - F.lit(MMR_W_DIV) * F.coalesce("pen", F.lit(0))
-                ).alias("score"),
-            )
-        pick = (
-            scored.orderBy(F.col("score").desc(), "id", "chunk_idx")
-            .limit(1)
-            .select(
-                "id",
-                "chunk_idx",
-                "rel",
-                F.lit(i).cast("int").alias("sel_rank"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        sel = pick if sel is None else sel.union(pick)
-        rem = rem.join(
-            pick.select("id", "chunk_idx"), ["id", "chunk_idx"], "left_anti"
-        )
-    return sel.select("sel_rank", "id", "chunk_idx", "rel")
+        if not rem:
+            break
+        best_key = None
+        best_score = None
+        for key in sorted(rem):  # tie-break: (id, chunk_idx) ascending
+            rel_v = rem[key]
+            if sel:
+                pens = [
+                    dots[(key, s)] for s in sel if (key, s) in dots
+                ]
+                pen = max(pens) if pens else 0
+                score = MMR_W_REL * rel_v - MMR_W_DIV * pen
+            else:
+                score = MMR_W_REL * rel_v
+            if best_score is None or score > best_score:
+                best_score, best_key = score, key
+        sel.append(best_key)
+        out.append((i, best_key[0], best_key[1], rem.pop(best_key)))
+    dt = dict(pool.dtypes)
+    return local_frame(
+        df.sparkSession,
+        out,
+        f"sel_rank int, id {dt['id']}, chunk_idx {dt['chunk_idx']}, "
+        f"rel {dt['rel']}",
+    )
 
 
 def sql_mmr_rerank(

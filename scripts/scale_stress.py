@@ -337,6 +337,23 @@ def main() -> int:
                 f"{entry}/{scale}",
                 lambda e=entry: reg[e].fn(spark, sf_dir),
             )
+        # round-12 (VERDICT r11 #8): the r11-registered heavies, timed
+        # BUILD-INCLUSIVE — their builders run eager work (bm25's
+        # per-doc frame checkpoint, ewma's window input, KN's count
+        # tables), and the round-12 bench convention times exactly that.
+        for entry in (
+            "lm_kneser_ney",
+            "retrieve_hybrid_rrf",
+            "ewma_alerts",
+        ):
+            if wanted is None or entry in wanted:
+                t0 = time.perf_counter()
+                reg[entry].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.perf_counter() - t0
+                print(f"{entry + '/' + scale:28s} {dt:7.2f}s (build+exec)",
+                      flush=True)
         # round-9 session 3: r10-queued operators (driven through their
         # query fns — identical plans to the future registry entries)
         from hash_db_spark.queries.similarity_queries import (
