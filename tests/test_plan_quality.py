@@ -189,11 +189,12 @@ def test_interval_bin_join_no_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_bm25_filters_before_shuffle(spark, sf_dir):
-    """The corpus-sized explode must be filtered to the query's terms
-    BEFORE the (id, tok) groupBy exchange: the only corpus-wide shuffle
-    carries the query's posting rows, not every token occurrence. The
-    final top-k must be TakeOrderedAndProject, not a global sort."""
+def test_bm25_no_corpus_shuffle(spark, sf_dir):
+    """The r12 single-scan BM25: per-term tf is a per-row expression
+    over one named tokenize (no posting explode), scoring runs map-side
+    under the broadcast one-row stats frame, and the final top-k is
+    TakeOrderedAndProject. The plan must therefore contain NO
+    corpus-keyed hash exchange and NO Generate (explode) node."""
     from hash_db_spark.plans.inspect import formatted_plan
 
     import re
@@ -202,17 +203,14 @@ def test_bm25_filters_before_shuffle(spark, sf_dir):
     plan = formatted_plan(df)
     s = summarize(df)
     assert s.has_take_ordered
-    # the term filter is a Filter over the generated (exploded) tok
-    # column, i.e. below the partial aggregate + exchange
-    m = re.search(r"Condition : tok#\d+ IN \(hash,join,spark\)", plan)
-    assert m, "term isin filter missing from physical plan"
-    first_exchange = plan.find("Exchange")
-    assert "partial_count" in plan
-    # detail section ordering: the Generate/Filter detail ids are lower
-    # than the partial HashAggregate's, so the filter text appears in the
-    # operator tree before any corpus-sized exchange detail
-    gen = re.search(r"\(\d+\) Generate", plan)
-    assert gen is not None
+    # stats ride a broadcast; the corpus rows are never repartitioned
+    assert "BroadcastExchange" in plan
+    assert not re.search(r"Exchange hashpartitioning", plan), (
+        "corpus-keyed shuffle crept back into bm25"
+    )
+    assert not re.search(r"\(\d+\) Generate", plan), (
+        "posting explode crept back into bm25"
+    )
 
 
 def test_tfidf_window_partitioned_by_doc(spark, sf_dir):
