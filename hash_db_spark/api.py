@@ -81,7 +81,20 @@ class HashDb:
             # calls grew 42s -> 89s -> 182s per-100 with eager=False).
             # One tiny Spark job per _CHECKPOINT_EVERY mutations keeps
             # both plan depth and analysis time flat.
-            self.kv = self.kv.localCheckpoint()
+            self.kv = self._capped_checkpoint(self.kv)
+
+    def _capped_checkpoint(self, df: DataFrame) -> DataFrame:
+        # localCheckpoint preserves the physical partitioning, and each
+        # union-style mutation appends its own partition(s) — measured
+        # +1 partition PER MUTATION surviving every checkpoint, so a
+        # long session's checkpoint jobs grow linearly in task count
+        # even though plan depth stays flat. coalesce is narrow (no
+        # shuffle) and a no-op when already at or under the cap, so a
+        # genuinely large table on a cluster keeps defaultParallelism-
+        # wide layout while an interactive session stays flat.
+        return df.coalesce(
+            self.spark.sparkContext.defaultParallelism
+        ).localCheckpoint()
 
     # -- KV (K1-K9) ---------------------------------------------------------
 
@@ -182,8 +195,8 @@ class HashDb:
             self.nodes, self.edges = result
             self._graph_mutations += 1
             if self._graph_mutations % _CHECKPOINT_EVERY == 0:
-                self.nodes = self.nodes.localCheckpoint()
-                self.edges = self.edges.localCheckpoint()
+                self.nodes = self._capped_checkpoint(self.nodes)
+                self.edges = self._capped_checkpoint(self.edges)
             return None
         return [r.asDict(recursive=True) for r in result.collect()]
 
