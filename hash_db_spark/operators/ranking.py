@@ -338,16 +338,18 @@ def tfidf_cosine_pairs(
             .alias("qw"),
         )
     )
-    # w feeds BOTH the norm aggregation and the posting self-join, and
-    # wn feeds both join sides — without pinning, Spark re-derives the
-    # explode+tf+df pipeline once per consumer (4 corpus scans).
-    # localCheckpoint bounds it to one (the house multi-consumer rule,
-    # operators/bpe.py:19).
-    w = w.localCheckpoint(eager=True)
-    nrm = w.groupBy("id").agg(
-        F.sum(F.col("qw") * F.col("qw")).alias("n2")
-    )
-    wn = w.join(nrm, "id").localCheckpoint(eager=True)
+    # Norms ride on the posting rows via a sum window over id — the
+    # same one-exchange trick as the df count window above (optimization
+    # r12): the former groupBy(id) + join-back derived w TWICE (its own
+    # checkpoint plus the join) and shuffled it by id two more times.
+    # n2 is an order-independent integer sum, so the window form is
+    # bit-identical. wn feeds both self-join sides — without pinning,
+    # Spark re-derives the explode+tf+df pipeline once per side (the
+    # house multi-consumer rule, operators/bpe.py:19); ONE checkpoint
+    # now covers everything.
+    wn = w.withColumn(
+        "n2", F.sum(F.col("qw") * F.col("qw")).over(Window.partitionBy("id"))
+    ).localCheckpoint(eager=True)
     a = wn.select(
         F.col("id").alias("ida"),
         "tok",
